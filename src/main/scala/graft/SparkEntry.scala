@@ -1,13 +1,413 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.types._
+
+/** Driver contract (see SURVEY.md §7 and §2 for the operator inventory).
+  *
+  * Every implemented operator from SURVEY.md §2 has an entry in [[queries]];
+  * SQL-expressible ones also have a DuckDB oracle in [[oracleSql]]. Column
+  * names are aliased identically on both sides (the driver sorts columns by
+  * name before hashing). Aggregates over `double` columns are computed in
+  * `decimal` on BOTH sides so results are bit-identical regardless of
+  * summation order (floating-point sums are order-dependent; decimal sums
+  * are exact — SURVEY.md §7.4 risk 6).
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  /** Flagship query on sf=0.001; driver smoke-checks rows>0.
+    * "Revenue by nation" — scan → filter → join → agg, the canonical
+    * star-join slice (SURVEY.md §7.2's shape over the driver tables).
+    */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    q03_join_agg(spark, "/root/testdata/sf0.001")
+
+  // ---------------------------------------------------------------- helpers
+
+  private def dec(c: org.apache.spark.sql.Column) = c.cast(DecimalType(18, 2))
+
+  // ------------------------------------------------- §2.7 aggregations (A2–A6)
+
+  /** A2/A3/A5/A6 + §2.7 note: sum/min/max/count/countDistinct in one grouped
+    * agg. Partial (map-side) aggregation is free via Catalyst; at 100 TB the
+    * only shuffle is on the (low-cardinality) group keys. */
+  def q01_agg_sums(s: SparkSession, d: String): DataFrame = {
+    Tables.lineitem(s, d)
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        sum(dec(col("l_quantity"))).as("sum_qty"),
+        sum(dec(col("l_extendedprice"))).as("sum_price"),
+        min(dec(col("l_quantity"))).as("min_qty"),
+        max(dec(col("l_quantity"))).as("max_qty"),
+        count(lit(1)).as("n_rows"),
+        countDistinct(col("l_orderkey")).as("n_orders"))
+  }
+
+  // ------------------------------------------- §2.3/§2.4 projection + filters
+
+  /** P2/P6/F5: projection + predicate. Both the filter and the 3-column
+    * read schema reach the parquet scan (PushedFilters / ReadSchema). */
+  def q02_filter_project(s: SparkSession, d: String): DataFrame = {
+    Tables.lineitem(s, d)
+      .filter(col("l_discount") > lit(0.05) && col("l_quantity") < lit(10.0))
+      .select(
+        col("l_orderkey"),
+        col("l_linenumber"),
+        dec(col("l_extendedprice")).as("price"))
+  }
+
+  // --------------------------------------------------------- §2.6 joins (J1)
+
+  /** J1: inner equi-joins through the star schema; nation/region are
+    * broadcast (small dims) so the only shuffle is the final group-by. */
+  def q03_join_agg(s: SparkSession, d: String): DataFrame = {
+    val o = Tables.orders(s, d)
+    val c = Tables.customer(s, d)
+    val n = Tables.nation(s, d)
+    o.join(c, o("o_custkey") === c("c_custkey"))
+      .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(
+        sum(dec(col("o_totalprice"))).as("revenue"),
+        count(lit(1)).as("n_orders"))
+  }
+
+  /** J4/J7: broadcast dimension lookup + conditional price adjustment —
+    * the reference's get_adjusted_price rule re-expressed natively
+    * (/root/reference/src/etl_vol_transfers/main.py:121-132):
+    * special unit → value/1e6; known unit → value·price/10^decimals;
+    * unknown → 0. Here: part is the dim, p_size%4 plays `decimals`. */
+  def q04_dim_adjust(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d)
+    val p = Tables.part(s, d).select(
+      col("p_partkey"), col("p_retailprice"), (col("p_size") % 4).as("p_dec"))
+    li.join(broadcast(p), li("l_partkey") === p("p_partkey"), "left")
+      .select(
+        col("l_orderkey"),
+        col("l_linenumber"),
+        when(col("l_returnflag") === "R", col("l_extendedprice") / 1e6)
+          .otherwise(coalesce(
+            col("l_extendedprice") * col("p_retailprice") /
+              pow(lit(10.0), col("p_dec")),
+            lit(0.0))).as("value_adj"))
+  }
+
+  /** J2/F2/F7: the net-flow core — full-outer join of two keyed sums,
+    * fill 0, diff = out − in, drop diff=0
+    * (/root/reference/src/etl_vol_transfers/main.py:96-105). Analog:
+    * per customer, header totals vs line-level totals. Both sides shuffle
+    * once on the same key, so the join itself needs no extra exchange. */
+  def q05_netflow_diff(s: SparkSession, d: String): DataFrame = {
+    val outS = Tables.orders(s, d).groupBy(col("o_custkey").as("custkey"))
+      .agg(sum(dec(col("o_totalprice"))).as("out_sum"))
+    val inS = Tables.orders(s, d)
+      .join(Tables.lineitem(s, d), col("o_orderkey") === col("l_orderkey"))
+      .groupBy(col("o_custkey").as("custkey"))
+      .agg(sum(dec(col("l_extendedprice"))).as("in_sum"))
+    outS.join(inS, Seq("custkey"), "full_outer")
+      .select(
+        col("custkey"),
+        coalesce(col("out_sum"), lit(0).cast(DecimalType(28, 2))).as("out_sum"),
+        coalesce(col("in_sum"), lit(0).cast(DecimalType(28, 2))).as("in_sum"))
+      .withColumn("diff", col("out_sum") - col("in_sum"))
+      .filter(col("diff") =!= 0)
+  }
+
+  /** J3: per-group cross product realized as an equi-join on the group key —
+    * the reference's receivers×senders transfer attribution
+    * (/root/reference/src/etl_vol_transfers/main.py:161-167). Analog:
+    * within each order, 'R'-flag lines × 'A'-flag lines. Skew note: at
+    * 100 TB hot keys would explode; AQE skew-join handles it (SURVEY §7.4). */
+  def q06_transfer_cross(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d)
+    val rx = li.filter(col("l_returnflag") === "R")
+      .select(col("l_orderkey").as("okey"), col("l_linenumber").as("rx_line"),
+        dec(col("l_extendedprice")).as("rx_value"))
+    val tx = li.filter(col("l_returnflag") === "A")
+      .select(col("l_orderkey").as("okey"), col("l_linenumber").as("tx_line"))
+    rx.join(tx, Seq("okey"), "inner")
+      .select(col("okey"), col("rx_line"), col("tx_line"), col("rx_value"))
+  }
+
+  /** J5/W2: top-k by measure + left-semi join (the notebook's
+    * vol_by_block ⋈ top-10 vol_all_time). Top-k plans as
+    * TakeOrderedAndProject (no full sort); the semi-join side is tiny →
+    * broadcast. */
+  def q07_topk_semijoin(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d)
+    val top = li.groupBy(col("l_partkey"))
+      .agg(sum(dec(col("l_quantity"))).as("total_qty"))
+      .orderBy(col("total_qty").desc, col("l_partkey").asc)
+      .limit(10)
+      .select(col("l_partkey"))
+    li.join(broadcast(top), Seq("l_partkey"), "left_semi")
+      .groupBy(col("l_partkey"), col("l_returnflag"))
+      .agg(sum(dec(col("l_quantity"))).as("qty"))
+  }
+
+  /** J6: zero-padded series — dimension × full integer range generated with
+    * sequence+explode, observed values left-joined in, missing → 0
+    * (the notebook's per-unit height padding). The generated axis is tiny;
+    * broadcast keeps the pad join shuffle-free. */
+  def q08_zero_pad(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d)
+      .select(col("l_returnflag"),
+        (year(col("l_shipdate")) * 12 + month(col("l_shipdate")))
+          .cast(LongType).as("ym"),
+        dec(col("l_quantity")).as("q"))
+    val observed = li.groupBy(col("l_returnflag"), col("ym"))
+      .agg(sum(col("q")).as("qty"))
+    val bounds = li.agg(min(col("ym")).as("lo"), max(col("ym")).as("hi"))
+    val axis = bounds
+      .select(explode(sequence(col("lo"), col("hi"))).as("ym"))
+    val flags = li.select(col("l_returnflag")).distinct()
+    flags.crossJoin(broadcast(axis))
+      .join(observed, Seq("l_returnflag", "ym"), "left")
+      .select(col("l_returnflag"), col("ym"),
+        coalesce(col("qty"), lit(0).cast(DecimalType(28, 2))).as("qty"))
+  }
+
+  // ----------------------------------------------- §2.8 window / sort / dedup
+
+  /** W1: cumulative moving average (the notebook's expanding().mean()) as a
+    * running decimal sum + count over an unbounded-preceding window —
+    * single shuffle on the partition key, no join (SURVEY J8 note). */
+  def q09_cma_window(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.orders(s, d).select(
+      col("o_custkey"), col("o_orderkey"),
+      sum(dec(col("o_totalprice"))).over(w).as("running_sum"),
+      count(lit(1)).over(w).as("n_so_far"))
+  }
+
+  /** W2/W3: ranked top-k per group with deterministic tie-break. */
+  def q10_rank_topk(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+    Tables.orders(s, d)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .select(col("o_custkey"), col("o_orderkey"),
+        dec(col("o_totalprice")).as("price"), col("rn"))
+  }
+
+  /** D1: dedup-keep-last with an explicit deterministic order column
+    * (SURVEY §7.4 risk 5 — keep-last needs a total order to be well-defined
+    * distributed; ties on ts broken by event_id). */
+  def q11_dedup_keeplast(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").desc, col("event_id").desc)
+    Tables.events(s, d)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("user_id"), col("event_id"), col("event_type"))
+  }
+
+  /** U1: union + distinct (node-set union of edge endpoints). */
+  def q12_union_distinct(s: SparkSession, d: String): DataFrame = {
+    Tables.customer(s, d).select(col("c_nationkey").as("nationkey"))
+      .union(Tables.supplier(s, d).select(col("s_nationkey").as("nationkey")))
+      .distinct()
+  }
+
+  // ------------------------------------- §2.5 flatten / §2.11 scalar functions
+
+  /** G4 analog: dynamic JSON map parse + explode + re-agg — the reference's
+    * token-value melt (/root/reference/src/etl_vol_transfers/main.py:77-93)
+    * done natively: from_json(MapType) + explode replaces the pandas
+    * apply/unstack/melt dance. */
+  def q13_explode_map(s: SparkSession, d: String): DataFrame = {
+    Tables.events(s, d)
+      .select(col("event_type"),
+        explode(from_json(col("props"), MapType(StringType, LongType)))
+          .as(Seq("k", "v")))
+      .groupBy(col("event_type"), col("k"))
+      .agg(sum(col("v")).as("total"), count(lit(1)).as("n"))
+  }
+
+  /** §2.11 sequence/range gen (np.arange equivalent). */
+  def q14_seq_explode(s: SparkSession, d: String): DataFrame = {
+    Tables.region(s, d)
+      .select(col("r_regionkey"),
+        explode(sequence(lit(1L),
+          col("r_regionkey").cast(LongType) + 1L)).as("i"))
+  }
+
+  /** §2.11 string scalars: substring/ellipsize/concat/length/conditional
+    * replace (the reference's address labels + adalovelace rule). */
+  def q15_string_funcs(s: SparkSession, d: String): DataFrame = {
+    Tables.part(s, d).select(
+      col("p_partkey"),
+      concat(substring(col("p_name"), 1, 4), lit("..."),
+        substring(col("p_name"), -3, 3)).as("label"),
+      length(col("p_name")).as("name_len"),
+      when(col("p_brand") === "Brand#11", lit("prime"))
+        .otherwise(lower(col("p_brand"))).as("brand_norm"))
+  }
+
+  /** §2.11 slot→time affine map (slot + 1591566291 = unix seconds,
+    * /root/reference/src/cardano_streamer/app.properties:14) — kept in
+    * integer space for cross-engine determinism. */
+  def q16_slot_time(s: SparkSession, d: String): DataFrame = {
+    Tables.events(s, d).select(
+      col("event_id"),
+      (col("event_id") + lit(1591566291L)).as("unix_sec"),
+      ((col("event_id") + lit(1591566291L)) / 86400).cast(LongType).as("day"))
+  }
+
+  // ---------------------------------------------------------------- registry
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q01_agg_sums" -> (q01_agg_sums _),
+    "q02_filter_project" -> (q02_filter_project _),
+    "q03_join_agg" -> (q03_join_agg _),
+    "q04_dim_adjust" -> (q04_dim_adjust _),
+    "q05_netflow_diff" -> (q05_netflow_diff _),
+    "q06_transfer_cross" -> (q06_transfer_cross _),
+    "q07_topk_semijoin" -> (q07_topk_semijoin _),
+    "q08_zero_pad" -> (q08_zero_pad _),
+    "q09_cma_window" -> (q09_cma_window _),
+    "q10_rank_topk" -> (q10_rank_topk _),
+    "q11_dedup_keeplast" -> (q11_dedup_keeplast _),
+    "q12_union_distinct" -> (q12_union_distinct _),
+    "q13_explode_map" -> (q13_explode_map _),
+    "q14_seq_explode" -> (q14_seq_explode _),
+    "q15_string_funcs" -> (q15_string_funcs _),
+    "q16_slot_time" -> (q16_slot_time _),
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "q01_agg_sums" ->
+      """SELECT l_returnflag, l_linestatus,
+        | sum(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty,
+        | sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS sum_price,
+        | min(CAST(l_quantity AS DECIMAL(18,2))) AS min_qty,
+        | max(CAST(l_quantity AS DECIMAL(18,2))) AS max_qty,
+        | count(*) AS n_rows,
+        | count(DISTINCT l_orderkey) AS n_orders
+        |FROM lineitem GROUP BY l_returnflag, l_linestatus""".stripMargin,
+    "q02_filter_project" ->
+      """SELECT l_orderkey, l_linenumber,
+        | CAST(l_extendedprice AS DECIMAL(18,2)) AS price
+        |FROM lineitem WHERE l_discount > 0.05 AND l_quantity < 10.0""".stripMargin,
+    "q03_join_agg" ->
+      """SELECT n_name,
+        | sum(CAST(o_totalprice AS DECIMAL(18,2))) AS revenue,
+        | count(*) AS n_orders
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY n_name""".stripMargin,
+    "q04_dim_adjust" ->
+      """SELECT l_orderkey, l_linenumber,
+        | CASE WHEN l_returnflag = 'R' THEN l_extendedprice / 1e6
+        |      ELSE coalesce(l_extendedprice * p_retailprice
+        |                    / power(10.0, p_size % 4), 0.0)
+        | END AS value_adj
+        |FROM lineitem LEFT JOIN part ON l_partkey = p_partkey""".stripMargin,
+    "q05_netflow_diff" ->
+      """WITH outs AS (
+        |  SELECT o_custkey AS custkey,
+        |    sum(CAST(o_totalprice AS DECIMAL(18,2))) AS out_sum
+        |  FROM orders GROUP BY o_custkey),
+        |ins AS (
+        |  SELECT o_custkey AS custkey,
+        |    sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS in_sum
+        |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        |  GROUP BY o_custkey)
+        |SELECT custkey,
+        |  coalesce(out_sum, 0) AS out_sum,
+        |  coalesce(in_sum, 0) AS in_sum,
+        |  coalesce(out_sum, 0) - coalesce(in_sum, 0) AS diff
+        |FROM outs FULL OUTER JOIN ins USING (custkey)
+        |WHERE coalesce(out_sum, 0) - coalesce(in_sum, 0) <> 0""".stripMargin,
+    "q06_transfer_cross" ->
+      """SELECT rx.l_orderkey AS okey, rx.l_linenumber AS rx_line,
+        | tx.l_linenumber AS tx_line,
+        | CAST(rx.l_extendedprice AS DECIMAL(18,2)) AS rx_value
+        |FROM lineitem rx JOIN lineitem tx
+        |  ON rx.l_orderkey = tx.l_orderkey
+        |WHERE rx.l_returnflag = 'R' AND tx.l_returnflag = 'A'""".stripMargin,
+    "q07_topk_semijoin" ->
+      """WITH top AS (
+        |  SELECT l_partkey FROM lineitem GROUP BY l_partkey
+        |  ORDER BY sum(CAST(l_quantity AS DECIMAL(18,2))) DESC, l_partkey ASC
+        |  LIMIT 10)
+        |SELECT l_partkey, l_returnflag,
+        |  sum(CAST(l_quantity AS DECIMAL(18,2))) AS qty
+        |FROM lineitem WHERE l_partkey IN (SELECT l_partkey FROM top)
+        |GROUP BY l_partkey, l_returnflag""".stripMargin,
+    "q08_zero_pad" ->
+      """WITH li AS (
+        |  SELECT l_returnflag,
+        |    year(l_shipdate) * 12 + month(l_shipdate) AS ym,
+        |    CAST(l_quantity AS DECIMAL(18,2)) AS q
+        |  FROM lineitem),
+        |observed AS (
+        |  SELECT l_returnflag, ym, sum(q) AS qty FROM li
+        |  GROUP BY l_returnflag, ym),
+        |bounds AS (SELECT min(ym) AS lo, max(ym) AS hi FROM li),
+        |axis AS (SELECT unnest(generate_series(lo, hi)) AS ym FROM bounds),
+        |flags AS (SELECT DISTINCT l_returnflag FROM li)
+        |SELECT f.l_returnflag, a.ym, coalesce(o.qty, 0) AS qty
+        |FROM flags f CROSS JOIN axis a
+        |LEFT JOIN observed o
+        |  ON o.l_returnflag = f.l_returnflag AND o.ym = a.ym""".stripMargin,
+    "q09_cma_window" ->
+      """SELECT o_custkey, o_orderkey,
+        | sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER w AS running_sum,
+        | count(*) OVER w AS n_so_far
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey
+        |  ORDER BY o_orderdate, o_orderkey
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)""".stripMargin,
+    "q10_rank_topk" ->
+      """SELECT o_custkey, o_orderkey,
+        | CAST(o_totalprice AS DECIMAL(18,2)) AS price, rn
+        |FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |    row_number() OVER (PARTITION BY o_custkey
+        |      ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+        |  FROM orders) t
+        |WHERE rn <= 3""".stripMargin,
+    "q11_dedup_keeplast" ->
+      """SELECT user_id, event_id, event_type FROM (
+        |  SELECT user_id, event_id, event_type,
+        |    row_number() OVER (PARTITION BY user_id
+        |      ORDER BY ts DESC, event_id DESC) AS rn
+        |  FROM events) t
+        |WHERE rn = 1""".stripMargin,
+    "q12_union_distinct" ->
+      """SELECT DISTINCT nationkey FROM (
+        |  SELECT c_nationkey AS nationkey FROM customer
+        |  UNION ALL
+        |  SELECT s_nationkey AS nationkey FROM supplier) t""".stripMargin,
+    "q13_explode_map" ->
+      """SELECT event_type, k,
+        | CAST(sum(CAST(json_extract(props, '$."' || k || '"') AS BIGINT))
+        |   AS BIGINT) AS total,
+        | count(*) AS n
+        |FROM (SELECT event_type, props,
+        |        unnest(json_keys(props)) AS k FROM events) t
+        |GROUP BY event_type, k""".stripMargin,
+    "q14_seq_explode" ->
+      """SELECT r_regionkey, unnest(generate_series(1, r_regionkey + 1)) AS i
+        |FROM region""".stripMargin,
+    "q15_string_funcs" ->
+      """SELECT p_partkey,
+        | substring(p_name, 1, 4) || '...' ||
+        |   substring(p_name, length(p_name) - 2, 3) AS label,
+        | length(p_name) AS name_len,
+        | CASE WHEN p_brand = 'Brand#11' THEN 'prime'
+        |      ELSE lower(p_brand) END AS brand_norm
+        |FROM part""".stripMargin,
+    "q16_slot_time" ->
+      """SELECT event_id,
+        | event_id + 1591566291 AS unix_sec,
+        | CAST(floor((event_id + 1591566291) / 86400) AS BIGINT) AS day
+        |FROM events""".stripMargin,
+  )
 }

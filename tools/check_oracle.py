@@ -1,0 +1,74 @@
+#!/usr/bin/env python3
+"""Local pre-check of SparkEntry.queries vs oracleSql, mimicking the
+driver's DuckDB compare: run each oracle SQL over the sf parquet tables,
+read the Spark result parquet, sort columns by name, sort rows, compare.
+
+Usage: python3 tools/check_oracle.py <sfDir> <verifyOutDir>
+"""
+import sys, json, glob, os
+import duckdb
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+def norm(df):
+    df = df[sorted(df.columns)]
+    df = df.sort_values(by=list(df.columns)).reset_index(drop=True)
+    return df
+
+def main(sf_dir, out_dir):
+    con = duckdb.connect()
+    for t in TABLES:
+        p = f"{sf_dir}/{t}.parquet"
+        if os.path.exists(p):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+    oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    n_ok = n_bad = 0
+    declared = sorted(d for d in os.listdir(out_dir)
+                      if os.path.isdir(f"{out_dir}/{d}"))
+    for name in declared:
+        files = glob.glob(f"{out_dir}/{name}/*.parquet")
+        got = con.execute(
+            f"SELECT * FROM read_parquet({files!r})").fetchdf()
+        if name not in oracle:
+            print(f"  {name}: rows-only ({len(got)} rows)")
+            continue
+        try:
+            exp = con.execute(oracle[name]).fetchdf()
+        except Exception as e:
+            print(f"FAIL {name}: oracle SQL error: {e}")
+            n_bad += 1
+            continue
+        g, e_ = norm(got), norm(exp)
+        if list(g.columns) != list(e_.columns):
+            print(f"FAIL {name}: columns {list(g.columns)} vs {list(e_.columns)}")
+            n_bad += 1
+            continue
+        if len(g) != len(e_):
+            print(f"FAIL {name}: rows {len(g)} vs {len(e_)}")
+            n_bad += 1
+            continue
+        # value compare (exact, as a hash-match would be)
+        mismatch = None
+        for c in g.columns:
+            a, b = g[c], e_[c]
+            if not (a.astype(str).values == b.astype(str).values).all():
+                bad = (a.astype(str).values != b.astype(str).values)
+                i = bad.argmax()
+                mismatch = (c, a.iloc[i], b.iloc[i],
+                            str(a.dtype), str(b.dtype), int(bad.sum()))
+                break
+        if mismatch:
+            c, av, bv, at, bt, nb = mismatch
+            print(f"FAIL {name}: col {c} ({at} vs {bt}) {nb} diffs, "
+                  f"e.g. spark={av!r} oracle={bv!r}")
+            n_bad += 1
+        else:
+            print(f"  ok {name} ({len(g)} rows)")
+            n_ok += 1
+    print(f"== {n_ok} ok, {n_bad} fail, "
+          f"{len(declared) - n_ok - n_bad} rows-only ==")
+    return 1 if n_bad else 0
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv[1], sys.argv[2]))
