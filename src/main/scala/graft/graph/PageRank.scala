@@ -1,0 +1,61 @@
+package graft.graph
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Iterative DataFrame PageRank (SURVEY.md §2.10 X2) — the one genuinely
+  * custom operator: the reference delegates to Neo4j GDS
+  * (/root/reference/airflow/archive/dags/etl_pagerank_dag.py:43-48); here it
+  * is k rounds of join → groupBy-sum, the GraphFrames-style formulation.
+  *
+  * Normalized variant: ranks sum to 1; dangling-node mass is redistributed
+  * uniformly each round:
+  *   rank'(v) = (1−d)/N + d·( Σ_{u→v} rank(u)/outDeg(u) + dangling/N )
+  *
+  * Scale notes: edges shuffle once on src per iteration (ranks are tiny —
+  * one row per node — so the join broadcasts them when they fit); lineage
+  * is cut every `checkpointEvery` iterations (localCheckpoint) or the plan
+  * grows exponentially (SURVEY.md §7.3).
+  */
+object PageRank {
+
+  /** @param edges DataFrame with string columns `src`, `dst`
+    * @return (address, score) */
+  def run(edges: DataFrame, iterations: Int = 20, damping: Double = 0.85,
+          checkpointEvery: Int = 5): DataFrame = {
+    val e = edges.select(col("src"), col("dst")).distinct().cache()
+    val nodes = e.select(col("src").as("address"))
+      .union(e.select(col("dst").as("address"))).distinct().cache()
+    val n = nodes.count()
+    val outDeg = e.groupBy(col("src")).agg(count(lit(1)).as("out_deg")).cache()
+
+    var ranks = nodes.withColumn("score", lit(1.0 / n))
+    for (i <- 1 to iterations) {
+      val withDeg = ranks.join(outDeg,
+        ranks("address") === outDeg("src"), "left")
+      // mass held by dangling nodes (no out-edges) this round
+      val dangling = withDeg.filter(col("out_deg").isNull)
+        .agg(coalesce(sum(col("score")), lit(0.0))).first().getDouble(0)
+      val contribs = e
+        .join(ranks, e("src") === ranks("address"))
+        .join(outDeg, Seq("src"))
+        .select(col("dst").as("address"),
+          (col("score") / col("out_deg")).as("contrib"))
+        .groupBy(col("address"))
+        .agg(sum(col("contrib")).as("contrib"))
+      ranks = nodes
+        .join(contribs, Seq("address"), "left")
+        .select(col("address"),
+          (lit((1.0 - damping) / n) +
+            lit(damping) * (coalesce(col("contrib"), lit(0.0)) +
+              lit(dangling / n))).as("score"))
+      if (i % checkpointEvery == 0 && i < iterations)
+        ranks = ranks.localCheckpoint(true)
+    }
+    ranks
+  }
+
+  /** Ranked extract (W3): scores descending, deterministic tie-break. */
+  def ranked(scores: DataFrame): DataFrame =
+    scores.orderBy(col("score").desc, col("address").asc)
+}

@@ -1,0 +1,29 @@
+package graft.ingest
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.model.Schemas
+
+/** JSON block lines → typed block rows (SURVEY.md §2.3 P1).
+  *
+  * Reference: `from_json(col("value"), block_schema)` then
+  * `select("json.py/state.*")`
+  * (/root/reference/src/etl_blockchain/main.py:19-20,
+  * /root/reference/src/etl_vol_transfers/main.py:24-25). The `py/state`
+  * field name contains a slash, hence the backtick quoting.
+  *
+  * Works identically on batch and streaming DataFrames — the input contract
+  * is a single string column named `value` (what the socket source and
+  * MemoryStream[String] both produce).
+  */
+object BlockParser {
+
+  /** Parse newline-JSON block lines; adds event-time `block_time` derived
+    * from the slot↔unix-seconds affine relation (SURVEY.md §2.11). */
+  def parse(lines: DataFrame): DataFrame =
+    lines
+      .select(from_json(col("value"), Schemas.blockLineSchema).as("json"))
+      .select(col("json.`py/state`.*"))
+      .withColumn("block_time",
+        timestamp_seconds(col("slot") + lit(Schemas.SlotEpochOffset)))
+}

@@ -1,0 +1,83 @@
+package graft.model
+
+import org.apache.spark.sql.types._
+
+/** Explicit schemas for the blockchain data model (SURVEY.md §1).
+  *
+  * The block envelope mirrors the reference's declared parse schema
+  * (/root/reference/src/etl_blockchain/util/schema.py:3-28): a jsonpickle
+  * wrapper whose single field is literally named `py/state` (slash included —
+  * quote with backticks when selecting), containing the block struct.
+  *
+  * Token-value maps (a tx output's `value` field) are a JSON *string* with
+  * dynamic keys policy-id → {asset-name-hex → quantity}
+  * (/root/reference/src/etl_vol_transfers/util/schema.py:14 and observed
+  * fixtures) — parsed natively as MapType, quantities as LongType (observed
+  * values exceed int32, SURVEY.md §7.4 risk 2).
+  */
+object Schemas {
+
+  /** Cardano Shelley-era slot→unix-seconds affine offset
+    * (/root/reference/src/cardano_streamer/app.properties:14). */
+  val SlotEpochOffset = 1591566291L
+
+  val outputSchema: StructType = StructType(Seq(
+    StructField("address", StringType),
+    StructField("datum", StringType),
+    StructField("value", StringType)))  // dynamic token map, kept raw here
+
+  val inputSchema: StructType = StructType(Seq(
+    StructField("index", LongType),
+    StructField("transaction", StructType(Seq(
+      StructField("id", StringType))))))
+
+  val txSchema: StructType = StructType(Seq(
+    StructField("id", StringType),
+    StructField("inputs", ArrayType(inputSchema)),
+    StructField("outputs", ArrayType(outputSchema)),
+    StructField("fee", StringType)))    // arbitrary-precision guard: string
+
+  val blockStateSchema: StructType = StructType(Seq(
+    StructField("blocktype", StringType),
+    StructField("era", StringType),
+    StructField("height", LongType),
+    StructField("id", StringType),
+    StructField("slot", LongType),
+    StructField("transactions", ArrayType(txSchema))))
+
+  /** Full line schema including the jsonpickle `py/state` envelope. */
+  val blockLineSchema: StructType = StructType(Seq(
+    StructField("py/state", blockStateSchema)))
+
+  /** Dynamic token-value map: policy → (asset-name-hex → quantity). */
+  val tokenValueType: MapType =
+    MapType(StringType, MapType(StringType, LongType))
+
+  /** Resolved-input rows, Blockfrost shape
+    * (/root/reference/src/etl_vol_transfers/util/schema.py:30-44). */
+  val resolvedInputSchema: StructType = StructType(Seq(
+    StructField("address", StringType),
+    StructField("amount", ArrayType(StructType(Seq(
+      StructField("quantity", StringType),
+      StructField("unit", StringType))))),
+    StructField("collateral", BooleanType),
+    StructField("data_hash", StringType),
+    StructField("inline_datum", StringType),
+    StructField("output_index", LongType),
+    StructField("reference", BooleanType),
+    StructField("reference_script_hash", StringType),
+    StructField("tx_hash", StringType)))
+
+  /** Price dimension (/root/reference/src/etl_vol_transfers/data/prices). */
+  val priceSchema: StructType = StructType(Seq(
+    StructField("unit", StringType),
+    StructField("symbol", StringType),
+    StructField("last_price_usd", DoubleType),
+    StructField("last_price_ada", DoubleType),
+    StructField("pricing_provider", StringType)))
+
+  /** Decimals dimension (/root/reference/src/etl_vol_transfers/data/decimals). */
+  val decimalsSchema: StructType = StructType(Seq(
+    StructField("unit", StringType),
+    StructField("decimals", IntegerType)))
+}

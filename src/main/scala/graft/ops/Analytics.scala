@@ -1,0 +1,64 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Presentation-layer analytics (SURVEY.md §2.8 W1/W2, §2.7 A7/A8, §2.6 J6,
+  * D1) — the notebook operations (volume_stack_plot.ipynb) as reusable
+  * DataFrame transforms. Each is a single-shuffle window or a
+  * broadcast-padded join; nothing collects to the driver.
+  */
+object Analytics {
+
+  /** W1: cumulative moving average (pandas expanding().mean()) of
+    * `valueCol` per `partCol` ordered by `ordCols` — one window, no join. */
+  def cumulativeMean(df: DataFrame, partCol: String, valueCol: String,
+                     ordCols: String*): DataFrame = {
+    val w = Window.partitionBy(col(partCol))
+      .orderBy(ordCols.map(col): _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.withColumn("cma", avg(col(valueCol)).over(w))
+  }
+
+  /** W2: top-k keys by an aggregated measure (TakeOrderedAndProject plan —
+    * per-partition heaps, no global sort). */
+  def topK(df: DataFrame, keyCol: String, valueCol: String,
+           k: Int): DataFrame =
+    df.groupBy(col(keyCol)).agg(sum(col(valueCol)).as("total"))
+      .orderBy(col("total").desc, col(keyCol).asc)
+      .limit(k)
+
+  /** J6: zero-pad a (key, idx, value) frame so every key has a row for
+    * every idx in the observed global [min, max] range. The generated axis
+    * is tiny → broadcast; no extra shuffle on the fact side. */
+  def zeroPad(df: DataFrame, keyCol: String, idxCol: String,
+              valueCol: String): DataFrame = {
+    val bounds = df.agg(min(col(idxCol)).as("lo"), max(col(idxCol)).as("hi"))
+    val axis = bounds.select(explode(sequence(col("lo"), col("hi"))).as(idxCol))
+    val keys = df.select(col(keyCol)).distinct()
+    keys.crossJoin(broadcast(axis))
+      .join(df, Seq(keyCol, idxCol), "left")
+      .withColumn(valueCol, coalesce(col(valueCol), lit(0.0)))
+  }
+
+  /** A8: per-idx proportional share (the stack plot's value/total·100 with
+    * the total==0 → 1 guard) via a partition-total window. */
+  def proportions(df: DataFrame, idxCol: String,
+                  valueCol: String): DataFrame = {
+    val w = Window.partitionBy(col(idxCol))
+    val total = sum(col(valueCol)).over(w)
+    df.withColumn("pct",
+      col(valueCol) / when(total === 0.0, 1.0).otherwise(total) * 100.0)
+  }
+
+  /** D1: dedup-keep-last over `keyCols` with an explicit deterministic
+    * order (SURVEY.md §7.4 risk 5). */
+  def dedupKeepLast(df: DataFrame, keyCols: Seq[String],
+                    ordCols: Seq[String]): DataFrame = {
+    val w = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy(ordCols.map(c => col(c).desc): _*)
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1).drop("__rn")
+  }
+}

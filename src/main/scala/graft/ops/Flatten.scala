@@ -1,0 +1,51 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Block → transaction flattening (SURVEY.md §2.5 G1, §2.3 P2/P3).
+  *
+  * Reference: explode(transactions) keeping block columns, with uuid()
+  * surrogate keys (/root/reference/src/etl_blockchain/main.py:41-46,
+  * /root/reference/src/etl_vol_transfers/main.py:53-61).
+  */
+object Flatten {
+
+  /** One row per transaction: block context + tx fields. */
+  def transactions(blocks: DataFrame): DataFrame =
+    blocks
+      .select(
+        col("height"), col("slot"), col("id").as("block_hash"),
+        explode(col("transactions")).as("tx"))
+      .select(
+        col("height"), col("slot"), col("block_hash"),
+        col("tx.id").as("hash"),
+        col("tx.inputs").as("inputs"),
+        col("tx.outputs").as("outputs"),
+        col("tx.fee").as("fee"))
+
+  /** Raw-persistence projections (= the four JDBC tables of
+    * /root/reference/src/etl_blockchain/main.py:34-63, parquet-shaped).
+    * uuid() is nondeterministic-by-design (P3). */
+  def blockTable(blocks: DataFrame): DataFrame =
+    blocks.select(
+      expr("uuid()").as("id"),
+      col("id").as("hash"), col("height"), col("slot"))
+
+  def txTable(txs: DataFrame): DataFrame =
+    txs.select(
+      expr("uuid()").as("id"),
+      col("block_hash"), col("hash"))
+
+  def txOutputTable(txs: DataFrame): DataFrame =
+    txs.select(
+      expr("uuid()").as("id"),
+      col("hash").as("tx_hash"),
+      to_json(col("outputs")).as("payload"))
+
+  def txInputTable(txs: DataFrame): DataFrame =
+    txs.select(
+      expr("uuid()").as("id"),
+      col("hash").as("tx_hash"),
+      to_json(col("inputs")).as("payload"))
+}

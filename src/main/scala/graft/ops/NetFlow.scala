@@ -1,0 +1,35 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Per-(tx, address, unit) net flow (SURVEY.md §2.9 get_transacted_actions).
+  *
+  * Reference semantics (/root/reference/src/etl_vol_transfers/main.py:96-105):
+  * sum inputs and outputs per (address, unit) within a tx, full-outer join,
+  * fill 0, `diff = out − in`, drop diff = 0. The reference runs this row-at-
+  * a-time in a pandas UDF per tx; natively it is two grouped sums + one
+  * full-outer join, all shuffling once on the same composite key — Catalyst
+  * reuses the hash partitioning across the aggregation and the join, so the
+  * whole operator is a single exchange per side at any scale.
+  */
+object NetFlow {
+
+  /** @param outFlows (hash, address, unit, value) from TokenValues.outputFlows
+    * @param inFlows  (hash, address, unit, value) from resolved inputs
+    * @return (hash, address, unit, diff) with diff ≠ 0
+    */
+  def compute(outFlows: DataFrame, inFlows: DataFrame): DataFrame = {
+    val keys = Seq("hash", "address", "unit")
+    val outSum = outFlows.groupBy(keys.map(col): _*)
+      .agg(sum(col("value")).as("out_value"))
+    val inSum = inFlows.groupBy(keys.map(col): _*)
+      .agg(sum(col("value")).as("in_value"))
+    outSum.join(inSum, keys, "full_outer")
+      .select(
+        col("hash"), col("address"), col("unit"),
+        (coalesce(col("out_value"), lit(0L)) -
+          coalesce(col("in_value"), lit(0L))).as("diff"))
+      .filter(col("diff") =!= 0L)
+  }
+}

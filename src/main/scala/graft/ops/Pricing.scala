@@ -1,0 +1,41 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Price adjustment via broadcast dimension join (SURVEY.md §2.6 J4/J7).
+  *
+  * Reference rule (/root/reference/src/etl_vol_transfers/main.py:121-132),
+  * applied per row against a driver-broadcast python dict:
+  *   - unit == "lovelace"        → value / 1e6
+  *   - unit has a known price    → value · last_price_ada / 10^decimals
+  *                                 (decimals missing/0 → no scaling)
+  *   - unknown unit              → 0.0
+  *
+  * Natively: one broadcast left join against the joined price⋈decimals
+  * dimension (12k rows — far under any broadcast threshold) plus a
+  * when/otherwise expression. No shuffle at any scale.
+  */
+object Pricing {
+
+  /** Join prices (unit, last_price_ada) ⟕ decimals (unit, decimals) into
+    * one dimension (J4, /root/reference/src/etl_vol_transfers/main.py:113-116). */
+  def dimension(prices: DataFrame, decimals: DataFrame): DataFrame =
+    prices.select(col("unit"), col("last_price_ada"))
+      .join(decimals.select(col("unit"), col("decimals")), Seq("unit"), "left")
+
+  /** Add `value_adj` to a frame with (unit, value[, ...]) columns.
+    * `valueCol` names the column holding the raw quantity. */
+  def adjust(df: DataFrame, dim: DataFrame,
+             valueCol: String = "value"): DataFrame = {
+    val v = col(valueCol).cast("double")
+    df.join(broadcast(dim), Seq("unit"), "left")
+      .withColumn("value_adj",
+        when(col("unit") === "lovelace", v / 1e6)
+          .otherwise(coalesce(
+            v * col("last_price_ada") /
+              pow(lit(10.0), coalesce(col("decimals"), lit(0))),
+            lit(0.0))))
+      .drop("last_price_ada", "decimals")
+  }
+}

@@ -1,0 +1,53 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.model.Schemas
+
+/** Token-value extraction (SURVEY.md §2.5 G4/G5).
+  *
+  * The reference melts the dynamic token map inside a pandas UDF
+  * (json.loads + apply/unstack/melt,
+  * /root/reference/src/etl_vol_transfers/main.py:77-93). Natively it is
+  * `from_json(MapType)` + two explodes — fully codegen'd, no UDF boundary.
+  *
+  * Unit canonicalization: `unit = policy ++ asset_name_hex`, with the
+  * special case `"ada"+"lovelace" → "lovelace"`
+  * (/root/reference/src/etl_vol_transfers/main.py:89-90).
+  */
+object TokenValues {
+
+  def canonicalUnit(policy: Column, name: Column): Column =
+    when(concat(policy, name) === "adalovelace", lit("lovelace"))
+      .otherwise(concat(policy, name))
+
+  /** Tx outputs → one row per (hash, output_index, address, unit, value).
+    * posexplode records each output's position — that IS the outpoint
+    * `output_index` the resolver joins on (SURVEY.md §2.1 S5/S6). */
+  def outputFlows(txs: DataFrame): DataFrame =
+    txs
+      .select(col("hash"), posexplode(col("outputs")).as(Seq("output_index", "out")))
+      .select(
+        col("hash"), col("output_index"),
+        col("out.address").as("address"),
+        explode(from_json(col("out.value"), Schemas.tokenValueType))
+          .as(Seq("policy", "assets")))
+      .select(
+        col("hash"), col("output_index"), col("address"),
+        col("policy"), explode(col("assets")).as(Seq("name", "value")))
+      .select(
+        col("hash"), col("output_index"), col("address"),
+        canonicalUnit(col("policy"), col("name")).as("unit"),
+        col("value"))
+
+  /** Resolved-input rows (Blockfrost shape, amount = array<{quantity,unit}>)
+    * → (spending tx hash, address, unit, value). G5: amount-list flatten;
+    * quantity is a string in the source schema (precision guard) → long. */
+  def inputFlows(resolved: DataFrame): DataFrame =
+    resolved
+      .select(col("hash"), col("address"), explode(col("amount")).as("a"))
+      .select(
+        col("hash"), col("address"),
+        col("a.unit").as("unit"),
+        col("a.quantity").cast("long").as("value"))
+}

@@ -1,0 +1,45 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Transfer-edge attribution (SURVEY.md §2.9 compute_transfers, §2.6 J3).
+  *
+  * Reference semantics
+  * (/root/reference/src/etl_vol_transfers/main.py:150-167): within each
+  * (tx, unit), every receiver (diff>0) pairs with every sender (diff<0,
+  * abs) — a deliberate per-group cross product, edge value = the
+  * receiver's inflow, plus its price-adjusted form. Replicated exactly,
+  * not "improved" (SURVEY.md §7.4 risk 4).
+  *
+  * The cross product is realized as an equi-join on the grouping key
+  * (hash, unit) — Catalyst shuffles both sides once on that key; hot
+  * (tx, unit) groups are exactly what AQE skew-join splitting handles.
+  */
+object Transfers {
+
+  /** @param netFlow  (hash, address, unit, diff)
+    * @param priceDim Pricing.dimension output
+    * @return edges (hash, unit, rx_addr, send_addr, value, value_adj) */
+  def edges(netFlow: DataFrame, priceDim: DataFrame): DataFrame = {
+    val receivers = netFlow.filter(col("diff") > 0)
+      .select(col("hash"), col("unit"),
+        col("address").as("rx_addr"), col("diff").as("value"))
+    val senders = netFlow.filter(col("diff") < 0)
+      .select(col("hash"), col("unit"), col("address").as("send_addr"))
+    val paired = receivers.join(senders, Seq("hash", "unit"), "inner")
+    Pricing.adjust(paired, priceDim)
+      .select(col("hash"), col("unit"), col("rx_addr"), col("send_addr"),
+        col("value"), col("value_adj"))
+  }
+
+  /** Node table: distinct endpoint addresses (SURVEY.md §2.10 X1, §2.8 U1). */
+  def nodes(edges: DataFrame): DataFrame =
+    edges.select(col("rx_addr").as("address"))
+      .union(edges.select(col("send_addr").as("address")))
+      .distinct()
+
+  /** 1-hop neighborhood sample (X3): edge scan + limit; expansion is a
+    * self-join on dst = src. */
+  def sample(edges: DataFrame, n: Int): DataFrame = edges.limit(n)
+}

@@ -1,0 +1,58 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Volume reduction + rollups (SURVEY.md §2.9 reduce_vol, §2.7 A4–A6,
+  * §2.2 K4 upsert).
+  *
+  * Reference: per tx keep inflows only (diff>0), price-adjust, sum per unit
+  * (/root/reference/src/etl_vol_transfers/main.py:134-139); Airflow rollups
+  * re-aggregate `vol` by (unit, height) ÷ 1e6 and all-time by unit
+  * (/root/reference/airflow/archive/dags/etl_vol_dag.py:60-92), upserted
+  * ON CONFLICT (/root/reference/airflow/archive/dags/etl_vol_dag.py:24-39).
+  */
+object Volume {
+
+  /** The `vol` table: inflow rows (diff>0), price-adjusted, summed per
+    * (hash, height, slot, unit).
+    * @param netFlow  (hash, address, unit, diff) from NetFlow.compute
+    * @param txMeta   (hash, height, slot) — tx → block context (J1)
+    * @param priceDim Pricing.dimension output */
+  def vol(netFlow: DataFrame, txMeta: DataFrame,
+          priceDim: DataFrame): DataFrame = {
+    val inflows = netFlow.filter(col("diff") > 0)
+      .select(col("hash"), col("unit"), col("diff").as("value"))
+    val adjusted = Pricing.adjust(inflows, priceDim)
+    adjusted
+      .groupBy(col("hash"), col("unit"))
+      .agg(sum(col("value_adj")).as("value_adj"))
+      .join(txMeta, Seq("hash"), "inner")
+      .select(col("hash"), col("height"), col("slot"), col("unit"),
+        col("value_adj"))
+  }
+
+  /** vol_by_block rollup: Σ value_adj per (unit, height) ÷ 1e6
+    * (/root/reference/airflow/archive/dags/etl_vol_dag.py:63-67). */
+  def byBlock(vol: DataFrame): DataFrame =
+    vol.filter(col("value_adj") =!= 0.0)
+      .groupBy(col("unit"), col("height"))
+      .agg((sum(col("value_adj")) / 1e6).as("value_adj"))
+
+  /** vol_all_time rollup: Σ per unit, descending
+    * (/root/reference/airflow/archive/dags/etl_vol_dag.py:81-85). */
+  def allTime(volByBlock: DataFrame): DataFrame =
+    volByBlock.groupBy(col("unit"))
+      .agg(sum(col("value_adj")).as("value_adj"))
+      .orderBy(col("value_adj").desc)
+
+  /** Keyed upsert (INSERT … ON CONFLICT DO UPDATE,
+    * /root/reference/airflow/archive/dags/etl_vol_dag.py:24-39) as
+    * anti-join + union: rows in `existing` whose key collides with an
+    * update are replaced. Both sides shuffle on the key once; at scale this
+    * becomes an overwrite of only the affected partitions. */
+  def upsert(existing: DataFrame, updates: DataFrame,
+             keys: Seq[String]): DataFrame =
+    existing.join(updates.select(keys.map(col): _*), keys, "left_anti")
+      .unionByName(updates)
+}

@@ -1,0 +1,53 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.ops.Analytics
+
+class AnalyticsSpec extends AnyFunSuite with SparkTestBase {
+  import spark.implicits._
+
+  test("cumulativeMean = pandas expanding().mean()") {
+    val df = Seq(("u", 1L, 2.0), ("u", 2L, 4.0), ("u", 3L, 9.0),
+      ("v", 1L, 10.0)).toDF("unit", "height", "value")
+    val got = Analytics.cumulativeMean(df, "unit", "value", "height")
+      .select("unit", "height", "cma").as[(String, Long, Double)]
+      .collect().toSet
+    assert(got == Set(("u", 1L, 2.0), ("u", 2L, 3.0), ("u", 3L, 5.0),
+      ("v", 1L, 10.0)))
+  }
+
+  test("zeroPad fills the full [min,max] index range per key") {
+    val df = Seq(("u", 1L, 5.0), ("u", 3L, 7.0), ("v", 2L, 1.0))
+      .toDF("unit", "height", "value")
+    val got = Analytics.zeroPad(df, "unit", "height", "value")
+      .as[(String, Long, Double)].collect().toSet
+    assert(got == Set(
+      ("u", 1L, 5.0), ("u", 2L, 0.0), ("u", 3L, 7.0),
+      ("v", 1L, 0.0), ("v", 2L, 1.0), ("v", 3L, 0.0)))
+  }
+
+  test("proportions: per-idx share with zero-total guard") {
+    val df = Seq(("u", 1L, 30.0), ("v", 1L, 70.0), ("u", 2L, 0.0))
+      .toDF("unit", "height", "value")
+    val got = Analytics.proportions(df, "height", "value")
+      .select("unit", "height", "pct").as[(String, Long, Double)]
+      .collect().toSet
+    assert(got == Set(("u", 1L, 30.0), ("v", 1L, 70.0), ("u", 2L, 0.0)))
+  }
+
+  test("topK: k largest by aggregated measure, stable tie-break") {
+    val df = Seq(("a", 5.0), ("a", 5.0), ("b", 9.0), ("c", 1.0), ("d", 9.0))
+      .toDF("unit", "value")
+    val got = Analytics.topK(df, "unit", "value", 2)
+      .as[(String, Double)].collect()
+    assert(got.map(_._1).toSeq == Seq("a", "b"))
+  }
+
+  test("dedupKeepLast keeps exactly the last row per key") {
+    val df = Seq((1L, 10L, "x"), (1L, 20L, "y"), (2L, 5L, "z"))
+      .toDF("k", "ord", "v")
+    val got = Analytics.dedupKeepLast(df, Seq("k"), Seq("ord"))
+      .as[(Long, Long, String)].collect().toSet
+    assert(got == Set((1L, 20L, "y"), (2L, 5L, "z")))
+  }
+}

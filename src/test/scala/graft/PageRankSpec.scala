@@ -1,0 +1,43 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.graph.PageRank
+
+class PageRankSpec extends AnyFunSuite with SparkTestBase {
+  import spark.implicits._
+
+  test("3-cycle converges to uniform 1/3") {
+    val edges = Seq(("A", "B"), ("B", "C"), ("C", "A")).toDF("src", "dst")
+    val scores = PageRank.run(edges, iterations = 10).as[(String, Double)]
+      .collect().toMap
+    assert(scores.size == 3)
+    scores.values.foreach(s => assert(math.abs(s - 1.0 / 3) < 1e-9))
+  }
+
+  test("dangling node: one iteration matches hand computation") {
+    // A→B, B dangling. r0 = (.5,.5); dangling mass = .5
+    // r1(A) = .15/2 + .85·(0 + .25)        = .2875
+    // r1(B) = .15/2 + .85·(.5 + .25)       = .7125
+    val edges = Seq(("A", "B")).toDF("src", "dst")
+    val scores = PageRank.run(edges, iterations = 1).as[(String, Double)]
+      .collect().toMap
+    assert(math.abs(scores("A") - 0.2875) < 1e-12)
+    assert(math.abs(scores("B") - 0.7125) < 1e-12)
+  }
+
+  test("mass conservation: scores sum to 1 with dangling redistribution") {
+    val edges = Seq(("A", "B"), ("A", "C"), ("B", "C"), ("D", "A"))
+      .toDF("src", "dst")
+    val total = PageRank.run(edges, iterations = 7)
+      .agg(org.apache.spark.sql.functions.sum("score")).as[Double].head()
+    assert(math.abs(total - 1.0) < 1e-9)
+  }
+
+  test("ranked extract is descending with stable ties") {
+    val edges = Seq(("A", "C"), ("B", "C")).toDF("src", "dst")
+    val ranked = PageRank.ranked(PageRank.run(edges, iterations = 5))
+      .as[(String, Double)].collect()
+    assert(ranked.head._1 == "C")
+    assert(ranked.map(_._2).sliding(2).forall(p => p(0) >= p(1)))
+  }
+}
