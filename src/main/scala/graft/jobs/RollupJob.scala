@@ -1,0 +1,51 @@
+package graft.jobs
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import graft.ops.Volume
+import graft.graph.PageRank
+
+/** Batch rollup chain (SURVEY.md §3.3) — the Airflow DAGs as one job:
+  * vol → vol_by_block / vol_all_time (upserted on their keys), plus
+  * PageRank over the transfer edges → address_pagerank.
+  *
+  * The Airflow layer was scheduling, not semantics
+  * (/root/reference/airflow/archive/dags/etl_vol_dag.py,
+  * etl_pagerank_dag.py); invoke this per cadence tick.
+  */
+object RollupJob {
+
+  private def upsertInto(spark: SparkSession, path: String,
+                         updates: org.apache.spark.sql.DataFrame,
+                         keys: Seq[String]): Unit = {
+    val merged =
+      if (new java.io.File(path).exists()) {
+        // materialize before overwriting the dir we read from
+        val existing = spark.read.parquet(path)
+        Volume.upsert(existing, updates, keys).cache()
+      } else updates
+    merged.count() // force before overwrite
+    merged.write.mode("overwrite").parquet(path)
+  }
+
+  def run(spark: SparkSession, dataDir: String): Unit = {
+    // extract: WHERE value_adj != 0 (F5)
+    val vol = spark.read.parquet(s"$dataDir/vol")
+      .filter(col("value_adj") =!= 0.0)
+    val byBlock = Volume.byBlock(vol)
+    upsertInto(spark, s"$dataDir/vol_by_block", byBlock,
+      Seq("height", "unit"))
+    upsertInto(spark, s"$dataDir/vol_all_time",
+      Volume.allTime(spark.read.parquet(s"$dataDir/vol_by_block")),
+      Seq("unit"))
+    // pagerank leg (etl_pagerank_dag): edges → (address, score)
+    val edgesPath = s"$dataDir/edges"
+    if (new java.io.File(edgesPath).exists()) {
+      val edges = spark.read.parquet(edgesPath)
+        .select(col("send_addr").as("src"), col("rx_addr").as("dst"))
+      val scores = PageRank.run(edges)
+      upsertInto(spark, s"$dataDir/address_pagerank", scores,
+        Seq("address"))
+    }
+  }
+}

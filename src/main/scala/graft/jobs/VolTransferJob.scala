@@ -1,0 +1,54 @@
+package graft.jobs
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.streaming.StreamingQuery
+import graft.ingest.BlockParser
+import graft.ops._
+
+/** Volume/transfer pipeline (SURVEY.md §3.2) — the etl_vol_transfers
+  * flagship job: stream → flatten → resolve inputs → net-flow → price-adjust
+  * → vol + transfer edges, all native (no UDF/REST boundary).
+  *
+  * UTXO state: each batch appends its output flows to a `utxo` parquet table
+  * and resolves inputs against stored ∪ current outputs — the same contract
+  * as the reference (inputs predating the stream's start drop out,
+  * SURVEY.md §7.4 risk 3). At scale the utxo table is bucketed by
+  * src tx hash so the resolve join is co-located.
+  */
+object VolTransferJob {
+
+  /** Batch core: lines + dimension tables → (vol, edges) written to outDir. */
+  def writeBatch(spark: SparkSession, lines: DataFrame, priceDim: DataFrame,
+                 outDir: String): Unit = {
+    val blocks = BlockParser.parse(lines)
+    val txs = Flatten.transactions(blocks).persist()
+    try {
+      val outFlows = TokenValues.outputFlows(txs).persist()
+      // grow the UTXO set first so intra- and cross-batch spends resolve
+      outFlows.write.mode("append").parquet(s"$outDir/utxo")
+      val utxo = spark.read.parquet(s"$outDir/utxo")
+      val inFlows = Resolver.resolve(Resolver.outpoints(txs), utxo)
+      val net = NetFlow.compute(outFlows, inFlows).persist()
+      val txMeta = txs.select("hash", "height", "slot")
+      Volume.vol(net, txMeta, priceDim)
+        .write.mode("append").parquet(s"$outDir/vol")
+      Transfers.edges(net, priceDim)
+        .write.mode("append").parquet(s"$outDir/edges")
+      net.unpersist()
+      outFlows.unpersist()
+    } finally { txs.unpersist() }
+  }
+
+  /** Streaming entry (K5 foreachBatch, parity with
+    * /root/reference/src/etl_vol_transfers/main.py:211-227). */
+  def run(spark: SparkSession, host: String, port: Int, priceDim: DataFrame,
+          outDir: String): StreamingQuery =
+    spark.readStream.format("socket")
+      .option("host", host).option("port", port)
+      .option("includeTimestamp", true).load()
+      .writeStream
+      .foreachBatch { (df: DataFrame, _: Long) =>
+        writeBatch(spark, df.select("value"), priceDim, outDir)
+      }
+      .start()
+}

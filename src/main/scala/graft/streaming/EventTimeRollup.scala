@@ -1,0 +1,26 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Event-time windowed rollup — the Spark-native extension the reference
+  * lacks (SURVEY.md §2.12: no watermarks/event-time anywhere in the
+  * reference; both jobs are pure foreachBatch). Uses the slot→timestamp
+  * affine map as event time, so the by-block cadence rollup becomes a
+  * watermarked tumbling-window aggregation that also runs incrementally
+  * under Structured Streaming.
+  */
+object EventTimeRollup {
+
+  /** Tumbling-window volume per unit over `block_time`. Works on batch and
+    * streaming frames alike; on a stream add the watermark first.
+    * @param vol frame with (unit, value_adj, block_time) */
+  def windowedVolume(vol: DataFrame, windowLength: String = "5 minutes",
+                     watermark: Option[String] = None): DataFrame = {
+    val src = watermark.fold(vol)(w => vol.withWatermark("block_time", w))
+    src.groupBy(window(col("block_time"), windowLength), col("unit"))
+      .agg(sum(col("value_adj")).as("value_adj"))
+      .select(col("window.start").as("window_start"), col("unit"),
+        col("value_adj"))
+  }
+}

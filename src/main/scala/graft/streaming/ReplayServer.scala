@@ -1,0 +1,32 @@
+package graft.streaming
+
+import java.io.PrintWriter
+import java.net.ServerSocket
+
+/** Test-harness block replay server (SURVEY.md §2.1 S2, §2.2 K6): serves
+  * newline-delimited JSON block lines over TCP, like the reference's
+  * cardano_streamer (/root/reference/src/cardano_streamer/main.py:46-62 —
+  * jsonpickle lines pushed to a connected client, reconnect loop on error).
+  * Pure JDK, out-of-engine producer; the engine consumes it with
+  * `spark.readStream.format("socket")`.
+  */
+final class ReplayServer(lines: Seq[String]) {
+  private val server = new ServerSocket(0)
+  val port: Int = server.getLocalPort
+
+  private val thread = new Thread(() => {
+    try {
+      val client = server.accept()
+      val out = new PrintWriter(client.getOutputStream, true)
+      lines.foreach(out.println)
+      out.flush()
+      // leave the socket open briefly so the receiver drains the buffer
+      Thread.sleep(2000)
+      client.close()
+    } catch { case _: Throwable => () }
+  })
+  thread.setDaemon(true)
+
+  def start(): ReplayServer = { thread.start(); this }
+  def stop(): Unit = { try server.close() catch { case _: Throwable => () } }
+}
