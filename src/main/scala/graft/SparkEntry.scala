@@ -192,7 +192,8 @@ object SparkEntry {
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= 3)
       .select(col("o_custkey"), col("o_orderkey"),
-        dec(col("o_totalprice")).as("price"), col("rn"))
+        dec(col("o_totalprice")).as("price"),
+        col("rn").cast(LongType).as("rn")) // DuckDB row_number is BIGINT
   }
 
   /** D1: dedup-keep-last with an explicit deterministic order column
@@ -259,6 +260,167 @@ object SparkEntry {
       ((col("event_id") + lit(1591566291L)) / 86400).cast(LongType).as("day"))
   }
 
+  // ----------------------------- training-data extension ops (BASELINE.json)
+
+  /** Exact dedup after marker-token-stripping normalization
+    * (graft.dedup.Dedup): hash-groupBy on a 60-bit md5-derived content key,
+    * one shuffle. The corpus plants near-dups marked with a "dup" token. */
+  def q17_dedup_exact(s: SparkSession, d: String): DataFrame =
+    graft.dedup.Dedup.exactDuplicates(Tables.documents(s, d), Seq("dup"))
+
+  /** Exact word-3-gram Jaccard near-dup pairs via the inverted shingle
+    * join (never the cross product). */
+  def q18_ngram_jaccard(s: SparkSession, d: String): DataFrame =
+    graft.dedup.Dedup.jaccardPairs(
+      graft.dedup.Dedup.shingles(Tables.documents(s, d), 3), 0.5)
+
+  /** MinHash + LSH banding near-dup pipeline (candidates → exact-Jaccard
+    * verify). Banding buckets are engine-internal → rows-only check; the
+    * verified output equals q18 on this corpus when recall is full. */
+  def q19_minhash_lsh(s: SparkSession, d: String): DataFrame =
+    graft.dedup.Dedup.minhashDuplicatePairs(Tables.documents(s, d), 0.5)
+
+  /** SimHash (60-bit, md5-based — bit-identical oracle in DuckDB). */
+  def q20_simhash(s: SparkSession, d: String): DataFrame =
+    graft.dedup.Dedup.simhash(Tables.documents(s, d))
+
+  /** Quality scoring: word stats, stopword/alpha ratios, blended score. */
+  def q21_text_quality(s: SparkSession, d: String): DataFrame =
+    graft.text.TextAnalysis.qualityScore(Tables.documents(s, d))
+
+  /** Token counting: whitespace words + BPE-ish subword units. */
+  def q22_token_counts(s: SparkSession, d: String): DataFrame =
+    graft.text.TextAnalysis.tokenCounts(Tables.documents(s, d))
+
+  /** Language-ID heuristic: broadcast profile join + argmax. */
+  def q23_langid(s: SparkSession, d: String): DataFrame =
+    graft.text.TextAnalysis.langId(Tables.documents(s, d))
+
+  /** Document fingerprinting: md5 + 60-bit numeric twin. */
+  def q24_fingerprint(s: SparkSession, d: String): DataFrame =
+    graft.text.TextAnalysis.fingerprint(Tables.documents(s, d))
+
+  /** Brute-force cosine top-k similarity search (exact ANN baseline). */
+  def q25_cosine_topk(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.embeddings(s, d)
+    graft.sim.Similarity
+      .bruteForceTopK(e, e.filter(col("vec_id") < 10), 5)
+      .select(col("query_id"), col("neighbor_id"),
+        col("rank").cast(LongType).as("rank"))
+  }
+
+  /** Embedding near-dup: label-blocked exact cosine ≥ threshold. */
+  def q26_embedding_neardup(s: SparkSession, d: String): DataFrame =
+    graft.dedup.Dedup.embeddingNearDups(Tables.embeddings(s, d), 0.4)
+
+  /** IVF approximate ANN (centroid cells from the label column, nprobe=4).
+    * Approximate by construction → rows-only; recall pinned in ScalaTest. */
+  def q27_ivf_ann(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.embeddings(s, d)
+    graft.sim.Similarity.ivfTopK(e, e.filter(col("vec_id") < 10), 5,
+      nprobe = 4)
+  }
+
+  /** Sign-LSH bucketed ANN (deterministic md5-derived hyperplanes). */
+  def q28_lsh_ann(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.embeddings(s, d)
+    graft.sim.Similarity.lshTopK(e, e.filter(col("vec_id") < 10), 5,
+      planes = 6)
+  }
+
+  /** Multimodal metadata transform: aspect-preserving resize plan over
+    * binary media rows (packed from documents). */
+  def q29_resize_plan(s: SparkSession, d: String): DataFrame =
+    graft.multimodal.Multimodal
+      .resizePlan(graft.multimodal.Multimodal
+        .packDocuments(Tables.documents(s, d)), 64)
+      .select(col("media_id"), col("modality"), col("width"), col("height"),
+        col("scale"), col("out_width"), col("out_height"))
+
+  /** Multimodal feature extraction: partition-parallel typed mapPartitions
+    * over binary payloads (stub kernel — plumbing is the real contract). */
+  def q30_media_features(s: SparkSession, d: String): DataFrame = {
+    implicit val sp: SparkSession = s
+    val media = graft.multimodal.Multimodal
+      .packDocuments(Tables.documents(s, d))
+    graft.multimodal.Multimodal
+      .extractFeatures(graft.multimodal.Multimodal.toTyped(media))
+      .toDF()
+  }
+
+  /** Event-time tumbling-window rollup (streaming-capable aggregation,
+    * here in batch): hourly volume per event type. */
+  def q31_windowed_rollup(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .select(window(timestamp_micros(expr("ts div 1000")), "1 hour")
+        .as("w"), col("event_type"), col("value"))
+      .groupBy(col("w"), col("event_type"))
+      .agg(sum(dec(col("value"))).as("total"), count(lit(1)).as("n"))
+      .select(col("w.start").cast(LongType).as("hour_start"),
+        col("event_type"), col("total"), col("n"))
+
+  // --------------------------------------- reference-pipeline demo queries
+
+  private def syntheticBlockLines(s: SparkSession): DataFrame = {
+    import s.implicits._
+    Seq(
+      """{"py/state":{"blocktype":"praos","era":"conway","height":100,"id":"b1","slot":1000,"transactions":[{"id":"t1","inputs":[],"outputs":[{"address":"A","datum":null,"value":"{\"ada\":{\"lovelace\":1000000},\"pol1\":{\"6161\":100}}"}],"fee":"1"}]}}""",
+      """{"py/state":{"blocktype":"praos","era":"conway","height":101,"id":"b2","slot":1010,"transactions":[{"id":"t2","inputs":[{"index":0,"transaction":{"id":"t1"}}],"outputs":[{"address":"B","datum":null,"value":"{\"ada\":{\"lovelace\":400000},\"pol1\":{\"6161\":100}}"}],"fee":"2"}]}}""")
+      .toDF("value")
+  }
+
+  private def syntheticPriceDim(s: SparkSession): DataFrame = {
+    import s.implicits._
+    graft.ops.Pricing.dimension(
+      Seq(("pol16161", 2.0)).toDF("unit", "last_price_ada"),
+      Seq(("pol16161", 2)).toDF("unit", "decimals"))
+  }
+
+  /** Full native block pipeline → vol (parse → flatten → token explode →
+    * resolver join → net-flow → price adjust → per-tx sums). Non-SQL
+    * source (nested JSON lines) → rows-only; semantics pinned in
+    * BlockPipelineSpec golden tests. */
+  def q32_pipeline_vol(s: SparkSession, d: String): DataFrame = {
+    val txs = graft.ops.Flatten.transactions(
+      graft.ingest.BlockParser.parse(syntheticBlockLines(s)))
+    val outFlows = graft.ops.TokenValues.outputFlows(txs)
+    val inFlows = graft.ops.Resolver.resolve(
+      graft.ops.Resolver.outpoints(txs), outFlows)
+    val net = graft.ops.NetFlow.compute(outFlows, inFlows)
+    graft.ops.Volume.vol(net, txs.select(col("hash"), col("height"),
+      col("slot")), syntheticPriceDim(s))
+  }
+
+  /** Transfer-edge attribution over the same pipeline. */
+  def q33_pipeline_transfers(s: SparkSession, d: String): DataFrame = {
+    val txs = graft.ops.Flatten.transactions(
+      graft.ingest.BlockParser.parse(syntheticBlockLines(s)))
+    val outFlows = graft.ops.TokenValues.outputFlows(txs)
+    val inFlows = graft.ops.Resolver.resolve(
+      graft.ops.Resolver.outpoints(txs), outFlows)
+    graft.ops.Transfers.edges(
+      graft.ops.NetFlow.compute(outFlows, inFlows), syntheticPriceDim(s))
+  }
+
+  /** Iterative DataFrame PageRank over the customer-nation → supplier-
+    * nation order graph (driver tables). Iterative FP — rows-only;
+    * exactness pinned in PageRankSpec. */
+  def q34_pagerank(s: SparkSession, d: String): DataFrame = {
+    val edges = Tables.orders(s, d)
+      .join(Tables.customer(s, d),
+        col("o_custkey") === col("c_custkey"))
+      .join(Tables.lineitem(s, d), col("o_orderkey") === col("l_orderkey"))
+      .join(Tables.supplier(s, d), col("l_suppkey") === col("s_suppkey"))
+      .select(col("c_nationkey").cast("string").as("src"),
+        col("s_nationkey").cast("string").as("dst"))
+    graft.graph.PageRank.run(edges, iterations = 10)
+  }
+
+  /** uuid() surrogate keys (P3) — nondeterministic by design → rows-only. */
+  def q35_uuid_surrogate(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d).select(expr("uuid()").as("id"),
+      col("o_orderkey").as("hash"))
+
   // ---------------------------------------------------------------- registry
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -278,7 +440,36 @@ object SparkEntry {
     "q14_seq_explode" -> (q14_seq_explode _),
     "q15_string_funcs" -> (q15_string_funcs _),
     "q16_slot_time" -> (q16_slot_time _),
+    "q17_dedup_exact" -> (q17_dedup_exact _),
+    "q18_ngram_jaccard" -> (q18_ngram_jaccard _),
+    "q19_minhash_lsh" -> (q19_minhash_lsh _),
+    "q20_simhash" -> (q20_simhash _),
+    "q21_text_quality" -> (q21_text_quality _),
+    "q22_token_counts" -> (q22_token_counts _),
+    "q23_langid" -> (q23_langid _),
+    "q24_fingerprint" -> (q24_fingerprint _),
+    "q25_cosine_topk" -> (q25_cosine_topk _),
+    "q26_embedding_neardup" -> (q26_embedding_neardup _),
+    "q27_ivf_ann" -> (q27_ivf_ann _),
+    "q28_lsh_ann" -> (q28_lsh_ann _),
+    "q29_resize_plan" -> (q29_resize_plan _),
+    "q30_media_features" -> (q30_media_features _),
+    "q31_windowed_rollup" -> (q31_windowed_rollup _),
+    "q32_pipeline_vol" -> (q32_pipeline_vol _),
+    "q33_pipeline_transfers" -> (q33_pipeline_transfers _),
+    "q34_pagerank" -> (q34_pagerank _),
+    "q35_uuid_surrogate" -> (q35_uuid_surrogate _),
   )
+
+  // DuckDB twins of the Scala normalization / hashing expressions
+  private val NormSql =
+    "trim(regexp_replace(regexp_replace(lower(text)," +
+      "'[^a-z0-9 ]','','g'),' +',' ','g'))"
+  private val NormDropDupSql =
+    s"trim(regexp_replace(regexp_replace($NormSql," +
+      "'\\b(dup)\\b','','g'),' +',' ','g'))"
+  private def hash60Sql(x: String) =
+    s"CAST(('0x'||substr(md5($x),1,15)) AS BIGINT)"
 
   def oracleSql: Map[String, String] = Map(
     "q01_agg_sums" ->
@@ -409,5 +600,149 @@ object SparkEntry {
         | event_id + 1591566291 AS unix_sec,
         | CAST(floor((event_id + 1591566291) / 86400) AS BIGINT) AS day
         |FROM events""".stripMargin,
+    "q17_dedup_exact" ->
+      s"""WITH h AS (
+         |  SELECT doc_id, ${hash60Sql(NormDropDupSql)} AS content_hash
+         |  FROM documents),
+         |g AS (
+         |  SELECT content_hash, min(doc_id) AS canonical_id
+         |  FROM h GROUP BY content_hash HAVING count(*) > 1)
+         |SELECT h.doc_id, g.canonical_id, h.content_hash
+         |FROM h JOIN g USING (content_hash)""".stripMargin,
+    "q18_ngram_jaccard" ->
+      s"""WITH w AS (
+         |  SELECT doc_id, string_split($NormSql, ' ') AS ws FROM documents),
+         |sh AS (
+         |  SELECT DISTINCT doc_id,
+         |    unnest([array_to_string(ws[i:i+2], ' ')
+         |            for i in range(1, greatest(len(ws)-2, 0)+1)]) AS s
+         |  FROM w),
+         |sz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+         |inter AS (
+         |  SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS i
+         |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2)
+         |SELECT id1, id2,
+         |  CAST(i AS DOUBLE) / CAST(s1.sz + s2.sz - i AS DOUBLE) AS jaccard
+         |FROM inter
+         |JOIN sz s1 ON s1.doc_id = id1 JOIN sz s2 ON s2.doc_id = id2
+         |WHERE CAST(i AS DOUBLE) / CAST(s1.sz + s2.sz - i AS DOUBLE)
+         |  >= 0.5""".stripMargin,
+    "q20_simhash" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, unnest(string_split($NormSql, ' ')) AS tok
+         |  FROM documents),
+         |h AS (SELECT doc_id, ${hash60Sql("tok")} AS h FROM toks),
+         |bits AS (
+         |  SELECT doc_id, b,
+         |    sum(CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END) AS s
+         |  FROM h, (SELECT unnest(generate_series(0, 59)) AS b) bs
+         |  GROUP BY doc_id, b)
+         |SELECT doc_id,
+         |  CAST(sum(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << b)
+         |           ELSE 0 END) AS BIGINT) AS simhash
+         |FROM bits GROUP BY doc_id""".stripMargin,
+    "q21_text_quality" ->
+      """WITH t AS (
+        |  SELECT doc_id, text,
+        |    string_split_regex(trim(lower(text)), '\s+') AS ws
+        |  FROM documents),
+        |s AS (
+        |  SELECT doc_id,
+        |    CAST(len(ws) AS DOUBLE) AS n_words,
+        |    CAST(length(text) AS DOUBLE) / CAST(len(ws) AS DOUBLE)
+        |      AS mean_word_len,
+        |    CAST(len(list_filter(ws, w -> list_contains(
+        |      ['the','a','of','to','and','in','is','it','for','on'], w)))
+        |      AS DOUBLE) / CAST(len(ws) AS DOUBLE) AS stopword_ratio,
+        |    CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g'))
+        |      AS DOUBLE) / CAST(length(text) AS DOUBLE) AS alpha_ratio
+        |  FROM t)
+        |SELECT doc_id, n_words, mean_word_len, stopword_ratio, alpha_ratio,
+        |  least(1.0, (stopword_ratio * 2.0 + alpha_ratio) / 2.0) AS quality
+        |FROM s""".stripMargin,
+    "q22_token_counts" ->
+      """SELECT doc_id,
+        | CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT)
+        |   AS n_words,
+        | CAST(len(regexp_extract_all(text,
+        |   '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS BIGINT) AS n_subwords,
+        | CAST(length(text) AS BIGINT) AS n_chars
+        |FROM documents""".stripMargin,
+    "q23_langid" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    unnest(string_split_regex(trim(lower(text)), '\s+')) AS tok
+        |  FROM documents),
+        |profile(lang, marker) AS (VALUES
+        |  ('en','the'),('en','and'),('en','of'),
+        |  ('es','el'),('es','la'),('es','de'),
+        |  ('de','der'),('de','und'),('de','das'),
+        |  ('fr','le'),('fr','et'),('fr','les')),
+        |hits AS (
+        |  SELECT doc_id, lang, count(*) AS hits
+        |  FROM toks JOIN profile ON tok = marker
+        |  GROUP BY doc_id, lang),
+        |best AS (
+        |  SELECT doc_id, lang, hits, row_number() OVER (
+        |    PARTITION BY doc_id ORDER BY hits DESC, lang ASC) AS rn
+        |  FROM hits)
+        |SELECT d.doc_id,
+        |  coalesce(b.lang, 'und') AS pred_lang,
+        |  coalesce(b.hits, 0) AS hits
+        |FROM documents d
+        |LEFT JOIN (SELECT * FROM best WHERE rn = 1) b USING (doc_id)"""
+        .stripMargin,
+    "q24_fingerprint" ->
+      s"""SELECT doc_id, md5($NormSql) AS fp_md5,
+         |  ${hash60Sql(NormSql)} AS fp60
+         |FROM documents""".stripMargin,
+    "q25_cosine_topk" ->
+      """WITH e AS (
+        |  SELECT vec_id,
+        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings),
+        |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 10),
+        |s AS (
+        |  SELECT query_id, vec_id,
+        |    list_cosine_similarity(qv, v) AS c
+        |  FROM q, e WHERE vec_id != query_id),
+        |r AS (
+        |  SELECT query_id, vec_id, row_number() OVER (
+        |    PARTITION BY query_id ORDER BY c DESC, vec_id ASC) AS rank
+        |  FROM s)
+        |SELECT query_id, vec_id AS neighbor_id, rank
+        |FROM r WHERE rank <= 5""".stripMargin,
+    "q26_embedding_neardup" ->
+      """WITH e AS (
+        |  SELECT vec_id, label,
+        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings)
+        |SELECT a.vec_id AS id1, b.vec_id AS id2, a.label
+        |FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+        |WHERE list_cosine_similarity(a.v, b.v) >= 0.4""".stripMargin,
+    "q29_resize_plan" ->
+      """SELECT doc_id AS media_id,
+        | CASE WHEN doc_id % 3 = 0 THEN 'image'
+        |      WHEN doc_id % 3 = 1 THEN 'audio'
+        |      ELSE 'video' END AS modality,
+        | CAST(doc_id % 640 + 32 AS INTEGER) AS width,
+        | CAST(doc_id % 480 + 32 AS INTEGER) AS height,
+        | least(1.0, 64 / CAST(greatest(doc_id % 640 + 32,
+        |   doc_id % 480 + 32) AS DOUBLE)) AS scale,
+        | CAST(floor((doc_id % 640 + 32) * least(1.0,
+        |   64 / CAST(greatest(doc_id % 640 + 32, doc_id % 480 + 32)
+        |   AS DOUBLE))) AS INTEGER) AS out_width,
+        | CAST(floor((doc_id % 480 + 32) * least(1.0,
+        |   64 / CAST(greatest(doc_id % 640 + 32, doc_id % 480 + 32)
+        |   AS DOUBLE))) AS INTEGER) AS out_height
+        |FROM documents""".stripMargin,
+    "q31_windowed_rollup" ->
+      """SELECT CAST(epoch(time_bucket(INTERVAL '1 hour', ts)) AS BIGINT)
+        |   AS hour_start,
+        | event_type,
+        | sum(CAST(value AS DECIMAL(18,2))) AS total,
+        | count(*) AS n
+        |FROM events GROUP BY 1, 2""".stripMargin,
   )
 }

@@ -1,0 +1,183 @@
+package graft.dedup
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.sim.Similarity
+
+/** Document deduplication operators for training-data pipelines
+  * (BASELINE.json north star: dedup as a first-class engine capability).
+  *
+  * All hashing is md5-based and 60-bit (15 hex chars → BIGINT) so every
+  * operator is reproducible in ANSI-ish SQL for the DuckDB oracle — no
+  * engine-specific hash functions on the comparison surface. Everything is
+  * shuffle-bounded: no driver-side collects, no cross joins except within
+  * LSH buckets (whose size is controlled by banding).
+  */
+object Dedup {
+
+  /** 60-bit hash of a string column via md5 — identical in Spark
+    * (`conv(substr(md5(x),1,15),16,10)`) and DuckDB
+    * (`CAST('0x'||substr(md5(x),1,15) AS BIGINT)`). */
+  def hash60(c: Column): Column =
+    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+
+  /** Normalize text for hashing: lowercase, strip non-alphanumerics,
+    * collapse whitespace. */
+  def normalize(c: Column): Column =
+    trim(regexp_replace(regexp_replace(lower(c), "[^a-z0-9 ]", ""),
+      " +", " "))
+
+  /** Normalization that additionally strips noise/marker tokens
+    * (boilerplate, watermarks) before hashing — the usual prelude to
+    * exact dedup in training-data pipelines. */
+  def normalizeDropTokens(c: Column, noise: Seq[String]): Column =
+    trim(regexp_replace(
+      regexp_replace(normalize(c), "\\b(" + noise.mkString("|") + ")\\b", ""),
+      " +", " "))
+
+  /** Exact dedup (hash-groupBy): groups identical normalized texts; emits
+    * (doc_id, canonical_id, content_hash) for every doc in a group of ≥2,
+    * canonical = min doc_id. One shuffle on the 60-bit content hash — at
+    * 100 TB this is the cheapest possible exact dedup (hash partitioning,
+    * map-side distinct of (hash, id) first if ids repeat). */
+  def exactDuplicates(docs: DataFrame,
+                      noiseTokens: Seq[String] = Seq.empty): DataFrame = {
+    val key = if (noiseTokens.isEmpty) normalize(col("text"))
+      else normalizeDropTokens(col("text"), noiseTokens)
+    val hashed = docs.select(col("doc_id"),
+      hash60(key).as("content_hash"))
+    val groups = hashed.groupBy(col("content_hash"))
+      .agg(min(col("doc_id")).as("canonical_id"),
+        count(lit(1)).as("group_size"))
+      .filter(col("group_size") > 1)
+    hashed.join(groups, Seq("content_hash"), "inner")
+      .select(col("doc_id"), col("canonical_id"), col("content_hash"))
+  }
+
+  /** Word n-gram shingles of the normalized text:
+    * (doc_id, shingle) — distinct per doc. */
+  def shingles(docs: DataFrame, n: Int = 3): DataFrame = {
+    val words = split(normalize(col("text")), " ")
+    docs.select(col("doc_id"), words.as("w"))
+      .select(col("doc_id"),
+        explode(expr(
+          s"transform(sequence(0, greatest(size(w) - $n, 0)), " +
+            s"i -> array_join(slice(w, i + 1, $n), ' '))")).as("shingle"))
+      .distinct()
+  }
+
+  /** MinHash signatures: for each of `numHashes` seeded hash functions,
+    * the min over the doc's shingles of hash60(seed|shingle).
+    * Output (doc_id, seed, minhash). The explode over seeds multiplies
+    * rows ×numHashes before a single (doc_id, seed) shuffle — map-side
+    * partial min keeps the exchange small at scale. */
+  def minhashSignatures(shingleDf: DataFrame,
+                        numHashes: Int = 16): DataFrame =
+    shingleDf
+      .select(col("doc_id"), col("shingle"),
+        explode(sequence(lit(0), lit(numHashes - 1))).as("seed"))
+      .select(col("doc_id"), col("seed"),
+        hash60(concat(col("seed"), lit("|"), col("shingle"))).as("h"))
+      .groupBy(col("doc_id"), col("seed"))
+      .agg(min(col("h")).as("minhash"))
+
+  /** LSH banding: group the signature's seeds into `bands` bands, bucket =
+    * hash of the band's concatenated minhashes; docs sharing any bucket
+    * become candidate pairs (id1 < id2, distinct). Bucket join replaces
+    * the all-pairs cross product — the standard sub-quadratic path. */
+  def lshCandidatePairs(signatures: DataFrame, numHashes: Int = 16,
+                        bands: Int = 4): DataFrame = {
+    val rowsPerBand = numHashes / bands
+    val buckets = signatures
+      .withColumn("band", (col("seed") / rowsPerBand).cast("int"))
+      .groupBy(col("doc_id"), col("band"))
+      // deterministic order inside the band key
+      .agg(sort_array(collect_list(struct(col("seed"), col("minhash"))))
+        .as("sig"))
+      .select(col("doc_id"), col("band"),
+        hash60(to_json(struct(col("band"), col("sig")))).as("bucket"))
+    val a = buckets.select(col("doc_id").as("id1"), col("bucket"))
+    val b = buckets.select(col("doc_id").as("id2"), col("bucket"))
+    a.join(b, Seq("bucket"))
+      .filter(col("id1") < col("id2"))
+      .select(col("id1"), col("id2")).distinct()
+  }
+
+  /** Exact n-gram Jaccard similarity for candidate (or all overlapping)
+    * pairs, via the inverted shingle→doc join:
+    * |A∩B| from the join, |A|/|B| from per-doc counts. Only pairs sharing
+    * ≥1 shingle materialize — never the full cross product. */
+  def jaccardPairs(shingleDf: DataFrame, threshold: Double): DataFrame = {
+    val sizes = shingleDf.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("sz"))
+    val a = shingleDf.select(col("doc_id").as("id1"), col("shingle"))
+    val b = shingleDf.select(col("doc_id").as("id2"), col("shingle"))
+    val inter = a.join(b, Seq("shingle"))
+      .filter(col("id1") < col("id2"))
+      .groupBy(col("id1"), col("id2"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.withColumnRenamed("doc_id", "id1")
+        .withColumnRenamed("sz", "sz1"), Seq("id1"))
+      .join(sizes.withColumnRenamed("doc_id", "id2")
+        .withColumnRenamed("sz", "sz2"), Seq("id2"))
+      .withColumn("jaccard",
+        col("inter").cast("double") /
+          (col("sz1") + col("sz2") - col("inter")).cast("double"))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id1"), col("id2"), col("jaccard"))
+  }
+
+  /** MinHash+LSH near-dup pipeline: LSH candidates, then exact-Jaccard
+    * verification of only the candidates (join back to shingles). */
+  def minhashDuplicatePairs(docs: DataFrame, threshold: Double,
+                            n: Int = 3, numHashes: Int = 16,
+                            bands: Int = 4): DataFrame = {
+    val sh = shingles(docs, n)
+    val candidates =
+      lshCandidatePairs(minhashSignatures(sh, numHashes), numHashes, bands)
+    jaccardPairs(sh, threshold)
+      .join(candidates, Seq("id1", "id2"), "left_semi")
+  }
+
+  /** SimHash (60-bit): per token-hash bit b, sum ±1 across the doc's
+    * tokens; bit set where the sum is positive. Emitted as the packed
+    * 60-bit value. The bit explode (tokens × 60) is shuffle-bounded with
+    * map-side partial sums; a TypedImperativeAggregate packing the
+    * counters into one buffer is the constant-factor upgrade at 100 TB. */
+  def simhash(docs: DataFrame, bits: Int = 60): DataFrame = {
+    val tokens = docs
+      .select(col("doc_id"),
+        explode(split(normalize(col("text")), " ")).as("tok"))
+      .select(col("doc_id"), hash60(col("tok")).as("h"))
+    tokens
+      .select(col("doc_id"), col("h"),
+        explode(sequence(lit(0), lit(bits - 1))).as("b"))
+      .select(col("doc_id"), col("b"),
+        when(expr("(h >> b) & 1") === 1, lit(1)).otherwise(lit(-1))
+          .as("delta"))
+      .groupBy(col("doc_id"), col("b"))
+      .agg(sum(col("delta")).as("s"))
+      .groupBy(col("doc_id"))
+      .agg(sum(when(col("s") > 0, expr("cast(1 as bigint) << b"))
+        .otherwise(0L)).as("simhash"))
+  }
+
+  /** Embedding near-dup: exact cosine within coarse blocks (here the
+    * precomputed `label` cluster — the blocking key that keeps the pair
+    * count sub-quadratic), pairs with cosine ≥ threshold. */
+  def embeddingNearDups(embeddings: DataFrame,
+                        threshold: Double): DataFrame = {
+    val e = embeddings.select(col("vec_id"), col("label"),
+      col("embedding").cast("array<double>").as("v"))
+    val a = e.select(col("label"), col("vec_id").as("id1"),
+      col("v").as("v1"))
+    val b = e.select(col("label"), col("vec_id").as("id2"),
+      col("v").as("v2"))
+    a.join(b, Seq("label"))
+      .filter(col("id1") < col("id2"))
+      .withColumn("cosine", Similarity.cosine(col("v1"), col("v2")))
+      .filter(col("cosine") >= threshold)
+      .select(col("id1"), col("id2"), col("label"))
+  }
+}

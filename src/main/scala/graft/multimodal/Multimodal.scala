@@ -1,0 +1,98 @@
+package graft.multimodal
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal-column plumbing (BASELINE.json north star): image/audio/video
+  * as opaque `binary` columns with typed metadata. The Spark-side contract —
+  * schema, partition-parallel batch processing, stable output shape — is
+  * real and tested; the codec kernels themselves are STUBBED with
+  * deterministic fakes (image/audio libraries are not in this container).
+  * Swap `decodeStub` for a real codec (e.g. a JNI/`mapInPandas` kernel)
+  * without touching any plumbing.
+  */
+object Multimodal {
+
+  /** Typed media row: payload + metadata travel together; metadata is a
+    * real struct (filterable/prunable), payload is opaque binary. */
+  case class MediaRow(media_id: Long, modality: String, content: Array[Byte],
+                      width: Int, height: Int, sample_rate: Int,
+                      n_frames: Int)
+
+  case class MediaFeatures(media_id: Long, modality: String,
+                           feature: Array[Float], n_bytes: Long)
+
+  val mediaSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType),
+    StructField("modality", StringType),
+    StructField("content", BinaryType),
+    StructField("width", IntegerType),
+    StructField("height", IntegerType),
+    StructField("sample_rate", IntegerType),
+    StructField("n_frames", IntegerType)))
+
+  /** Fake media table derived deterministically from the documents table
+    * (text bytes as payload) — exercises the binary column path with
+    * driver-provided data only. */
+  def packDocuments(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id").as("media_id"),
+      when(col("doc_id") % 3 === 0, "image")
+        .when(col("doc_id") % 3 === 1, "audio")
+        .otherwise("video").as("modality"),
+      col("text").cast(BinaryType).as("content"),
+      (col("doc_id") % 640 + 32).cast(IntegerType).as("width"),
+      (col("doc_id") % 480 + 32).cast(IntegerType).as("height"),
+      lit(16000).as("sample_rate"),
+      (col("n_chars") % 100 + 1).cast(IntegerType).as("n_frames"))
+
+  /** STUB decode kernel: a real implementation would decode the payload
+    * (JPEG→pixels, PCM→spectrogram) here. The deterministic fake derives
+    * an 8-dim feature from byte statistics so tests can pin exact values.
+    * Marked clearly; the mapPartitions batch shape (one iterator per
+    * partition — amortized model/codec init) is the real contract. */
+  private def decodeStub(content: Array[Byte]): Array[Float] = {
+    val n = content.length.max(1)
+    val sum = content.foldLeft(0L)((a, b) => a + (b & 0xff))
+    Array.tabulate(8) { i =>
+      ((sum % (31 + i)).toFloat / (31 + i)) + (n % (7 + i)).toFloat / 100f
+    }
+  }
+
+  /** Partition-parallel feature extraction over typed rows. Per-partition
+    * init cost (codec/model load in a real kernel) is paid once per
+    * partition, not per row — the mapInPandas-equivalent batch shape. */
+  def extractFeatures(media: Dataset[MediaRow]): Dataset[MediaFeatures] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      // real kernel: init codec/model here, once per partition
+      rows.map { r =>
+        MediaFeatures(r.media_id, r.modality, decodeStub(r.content),
+          r.content.length.toLong)
+      }
+    }
+  }
+
+  /** Metadata-level transforms — pure column expressions, no decode:
+    * resize plan (target box, aspect-preserving) and uniform frame
+    * sampling indexes. The decode-side application is the stubbed part. */
+  def resizePlan(media: DataFrame, maxSide: Int): DataFrame =
+    media.withColumn("scale",
+      least(lit(1.0), lit(maxSide) /
+        greatest(col("width"), col("height")).cast("double")))
+      .withColumn("out_width",
+        floor(col("width") * col("scale")).cast("int"))
+      .withColumn("out_height",
+        floor(col("height") * col("scale")).cast("int"))
+
+  def frameSamplePlan(media: DataFrame, everyN: Int): DataFrame =
+    media.withColumn("sample_frames",
+      filter(sequence(lit(0), col("n_frames") - 1),
+        i => i % everyN === 0))
+
+  def toTyped(media: DataFrame)(implicit s: SparkSession): Dataset[MediaRow] = {
+    import s.implicits._
+    media.as[MediaRow]
+  }
+}

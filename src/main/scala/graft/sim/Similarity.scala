@@ -1,0 +1,118 @@
+package graft.sim
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Approximate/exact nearest-neighbor search over an embedding column
+  * (BASELINE.json north star: similarity search as a first-class engine
+  * capability). Brute-force cosine top-k is the exact baseline; the IVF
+  * and sign-LSH variants are the sub-linear scale paths. All vector math
+  * is `aggregate`/`zip_with` fold expressions — codegen'd, sequential
+  * (deterministic) summation, no UDF.
+  */
+object Similarity {
+
+  /** Sequential-fold dot product of two array<double> columns. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** Exact brute-force cosine top-k: every query scores every vector
+    * (queries broadcast — the fact side streams once), then a per-query
+    * top-k window. Self-matches excluded. At 100 TB this is the one-pass
+    * exact baseline the approximate paths are measured against. */
+  def bruteForceTopK(embeddings: DataFrame, queries: DataFrame,
+                     k: Int): DataFrame = {
+    val e = embeddings.select(col("vec_id"),
+      col("embedding").cast("array<double>").as("v"))
+    val q = queries.select(col("vec_id").as("query_id"),
+      col("embedding").cast("array<double>").as("qv"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("vec_id").asc)
+    e.join(broadcast(q), col("vec_id") =!= col("query_id"))
+      .withColumn("cosine", cosine(col("qv"), col("v")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"), col("rank"))
+  }
+
+  /** IVF (inverted-file) ANN: coarse centroids from a cluster column
+    * (k-means lives upstream; here any coarse assignment works), queries
+    * probe only the `nprobe` nearest cells. Sub-linear: the scored set is
+    * |cells probed| / |cells| of the data. */
+  def ivfTopK(embeddings: DataFrame, queries: DataFrame, k: Int,
+              nprobe: Int = 2, cellCol: String = "label"): DataFrame = {
+    val e = embeddings.select(col("vec_id"), col(cellCol).as("cell"),
+      col("embedding").cast("array<double>").as("v"))
+    // centroid per cell: element-wise mean via posexplode + re-assemble
+    val centroids = e
+      .select(col("cell"), posexplode(col("v")).as(Seq("i", "x")))
+      .groupBy(col("cell"), col("i")).agg(avg(col("x")).as("m"))
+      .groupBy(col("cell"))
+      .agg(array_sort(collect_list(struct(col("i"), col("m")))).as("im"))
+      .select(col("cell"), expr("transform(im, s -> s.m)").as("centroid"))
+    val q = queries.select(col("vec_id").as("query_id"),
+      col("embedding").cast("array<double>").as("qv"))
+    val wCell = Window.partitionBy(col("query_id"))
+      .orderBy(col("cell_sim").desc, col("cell").asc)
+    val probed = q.crossJoin(broadcast(centroids))
+      .withColumn("cell_sim", cosine(col("qv"), col("centroid")))
+      .withColumn("cr", row_number().over(wCell))
+      .filter(col("cr") <= nprobe)
+      .select(col("query_id"), col("qv"), col("cell"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("vec_id").asc)
+    e.join(probed, Seq("cell"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("cosine", cosine(col("qv"), col("v")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"), col("rank"))
+  }
+
+  /** Sign-random-projection LSH signature: bit p of the signature is the
+    * sign of v·w_p, hyperplanes w_p derived deterministically from
+    * md5(p, dim) (no RNG — reproducible across runs/engines). Bucketed
+    * candidates then rerank exactly. */
+  def lshSignature(v: Column, dims: Int, planes: Int): Column = {
+    // w_p[d] in [-0.5, 0.5): (hash60(p|d) % 1000)/1000 - 0.5
+    val planeDot = (p: Int) =>
+      aggregate(
+        zip_with(v,
+          expr(s"transform(sequence(0, ${dims - 1}), d -> " +
+            s"(cast(conv(substr(md5(concat('$p','|',d)),1,15),16,10) " +
+            s"as long) % 1000) / 1000.0 - 0.5)"),
+          (x, wv) => x * wv),
+        lit(0.0), (acc, x) => acc + x)
+    (0 until planes)
+      .map(p => when(planeDot(p) > 0,
+        shiftleft(lit(1L), p)).otherwise(0L))
+      .reduce(_ + _)
+  }
+
+  /** LSH-bucketed ANN: candidates share the full signature bucket; exact
+    * rerank inside buckets. Recall rises with fewer planes / multiple
+    * tables; this single-table form is the demonstration of the shape. */
+  def lshTopK(embeddings: DataFrame, queries: DataFrame, k: Int,
+              planes: Int = 8, dims: Int = 64): DataFrame = {
+    val sig = (df: DataFrame, idCol: String) => df
+      .select(col("vec_id").as(idCol),
+        col("embedding").cast("array<double>").as(s"v_$idCol"),
+        lshSignature(col("embedding").cast("array<double>"), dims, planes)
+          .as("bucket"))
+    val e = sig(embeddings, "vec_id")
+    val q = sig(queries, "query_id")
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("vec_id").asc)
+    e.join(broadcast(q), Seq("bucket"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("cosine", cosine(col("v_query_id"), col("v_vec_id")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"), col("rank"))
+  }
+}

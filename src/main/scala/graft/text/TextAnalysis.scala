@@ -1,0 +1,101 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.dedup.Dedup
+
+/** Text-analysis operators for training-data pipelines (BASELINE.json
+  * north star): token counting, quality scoring, language-ID heuristic,
+  * document fingerprinting. All pure column expressions (codegen'd,
+  * per-row — embarrassingly parallel at any scale).
+  */
+object TextAnalysis {
+
+  /** Whitespace token count + a BPE-ish subword count (runs of letters,
+    * runs of digits, or single non-space symbols — the units a byte-pair
+    * tokenizer would start from). */
+  def tokenCounts(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      size(split(trim(col("text")), "\\s+")).cast("long").as("n_words"),
+      size(expr(
+        "regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\\\s]', 0)"))
+        .cast("long").as("n_subwords"),
+      length(col("text")).cast("long").as("n_chars"))
+
+  private val Stopwords =
+    Seq("the", "a", "of", "to", "and", "in", "is", "it", "for", "on")
+
+  /** Quality heuristics: mean word length, stopword ratio, alpha ratio,
+    * and a blended [0,1] score. Division is IEEE-deterministic; the
+    * oracle replicates the exact expression tree. */
+  def qualityScore(docs: DataFrame): DataFrame = {
+    val words = split(trim(lower(col("text"))), "\\s+")
+    val nWords = size(words).cast("double")
+    val stopHits = size(filter(words,
+      w => Stopwords.map(s => w === s).reduce(_ || _))).cast("double")
+    val alpha = length(regexp_replace(col("text"), "[^A-Za-z]", ""))
+      .cast("double")
+    docs.select(
+      col("doc_id"),
+      nWords.as("n_words"),
+      (length(col("text")).cast("double") / nWords).as("mean_word_len"),
+      (stopHits / nWords).as("stopword_ratio"),
+      (alpha / length(col("text")).cast("double")).as("alpha_ratio"))
+      .withColumn("quality",
+        least(lit(1.0), (col("stopword_ratio") * 2.0 + col("alpha_ratio"))
+          / 2.0))
+  }
+
+  /** Language-ID by stopword-profile hits: tiny per-language marker
+    * lists; predicted = argmax hit count (ties → lexicographic lang).
+    * The profile is a broadcast dimension — the classic n-gram profile
+    * generalization with the same join shape. */
+  val LangProfiles: Seq[(String, String)] = Seq(
+    "en" -> "the", "en" -> "and", "en" -> "of",
+    "es" -> "el", "es" -> "la", "es" -> "de",
+    "de" -> "der", "de" -> "und", "de" -> "das",
+    "fr" -> "le", "fr" -> "et", "fr" -> "les")
+
+  def langId(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val profile = LangProfiles.toDF("lang", "marker")
+    val tokens = docs.select(col("doc_id"),
+      explode(split(trim(lower(col("text"))), "\\s+")).as("tok"))
+    val hits = tokens
+      .join(broadcast(profile), col("tok") === col("marker"))
+      .groupBy(col("doc_id"), col("lang"))
+      .agg(count(lit(1)).as("hits"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id"))
+      .orderBy(col("hits").desc, col("lang").asc)
+    val best = hits.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("doc_id"), col("lang").as("pred_lang"), col("hits"))
+    docs.select(col("doc_id"))
+      .join(best, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("pred_lang"), lit("und")).as("pred_lang"),
+        coalesce(col("hits"), lit(0L)).as("hits"))
+  }
+
+  /** Content fingerprint: md5 of the normalized text — the join/dedup key
+    * form. 60-bit numeric twin alongside for bucketing. */
+  def fingerprint(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      md5(Dedup.normalize(col("text"))).as("fp_md5"),
+      Dedup.hash60(Dedup.normalize(col("text"))).as("fp60"))
+
+  /** Rolling polynomial hash over the word stream (base-31 mod 2^31−1),
+    * the classic streaming fingerprint: fold over the token array —
+    * sequential, deterministic, no UDF. The modulus keeps every
+    * intermediate < 2^36, safe under ANSI overflow checking. */
+  def rollingHash(docs: DataFrame): DataFrame = {
+    val words = split(Dedup.normalize(col("text")), " ")
+    val mod = lit(2147483647L) // 2^31 − 1
+    docs.select(col("doc_id"),
+      aggregate(words, lit(0L),
+        (acc, w) => pmod(acc * 31L + pmod(xxhash64(w), mod), mod))
+        .as("rolling_hash"))
+  }
+}

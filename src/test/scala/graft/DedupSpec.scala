@@ -1,0 +1,83 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.dedup.Dedup
+
+class DedupSpec extends AnyFunSuite with SparkTestBase {
+  import spark.implicits._
+
+  private lazy val docs = Seq(
+    (1L, "The quick brown fox jumps over the lazy dog"),
+    (2L, "the quick  brown fox jumps over the lazy dog!"), // = 1 normalized
+    (3L, "a completely different document about spark engines"),
+    (4L, "The quick brown fox jumps over the lazy cat"),   // near-dup of 1
+    (5L, "spark engines process completely different document streams")
+  ).toDF("doc_id", "text")
+
+  test("normalize: case, punctuation, whitespace collapse") {
+    val got = docs.filter($"doc_id" === 2)
+      .select(Dedup.normalize($"text")).as[String].head()
+    assert(got == "the quick brown fox jumps over the lazy dog")
+  }
+
+  test("exact dedup groups normalized-identical docs, canonical = min id") {
+    val got = Dedup.exactDuplicates(docs)
+      .select("doc_id", "canonical_id").as[(Long, Long)].collect().toSet
+    assert(got == Set((1L, 1L), (2L, 1L)))
+  }
+
+  test("shingles: distinct word n-grams") {
+    val got = Dedup.shingles(Seq((1L, "a b c d")).toDF("doc_id", "text"), 3)
+      .select("shingle").as[String].collect().toSet
+    assert(got == Set("a b c", "b c d"))
+  }
+
+  test("minhash: identical docs → identical signatures; near-dups share " +
+    "most components") {
+    val sig = Dedup.minhashSignatures(Dedup.shingles(docs, 3), 16)
+    val s1 = sig.filter($"doc_id" === 1).orderBy("seed")
+      .select("minhash").as[Long].collect().toSeq
+    val s2 = sig.filter($"doc_id" === 2).orderBy("seed")
+      .select("minhash").as[Long].collect().toSeq
+    assert(s1.size == 16 && s1 == s2)
+    val s4 = sig.filter($"doc_id" === 4).orderBy("seed")
+      .select("minhash").as[Long].collect().toSeq
+    val shared = s1.zip(s4).count { case (a, b) => a == b }
+    assert(shared > 4, s"expected near-dup signature overlap, got $shared/16")
+  }
+
+  test("jaccard: exact value on hand-computed sets") {
+    // doc1: {a b c, b c d}; doc2: {b c d, c d e} → inter 1, union 3
+    val d = Seq((1L, "a b c d"), (2L, "b c d e")).toDF("doc_id", "text")
+    val got = Dedup.jaccardPairs(Dedup.shingles(d, 3), 0.0)
+      .select("id1", "id2", "jaccard").as[(Long, Long, Double)].collect()
+    assert(got.toSeq == Seq((1L, 2L, 1.0 / 3)))
+  }
+
+  test("minhash+LSH pipeline finds the exact-dup pair and verifies with " +
+    "true jaccard") {
+    val pairs = Dedup.minhashDuplicatePairs(docs, threshold = 0.8)
+      .select("id1", "id2").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L)))
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
+  }
+
+  test("simhash: identical docs equal; near-dups within small hamming " +
+    "distance; unrelated docs far") {
+    val sh = Dedup.simhash(docs).as[(Long, Long)].collect().toMap
+    assert(sh(1L) == sh(2L))
+    def hamming(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(hamming(sh(1L), sh(4L)) < hamming(sh(1L), sh(3L)))
+  }
+
+  test("embedding near-dups: blocked exact cosine over threshold") {
+    val e = Seq(
+      (1L, Array(1.0f, 0.0f), 0), (2L, Array(0.999f, 0.04f), 0),
+      (3L, Array(0.0f, 1.0f), 0), (4L, Array(1.0f, 0.0f), 1)
+    ).toDF("vec_id", "embedding", "label")
+    val got = Dedup.embeddingNearDups(e, 0.99)
+      .select("id1", "id2").as[(Long, Long)].collect().toSet
+    assert(got == Set((1L, 2L))) // 3 orthogonal; 4 in another block
+  }
+}

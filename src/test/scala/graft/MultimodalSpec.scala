@@ -1,0 +1,52 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.multimodal.Multimodal
+
+class MultimodalSpec extends AnyFunSuite with SparkTestBase {
+  import spark.implicits._
+
+  private lazy val media =
+    Multimodal.packDocuments(Tables.documents(spark, "/root/testdata/sf0.001"))
+
+  test("pack: binary payload + typed metadata schema") {
+    assert(media.schema.fieldNames.toSeq ==
+      Multimodal.mediaSchema.fieldNames.toSeq)
+    assert(media.schema("content").dataType ==
+      org.apache.spark.sql.types.BinaryType)
+    val modalities = media.select("modality").distinct()
+      .as[String].collect().toSet
+    assert(modalities == Set("image", "audio", "video"))
+  }
+
+  test("feature extraction: partition-parallel, fixed shape, deterministic") {
+    implicit val s = spark
+    val feats = Multimodal.extractFeatures(
+      Multimodal.toTyped(media.repartition(3)))
+    val rows = feats.collect()
+    assert(rows.length == media.count())
+    assert(rows.forall(_.feature.length == 8))
+    // deterministic: same input → same features on re-run
+    val again = Multimodal.extractFeatures(
+      Multimodal.toTyped(media.repartition(5))).collect()
+    val m1 = rows.map(r => r.media_id -> r.feature.toSeq).toMap
+    val m2 = again.map(r => r.media_id -> r.feature.toSeq).toMap
+    assert(m1 == m2)
+  }
+
+  test("resize plan: aspect-preserving, never upscales") {
+    val plan = Multimodal.resizePlan(media, 64)
+      .select("width", "height", "out_width", "out_height")
+      .as[(Int, Int, Int, Int)].collect()
+    assert(plan.forall { case (w, h, ow, oh) =>
+      ow <= 64 || oh <= 64 })
+    assert(plan.forall { case (w, h, ow, oh) => ow <= w && oh <= h })
+  }
+
+  test("frame sampling: every Nth index within bounds") {
+    val s = Multimodal.frameSamplePlan(media, 10)
+      .select("n_frames", "sample_frames").as[(Int, Seq[Int])].collect()
+    assert(s.forall { case (n, fs) =>
+      fs.forall(i => i < n && i % 10 == 0) && fs.nonEmpty })
+  }
+}

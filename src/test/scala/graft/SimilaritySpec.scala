@@ -1,0 +1,62 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.sim.Similarity
+
+class SimilaritySpec extends AnyFunSuite with SparkTestBase {
+  import spark.implicits._
+
+  test("cosine: exact on hand vectors") {
+    val df = Seq((Array(1.0, 2.0), Array(2.0, 3.0))).toDF("a", "b")
+    val got = df.select(Similarity.cosine($"a", $"b")).as[Double].head()
+    assert(math.abs(got - 8.0 / (math.sqrt(5) * math.sqrt(13))) < 1e-12)
+  }
+
+  // two tight, well-separated clusters → approximate methods are exact
+  private lazy val clustered = Seq(
+    (1L, Array(1.0f, 0.0f, 0.0f), 0), (2L, Array(0.99f, 0.01f, 0.0f), 0),
+    (3L, Array(0.98f, 0.02f, 0.0f), 0),
+    (10L, Array(0.0f, 1.0f, 0.0f), 1), (11L, Array(0.0f, 0.99f, 0.01f), 1),
+    (12L, Array(0.0f, 0.98f, 0.02f), 1)
+  ).toDF("vec_id", "embedding", "label")
+
+  test("brute-force top-k: exact neighbors, ranked") {
+    val q = clustered.filter($"vec_id" === 1)
+    val got = Similarity.bruteForceTopK(clustered, q, 2)
+      .orderBy("rank").select("neighbor_id").as[Long].collect().toSeq
+    assert(got == Seq(2L, 3L))
+  }
+
+  test("IVF: probing the right cell reproduces brute force on clustered " +
+    "data") {
+    val q = clustered.filter($"vec_id" === 10)
+    val bf = Similarity.bruteForceTopK(clustered, q, 2)
+      .orderBy("rank").select("neighbor_id").as[Long].collect().toSeq
+    val ivf = Similarity.ivfTopK(clustered, q, 2, nprobe = 1)
+      .orderBy("rank").select("neighbor_id").as[Long].collect().toSeq
+    assert(ivf == bf && ivf == Seq(11L, 12L))
+  }
+
+  test("LSH: identical vectors share a bucket; top-k finds the twin") {
+    val e = Seq(
+      (1L, Array.fill(8)(0.5f)), (2L, Array.fill(8)(0.5f)),
+      (3L, Array.tabulate(8)(i => if (i % 2 == 0) 1.0f else -1.0f))
+    ).toDF("vec_id", "embedding")
+    val q = e.filter($"vec_id" === 1)
+    val got = Similarity.lshTopK(e, q, 1, planes = 4, dims = 8)
+      .select("neighbor_id").as[Long].collect().toSeq
+    assert(got == Seq(2L))
+  }
+
+  test("IVF recall vs brute force on real embeddings (sf0.001)") {
+    val e = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val q = e.filter($"vec_id" < 5)
+    val bf = Similarity.bruteForceTopK(e, q, 10)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val ivf = Similarity.ivfTopK(e, q, 10, nprobe = 4)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = (bf intersect ivf).size.toDouble / bf.size
+    assert(recall > 0.3, s"IVF recall@10 with nprobe=4/10 cells: $recall")
+  }
+}

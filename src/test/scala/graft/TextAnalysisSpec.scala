@@ -1,0 +1,51 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.text.TextAnalysis
+
+class TextAnalysisSpec extends AnyFunSuite with SparkTestBase {
+  import spark.implicits._
+
+  private lazy val docs = Seq(
+    (1L, "The cat and the dog, obviously!"),
+    (2L, "el gato la casa de madrid"),
+    (3L, "xyzzy qwerty 12345")
+  ).toDF("doc_id", "text")
+
+  test("token counts: words, BPE-ish subwords, chars") {
+    val got = TextAnalysis.tokenCounts(docs).filter($"doc_id" === 1)
+      .select("n_words", "n_subwords", "n_chars")
+      .as[(Long, Long, Long)].head()
+    // subwords: The cat and the dog , obviously ! → 8
+    assert(got == ((6L, 8L, 31L)))
+  }
+
+  test("quality: stopword ratio and alpha ratio on known text") {
+    val got = TextAnalysis.qualityScore(docs).filter($"doc_id" === 1)
+      .select("n_words", "stopword_ratio").as[(Double, Double)].head()
+    // stopwords: the ×2, and ×1 ("dog," keeps comma → not a hit) = 3/6
+    assert(got._1 == 6.0 && math.abs(got._2 - 0.5) < 1e-12)
+  }
+
+  test("langId: argmax profile hits with deterministic fallback") {
+    val got = TextAnalysis.langId(docs)
+      .select("doc_id", "pred_lang").as[(Long, String)].collect().toMap
+    assert(got(1L) == "en" && got(2L) == "es" && got(3L) == "und")
+  }
+
+  test("fingerprint: stable across formatting variants") {
+    val variants = Seq((1L, "Hello,  World!"), (2L, "hello world"))
+      .toDF("doc_id", "text")
+    val fps = TextAnalysis.fingerprint(variants)
+      .select("fp_md5").as[String].collect().toSet
+    assert(fps.size == 1)
+  }
+
+  test("rolling hash: order-sensitive, content-deterministic") {
+    val d = Seq((1L, "a b c"), (2L, "a b c"), (3L, "c b a"))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.rollingHash(d)
+      .select("doc_id", "rolling_hash").as[(Long, Long)].collect().toMap
+    assert(got(1L) == got(2L) && got(1L) != got(3L))
+  }
+}
