@@ -133,7 +133,9 @@ object Dedup {
   def minhashDuplicatePairs(docs: DataFrame, threshold: Double,
                             n: Int = 3, numHashes: Int = 16,
                             bands: Int = 4): DataFrame = {
-    val sh = shingles(docs, n)
+    // shingles feed both the signature and the verification paths —
+    // persist so the normalize+explode runs once
+    val sh = shingles(docs, n).persist()
     val candidates =
       lshCandidatePairs(minhashSignatures(sh, numHashes), numHashes, bands)
     jaccardPairs(sh, threshold)

@@ -15,14 +15,16 @@ import org.apache.spark.sql.functions._
   * Scale notes: edges shuffle once on src per iteration (ranks are tiny —
   * one row per node — so the join broadcasts them when they fit); lineage
   * is cut every `checkpointEvery` iterations (localCheckpoint) or the plan
-  * grows exponentially (SURVEY.md §7.3).
+  * grows exponentially (SURVEY.md §7.3) — each iteration references
+  * `ranks` twice (contribs + dangling mass), so the default cuts every
+  * iteration, the standard practice for iterative DataFrame algorithms.
   */
 object PageRank {
 
   /** @param edges DataFrame with string columns `src`, `dst`
     * @return (address, score) */
   def run(edges: DataFrame, iterations: Int = 20, damping: Double = 0.85,
-          checkpointEvery: Int = 5): DataFrame = {
+          checkpointEvery: Int = 1): DataFrame = {
     val e = edges.select(col("src"), col("dst")).distinct().cache()
     val nodes = e.select(col("src").as("address"))
       .union(e.select(col("dst").as("address"))).distinct().cache()
@@ -31,11 +33,12 @@ object PageRank {
 
     var ranks = nodes.withColumn("score", lit(1.0 / n))
     for (i <- 1 to iterations) {
-      val withDeg = ranks.join(outDeg,
-        ranks("address") === outDeg("src"), "left")
-      // mass held by dangling nodes (no out-edges) this round
-      val dangling = withDeg.filter(col("out_deg").isNull)
-        .agg(coalesce(sum(col("score")), lit(0.0))).first().getDouble(0)
+      // mass held by dangling nodes (no out-edges) this round — kept as a
+      // lazy 1-row frame folded in via broadcast cross join, so each
+      // iteration stays a single job (no per-iteration driver action)
+      val dangling = ranks.join(outDeg,
+        ranks("address") === outDeg("src"), "left_anti")
+        .agg(coalesce(sum(col("score")), lit(0.0)).as("dangling_mass"))
       val contribs = e
         .join(ranks, e("src") === ranks("address"))
         .join(outDeg, Seq("src"))
@@ -45,10 +48,11 @@ object PageRank {
         .agg(sum(col("contrib")).as("contrib"))
       ranks = nodes
         .join(contribs, Seq("address"), "left")
+        .crossJoin(broadcast(dangling))
         .select(col("address"),
           (lit((1.0 - damping) / n) +
             lit(damping) * (coalesce(col("contrib"), lit(0.0)) +
-              lit(dangling / n))).as("score"))
+              col("dangling_mass") / n)).as("score"))
       if (i % checkpointEvery == 0 && i < iterations)
         ranks = ranks.localCheckpoint(true)
     }

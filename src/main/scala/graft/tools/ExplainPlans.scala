@@ -1,0 +1,35 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+
+/** Plan auditor: prints formatted physical plans for selected queries and
+  * greps the load-bearing properties (PushedFilters, ReadSchema pruning,
+  * broadcast joins, WholeStageCodegen spans).
+  *
+  * Usage: runMain graft.tools.ExplainPlans [queryName ...]
+  */
+object ExplainPlans {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val d = "/root/testdata/sf0.001"
+    val names = if (args.nonEmpty) args.toSeq
+      else graft.SparkEntry.queries.keys.toSeq.sorted
+    names.foreach { n =>
+      println(s"===== $n =====")
+      try {
+        val plan = graft.SparkEntry.queries(n)(spark, d)
+          .queryExecution.explainString(
+            org.apache.spark.sql.execution.FormattedMode)
+        println(plan)
+      } catch { case e: Throwable => println(s"failed: ${e.getMessage}") }
+    }
+    spark.stop()
+  }
+}
