@@ -421,6 +421,69 @@ object SparkEntry {
     Tables.orders(s, d).select(expr("uuid()").as("id"),
       col("o_orderkey").as("hash"))
 
+  /** Grouping-set aggregates (SURVEY §2.7 note: cube/rollup free via
+    * Catalyst): ROLLUP over (returnflag, linestatus) with GROUPING() to
+    * disambiguate subtotal rows from genuine nulls. */
+  def q36_rollup(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(sum(dec(col("l_quantity"))).as("sum_qty"),
+        count(lit(1)).as("n"),
+        grouping(col("l_returnflag")).cast(LongType).as("g_flag"),
+        grouping(col("l_linestatus")).cast(LongType).as("g_status"))
+
+  /** Set operations (SURVEY §2.8 note): INTERSECT / EXCEPT. */
+  def q37_setops(s: SparkSession, d: String): DataFrame = {
+    val c = Tables.customer(s, d).select(col("c_nationkey").as("nationkey"))
+    val sup = Tables.supplier(s, d).select(col("s_nationkey").as("nationkey"))
+    c.intersect(sup).withColumn("op", lit("both"))
+      .unionByName(c.except(sup).withColumn("op", lit("customer_only")))
+  }
+
+  /** A1: any_value first-value aggregation — deterministic here because
+    * the group key is unique per row
+    * (/root/reference/src/etl_vol_transfers/main.py:215-216 uses it the
+    * same way: one outputs array per hash). */
+  def q38_any_value(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .groupBy(col("o_orderkey"))
+      .agg(any_value(col("o_orderstatus")).as("status"),
+        any_value(col("o_custkey")).as("custkey"))
+
+  /** §2.11 hex decode (the notebook's asset-name label:
+    * bytes.fromhex(unit).decode()): hex → binary → UTF-8 roundtrip. */
+  def q39_hex_decode(s: SparkSession, d: String): DataFrame =
+    Tables.part(s, d).select(
+      col("p_partkey"),
+      hex(col("p_name").cast("binary")).as("name_hex"),
+      decode(unhex(hex(col("p_name").cast("binary"))), "UTF-8")
+        .as("name_roundtrip"))
+
+  /** Sketch aggregates (SURVEY §2.7 note): approx_count_distinct (HLL++)
+    * next to the exact count — approximation is engine-specific →
+    * rows-only; the exactness relation is asserted in ScalaTest. */
+  def q40_approx_distinct(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .groupBy(col("l_returnflag"))
+      .agg(approx_count_distinct(col("l_partkey")).as("approx_parts"),
+        countDistinct(col("l_partkey")).as("exact_parts"))
+
+  /** X3: 1-hop neighborhood expansion — self-join dst = src on the
+    * transfer-graph analog (customer nation → supplier nation edges). */
+  def q41_one_hop(s: SparkSession, d: String): DataFrame = {
+    val edges = Tables.orders(s, d)
+      .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+      .join(Tables.lineitem(s, d), col("o_orderkey") === col("l_orderkey"))
+      .join(Tables.supplier(s, d), col("l_suppkey") === col("s_suppkey"))
+      .select(col("c_nationkey").cast(LongType).as("src"),
+        col("s_nationkey").cast(LongType).as("dst"))
+      .distinct()
+    val hop2 = edges.select(col("src").as("mid"), col("dst"))
+    edges.select(col("src"), col("dst").as("mid"))
+      .join(hop2, Seq("mid"))
+      .select(col("src"), col("mid"), col("dst")).distinct()
+  }
+
   // ---------------------------------------------------------------- registry
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -459,6 +522,12 @@ object SparkEntry {
     "q33_pipeline_transfers" -> (q33_pipeline_transfers _),
     "q34_pagerank" -> (q34_pagerank _),
     "q35_uuid_surrogate" -> (q35_uuid_surrogate _),
+    "q36_rollup" -> (q36_rollup _),
+    "q37_setops" -> (q37_setops _),
+    "q38_any_value" -> (q38_any_value _),
+    "q39_hex_decode" -> (q39_hex_decode _),
+    "q40_approx_distinct" -> (q40_approx_distinct _),
+    "q41_one_hop" -> (q41_one_hop _),
   )
 
   // DuckDB twins of the Scala normalization / hashing expressions
@@ -744,5 +813,43 @@ object SparkEntry {
         | sum(CAST(value AS DECIMAL(18,2))) AS total,
         | count(*) AS n
         |FROM events GROUP BY 1, 2""".stripMargin,
+    "q36_rollup" ->
+      """SELECT l_returnflag, l_linestatus,
+        | sum(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty,
+        | count(*) AS n,
+        | CAST(grouping(l_returnflag) AS BIGINT) AS g_flag,
+        | CAST(grouping(l_linestatus) AS BIGINT) AS g_status
+        |FROM lineitem
+        |GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin,
+    "q37_setops" ->
+      """SELECT nationkey, 'both' AS op FROM (
+        |  SELECT c_nationkey AS nationkey FROM customer
+        |  INTERSECT
+        |  SELECT s_nationkey FROM supplier) t
+        |UNION ALL
+        |SELECT nationkey, 'customer_only' AS op FROM (
+        |  SELECT c_nationkey AS nationkey FROM customer
+        |  EXCEPT
+        |  SELECT s_nationkey FROM supplier) t2""".stripMargin,
+    "q38_any_value" ->
+      """SELECT o_orderkey,
+        | any_value(o_orderstatus) AS status,
+        | any_value(o_custkey) AS custkey
+        |FROM orders GROUP BY o_orderkey""".stripMargin,
+    "q39_hex_decode" ->
+      """SELECT p_partkey,
+        | hex(CAST(p_name AS BLOB)) AS name_hex,
+        | decode(from_hex(hex(CAST(p_name AS BLOB)))) AS name_roundtrip
+        |FROM part""".stripMargin,
+    "q41_one_hop" ->
+      """WITH edges AS (
+        |  SELECT DISTINCT CAST(c_nationkey AS BIGINT) AS src,
+        |    CAST(s_nationkey AS BIGINT) AS dst
+        |  FROM orders
+        |  JOIN customer ON o_custkey = c_custkey
+        |  JOIN lineitem ON o_orderkey = l_orderkey
+        |  JOIN supplier ON l_suppkey = s_suppkey)
+        |SELECT DISTINCT a.src, a.dst AS mid, b.dst
+        |FROM edges a JOIN edges b ON a.dst = b.src""".stripMargin,
   )
 }

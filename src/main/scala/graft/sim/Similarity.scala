@@ -13,13 +13,22 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** Sequential-fold dot product of two array<double> columns. */
-  def dot(a: Column, b: Column): Column =
+  /** Sequential-fold dot product of two array<double> columns — the
+    * built-ins-only form, kept as the reference/fallback implementation. */
+  def dotFold(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
 
-  def norm(a: Column): Column = sqrt(dot(a, a))
+  def cosineFold(a: Column, b: Column): Column =
+    dotFold(a, b) / (sqrt(dotFold(a, a)) * sqrt(dotFold(b, b)))
 
-  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+  /** Native codegen'd forms (graft.functions.VectorExpressions): same
+    * sequential summation order → bit-identical to the fold forms, one
+    * tight loop instead of lambda evaluation per element. */
+  def dot(a: Column, b: Column): Column =
+    graft.functions.VectorFunctions.dot_product(a, b)
+
+  def cosine(a: Column, b: Column): Column =
+    graft.functions.VectorFunctions.cosine_sim(a, b)
 
   /** Exact brute-force cosine top-k: every query scores every vector
     * (queries broadcast — the fact side streams once), then a per-query

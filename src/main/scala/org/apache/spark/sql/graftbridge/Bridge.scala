@@ -1,0 +1,16 @@
+package org.apache.spark.sql.graftbridge
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.classic.ExpressionUtils
+
+/** Minimal accessor for the private[sql] Expression ↔ Column conversions
+  * (Spark 4's Column wraps a ColumnNode; the classic converter lives in
+  * org.apache.spark.sql.classic). Lives under org.apache.spark.sql.* so
+  * the package-private API is reachable — the standard extension-library
+  * pattern for custom Catalyst expressions.
+  */
+object Bridge {
+  def column(e: Expression): Column = ExpressionUtils.column(e)
+  def expression(c: Column): Expression = ExpressionUtils.expression(c)
+}

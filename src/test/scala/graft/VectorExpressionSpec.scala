@@ -1,0 +1,64 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.functions.VectorFunctions
+import graft.sim.Similarity
+
+class VectorExpressionSpec extends AnyFunSuite with SparkTestBase {
+  import spark.implicits._
+
+  test("native dot/cosine bit-identical to the fold forms on real vectors") {
+    val e = Tables.embeddings(spark, "/root/testdata/sf0.001")
+      .select($"vec_id", $"embedding".cast("array<double>").as("v"))
+    val pairs = e.select($"vec_id".as("id1"), $"v".as("v1"))
+      .crossJoin(e.select($"vec_id".as("id2"), $"v".as("v2")))
+      .filter($"id1" < $"id2").limit(5000)
+    val diff = pairs.select(
+      (VectorFunctions.dot_product($"v1", $"v2") -
+        Similarity.dotFold($"v1", $"v2")).as("dd"),
+      (VectorFunctions.cosine_sim($"v1", $"v2") -
+        Similarity.cosineFold($"v1", $"v2")).as("dc"))
+      .agg(max(abs($"dd")), max(abs($"dc"))).as[(Double, Double)].head()
+    assert(diff == ((0.0, 0.0)),
+      s"native and fold forms must be bit-identical, got $diff")
+  }
+
+  test("interpreted eval matches codegen") {
+    val df = Seq((Array(1.0, 2.0, 3.0), Array(4.0, 5.0, 6.0))).toDF("a", "b")
+    val got = df.select(VectorFunctions.dot_product($"a", $"b"))
+      .as[Double].head()
+    assert(got == 32.0)
+    val cos = df.select(VectorFunctions.cosine_sim($"a", $"a"))
+      .as[Double].head()
+    assert(math.abs(cos - 1.0) < 1e-15)
+  }
+
+  test("null array propagates null") {
+    val df = Seq((Some(Array(1.0)), Option.empty[Array[Double]]))
+      .toDF("a", "b")
+    val got = df.select(VectorFunctions.dot_product($"a", $"b").isNull)
+      .as[Boolean].head()
+    assert(got)
+  }
+
+  test("SQL registration: graft_cosine callable from spark.sql") {
+    VectorFunctions.register(spark)
+    val got = spark.sql(
+      "SELECT graft_cosine(array(1.0d, 0.0d), array(1.0d, 0.0d)) AS c")
+      .as[Double].head()
+    assert(got == 1.0)
+  }
+
+  test("expression stays inside WholeStageCodegen") {
+    val e = Tables.embeddings(spark, "/root/testdata/sf0.001")
+      .select($"embedding".cast("array<double>").as("v"))
+    val plan = e.select(VectorFunctions.cosine_sim($"v", $"v").as("c"))
+      .queryExecution.explainString(
+        org.apache.spark.sql.execution.FormattedMode)
+    // the projection carrying graft_cosine must be starred (inside a
+    // whole-stage codegen span), not a fallback
+    assert(plan.contains("codegen id") && plan.contains("* Project"),
+      s"expected codegen span in:\n$plan")
+  }
+}
