@@ -1,0 +1,30 @@
+package graft.ingest
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Dimension loading (SURVEY.md §2.1 S3): the reference loads two local
+  * JSON files — prices `{date, assets:[{id, symbol, last_price_usd,
+  * last_price_ada, last_update, pricing_provider}]}` and decimals
+  * `[{unit, decimals}]` (/root/reference/src/etl_vol_transfers/main.py:
+  * 107-115) — and broadcasts the joined map. Natively: multiline JSON
+  * reads + explode; the join/broadcast lives in Pricing.dimension.
+  */
+object Dimensions {
+
+  /** Prices file → (unit, symbol, last_price_usd, last_price_ada). The
+    * asset id field IS the canonical unit. */
+  def loadPrices(spark: SparkSession, path: String): DataFrame =
+    spark.read.option("multiLine", true).json(path)
+      .select(explode(col("assets")).as("a"))
+      .select(
+        col("a.id").as("unit"),
+        col("a.symbol").as("symbol"),
+        col("a.last_price_usd").cast("double").as("last_price_usd"),
+        col("a.last_price_ada").cast("double").as("last_price_ada"))
+
+  /** Decimals file → (unit, decimals). */
+  def loadDecimals(spark: SparkSession, path: String): DataFrame =
+    spark.read.option("multiLine", true).json(path)
+      .select(col("unit"), col("decimals").cast("int").as("decimals"))
+}

@@ -1,0 +1,31 @@
+package graft.io
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Storage layout for scale (the 100 TB story): bucketed tables co-locate
+  * both sides of the engine's hot joins so they plan with NO shuffle
+  * exchange.
+  *
+  * The resolver join (outpoints ⋈ utxo on src_tx_hash) is the canonical
+  * case: at 100 TB both tables are bucketed by the tx-hash key at write
+  * time, so each resolve is a per-bucket sort-merge with zero network.
+  * Bucket counts are powers of two so a cluster can re-bucket by splitting
+  * without rewriting everything.
+  */
+object Layout {
+
+  /** Write `df` as a bucketed managed table (parquet under the session
+    * warehouse). Sorted within buckets on the same key → merge join needs
+    * no sort either. */
+  def writeBucketed(df: DataFrame, table: String, buckets: Int,
+                    keys: Seq[String]): Unit =
+    df.write
+      .mode("overwrite")
+      .format("parquet")
+      .bucketBy(buckets, keys.head, keys.tail: _*)
+      .sortBy(keys.head, keys.tail: _*)
+      .saveAsTable(table)
+
+  def read(spark: SparkSession, table: String): DataFrame =
+    spark.table(table)
+}

@@ -1,0 +1,49 @@
+package graft.io
+
+import java.util.Properties
+import org.apache.spark.sql.DataFrame
+
+/** Sink abstraction (SURVEY.md §2.2 K1–K4): the engine's tables write
+  * through here so storage can move from local parquet to partitioned
+  * cloud parquet or JDBC without touching job code.
+  */
+trait Sink {
+  def append(df: DataFrame, table: String): Unit
+  def overwrite(df: DataFrame, table: String): Unit
+}
+
+/** Parquet sink, optionally partitioned by natural keys — the at-scale
+  * default (the reference's JDBC numPartitions=1 bottleneck replaced by
+  * fully parallel file writes; SURVEY.md §4 partitioning row). */
+final class ParquetSink(baseDir: String,
+                        partitionBy: Map[String, Seq[String]] = Map.empty)
+    extends Sink {
+  private def writer(df: DataFrame, table: String,
+                     mode: String): Unit = {
+    val w = df.write.mode(mode)
+    val parts = partitionBy.getOrElse(table, Seq.empty)
+    val pw = if (parts.nonEmpty) w.partitionBy(parts: _*) else w
+    pw.parquet(s"$baseDir/$table")
+  }
+  override def append(df: DataFrame, table: String): Unit =
+    writer(df, table, "append")
+  override def overwrite(df: DataFrame, table: String): Unit =
+    writer(df, table, "overwrite")
+}
+
+/** JDBC sink — parity with the reference's Postgres writes
+  * (/root/reference/src/etl_blockchain/main.py:22-29). numPartitions
+  * defaults to the frame's parallelism rather than the reference's 1.
+  * Untestable in this container (no database); the code path is the
+  * straight DataFrameWriter API. */
+final class JdbcSink(url: String, props: Properties,
+                     numPartitions: Option[Int] = None) extends Sink {
+  private def writer(df: DataFrame, table: String, mode: String): Unit = {
+    val d = numPartitions.fold(df)(n => df.repartition(n))
+    d.write.mode(mode).jdbc(url, table, props)
+  }
+  override def append(df: DataFrame, table: String): Unit =
+    writer(df, table, "append")
+  override def overwrite(df: DataFrame, table: String): Unit =
+    writer(df, table, "overwrite")
+}
