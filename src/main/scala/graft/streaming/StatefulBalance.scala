@@ -1,0 +1,35 @@
+package graft.streaming
+
+import org.apache.spark.sql.Dataset
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Stateful streaming extension (SURVEY.md §2.12: the reference has no
+  * stateful operators — pure foreachBatch; this is the Spark-native
+  * capability it was missing): running per-(address, unit) balances over
+  * the net-flow stream, kept in keyed state across micro-batches via
+  * flatMapGroupsWithState.
+  *
+  * State is one long per live (address, unit) — bounded by the active key
+  * set, partitioned by the group key across executors; at scale add a
+  * timeout (GroupStateTimeout) to expire dormant addresses.
+  */
+object StatefulBalance {
+
+  case class FlowEvent(address: String, unit: String, diff: Long)
+  case class BalanceState(balance: Long)
+  case class BalanceUpdate(address: String, unit: String, balance: Long)
+
+  def runningBalances(flows: Dataset[FlowEvent]): Dataset[BalanceUpdate] = {
+    import flows.sparkSession.implicits._
+    flows
+      .groupByKey(f => (f.address, f.unit))
+      .flatMapGroupsWithState[BalanceState, BalanceUpdate](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        case ((addr, unit), events, state: GroupState[BalanceState]) =>
+          val prev = state.getOption.map(_.balance).getOrElse(0L)
+          val next = prev + events.map(_.diff).sum
+          state.update(BalanceState(next))
+          Iterator(BalanceUpdate(addr, unit, next))
+      }
+  }
+}

@@ -1,0 +1,134 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import org.apache.spark.sql.functions._
+import graft.ops.{Analytics, NetFlow, Transfers, Pricing}
+
+/** Property tests (SURVEY.md §5): conservation of net flow, transfer-edge
+  * cardinality invariants, CMA vs brute force, top-k vs full sort.
+  * Small generated cases — each property runs a handful of Spark jobs.
+  */
+class PropertySpec extends AnyFunSuite with SparkTestBase {
+  import spark.implicits._
+
+  // deterministic seeded sampling (scalatestplus bridge unavailable in the
+  // offline cache): run each property over 5 generated cases
+  private val params = Gen.Parameters.default.withSize(8)
+  private def forAll[A](g: Gen[A])(body: A => Unit): Unit =
+    (1 to 5).foreach { i =>
+      g.apply(params, Seed(42L + i)).foreach(body)
+    }
+  private def forAll2[A, B](ga: Gen[A], gb: Gen[B])
+                           (body: (A, B) => Unit): Unit =
+    (1 to 5).foreach { i =>
+      for {
+        a <- ga.apply(params, Seed(42L + i))
+        b <- gb.apply(params, Seed(142L + i))
+      } body(a, b)
+    }
+  private def whenever(c: Boolean)(body: => Unit): Unit = if (c) body
+
+  private val flowGen: Gen[List[(String, String, String, Long)]] =
+    Gen.listOf(for {
+      tx <- Gen.oneOf("t1", "t2")
+      addr <- Gen.oneOf("A", "B", "C")
+      unit <- Gen.oneOf("u1", "u2")
+      v <- Gen.choose(1L, 1000L)
+    } yield (tx, addr, unit, v))
+
+  test("net-flow conservation: Σdiff per (tx,unit) = Σout − Σin") {
+    forAll2(flowGen, flowGen) { (outs, ins) =>
+      whenever(outs.nonEmpty || ins.nonEmpty) {
+        val outDf = outs.toDF("hash", "address", "unit", "value")
+        val inDf = ins.toDF("hash", "address", "unit", "value")
+        val net = NetFlow.compute(outDf, inDf)
+        val got = net.groupBy("hash", "unit").agg(sum("diff").as("s"))
+          .as[(String, String, Long)].collect()
+          .map { case (h, u, s) => (h, u) -> s }.toMap
+        val expected =
+          (outs.map { case (h, _, u, v) => (h, u) -> v } ++
+            ins.map { case (h, _, u, v) => (h, u) -> -v })
+            .groupBy(_._1).view.mapValues(_.map(_._2).sum)
+            .filter(_._2 != 0).toMap
+        // groups whose per-address diffs all cancel may still sum to
+        // zero — compare only the total per (tx, unit)
+        assert(got.filter(_._2 != 0) == expected)
+      }
+    }
+  }
+
+  test("transfer edges: |edges| = |receivers| × |senders| per (tx, unit); " +
+    "no self-group leakage") {
+    forAll2(flowGen, flowGen) { (outs, ins) =>
+      whenever(outs.nonEmpty && ins.nonEmpty) {
+        val net = NetFlow.compute(
+          outs.toDF("hash", "address", "unit", "value"),
+          ins.toDF("hash", "address", "unit", "value")).cache()
+        val dim = Pricing.dimension(
+          Seq.empty[(String, Double)].toDF("unit", "last_price_ada"),
+          Seq.empty[(String, Int)].toDF("unit", "decimals"))
+        val edges = Transfers.edges(net, dim)
+        val got = edges.groupBy("hash", "unit").count()
+          .as[(String, String, Long)].collect()
+          .map { case (h, u, n) => (h, u) -> n }.toMap
+        val rx = net.filter($"diff" > 0).groupBy("hash", "unit").count()
+          .as[(String, String, Long)].collect()
+          .map { case (h, u, n) => (h, u) -> n }.toMap
+        val tx = net.filter($"diff" < 0).groupBy("hash", "unit").count()
+          .as[(String, String, Long)].collect()
+          .map { case (h, u, n) => (h, u) -> n }.toMap
+        val expected = (rx.keySet intersect tx.keySet)
+          .map(k => k -> rx(k) * tx(k)).toMap
+        assert(got == expected)
+      }
+    }
+  }
+
+  test("cumulative mean equals brute force") {
+    forAll(Gen.nonEmptyListOf(Gen.choose(-100.0, 100.0))) { vs =>
+      val df = vs.zipWithIndex
+        .map { case (v, i) => ("k", i.toLong, v) }
+        .toDF("unit", "height", "value")
+      val got = Analytics.cumulativeMean(df, "unit", "value", "height")
+        .orderBy("height").select("cma").as[Double].collect()
+      val brute = vs.scanLeft((0.0, 0)) { case ((s, n), v) =>
+        (s + v, n + 1)
+      }.tail.map { case (s, n) => s / n }
+      got.zip(brute).foreach { case (g, b) =>
+        assert(math.abs(g - b) < 1e-9)
+      }
+    }
+  }
+
+  test("topK equals take-k of the fully sorted aggregation") {
+    forAll(flowGen) { rows =>
+      whenever(rows.nonEmpty) {
+        val df = rows.map { case (_, a, u, v) => (u + a, v.toDouble) }
+          .toDF("unit", "value")
+        val got = Analytics.topK(df, "unit", "value", 3)
+          .as[(String, Double)].collect().toSeq
+        val brute = rows.map { case (_, a, u, v) => (u + a, v.toDouble) }
+          .groupBy(_._1).view.mapValues(_.map(_._2).sum).toSeq
+          .sortBy { case (k, v) => (-v, k) }.take(3)
+        assert(got == brute)
+      }
+    }
+  }
+
+  test("upsert idempotence: applying the same updates twice = once") {
+    forAll(flowGen) { rows =>
+      whenever(rows.nonEmpty) {
+        val base = rows.map { case (h, a, u, v) => (u, v.toDouble) }
+          .toDF("unit", "value_adj").groupBy("unit")
+          .agg(sum("value_adj").as("value_adj"))
+        val updates = base.withColumn("value_adj", $"value_adj" * 2)
+        val once = graft.ops.Volume.upsert(base, updates, Seq("unit"))
+        val twice = graft.ops.Volume.upsert(once, updates, Seq("unit"))
+        assert(once.as[(String, Double)].collect().toSet ==
+          twice.as[(String, Double)].collect().toSet)
+      }
+    }
+  }
+}

@@ -1,0 +1,31 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import graft.streaming.StatefulBalance
+import graft.streaming.StatefulBalance.FlowEvent
+
+class StatefulBalanceSpec extends AnyFunSuite with SparkTestBase {
+  import spark.implicits._
+
+  test("keyed state accumulates across micro-batches") {
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[FlowEvent]
+    val q = StatefulBalance.runningBalances(mem.toDS())
+      .writeStream.format("memory").queryName("balances")
+      .outputMode("append").start()
+    try {
+      mem.addData(FlowEvent("A", "lovelace", 100L),
+        FlowEvent("A", "lovelace", 50L), FlowEvent("B", "lovelace", 7L))
+      q.processAllAvailable()
+      mem.addData(FlowEvent("A", "lovelace", -30L),
+        FlowEvent("B", "tok", 1L))
+      q.processAllAvailable()
+      val rows = spark.table("balances")
+        .as[(String, String, Long)].collect().toSet
+      // batch 1 emits A=150, B=7; batch 2 emits A=120 (state carried), B/tok=1
+      assert(rows == Set(("A", "lovelace", 150L), ("B", "lovelace", 7L),
+        ("A", "lovelace", 120L), ("B", "tok", 1L)))
+    } finally q.stop()
+  }
+}
