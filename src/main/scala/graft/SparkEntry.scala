@@ -359,6 +359,19 @@ object SparkEntry {
       .select(col("w.start").cast(LongType).as("hour_start"),
         col("event_type"), col("total"), col("n"))
 
+  /** A8: per-index proportional shares (the stack plot's value/total·100
+    * with zero-total guard) via Analytics.proportions — partition-total
+    * window, no join. The decimal window total converts to double
+    * pointwise (exact), keeping the division cross-engine deterministic. */
+  def q42_proportions(s: SparkSession, d: String): DataFrame = {
+    val observed = Tables.lineitem(s, d)
+      .groupBy(col("l_returnflag"),
+        (year(col("l_shipdate")) * 12 + month(col("l_shipdate")))
+          .cast(LongType).as("ym"))
+      .agg(sum(dec(col("l_quantity"))).as("qty"))
+    graft.ops.Analytics.proportions(observed, "ym", "qty")
+  }
+
   // --------------------------------------- reference-pipeline demo queries
 
   private def syntheticBlockLines(s: SparkSession): DataFrame = {
@@ -528,6 +541,7 @@ object SparkEntry {
     "q39_hex_decode" -> (q39_hex_decode _),
     "q40_approx_distinct" -> (q40_approx_distinct _),
     "q41_one_hop" -> (q41_one_hop _),
+    "q42_proportions" -> (q42_proportions _),
   )
 
   // DuckDB twins of the Scala normalization / hashing expressions
@@ -841,6 +855,18 @@ object SparkEntry {
         | hex(CAST(p_name AS BLOB)) AS name_hex,
         | decode(from_hex(hex(CAST(p_name AS BLOB)))) AS name_roundtrip
         |FROM part""".stripMargin,
+    "q42_proportions" ->
+      """WITH observed AS (
+        |  SELECT l_returnflag,
+        |    CAST(year(l_shipdate) * 12 + month(l_shipdate) AS BIGINT) AS ym,
+        |    sum(CAST(l_quantity AS DECIMAL(18,2))) AS qty
+        |  FROM lineitem GROUP BY 1, 2)
+        |SELECT l_returnflag, ym, qty,
+        |  CAST(qty AS DOUBLE) /
+        |    (CASE WHEN sum(qty) OVER w = 0 THEN 1.0
+        |          ELSE CAST(sum(qty) OVER w AS DOUBLE) END) * 100.0 AS pct
+        |FROM observed
+        |WINDOW w AS (PARTITION BY ym)""".stripMargin,
     "q41_one_hop" ->
       """WITH edges AS (
         |  SELECT DISTINCT CAST(c_nationkey AS BIGINT) AS src,
