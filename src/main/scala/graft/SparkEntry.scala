@@ -280,9 +280,11 @@ object SparkEntry {
   def q19_minhash_lsh(s: SparkSession, d: String): DataFrame =
     graft.dedup.Dedup.minhashDuplicatePairs(Tables.documents(s, d), 0.5)
 
-  /** SimHash (60-bit, md5-based — bit-identical oracle in DuckDB). */
+  /** SimHash (60-bit, md5-based — bit-identical oracle in DuckDB), via the
+    * custom TypedImperativeAggregate (one buffer per doc crosses the
+    * shuffle; SimHashAggSpec pins equality with the explode form). */
   def q20_simhash(s: SparkSession, d: String): DataFrame =
-    graft.dedup.Dedup.simhash(Tables.documents(s, d))
+    graft.dedup.Dedup.simhashFast(Tables.documents(s, d))
 
   /** Quality scoring: word stats, stopword/alpha ratios, blended score. */
   def q21_text_quality(s: SparkSession, d: String): DataFrame =

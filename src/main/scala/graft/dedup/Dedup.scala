@@ -165,6 +165,19 @@ object Dedup {
         .otherwise(0L)).as("simhash"))
   }
 
+  /** SimHash via the custom TypedImperativeAggregate
+    * (graft.functions.SimHashAgg): identical values to [[simhash]], but
+    * one shuffle of one fixed-size buffer per doc instead of the
+    * tokens × bits row explosion — the form that holds at 100 TB. */
+  def simhashFast(docs: DataFrame, bits: Int = 60): DataFrame =
+    docs
+      .select(col("doc_id"),
+        explode(split(normalize(col("text")), " ")).as("tok"))
+      .select(col("doc_id"), hash60(col("tok")).as("h"))
+      .groupBy(col("doc_id"))
+      .agg(graft.functions.SimHashAgg.simhash_agg(col("h"), bits)
+        .as("simhash"))
+
   /** Embedding near-dup: exact cosine within coarse blocks (here the
     * precomputed `label` cluster — the blocking key that keeps the pair
     * count sub-quadratic), pairs with cosine ≥ threshold. */

@@ -1,0 +1,100 @@
+package graft.functions
+
+import java.nio.ByteBuffer
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.graftbridge.Bridge
+import org.apache.spark.sql.types.{DataType, LongType}
+
+/** SimHash as a custom TypedImperativeAggregate (SURVEY.md §2.9 note /
+  * Dedup.simhash scale path).
+  *
+  * The composable form explodes every token hash into `bits` rows and
+  * shuffles (doc, bit) pairs twice. This aggregate keeps the per-bit ±1
+  * counters in one mutable buffer per group: input rows fold locally
+  * (map-side partial aggregation), partial buffers merge, and only one
+  * buffer per document crosses the wire — tokens × bits row inflation and
+  * the second shuffle disappear. The standard pattern for sketch
+  * aggregates (HLL, quantile digests).
+  *
+  * Input: a 60-bit token hash (e.g. Dedup.hash60 of the token).
+  * Output: the packed simhash (bit b set iff counter_b > 0) — identical
+  * values to Dedup.simhash by construction.
+  */
+case class SimHashAgg(
+    child: Expression,
+    bits: Int = 60,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[Array[Int]] {
+
+  override def children: Seq[Expression] = Seq(child)
+  override def nullable: Boolean = false
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_simhash"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == LongType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a bigint token hash, got " +
+        child.dataType.simpleString)
+
+  override def createAggregationBuffer(): Array[Int] = new Array[Int](bits)
+
+  override def update(buf: Array[Int], row: InternalRow): Array[Int] = {
+    val v = child.eval(row)
+    if (v != null) {
+      val h = v.asInstanceOf[Long]
+      var b = 0
+      while (b < bits) {
+        buf(b) += (if (((h >> b) & 1L) == 1L) 1 else -1)
+        b += 1
+      }
+    }
+    buf
+  }
+
+  override def merge(a: Array[Int], b: Array[Int]): Array[Int] = {
+    var i = 0
+    while (i < bits) { a(i) += b(i); i += 1 }
+    a
+  }
+
+  override def eval(buf: Array[Int]): Any = {
+    var out = 0L
+    var b = 0
+    while (b < bits) {
+      if (buf(b) > 0) out |= (1L << b)
+      b += 1
+    }
+    out
+  }
+
+  override def serialize(buf: Array[Int]): Array[Byte] = {
+    val bb = ByteBuffer.allocate(4 * bits)
+    buf.foreach(bb.putInt)
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): Array[Int] = {
+    val bb = ByteBuffer.wrap(bytes)
+    Array.fill(bits)(bb.getInt())
+  }
+
+  override def withNewMutableAggBufferOffset(o: Int): SimHashAgg =
+    copy(mutableAggBufferOffset = o)
+  override def withNewInputAggBufferOffset(o: Int): SimHashAgg =
+    copy(inputAggBufferOffset = o)
+  override protected def withNewChildrenInternal(
+      cs: IndexedSeq[Expression]): SimHashAgg = copy(child = cs.head)
+}
+
+object SimHashAgg {
+  /** Column form: simhash_agg(tokenHash60) for use in groupBy().agg(). */
+  def simhash_agg(tokenHash: Column, bits: Int = 60): Column =
+    Bridge.column(SimHashAgg(Bridge.expression(tokenHash), bits)
+      .toAggregateExpression())
+}

@@ -1,0 +1,35 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.dedup.Dedup
+
+class SimHashAggSpec extends AnyFunSuite with SparkTestBase {
+  import spark.implicits._
+
+  test("custom aggregate produces identical simhashes to the explode form " +
+    "on the real corpus") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val slow = Dedup.simhash(docs).as[(Long, Long)].collect().toMap
+    val fast = Dedup.simhashFast(docs).as[(Long, Long)].collect().toMap
+    assert(fast.size == slow.size && fast == slow)
+  }
+
+  test("partial-buffer merge across many partitions is exact") {
+    val docs = Seq((1L, Seq.fill(50)("alpha beta gamma").mkString(" ")))
+      .toDF("doc_id", "text")
+    val one = Dedup.simhashFast(docs.repartition(1)).as[(Long, Long)].head()
+    val many = Dedup.simhashFast(docs.repartition(7)).as[(Long, Long)].head()
+    assert(one == many)
+  }
+
+  test("plan shape: single exchange, partial aggregation map-side") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val plan = Dedup.simhashFast(docs)
+      .queryExecution.executedPlan.toString
+    val exchanges = "Exchange hashpartitioning".r
+      .findAllIn(plan).length
+    assert(exchanges == 1, s"expected exactly one exchange:\n$plan")
+    assert(plan.contains("partial_graft_simhash") ||
+      plan.toLowerCase.contains("partial"), s"no partial agg:\n$plan")
+  }
+}
