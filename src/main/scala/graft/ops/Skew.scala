@@ -1,0 +1,46 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Skew mitigation for hot join keys (SURVEY.md §4 spill/skew row; the
+  * transfer cross product's hot (tx, unit) groups are the canonical case).
+  *
+  * AQE's skew-join splitting handles most cases at runtime; explicit
+  * salting is the plan-level tool when a key's fan-out is known to be
+  * pathological (exchange-listing "addresses" touching millions of txs):
+  * the skewed side gets a deterministic salt in [0, factor), the other
+  * side is replicated ×factor via explode, and the join key becomes
+  * (key, salt) — splitting each hot key's rows across `factor` reducers.
+  *
+  * The salt is a hash of the whole row (not a RNG), so retries/speculative
+  * tasks reproduce identical output.
+  */
+object Skew {
+
+  /** Inner equi-join with the LEFT side salted and the RIGHT side
+    * replicated. Result is row-identical to `left.join(right, keys)`. */
+  def saltedJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
+                 factor: Int): DataFrame = {
+    require(factor > 0)
+    val saltedLeft = left.withColumn("__salt",
+      pmod(hash(left.columns.map(col).toIndexedSeq: _*), lit(factor)))
+    val replicatedRight = right.withColumn("__salt",
+      explode(sequence(lit(0), lit(factor - 1))))
+    saltedLeft.join(replicatedRight, keys :+ "__salt").drop("__salt")
+  }
+
+  /** Grouped aggregation with salted partial pre-aggregation: sums per
+    * (key, salt) first, then re-aggregates per key — two small shuffles
+    * instead of one hot one. Equivalent to groupBy(keys).sum(valueCol). */
+  def saltedSum(df: DataFrame, keys: Seq[String], valueCol: String,
+                factor: Int): DataFrame = {
+    require(factor > 0)
+    df.withColumn("__salt",
+      pmod(hash(df.columns.map(col).toIndexedSeq: _*), lit(factor)))
+      .groupBy((keys :+ "__salt").map(col): _*)
+      .agg(sum(col(valueCol)).as(valueCol))
+      .groupBy(keys.map(col): _*)
+      .agg(sum(col(valueCol)).as(valueCol))
+  }
+}
