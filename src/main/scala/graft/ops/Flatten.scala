@@ -11,18 +11,24 @@ import org.apache.spark.sql.functions._
   */
 object Flatten {
 
-  /** One row per transaction: block context + tx fields. */
-  def transactions(blocks: DataFrame): DataFrame =
+  /** One row per transaction: block context + tx fields. `block_time`
+    * (added by BlockParser) is carried through when present so event-time
+    * operators compose downstream. */
+  def transactions(blocks: DataFrame): DataFrame = {
+    val hasTime = blocks.columns.contains("block_time")
+    val blockCols = Seq(col("height"), col("slot"),
+      col("id").as("block_hash")) ++
+      (if (hasTime) Seq(col("block_time")) else Nil)
+    val keep = Seq(col("height"), col("slot"), col("block_hash")) ++
+      (if (hasTime) Seq(col("block_time")) else Nil)
     blocks
-      .select(
-        col("height"), col("slot"), col("id").as("block_hash"),
-        explode(col("transactions")).as("tx"))
-      .select(
-        col("height"), col("slot"), col("block_hash"),
+      .select(blockCols :+ explode(col("transactions")).as("tx"): _*)
+      .select(keep ++ Seq(
         col("tx.id").as("hash"),
         col("tx.inputs").as("inputs"),
         col("tx.outputs").as("outputs"),
-        col("tx.fee").as("fee"))
+        col("tx.fee").as("fee")): _*)
+  }
 
   /** Raw-persistence projections (= the four JDBC tables of
     * /root/reference/src/etl_blockchain/main.py:34-63, parquet-shaped).

@@ -23,4 +23,14 @@ object EventTimeRollup {
       .select(col("window.start").as("window_start"), col("unit"),
         col("value_adj"))
   }
+
+  /** Streaming exactly-once tx dedup: chain-rollback replays re-deliver
+    * blocks, so downstream state dedups tx hashes within the watermark
+    * horizon (bounded state — the streaming twin of the batch
+    * dedup-keep-last D1). On a batch frame falls back to dropDuplicates. */
+  def dedupTxs(txs: DataFrame, watermark: String = "10 minutes"): DataFrame =
+    if (txs.isStreaming)
+      txs.withWatermark("block_time", watermark)
+        .dropDuplicatesWithinWatermark("hash")
+    else txs.dropDuplicates("hash")
 }

@@ -90,6 +90,25 @@ class StreamingJobSpec extends AnyFunSuite with SparkTestBase {
     assert(n == 2)
   }
 
+  test("streaming tx dedup within watermark: replayed block's txs emitted " +
+    "once") {
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[String]
+    val deduped = graft.streaming.EventTimeRollup.dedupTxs(
+      graft.ops.Flatten.transactions(
+        BlockParser.parse(mem.toDF())))
+    val q = deduped.select("hash").writeStream
+      .format("memory").queryName("dedup_txs").outputMode("append").start()
+    try {
+      mem.addData(line1)
+      q.processAllAvailable()
+      mem.addData(line1, line2) // replay of block 1 plus the next block
+      q.processAllAvailable()
+      val rows = spark.table("dedup_txs").as[String].collect().toSeq
+      assert(rows.sorted == Seq("t1", "t2"))
+    } finally q.stop()
+  }
+
   test("event-time windowed rollup (extension): slot-derived tumbling window") {
     val vol = BlockParser.parse(Seq(line1, line2).toDF("value"))
       .selectExpr("block_time", "'lovelace' as unit",
