@@ -1,0 +1,48 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import graft.functions.NetFlowAgg
+import graft.ops.NetFlow
+
+class NetFlowAggSpec extends AnyFunSuite with SparkTestBase {
+  import spark.implicits._
+
+  private val flowGen = Gen.listOf(for {
+    tx <- Gen.oneOf("t1", "t2", "t3")
+    addr <- Gen.oneOf("A", "B", "C")
+    unit <- Gen.oneOf("u1", "u2")
+    v <- Gen.choose(1L, 500L)
+  } yield (tx, addr, unit, v))
+
+  test("single-pass aggregator equals the join-based NetFlow on " +
+    "generated flows") {
+    val params = Gen.Parameters.default.withSize(12)
+    (1 to 5).foreach { i =>
+      for {
+        outs <- flowGen(params, Seed(7L + i))
+        ins <- flowGen(params, Seed(107L + i))
+      } {
+        val outDf = outs.toDF("hash", "address", "unit", "value")
+        val inDf = ins.toDF("hash", "address", "unit", "value")
+        val joined = NetFlow.compute(outDf, inDf)
+          .as[(String, String, String, Long)].collect().toSet
+        val single = NetFlowAgg.compute(outDf, inDf)
+          .as[(String, String, String, Long)].collect().toSet
+        assert(single == joined)
+      }
+    }
+  }
+
+  test("one shuffle on the tx hash only") {
+    val outDf = Seq(("t1", "A", "u1", 5L)).toDF("hash", "address", "unit",
+      "value")
+    val inDf = Seq(("t1", "B", "u1", 5L)).toDF("hash", "address", "unit",
+      "value")
+    val plan = NetFlowAgg.compute(outDf, inDf)
+      .queryExecution.executedPlan.toString
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(exchanges == 1, s"expected one exchange:\n$plan")
+  }
+}
