@@ -44,13 +44,14 @@ object Dedup {
                       noiseTokens: Seq[String] = Seq.empty): DataFrame = {
     val key = if (noiseTokens.isEmpty) normalize(col("text"))
       else normalizeDropTokens(col("text"), noiseTokens)
-    val hashed = docs.select(col("doc_id"),
-      hash60(key).as("content_hash"))
-    val groups = hashed.groupBy(col("content_hash"))
-      .agg(min(col("doc_id")).as("canonical_id"),
-        count(lit(1)).as("group_size"))
+    // window over the hash instead of groupBy + self-join: the (expensive)
+    // normalization runs once and the plan is one scan + one shuffle
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("content_hash"))
+    docs.select(col("doc_id"), hash60(key).as("content_hash"))
+      .withColumn("canonical_id", min(col("doc_id")).over(w))
+      .withColumn("group_size", count(lit(1)).over(w))
       .filter(col("group_size") > 1)
-    hashed.join(groups, Seq("content_hash"), "inner")
       .select(col("doc_id"), col("canonical_id"), col("content_hash"))
   }
 
