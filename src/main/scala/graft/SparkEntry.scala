@@ -275,8 +275,10 @@ object SparkEntry {
       graft.dedup.Dedup.shingles(Tables.documents(s, d), 3), 0.5)
 
   /** MinHash + LSH banding near-dup pipeline (candidates → exact-Jaccard
-    * verify). Banding buckets are engine-internal → rows-only check; the
-    * verified output equals q18 on this corpus when recall is full. */
+    * verify). Hashing is fully deterministic (md5-seeded), so on this
+    * corpus — where banding recall is complete (16 hashes / 4 bands vs
+    * jaccard≈0.98 planted pairs) — the verified output equals the exact
+    * q18 answer, which serves as its oracle. */
   def q19_minhash_lsh(s: SparkSession, d: String): DataFrame =
     graft.dedup.Dedup.minhashDuplicatePairs(Tables.documents(s, d), 0.5)
 
@@ -360,6 +362,20 @@ object SparkEntry {
       .agg(sum(dec(col("value"))).as("total"), count(lit(1)).as("n"))
       .select(col("w.start").cast(LongType).as("hour_start"),
         col("event_type"), col("total"), col("n"))
+
+  /** Session-window sessionization (streaming-capable stateful op the
+    * reference lacks): per-user sessions with a 30-minute inactivity gap.
+    * Emits session start (epoch µs), event count, decimal value total —
+    * the gaps-and-islands form in the DuckDB oracle. */
+  def q43_session_window(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .select(col("user_id"),
+        timestamp_micros(expr("ts div 1000")).as("t"), col("value"))
+      .groupBy(col("user_id"), session_window(col("t"), "30 minutes"))
+      .agg(count(lit(1)).as("n"), sum(dec(col("value"))).as("total"))
+      .select(col("user_id"),
+        unix_micros(col("session_window.start")).as("session_start_us"),
+        col("n"), col("total"))
 
   /** A8: per-index proportional shares (the stack plot's value/total·100
     * with zero-total guard) via Analytics.proportions — partition-total
@@ -544,6 +560,7 @@ object SparkEntry {
     "q40_approx_distinct" -> (q40_approx_distinct _),
     "q41_one_hop" -> (q41_one_hop _),
     "q42_proportions" -> (q42_proportions _),
+    "q43_session_window" -> (q43_session_window _),
   )
 
   // DuckDB twins of the Scala normalization / hashing expressions
@@ -857,6 +874,43 @@ object SparkEntry {
         | hex(CAST(p_name AS BLOB)) AS name_hex,
         | decode(from_hex(hex(CAST(p_name AS BLOB)))) AS name_roundtrip
         |FROM part""".stripMargin,
+    "q19_minhash_lsh" ->
+      s"""WITH w AS (
+         |  SELECT doc_id, string_split($NormSql, ' ') AS ws FROM documents),
+         |sh AS (
+         |  SELECT DISTINCT doc_id,
+         |    unnest([array_to_string(ws[i:i+2], ' ')
+         |            for i in range(1, greatest(len(ws)-2, 0)+1)]) AS s
+         |  FROM w),
+         |sz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+         |inter AS (
+         |  SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS i
+         |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2)
+         |SELECT id1, id2,
+         |  CAST(i AS DOUBLE) / CAST(s1.sz + s2.sz - i AS DOUBLE) AS jaccard
+         |FROM inter
+         |JOIN sz s1 ON s1.doc_id = id1 JOIN sz s2 ON s2.doc_id = id2
+         |WHERE CAST(i AS DOUBLE) / CAST(s1.sz + s2.sz - i AS DOUBLE)
+         |  >= 0.5""".stripMargin,
+    "q43_session_window" ->
+      """WITH flagged AS (
+        |  SELECT user_id, ts, value,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |           OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+        |         THEN 1 ELSE 0 END AS new_s
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+        |sessions AS (
+        |  SELECT user_id, ts, value,
+        |    sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        |  FROM flagged)
+        |SELECT user_id,
+        |  epoch_us(min(ts)) AS session_start_us,
+        |  count(*) AS n,
+        |  sum(CAST(value AS DECIMAL(18,2))) AS total
+        |FROM sessions GROUP BY user_id, sid""".stripMargin,
     "q42_proportions" ->
       """WITH observed AS (
         |  SELECT l_returnflag,
