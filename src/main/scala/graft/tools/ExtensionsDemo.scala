@@ -1,0 +1,30 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+
+/** Proves the SparkSessionExtensions injection path end-to-end: builds a
+  * session with GraftExtensions and calls the injected functions from SQL
+  * (must run in a fresh JVM — getOrCreate reuses an active session and
+  * ignores late extensions).
+  *
+  * Usage: runMain graft.tools.ExtensionsDemo
+  */
+object ExtensionsDemo {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder()
+      .master("local[2]")
+      .withExtensions(new graft.functions.GraftExtensions)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val row = spark.sql(
+      """SELECT graft_dot(array(1.0d, 2.0d), array(3.0d, 4.0d)) AS dot,
+        |       graft_cosine(array(1.0d, 0.0d), array(1.0d, 0.0d)) AS cos
+        |""".stripMargin).head()
+    println(s"[extdemo] graft_dot=${row.getDouble(0)} " +
+      s"graft_cosine=${row.getDouble(1)}")
+    assert(row.getDouble(0) == 11.0 && row.getDouble(1) == 1.0)
+    println("[extdemo] extensions injection OK")
+    spark.stop()
+  }
+}

@@ -1,0 +1,38 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The engine's tables are plain DataFrames, so the whole SQL surface
+  * (spark.sql over temp views) composes with every operator — the
+  * reference's DataFrame-only jobs gain the SQL front end for free. */
+class SqlSurfaceSpec extends AnyFunSuite with SparkTestBase {
+  import spark.implicits._
+
+  test("spark.sql over registered views matches the DataFrame plans") {
+    val d = "/root/testdata/sf0.001"
+    Tables.lineitem(spark, d).createOrReplaceTempView("lineitem")
+    Tables.orders(spark, d).createOrReplaceTempView("orders")
+    val sql = spark.sql(
+      """SELECT l_returnflag, sum(CAST(l_quantity AS DECIMAL(18,2))) q
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin)
+      .as[(String, java.math.BigDecimal)].collect()
+      .map { case (k, v) => k -> v.doubleValue }.toMap
+    val df = SparkEntry.q01_agg_sums(spark, d)
+      .groupBy("l_returnflag")
+      .agg(org.apache.spark.sql.functions.sum("sum_qty").as("q"))
+      .as[(String, java.math.BigDecimal)].collect()
+      .map { case (k, v) => k -> v.doubleValue }.toMap
+    assert(sql == df)
+  }
+
+  test("pipeline ops compose with SQL views (netflow via SQL join)") {
+    Seq(("t1", "A", "u", 10L)).toDF("hash", "address", "unit", "value")
+      .createOrReplaceTempView("outs")
+    Seq(("t1", "B", "u", 4L)).toDF("hash", "address", "unit", "value")
+      .createOrReplaceTempView("ins")
+    val got = graft.ops.NetFlow.compute(
+      spark.table("outs"), spark.table("ins"))
+      .as[(String, String, String, Long)].collect().toSet
+    assert(got == Set(("t1", "A", "u", 10L), ("t1", "B", "u", -4L)))
+  }
+}
