@@ -275,10 +275,9 @@ object SparkEntry {
       graft.dedup.Dedup.shingles(Tables.documents(s, d), 3), 0.5)
 
   /** MinHash + LSH banding near-dup pipeline (candidates → exact-Jaccard
-    * verify). Hashing is fully deterministic (md5-seeded), so on this
-    * corpus — where banding recall is complete (16 hashes / 4 bands vs
-    * jaccard≈0.98 planted pairs) — the verified output equals the exact
-    * q18 answer, which serves as its oracle. */
+    * verify). Approximate by construction — banding recall < 1 for pairs
+    * near the threshold (observed: 254/256 at sf0.1) — so rows-only;
+    * recall against the exact q18 answer is pinned in DedupSpec. */
   def q19_minhash_lsh(s: SparkSession, d: String): DataFrame =
     graft.dedup.Dedup.minhashDuplicatePairs(Tables.documents(s, d), 0.5)
 
@@ -874,25 +873,6 @@ object SparkEntry {
         | hex(CAST(p_name AS BLOB)) AS name_hex,
         | decode(from_hex(hex(CAST(p_name AS BLOB)))) AS name_roundtrip
         |FROM part""".stripMargin,
-    "q19_minhash_lsh" ->
-      s"""WITH w AS (
-         |  SELECT doc_id, string_split($NormSql, ' ') AS ws FROM documents),
-         |sh AS (
-         |  SELECT DISTINCT doc_id,
-         |    unnest([array_to_string(ws[i:i+2], ' ')
-         |            for i in range(1, greatest(len(ws)-2, 0)+1)]) AS s
-         |  FROM w),
-         |sz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
-         |inter AS (
-         |  SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS i
-         |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
-         |  GROUP BY 1, 2)
-         |SELECT id1, id2,
-         |  CAST(i AS DOUBLE) / CAST(s1.sz + s2.sz - i AS DOUBLE) AS jaccard
-         |FROM inter
-         |JOIN sz s1 ON s1.doc_id = id1 JOIN sz s2 ON s2.doc_id = id2
-         |WHERE CAST(i AS DOUBLE) / CAST(s1.sz + s2.sz - i AS DOUBLE)
-         |  >= 0.5""".stripMargin,
     "q43_session_window" ->
       """WITH flagged AS (
         |  SELECT user_id, ts, value,

@@ -19,10 +19,13 @@ import graft.model.Schemas
 object BlockParser {
 
   /** Parse newline-JSON block lines; adds event-time `block_time` derived
-    * from the slot↔unix-seconds affine relation (SURVEY.md §2.11). */
+    * from the slot↔unix-seconds affine relation (SURVEY.md §2.11).
+    * Malformed/garbage lines parse to a null envelope and are dropped —
+    * a poisoned line must not produce a null-keyed block row downstream. */
   def parse(lines: DataFrame): DataFrame =
     lines
       .select(from_json(col("value"), Schemas.blockLineSchema).as("json"))
+      .filter(col("json.`py/state`.id").isNotNull)
       .select(col("json.`py/state`.*"))
       .withColumn("block_time",
         timestamp_seconds(col("slot") + lit(Schemas.SlotEpochOffset)))

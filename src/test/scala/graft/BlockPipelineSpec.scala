@@ -174,4 +174,12 @@ class BlockPipelineSpec extends AnyFunSuite with SparkTestBase {
       .as[(String, String, String, Long)].collect().toSet
     assert(flows == Set(("407010cb", "addr1", "lovelace", 13874042L)))
   }
+
+  test("block parser: malformed lines are dropped, valid ones survive") {
+    val line = """{"py/state":{"blocktype":"praos","era":"conway",""" +
+      """"height":1,"id":"ok","slot":5,"transactions":[]}}"""
+    val parsed = BlockParser.parse(Seq(
+      line, "not json at all", """{"other":1}""", "").toDF("value"))
+    assert(parsed.select("id").as[String].collect().toSeq == Seq("ok"))
+  }
 }

@@ -90,6 +90,26 @@ class StreamingJobSpec extends AnyFunSuite with SparkTestBase {
     assert(n == 2)
   }
 
+  test("socket source: streaming vol/transfer flagship end-to-end") {
+    val out = Files.createTempDirectory("graft_volsock").toString
+    val server = new ReplayServer(Seq(line1, line2)).start()
+    val q = graft.jobs.VolTransferJob.run(spark, "localhost", server.port,
+      dim, out)
+    val deadline = System.currentTimeMillis() + 30000
+    var vol = Set.empty[(String, String, Double)]
+    while (vol.size < 2 && System.currentTimeMillis() < deadline) {
+      Thread.sleep(500)
+      vol = try spark.read.parquet(s"$out/vol")
+        .select("hash", "unit", "value_adj")
+        .as[(String, String, Double)].collect().toSet
+      catch { case _: Throwable => Set.empty }
+    }
+    q.stop(); server.stop()
+    // both lines may land in one micro-batch or two — either way the
+    // UTXO store must resolve t2's spend of t1
+    assert(vol == Set(("t1", "lovelace", 1.0), ("t2", "lovelace", 0.4)))
+  }
+
   test("streaming tx dedup within watermark: replayed block's txs emitted " +
     "once") {
     implicit val sq = spark.sqlContext
