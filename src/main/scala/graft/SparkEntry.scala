@@ -362,6 +362,14 @@ object SparkEntry {
       .select(col("w.start").cast(LongType).as("hour_start"),
         col("event_type"), col("total"), col("n"))
 
+  /** Near-dup clustering: exact-Jaccard pairs → connected components →
+    * (doc, canonical) groups — the keep-one-per-cluster dedup step.
+    * Oracle: recursive-CTE reachability closure in DuckDB. */
+  def q44_dup_groups(s: SparkSession, d: String): DataFrame =
+    graft.dedup.Dedup.dupGroups(
+      graft.dedup.Dedup.jaccardPairs(
+        graft.dedup.Dedup.shingles(Tables.documents(s, d), 3), 0.5))
+
   /** Session-window sessionization (streaming-capable stateful op the
     * reference lacks): per-user sessions with a 30-minute inactivity gap.
     * Emits session start (epoch µs), event count, decimal value total —
@@ -560,6 +568,7 @@ object SparkEntry {
     "q41_one_hop" -> (q41_one_hop _),
     "q42_proportions" -> (q42_proportions _),
     "q43_session_window" -> (q43_session_window _),
+    "q44_dup_groups" -> (q44_dup_groups _),
   )
 
   // DuckDB twins of the Scala normalization / hashing expressions
@@ -873,6 +882,34 @@ object SparkEntry {
         | hex(CAST(p_name AS BLOB)) AS name_hex,
         | decode(from_hex(hex(CAST(p_name AS BLOB)))) AS name_roundtrip
         |FROM part""".stripMargin,
+    "q44_dup_groups" ->
+      s"""WITH RECURSIVE w AS (
+         |  SELECT doc_id, string_split($NormSql, ' ') AS ws FROM documents),
+         |sh AS (
+         |  SELECT DISTINCT doc_id,
+         |    unnest([array_to_string(ws[i:i+2], ' ')
+         |            for i in range(1, greatest(len(ws)-2, 0)+1)]) AS s
+         |  FROM w),
+         |sz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+         |inter AS (
+         |  SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS i
+         |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2),
+         |pairs AS (
+         |  SELECT id1, id2 FROM inter
+         |  JOIN sz s1 ON s1.doc_id = id1 JOIN sz s2 ON s2.doc_id = id2
+         |  WHERE CAST(i AS DOUBLE) / CAST(s1.sz + s2.sz - i AS DOUBLE)
+         |    >= 0.5),
+         |und AS (
+         |  SELECT id1 AS a, id2 AS b FROM pairs
+         |  UNION SELECT id2, id1 FROM pairs),
+         |reach(a, b) AS (
+         |  SELECT a, b FROM und
+         |  UNION
+         |  SELECT r.a, u.b FROM reach r JOIN und u ON r.b = u.a)
+         |SELECT a AS doc_id,
+         |  least(a, min(b)) AS canonical_id
+         |FROM reach GROUP BY a""".stripMargin,
     "q43_session_window" ->
       """WITH flagged AS (
         |  SELECT user_id, ts, value,

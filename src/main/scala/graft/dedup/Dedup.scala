@@ -166,6 +166,17 @@ object Dedup {
         .otherwise(0L)).as("simhash"))
   }
 
+  /** Near-dup pair list → dedup groups via connected components: docs
+    * linked (transitively) by pairs share a cluster whose canonical
+    * survivor is the minimum doc id — the standard "keep one per
+    * near-dup cluster" step after MinHash/Jaccard pair mining.
+    * @param pairs (id1, id2) near-dup pairs
+    * @return (doc_id, canonical_id) for every doc in a cluster of ≥2 */
+  def dupGroups(pairs: DataFrame): DataFrame =
+    graft.graph.ConnectedComponents.run(
+      pairs.select(col("id1").as("src"), col("id2").as("dst")))
+      .select(col("id").as("doc_id"), col("component").as("canonical_id"))
+
   /** SimHash via the custom TypedImperativeAggregate
     * (graft.functions.SimHashAgg): identical values to [[simhash]], but
     * one shuffle of one fixed-size buffer per doc instead of the

@@ -1,0 +1,47 @@
+package graft.graph
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Connected components by iterative min-label propagation — the second
+  * DataFrame graph algorithm (PageRank being the first), and the piece
+  * that turns near-dup PAIRS into dedup GROUPS: every doc in a component
+  * keeps the component's minimum id as its cluster label.
+  *
+  * Each round every node adopts the smallest label among itself and its
+  * neighbors; converges in O(component diameter) rounds. Same scale
+  * treatment as PageRank: one shuffle per round on the edge key, lineage
+  * cut every iteration, convergence detected by a changed-count aggregate.
+  */
+object ConnectedComponents {
+
+  /** @param edges (src, dst) undirected pairs (any orientation)
+    * @return (id, component) — component = min node id in the component */
+  def run(edges: DataFrame, maxIterations: Int = 20): DataFrame = {
+    val und = edges.select(col("src").as("a"), col("dst").as("b"))
+      .union(edges.select(col("dst").as("a"), col("src").as("b")))
+      .distinct().cache()
+    var labels = und.select(col("a").as("id")).distinct()
+      .withColumn("component", col("id"))
+    var changed = 1L
+    var i = 0
+    while (changed > 0 && i < maxIterations) {
+      // each node's candidate: min over neighbors' labels and its own
+      val neighborMin = und
+        .join(labels, und("b") === labels("id"))
+        .groupBy(col("a").as("id"))
+        .agg(min(col("component")).as("nbr_min"))
+      val next = labels.join(neighborMin, Seq("id"), "left")
+        .select(col("id"),
+          least(col("component"), coalesce(col("nbr_min"),
+            col("component"))).as("component"))
+        .localCheckpoint(true)
+      changed = next.join(labels.withColumnRenamed("component", "old"),
+        Seq("id"))
+        .filter(col("component") =!= col("old")).count()
+      labels = next
+      i += 1
+    }
+    labels
+  }
+}

@@ -1,0 +1,42 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.graph.ConnectedComponents
+import graft.dedup.Dedup
+
+class ConnectedComponentsSpec extends AnyFunSuite with SparkTestBase {
+  import spark.implicits._
+
+  test("components: chains and isolated pairs resolve to min labels") {
+    // components: {1,2,3,4} (chain), {10,11}, {20,21,22} (star)
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L),
+      (20L, 21L), (20L, 22L)).toDF("src", "dst")
+    val got = ConnectedComponents.run(edges)
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 20L -> 20L, 21L -> 20L, 22L -> 20L))
+  }
+
+  test("long path converges (diameter > a few iterations)") {
+    val edges = (0L until 15L).map(i => (i, i + 1)).toDF("src", "dst")
+    val got = ConnectedComponents.run(edges).as[(Long, Long)].collect()
+    assert(got.forall(_._2 == 0L) && got.length == 16)
+  }
+
+  test("dup groups: transitive near-dup pairs cluster with min-id " +
+    "canonical") {
+    // pairs (1,2),(2,5) chain into one cluster {1,2,5}
+    val pairs = Seq((1L, 2L), (2L, 5L), (7L, 9L)).toDF("id1", "id2")
+    val got = Dedup.dupGroups(pairs).as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 5L -> 1L, 7L -> 7L, 9L -> 7L))
+  }
+
+  test("end-to-end: minhash pairs → clusters on the real corpus") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val pairs = Dedup.minhashDuplicatePairs(docs, 0.5)
+    val groups = Dedup.dupGroups(pairs)
+    // every planted pair clusters; canonical is a member ≤ all members
+    val m = groups.as[(Long, Long)].collect().toMap
+    assert(m.nonEmpty && m.forall { case (id, c) => c <= id })
+  }
+}
