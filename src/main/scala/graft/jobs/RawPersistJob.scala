@@ -32,15 +32,19 @@ object RawPersistJob {
   }
 
   /** Streaming entry: socket source → foreachBatch (K5, same shape as
-    * /root/reference/src/etl_blockchain/main.py:66-68). */
-  def run(spark: SparkSession, host: String, port: Int,
-          outDir: String): StreamingQuery =
-    spark.readStream.format("socket")
+    * /root/reference/src/etl_blockchain/main.py:66-68). The reference
+    * configured no checkpointing (SURVEY.md §2.12); pass `checkpoint` for
+    * restart recovery with a replayable source (files/Kafka — the socket
+    * source itself cannot replay). */
+  def run(spark: SparkSession, host: String, port: Int, outDir: String,
+          checkpoint: Option[String] = None): StreamingQuery = {
+    val w = spark.readStream.format("socket")
       .option("host", host).option("port", port)
       .option("includeTimestamp", true).load()
       .writeStream
       .foreachBatch { (df: DataFrame, _: Long) =>
         writeBatch(df.select("value"), outDir)
       }
-      .start()
+    checkpoint.fold(w)(c => w.option("checkpointLocation", c)).start()
+  }
 }

@@ -42,13 +42,15 @@ object VolTransferJob {
   /** Streaming entry (K5 foreachBatch, parity with
     * /root/reference/src/etl_vol_transfers/main.py:211-227). */
   def run(spark: SparkSession, host: String, port: Int, priceDim: DataFrame,
-          outDir: String): StreamingQuery =
-    spark.readStream.format("socket")
+          outDir: String,
+          checkpoint: Option[String] = None): StreamingQuery = {
+    val w = spark.readStream.format("socket")
       .option("host", host).option("port", port)
       .option("includeTimestamp", true).load()
       .writeStream
       .foreachBatch { (df: DataFrame, _: Long) =>
         writeBatch(spark, df.select("value"), priceDim, outDir)
       }
-      .start()
+    checkpoint.fold(w)(c => w.option("checkpointLocation", c)).start()
+  }
 }

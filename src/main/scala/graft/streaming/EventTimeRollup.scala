@@ -24,6 +24,33 @@ object EventTimeRollup {
         col("value_adj"))
   }
 
+  /** Incremental rollup maintenance: a STREAMING windowed aggregation in
+    * update mode, upserted into the serving table per micro-batch — the
+    * continuous form of RollupJob (the Airflow cadence tick becomes a
+    * watermark-driven incremental view). Late rows within the watermark
+    * revise their window's row via the keyed upsert. */
+  def incrementalRollup(volStream: DataFrame, servingDir: String,
+                        windowLength: String = "5 minutes",
+                        watermark: String = "10 minutes")
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val spark = volStream.sparkSession
+    val agg = windowedVolume(volStream, windowLength, Some(watermark))
+    agg.writeStream
+      .outputMode("update")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val path = servingDir
+        val merged =
+          if (new java.io.File(path).exists()) {
+            val existing = spark.read.parquet(path)
+            graft.ops.Volume.upsert(existing, batch,
+              Seq("window_start", "unit")).cache()
+          } else batch
+        merged.count()
+        merged.write.mode("overwrite").parquet(path)
+      }
+      .start()
+  }
+
   /** Streaming exactly-once tx dedup: chain-rollback replays re-deliver
     * blocks, so downstream state dedups tx hashes within the watermark
     * horizon (bounded state — the streaming twin of the batch

@@ -129,6 +129,31 @@ class StreamingJobSpec extends AnyFunSuite with SparkTestBase {
     } finally q.stop()
   }
 
+  test("incremental streaming rollup: update-mode window agg upserts the " +
+    "serving table, late rows revise their window") {
+    implicit val sq = spark.sqlContext
+    val out = Files.createTempDirectory("graft_increm").toString + "/serve"
+    val mem = MemoryStream[(java.sql.Timestamp, String, Double)]
+    val vol = mem.toDF().toDF("block_time", "unit", "value_adj")
+    val q = graft.streaming.EventTimeRollup.incrementalRollup(
+      vol, out, "5 minutes", "60 minutes")
+    def ts(min: Int) = new java.sql.Timestamp(min * 60000L)
+    try {
+      mem.addData((ts(1), "u", 1.0), (ts(2), "u", 2.0))
+      q.processAllAvailable()
+      val first = spark.read.parquet(out)
+        .select("unit", "value_adj").as[(String, Double)].collect().toSeq
+      assert(first == Seq(("u", 3.0)))
+      // late row into the same window (within watermark) revises it
+      mem.addData((ts(3), "u", 4.0), (ts(7), "u", 9.0))
+      q.processAllAvailable()
+      val revised = spark.read.parquet(out)
+        .select("unit", "value_adj").as[(String, Double)]
+        .collect().sorted.toSeq
+      assert(revised == Seq(("u", 7.0), ("u", 9.0)))
+    } finally q.stop()
+  }
+
   test("event-time windowed rollup (extension): slot-derived tumbling window") {
     val vol = BlockParser.parse(Seq(line1, line2).toDF("value"))
       .selectExpr("block_time", "'lovelace' as unit",
