@@ -362,6 +362,15 @@ object SparkEntry {
       .select(col("w.start").cast(LongType).as("hour_start"),
         col("event_type"), col("total"), col("n"))
 
+  /** TF-IDF integer core: per-(doc, term) frequency, doc length, corpus
+    * document frequency (the float idf·tf serving form is
+    * TextAnalysis.tfIdf — log() is float-library-dependent, so the oracle
+    * pins the exact integer statistics). */
+  def q45_term_stats(s: SparkSession, d: String): DataFrame =
+    graft.text.TextAnalysis.termStats(Tables.documents(s, d))
+      .select(col("doc_id"), col("term"), col("tf"), col("doc_len"),
+        col("df"))
+
   /** Near-dup clustering: exact-Jaccard pairs → connected components →
     * (doc, canonical) groups — the keep-one-per-cluster dedup step.
     * Oracle: recursive-CTE reachability closure in DuckDB. */
@@ -569,6 +578,7 @@ object SparkEntry {
     "q42_proportions" -> (q42_proportions _),
     "q43_session_window" -> (q43_session_window _),
     "q44_dup_groups" -> (q44_dup_groups _),
+    "q45_term_stats" -> (q45_term_stats _),
   )
 
   // DuckDB twins of the Scala normalization / hashing expressions
@@ -882,6 +892,19 @@ object SparkEntry {
         | hex(CAST(p_name AS BLOB)) AS name_hex,
         | decode(from_hex(hex(CAST(p_name AS BLOB)))) AS name_roundtrip
         |FROM part""".stripMargin,
+    "q45_term_stats" ->
+      s"""WITH tokens AS (
+         |  SELECT doc_id, unnest(string_split($NormSql, ' ')) AS term
+         |  FROM documents),
+         |tf AS (
+         |  SELECT doc_id, term, count(*) AS tf
+         |  FROM tokens GROUP BY doc_id, term),
+         |dl AS (
+         |  SELECT doc_id, CAST(sum(tf) AS BIGINT) AS doc_len
+         |  FROM tf GROUP BY doc_id),
+         |df AS (SELECT term, count(*) AS df FROM tf GROUP BY term)
+         |SELECT tf.doc_id, tf.term, tf.tf, dl.doc_len, df.df
+         |FROM tf JOIN dl USING (doc_id) JOIN df USING (term)""".stripMargin,
     "q44_dup_groups" ->
       s"""WITH RECURSIVE w AS (
          |  SELECT doc_id, string_split($NormSql, ' ') AS ws FROM documents),

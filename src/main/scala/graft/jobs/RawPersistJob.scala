@@ -47,4 +47,19 @@ object RawPersistJob {
       }
     checkpoint.fold(w)(c => w.option("checkpointLocation", c)).start()
   }
+
+  /** Production-grade variant: file-drop source (replayable — unlike the
+    * socket source it supports checkpointed exactly-once recovery) with
+    * an AvailableNow trigger: drains everything present, then stops.
+    * Each file holds newline-JSON block lines. */
+  def runFiles(spark: SparkSession, inDir: String, outDir: String,
+               checkpoint: String): StreamingQuery =
+    spark.readStream.text(inDir)
+      .writeStream
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (df: DataFrame, _: Long) =>
+        writeBatch(df.select("value"), outDir)
+      }
+      .start()
 }

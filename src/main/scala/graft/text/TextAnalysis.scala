@@ -86,6 +86,31 @@ object TextAnalysis {
       md5(Dedup.normalize(col("text"))).as("fp_md5"),
       Dedup.hash60(Dedup.normalize(col("text"))).as("fp60"))
 
+  /** Per-(doc, term) term frequencies + corpus document frequencies —
+    * the integer-exact core of TF-IDF (one shuffle on (doc, term), one on
+    * term; df joins back broadcast when the vocabulary is small). */
+  def termStats(docs: DataFrame): DataFrame = {
+    val tokens = docs.select(col("doc_id"),
+      explode(split(Dedup.normalize(col("text")), " ")).as("term"))
+    val tf = tokens.groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val docLen = tf.groupBy(col("doc_id"))
+      .agg(sum(col("tf")).as("doc_len"))
+    val df = tf.groupBy(col("term"))
+      .agg(count(lit(1)).as("df"))
+    tf.join(docLen, Seq("doc_id")).join(df, Seq("term"))
+  }
+
+  /** TF-IDF scores: (tf/doc_len) · ln((N+1)/(df+1)). The log makes the
+    * score float-library-dependent, so oracle comparisons should use
+    * [[termStats]]'s integer columns; this is the serving form. */
+  def tfIdf(docs: DataFrame): DataFrame = {
+    val n = docs.count()
+    termStats(docs).withColumn("tfidf",
+      col("tf").cast("double") / col("doc_len").cast("double") *
+        log(lit(n + 1.0) / (col("df").cast("double") + 1.0)))
+  }
+
   /** Rolling polynomial hash over the word stream (base-31 mod 2^31−1),
     * the classic streaming fingerprint: fold over the token array —
     * sequential, deterministic, no UDF. The modulus keeps every

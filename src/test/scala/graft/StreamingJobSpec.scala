@@ -129,6 +129,24 @@ class StreamingJobSpec extends AnyFunSuite with SparkTestBase {
     } finally q.stop()
   }
 
+  test("file-source job: AvailableNow drain + checkpointed exactly-once " +
+    "across restarts") {
+    val in = Files.createTempDirectory("graft_filein").toString
+    val out = Files.createTempDirectory("graft_fileout").toString
+    val ckpt = Files.createTempDirectory("graft_ckpt").toString
+    Files.writeString(java.nio.file.Path.of(in, "b1.jsonl"), line1 + "\n")
+    val q1 = graft.jobs.RawPersistJob.runFiles(spark, in, out, ckpt)
+    q1.awaitTermination(30000)
+    assert(spark.read.parquet(s"$out/block").count() == 1)
+    // restart with one new file: the checkpoint must skip b1
+    Files.writeString(java.nio.file.Path.of(in, "b2.jsonl"), line2 + "\n")
+    val q2 = graft.jobs.RawPersistJob.runFiles(spark, in, out, ckpt)
+    q2.awaitTermination(30000)
+    val hashes = spark.read.parquet(s"$out/block")
+      .select("hash").as[String].collect().sorted.toSeq
+    assert(hashes == Seq("b1", "b2")) // b1 exactly once despite restart
+  }
+
   test("incremental streaming rollup: update-mode window agg upserts the " +
     "serving table, late rows revise their window") {
     implicit val sq = spark.sqlContext

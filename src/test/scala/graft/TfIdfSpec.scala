@@ -1,0 +1,39 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.text.TextAnalysis
+
+class TfIdfSpec extends AnyFunSuite with SparkTestBase {
+  import spark.implicits._
+
+  private lazy val docs = Seq(
+    (1L, "spark spark engine"),
+    (2L, "spark query"),
+    (3L, "vector search")
+  ).toDF("doc_id", "text")
+
+  test("term stats: tf, doc_len, df exact") {
+    val got = TextAnalysis.termStats(docs)
+      .select("doc_id", "term", "tf", "doc_len", "df")
+      .as[(Long, String, Long, Long, Long)].collect().toSet
+    assert(got == Set(
+      (1L, "spark", 2L, 3L, 2L), (1L, "engine", 1L, 3L, 1L),
+      (2L, "spark", 1L, 2L, 2L), (2L, "query", 1L, 2L, 1L),
+      (3L, "vector", 1L, 2L, 1L), (3L, "search", 1L, 2L, 1L)))
+  }
+
+  test("tf-idf: rare terms outscore common ones within a doc") {
+    val scores = TextAnalysis.tfIdf(docs)
+      .filter($"doc_id" === 2L)
+      .select("term", "tfidf").as[(String, Double)].collect().toMap
+    assert(scores("query") > scores("spark"))
+    // hand check: query = 1/2·ln(4/2); spark = 1/2·ln(4/3)
+    assert(math.abs(scores("query") - 0.5 * math.log(2.0)) < 1e-12)
+  }
+
+  test("engine wait: df counts each doc once even with repeated terms") {
+    val got = TextAnalysis.termStats(docs)
+      .filter($"term" === "spark").select("df").as[Long].collect().toSet
+    assert(got == Set(2L))
+  }
+}
