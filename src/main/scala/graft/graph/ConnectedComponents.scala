@@ -26,15 +26,24 @@ object ConnectedComponents {
     var changed = 1L
     var i = 0
     while (changed > 0 && i < maxIterations) {
-      // each node's candidate: min over neighbors' labels and its own
+      // propagate: min over neighbors' labels and own
       val neighborMin = und
         .join(labels, und("b") === labels("id"))
         .groupBy(col("a").as("id"))
         .agg(min(col("component")).as("nbr_min"))
-      val next = labels.join(neighborMin, Seq("id"), "left")
+      val propagated = labels.join(neighborMin, Seq("id"), "left")
         .select(col("id"),
           least(col("component"), coalesce(col("nbr_min"),
             col("component"))).as("component"))
+      // shortcut (pointer doubling): jump to the label's label — chains
+      // collapse in O(log diameter) rounds instead of O(diameter)
+      val next = propagated.as("x")
+        .join(propagated.select(col("id").as("pid"),
+          col("component").as("pcomp")),
+          col("x.component") === col("pid"), "left")
+        .select(col("x.id").as("id"),
+          least(col("x.component"), coalesce(col("pcomp"),
+            col("x.component"))).as("component"))
         .localCheckpoint(true)
       changed = next.join(labels.withColumnRenamed("component", "old"),
         Seq("id"))
