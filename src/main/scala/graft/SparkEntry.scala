@@ -362,6 +362,28 @@ object SparkEntry {
       .select(col("w.start").cast(LongType).as("hour_start"),
         col("event_type"), col("total"), col("n"))
 
+  /** Exact distributed median via rank selection (no interpolation
+    * formula — FP-identical across engines): middle one/two ranked values
+    * per group, median = their sum / count (÷1 or ÷2, both exact). The
+    * approx path at scale is approx_percentile (see q40's sketch note). */
+  def q46_exact_median(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("o_orderpriority"))
+      .orderBy(col("o_totalprice"), col("o_orderkey"))
+    Tables.orders(s, d)
+      .select(col("o_orderpriority"), dec(col("o_totalprice")).as("p"),
+        row_number().over(w).cast(LongType).as("rn"),
+        count(lit(1)).over(Window.partitionBy(col("o_orderpriority")))
+          .as("n"))
+      .filter(col("rn") === expr("(n + 1) div 2") ||
+        col("rn") === expr("n div 2 + 1"))
+      .groupBy(col("o_orderpriority"))
+      .agg(sum(col("p")).as("midsum"), count(lit(1)).as("nmid"),
+        max(col("n")).as("n"))
+      .select(col("o_orderpriority"),
+        (col("midsum").cast("double") / col("nmid")).as("median"),
+        col("n"))
+  }
+
   /** TF-IDF integer core: per-(doc, term) frequency, doc length, corpus
     * document frequency (the float idf·tf serving form is
     * TextAnalysis.tfIdf — log() is float-library-dependent, so the oracle
@@ -579,6 +601,7 @@ object SparkEntry {
     "q43_session_window" -> (q43_session_window _),
     "q44_dup_groups" -> (q44_dup_groups _),
     "q45_term_stats" -> (q45_term_stats _),
+    "q46_exact_median" -> (q46_exact_median _),
   )
 
   // DuckDB twins of the Scala normalization / hashing expressions
@@ -892,6 +915,21 @@ object SparkEntry {
         | hex(CAST(p_name AS BLOB)) AS name_hex,
         | decode(from_hex(hex(CAST(p_name AS BLOB)))) AS name_roundtrip
         |FROM part""".stripMargin,
+    "q46_exact_median" ->
+      """WITH ranked AS (
+        |  SELECT o_orderpriority,
+        |    CAST(o_totalprice AS DECIMAL(18,2)) AS p,
+        |    row_number() OVER (PARTITION BY o_orderpriority
+        |      ORDER BY o_totalprice, o_orderkey) AS rn,
+        |    count(*) OVER (PARTITION BY o_orderpriority) AS n
+        |  FROM orders),
+        |mid AS (
+        |  SELECT * FROM ranked
+        |  WHERE rn = (n + 1) // 2 OR rn = n // 2 + 1)
+        |SELECT o_orderpriority,
+        |  CAST(sum(p) AS DOUBLE) / count(*) AS median,
+        |  max(n) AS n
+        |FROM mid GROUP BY o_orderpriority""".stripMargin,
     "q45_term_stats" ->
       s"""WITH tokens AS (
          |  SELECT doc_id, unnest(string_split($NormSql, ' ')) AS term
