@@ -362,6 +362,16 @@ object SparkEntry {
       .select(col("w.start").cast(LongType).as("hour_start"),
         col("event_type"), col("total"), col("n"))
 
+  /** Anti-join (NOT EXISTS): customers with no orders — completes the
+    * join-shape inventory (inner/left/semi/anti/full-outer/cross all
+    * demonstrated); plans as a broadcast/shuffled anti join. */
+  def q47_anti_join(s: SparkSession, d: String): DataFrame =
+    Tables.customer(s, d)
+      .join(Tables.orders(s, d),
+        col("c_custkey") === col("o_custkey"), "left_anti")
+      .select(col("c_custkey"), col("c_name"),
+        col("c_nationkey").cast(LongType).as("nationkey"))
+
   /** Exact distributed median via rank selection (no interpolation
     * formula — FP-identical across engines): middle one/two ranked values
     * per group, median = their sum / count (÷1 or ÷2, both exact). The
@@ -602,6 +612,7 @@ object SparkEntry {
     "q44_dup_groups" -> (q44_dup_groups _),
     "q45_term_stats" -> (q45_term_stats _),
     "q46_exact_median" -> (q46_exact_median _),
+    "q47_anti_join" -> (q47_anti_join _),
   )
 
   // DuckDB twins of the Scala normalization / hashing expressions
@@ -915,6 +926,11 @@ object SparkEntry {
         | hex(CAST(p_name AS BLOB)) AS name_hex,
         | decode(from_hex(hex(CAST(p_name AS BLOB)))) AS name_roundtrip
         |FROM part""".stripMargin,
+    "q47_anti_join" ->
+      """SELECT c_custkey, c_name, CAST(c_nationkey AS BIGINT) AS nationkey
+        |FROM customer
+        |WHERE NOT EXISTS (
+        |  SELECT 1 FROM orders WHERE o_custkey = c_custkey)""".stripMargin,
     "q46_exact_median" ->
       """WITH ranked AS (
         |  SELECT o_orderpriority,

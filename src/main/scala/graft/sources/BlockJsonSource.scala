@@ -1,0 +1,101 @@
+package graft.sources
+
+import java.util
+import scala.jdk.CollectionConverters._
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.json.{CreateJacksonParser, JSONOptions, JacksonParser}
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.sources.DataSourceRegister
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+import graft.model.Schemas
+
+/** DataSource V2 batch source for block JSON-line files:
+  * `spark.read.format("blockjson").load(dir)` yields parsed block rows
+  * (the `py/state` envelope already unwrapped) — the first-class-format
+  * form of BlockParser (SURVEY.md §2.1 S1/S2).
+  *
+  * Mechanics: one input partition per file (at scale: per file-split of a
+  * manifest), each PartitionReader streaming lines through Catalyst's own
+  * JacksonParser (the engine from_json uses) straight into InternalRows —
+  * no intermediate DataFrame of raw strings. Malformed lines and null
+  * envelopes are skipped, matching BlockParser's contract.
+  */
+class BlockJsonSource extends TableProvider with DataSourceRegister {
+  override def shortName(): String = "blockjson"
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    Schemas.blockStateSchema
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+                        properties: util.Map[String, String]): Table =
+    new BlockJsonTable(properties.get("path"))
+}
+
+final class BlockJsonTable(path: String) extends Table with SupportsRead {
+  override def name(): String = s"blockjson(`$path`)"
+  override def schema(): StructType = Schemas.blockStateSchema
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap)
+      : ScanBuilder =
+    new ScanBuilder with Scan with Batch {
+      override def build(): Scan = this
+      override def readSchema(): StructType = Schemas.blockStateSchema
+      override def toBatch: Batch = this
+      override def planInputPartitions(): Array[InputPartition] = {
+        val f = new java.io.File(path)
+        val files =
+          if (f.isDirectory)
+            f.listFiles().filter(_.isFile).map(_.getAbsolutePath)
+          else Array(f.getAbsolutePath)
+        files.sorted.map(BlockFilePartition(_): InputPartition)
+      }
+      override def createReaderFactory(): PartitionReaderFactory =
+        new BlockJsonReaderFactory
+    }
+}
+
+case class BlockFilePartition(file: String) extends InputPartition
+
+final class BlockJsonReaderFactory extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition)
+      : PartitionReader[InternalRow] = {
+    val file = partition.asInstanceOf[BlockFilePartition].file
+    new PartitionReader[InternalRow] {
+      private val lines = scala.io.Source.fromFile(file, "UTF-8")
+      private val it = lines.getLines()
+      // parse with the envelope schema, then unwrap field 0 (py/state)
+      private val parser = new JacksonParser(
+        Schemas.blockLineSchema,
+        new JSONOptions(Map.empty[String, String], "UTC"),
+        allowArrayAsStructs = false, Nil)
+      private val n = Schemas.blockStateSchema.length
+      private var current: InternalRow = _
+
+      override def next(): Boolean = {
+        current = null
+        while (current == null && it.hasNext) {
+          val line = it.next()
+          if (line.nonEmpty) {
+            val rows =
+              try parser.parse[String](line, CreateJacksonParser.string,
+                UTF8String.fromString)
+              catch { case _: Exception => Nil } // malformed → skip
+            rows.headOption.foreach { env =>
+              if (!env.isNullAt(0)) {
+                val state = env.getStruct(0, n)
+                // require a block id, like BlockParser's null-envelope drop
+                if (!state.isNullAt(3)) current = state.copy()
+              }
+            }
+          }
+        }
+        current != null
+      }
+      override def get(): InternalRow = current
+      override def close(): Unit = lines.close()
+    }
+  }
+}

@@ -1,0 +1,49 @@
+package graft
+
+import java.nio.file.Files
+import org.scalatest.funsuite.AnyFunSuite
+import graft.ops.{Flatten, TokenValues}
+
+class BlockJsonSourceSpec extends AnyFunSuite with SparkTestBase {
+  import spark.implicits._
+
+  private val line1 =
+    """{"py/state":{"blocktype":"praos","era":"conway","height":100,""" +
+      """"id":"b1","slot":1000,"transactions":[{"id":"t1","inputs":[],""" +
+      """"outputs":[{"address":"A","datum":null,"value":""" +
+      """"{\"ada\":{\"lovelace\":1000000}}"}],"fee":"1"}]}}"""
+  private val line2 =
+    """{"py/state":{"blocktype":"praos","era":"conway","height":101,""" +
+      """"id":"b2","slot":1010,"transactions":[]}}"""
+
+  test("format(\"blockjson\"): files → parsed block rows, short name " +
+    "registered, malformed lines skipped") {
+    val dir = Files.createTempDirectory("graft_bjson")
+    Files.writeString(dir.resolve("a.jsonl"),
+      line1 + "\n" + "garbage line\n")
+    Files.writeString(dir.resolve("b.jsonl"), line2 + "\n" +
+      """{"other": true}""" + "\n")
+    val blocks = spark.read.format("blockjson").load(dir.toString)
+    assert(blocks.schema.fieldNames.toSeq ==
+      Seq("blocktype", "era", "height", "id", "slot", "transactions"))
+    val got = blocks.select("id", "height", "slot")
+      .as[(String, Long, Long)].collect().toSet
+    assert(got == Set(("b1", 100L, 1000L), ("b2", 101L, 1010L)))
+    // and it composes with the downstream pipeline ops
+    val flows = TokenValues.outputFlows(Flatten.transactions(blocks))
+      .select("hash", "address", "unit", "value")
+      .as[(String, String, String, Long)].collect().toSet
+    assert(flows == Set(("t1", "A", "lovelace", 1000000L)))
+  }
+
+  test("one partition per file: parallelism follows the file listing") {
+    val dir = Files.createTempDirectory("graft_bjson2")
+    (1 to 3).foreach { i =>
+      Files.writeString(dir.resolve(s"f$i.jsonl"),
+        line1.replace("b1", s"b$i") + "\n")
+    }
+    val blocks = spark.read.format("blockjson").load(dir.toString)
+    assert(blocks.rdd.getNumPartitions == 3)
+    assert(blocks.count() == 3)
+  }
+}
