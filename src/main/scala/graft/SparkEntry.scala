@@ -362,6 +362,26 @@ object SparkEntry {
       .select(col("w.start").cast(LongType).as("hour_start"),
         col("event_type"), col("total"), col("n"))
 
+  /** As-of join via the custom LogicalPlan + SparkStrategy + SparkPlan
+    * (graft.plans.AsOfJoin): each order picks the latest rate version at
+    * or before its order day — the time-versioned-dimension lookup the
+    * reference's static price snapshot can't express. Oracle: DuckDB's
+    * native ASOF LEFT JOIN. */
+  def q48_asof_rates(s: SparkSession, d: String): DataFrame = {
+    val orders = Tables.orders(s, d).select(
+      col("o_orderkey"),
+      (col("o_custkey") % 5).as("key"),
+      datediff(to_date(col("o_orderdate")),
+        lit(java.sql.Date.valueOf("1970-01-01"))).cast(LongType).as("t"))
+    val rates = Tables.region(s, d)
+      .select(col("r_regionkey").cast(LongType).as("key"),
+        explode(sequence(lit(0L), lit(3L))).as("i"))
+      .select(col("key"), (lit(9200L) + col("i") * 600L).as("ts"),
+        (col("key") * 10L + col("i")).as("rate"))
+    graft.plans.AsOfJoin.asof(orders, rates, Seq("key"), "t", "ts")
+      .select(col("o_orderkey"), col("t"), col("rate"))
+  }
+
   /** Anti-join (NOT EXISTS): customers with no orders — completes the
     * join-shape inventory (inner/left/semi/anti/full-outer/cross all
     * demonstrated); plans as a broadcast/shuffled anti join. */
@@ -613,6 +633,7 @@ object SparkEntry {
     "q45_term_stats" -> (q45_term_stats _),
     "q46_exact_median" -> (q46_exact_median _),
     "q47_anti_join" -> (q47_anti_join _),
+    "q48_asof_rates" -> (q48_asof_rates _),
   )
 
   // DuckDB twins of the Scala normalization / hashing expressions
@@ -926,6 +947,20 @@ object SparkEntry {
         | hex(CAST(p_name AS BLOB)) AS name_hex,
         | decode(from_hex(hex(CAST(p_name AS BLOB)))) AS name_roundtrip
         |FROM part""".stripMargin,
+    "q48_asof_rates" ->
+      """WITH o AS (
+        |  SELECT o_orderkey, o_custkey % 5 AS key,
+        |    CAST(date_diff('day', DATE '1970-01-01',
+        |      CAST(o_orderdate AS DATE)) AS BIGINT) AS t
+        |  FROM orders),
+        |r AS (
+        |  SELECT CAST(r_regionkey AS BIGINT) AS key,
+        |    9200 + i * 600 AS ts,
+        |    CAST(r_regionkey AS BIGINT) * 10 + i AS rate
+        |  FROM region, (SELECT unnest(generate_series(0, 3)) AS i) g)
+        |SELECT o.o_orderkey, o.t, r.rate
+        |FROM o ASOF LEFT JOIN r ON o.key = r.key AND r.ts <= o.t"""
+        .stripMargin,
     "q47_anti_join" ->
       """SELECT c_custkey, c_name, CAST(c_nationkey AS BIGINT) AS nationkey
         |FROM customer

@@ -1,0 +1,146 @@
+package graft.plans
+
+import scala.collection.mutable
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.execution.SparkStrategy
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Attribute, Expression, GenericInternalRow, JoinedRow, UnsafeProjection}
+import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan}
+import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution}
+import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan}
+import org.apache.spark.sql.graftbridge.Bridge
+
+/** As-of join as a full custom operator — logical node + planner strategy
+  * + physical exec (the preference-order (c) path: Spark has no as-of
+  * join, and the composed form (range join + window) materializes every
+  * candidate pair before discarding all but one).
+  *
+  * Semantics: for each left row, attach the right row with the same key
+  * whose time is the LARGEST ≤ the left row's time; no match → right side
+  * null (left-outer as-of). The motivating case: time-versioned price
+  * dimensions — each tx joins the latest price at or before its block
+  * time (the reference froze a static snapshot instead,
+  * /root/reference/src/etl_vol_transfers/main.py:107-119).
+  *
+  * Execution: both children hash-cluster on the key (EnsureRequirements
+  * inserts the exchanges and aligns partition counts); each partition
+  * builds the right side as per-key time-sorted arrays (the build side
+  * must fit per-partition memory, like a hash join's), then streams the
+  * left side with a binary search per row. No sort on the streamed side,
+  * no candidate-pair blowup.
+  */
+case class AsOfJoinPlan(left: LogicalPlan, right: LogicalPlan,
+                        leftKeys: Seq[Attribute], rightKeys: Seq[Attribute],
+                        leftTime: Attribute, rightTime: Attribute)
+    extends BinaryNode {
+  override def output: Seq[Attribute] =
+    left.output ++ right.output.map(_.withNullability(true))
+  override protected def withNewChildrenInternal(
+      newLeft: LogicalPlan, newRight: LogicalPlan): AsOfJoinPlan =
+    copy(left = newLeft, right = newRight)
+}
+
+case class AsOfJoinExec(left: SparkPlan, right: SparkPlan,
+                        leftKeys: Seq[Expression], rightKeys: Seq[Expression],
+                        leftTime: Expression, rightTime: Expression)
+    extends BinaryExecNode {
+  override def output: Seq[Attribute] =
+    left.output ++ right.output.map(_.withNullability(true))
+
+  override def requiredChildDistribution: Seq[Distribution] =
+    ClusteredDistribution(leftKeys) :: ClusteredDistribution(rightKeys) :: Nil
+
+  override protected def doExecute(): RDD[InternalRow] = {
+    val leftOut = left.output
+    val rightOut = right.output
+    // project through the nullability-ADJUSTED attributes: binding the
+    // original non-nullable right attrs would skip null checks and read
+    // garbage (0) from the all-null unmatched row
+    val outAttrs = output
+    val lKeys = leftKeys
+    val rKeys = rightKeys
+    val lTime = leftTime
+    val rTime = rightTime
+    left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
+      val rKeyProj = UnsafeProjection.create(rKeys, rightOut)
+      val rTimeProj = UnsafeProjection.create(Seq(rTime), rightOut)
+      // build: key → rows sorted by time
+      val build = mutable.HashMap.empty[InternalRow,
+        mutable.ArrayBuffer[(Long, InternalRow)]]
+      rIter.foreach { row =>
+        val k = rKeyProj(row).copy()
+        val t = rTimeProj(row).getLong(0)
+        build.getOrElseUpdate(k, mutable.ArrayBuffer.empty)
+          .append((t, row.copy()))
+      }
+      build.values.foreach(b => b.sortInPlaceBy(_._1))
+
+      val lKeyProj = UnsafeProjection.create(lKeys, leftOut)
+      val lTimeProj = UnsafeProjection.create(Seq(lTime), leftOut)
+      val outProj = UnsafeProjection.create(outAttrs, outAttrs)
+      val nullRight = new GenericInternalRow(rightOut.length)
+      val joined = new JoinedRow
+      lIter.map { lRow =>
+        val t = lTimeProj(lRow).getLong(0)
+        val matched = build.get(lKeyProj(lRow)) match {
+          case Some(buf) =>
+            // binary search: largest index with time ≤ t
+            var lo = 0
+            var hi = buf.length - 1
+            var best = -1
+            while (lo <= hi) {
+              val mid = (lo + hi) >>> 1
+              if (buf(mid)._1 <= t) { best = mid; lo = mid + 1 }
+              else hi = mid - 1
+            }
+            if (best >= 0) buf(best)._2 else null
+          case None => null
+        }
+        outProj(joined(lRow, if (matched == null) nullRight else matched))
+      }
+    }
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: SparkPlan, newRight: SparkPlan): AsOfJoinExec =
+    copy(left = newLeft, right = newRight)
+}
+
+object AsOfJoin {
+  /** Register the planner strategy on an existing session (idempotent). */
+  def register(spark: SparkSession): Unit = {
+    val strategies = spark.experimental.extraStrategies
+    if (!strategies.exists(_.isInstanceOf[AsOfJoinStrategy]))
+      spark.experimental.extraStrategies =
+        strategies :+ new AsOfJoinStrategy
+  }
+
+  /** left-outer as-of join: for each left row, the latest right row with
+    * equal `key` and time ≤ the left time. Time columns must be long or
+    * timestamp (64-bit internally). */
+  def asof(left: DataFrame, right: DataFrame, keys: Seq[String],
+           leftTimeCol: String, rightTimeCol: String): DataFrame = {
+    val spark = left.sparkSession
+    register(spark)
+    val lPlan = Bridge.analyzedPlan(left)
+    val rPlan = Bridge.analyzedPlan(right)
+    def attr(p: LogicalPlan, name: String): Attribute =
+      p.output.find(_.name == name).getOrElse(
+        throw new IllegalArgumentException(s"column $name not found"))
+    val node = AsOfJoinPlan(lPlan, rPlan,
+      keys.map(attr(lPlan, _)), keys.map(attr(rPlan, _)),
+      attr(lPlan, leftTimeCol), attr(rPlan, rightTimeCol))
+    Bridge.ofRows(spark, node)
+  }
+}
+
+/** Planner strategy as a class (Strategy objects can't be compared for
+  * idempotent registration). */
+class AsOfJoinStrategy extends SparkStrategy {
+  override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
+    case AsOfJoinPlan(l, r, lk, rk, lt, rt) =>
+      AsOfJoinExec(planLater(l), planLater(r), lk, rk, lt, rt) :: Nil
+    case _ => Nil
+  }
+}

@@ -1,0 +1,80 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.plans.AsOfJoin
+
+class AsOfJoinSpec extends AnyFunSuite with SparkTestBase {
+  import spark.implicits._
+
+  // time-versioned price dim: (unit, ts, price)
+  private lazy val prices = Seq(
+    ("u1", 10L, 1.0), ("u1", 20L, 2.0), ("u1", 30L, 3.0),
+    ("u2", 15L, 10.0)
+  ).toDF("unit", "ts", "price")
+
+  private lazy val txs = Seq(
+    ("t1", "u1", 5L),   // before any price → null
+    ("t2", "u1", 10L),  // exactly at the first → 1.0
+    ("t3", "u1", 25L),  // between → 2.0
+    ("t4", "u1", 99L),  // after the last → 3.0
+    ("t5", "u2", 20L),  // → 10.0
+    ("t6", "u3", 20L)   // unknown unit → null
+  ).toDF("hash", "unit", "t")
+
+  test("as-of semantics: latest right row with time ≤ left time, " +
+    "left-outer") {
+    val got = AsOfJoin.asof(txs, prices, Seq("unit"), "t", "ts")
+      .select($"hash", $"price")
+      .as[(String, Option[Double])].collect().toMap
+    assert(got == Map(
+      "t1" -> None, "t2" -> Some(1.0), "t3" -> Some(2.0),
+      "t4" -> Some(3.0), "t5" -> Some(10.0), "t6" -> None))
+  }
+
+  test("plans with AsOfJoinExec, not a window over candidate pairs") {
+    val plan = AsOfJoin.asof(txs, prices, Seq("unit"), "t", "ts")
+      .queryExecution.sparkPlan.toString // pre-AQE wrapping
+    assert(plan.contains("AsOfJoin"), plan) // nodeName strips "Exec"
+    assert(!plan.toLowerCase.contains("window"))
+  }
+
+  test("matches the composed range-join + window form on generated data") {
+    val n = 300
+    val right = spark.range(60).select(
+      concat(lit("k"), ($"id" % 7)).as("unit"),
+      ($"id" * 13 % 101).as("ts"),
+      ($"id" + 0.5).as("price"))
+      // as-of needs a unique latest per (key, time): dedup ties
+      .groupBy("unit", "ts").agg(max($"price").as("price"))
+    val left = spark.range(n).select(
+      concat(lit("t"), $"id").as("hash"),
+      concat(lit("k"), ($"id" % 9)).as("unit"),
+      ($"id" * 7 % 97).as("t"))
+    val native = AsOfJoin.asof(left, right, Seq("unit"), "t", "ts")
+      .select($"hash", $"price")
+      .as[(String, Option[Double])].collect().toMap
+    val w = Window.partitionBy($"hash").orderBy($"ts".desc)
+    val composed = left.join(right,
+        left("unit") === right("unit") && right("ts") <= left("t"), "left")
+      .withColumn("rn", row_number().over(w))
+      .filter($"rn" === 1)
+      .select($"hash", $"price")
+      .as[(String, Option[Double])].collect().toMap
+    assert(native == composed && native.size == n)
+  }
+
+  test("end-to-end: time-versioned price adjustment over block flows") {
+    // outputs at slots 1000/2000 pick the price active at their slot
+    val flows = Seq(("t1", "u1", 100L, 12L), ("t2", "u1", 100L, 28L))
+      .toDF("hash", "unit", "value", "slot")
+    val versioned = Seq(("u1", 10L, 1.0), ("u1", 20L, 5.0))
+      .toDF("unit", "price_ts", "last_price_ada")
+    val adjusted = AsOfJoin.asof(flows, versioned, Seq("unit"),
+      "slot", "price_ts")
+      .withColumn("value_adj", $"value" * $"last_price_ada")
+      .select($"hash", $"value_adj").as[(String, Double)].collect().toMap
+    assert(adjusted == Map("t1" -> 100.0, "t2" -> 500.0))
+  }
+}
