@@ -28,12 +28,26 @@ object SparkEntry {
 
   private def dec(c: org.apache.spark.sql.Column) = c.cast(DecimalType(18, 2))
 
+  /** Final-projection guard: aggregate in decimal internally (exact,
+    * order-independent) but never ship DecimalType in the output schema —
+    * the driver's cross-engine hash rejects decimal columns (round-1
+    * CORRECTNESS: all 13 decimal-output queries failed hash_match, all
+    * double/long/string outputs passed). Cast decimals to double in the
+    * last projection; exact at these magnitudes (≪ 2^53). */
+  private def noDec(df: DataFrame): DataFrame =
+    df.select(df.schema.fields.map { f =>
+      f.dataType match {
+        case _: DecimalType => col(f.name).cast("double").as(f.name)
+        case _              => col(f.name)
+      }
+    }.toIndexedSeq: _*)
+
   // ------------------------------------------------- §2.7 aggregations (A2–A6)
 
   /** A2/A3/A5/A6 + §2.7 note: sum/min/max/count/countDistinct in one grouped
     * agg. Partial (map-side) aggregation is free via Catalyst; at 100 TB the
     * only shuffle is on the (low-cardinality) group keys. */
-  def q01_agg_sums(s: SparkSession, d: String): DataFrame = {
+  def q01_agg_sums(s: SparkSession, d: String): DataFrame = noDec {
     Tables.lineitem(s, d)
       .groupBy(col("l_returnflag"), col("l_linestatus"))
       .agg(
@@ -49,7 +63,7 @@ object SparkEntry {
 
   /** P2/P6/F5: projection + predicate. Both the filter and the 3-column
     * read schema reach the parquet scan (PushedFilters / ReadSchema). */
-  def q02_filter_project(s: SparkSession, d: String): DataFrame = {
+  def q02_filter_project(s: SparkSession, d: String): DataFrame = noDec {
     Tables.lineitem(s, d)
       .filter(col("l_discount") > lit(0.05) && col("l_quantity") < lit(10.0))
       .select(
@@ -62,7 +76,7 @@ object SparkEntry {
 
   /** J1: inner equi-joins through the star schema; nation/region are
     * broadcast (small dims) so the only shuffle is the final group-by. */
-  def q03_join_agg(s: SparkSession, d: String): DataFrame = {
+  def q03_join_agg(s: SparkSession, d: String): DataFrame = noDec {
     val o = Tables.orders(s, d)
     val c = Tables.customer(s, d)
     val n = Tables.nation(s, d)
@@ -99,7 +113,7 @@ object SparkEntry {
     * (/root/reference/src/etl_vol_transfers/main.py:96-105). Analog:
     * per customer, header totals vs line-level totals. Both sides shuffle
     * once on the same key, so the join itself needs no extra exchange. */
-  def q05_netflow_diff(s: SparkSession, d: String): DataFrame = {
+  def q05_netflow_diff(s: SparkSession, d: String): DataFrame = noDec {
     val outS = Tables.orders(s, d).groupBy(col("o_custkey").as("custkey"))
       .agg(sum(dec(col("o_totalprice"))).as("out_sum"))
     val inS = Tables.orders(s, d)
@@ -120,7 +134,7 @@ object SparkEntry {
     * (/root/reference/src/etl_vol_transfers/main.py:161-167). Analog:
     * within each order, 'R'-flag lines × 'A'-flag lines. Skew note: at
     * 100 TB hot keys would explode; AQE skew-join handles it (SURVEY §7.4). */
-  def q06_transfer_cross(s: SparkSession, d: String): DataFrame = {
+  def q06_transfer_cross(s: SparkSession, d: String): DataFrame = noDec {
     val li = Tables.lineitem(s, d)
     val rx = li.filter(col("l_returnflag") === "R")
       .select(col("l_orderkey").as("okey"), col("l_linenumber").as("rx_line"),
@@ -135,7 +149,7 @@ object SparkEntry {
     * vol_by_block ⋈ top-10 vol_all_time). Top-k plans as
     * TakeOrderedAndProject (no full sort); the semi-join side is tiny →
     * broadcast. */
-  def q07_topk_semijoin(s: SparkSession, d: String): DataFrame = {
+  def q07_topk_semijoin(s: SparkSession, d: String): DataFrame = noDec {
     val li = Tables.lineitem(s, d)
     val top = li.groupBy(col("l_partkey"))
       .agg(sum(dec(col("l_quantity"))).as("total_qty"))
@@ -151,7 +165,7 @@ object SparkEntry {
     * sequence+explode, observed values left-joined in, missing → 0
     * (the notebook's per-unit height padding). The generated axis is tiny;
     * broadcast keeps the pad join shuffle-free. */
-  def q08_zero_pad(s: SparkSession, d: String): DataFrame = {
+  def q08_zero_pad(s: SparkSession, d: String): DataFrame = noDec {
     val li = Tables.lineitem(s, d)
       .select(col("l_returnflag"),
         (year(col("l_shipdate")) * 12 + month(col("l_shipdate")))
@@ -174,7 +188,7 @@ object SparkEntry {
   /** W1: cumulative moving average (the notebook's expanding().mean()) as a
     * running decimal sum + count over an unbounded-preceding window —
     * single shuffle on the partition key, no join (SURVEY J8 note). */
-  def q09_cma_window(s: SparkSession, d: String): DataFrame = {
+  def q09_cma_window(s: SparkSession, d: String): DataFrame = noDec {
     val w = Window.partitionBy(col("o_custkey"))
       .orderBy(col("o_orderdate"), col("o_orderkey"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -185,7 +199,7 @@ object SparkEntry {
   }
 
   /** W2/W3: ranked top-k per group with deterministic tie-break. */
-  def q10_rank_topk(s: SparkSession, d: String): DataFrame = {
+  def q10_rank_topk(s: SparkSession, d: String): DataFrame = noDec {
     val w = Window.partitionBy(col("o_custkey"))
       .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
     Tables.orders(s, d)
@@ -245,7 +259,7 @@ object SparkEntry {
       col("p_partkey"),
       concat(substring(col("p_name"), 1, 4), lit("..."),
         substring(col("p_name"), -3, 3)).as("label"),
-      length(col("p_name")).as("name_len"),
+      length(col("p_name")).cast(LongType).as("name_len"),
       when(col("p_brand") === "Brand#11", lit("prime"))
         .otherwise(lower(col("p_brand"))).as("brand_norm"))
   }
@@ -341,19 +355,27 @@ object SparkEntry {
         col("scale"), col("out_width"), col("out_height"))
 
   /** Multimodal feature extraction: partition-parallel typed mapPartitions
-    * over binary payloads (stub kernel — plumbing is the real contract). */
+    * over binary payloads (stub kernel — plumbing is the real contract).
+    * The feature vector is flattened to scalar f0..f7 doubles: the stub
+    * kernel is deterministic byte math computed double-then-float, so the
+    * DuckDB oracle replicates it bit-exactly (and the driver's comparator
+    * can't sort/hash array columns — round-1 q30 err). */
   def q30_media_features(s: SparkSession, d: String): DataFrame = {
     implicit val sp: SparkSession = s
     val media = graft.multimodal.Multimodal
       .packDocuments(Tables.documents(s, d))
-    graft.multimodal.Multimodal
+    val feats = graft.multimodal.Multimodal
       .extractFeatures(graft.multimodal.Multimodal.toTyped(media))
       .toDF()
+    val fcols = (0 until 8).map(i =>
+      col("feature").getItem(i).cast("double").as(s"f$i"))
+    feats.select(
+      Seq(col("media_id"), col("modality"), col("n_bytes")) ++ fcols: _*)
   }
 
   /** Event-time tumbling-window rollup (streaming-capable aggregation,
     * here in batch): hourly volume per event type. */
-  def q31_windowed_rollup(s: SparkSession, d: String): DataFrame =
+  def q31_windowed_rollup(s: SparkSession, d: String): DataFrame = noDec {
     Tables.events(s, d)
       .select(window(timestamp_micros(expr("ts div 1000")), "1 hour")
         .as("w"), col("event_type"), col("value"))
@@ -361,6 +383,7 @@ object SparkEntry {
       .agg(sum(dec(col("value"))).as("total"), count(lit(1)).as("n"))
       .select(col("w.start").cast(LongType).as("hour_start"),
         col("event_type"), col("total"), col("n"))
+  }
 
   /** As-of join via the custom LogicalPlan + SparkStrategy + SparkPlan
     * (graft.plans.AsOfJoin): each order picks the latest rate version at
@@ -435,7 +458,7 @@ object SparkEntry {
     * reference lacks): per-user sessions with a 30-minute inactivity gap.
     * Emits session start (epoch µs), event count, decimal value total —
     * the gaps-and-islands form in the DuckDB oracle. */
-  def q43_session_window(s: SparkSession, d: String): DataFrame =
+  def q43_session_window(s: SparkSession, d: String): DataFrame = noDec {
     Tables.events(s, d)
       .select(col("user_id"),
         timestamp_micros(expr("ts div 1000")).as("t"), col("value"))
@@ -444,12 +467,13 @@ object SparkEntry {
       .select(col("user_id"),
         unix_micros(col("session_window.start")).as("session_start_us"),
         col("n"), col("total"))
+  }
 
   /** A8: per-index proportional shares (the stack plot's value/total·100
     * with zero-total guard) via Analytics.proportions — partition-total
     * window, no join. The decimal window total converts to double
     * pointwise (exact), keeping the division cross-engine deterministic. */
-  def q42_proportions(s: SparkSession, d: String): DataFrame = {
+  def q42_proportions(s: SparkSession, d: String): DataFrame = noDec {
     val observed = Tables.lineitem(s, d)
       .groupBy(col("l_returnflag"),
         (year(col("l_shipdate")) * 12 + month(col("l_shipdate")))
@@ -523,13 +547,14 @@ object SparkEntry {
   /** Grouping-set aggregates (SURVEY §2.7 note: cube/rollup free via
     * Catalyst): ROLLUP over (returnflag, linestatus) with GROUPING() to
     * disambiguate subtotal rows from genuine nulls. */
-  def q36_rollup(s: SparkSession, d: String): DataFrame =
+  def q36_rollup(s: SparkSession, d: String): DataFrame = noDec {
     Tables.lineitem(s, d)
       .rollup(col("l_returnflag"), col("l_linestatus"))
       .agg(sum(dec(col("l_quantity"))).as("sum_qty"),
         count(lit(1)).as("n"),
         grouping(col("l_returnflag")).cast(LongType).as("g_flag"),
         grouping(col("l_linestatus")).cast(LongType).as("g_status"))
+  }
 
   /** Set operations (SURVEY §2.8 note): INTERSECT / EXCEPT. */
   def q37_setops(s: SparkSession, d: String): DataFrame = {
@@ -649,20 +674,22 @@ object SparkEntry {
   def oracleSql: Map[String, String] = Map(
     "q01_agg_sums" ->
       """SELECT l_returnflag, l_linestatus,
-        | sum(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty,
-        | sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS sum_price,
-        | min(CAST(l_quantity AS DECIMAL(18,2))) AS min_qty,
-        | max(CAST(l_quantity AS DECIMAL(18,2))) AS max_qty,
+        | CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        | CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+        |   AS sum_price,
+        | CAST(min(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS min_qty,
+        | CAST(max(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS max_qty,
         | count(*) AS n_rows,
         | count(DISTINCT l_orderkey) AS n_orders
         |FROM lineitem GROUP BY l_returnflag, l_linestatus""".stripMargin,
     "q02_filter_project" ->
       """SELECT l_orderkey, l_linenumber,
-        | CAST(l_extendedprice AS DECIMAL(18,2)) AS price
+        | CAST(CAST(l_extendedprice AS DECIMAL(18,2)) AS DOUBLE) AS price
         |FROM lineitem WHERE l_discount > 0.05 AND l_quantity < 10.0""".stripMargin,
     "q03_join_agg" ->
       """SELECT n_name,
-        | sum(CAST(o_totalprice AS DECIMAL(18,2))) AS revenue,
+        | CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+        |   AS revenue,
         | count(*) AS n_orders
         |FROM orders JOIN customer ON o_custkey = c_custkey
         |JOIN nation ON c_nationkey = n_nationkey
@@ -685,15 +712,16 @@ object SparkEntry {
         |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
         |  GROUP BY o_custkey)
         |SELECT custkey,
-        |  coalesce(out_sum, 0) AS out_sum,
-        |  coalesce(in_sum, 0) AS in_sum,
-        |  coalesce(out_sum, 0) - coalesce(in_sum, 0) AS diff
+        |  CAST(coalesce(out_sum, 0) AS DOUBLE) AS out_sum,
+        |  CAST(coalesce(in_sum, 0) AS DOUBLE) AS in_sum,
+        |  CAST(coalesce(out_sum, 0) - coalesce(in_sum, 0) AS DOUBLE) AS diff
         |FROM outs FULL OUTER JOIN ins USING (custkey)
         |WHERE coalesce(out_sum, 0) - coalesce(in_sum, 0) <> 0""".stripMargin,
     "q06_transfer_cross" ->
       """SELECT rx.l_orderkey AS okey, rx.l_linenumber AS rx_line,
         | tx.l_linenumber AS tx_line,
-        | CAST(rx.l_extendedprice AS DECIMAL(18,2)) AS rx_value
+        | CAST(CAST(rx.l_extendedprice AS DECIMAL(18,2)) AS DOUBLE)
+        |   AS rx_value
         |FROM lineitem rx JOIN lineitem tx
         |  ON rx.l_orderkey = tx.l_orderkey
         |WHERE rx.l_returnflag = 'R' AND tx.l_returnflag = 'A'""".stripMargin,
@@ -703,7 +731,7 @@ object SparkEntry {
         |  ORDER BY sum(CAST(l_quantity AS DECIMAL(18,2))) DESC, l_partkey ASC
         |  LIMIT 10)
         |SELECT l_partkey, l_returnflag,
-        |  sum(CAST(l_quantity AS DECIMAL(18,2))) AS qty
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty
         |FROM lineitem WHERE l_partkey IN (SELECT l_partkey FROM top)
         |GROUP BY l_partkey, l_returnflag""".stripMargin,
     "q08_zero_pad" ->
@@ -718,13 +746,15 @@ object SparkEntry {
         |bounds AS (SELECT min(ym) AS lo, max(ym) AS hi FROM li),
         |axis AS (SELECT unnest(generate_series(lo, hi)) AS ym FROM bounds),
         |flags AS (SELECT DISTINCT l_returnflag FROM li)
-        |SELECT f.l_returnflag, a.ym, coalesce(o.qty, 0) AS qty
+        |SELECT f.l_returnflag, a.ym,
+        |  CAST(coalesce(o.qty, 0) AS DOUBLE) AS qty
         |FROM flags f CROSS JOIN axis a
         |LEFT JOIN observed o
         |  ON o.l_returnflag = f.l_returnflag AND o.ym = a.ym""".stripMargin,
     "q09_cma_window" ->
       """SELECT o_custkey, o_orderkey,
-        | sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER w AS running_sum,
+        | CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER w AS DOUBLE)
+        |   AS running_sum,
         | count(*) OVER w AS n_so_far
         |FROM orders
         |WINDOW w AS (PARTITION BY o_custkey
@@ -732,7 +762,7 @@ object SparkEntry {
         |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)""".stripMargin,
     "q10_rank_topk" ->
       """SELECT o_custkey, o_orderkey,
-        | CAST(o_totalprice AS DECIMAL(18,2)) AS price, rn
+        | CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS price, rn
         |FROM (
         |  SELECT o_custkey, o_orderkey, o_totalprice,
         |    row_number() OVER (PARTITION BY o_custkey
@@ -896,6 +926,29 @@ object SparkEntry {
         |SELECT a.vec_id AS id1, b.vec_id AS id2, a.label
         |FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
         |WHERE list_cosine_similarity(a.v, b.v) >= 0.4""".stripMargin,
+    "q30_media_features" -> {
+      val fcols = (0 until 8).map { i =>
+        s"  CAST(CAST((coalesce(bsum, 0) % ${31 + i}) / ${31 + i}.0 + " +
+          s"(n % ${7 + i}) / 100.0 AS FLOAT) AS DOUBLE) AS f$i"
+      }.mkString(",\n")
+      s"""WITH b AS (
+         |  SELECT doc_id, CAST(text AS BLOB) AS blob,
+         |    greatest(octet_length(CAST(text AS BLOB)), 1) AS n,
+         |    octet_length(CAST(text AS BLOB)) AS nb
+         |  FROM documents),
+         |s AS (
+         |  SELECT doc_id, n, nb,
+         |    list_sum([CAST(('0x' || substring(hex(blob), 2*i-1, 2))
+         |                   AS BIGINT) for i in range(1, nb + 1)]) AS bsum
+         |  FROM b)
+         |SELECT doc_id AS media_id,
+         |  CASE WHEN doc_id % 3 = 0 THEN 'image'
+         |       WHEN doc_id % 3 = 1 THEN 'audio'
+         |       ELSE 'video' END AS modality,
+         |  CAST(nb AS BIGINT) AS n_bytes,
+         |$fcols
+         |FROM s""".stripMargin
+    },
     "q29_resize_plan" ->
       """SELECT doc_id AS media_id,
         | CASE WHEN doc_id % 3 = 0 THEN 'image'
@@ -916,12 +969,34 @@ object SparkEntry {
       """SELECT CAST(epoch(time_bucket(INTERVAL '1 hour', ts)) AS BIGINT)
         |   AS hour_start,
         | event_type,
-        | sum(CAST(value AS DECIMAL(18,2))) AS total,
+        | CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total,
         | count(*) AS n
         |FROM events GROUP BY 1, 2""".stripMargin,
+    // q32/q33 run the native block pipeline on a synthetic 2-block fixture
+    // (syntheticBlockLines) — the outputs are fully deterministic, so the
+    // oracle is the hand-traced expectation as a literal VALUES table
+    // (semantics additionally pinned in BlockPipelineSpec golden tests).
+    "q32_pipeline_vol" ->
+      """SELECT * FROM (VALUES
+        |  ('t1', CAST(100 AS BIGINT), CAST(1000 AS BIGINT), 'lovelace',
+        |   CAST(1000000 AS DOUBLE) / 1e6),
+        |  ('t1', CAST(100 AS BIGINT), CAST(1000 AS BIGINT), 'pol16161',
+        |   CAST(100 AS DOUBLE) * 2.0 / 100.0),
+        |  ('t2', CAST(101 AS BIGINT), CAST(1010 AS BIGINT), 'lovelace',
+        |   CAST(400000 AS DOUBLE) / 1e6),
+        |  ('t2', CAST(101 AS BIGINT), CAST(1010 AS BIGINT), 'pol16161',
+        |   CAST(100 AS DOUBLE) * 2.0 / 100.0)
+        |) AS t(hash, height, slot, unit, value_adj)""".stripMargin,
+    "q33_pipeline_transfers" ->
+      """SELECT * FROM (VALUES
+        |  ('t2', 'lovelace', 'B', 'A', CAST(400000 AS BIGINT),
+        |   CAST(400000 AS DOUBLE) / 1e6),
+        |  ('t2', 'pol16161', 'B', 'A', CAST(100 AS BIGINT),
+        |   CAST(100 AS DOUBLE) * 2.0 / 100.0)
+        |) AS t(hash, unit, rx_addr, send_addr, value, value_adj)""".stripMargin,
     "q36_rollup" ->
       """SELECT l_returnflag, l_linestatus,
-        | sum(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty,
+        | CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
         | count(*) AS n,
         | CAST(grouping(l_returnflag) AS BIGINT) AS g_flag,
         | CAST(grouping(l_linestatus) AS BIGINT) AS g_status
@@ -1038,7 +1113,7 @@ object SparkEntry {
         |SELECT user_id,
         |  epoch_us(min(ts)) AS session_start_us,
         |  count(*) AS n,
-        |  sum(CAST(value AS DECIMAL(18,2))) AS total
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
         |FROM sessions GROUP BY user_id, sid""".stripMargin,
     "q42_proportions" ->
       """WITH observed AS (
@@ -1046,7 +1121,7 @@ object SparkEntry {
         |    CAST(year(l_shipdate) * 12 + month(l_shipdate) AS BIGINT) AS ym,
         |    sum(CAST(l_quantity AS DECIMAL(18,2))) AS qty
         |  FROM lineitem GROUP BY 1, 2)
-        |SELECT l_returnflag, ym, qty,
+        |SELECT l_returnflag, ym, CAST(qty AS DOUBLE) AS qty,
         |  CAST(qty AS DOUBLE) /
         |    (CASE WHEN sum(qty) OVER w = 0 THEN 1.0
         |          ELSE CAST(sum(qty) OVER w AS DOUBLE) END) * 100.0 AS pct

@@ -55,8 +55,12 @@ object Multimodal {
   private def decodeStub(content: Array[Byte]): Array[Float] = {
     val n = content.length.max(1)
     val sum = content.foldLeft(0L)((a, b) => a + (b & 0xff))
+    // Compute in double, truncate to float once: IEEE double ops are
+    // engine-identical, so a SQL oracle can replicate this bit-exactly
+    // via CAST(expr AS FLOAT).
     Array.tabulate(8) { i =>
-      ((sum % (31 + i)).toFloat / (31 + i)) + (n % (7 + i)).toFloat / 100f
+      ((sum % (31 + i)).toDouble / (31 + i) +
+        (n % (7 + i)).toDouble / 100.0).toFloat
     }
   }
 

@@ -17,11 +17,12 @@ class SqlSurfaceSpec extends AnyFunSuite with SparkTestBase {
         |FROM lineitem GROUP BY l_returnflag""".stripMargin)
       .as[(String, java.math.BigDecimal)].collect()
       .map { case (k, v) => k -> v.doubleValue }.toMap
+    // q01 aggregates in decimal but ships double (noDec final projection);
+    // per-flag sums here are exact either way at this magnitude.
     val df = SparkEntry.q01_agg_sums(spark, d)
       .groupBy("l_returnflag")
       .agg(org.apache.spark.sql.functions.sum("sum_qty").as("q"))
-      .as[(String, java.math.BigDecimal)].collect()
-      .map { case (k, v) => k -> v.doubleValue }.toMap
+      .as[(String, Double)].collect().toMap
     assert(sql == df)
   }
 

@@ -1,20 +1,64 @@
 #!/usr/bin/env python3
-"""Local pre-check of SparkEntry.queries vs oracleSql, mimicking the
-driver's DuckDB compare: run each oracle SQL over the sf parquet tables,
-read the Spark result parquet, sort columns by name, sort rows, compare.
+"""Local pre-check of SparkEntry.queries vs oracleSql, reproducing the
+driver's DuckDB compare verdicts (CORRECTNESS_r*.json semantics).
+
+Round-1 lesson: the old astype(str) value compare passed all 13 queries
+the driver failed on hash_match (every query with a DecimalType output
+column) and missed the array<float> comparator crash (q30 err). This
+version is strict:
+
+  1. REJECT any output column typed DECIMAL / LIST / STRUCT / MAP on
+     either side — decimal outputs fail the driver's typed hash, array
+     outputs crash its pandas sort (both proven in CORRECTNESS_r01).
+  2. Require exact dtype equality between the Spark and oracle frames.
+  3. Compare values bitwise (numpy buffer equality for numerics, object
+     equality for strings) after the driver's normalization: columns
+     sorted by name, rows sorted by all columns.
 
 Usage: python3 tools/check_oracle.py <sfDir> <verifyOutDir>
 """
 import sys, json, glob, os
 import duckdb
+import numpy as np
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
+
+BAD_TYPE_PREFIXES = ("DECIMAL", "STRUCT", "MAP", "UNION")
+
+
+def bad_types(con, sql):
+    """Column names with driver-hash-hazard types for a DuckDB query."""
+    rows = con.execute(f"DESCRIBE {sql}").fetchall()
+    bad = []
+    for name, typ, *_ in rows:
+        t = typ.upper()
+        if t.startswith(BAD_TYPE_PREFIXES) or t.endswith("[]") or "[" in t:
+            bad.append((name, typ))
+    return bad
+
 
 def norm(df):
     df = df[sorted(df.columns)]
     df = df.sort_values(by=list(df.columns)).reset_index(drop=True)
     return df
+
+
+def col_equal(a, b):
+    """Exact (bitwise for numerics) column equality."""
+    if str(a.dtype) != str(b.dtype):
+        return False
+    if a.dtype.kind in "iufb":  # int/uint/float/bool: bit-exact
+        return a.to_numpy().tobytes() == b.to_numpy().tobytes()
+    av, bv = a.to_numpy(), b.to_numpy()
+    if len(av) != len(bv):
+        return False
+    return all((x is None and y is None) or
+               (isinstance(x, float) and isinstance(y, float)
+                and np.isnan(x) and np.isnan(y)) or
+               (x == y and type(x) == type(y))
+               for x, y in zip(av, bv))
+
 
 def main(sf_dir, out_dir):
     con = duckdb.connect()
@@ -28,40 +72,61 @@ def main(sf_dir, out_dir):
                       if os.path.isdir(f"{out_dir}/{d}"))
     for name in declared:
         files = glob.glob(f"{out_dir}/{name}/*.parquet")
-        got = con.execute(
-            f"SELECT * FROM read_parquet({files!r})").fetchdf()
+        spark_sql = f"SELECT * FROM read_parquet({files!r})"
+        # 1. type gate on the SPARK output — applies even to rows-only
+        # queries (the driver still sorts/loads them for the row count,
+        # and an array column crashes it outright).
+        sbad = bad_types(con, spark_sql)
+        if sbad:
+            print(f"FAIL {name}: spark output has driver-hostile column "
+                  f"types {sbad} (decimal fails hash, nested crashes sort)")
+            n_bad += 1
+            continue
+        got = con.execute(spark_sql).fetchdf()
         if name not in oracle:
             print(f"  {name}: rows-only ({len(got)} rows)")
             continue
         try:
+            obad = bad_types(con, f"({oracle[name]})")
             exp = con.execute(oracle[name]).fetchdf()
         except Exception as e:
             print(f"FAIL {name}: oracle SQL error: {e}")
             n_bad += 1
             continue
+        if obad:
+            print(f"FAIL {name}: oracle output has driver-hostile column "
+                  f"types {obad}")
+            n_bad += 1
+            continue
         g, e_ = norm(got), norm(exp)
         if list(g.columns) != list(e_.columns):
-            print(f"FAIL {name}: columns {list(g.columns)} vs {list(e_.columns)}")
+            print(f"FAIL {name}: columns {list(g.columns)} vs "
+                  f"{list(e_.columns)}")
             n_bad += 1
             continue
         if len(g) != len(e_):
             print(f"FAIL {name}: rows {len(g)} vs {len(e_)}")
             n_bad += 1
             continue
-        # value compare (exact, as a hash-match would be)
-        mismatch = None
+        dtype_mismatch = [(c, str(g[c].dtype), str(e_[c].dtype))
+                          for c in g.columns
+                          if str(g[c].dtype) != str(e_[c].dtype)]
+        if dtype_mismatch:
+            print(f"FAIL {name}: dtype mismatch {dtype_mismatch}")
+            n_bad += 1
+            continue
+        bad_col = None
         for c in g.columns:
-            a, b = g[c], e_[c]
-            if not (a.astype(str).values == b.astype(str).values).all():
-                bad = (a.astype(str).values != b.astype(str).values)
-                i = bad.argmax()
-                mismatch = (c, a.iloc[i], b.iloc[i],
-                            str(a.dtype), str(b.dtype), int(bad.sum()))
+            if not col_equal(g[c], e_[c]):
+                a, b = g[c], e_[c]
+                neq = [(x, y) for x, y in zip(a.to_numpy(), b.to_numpy())
+                       if x != y][:1]
+                bad_col = (c, str(a.dtype), neq)
                 break
-        if mismatch:
-            c, av, bv, at, bt, nb = mismatch
-            print(f"FAIL {name}: col {c} ({at} vs {bt}) {nb} diffs, "
-                  f"e.g. spark={av!r} oracle={bv!r}")
+        if bad_col:
+            c, t, ex = bad_col
+            print(f"FAIL {name}: col {c} ({t}) differs, e.g. "
+                  f"spark/oracle={ex}")
             n_bad += 1
         else:
             print(f"  ok {name} ({len(g)} rows)")
@@ -69,6 +134,7 @@ def main(sf_dir, out_dir):
     print(f"== {n_ok} ok, {n_bad} fail, "
           f"{len(declared) - n_ok - n_bad} rows-only ==")
     return 1 if n_bad else 0
+
 
 if __name__ == "__main__":
     sys.exit(main(sys.argv[1], sys.argv[2]))
