@@ -108,23 +108,28 @@ object SparkEntry {
             lit(0.0))).as("value_adj"))
   }
 
-  /** J2/F2/F7: the net-flow core — full-outer join of two keyed sums,
-    * fill 0, diff = out − in, drop diff=0
+  /** J2/F2/F7: the net-flow core — two keyed sums, fill 0, diff =
+    * out − in, drop diff=0
     * (/root/reference/src/etl_vol_transfers/main.py:96-105). Analog:
-    * per customer, header totals vs line-level totals. Both sides shuffle
-    * once on the same key, so the join itself needs no extra exchange. */
+    * per customer, header totals vs line-level totals.
+    *
+    * Single-scan shape (round-2 rework): lineitem pre-aggregates per
+    * order (one shuffle), left-joins orders once, and ONE final custkey
+    * aggregation produces both sums — replacing round 1's two orders
+    * scans + two aggregations + full-outer join. Decimal sums are
+    * associative, so the re-association is exact. The full-outer is
+    * equivalent here because the `in` side derives from orders. */
   def q05_netflow_diff(s: SparkSession, d: String): DataFrame = noDec {
-    val outS = Tables.orders(s, d).groupBy(col("o_custkey").as("custkey"))
-      .agg(sum(dec(col("o_totalprice"))).as("out_sum"))
-    val inS = Tables.orders(s, d)
-      .join(Tables.lineitem(s, d), col("o_orderkey") === col("l_orderkey"))
+    val liAgg = Tables.lineitem(s, d)
+      .groupBy(col("l_orderkey"))
+      .agg(sum(dec(col("l_extendedprice"))).as("li_sum"))
+    Tables.orders(s, d)
+      .join(liAgg, col("o_orderkey") === col("l_orderkey"), "left")
       .groupBy(col("o_custkey").as("custkey"))
-      .agg(sum(dec(col("l_extendedprice"))).as("in_sum"))
-    outS.join(inS, Seq("custkey"), "full_outer")
-      .select(
-        col("custkey"),
-        coalesce(col("out_sum"), lit(0).cast(DecimalType(28, 2))).as("out_sum"),
-        coalesce(col("in_sum"), lit(0).cast(DecimalType(28, 2))).as("in_sum"))
+      .agg(
+        sum(dec(col("o_totalprice"))).as("out_sum"),
+        sum(coalesce(col("li_sum"), lit(0).cast(DecimalType(28, 2))))
+          .as("in_sum"))
       .withColumn("diff", col("out_sum") - col("in_sum"))
       .filter(col("diff") =!= 0)
   }
@@ -285,8 +290,11 @@ object SparkEntry {
   /** Exact word-3-gram Jaccard near-dup pairs via the inverted shingle
     * join (never the cross product). */
   def q18_ngram_jaccard(s: SparkSession, d: String): DataFrame =
+    // hashed shingle keys (long joins, not string joins); materialized
+    // once — they are read 3× downstream (sizes + both join sides)
     graft.dedup.Dedup.jaccardPairs(
-      graft.dedup.Dedup.shingles(Tables.documents(s, d), 3), 0.5)
+      graft.dedup.Dedup.shingleKeys(Tables.documents(s, d), 3)
+        .localCheckpoint(true), 0.5)
 
   /** MinHash + LSH banding near-dup pipeline (candidates → exact-Jaccard
     * verify). Approximate by construction — banding recall < 1 for pairs
@@ -452,7 +460,8 @@ object SparkEntry {
   def q44_dup_groups(s: SparkSession, d: String): DataFrame =
     graft.dedup.Dedup.dupGroups(
       graft.dedup.Dedup.jaccardPairs(
-        graft.dedup.Dedup.shingles(Tables.documents(s, d), 3), 0.5))
+        graft.dedup.Dedup.shingleKeys(Tables.documents(s, d), 3)
+          .localCheckpoint(true), 0.5))
 
   /** Session-window sessionization (streaming-capable stateful op the
     * reference lacks): per-user sessions with a 30-minute inactivity gap.
@@ -536,7 +545,10 @@ object SparkEntry {
       .join(Tables.supplier(s, d), col("l_suppkey") === col("s_suppkey"))
       .select(col("c_nationkey").cast("string").as("src"),
         col("s_nationkey").cast("string").as("dst"))
-    graft.graph.PageRank.run(edges, iterations = 10)
+    // checkpointEvery=2 halves the per-iteration job count; the doubled
+    // plan depth between cuts stays well under the exponential blow-up
+    // threshold (ranks referenced twice per round)
+    graft.graph.PageRank.run(edges, iterations = 10, checkpointEvery = 2)
   }
 
   /** uuid() surrogate keys (P3) — nondeterministic by design → rows-only. */

@@ -55,37 +55,58 @@ object Dedup {
       .select(col("doc_id"), col("canonical_id"), col("content_hash"))
   }
 
-  /** Word n-gram shingles of the normalized text:
-    * (doc_id, shingle) — distinct per doc. */
-  def shingles(docs: DataFrame, n: Int = 3): DataFrame = {
+  private def shingleExplode(docs: DataFrame, n: Int): DataFrame = {
     val words = split(normalize(col("text")), " ")
     docs.select(col("doc_id"), words.as("w"))
       .select(col("doc_id"),
         explode(expr(
           s"transform(sequence(0, greatest(size(w) - $n, 0)), " +
             s"i -> array_join(slice(w, i + 1, $n), ' '))")).as("shingle"))
-      .distinct()
   }
 
+  /** Word n-gram shingles of the normalized text:
+    * (doc_id, shingle) — distinct per doc. */
+  def shingles(docs: DataFrame, n: Int = 3): DataFrame =
+    shingleExplode(docs, n).distinct()
+
+  /** Shingle set with each shingle reduced to its 64-bit xxhash — the
+    * join/shuffle currency for the jaccard/minhash paths: hashing before
+    * the distinct shrinks every downstream exchange (distinct, inverted
+    * join, minhash) from ~25-byte strings to 8-byte longs. A collision
+    * (~n²/2⁶⁵ over the corpus shingle vocabulary) could merge two
+    * shingles and perturb one intersection count — negligible against
+    * the near-dup thresholding these feed. */
+  def shingleKeys(docs: DataFrame, n: Int = 3): DataFrame =
+    shingleExplode(docs, n)
+      .select(col("doc_id"), xxhash64(col("shingle")).as("shingle"))
+      .distinct()
+
   /** MinHash signatures: for each of `numHashes` seeded hash functions,
-    * the min over the doc's shingles of hash60(seed|shingle).
+    * the min over the doc's shingles of hash(seed, shingle).
     * Output (doc_id, seed, minhash). The explode over seeds multiplies
     * rows ×numHashes before a single (doc_id, seed) shuffle — map-side
-    * partial min keeps the exchange small at scale. */
+    * partial min keeps the exchange small at scale.
+    *
+    * Hashing is xxhash64, not md5-hash60: minhash is approximate by
+    * construction (never oracled cross-engine), and xxhash64 is codegen'd
+    * native long math — no md5 digest + hex string + base conversion per
+    * (shingle × seed) row, which dominated the round-1 q19 profile. */
   def minhashSignatures(shingleDf: DataFrame,
                         numHashes: Int = 16): DataFrame =
     shingleDf
       .select(col("doc_id"), col("shingle"),
         explode(sequence(lit(0), lit(numHashes - 1))).as("seed"))
       .select(col("doc_id"), col("seed"),
-        hash60(concat(col("seed"), lit("|"), col("shingle"))).as("h"))
+        xxhash64(col("seed"), col("shingle")).as("h"))
       .groupBy(col("doc_id"), col("seed"))
       .agg(min(col("h")).as("minhash"))
 
   /** LSH banding: group the signature's seeds into `bands` bands, bucket =
-    * hash of the band's concatenated minhashes; docs sharing any bucket
-    * become candidate pairs (id1 < id2, distinct). Bucket join replaces
-    * the all-pairs cross product — the standard sub-quadratic path. */
+    * hash of the band's minhash vector; docs sharing any bucket become
+    * candidate pairs (id1 < id2, distinct). Bucket join replaces the
+    * all-pairs cross product — the standard sub-quadratic path.
+    * xxhash64 hashes the sorted (seed, minhash) struct array directly —
+    * no to_json serialization on the hot path (round-1 follow-up). */
   def lshCandidatePairs(signatures: DataFrame, numHashes: Int = 16,
                         bands: Int = 4): DataFrame = {
     val rowsPerBand = numHashes / bands
@@ -96,7 +117,7 @@ object Dedup {
       .agg(sort_array(collect_list(struct(col("seed"), col("minhash"))))
         .as("sig"))
       .select(col("doc_id"), col("band"),
-        hash60(to_json(struct(col("band"), col("sig")))).as("bucket"))
+        xxhash64(col("band"), col("sig")).as("bucket"))
     val a = buckets.select(col("doc_id").as("id1"), col("bucket"))
     val b = buckets.select(col("doc_id").as("id2"), col("bucket"))
     a.join(b, Seq("bucket"))
@@ -130,17 +151,42 @@ object Dedup {
   }
 
   /** MinHash+LSH near-dup pipeline: LSH candidates, then exact-Jaccard
-    * verification of only the candidates (join back to shingles). */
+    * verification of ONLY the candidates — the verification joins are
+    * restricted to candidate docs' shingles, so its cost scales with the
+    * candidate set (LSH's whole point), not with every overlapping pair
+    * in the corpus (which is the exact-q18 cost this replaced). */
   def minhashDuplicatePairs(docs: DataFrame, threshold: Double,
                             n: Int = 3, numHashes: Int = 16,
                             bands: Int = 4): DataFrame = {
     // shingles feed both the signature and the verification paths —
-    // persist so the normalize+explode runs once
-    val sh = shingles(docs, n).persist()
+    // materialize once (eager local checkpoint; a plain persist can still
+    // compute branches concurrently within the first job)
+    val sh = shingleKeys(docs, n).localCheckpoint(true)
     val candidates =
       lshCandidatePairs(minhashSignatures(sh, numHashes), numHashes, bands)
-    jaccardPairs(sh, threshold)
-      .join(candidates, Seq("id1", "id2"), "left_semi")
+        .localCheckpoint(true)
+    val candDocs = candidates.select(col("id1").as("doc_id"))
+      .union(candidates.select(col("id2").as("doc_id"))).distinct()
+    val candSh = sh.join(candDocs, Seq("doc_id"), "left_semi")
+      .localCheckpoint(true)
+    val sizes = candSh.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
+    val inter = candidates
+      .join(candSh.select(col("doc_id").as("id1"), col("shingle")),
+        Seq("id1"))
+      .join(candSh.select(col("doc_id").as("id2"), col("shingle")),
+        Seq("id2", "shingle"))
+      .groupBy(col("id1"), col("id2"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.withColumnRenamed("doc_id", "id1")
+        .withColumnRenamed("sz", "sz1"), Seq("id1"))
+      .join(sizes.withColumnRenamed("doc_id", "id2")
+        .withColumnRenamed("sz", "sz2"), Seq("id2"))
+      .withColumn("jaccard",
+        col("inter").cast("double") /
+          (col("sz1") + col("sz2") - col("inter")).cast("double"))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id1"), col("id2"), col("jaccard"))
   }
 
   /** SimHash (60-bit): per token-hash bit b, sum ±1 across the doc's
@@ -174,7 +220,11 @@ object Dedup {
     * @return (doc_id, canonical_id) for every doc in a cluster of ≥2 */
   def dupGroups(pairs: DataFrame): DataFrame =
     graft.graph.ConnectedComponents.run(
-      pairs.select(col("id1").as("src"), col("id2").as("dst")))
+      // materialize the (small) pair list before the iterative algorithm:
+      // CC references its edge input repeatedly, and without the cut the
+      // whole upstream pair-mining pipeline re-executes per reference
+      pairs.select(col("id1").as("src"), col("id2").as("dst"))
+        .localCheckpoint(true))
       .select(col("id").as("doc_id"), col("component").as("canonical_id"))
 
   /** SimHash via the custom TypedImperativeAggregate

@@ -20,35 +20,39 @@ object ConnectedComponents {
   def run(edges: DataFrame, maxIterations: Int = 20): DataFrame = {
     val und = edges.select(col("src").as("a"), col("dst").as("b"))
       .union(edges.select(col("dst").as("a"), col("src").as("b")))
-      .distinct().cache()
+      .distinct().localCheckpoint(true)
     var labels = und.select(col("a").as("id")).distinct()
       .withColumn("component", col("id"))
+      .localCheckpoint(true)
     var changed = 1L
     var i = 0
     while (changed > 0 && i < maxIterations) {
-      // propagate: min over neighbors' labels and own
+      // propagate: min over neighbors' labels and own. Materialized before
+      // the shortcut self-join (both join sides + the convergence check
+      // read it — without the cut the propagate plan executes 2-3×).
       val neighborMin = und
         .join(labels, und("b") === labels("id"))
         .groupBy(col("a").as("id"))
         .agg(min(col("component")).as("nbr_min"))
       val propagated = labels.join(neighborMin, Seq("id"), "left")
-        .select(col("id"),
+        .select(col("id"), col("component").as("prev"),
           least(col("component"), coalesce(col("nbr_min"),
             col("component"))).as("component"))
+        .localCheckpoint(true)
       // shortcut (pointer doubling): jump to the label's label — chains
-      // collapse in O(log diameter) rounds instead of O(diameter)
+      // collapse in O(log diameter) rounds instead of O(diameter).
+      // `prev` rides along so convergence is a filter+count on the
+      // checkpointed result, not a separate join job.
       val next = propagated.as("x")
         .join(propagated.select(col("id").as("pid"),
           col("component").as("pcomp")),
           col("x.component") === col("pid"), "left")
-        .select(col("x.id").as("id"),
+        .select(col("x.id").as("id"), col("x.prev").as("prev"),
           least(col("x.component"), coalesce(col("pcomp"),
             col("x.component"))).as("component"))
         .localCheckpoint(true)
-      changed = next.join(labels.withColumnRenamed("component", "old"),
-        Seq("id"))
-        .filter(col("component") =!= col("old")).count()
-      labels = next
+      changed = next.filter(col("component") =!= col("prev")).count()
+      labels = next.select(col("id"), col("component"))
       i += 1
     }
     labels

@@ -25,34 +25,55 @@ object PageRank {
     * @return (address, score) */
   def run(edges: DataFrame, iterations: Int = 20, damping: Double = 0.85,
           checkpointEvery: Int = 1): DataFrame = {
-    val e = edges.select(col("src"), col("dst")).distinct().cache()
+    // Eager local checkpoints, not cache(): the (possibly expensive) edge
+    // build materializes exactly once before the loop — a lazy cache can
+    // still execute the upstream plan per branch within the first job,
+    // and every iteration otherwise re-plans the full upstream lineage.
+    val e = edges.select(col("src"), col("dst")).distinct()
+      .localCheckpoint(true)
     val nodes = e.select(col("src").as("address"))
-      .union(e.select(col("dst").as("address"))).distinct().cache()
+      .union(e.select(col("dst").as("address"))).distinct()
+      .localCheckpoint(true)
     val n = nodes.count()
-    val outDeg = e.groupBy(col("src")).agg(count(lit(1)).as("out_deg")).cache()
+    // out-degree is static — join it into the edge list ONCE, not once
+    // per iteration
+    val eDeg = e.join(
+      e.groupBy(col("src")).agg(count(lit(1)).as("out_deg")), Seq("src"))
+      .localCheckpoint(true)
+    // dangling nodes (no out-edges) are a static set; when it is empty
+    // (one cheap upfront check) the whole dangling-mass subtree drops out
+    // of every iteration's plan
+    val danglingNodes = nodes.join(eDeg,
+      nodes("address") === eDeg("src"), "left_anti")
+      .select(col("address")).localCheckpoint(true)
+    val hasDangling = danglingNodes.limit(1).count() > 0
 
     var ranks = nodes.withColumn("score", lit(1.0 / n))
     for (i <- 1 to iterations) {
-      // mass held by dangling nodes (no out-edges) this round — kept as a
-      // lazy 1-row frame folded in via broadcast cross join, so each
-      // iteration stays a single job (no per-iteration driver action)
-      val dangling = ranks.join(outDeg,
-        ranks("address") === outDeg("src"), "left_anti")
-        .agg(coalesce(sum(col("score")), lit(0.0)).as("dangling_mass"))
-      val contribs = e
-        .join(ranks, e("src") === ranks("address"))
-        .join(outDeg, Seq("src"))
+      val contribs = eDeg
+        .join(ranks, eDeg("src") === ranks("address"))
         .select(col("dst").as("address"),
           (col("score") / col("out_deg")).as("contrib"))
         .groupBy(col("address"))
         .agg(sum(col("contrib")).as("contrib"))
-      ranks = nodes
-        .join(contribs, Seq("address"), "left")
-        .crossJoin(broadcast(dangling))
-        .select(col("address"),
-          (lit((1.0 - damping) / n) +
-            lit(damping) * (coalesce(col("contrib"), lit(0.0)) +
-              col("dangling_mass") / n)).as("score"))
+      val base = nodes.join(contribs, Seq("address"), "left")
+      ranks =
+        if (hasDangling) {
+          // mass held by dangling nodes this round — a lazy 1-row frame
+          // folded in via broadcast cross join (no per-iteration action)
+          val dangling = ranks.join(danglingNodes, Seq("address"),
+            "left_semi")
+            .agg(coalesce(sum(col("score")), lit(0.0)).as("dangling_mass"))
+          base.crossJoin(broadcast(dangling))
+            .select(col("address"),
+              (lit((1.0 - damping) / n) +
+                lit(damping) * (coalesce(col("contrib"), lit(0.0)) +
+                  col("dangling_mass") / n)).as("score"))
+        } else
+          base.select(col("address"),
+            (lit((1.0 - damping) / n) +
+              lit(damping) * coalesce(col("contrib"), lit(0.0)))
+              .as("score"))
       if (i % checkpointEvery == 0 && i < iterations)
         ranks = ranks.localCheckpoint(true)
     }

