@@ -338,12 +338,15 @@ object SparkEntry {
   def q26_embedding_neardup(s: SparkSession, d: String): DataFrame =
     graft.dedup.Dedup.embeddingNearDups(Tables.embeddings(s, d), 0.4)
 
-  /** IVF approximate ANN (centroid cells from the label column, nprobe=4).
-    * Approximate by construction → rows-only; recall pinned in ScalaTest. */
+  /** IVF approximate ANN over the UNLABELED corpus: k-means (Lloyd's,
+    * deterministic hash seeding) trains 8 coarse centroids, vectors are
+    * cell-assigned by a per-row argmax (no shuffle), queries probe the
+    * nprobe=4 nearest cells. Approximate by construction → rows-only;
+    * recall pinned in ScalaTest. */
   def q27_ivf_ann(s: SparkSession, d: String): DataFrame = {
     val e = Tables.embeddings(s, d)
-    graft.sim.Similarity.ivfTopK(e, e.filter(col("vec_id") < 10), 5,
-      nprobe = 4)
+    graft.sim.Similarity.ivfTopKTrained(e, e.filter(col("vec_id") < 10), 5,
+      cells = 8, nprobe = 4, iters = 5)
   }
 
   /** Sign-LSH bucketed ANN (deterministic md5-derived hyperplanes). */

@@ -50,8 +50,9 @@ object Similarity {
   }
 
   /** IVF (inverted-file) ANN: coarse centroids from a cluster column
-    * (k-means lives upstream; here any coarse assignment works), queries
-    * probe only the `nprobe` nearest cells. Sub-linear: the scored set is
+    * (k-means lives upstream — see [[ivfTopKTrained]] for the unlabeled
+    * path; here any coarse assignment works), queries probe only the
+    * `nprobe` nearest cells. Sub-linear: the scored set is
     * |cells probed| / |cells| of the data. */
   def ivfTopK(embeddings: DataFrame, queries: DataFrame, k: Int,
               nprobe: Int = 2, cellCol: String = "label"): DataFrame = {
@@ -64,6 +65,15 @@ object Similarity {
       .groupBy(col("cell"))
       .agg(array_sort(collect_list(struct(col("i"), col("m")))).as("im"))
       .select(col("cell"), expr("transform(im, s -> s.m)").as("centroid"))
+    ivfProbe(e, centroids, queries, k, nprobe)
+  }
+
+  /** Shared IVF probe: rank cells per query by centroid cosine, keep
+    * `nprobe`, score only vectors in probed cells, top-k per query.
+    * Centroids broadcast (k cells by definition of a coarse quantizer);
+    * the only shuffle over the data is the cell-key join. */
+  private def ivfProbe(e: DataFrame, centroids: DataFrame,
+                       queries: DataFrame, k: Int, nprobe: Int): DataFrame = {
     val q = queries.select(col("vec_id").as("query_id"),
       col("embedding").cast("array<double>").as("qv"))
     val wCell = Window.partitionBy(col("query_id"))
@@ -81,6 +91,75 @@ object Similarity {
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("vec_id").as("neighbor_id"), col("rank"))
+  }
+
+  /** Index of the centroid (array-of-arrays literal) with the highest
+    * cosine to `v`; ties break to the lowest index. Pure per-row
+    * expression — no shuffle, no lookup join. */
+  private def nearestCell(v: Column, centroids: Seq[Seq[Double]]): Column = {
+    val scored = transform(typedLit(centroids),
+      (c, i) => struct(cosine(v, c).as("s"), (-i).as("ni")))
+    (-array_max(scored).getField("ni")).cast("int")
+  }
+
+  /** Lloyd's k-means over the embedding column — the centroid-training
+    * step IVF needs on an unlabeled corpus (no label shortcut). Pure
+    * DataFrame ops + a k×d driver-side model per iteration:
+    *
+    *  - seeding is deterministic (no RNG): the k vectors with the
+    *    smallest xxhash64(vec_id);
+    *  - assignment broadcasts the model as an array literal → a codegen'd
+    *    per-row argmax, zero shuffle (the MLlib pattern: ship the model
+    *    to the data, never the data to the model);
+    *  - update is posexplode + (cell, dim) mean — map-side partial agg
+    *    makes the one shuffle k×d rows regardless of corpus size;
+    *  - the k×d collect per iteration is sufficient statistics, not data
+    *    (60 MB even at k=10⁴, d=768) — the one sanctioned driver action.
+    *
+    * Empty cells keep their previous centroid. Assignment maximizes
+    * cosine (matching the IVF probe metric), so means are computed over
+    * cosine-coherent cells.
+    * @return the trained model: k centroid vectors, index = cell id */
+  def kmeansCentroids(embeddings: DataFrame, k: Int,
+                      maxIter: Int = 8): Seq[Seq[Double]] = {
+    val e = embeddings
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .localCheckpoint(true)
+    var cents: Seq[Seq[Double]] = e
+      .withColumn("hk", xxhash64(col("vec_id")))
+      .orderBy(col("hk"), col("vec_id")).limit(k)
+      .select(col("v")).collect()
+      .map(_.getSeq[Double](0)).toSeq
+    for (_ <- 1 to maxIter) {
+      val updated = e
+        .withColumn("cell", nearestCell(col("v"), cents))
+        .select(col("cell"), posexplode(col("v")).as(Seq("i", "x")))
+        .groupBy(col("cell"), col("i")).agg(avg(col("x")).as("m"))
+        .groupBy(col("cell"))
+        .agg(array_sort(collect_list(struct(col("i"), col("m")))).as("im"))
+        .select(col("cell"), expr("transform(im, s -> s.m)").as("c"))
+        .collect().map(r => r.getInt(0) -> r.getSeq[Double](1)).toMap
+      cents = cents.indices.map(i => updated.getOrElse(i, cents(i)))
+    }
+    cents
+  }
+
+  /** IVF ANN over an UNLABELED corpus: train k-means centroids, assign
+    * every vector to its nearest cell (per-row argmax — no shuffle),
+    * then the standard nprobe probe. This is the 100 TB similarity-search
+    * path: train on a sample, index in one pass, probe sub-linearly. */
+  def ivfTopKTrained(embeddings: DataFrame, queries: DataFrame, k: Int,
+                     cells: Int = 8, nprobe: Int = 2,
+                     iters: Int = 8): DataFrame = {
+    val model = kmeansCentroids(embeddings, cells, iters)
+    val e = embeddings.select(col("vec_id"),
+      col("embedding").cast("array<double>").as("v"))
+      .withColumn("cell", nearestCell(col("v"), model))
+    val session = embeddings.sparkSession
+    import session.implicits._
+    val centroids = model.zipWithIndex
+      .map { case (c, i) => (i, c) }.toDF("cell", "centroid")
+    ivfProbe(e, centroids, queries, k, nprobe)
   }
 
   /** Deterministic hyperplane w_p for sign-LSH: w_p[d] in [-0.5, 0.5)

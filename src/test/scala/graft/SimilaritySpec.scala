@@ -49,6 +49,38 @@ class SimilaritySpec extends AnyFunSuite with SparkTestBase {
     assert(got == Seq(2L))
   }
 
+  test("k-means: recovers two separated clusters as distinct cells") {
+    val model = Similarity.kmeansCentroids(clustered, 2, maxIter = 5)
+    assert(model.size == 2)
+    // each trained centroid should point dominantly along one axis,
+    // and the two centroids along different axes
+    val axes = model.map(c => c.zipWithIndex.maxBy(_._1)._2).toSet
+    assert(axes == Set(0, 1), s"centroid dominant axes: $axes")
+  }
+
+  test("k-means IVF: trained cells reproduce brute force on clustered " +
+    "data with nprobe=1") {
+    val q = clustered.filter($"vec_id" === 10)
+    val bf = Similarity.bruteForceTopK(clustered, q, 2)
+      .orderBy("rank").select("neighbor_id").as[Long].collect().toSeq
+    val ivf = Similarity.ivfTopKTrained(clustered, q, 2, cells = 2,
+      nprobe = 1, iters = 5)
+      .orderBy("rank").select("neighbor_id").as[Long].collect().toSeq
+    assert(ivf == bf && ivf == Seq(11L, 12L))
+  }
+
+  test("k-means IVF recall vs brute force on real embeddings (sf0.001)") {
+    val e = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val q = e.filter($"vec_id" < 5)
+    val bf = Similarity.bruteForceTopK(e, q, 10)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val ivf = Similarity.ivfTopKTrained(e, q, 10, cells = 8, nprobe = 4,
+      iters = 5)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = (bf intersect ivf).size.toDouble / bf.size
+    assert(recall > 0.3, s"trained-IVF recall@10 with nprobe=4/8: $recall")
+  }
+
   test("IVF recall vs brute force on real embeddings (sf0.001)") {
     val e = Tables.embeddings(spark, "/root/testdata/sf0.001")
     val q = e.filter($"vec_id" < 5)
