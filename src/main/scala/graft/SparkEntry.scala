@@ -538,10 +538,19 @@ object SparkEntry {
   }
 
   /** Iterative DataFrame PageRank over the customer-nation → supplier-
-    * nation order graph (driver tables). Iterative FP — rows-only;
-    * exactness pinned in PageRankSpec. */
+    * nation order graph (driver tables) — the integer-scaled fixed-point
+    * variant (`PageRank.runScaled`, scale 10¹²): integer sums are
+    * associative and `div` truncation matches DuckDB `//`, so 10
+    * iterations are bit-reproducible cross-engine and the op gets a real
+    * DuckDB oracle (a 10-stage unrolled CTE). The float variant stays
+    * exactness-pinned in PageRankSpec. */
   def q34_pagerank(s: SparkSession, d: String): DataFrame = {
+    // o_orderkey % 601 sparsifies the nation graph: the unfiltered graph
+    // is complete at sf ≥ 0.01 (uniform ranks — a trivial fixed point);
+    // the sampled one has skewed degrees and dangling nations, so the
+    // oracle actually exercises the recurrence
     val edges = Tables.orders(s, d)
+      .filter(col("o_orderkey") % 601 === 0)
       .join(Tables.customer(s, d),
         col("o_custkey") === col("c_custkey"))
       .join(Tables.lineitem(s, d), col("o_orderkey") === col("l_orderkey"))
@@ -551,7 +560,55 @@ object SparkEntry {
     // checkpointEvery=2 halves the per-iteration job count; the doubled
     // plan depth between cuts stays well under the exponential blow-up
     // threshold (ranks referenced twice per round)
-    graft.graph.PageRank.run(edges, iterations = 10, checkpointEvery = 2)
+    graft.graph.PageRank.runScaled(edges, iterations = 10,
+      checkpointEvery = 2)
+  }
+
+  /** DuckDB oracle for [[q34_pagerank]]: the same fixed-point recurrence
+    * unrolled as `iters` chained CTE stages (DuckDB's recursive-CTE rules
+    * disallow aggregating the recursive reference, so unrolling is the
+    * portable form). All arithmetic is BIGINT: `//` floor-division equals
+    * Spark's `div` truncation on non-negative values, and the dangling
+    * term reduces to 0 on both sides when the dangling set is empty. */
+  private def pagerankOracleSql(iters: Int): String = {
+    val scale = "1000000000000"
+    val base = s"(SELECT $scale // n FROM nn)"
+    // AS MATERIALIZED (DuckDB-only; this SQL never runs in Spark) stops
+    // CTE inlining — without it each of the 10 unrolled stages re-opens
+    // the 4 parquet inputs and the compare dies on fd exhaustion
+    val header =
+      s"""WITH edges AS MATERIALIZED (
+         |  SELECT DISTINCT CAST(c_nationkey AS VARCHAR) AS src,
+         |    CAST(s_nationkey AS VARCHAR) AS dst
+         |  FROM orders
+         |  JOIN customer ON o_custkey = c_custkey
+         |  JOIN lineitem ON o_orderkey = l_orderkey
+         |  JOIN supplier ON l_suppkey = s_suppkey
+         |  WHERE o_orderkey % 601 = 0),
+         |nodes AS MATERIALIZED (SELECT src AS address FROM edges
+         |          UNION SELECT dst AS address FROM edges),
+         |nn AS MATERIALIZED (SELECT COUNT(*) AS n FROM nodes),
+         |deg AS MATERIALIZED (
+         |  SELECT src, COUNT(*) AS out_deg FROM edges GROUP BY src),
+         |r0 AS MATERIALIZED (SELECT address, $base AS score FROM nodes)""".stripMargin
+    val steps = (1 to iters).map { i =>
+      val p = s"r${i - 1}"
+      s""",
+         |c$i AS MATERIALIZED (
+         |  SELECT e.dst AS address,
+         |    CAST(SUM(r.score // d.out_deg) AS BIGINT) AS contrib
+         |  FROM edges e JOIN $p r ON e.src = r.address
+         |  JOIN deg d ON e.src = d.src
+         |  GROUP BY e.dst),
+         |r$i AS MATERIALIZED (
+         |  SELECT nd.address,
+         |    (15 * $base + 85 * (COALESCE(c.contrib, 0)
+         |      + (SELECT CAST(COALESCE(SUM(score), 0) AS BIGINT) FROM $p
+         |         WHERE address NOT IN (SELECT src FROM deg))
+         |        // (SELECT n FROM nn))) // 100 AS score
+         |  FROM nodes nd LEFT JOIN c$i c ON nd.address = c.address)""".stripMargin
+    }.mkString
+    header + steps + s"\nSELECT address, score FROM r$iters"
   }
 
   /** uuid() surrogate keys (P3) — nondeterministic by design → rows-only. */
@@ -1009,6 +1066,7 @@ object SparkEntry {
         |  ('t2', 'pol16161', 'B', 'A', CAST(100 AS BIGINT),
         |   CAST(100 AS DOUBLE) * 2.0 / 100.0)
         |) AS t(hash, unit, rx_addr, send_addr, value, value_adj)""".stripMargin,
+    "q34_pagerank" -> pagerankOracleSql(10),
     "q36_rollup" ->
       """SELECT l_returnflag, l_linestatus,
         | CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,

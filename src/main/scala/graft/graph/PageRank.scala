@@ -80,6 +80,67 @@ object PageRank {
     ranks
   }
 
+  /** Integer-scaled (fixed-point) PageRank: ranks live as longs in units
+    * of 1/`scale`, every step is integer arithmetic —
+    *
+    *   rank₀      = scale div N
+    *   contrib(v) = Σ_{u→v} rank(u) div outDeg(u)
+    *   rank'(v)   = (15·rank₀ + 85·(contrib(v) + danglingMass div N)) div 100
+    *
+    * Integer sums are associative, and truncating division of
+    * non-negative longs is identical in Spark (`div`) and ANSI engines
+    * (DuckDB `//`), so the result is bit-reproducible cross-engine —
+    * this is what gives the X2 operator a real DuckDB oracle (the
+    * float variant in [[run]] is order-of-summation dependent).
+    * Same join/shuffle shape as [[run]]; truncation error per step is
+    * < N/scale, far below rank magnitudes at scale 10¹².
+    * @return (address, score) with score = rank · scale as a long */
+  def runScaled(edges: DataFrame, iterations: Int = 10,
+                scale: Long = 1000000000000L,
+                checkpointEvery: Int = 1): DataFrame = {
+    val e = edges.select(col("src"), col("dst")).distinct()
+      .localCheckpoint(true)
+    val nodes = e.select(col("src").as("address"))
+      .union(e.select(col("dst").as("address"))).distinct()
+      .localCheckpoint(true)
+    val n = nodes.count()
+    val base = scale / n
+    val eDeg = e.join(
+      e.groupBy(col("src")).agg(count(lit(1)).as("out_deg")), Seq("src"))
+      .localCheckpoint(true)
+    val danglingNodes = nodes.join(eDeg,
+      nodes("address") === eDeg("src"), "left_anti")
+      .select(col("address")).localCheckpoint(true)
+    val hasDangling = danglingNodes.limit(1).count() > 0
+
+    var ranks = nodes.withColumn("score", lit(base))
+    for (i <- 1 to iterations) {
+      val contribs = eDeg
+        .join(ranks, eDeg("src") === ranks("address"))
+        .select(col("dst").as("address"),
+          expr("score div out_deg").as("contrib"))
+        .groupBy(col("address"))
+        .agg(sum(col("contrib")).as("contrib"))
+      val joined = nodes.join(contribs, Seq("address"), "left")
+      ranks =
+        if (hasDangling) {
+          val dangling = ranks.join(danglingNodes, Seq("address"),
+            "left_semi")
+            .agg(coalesce(sum(col("score")), lit(0L)).as("dm"))
+          joined.crossJoin(broadcast(dangling))
+            .select(col("address"),
+              expr(s"(15 * ${base}L + 85 * (coalesce(contrib, 0L) " +
+                s"+ dm div ${n}L)) div 100").as("score"))
+        } else
+          joined.select(col("address"),
+            expr(s"(15 * ${base}L + 85 * coalesce(contrib, 0L)) div 100")
+              .as("score"))
+      if (i % checkpointEvery == 0 && i < iterations)
+        ranks = ranks.localCheckpoint(true)
+    }
+    ranks
+  }
+
   /** Ranked extract (W3): scores descending, deterministic tie-break. */
   def ranked(scores: DataFrame): DataFrame =
     scores.orderBy(col("score").desc, col("address").asc)

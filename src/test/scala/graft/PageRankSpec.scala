@@ -33,6 +33,31 @@ class PageRankSpec extends AnyFunSuite with SparkTestBase {
     assert(math.abs(total - 1.0) < 1e-9)
   }
 
+  test("scaled variant tracks the float variant within truncation error") {
+    val edges = Seq(("A", "B"), ("A", "C"), ("B", "C"), ("D", "A"),
+      ("C", "D")).toDF("src", "dst")
+    val f = PageRank.run(edges, iterations = 10).as[(String, Double)]
+      .collect().toMap
+    val s = PageRank.runScaled(edges, iterations = 10).as[(String, Long)]
+      .collect().toMap
+    assert(s.keySet == f.keySet)
+    // per-step truncation < N/scale compounds to well under 1e-9 here
+    s.foreach { case (k, v) =>
+      assert(math.abs(v / 1e12 - f(k)) < 1e-6, s"node $k: $v vs ${f(k)}")
+    }
+  }
+
+  test("scaled variant: dangling one-iteration hand computation, exact") {
+    // scale=100 for hand math: r0 = 50,50; dangling mass 50, N=2
+    // contrib(B) = 50 div 1 = 50; dm div N = 25; base = 100 div 2 = 50
+    // r1(A) = (15*50 + 85*(0  + 25)) div 100 = (750 + 2125)  div 100 = 28
+    // r1(B) = (15*50 + 85*(50 + 25)) div 100 = (750 + 6375)  div 100 = 71
+    val edges = Seq(("A", "B")).toDF("src", "dst")
+    val s = PageRank.runScaled(edges, iterations = 1, scale = 100L)
+      .as[(String, Long)].collect().toMap
+    assert(s == Map("A" -> 28L, "B" -> 71L))
+  }
+
   test("ranked extract is descending with stable ties") {
     val edges = Seq(("A", "C"), ("B", "C")).toDF("src", "dst")
     val ranked = PageRank.ranked(PageRank.run(edges, iterations = 5))
