@@ -496,6 +496,58 @@ object SparkEntry {
 
   // --------------------------------------- reference-pipeline demo queries
 
+  // ── Training-data pipeline layout/assignment ops (graft.pipeline) ──
+
+  /** Deterministic train/val/test hash-split (stable under corpus
+    * growth — a doc's split never changes as data is added). Per-row
+    * map, zero shuffle. */
+  def q49_train_split(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d).select(col("doc_id"),
+      graft.pipeline.TrainingData.splitAssign(col("doc_id")).as("split"))
+
+  /** PII redaction (emails + 555-phones masked, occurrences counted)
+    * over a deterministically synthesized contact line — the corpus
+    * text is clean token soup, so the PII is injected from doc fields
+    * to exercise the redaction machinery end-to-end. */
+  def q50_pii_redact(s: SparkSession, d: String): DataFrame = {
+    val contact = concat(lit("doc "), col("doc_id").cast("string"),
+      lit(" by "), col("source"), lit("@example.com phone 555-01"),
+      (col("doc_id") % 100).cast("string"), lit(" "),
+      substring(col("text"), 1, 40))
+    val (red, nE, nP) = graft.pipeline.TrainingData.redactPii(contact)
+    Tables.documents(s, d).select(col("doc_id"), red.as("redacted"),
+      nE.as("n_emails"), nP.as("n_phones"))
+  }
+
+  /** Benchmark-contamination check: distinct 5-gram shingles each corpus
+    * doc shares with the benchmark slice (doc_id % 50 = 0) — eval-set
+    * leakage detection via the inverted shingle join. */
+  def q51_contamination(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    graft.pipeline.TrainingData.contamination(
+      docs, docs.filter(col("doc_id") % 50 === 0), n = 5)
+  }
+
+  /** Repeated-block mining: aligned 12-word blocks appearing in ≥2 docs
+    * (boilerplate/template detection; the planted near-dup pairs
+    * guarantee hits). */
+  def q52_repeated_blocks(s: SparkSession, d: String): DataFrame =
+    graft.pipeline.TrainingData.repeatedBlocks(Tables.documents(s, d), 12)
+
+  /** Deterministic stratified sample: keep 1-in-4 embeddings per label
+    * stratum via hash threshold — a pushed-down scan filter. */
+  def q53_stratified_sample(s: SparkSession, d: String): DataFrame =
+    graft.pipeline.TrainingData.stratifiedSample(
+      Tables.embeddings(s, d).select(col("vec_id"), col("label")),
+      col("label"), col("vec_id"), keep = 1, denom = 4)
+
+  /** Deterministic global shuffle into 16 balanced training batches —
+    * hash-bucketed layout, per-batch parallel ordering windows, no
+    * single-partition total sort. */
+  def q54_shuffle_batches(s: SparkSession, d: String): DataFrame =
+    graft.pipeline.TrainingData.shuffleBatches(
+      Tables.documents(s, d), col("doc_id"), numBatches = 16)
+
   private def syntheticBlockLines(s: SparkSession): DataFrame = {
     import s.implicits._
     Seq(
@@ -731,6 +783,12 @@ object SparkEntry {
     "q46_exact_median" -> (q46_exact_median _),
     "q47_anti_join" -> (q47_anti_join _),
     "q48_asof_rates" -> (q48_asof_rates _),
+    "q49_train_split" -> (q49_train_split _),
+    "q50_pii_redact" -> (q50_pii_redact _),
+    "q51_contamination" -> (q51_contamination _),
+    "q52_repeated_blocks" -> (q52_repeated_blocks _),
+    "q53_stratified_sample" -> (q53_stratified_sample _),
+    "q54_shuffle_batches" -> (q54_shuffle_batches _),
   )
 
   // DuckDB twins of the Scala normalization / hashing expressions
@@ -1210,5 +1268,73 @@ object SparkEntry {
         |  JOIN supplier ON l_suppkey = s_suppkey)
         |SELECT DISTINCT a.src, a.dst AS mid, b.dst
         |FROM edges a JOIN edges b ON a.dst = b.src""".stripMargin,
+    "q49_train_split" -> {
+      val b = hash60Sql("'split|'||CAST(doc_id AS VARCHAR)") + " % 100"
+      s"""SELECT doc_id,
+         |  CASE WHEN $b < 80 THEN 'train'
+         |       WHEN $b < 90 THEN 'val'
+         |       ELSE 'test' END AS split
+         |FROM documents""".stripMargin
+    },
+    "q50_pii_redact" ->
+      """WITH c AS (
+        |  SELECT doc_id,
+        |    'doc '||CAST(doc_id AS VARCHAR)||' by '||source
+        |    ||'@example.com phone 555-01'||CAST(doc_id % 100 AS VARCHAR)
+        |    ||' '||substr(text, 1, 40) AS contact
+        |  FROM documents)
+        |SELECT doc_id,
+        |  regexp_replace(regexp_replace(contact,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+', '<EMAIL>', 'g'),
+        |    '555-[0-9]+', '<PHONE>', 'g') AS redacted,
+        |  CAST(len(regexp_extract_all(contact,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+')) AS BIGINT) AS n_emails,
+        |  CAST(len(regexp_extract_all(contact, '555-[0-9]+')) AS BIGINT)
+        |    AS n_phones
+        |FROM c""".stripMargin,
+    "q51_contamination" ->
+      s"""WITH w AS (
+         |  SELECT doc_id, string_split($NormSql, ' ') AS ws FROM documents),
+         |sh AS (
+         |  SELECT doc_id, ${hash60Sql("s")} AS s FROM (
+         |    SELECT DISTINCT doc_id,
+         |      unnest([array_to_string(ws[i:i+4], ' ')
+         |              for i in range(1, greatest(len(ws)-4, 0)+1)]) AS s
+         |    FROM w) t),
+         |bench AS (
+         |  SELECT doc_id AS bench_id, s FROM sh WHERE doc_id % 50 = 0)
+         |SELECT sh.doc_id,
+         |  count(DISTINCT sh.s) AS n_shared,
+         |  count(DISTINCT bench.bench_id) AS n_bench_docs
+         |FROM sh JOIN bench ON sh.s = bench.s AND sh.doc_id <> bench.bench_id
+         |GROUP BY sh.doc_id""".stripMargin,
+    "q52_repeated_blocks" ->
+      s"""WITH w AS (
+         |  SELECT doc_id, string_split($NormSql, ' ') AS ws FROM documents),
+         |b AS (
+         |  SELECT doc_id,
+         |    unnest([array_to_string(ws[i:i+11], ' ')
+         |            for i in range(1, len(ws)-10, 12)]) AS block
+         |  FROM w WHERE len(ws) >= 12)
+         |SELECT ${hash60Sql("block")} AS block_hash,
+         |  count(DISTINCT doc_id) AS n_docs,
+         |  count(*) AS n_total
+         |FROM b GROUP BY 1 HAVING count(DISTINCT doc_id) >= 2""".stripMargin,
+    "q53_stratified_sample" -> {
+      val h = hash60Sql(
+        "CAST(label AS VARCHAR)||'|'||CAST(vec_id AS VARCHAR)")
+      s"""SELECT vec_id, label FROM embeddings
+         |WHERE $h % 4 < 1""".stripMargin
+    },
+    "q54_shuffle_batches" -> {
+      val batch = hash60Sql("'batch|'||CAST(doc_id AS VARCHAR)") + " % 16"
+      val ord = hash60Sql("'order|'||CAST(doc_id AS VARCHAR)")
+      s"""WITH k AS (
+         |  SELECT doc_id AS id, $batch AS batch, $ord AS ord
+         |  FROM documents)
+         |SELECT id, batch,
+         |  row_number() OVER (PARTITION BY batch ORDER BY ord, id) AS pos
+         |FROM k""".stripMargin
+    },
   )
 }

@@ -1,0 +1,112 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.dedup.Dedup.{hash60, normalize}
+
+/** Training-data pipeline operators beyond dedup/similarity: the
+  * assignment, filtering, and layout steps a 100 TB corpus needs between
+  * "raw documents" and "training batches". Everything here is
+  * deterministic (md5-60-bit hashing, no RNG) so each op has an exact
+  * cross-engine DuckDB oracle, and shuffle-bounded: per-row expressions
+  * or single hash-partitioned aggregations — no global sort, no
+  * driver-side state.
+  */
+object TrainingData {
+
+  /** Deterministic train/val/test assignment: bucket = hash60 of the
+    * salted id, mod 100. Stable under corpus growth (a doc's split never
+    * changes when other docs are added) — the property RNG sampling
+    * lacks. Pure per-row map: zero shuffle at any scale. */
+  def splitAssign(id: Column, trainPct: Int = 80, valPct: Int = 10): Column = {
+    val bucket = hash60(concat(lit("split|"), id.cast("string"))) % 100
+    when(bucket < trainPct, "train")
+      .when(bucket < trainPct + valPct, "val")
+      .otherwise("test")
+  }
+
+  /** PII redaction over a text column: masks email addresses and
+    * 555-prefixed phone numbers, and counts each. Patterns are kept to
+    * the regex subset with identical semantics in Java regex (Spark,
+    * codegen'd) and RE2 (DuckDB/Go scanners) — no lookaround, no
+    * backrefs — so redaction is byte-reproducible cross-engine.
+    * @return (redacted, n_emails, n_phones) */
+  val EmailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+"
+  val PhonePattern = "555-[0-9]+"
+  def redactPii(text: Column): (Column, Column, Column) = {
+    val redacted = regexp_replace(
+      regexp_replace(text, EmailPattern, "<EMAIL>"),
+      PhonePattern, "<PHONE>")
+    (redacted,
+      regexp_count(text, lit(EmailPattern)).cast("long"),
+      regexp_count(text, lit(PhonePattern)).cast("long"))
+  }
+
+  /** Benchmark-contamination check: for each corpus doc, how many
+    * distinct word n-gram shingles it shares with any benchmark doc
+    * (eval-set leakage detection). The inverted shingle join — shingles
+    * hashed to 60-bit longs — keeps this sub-quadratic: cost scales with
+    * shingle overlap, never |corpus| × |benchmark|. The benchmark side of
+    * the join is small by construction → broadcast.
+    * @return (doc_id, n_shared, n_bench_docs) for contaminated docs */
+  def contamination(corpus: DataFrame, benchmark: DataFrame,
+                    n: Int = 5): DataFrame = {
+    val sh = (df: DataFrame, idAs: String) =>
+      graft.dedup.Dedup.shingles(df, n)
+        .select(col("doc_id").as(idAs), hash60(col("shingle")).as("s"))
+    sh(corpus, "doc_id")
+      .join(broadcast(sh(benchmark, "bench_id")), Seq("s"))
+      .filter(col("doc_id") =!= col("bench_id"))
+      .groupBy(col("doc_id"))
+      .agg(countDistinct(col("s")).as("n_shared"),
+        countDistinct(col("bench_id")).as("n_bench_docs"))
+  }
+
+  /** Within-corpus repeated-block detection (boilerplate / template
+    * mining): normalized text is cut into aligned `blockWords`-word
+    * blocks, blocks hashed, hashes appearing in ≥2 distinct docs
+    * reported. One shuffle on the block hash; map-side partial counts.
+    * @return (block_hash, n_docs, n_total) */
+  def repeatedBlocks(docs: DataFrame, blockWords: Int = 12): DataFrame =
+    docs.select(col("doc_id"), split(normalize(col("text")), " ").as("w"))
+      .filter(size(col("w")) >= blockWords)
+      .select(col("doc_id"),
+        explode(expr(s"transform(sequence(0, size(w) - $blockWords, " +
+          s"$blockWords), i -> array_join(slice(w, i + 1, $blockWords), " +
+          "' '))")).as("block"))
+      .groupBy(hash60(col("block")).as("block_hash"))
+      .agg(countDistinct(col("doc_id")).as("n_docs"),
+        count(lit(1)).as("n_total"))
+      .filter(col("n_docs") >= 2)
+
+  /** Deterministic stratified sampling: keep a row iff
+    * hash60(stratum|id) mod `denom` < `keep` — an exact keep/denom rate
+    * per stratum, reproducible and stable under corpus growth. Pure
+    * filter: zero shuffle, pushes down to the scan. */
+  def stratifiedSample(df: DataFrame, stratum: Column, id: Column,
+                       keep: Int, denom: Int): DataFrame =
+    df.filter(
+      hash60(concat(stratum.cast("string"), lit("|"), id.cast("string")))
+        % denom < keep)
+
+  /** Deterministic global shuffle into training batches WITHOUT a global
+    * sort: batch = hash60(batch|id) mod `numBatches` (hash-uniform, so
+    * batches are balanced), position within batch by a second independent
+    * hash. The window partitions by batch → numBatches parallel sorts of
+    * |corpus|/numBatches rows each, never a single-partition total order
+    * — the layout step that turns a corpus into epoch-stable batches.
+    * @return (id, batch, pos) */
+  def shuffleBatches(df: DataFrame, id: Column,
+                     numBatches: Int): DataFrame = {
+    val keyed = df.select(id.as("id"))
+      .withColumn("batch",
+        hash60(concat(lit("batch|"), col("id").cast("string")))
+          % numBatches)
+      .withColumn("ord",
+        hash60(concat(lit("order|"), col("id").cast("string"))))
+    val w = Window.partitionBy(col("batch")).orderBy(col("ord"), col("id"))
+    keyed.withColumn("pos", row_number().over(w).cast("long"))
+      .select(col("id"), col("batch"), col("pos"))
+  }
+}

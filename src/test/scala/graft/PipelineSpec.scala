@@ -1,0 +1,77 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.pipeline.TrainingData
+
+class PipelineSpec extends AnyFunSuite with SparkTestBase {
+  import spark.implicits._
+
+  test("splitAssign: deterministic, stable under growth, ~80/10/10") {
+    val small = (0L until 200L).toDF("id")
+      .select($"id", TrainingData.splitAssign($"id").as("split"))
+    val big = (0L until 1000L).toDF("id")
+      .select($"id", TrainingData.splitAssign($"id").as("split"))
+    // growth stability: every doc keeps its split when the corpus grows
+    assert(small.join(big.withColumnRenamed("split", "split2"), "id")
+      .filter($"split" =!= $"split2").count() == 0)
+    val frac = big.groupBy("split").count().as[(String, Long)]
+      .collect().toMap.view.mapValues(_ / 1000.0).toMap
+    assert(math.abs(frac("train") - 0.8) < 0.05, frac)
+    assert(math.abs(frac("val") - 0.1) < 0.04, frac)
+    assert(math.abs(frac("test") - 0.1) < 0.04, frac)
+  }
+
+  test("redactPii: masks and counts emails and 555-phones") {
+    val df = Seq("write a@b.com or c.d@e.org, call 555-0199 now").toDF("t")
+    val (red, nE, nP) = TrainingData.redactPii($"t")
+    val (r, e, p) = df.select(red, nE, nP).as[(String, Long, Long)].head()
+    assert(r == "write <EMAIL> or <EMAIL>, call <PHONE> now")
+    assert(e == 2 && p == 1)
+  }
+
+  test("contamination: finds the doc sharing a 5-gram with the benchmark") {
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "completely different words in this one here now")
+    ).toDF("doc_id", "text")
+    val bench = Seq(
+      (100L, "xx quick brown fox jumps over yy zz")).toDF("doc_id", "text")
+    val got = TrainingData.contamination(corpus, bench, n = 5)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(got == Seq((1L, 1L, 1L))) // "quick brown fox jumps over"
+  }
+
+  test("repeatedBlocks: aligned shared block found, unaligned not") {
+    val block = (1 to 12).map(i => s"w$i").mkString(" ")
+    val corpus = Seq(
+      (1L, block + " " + (1 to 12).map(i => s"a$i").mkString(" ")),
+      (2L, block + " tail tail tail"),
+      (3L, "offset " + block) // same words, not block-aligned
+    ).toDF("doc_id", "text")
+    val got = TrainingData.repeatedBlocks(corpus, 12)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(got.size == 1 && got.head._2 == 2L && got.head._3 == 2L)
+  }
+
+  test("stratifiedSample: deterministic and per-stratum bounded") {
+    val df = (0L until 400L).map(i => (i, (i % 4).toString))
+      .toDF("vec_id", "label")
+    val s1 = TrainingData.stratifiedSample(df, $"label", $"vec_id", 1, 4)
+    val s2 = TrainingData.stratifiedSample(df, $"label", $"vec_id", 1, 4)
+    assert(s1.collect().toSet == s2.collect().toSet)
+    val perLabel = s1.groupBy("label").count().as[(String, Long)]
+      .collect().toMap
+    perLabel.values.foreach(n => assert(n > 10 && n < 40, perLabel))
+  }
+
+  test("shuffleBatches: every id once, pos contiguous from 1 per batch") {
+    val df = (0L until 320L).toDF("doc_id")
+    val got = TrainingData.shuffleBatches(df, $"doc_id", 16)
+    assert(got.select("id").distinct().count() == 320)
+    val bad = got.groupBy("batch")
+      .agg(count(lit(1)).as("n"), max("pos").as("mx"), min("pos").as("mn"))
+      .filter($"mx" =!= $"n" || $"mn" =!= 1)
+    assert(bad.count() == 0)
+  }
+}
