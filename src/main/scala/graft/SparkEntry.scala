@@ -548,6 +548,34 @@ object SparkEntry {
     graft.pipeline.TrainingData.shuffleBatches(
       Tables.documents(s, d), col("doc_id"), numBatches = 16)
 
+  /** Concat-and-chunk sequence packing into 2048-token examples within
+    * 8 hash-assigned batches — integer offsets over a unique per-batch
+    * order, so the layout is exactly reproducible cross-engine. */
+  def q55_sequence_pack(s: SparkSession, d: String): DataFrame =
+    graft.pipeline.TrainingData.packSequences(
+      Tables.documents(s, d), col("doc_id"),
+      size(split(col("text"), " ")), numBatches = 8, budget = 2048L)
+
+  /** Binned range join: orders (as day-offset points) matched to the
+    * synthetic nation intervals containing them. The bin explode turns
+    * the BETWEEN predicate into an equi-join on the bin key — a hash
+    * shuffle instead of the BroadcastNestedLoopJoin Spark plans for a
+    * raw interval join. */
+  def q56_range_join(s: SparkSession, d: String): DataFrame = {
+    val pts = Tables.orders(s, d).select(col("o_orderkey"),
+      datediff(to_date(col("o_orderdate")),
+        lit(java.sql.Date.valueOf("1970-01-01"))).cast(LongType).as("t"))
+    val iv = Tables.nation(s, d)
+      .select(col("n_nationkey").cast(LongType).as("iv_id"))
+      .select(col("iv_id"),
+        (lit(8000L) + col("iv_id") * 100L).as("iv_start"),
+        (lit(8150L) + col("iv_id") * 100L + (col("iv_id") % 5L) * 80L)
+          .as("iv_end"))
+    graft.ops.RangeJoin
+      .pointInInterval(pts, "t", iv, "iv_start", "iv_end", 256L)
+      .select(col("o_orderkey"), col("t"), col("iv_id"))
+  }
+
   private def syntheticBlockLines(s: SparkSession): DataFrame = {
     import s.implicits._
     Seq(
@@ -789,6 +817,8 @@ object SparkEntry {
     "q52_repeated_blocks" -> (q52_repeated_blocks _),
     "q53_stratified_sample" -> (q53_stratified_sample _),
     "q54_shuffle_batches" -> (q54_shuffle_batches _),
+    "q55_sequence_pack" -> (q55_sequence_pack _),
+    "q56_range_join" -> (q56_range_join _),
   )
 
   // DuckDB twins of the Scala normalization / hashing expressions
@@ -1336,5 +1366,36 @@ object SparkEntry {
          |  row_number() OVER (PARTITION BY batch ORDER BY ord, id) AS pos
          |FROM k""".stripMargin
     },
+    "q55_sequence_pack" -> {
+      val batch = hash60Sql("'batch|'||CAST(doc_id AS VARCHAR)") + " % 8"
+      val ord = hash60Sql("'order|'||CAST(doc_id AS VARCHAR)")
+      s"""WITH k AS (
+         |  SELECT doc_id AS id,
+         |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+         |    $batch AS batch, $ord AS ord
+         |  FROM documents),
+         |c AS (
+         |  SELECT id, batch, n_tokens,
+         |    CAST(sum(n_tokens) OVER (PARTITION BY batch
+         |      ORDER BY ord, id ROWS UNBOUNDED PRECEDING) AS BIGINT)
+         |      - n_tokens AS tok_start
+         |  FROM k)
+         |SELECT id, batch, tok_start, tok_start // 2048 AS example
+         |FROM c""".stripMargin
+    },
+    "q56_range_join" ->
+      """WITH pts AS (
+        |  SELECT o_orderkey,
+        |    CAST(date_diff('day', DATE '1970-01-01',
+        |      CAST(o_orderdate AS DATE)) AS BIGINT) AS t
+        |  FROM orders),
+        |iv AS (
+        |  SELECT CAST(n_nationkey AS BIGINT) AS iv_id,
+        |    8000 + CAST(n_nationkey AS BIGINT) * 100 AS iv_start,
+        |    8150 + CAST(n_nationkey AS BIGINT) * 100
+        |      + (CAST(n_nationkey AS BIGINT) % 5) * 80 AS iv_end
+        |  FROM nation)
+        |SELECT o_orderkey, t, iv_id
+        |FROM pts JOIN iv ON t BETWEEN iv_start AND iv_end""".stripMargin,
   )
 }

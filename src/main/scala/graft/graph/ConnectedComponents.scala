@@ -27,9 +27,10 @@ object ConnectedComponents {
     var changed = 1L
     var i = 0
     while (changed > 0 && i < maxIterations) {
-      // propagate: min over neighbors' labels and own. Materialized before
-      // the shortcut self-join (both join sides + the convergence check
-      // read it — without the cut the propagate plan executes 2-3×).
+      // propagate: min over neighbors' labels and own. NOT materialized:
+      // the shortcut self-join reads it twice, but recomputing this
+      // small join/agg twice inside one job is cheaper than a separate
+      // materialization job per round — only `next` is checkpointed.
       val neighborMin = und
         .join(labels, und("b") === labels("id"))
         .groupBy(col("a").as("id"))
@@ -38,7 +39,6 @@ object ConnectedComponents {
         .select(col("id"), col("component").as("prev"),
           least(col("component"), coalesce(col("nbr_min"),
             col("component"))).as("component"))
-        .localCheckpoint(true)
       // shortcut (pointer doubling): jump to the label's label — chains
       // collapse in O(log diameter) rounds instead of O(diameter).
       // `prev` rides along so convergence is a filter+count on the

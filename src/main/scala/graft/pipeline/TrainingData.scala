@@ -97,6 +97,30 @@ object TrainingData {
     * |corpus|/numBatches rows each, never a single-partition total order
     * — the layout step that turns a corpus into epoch-stable batches.
     * @return (id, batch, pos) */
+  /** Concat-and-chunk sequence packing: docs are laid out in a
+    * deterministic hash order within hash-assigned batches, token
+    * offsets accumulate, and example id = start-offset div `budget` —
+    * the standard "concatenate then split every N tokens" layout of LLM
+    * pretraining. All integer arithmetic over a unique total order per
+    * batch → exactly reproducible cross-engine. The cumulative window
+    * runs per batch (parallel), never over a single global partition.
+    * @return (id, batch, tok_start, example) */
+  def packSequences(df: DataFrame, id: Column, nTokens: Column,
+                    numBatches: Int, budget: Long): DataFrame = {
+    val keyed = df.select(id.as("id"), nTokens.cast("long").as("n_tokens"))
+      .withColumn("batch",
+        hash60(concat(lit("batch|"), col("id").cast("string")))
+          % numBatches)
+      .withColumn("ord",
+        hash60(concat(lit("order|"), col("id").cast("string"))))
+    val w = Window.partitionBy(col("batch")).orderBy(col("ord"), col("id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    keyed
+      .withColumn("tok_start", sum(col("n_tokens")).over(w) - col("n_tokens"))
+      .select(col("id"), col("batch"), col("tok_start"),
+        expr(s"tok_start div ${budget}L").as("example"))
+  }
+
   def shuffleBatches(df: DataFrame, id: Column,
                      numBatches: Int): DataFrame = {
     val keyed = df.select(id.as("id"))

@@ -65,6 +65,21 @@ class PipelineSpec extends AnyFunSuite with SparkTestBase {
     perLabel.values.foreach(n => assert(n > 10 && n < 40, perLabel))
   }
 
+  test("packSequences: offsets accumulate, example = start div budget") {
+    val df = (0L until 100L).map(i => (i, 10L + i % 7)).toDF("id", "n")
+    val got = TrainingData.packSequences(df, $"id", $"n", 4, 50L)
+    // per batch: tok_start strictly increasing by n in hash order, and
+    // examples are the budget-chunking of that layout
+    val rows = got.withColumn("example2", expr("tok_start div 50"))
+      .filter($"example" =!= $"example2")
+    assert(rows.count() == 0)
+    val perBatch = got.groupBy("batch").agg(
+      count(lit(1)).as("n_docs"), min("tok_start").as("first"))
+      .as[(Long, Long, Long)].collect()
+    assert(perBatch.length == 4 && perBatch.forall(_._3 == 0L))
+    assert(got.select("id").distinct().count() == 100)
+  }
+
   test("shuffleBatches: every id once, pos contiguous from 1 per batch") {
     val df = (0L until 320L).toDF("doc_id")
     val got = TrainingData.shuffleBatches(df, $"doc_id", 16)

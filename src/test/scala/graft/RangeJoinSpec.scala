@@ -1,0 +1,45 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.ops.RangeJoin
+
+class RangeJoinSpec extends AnyFunSuite with SparkTestBase {
+  import spark.implicits._
+
+  private lazy val points =
+    Seq((1L, 5L), (2L, 100L), (3L, 255L), (4L, 256L), (5L, 1000L))
+      .toDF("pid", "t")
+  private lazy val intervals =
+    Seq((10L, 0L, 99L), (11L, 50L, 300L), (12L, 256L, 256L),
+      (13L, 2000L, 3000L)).toDF("iv", "s", "e")
+
+  test("matches exactly the BETWEEN semantics, inclusive bounds") {
+    val got = RangeJoin.pointInInterval(points, "t", intervals, "s", "e", 64L)
+      .select("pid", "iv").as[(Long, Long)].collect().toSet
+    val expected = (for {
+      (p, t) <- Seq((1L, 5L), (2L, 100L), (3L, 255L), (4L, 256L), (5L, 1000L))
+      (iv, s, e) <- Seq((10L, 0L, 99L), (11L, 50L, 300L), (12L, 256L, 256L),
+        (13L, 2000L, 3000L))
+      if t >= s && t <= e
+    } yield (p, iv)).toSet
+    assert(got == expected && expected.nonEmpty)
+    // sanity of the fixture: multi-match, boundary, and no-match cases
+    assert(expected.contains((3L, 11L)) && expected.contains((4L, 12L)))
+  }
+
+  test("no duplicate matches from interval bin replication") {
+    val wide = Seq((20L, 0L, 1000L)).toDF("iv", "s", "e") // spans many bins
+    val got = RangeJoin.pointInInterval(points, "t", wide, "s", "e", 16L)
+    assert(got.count() == got.distinct().count())
+    assert(got.count() == 5) // every point ≤ 1000 matches once
+  }
+
+  test("plan is an equi-join (hash/merge), not a nested loop") {
+    val plan = RangeJoin
+      .pointInInterval(points, "t", intervals, "s", "e", 64L)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+}
