@@ -17,8 +17,10 @@ object Bench {
     // parquet footer reads, shuffle/broadcast thread pools) so the timed
     // numbers measure query cost, not JVM startup — round-1 profiles
     // showed the first query absorbing ~6 s of session warm-up.
+    // one query per heavy plan family: TPC-ish agg, event scan, text,
+    // vector, shingle/dedup mining, iterative graph
     for (w <- Seq("q01_agg_sums", "q16_slot_time", "q24_fingerprint",
-                  "q25_cosine_topk"))
+                  "q25_cosine_topk", "q18_ngram_jaccard", "q34_pagerank"))
       try SparkEntry.queries(w)(spark, sfDir).count()
       catch { case _: Throwable => }
     val results = SparkEntry.queries.map { case (name, fn) =>

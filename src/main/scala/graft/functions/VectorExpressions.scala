@@ -159,5 +159,7 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
     e.injectFunction((new FunctionIdentifier("graft_cosine"),
       new ExpressionInfo(classOf[CosineSimilarity].getName, "graft_cosine"),
       (es: Seq[Expression]) => CosineSimilarity(es.head, es(1))))
+    // auto-rewrite nested-loop range joins into the binned equi-join form
+    e.injectOptimizerRule(_ => graft.plans.RangeJoinRewrite())
   }
 }

@@ -1,0 +1,123 @@
+package graft.plans
+
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.plans.Inner
+import org.apache.spark.sql.catalyst.plans.logical._
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.types._
+
+/** Optimizer rule: an inner join whose only cross-side predicate is
+  * range containment —
+  *
+  *   lo ≤ p AND p ≤ hi   (p from one side; lo, hi from the other;
+  *                        no equi-join conjunct)
+  *
+  * — would be planned by Spark as BroadcastNestedLoopJoin: O(n·m) row
+  * comparisons, the classic scale killer for interval joins. This rule
+  * rewrites it into the binned form of [[graft.ops.RangeJoin]] at the
+  * logical level: the bound side explodes to every fixed-width bin the
+  * interval overlaps, the point side computes its single bin, and the
+  * join becomes an equi-join on the bin plus the original predicate as
+  * an exact refinement. Hash-shuffleable, AQE-skew-splittable.
+  *
+  * Correctness notes: truncating integer division by a positive width
+  * is monotone, so a contained point's bin always lies in
+  * [lo div w, hi div w] — no candidate is lost, and a point has exactly
+  * one bin so no match duplicates. Null points/bounds produce a null
+  * bin which the equi-join drops, matching BETWEEN's unknown→no-match.
+  * The rewritten join carries an equi conjunct, so the rule cannot
+  * re-fire on its own output (idempotent under transformUp). Restricted
+  * to integral types — no ANSI-sensitive casts.
+  *
+  * Bin width: `spark.graft.rangeJoin.binWidth` (default 256); pick it
+  * near the median interval length so interval replication stays O(1).
+  * Injected via [[graft.functions.GraftExtensions]].
+  */
+object RangeJoinRewrite {
+  /** Idempotent registration on an already-built session (the
+    * SparkSessionExtensions path needs the rule at build time;
+    * extraOptimizations is the public post-hoc hook). */
+  def register(spark: org.apache.spark.sql.SparkSession): Unit = {
+    val cur = spark.experimental.extraOptimizations
+    if (!cur.exists(_.isInstanceOf[RangeJoinRewrite]))
+      spark.experimental.extraOptimizations = cur :+ RangeJoinRewrite()
+  }
+}
+
+case class RangeJoinRewrite() extends Rule[LogicalPlan] with PredicateHelper {
+
+  private def binWidth: Long =
+    conf.getConfString("spark.graft.rangeJoin.binWidth", "256").toLong
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
+    case j @ Join(left, right, Inner, Some(cond), hint) =>
+      val conjuncts = splitConjunctivePredicates(cond)
+      val hasCrossEqui = conjuncts.exists {
+        case EqualTo(a, b) =>
+          (canEvaluate(a, left) && canEvaluate(b, right)) ||
+            (canEvaluate(a, right) && canEvaluate(b, left))
+        case _ => false
+      }
+      if (hasCrossEqui) j
+      else findRange(conjuncts, left, right) match {
+        case Some((point, lo, hi, pointOnLeft)) =>
+          rewrite(j, point, lo, hi, pointOnLeft)
+        case None => j
+      }
+  }
+
+  private def isIntegral(e: Expression): Boolean = e.dataType match {
+    case ByteType | ShortType | IntegerType | LongType => true
+    case _ => false
+  }
+
+  /** Normalize every ≤/≥ conjunct to `a ≤ b`, then find a pair
+    * `lo ≤ p`, `p ≤ hi` where p is the same integral expression from
+    * one join side and lo/hi both come from the other side. */
+  private def findRange(conjuncts: Seq[Expression], left: LogicalPlan,
+                        right: LogicalPlan)
+      : Option[(Expression, Expression, Expression, Boolean)] = {
+    val les = conjuncts.collect {
+      case LessThanOrEqual(a, b) => (a, b)
+      case GreaterThanOrEqual(a, b) => (b, a)
+    }.filter { case (a, b) => isIntegral(a) && isIntegral(b) }
+    val sides = Seq(true, false)
+    (for {
+      pointOnLeft <- sides.iterator
+      (pointChild, boundChild) =
+        if (pointOnLeft) (left, right) else (right, left)
+      (lo, p1) <- les
+      if canEvaluate(p1, pointChild) && canEvaluate(lo, boundChild)
+      (p2, hi) <- les
+      if p1.semanticEquals(p2) && canEvaluate(hi, boundChild)
+    } yield (p1, lo, hi, pointOnLeft)).nextOption()
+  }
+
+  private def rewrite(j: Join, point: Expression, lo: Expression,
+                      hi: Expression, pointOnLeft: Boolean): LogicalPlan = {
+    val w = Literal(binWidth, LongType)
+    def toLong(e: Expression): Expression =
+      if (e.dataType == LongType) e else Cast(e, LongType)
+    val (pointChild, boundChild) =
+      if (pointOnLeft) (j.left, j.right) else (j.right, j.left)
+
+    val pBin = Alias(IntegralDivide(toLong(point), w), "__graft_bin")()
+    val pointProj = Project(pointChild.output :+ pBin, pointChild)
+
+    val binAttr = AttributeReference("__graft_bin", LongType,
+      nullable = true)()
+    val seq = Sequence(IntegralDivide(toLong(lo), w),
+      IntegralDivide(toLong(hi), w), Some(Literal(1L, LongType)),
+      Some(conf.sessionLocalTimeZone))
+    val boundGen = Generate(Explode(seq), unrequiredChildIndex = Nil,
+      outer = false, qualifier = None, generatorOutput = Seq(binAttr),
+      child = boundChild)
+
+    val (newLeft, newRight) =
+      if (pointOnLeft) (pointProj, boundGen) else (boundGen, pointProj)
+    val newCond = And(EqualTo(pBin.toAttribute, binAttr),
+      j.condition.get)
+    Project(j.output,
+      Join(newLeft, newRight, Inner, Some(newCond), j.hint))
+  }
+}

@@ -1,0 +1,74 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.plans.RangeJoinRewrite
+
+class RangeJoinRewriteSpec extends AnyFunSuite with SparkTestBase {
+  import spark.implicits._
+
+  RangeJoinRewrite.register(spark)
+
+  private lazy val points =
+    Seq((1L, 5L), (2L, 100L), (3L, 255L), (4L, 256L), (5L, 1000L))
+      .toDF("pid", "t")
+  private lazy val intervals =
+    Seq((10L, 0L, 99L), (11L, 50L, 300L), (12L, 256L, 256L),
+      (13L, 2000L, 3000L)).toDF("iv", "s", "e")
+
+  private val expected = (for {
+    (p, t) <- Seq((1L, 5L), (2L, 100L), (3L, 255L), (4L, 256L), (5L, 1000L))
+    (iv, s, e) <- Seq((10L, 0L, 99L), (11L, 50L, 300L), (12L, 256L, 256L),
+      (13L, 2000L, 3000L))
+    if t >= s && t <= e
+  } yield (p, iv)).toSet
+
+  test("raw BETWEEN join is rewritten: equi-join plan, exact results") {
+    val joined = points.join(intervals, $"t" >= $"s" && $"t" <= $"e")
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+    assert(plan.contains("__graft_bin"), plan)
+    assert(joined.select("pid", "iv").as[(Long, Long)].collect().toSet
+      == expected)
+  }
+
+  test("flipped operand orientation (lo <= p, hi >= p) also rewrites") {
+    val joined = points.join(intervals, $"s" <= $"t" && $"e" >= $"t")
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+    assert(joined.select("pid", "iv").as[(Long, Long)].collect().toSet
+      == expected)
+  }
+
+  test("join with an equi conjunct is left alone (hash join handles it)") {
+    val pts2 = points.withColumn("k", $"pid" % 2)
+    val iv2 = intervals.withColumn("k2", $"iv" % 2)
+    val joined = pts2.join(iv2,
+      $"k" === $"k2" && $"t" >= $"s" && $"t" <= $"e")
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(!plan.contains("__graft_bin"), plan)
+    val exp2 = (for {
+      (p, t) <- Seq((1L, 5L), (2L, 100L), (3L, 255L), (4L, 256L), (5L, 1000L))
+      (iv, s, e) <- Seq((10L, 0L, 99L), (11L, 50L, 300L), (12L, 256L, 256L),
+        (13L, 2000L, 3000L))
+      if t >= s && t <= e && p % 2 == iv % 2
+    } yield (p, iv)).toSet
+    assert(joined.select("pid", "iv").as[(Long, Long)].collect().toSet
+      == exp2)
+  }
+
+  test("non-inner joins are left alone") {
+    val joined = points.join(intervals,
+      $"t" >= $"s" && $"t" <= $"e", "left")
+    assert(!joined.queryExecution.executedPlan.toString
+      .contains("__graft_bin"))
+    // 5 matched pairs + 1 null-padded row for pid=5 (t=1000, no interval)
+    assert(joined.count() == expected.size + 1)
+  }
+
+  test("one-sided bound (no upper) is left alone") {
+    val joined = points.join(intervals, $"t" >= $"s")
+    assert(!joined.queryExecution.executedPlan.toString
+      .contains("__graft_bin"))
+  }
+}
