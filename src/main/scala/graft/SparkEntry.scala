@@ -576,6 +576,28 @@ object SparkEntry {
       .select(col("o_orderkey"), col("t"), col("iv_id"))
   }
 
+  /** Per-source quality gate: drop the worst quality quartile within
+    * each source (per-domain gating — parallel windows keyed by source,
+    * no global sort). Composes the q21 quality score. */
+  def q57_quality_gate(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val scored = graft.text.TextAnalysis.qualityScore(docs)
+      .join(docs.select(col("doc_id"), col("source")), Seq("doc_id"))
+    graft.pipeline.TrainingData
+      .qualityGate(scored, col("source"), col("quality"), col("doc_id"),
+        minPercentile = 0.25)
+      .select(col("doc_id"), col("source"), col("quality"))
+  }
+
+  /** Language-mix rebalancing: every language deterministically
+    * downsampled to the rarest language's rate (uniform target mix over
+    * the skewed lang column — en is 3× fr in the corpus) — one count
+    * aggregation + 1-row broadcast min, then a pure filter. */
+  def q58_source_mix(s: SparkSession, d: String): DataFrame =
+    graft.pipeline.TrainingData.rebalanceStrata(
+      Tables.documents(s, d).select(col("doc_id"), col("lang")),
+      col("lang"), col("doc_id"))
+
   private def syntheticBlockLines(s: SparkSession): DataFrame = {
     import s.implicits._
     Seq(
@@ -819,6 +841,8 @@ object SparkEntry {
     "q54_shuffle_batches" -> (q54_shuffle_batches _),
     "q55_sequence_pack" -> (q55_sequence_pack _),
     "q56_range_join" -> (q56_range_join _),
+    "q57_quality_gate" -> (q57_quality_gate _),
+    "q58_source_mix" -> (q58_source_mix _),
   )
 
   // DuckDB twins of the Scala normalization / hashing expressions
@@ -1397,5 +1421,36 @@ object SparkEntry {
         |  FROM nation)
         |SELECT o_orderkey, t, iv_id
         |FROM pts JOIN iv ON t BETWEEN iv_start AND iv_end""".stripMargin,
+    "q57_quality_gate" ->
+      """WITH t AS (
+        |  SELECT doc_id, source, text,
+        |    string_split_regex(trim(lower(text)), '\s+') AS ws
+        |  FROM documents),
+        |s AS (
+        |  SELECT doc_id, source,
+        |    least(1.0,
+        |      ((CAST(len(list_filter(ws, w -> list_contains(
+        |          ['the','a','of','to','and','in','is','it','for','on'],
+        |          w))) AS DOUBLE) / CAST(len(ws) AS DOUBLE)) * 2.0
+        |       + CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g'))
+        |           AS DOUBLE) / CAST(length(text) AS DOUBLE)) / 2.0)
+        |      AS quality
+        |  FROM t),
+        |r AS (
+        |  SELECT doc_id, source, quality,
+        |    percent_rank() OVER (PARTITION BY source
+        |      ORDER BY quality, doc_id) AS pr
+        |  FROM s)
+        |SELECT doc_id, source, quality FROM r WHERE pr >= 0.25""".stripMargin,
+    "q58_source_mix" -> {
+      val h = hash60Sql("'mix|'||CAST(doc_id AS VARCHAR)")
+      s"""WITH c AS (
+         |  SELECT lang AS lg, count(*) AS n FROM documents
+         |  GROUP BY lang),
+         |m AS (SELECT min(n) AS min_n FROM c)
+         |SELECT doc_id, lang
+         |FROM documents JOIN c ON lang = c.lg, m
+         |WHERE $h % c.n < m.min_n""".stripMargin
+    },
   )
 }

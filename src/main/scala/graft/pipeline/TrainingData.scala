@@ -97,6 +97,39 @@ object TrainingData {
     * |corpus|/numBatches rows each, never a single-partition total order
     * — the layout step that turns a corpus into epoch-stable batches.
     * @return (id, batch, pos) */
+  /** Per-stratum quality gate: keep rows whose score percent_rank within
+    * their stratum is ≥ `minPercentile` (e.g. 0.25 drops the worst
+    * quartile per source/domain — the per-domain gating real pipelines
+    * use, rather than one global threshold that lets a high-quality
+    * domain crowd out others). Windows partition by stratum → parallel
+    * sorts, never a global single-partition order. percent_rank is
+    * (rank−1)/(n−1): exact integer ratios, identical cross-engine. */
+  def qualityGate(df: DataFrame, stratum: Column, score: Column,
+                  id: Column, minPercentile: Double): DataFrame = {
+    val w = Window.partitionBy(stratum).orderBy(score, id)
+    df.withColumn("pr", percent_rank().over(w))
+      .filter(col("pr") >= minPercentile)
+      .drop("pr")
+  }
+
+  /** Source-mix rebalancing: uniformly downsample every stratum to the
+    * smallest stratum's size — `hash60(id) % n_stratum < n_min` keeps
+    * exactly rate n_min/n_stratum, deterministically. The per-stratum
+    * counts are one aggregation; the global min is a 1-row broadcast —
+    * no global windows, no second pass over the data. */
+  def rebalanceStrata(df: DataFrame, stratum: Column,
+                      id: Column): DataFrame = {
+    val counts = df.groupBy(stratum.as("__stratum"))
+      .agg(count(lit(1)).as("__n"))
+    val minN = counts.agg(min(col("__n")).as("__min_n"))
+    df.join(broadcast(counts), stratum === col("__stratum"))
+      .crossJoin(broadcast(minN))
+      .filter(
+        hash60(concat(lit("mix|"), id.cast("string"))) % col("__n")
+          < col("__min_n"))
+      .drop("__stratum", "__n", "__min_n")
+  }
+
   /** Concat-and-chunk sequence packing: docs are laid out in a
     * deterministic hash order within hash-assigned batches, token
     * offsets accumulate, and example id = start-offset div `budget` —

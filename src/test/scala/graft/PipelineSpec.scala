@@ -65,6 +65,30 @@ class PipelineSpec extends AnyFunSuite with SparkTestBase {
     perLabel.values.foreach(n => assert(n > 10 && n < 40, perLabel))
   }
 
+  test("qualityGate: drops exactly the worst quartile per stratum") {
+    // scores 0..19 per stratum → pr >= 0.25 keeps scores 5..19
+    val df = (for (s <- Seq("a", "b"); i <- 0 until 20)
+      yield (s"$s$i", s, i.toDouble)).toDF("id", "stratum", "score")
+    val kept = TrainingData.qualityGate(df, $"stratum", $"score", $"id",
+      0.25)
+    assert(kept.count() == 30)
+    assert(kept.groupBy("stratum").agg(min("score")).as[(String, Double)]
+      .collect().toMap.values.forall(_ == 5.0))
+  }
+
+  test("rebalanceStrata: skewed strata downsample toward the smallest") {
+    val df = ((0L until 300L).map(i => (i, "big")) ++
+      (300L until 350L).map(i => (i, "small"))).toDF("id", "stratum")
+    val got = TrainingData.rebalanceStrata(df, $"stratum", $"id")
+    val counts = got.groupBy("stratum").count().as[(String, Long)]
+      .collect().toMap
+    assert(counts("small") == 50) // hash % 50 < 50 always
+    assert(counts("big") > 25 && counts("big") < 80, counts) // ≈ 50
+    // deterministic
+    assert(TrainingData.rebalanceStrata(df, $"stratum", $"id")
+      .collect().toSet == got.collect().toSet)
+  }
+
   test("packSequences: offsets accumulate, example = start div budget") {
     val df = (0L until 100L).map(i => (i, 10L + i % 7)).toDF("id", "n")
     val got = TrainingData.packSequences(df, $"id", $"n", 4, 50L)
