@@ -598,6 +598,20 @@ object SparkEntry {
       Tables.documents(s, d).select(col("doc_id"), col("lang")),
       col("lang"), col("doc_id"))
 
+  /** Per-group top-k via the bounded-heap TypedImperativeAggregate
+    * (map-side partial heaps; only k rows per group per partition cross
+    * the shuffle — vs the window form's full per-group sort). Ranked
+    * array exploded back to rows for the oracle. */
+  def q59_topk_agg(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .groupBy(col("o_orderpriority"))
+      .agg(graft.functions.TopKAgg.topk_agg(
+        col("o_totalprice"), col("o_orderkey"), 5).as("ids"))
+      .select(col("o_orderpriority"),
+        posexplode(col("ids")).as(Seq("i", "o_orderkey")))
+      .select(col("o_orderpriority"),
+        (col("i") + 1).cast(LongType).as("rank"), col("o_orderkey"))
+
   private def syntheticBlockLines(s: SparkSession): DataFrame = {
     import s.implicits._
     Seq(
@@ -843,6 +857,7 @@ object SparkEntry {
     "q56_range_join" -> (q56_range_join _),
     "q57_quality_gate" -> (q57_quality_gate _),
     "q58_source_mix" -> (q58_source_mix _),
+    "q59_topk_agg" -> (q59_topk_agg _),
   )
 
   // DuckDB twins of the Scala normalization / hashing expressions
@@ -1452,5 +1467,13 @@ object SparkEntry {
          |FROM documents JOIN c ON lang = c.lg, m
          |WHERE $h % c.n < m.min_n""".stripMargin
     },
+    "q59_topk_agg" ->
+      """SELECT o_orderpriority, CAST(rn AS BIGINT) AS rank, o_orderkey
+        |FROM (
+        |  SELECT o_orderpriority, o_orderkey,
+        |    row_number() OVER (PARTITION BY o_orderpriority
+        |      ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        |  FROM orders) t
+        |WHERE rn <= 5""".stripMargin,
   )
 }

@@ -1,0 +1,125 @@
+package graft.functions
+
+import java.nio.ByteBuffer
+import scala.collection.mutable
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.graftbridge.Bridge
+import org.apache.spark.sql.types._
+
+/** Per-group top-k as a bounded-heap aggregate (W2/W5 scale path).
+  *
+  * The window formulation (`row_number() OVER (... ORDER BY score)`
+  * then `rank <= k`) SORTS every group's full row set before discarding
+  * all but k rows — at 100 TB that is a full shuffle + sort of the fact
+  * table to keep a handful of rows per group. This aggregate keeps a
+  * k-bounded min-heap per group: input rows fold into partial heaps
+  * map-side, partial heaps merge (still ≤ k entries each), and only
+  * k (score, id) pairs per group per map partition ever cross the wire.
+  * The classic partial-aggregation top-k — same output, shuffle shrunk
+  * from |group| to k·partitions.
+  *
+  * Order: score descending, id ascending on ties — a total order, so
+  * results are deterministic and cross-engine oracle-able.
+  * Output: the ranked array of ids (best first).
+  */
+case class TopKAgg(
+    score: Expression,
+    id: Expression,
+    k: Int,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[mutable.PriorityQueue[(Double, Long)]] {
+
+  require(k > 0, "k must be positive")
+
+  override def children: Seq[Expression] = Seq(score, id)
+  override def nullable: Boolean = false
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_topk"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (score.dataType == DoubleType && id.dataType == LongType)
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires (double score, bigint id), got " +
+        s"(${score.dataType.simpleString}, ${id.dataType.simpleString})")
+
+  // head/dequeue must yield the WORST kept entry (lowest score; ties:
+  // highest id) so eviction keeps the best k under (score desc, id asc)
+  private val worstFirst: Ordering[(Double, Long)] =
+    Ordering.by(t => (-t._1, t._2))
+
+  override def createAggregationBuffer()
+      : mutable.PriorityQueue[(Double, Long)] =
+    mutable.PriorityQueue.empty(worstFirst)
+
+  private def add(buf: mutable.PriorityQueue[(Double, Long)],
+                  s: Double, i: Long): Unit = {
+    if (buf.size < k) buf.enqueue((s, i))
+    else {
+      val (ws, wi) = buf.head
+      // strictly better than the worst kept → replace
+      if (s > ws || (s == ws && i < wi)) { buf.dequeue(); buf.enqueue((s, i)) }
+    }
+  }
+
+  override def update(buf: mutable.PriorityQueue[(Double, Long)],
+                      row: InternalRow)
+      : mutable.PriorityQueue[(Double, Long)] = {
+    val s = score.eval(row)
+    val i = id.eval(row)
+    if (s != null && i != null)
+      add(buf, s.asInstanceOf[Double], i.asInstanceOf[Long])
+    buf
+  }
+
+  override def merge(a: mutable.PriorityQueue[(Double, Long)],
+                     b: mutable.PriorityQueue[(Double, Long)])
+      : mutable.PriorityQueue[(Double, Long)] = {
+    b.foreach { case (s, i) => add(a, s, i) }
+    a
+  }
+
+  override def eval(buf: mutable.PriorityQueue[(Double, Long)]): Any =
+    new GenericArrayData(
+      buf.toArray.sortBy(t => (-t._1, t._2)).map(_._2))
+
+  override def serialize(buf: mutable.PriorityQueue[(Double, Long)])
+      : Array[Byte] = {
+    val bb = ByteBuffer.allocate(4 + 16 * buf.size)
+    bb.putInt(buf.size)
+    buf.foreach { case (s, i) => bb.putDouble(s); bb.putLong(i) }
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte])
+      : mutable.PriorityQueue[(Double, Long)] = {
+    val bb = ByteBuffer.wrap(bytes)
+    val n = bb.getInt()
+    val buf = createAggregationBuffer()
+    (0 until n).foreach(_ => buf.enqueue((bb.getDouble(), bb.getLong())))
+    buf
+  }
+
+  override def withNewMutableAggBufferOffset(o: Int): TopKAgg =
+    copy(mutableAggBufferOffset = o)
+  override def withNewInputAggBufferOffset(o: Int): TopKAgg =
+    copy(inputAggBufferOffset = o)
+  override protected def withNewChildrenInternal(
+      cs: IndexedSeq[Expression]): TopKAgg =
+    copy(score = cs(0), id = cs(1))
+}
+
+object TopKAgg {
+  /** Column form: topk_agg(score, id, k) for groupBy().agg() — returns
+    * the ranked id array (best first, score desc / id asc). */
+  def topk_agg(score: Column, id: Column, k: Int): Column =
+    Bridge.column(
+      TopKAgg(Bridge.expression(score), Bridge.expression(id), k)
+        .toAggregateExpression())
+}

@@ -1,0 +1,55 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.functions.TopKAgg.topk_agg
+
+class TopKAggSpec extends AnyFunSuite with SparkTestBase {
+  import spark.implicits._
+
+  test("hand data: best k by score desc, ties by id asc") {
+    val df = Seq(
+      ("a", 3.0, 1L), ("a", 5.0, 2L), ("a", 5.0, 3L), ("a", 1.0, 4L),
+      ("b", 2.0, 9L)).toDF("g", "s", "id")
+    val got = df.groupBy("g").agg(topk_agg($"s", $"id", 2).as("ids"))
+      .as[(String, Seq[Long])].collect().toMap
+    assert(got("a") == Seq(2L, 3L)) // 5.0 twice → lower id first
+    assert(got("b") == Seq(9L))     // fewer than k rows
+  }
+
+  test("agrees with the window top-k on a skewed random-ish table") {
+    val df = spark.range(0, 5000).select(
+      (col("id") % 7).cast("string").as("g"),
+      (col("id") * 2654435761L % 1000).cast("double").as("s"),
+      col("id").as("rid"))
+    val win = Window.partitionBy("g").orderBy($"s".desc, $"rid".asc)
+    val expected = df.withColumn("rn", row_number().over(win))
+      .filter($"rn" <= 10).select($"g", $"rn".cast("long"), $"rid")
+      .as[(String, Long, Long)].collect().toSet
+    val got = df.groupBy("g").agg(topk_agg($"s", $"rid", 10).as("ids"))
+      .select($"g", posexplode($"ids").as(Seq("i", "rid")))
+      .select($"g", ($"i" + 1).cast("long"), $"rid")
+      .as[(String, Long, Long)].collect().toSet
+    assert(got == expected)
+  }
+
+  test("partial-heap merge across many partitions matches single heap") {
+    val df = spark.range(0, 2000).repartition(32).select(
+      lit("x").as("g"), col("id").cast("double").as("s"), col("id").as("rid"))
+    val got = df.groupBy("g").agg(topk_agg($"s", $"rid", 5).as("ids"))
+      .as[(String, Seq[Long])].head()._2
+    assert(got == Seq(1999L, 1998L, 1997L, 1996L, 1995L))
+  }
+
+  test("objectHashAggregate plan, no window sort of the full input") {
+    val df = spark.range(0, 100).select(
+      (col("id") % 3).cast("string").as("g"),
+      col("id").cast("double").as("s"), col("id").as("rid"))
+    val plan = df.groupBy("g").agg(topk_agg($"s", $"rid", 3))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("ObjectHashAggregate") ||
+      plan.contains("SortAggregate"), plan)
+    assert(!plan.contains("Window"), plan)
+  }
+}
