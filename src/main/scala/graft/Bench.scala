@@ -20,7 +20,8 @@ object Bench {
     // one query per heavy plan family: TPC-ish agg, event scan, text,
     // vector, shingle/dedup mining, iterative graph
     for (w <- Seq("q01_agg_sums", "q16_slot_time", "q24_fingerprint",
-                  "q25_cosine_topk", "q18_ngram_jaccard", "q34_pagerank"))
+                  "q25_cosine_topk", "q18_ngram_jaccard", "q34_pagerank",
+                  "q51_contamination"))
       try SparkEntry.queries(w)(spark, sfDir).count()
       catch { case _: Throwable => }
     val results = SparkEntry.queries.map { case (name, fn) =>
