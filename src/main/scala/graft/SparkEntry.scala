@@ -612,6 +612,16 @@ object SparkEntry {
       .select(col("o_orderpriority"),
         (col("i") + 1).cast(LongType).as("rank"), col("o_orderkey"))
 
+  /** Z-order (Morton) clustering key over (user_id, value-cents) — the
+    * multi-dimensional layout primitive: sorting by z before writing
+    * gives min-max pruning on both dimensions. Pure bit interleave,
+    * bit-identical cross-engine. */
+  def q60_zorder(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d).select(
+      col("event_id"),
+      graft.functions.ZOrder2.zorder(col("user_id"),
+        floor(col("value") * 100).cast(LongType)).as("z"))
+
   private def syntheticBlockLines(s: SparkSession): DataFrame = {
     import s.implicits._
     Seq(
@@ -858,6 +868,7 @@ object SparkEntry {
     "q57_quality_gate" -> (q57_quality_gate _),
     "q58_source_mix" -> (q58_source_mix _),
     "q59_topk_agg" -> (q59_topk_agg _),
+    "q60_zorder" -> (q60_zorder _),
   )
 
   // DuckDB twins of the Scala normalization / hashing expressions
@@ -1475,5 +1486,10 @@ object SparkEntry {
         |      ORDER BY o_totalprice DESC, o_orderkey) AS rn
         |  FROM orders) t
         |WHERE rn <= 5""".stripMargin,
+    "q60_zorder" -> {
+      val z = graft.functions.ZOrder2.sql(
+        "user_id", "CAST(floor(value * 100) AS BIGINT)")
+      s"SELECT event_id, $z AS z FROM events"
+    },
   )
 }

@@ -1,0 +1,81 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.graftbridge.Bridge
+import org.apache.spark.sql.types.{DataType, LongType}
+
+/** Morton (Z-order) interleave of two long keys — the multi-dimensional
+  * clustering primitive: sort data by `z(x, y)` before writing and
+  * range predicates on EITHER dimension prune file/row-group min-max
+  * ranges effectively (a total sort on one column only helps that
+  * column; the Z-curve keeps both dimensions locally contiguous). The
+  * lakehouse layout trick (Delta/Iceberg `ZORDER BY`), exposed here as
+  * a plain codegen'd expression usable in `sortWithinPartitions`/
+  * `repartitionByRange` writer pipelines.
+  *
+  * Bit i of x lands at z-bit 2i, bit i of y at 2i+1; `bits` low bits of
+  * each key interleave into a 2·bits-bit z-value. Pure integer shifts —
+  * bit-identical in any engine, so oracle-able. Out-of-range inputs are
+  * masked to the low `bits` bits (caller buckets/normalizes first).
+  */
+case class ZOrder2(left: Expression, right: Expression, bits: Int = 21)
+    extends BinaryExpression {
+  require(bits > 0 && bits <= 31, "bits must be in [1, 31]")
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_zorder"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (left.dataType == LongType && right.dataType == LongType)
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires (bigint, bigint), got " +
+        s"(${left.dataType.simpleString}, ${right.dataType.simpleString})")
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[Long]
+    val y = b.asInstanceOf[Long]
+    var z = 0L
+    var i = 0
+    while (i < bits) {
+      z |= (((x >> i) & 1L) << (2 * i)) | (((y >> i) & 1L) << (2 * i + 1))
+      i += 1
+    }
+    z
+  }
+
+  override protected def doGenCode(ctx: CodegenContext,
+                                   ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (x, y) => {
+      val z = ctx.freshName("z")
+      val i = ctx.freshName("i")
+      s"""
+         |long $z = 0L;
+         |for (int $i = 0; $i < $bits; $i++) {
+         |  $z |= ((($x >> $i) & 1L) << (2 * $i))
+         |      | ((($y >> $i) & 1L) << (2 * $i + 1));
+         |}
+         |${ev.value} = $z;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): ZOrder2 =
+    copy(left = newLeft, right = newRight)
+}
+
+object ZOrder2 {
+  def zorder(x: Column, y: Column, bits: Int = 21): Column =
+    Bridge.column(
+      ZOrder2(Bridge.expression(x), Bridge.expression(y), bits))
+
+  /** The identical interleave as ANSI SQL (a chain of shift/mask terms)
+    * — the DuckDB-oracle twin of the codegen expression. */
+  def sql(x: String, y: String, bits: Int = 21): String =
+    (0 until bits).map { i =>
+      s"(((($x) >> $i) & 1) << ${2 * i}) | (((($y) >> $i) & 1) << ${2 * i + 1})"
+    }.mkString("(", " | ", ")")
+}

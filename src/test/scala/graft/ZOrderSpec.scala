@@ -1,0 +1,55 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.functions.ZOrder2
+
+class ZOrderSpec extends AnyFunSuite with SparkTestBase {
+  import spark.implicits._
+
+  private def morton(x: Long, y: Long, bits: Int = 21): Long =
+    (0 until bits).foldLeft(0L)((z, i) =>
+      z | (((x >> i) & 1L) << (2 * i)) | (((y >> i) & 1L) << (2 * i + 1)))
+
+  test("hand interleave: x bits even, y bits odd") {
+    val got = Seq((3L, 1L)).toDF("x", "y")
+      .select(ZOrder2.zorder($"x", $"y")).as[Long].head()
+    assert(got == 7L) // x=0b11 → z bits 0,2 (=5); y=0b1 → z bit 1 (=2)
+    assert(got == morton(3L, 1L))
+  }
+
+  test("codegen matches the reference interleave over a grid") {
+    val grid = for (x <- 0L until 16L; y <- 0L until 16L) yield (x, y)
+    val got = grid.toDF("x", "y")
+      .select($"x", $"y", ZOrder2.zorder($"x", $"y").as("z"))
+      .as[(Long, Long, Long)].collect()
+    got.foreach { case (x, y, z) => assert(z == morton(x, y), s"($x,$y)") }
+    // bijective on the grid
+    assert(got.map(_._3).distinct.length == grid.length)
+  }
+
+  test("locality: fixing one dimension, z is monotone in the other") {
+    for (y <- Seq(0L, 5L, 13L)) {
+      val zs = (0L until 32L).map(x => morton(x, y))
+      assert(zs == zs.sorted)
+    }
+    for (x <- Seq(0L, 7L)) {
+      val zs = (0L until 32L).map(y => morton(x, y))
+      assert(zs == zs.sorted)
+    }
+  }
+
+  test("range pruning payoff: z-sorted chunks bound both dimensions") {
+    // 64x64 grid z-sorted and cut into 64 chunks: a predicate on either
+    // single dimension overlaps far fewer chunks than under an x-sort,
+    // where a y-predicate overlaps EVERY chunk
+    val pts = (for (x <- 0L until 64L; y <- 0L until 64L) yield (x, y))
+      .sortBy { case (x, y) => morton(x, y) }
+    val chunks = pts.grouped(64).toSeq // 64 files of 64 rows
+    def overlapping(lo: Long, hi: Long, dim: ((Long, Long)) => Long) =
+      chunks.count(c => c.map(dim).min <= hi && c.map(dim).max >= lo)
+    // y in [8, 15] (one 8-wide band): under x-sort all 64 chunks overlap
+    assert(overlapping(8, 15, _._2) <= 16)
+    assert(overlapping(8, 15, _._1) <= 16)
+  }
+}
