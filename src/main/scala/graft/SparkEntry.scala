@@ -622,6 +622,22 @@ object SparkEntry {
       graft.functions.ZOrder2.zorder(col("user_id"),
         floor(col("value") * 100).cast(LongType)).as("z"))
 
+  /** Mergeable distinct-count sketches (Datasketches HLL): per-day
+    * per-type sketches built once, register-max-merged to per-type
+    * estimates — the incremental-rollup pattern for distinct counts at
+    * 100 TB (persist tiny binary sketches per partition/day; any
+    * time-range rollup is a cheap merge, never a re-scan). Estimate ≠
+    * exact by design → rows-only; merge-vs-direct equality and error
+    * bounds pinned in ScalaTest. */
+  def q61_hll_merge(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .groupBy(col("event_type"),
+        expr("ts div 86400000000000").as("day"))
+      .agg(hll_sketch_agg(col("user_id"), 12).as("sk"))
+      .groupBy(col("event_type"))
+      .agg(hll_sketch_estimate(hll_union_agg(col("sk")))
+        .as("est_users"))
+
   private def syntheticBlockLines(s: SparkSession): DataFrame = {
     import s.implicits._
     Seq(
@@ -869,6 +885,7 @@ object SparkEntry {
     "q58_source_mix" -> (q58_source_mix _),
     "q59_topk_agg" -> (q59_topk_agg _),
     "q60_zorder" -> (q60_zorder _),
+    "q61_hll_merge" -> (q61_hll_merge _),
   )
 
   // DuckDB twins of the Scala normalization / hashing expressions

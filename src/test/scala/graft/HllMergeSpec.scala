@@ -1,0 +1,39 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+class HllMergeSpec extends AnyFunSuite with SparkTestBase {
+  import spark.implicits._
+
+  private val d = "/root/testdata/sf0.001"
+
+  test("merged daily sketches equal the direct whole-corpus sketch") {
+    val events = Tables.events(spark, d)
+    val merged = events
+      .groupBy($"event_type", expr("ts div 86400000000000").as("day"))
+      .agg(hll_sketch_agg($"user_id", 12).as("sk"))
+      .groupBy($"event_type")
+      .agg(hll_sketch_estimate(hll_union_agg($"sk")).as("est"))
+      .as[(String, Long)].collect().toMap
+    val direct = events.groupBy($"event_type")
+      .agg(hll_sketch_estimate(hll_sketch_agg($"user_id", 12)).as("est"))
+      .as[(String, Long)].collect().toMap
+    // union is register-wise max over the same hashed values → identical
+    assert(merged == direct)
+  }
+
+  test("estimates land within HLL error bounds of exact counts") {
+    val events = Tables.events(spark, d)
+    val est = SparkEntry.q61_hll_merge(spark, d)
+      .as[(String, Long)].collect().toMap
+    val exact = events.groupBy($"event_type")
+      .agg(countDistinct($"user_id").as("n")).as[(String, Long)]
+      .collect().toMap
+    assert(est.keySet == exact.keySet)
+    exact.foreach { case (k, n) =>
+      assert(math.abs(est(k) - n) <= math.max(2.0, 0.05 * n),
+        s"$k: est ${est(k)} vs exact $n")
+    }
+  }
+}
