@@ -117,6 +117,73 @@ class PropertySpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  private val pointsGen: Gen[List[(Long, Long)]] =
+    Gen.nonEmptyListOf(for {
+      id <- Gen.choose(0L, 500L); t <- Gen.choose(-100L, 600L)
+    } yield (id, t))
+  private val intervalsGen: Gen[List[(Long, Long, Long)]] =
+    Gen.nonEmptyListOf(for {
+      id <- Gen.choose(1000L, 1500L)
+      s <- Gen.choose(-150L, 550L)
+      len <- Gen.choose(0L, 200L)
+    } yield (id, s, s + len))
+
+  test("binned range join equals naive BETWEEN for any bin width") {
+    forAll2(pointsGen, intervalsGen) { (ps, ivs) =>
+      val pDf = ps.toDF("pid", "t").distinct()
+      val iDf = ivs.toDF("iv", "s", "e").distinct()
+      val expected = (for {
+        (p, t) <- ps; (iv, s, e) <- ivs if t >= s && t <= e
+      } yield (p, iv)).toSet
+      for (w <- Seq(1L, 7L, 64L, 1024L)) {
+        val got = graft.ops.RangeJoin
+          .pointInInterval(pDf, "t", iDf, "s", "e", w)
+          .select("pid", "iv").distinct()
+          .as[(Long, Long)].collect().toSet
+        assert(got == expected, s"binWidth=$w")
+      }
+    }
+  }
+
+  test("heap top-k aggregate equals window top-k on generated groups") {
+    forAll(flowGen) { rows =>
+      whenever(rows.nonEmpty) {
+        val df = rows.zipWithIndex.map { case ((_, a, u, v), i) =>
+          (u, v.toDouble, i.toLong)
+        }.toDF("g", "s", "id")
+        val got = df.groupBy("g")
+          .agg(graft.functions.TopKAgg.topk_agg($"s", $"id", 3).as("ids"))
+          .as[(String, Seq[Long])].collect().toMap
+        val brute = rows.zipWithIndex
+          .map { case ((_, a, u, v), i) => (u, v.toDouble, i.toLong) }
+          .groupBy(_._1).view
+          .mapValues(_.sortBy { case (_, s, i) => (-s, i) }
+            .take(3).map(_._3).toSeq).toMap
+        assert(got == brute)
+      }
+    }
+  }
+
+  test("packSequences partitions ids; offsets are per-batch prefix sums") {
+    forAll(Gen.nonEmptyListOf(Gen.choose(1L, 300L))) { sizes =>
+      val df = sizes.zipWithIndex.map { case (n, i) => (i.toLong, n) }
+        .toDF("id", "n")
+      val got = graft.pipeline.TrainingData
+        .packSequences(df, $"id", $"n", 4, 100L)
+        .as[(Long, Long, Long, Long)].collect()
+      assert(got.map(_._1).toSet == sizes.indices.map(_.toLong).toSet)
+      got.groupBy(_._2).foreach { case (_, rows) =>
+        val byStart = rows.sortBy(_._3)
+        // starts are the running sum of this batch's sizes, from 0
+        var acc = 0L
+        byStart.foreach { case (id, _, start, ex) =>
+          assert(start == acc && ex == start / 100L)
+          acc += sizes(id.toInt)
+        }
+      }
+    }
+  }
+
   test("upsert idempotence: applying the same updates twice = once") {
     forAll(flowGen) { rows =>
       whenever(rows.nonEmpty) {
