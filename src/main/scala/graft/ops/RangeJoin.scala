@@ -31,7 +31,12 @@ object RangeJoin {
                       intervals: DataFrame, startCol: String,
                       endCol: String, binWidth: Long): DataFrame = {
     require(binWidth > 0, "binWidth must be positive")
-    val binned = intervals.withColumn("__bin",
+    // degenerate intervals (start > end) match nothing under BETWEEN;
+    // drop them before the explode — sequence(lo, hi, 1) throws when
+    // hi < lo rather than returning empty
+    val binned = intervals
+      .filter(col(startCol) <= col(endCol))
+      .withColumn("__bin",
       explode(sequence(
         expr(s"cast(`$startCol` as bigint) div ${binWidth}L"),
         expr(s"cast(`$endCol` as bigint) div ${binWidth}L"))))

@@ -87,9 +87,14 @@ case class RangeJoinRewrite() extends Rule[LogicalPlan] with PredicateHelper {
       (pointChild, boundChild) =
         if (pointOnLeft) (left, right) else (right, left)
       (lo, p1) <- les
-      if canEvaluate(p1, pointChild) && canEvaluate(lo, boundChild)
+      // require real attribute references on both roles — literal-only
+      // bounds/points are single-side predicates the optimizer has
+      // already pushed below the join (nothing to rewrite)
+      if p1.references.nonEmpty && canEvaluate(p1, pointChild) &&
+        lo.references.nonEmpty && canEvaluate(lo, boundChild)
       (p2, hi) <- les
-      if p1.semanticEquals(p2) && canEvaluate(hi, boundChild)
+      if p1.semanticEquals(p2) &&
+        hi.references.nonEmpty && canEvaluate(hi, boundChild)
     } yield (p1, lo, hi, pointOnLeft)).nextOption()
   }
 
@@ -106,12 +111,17 @@ case class RangeJoinRewrite() extends Rule[LogicalPlan] with PredicateHelper {
 
     val binAttr = AttributeReference("__graft_bin", LongType,
       nullable = true)()
+    // degenerate intervals (lo > hi) match nothing under the original
+    // predicate; filter them out — sequence(lo, hi, 1) throws when
+    // hi < lo rather than returning empty. Null bounds are dropped too
+    // (BETWEEN with null is no-match).
+    val boundFiltered = Filter(LessThanOrEqual(lo, hi), boundChild)
     val seq = Sequence(IntegralDivide(toLong(lo), w),
       IntegralDivide(toLong(hi), w), Some(Literal(1L, LongType)),
       Some(conf.sessionLocalTimeZone))
     val boundGen = Generate(Explode(seq), unrequiredChildIndex = Nil,
       outer = false, qualifier = None, generatorOutput = Seq(binAttr),
-      child = boundChild)
+      child = boundFiltered)
 
     val (newLeft, newRight) =
       if (pointOnLeft) (pointProj, boundGen) else (boundGen, pointProj)

@@ -125,7 +125,7 @@ class PropertySpec extends AnyFunSuite with SparkTestBase {
     Gen.nonEmptyListOf(for {
       id <- Gen.choose(1000L, 1500L)
       s <- Gen.choose(-150L, 550L)
-      len <- Gen.choose(0L, 200L)
+      len <- Gen.choose(-80L, 200L) // negative → degenerate s > e interval
     } yield (id, s, s + len))
 
   test("binned range join equals naive BETWEEN for any bin width") {

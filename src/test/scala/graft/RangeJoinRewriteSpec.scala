@@ -66,6 +66,13 @@ class RangeJoinRewriteSpec extends AnyFunSuite with SparkTestBase {
     assert(joined.count() == expected.size + 1)
   }
 
+  test("degenerate intervals (s > e) match nothing, no crash") {
+    val bad = Seq((30L, 500L, 100L), (31L, 0L, 99L)).toDF("iv", "s", "e")
+    val got = points.join(bad, $"t" >= $"s" && $"t" <= $"e")
+      .select("pid", "iv").as[(Long, Long)].collect().toSet
+    assert(got == Set((1L, 31L))) // only t=5 in [0,99]... and t=100>99
+  }
+
   test("one-sided bound (no upper) is left alone") {
     val joined = points.join(intervals, $"t" >= $"s")
     assert(!joined.queryExecution.executedPlan.toString

@@ -28,6 +28,12 @@ class RangeJoinSpec extends AnyFunSuite with SparkTestBase {
     assert(expected.contains((3L, 11L)) && expected.contains((4L, 12L)))
   }
 
+  test("degenerate interval (start > end) matches nothing, no crash") {
+    val bad = Seq((30L, 900L, 100L)).toDF("iv", "s", "e")
+    assert(RangeJoin.pointInInterval(points, "t", bad, "s", "e", 64L)
+      .count() == 0)
+  }
+
   test("no duplicate matches from interval bin replication") {
     val wide = Seq((20L, 0L, 1000L)).toDF("iv", "s", "e") // spans many bins
     val got = RangeJoin.pointInInterval(points, "t", wide, "s", "e", 16L)
