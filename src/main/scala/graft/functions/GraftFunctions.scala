@@ -1,0 +1,54 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.types.{BinaryType, IntegerType, LongType}
+
+/** The full graft SQL function surface — every custom expression and
+  * aggregate the library exposes, callable from `spark.sql`:
+  *
+  *   graft_dot(a, b)            codegen dot product (array<double>)
+  *   graft_cosine(a, b)         codegen cosine similarity
+  *   graft_zorder(x, y[, bits]) Morton interleave clustering key
+  *   graft_hash60(s)            md5-based 60-bit hash (cross-engine)
+  *   graft_simhash(tokenHash)   SimHash aggregate over 60-bit hashes
+  *   graft_topk(score, id, k)   bounded-heap top-k aggregate → id array
+  *
+  * Registered either per-session (`registerAll`) or at build time via
+  * [[GraftExtensions]] (`spark.sql.extensions`). Aggregate builders
+  * return the `AggregateFunction`; the analyzer wraps it.
+  */
+object GraftFunctions {
+
+  /** graft_hash60 as a composition of catalyst built-ins — the same
+    * tree as `Dedup.hash60`: conv(substr(md5(s), 1, 15), 16, 10)::long */
+  private def hash60Expr(s: Expression): Expression =
+    Cast(Conv(Substring(Md5(Cast(s, BinaryType)),
+      Literal(1), Literal(15)), Literal(16), Literal(10)), LongType)
+
+  private def intArg(e: Expression, what: String): Int = e match {
+    case Literal(v: Int, IntegerType) => v
+    case Literal(v: Long, LongType) => v.toInt
+    case other => throw new IllegalArgumentException(
+      s"$what must be an integer literal, got $other")
+  }
+
+  val all: Seq[(String, Seq[Expression] => Expression)] = Seq(
+    "graft_dot" -> (es => DotProduct(es(0), es(1))),
+    "graft_cosine" -> (es => CosineSimilarity(es(0), es(1))),
+    "graft_zorder" -> (es =>
+      if (es.length >= 3) ZOrder2(es(0), es(1), intArg(es(2), "bits"))
+      else ZOrder2(es(0), es(1))),
+    "graft_hash60" -> (es => hash60Expr(es(0))),
+    "graft_simhash" -> (es => SimHashAgg(es(0))),
+    "graft_topk" -> (es => TopKAgg(es(0), es(1), intArg(es(2), "k")))
+  )
+
+  /** Register the whole surface on an already-built session. */
+  def registerAll(spark: SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    all.foreach { case (name, builder) =>
+      reg.createOrReplaceTempFunction(name, builder, "built-in")
+    }
+  }
+}

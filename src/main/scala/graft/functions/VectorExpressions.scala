@@ -153,12 +153,11 @@ object VectorFunctions {
   * without needing a custom planner strategy). */
 class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Unit) {
   override def apply(e: org.apache.spark.sql.SparkSessionExtensions): Unit = {
-    e.injectFunction((new FunctionIdentifier("graft_dot"),
-      new ExpressionInfo(classOf[DotProduct].getName, "graft_dot"),
-      (es: Seq[Expression]) => DotProduct(es.head, es(1))))
-    e.injectFunction((new FunctionIdentifier("graft_cosine"),
-      new ExpressionInfo(classOf[CosineSimilarity].getName, "graft_cosine"),
-      (es: Seq[Expression]) => CosineSimilarity(es.head, es(1))))
+    GraftFunctions.all.foreach { case (name, builder) =>
+      e.injectFunction((new FunctionIdentifier(name),
+        new ExpressionInfo(classOf[GraftFunctions.type].getName, name),
+        builder))
+    }
     // auto-rewrite nested-loop range joins into the binned equi-join form
     e.injectOptimizerRule(_ => graft.plans.RangeJoinRewrite())
   }

@@ -19,12 +19,21 @@ object ExtensionsDemo {
     spark.sparkContext.setLogLevel("ERROR")
     val row = spark.sql(
       """SELECT graft_dot(array(1.0d, 2.0d), array(3.0d, 4.0d)) AS dot,
-        |       graft_cosine(array(1.0d, 0.0d), array(1.0d, 0.0d)) AS cos
+        |       graft_cosine(array(1.0d, 0.0d), array(1.0d, 0.0d)) AS cos,
+        |       graft_zorder(3L, 1L) AS z,
+        |       graft_hash60('a') AS h
         |""".stripMargin).head()
     println(s"[extdemo] graft_dot=${row.getDouble(0)} " +
-      s"graft_cosine=${row.getDouble(1)}")
+      s"graft_cosine=${row.getDouble(1)} graft_zorder=${row.getLong(2)} " +
+      s"graft_hash60=${row.getLong(3)}")
     assert(row.getDouble(0) == 11.0 && row.getDouble(1) == 1.0)
-    println("[extdemo] extensions injection OK")
+    assert(row.getLong(2) == 7L)
+    // aggregates resolve through the injected registry too
+    val agg = spark.sql(
+      "SELECT graft_topk(s, id, 1) FROM VALUES (1.0d, 5L), (2.0d, 6L) " +
+        "AS t(s, id)").head().getSeq[Long](0)
+    assert(agg == Seq(6L))
+    println("[extdemo] extensions injection OK (6 functions + rule)")
     spark.stop()
   }
 }

@@ -1,0 +1,68 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.functions.GraftFunctions
+
+class SqlFunctionsSpec extends AnyFunSuite with SparkTestBase {
+  import spark.implicits._
+
+  GraftFunctions.registerAll(spark)
+
+  test("graft_dot / graft_cosine from SQL") {
+    val r = spark.sql(
+      """SELECT graft_dot(array(1.0d, 2.0d), array(3.0d, 4.0d)) AS d,
+        |       graft_cosine(array(2.0d, 0.0d), array(5.0d, 0.0d)) AS c
+        |""".stripMargin).as[(Double, Double)].head()
+    assert(r == ((11.0, 1.0)))
+  }
+
+  test("graft_zorder from SQL matches the Column form, incl. bits arg") {
+    Seq((3L, 1L)).toDF("x", "y").createOrReplaceTempView("zt")
+    val r = spark.sql(
+      "SELECT graft_zorder(x, y) AS z, graft_zorder(x, y, 4) AS z4 FROM zt")
+      .as[(Long, Long)].head()
+    assert(r == ((7L, 7L)))
+  }
+
+  test("graft_hash60 from SQL equals Dedup.hash60") {
+    val df = Seq("a", "hello world", "").toDF("s")
+    df.createOrReplaceTempView("ht")
+    val sql = spark.sql("SELECT s, graft_hash60(s) FROM ht")
+      .as[(String, Long)].collect().toMap
+    val col = df.select($"s", graft.dedup.Dedup.hash60($"s"))
+      .as[(String, Long)].collect().toMap
+    assert(sql == col)
+  }
+
+  test("graft_simhash aggregate from SQL equals the Column form") {
+    val docs = Seq((1L, 10L), (1L, 99L), (1L, 10L), (2L, 7L))
+      .toDF("doc", "h")
+    docs.createOrReplaceTempView("st")
+    val sql = spark.sql(
+      "SELECT doc, graft_simhash(h) FROM st GROUP BY doc")
+      .as[(Long, Long)].collect().toMap
+    val col = docs.groupBy("doc")
+      .agg(graft.functions.SimHashAgg.simhash_agg($"h"))
+      .as[(Long, Long)].collect().toMap
+    assert(sql == col)
+  }
+
+  test("graft_topk aggregate from SQL ranks (score desc, id asc)") {
+    Seq(("a", 1.0, 1L), ("a", 9.0, 2L), ("a", 9.0, 3L), ("a", 4.0, 4L))
+      .toDF("g", "s", "id").createOrReplaceTempView("tt")
+    val got = spark.sql("SELECT g, graft_topk(s, id, 2) FROM tt GROUP BY g")
+      .as[(String, Seq[Long])].head()
+    assert(got == (("a", Seq(2L, 3L))))
+  }
+
+  test("non-literal k is rejected with a clear error") {
+    Seq((1.0, 1L)).toDF("s", "id").createOrReplaceTempView("bad")
+    val e = intercept[Exception](
+      spark.sql("SELECT graft_topk(s, id, id) FROM bad GROUP BY 1.0")
+        .collect())
+    assert(e.getMessage.contains("integer literal")
+      || e.getCause != null &&
+        e.getCause.getMessage.contains("integer literal"))
+  }
+}
