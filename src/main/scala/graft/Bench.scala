@@ -24,6 +24,10 @@ object Bench {
                   "q51_contamination"))
       try SparkEntry.queries(w)(spark, sfDir).count()
       catch { case _: Throwable => }
+    // drop the warm-up queries' checkpoint blocks so the first timed
+    // query doesn't run under their GC pressure
+    spark.sparkContext.getPersistentRDDs.values
+      .foreach(_.unpersist(blocking = false))
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }

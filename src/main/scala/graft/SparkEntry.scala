@@ -1047,7 +1047,7 @@ object SparkEntry {
          |sh AS (
          |  SELECT DISTINCT doc_id,
          |    unnest([array_to_string(ws[i:i+2], ' ')
-         |            for i in range(1, greatest(len(ws)-2, 0)+1)]) AS s
+         |            for i in range(1, greatest(len(ws)-3, 0)+2)]) AS s
          |  FROM w),
          |sz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
          |inter AS (
@@ -1303,7 +1303,7 @@ object SparkEntry {
          |sh AS (
          |  SELECT DISTINCT doc_id,
          |    unnest([array_to_string(ws[i:i+2], ' ')
-         |            for i in range(1, greatest(len(ws)-2, 0)+1)]) AS s
+         |            for i in range(1, greatest(len(ws)-3, 0)+2)]) AS s
          |  FROM w),
          |sz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
          |inter AS (
@@ -1396,7 +1396,7 @@ object SparkEntry {
          |  SELECT doc_id, ${hash60Sql("s")} AS s FROM (
          |    SELECT DISTINCT doc_id,
          |      unnest([array_to_string(ws[i:i+4], ' ')
-         |              for i in range(1, greatest(len(ws)-4, 0)+1)]) AS s
+         |              for i in range(1, greatest(len(ws)-5, 0)+2)]) AS s
          |    FROM w) t),
          |bench AS (
          |  SELECT doc_id AS bench_id, s FROM sh WHERE doc_id % 50 = 0)

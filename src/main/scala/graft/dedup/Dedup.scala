@@ -125,19 +125,12 @@ object Dedup {
       .select(col("id1"), col("id2")).distinct()
   }
 
-  /** Exact n-gram Jaccard similarity for candidate (or all overlapping)
-    * pairs, via the inverted shingle→doc join:
-    * |A∩B| from the join, |A|/|B| from per-doc counts. Only pairs sharing
-    * ≥1 shingle materialize — never the full cross product. */
-  def jaccardPairs(shingleDf: DataFrame, threshold: Double): DataFrame = {
-    val sizes = shingleDf.groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("sz"))
-    val a = shingleDf.select(col("doc_id").as("id1"), col("shingle"))
-    val b = shingleDf.select(col("doc_id").as("id2"), col("shingle"))
-    val inter = a.join(b, Seq("shingle"))
-      .filter(col("id1") < col("id2"))
-      .groupBy(col("id1"), col("id2"))
-      .agg(count(lit(1)).as("inter"))
+  /** Shared Jaccard tail: given per-pair intersection counts and the
+    * per-doc shingle-set sizes, attach |A|/|B| and keep pairs with
+    * inter/(|A|+|B|−inter) ≥ threshold. The single place the formula,
+    * the id1<id2 convention, and the output schema live. */
+  private def jaccardFromCounts(inter: DataFrame, sizes: DataFrame,
+                                threshold: Double): DataFrame =
     inter
       .join(sizes.withColumnRenamed("doc_id", "id1")
         .withColumnRenamed("sz", "sz1"), Seq("id1"))
@@ -148,6 +141,22 @@ object Dedup {
           (col("sz1") + col("sz2") - col("inter")).cast("double"))
       .filter(col("jaccard") >= threshold)
       .select(col("id1"), col("id2"), col("jaccard"))
+
+  private def shingleSizes(shingleDf: DataFrame): DataFrame =
+    shingleDf.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
+
+  /** Exact n-gram Jaccard similarity for candidate (or all overlapping)
+    * pairs, via the inverted shingle→doc join:
+    * |A∩B| from the join, |A|/|B| from per-doc counts. Only pairs sharing
+    * ≥1 shingle materialize — never the full cross product. */
+  def jaccardPairs(shingleDf: DataFrame, threshold: Double): DataFrame = {
+    val a = shingleDf.select(col("doc_id").as("id1"), col("shingle"))
+    val b = shingleDf.select(col("doc_id").as("id2"), col("shingle"))
+    val inter = a.join(b, Seq("shingle"))
+      .filter(col("id1") < col("id2"))
+      .groupBy(col("id1"), col("id2"))
+      .agg(count(lit(1)).as("inter"))
+    jaccardFromCounts(inter, shingleSizes(shingleDf), threshold)
   }
 
   /** MinHash+LSH near-dup pipeline: LSH candidates, then exact-Jaccard
@@ -169,7 +178,6 @@ object Dedup {
       .union(candidates.select(col("id2").as("doc_id"))).distinct()
     val candSh = sh.join(candDocs, Seq("doc_id"), "left_semi")
       .localCheckpoint(true)
-    val sizes = candSh.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
     val inter = candidates
       .join(candSh.select(col("doc_id").as("id1"), col("shingle")),
         Seq("id1"))
@@ -177,16 +185,7 @@ object Dedup {
         Seq("id2", "shingle"))
       .groupBy(col("id1"), col("id2"))
       .agg(count(lit(1)).as("inter"))
-    inter
-      .join(sizes.withColumnRenamed("doc_id", "id1")
-        .withColumnRenamed("sz", "sz1"), Seq("id1"))
-      .join(sizes.withColumnRenamed("doc_id", "id2")
-        .withColumnRenamed("sz", "sz2"), Seq("id2"))
-      .withColumn("jaccard",
-        col("inter").cast("double") /
-          (col("sz1") + col("sz2") - col("inter")).cast("double"))
-      .filter(col("jaccard") >= threshold)
-      .select(col("id1"), col("id2"), col("jaccard"))
+    jaccardFromCounts(inter, shingleSizes(candSh), threshold)
   }
 
   /** SimHash (60-bit): per token-hash bit b, sum ±1 across the doc's

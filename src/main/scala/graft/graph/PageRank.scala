@@ -1,6 +1,6 @@
 package graft.graph
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Iterative DataFrame PageRank (SURVEY.md §2.10 X2) — the one genuinely
@@ -12,6 +12,10 @@ import org.apache.spark.sql.functions._
   * uniformly each round:
   *   rank'(v) = (1−d)/N + d·( Σ_{u→v} rank(u)/outDeg(u) + dangling/N )
   *
+  * Two arithmetic modes share one iteration driver ([[loop]]):
+  * [[run]] in doubles (the analytics form), [[runScaled]] in fixed-point
+  * longs (bit-reproducible cross-engine → DuckDB-oracle-able).
+  *
   * Scale notes: edges shuffle once on src per iteration (ranks are tiny —
   * one row per node — so the join broadcasts them when they fit); lineage
   * is cut every `checkpointEvery` iterations (localCheckpoint) or the plan
@@ -21,64 +25,78 @@ import org.apache.spark.sql.functions._
   */
 object PageRank {
 
-  /** @param edges DataFrame with string columns `src`, `dst`
-    * @return (address, score) */
-  def run(edges: DataFrame, iterations: Int = 20, damping: Double = 0.85,
-          checkpointEvery: Int = 1): DataFrame = {
-    // Eager local checkpoints, not cache(): the (possibly expensive) edge
-    // build materializes exactly once before the loop — a lazy cache can
-    // still execute the upstream plan per branch within the first job,
-    // and every iteration otherwise re-plans the full upstream lineage.
+  /** Shared iteration driver. Eager local checkpoints, not cache(): the
+    * (possibly expensive) edge build materializes exactly once before
+    * the loop; out-degree is joined into the edge list ONCE; the
+    * dangling-node set is static, and when empty (one cheap upfront
+    * check) the whole dangling-mass subtree drops out of every
+    * iteration's plan.
+    *
+    * @param init     n → initial score column
+    * @param contrib  per-edge contribution over (score, out_deg)
+    * @param zero     score-typed zero literal (dangling-mass coalesce)
+    * @param update   (n, contrib, Some(danglingMass)?) → new score */
+  private def loop(edges: DataFrame, iterations: Int, checkpointEvery: Int,
+                   init: Long => Column, contrib: Column, zero: Column,
+                   update: (Long, Column, Option[Column]) => Column)
+      : DataFrame = {
     val e = edges.select(col("src"), col("dst")).distinct()
       .localCheckpoint(true)
     val nodes = e.select(col("src").as("address"))
       .union(e.select(col("dst").as("address"))).distinct()
       .localCheckpoint(true)
     val n = nodes.count()
-    // out-degree is static — join it into the edge list ONCE, not once
-    // per iteration
     val eDeg = e.join(
       e.groupBy(col("src")).agg(count(lit(1)).as("out_deg")), Seq("src"))
       .localCheckpoint(true)
-    // dangling nodes (no out-edges) are a static set; when it is empty
-    // (one cheap upfront check) the whole dangling-mass subtree drops out
-    // of every iteration's plan
     val danglingNodes = nodes.join(eDeg,
       nodes("address") === eDeg("src"), "left_anti")
       .select(col("address")).localCheckpoint(true)
     val hasDangling = danglingNodes.limit(1).count() > 0
 
-    var ranks = nodes.withColumn("score", lit(1.0 / n))
+    var ranks = nodes.withColumn("score", init(n))
     for (i <- 1 to iterations) {
       val contribs = eDeg
         .join(ranks, eDeg("src") === ranks("address"))
-        .select(col("dst").as("address"),
-          (col("score") / col("out_deg")).as("contrib"))
+        .select(col("dst").as("address"), contrib.as("contrib"))
         .groupBy(col("address"))
         .agg(sum(col("contrib")).as("contrib"))
-      val base = nodes.join(contribs, Seq("address"), "left")
+      val joined = nodes.join(contribs, Seq("address"), "left")
       ranks =
         if (hasDangling) {
           // mass held by dangling nodes this round — a lazy 1-row frame
           // folded in via broadcast cross join (no per-iteration action)
           val dangling = ranks.join(danglingNodes, Seq("address"),
             "left_semi")
-            .agg(coalesce(sum(col("score")), lit(0.0)).as("dangling_mass"))
-          base.crossJoin(broadcast(dangling))
+            .agg(coalesce(sum(col("score")), zero).as("dm"))
+          joined.crossJoin(broadcast(dangling))
             .select(col("address"),
-              (lit((1.0 - damping) / n) +
-                lit(damping) * (coalesce(col("contrib"), lit(0.0)) +
-                  col("dangling_mass") / n)).as("score"))
+              update(n, col("contrib"), Some(col("dm"))).as("score"))
         } else
-          base.select(col("address"),
-            (lit((1.0 - damping) / n) +
-              lit(damping) * coalesce(col("contrib"), lit(0.0)))
-              .as("score"))
+          joined.select(col("address"),
+            update(n, col("contrib"), None).as("score"))
       if (i % checkpointEvery == 0 && i < iterations)
         ranks = ranks.localCheckpoint(true)
     }
     ranks
   }
+
+  /** Floating-point variant (ranks sum to 1).
+    * @param edges DataFrame with string columns `src`, `dst`
+    * @return (address, score) */
+  def run(edges: DataFrame, iterations: Int = 20, damping: Double = 0.85,
+          checkpointEvery: Int = 1): DataFrame =
+    loop(edges, iterations, checkpointEvery,
+      init = n => lit(1.0 / n),
+      contrib = col("score") / col("out_deg"),
+      zero = lit(0.0),
+      update = (n, c, dm) => {
+        val inflow = dm match {
+          case Some(mass) => coalesce(c, lit(0.0)) + mass / n
+          case None => coalesce(c, lit(0.0))
+        }
+        lit((1.0 - damping) / n) + lit(damping) * inflow
+      })
 
   /** Integer-scaled (fixed-point) PageRank: ranks live as longs in units
     * of 1/`scale`, every step is integer arithmetic —
@@ -91,55 +109,26 @@ object PageRank {
     * non-negative longs is identical in Spark (`div`) and ANSI engines
     * (DuckDB `//`), so the result is bit-reproducible cross-engine —
     * this is what gives the X2 operator a real DuckDB oracle (the
-    * float variant in [[run]] is order-of-summation dependent).
-    * Same join/shuffle shape as [[run]]; truncation error per step is
-    * < N/scale, far below rank magnitudes at scale 10¹².
+    * float variant is order-of-summation dependent). Truncation error
+    * per step is < N/scale, far below rank magnitudes at scale 10¹².
     * @return (address, score) with score = rank · scale as a long */
   def runScaled(edges: DataFrame, iterations: Int = 10,
                 scale: Long = 1000000000000L,
-                checkpointEvery: Int = 1): DataFrame = {
-    val e = edges.select(col("src"), col("dst")).distinct()
-      .localCheckpoint(true)
-    val nodes = e.select(col("src").as("address"))
-      .union(e.select(col("dst").as("address"))).distinct()
-      .localCheckpoint(true)
-    val n = nodes.count()
-    val base = scale / n
-    val eDeg = e.join(
-      e.groupBy(col("src")).agg(count(lit(1)).as("out_deg")), Seq("src"))
-      .localCheckpoint(true)
-    val danglingNodes = nodes.join(eDeg,
-      nodes("address") === eDeg("src"), "left_anti")
-      .select(col("address")).localCheckpoint(true)
-    val hasDangling = danglingNodes.limit(1).count() > 0
-
-    var ranks = nodes.withColumn("score", lit(base))
-    for (i <- 1 to iterations) {
-      val contribs = eDeg
-        .join(ranks, eDeg("src") === ranks("address"))
-        .select(col("dst").as("address"),
-          expr("score div out_deg").as("contrib"))
-        .groupBy(col("address"))
-        .agg(sum(col("contrib")).as("contrib"))
-      val joined = nodes.join(contribs, Seq("address"), "left")
-      ranks =
-        if (hasDangling) {
-          val dangling = ranks.join(danglingNodes, Seq("address"),
-            "left_semi")
-            .agg(coalesce(sum(col("score")), lit(0L)).as("dm"))
-          joined.crossJoin(broadcast(dangling))
-            .select(col("address"),
-              expr(s"(15 * ${base}L + 85 * (coalesce(contrib, 0L) " +
-                s"+ dm div ${n}L)) div 100").as("score"))
-        } else
-          joined.select(col("address"),
+                checkpointEvery: Int = 1): DataFrame =
+    loop(edges, iterations, checkpointEvery,
+      init = n => lit(scale / n),
+      contrib = expr("score div out_deg"),
+      zero = lit(0L),
+      update = (n, c, dm) => {
+        val base = scale / n
+        dm match {
+          case Some(_) =>
+            expr(s"(15 * ${base}L + 85 * (coalesce(contrib, 0L) " +
+              s"+ dm div ${n}L)) div 100")
+          case None =>
             expr(s"(15 * ${base}L + 85 * coalesce(contrib, 0L)) div 100")
-              .as("score"))
-      if (i % checkpointEvery == 0 && i < iterations)
-        ranks = ranks.localCheckpoint(true)
-    }
-    ranks
-  }
+        }
+      })
 
   /** Ranked extract (W3): scores descending, deterministic tie-break. */
   def ranked(scores: DataFrame): DataFrame =

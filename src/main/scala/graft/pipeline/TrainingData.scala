@@ -90,13 +90,6 @@ object TrainingData {
       hash60(concat(stratum.cast("string"), lit("|"), id.cast("string")))
         % denom < keep)
 
-  /** Deterministic global shuffle into training batches WITHOUT a global
-    * sort: batch = hash60(batch|id) mod `numBatches` (hash-uniform, so
-    * batches are balanced), position within batch by a second independent
-    * hash. The window partitions by batch → numBatches parallel sorts of
-    * |corpus|/numBatches rows each, never a single-partition total order
-    * — the layout step that turns a corpus into epoch-stable batches.
-    * @return (id, batch, pos) */
   /** Per-stratum quality gate: keep rows whose score percent_rank within
     * their stratum is ≥ `minPercentile` (e.g. 0.25 drops the worst
     * quartile per source/domain — the per-domain gating real pipelines
@@ -154,6 +147,13 @@ object TrainingData {
         expr(s"tok_start div ${budget}L").as("example"))
   }
 
+  /** Deterministic global shuffle into training batches WITHOUT a global
+    * sort: batch = hash60(batch|id) mod `numBatches` (hash-uniform, so
+    * batches are balanced), position within batch by a second independent
+    * hash. The window partitions by batch → numBatches parallel sorts of
+    * |corpus|/numBatches rows each, never a single-partition total order
+    * — the layout step that turns a corpus into epoch-stable batches.
+    * @return (id, batch, pos) */
   def shuffleBatches(df: DataFrame, id: Column,
                      numBatches: Int): DataFrame = {
     val keyed = df.select(id.as("id"))

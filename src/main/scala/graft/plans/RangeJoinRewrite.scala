@@ -20,18 +20,28 @@ import org.apache.spark.sql.types._
   * join becomes an equi-join on the bin plus the original predicate as
   * an exact refinement. Hash-shuffleable, AQE-skew-splittable.
   *
+  * Wide-interval safety: bin explosion is data-dependent (an interval
+  * spanning 10⁹ units at width 256 would explode to millions of rows),
+  * so intervals wider than `maxBins` bins take a fallback branch that
+  * keeps the original nested-loop join shape; the output is the UNION
+  * of the two disjoint branches. The fallback branch's ≤/≥ conjuncts
+  * are rewritten to their `NOT(<)`/`NOT(>)` equivalents (identical
+  * three-valued semantics) so this rule — which runs in a fixed-point
+  * batch — cannot re-fire on its own fallback.
+  *
   * Correctness notes: truncating integer division by a positive width
   * is monotone, so a contained point's bin always lies in
   * [lo div w, hi div w] — no candidate is lost, and a point has exactly
-  * one bin so no match duplicates. Null points/bounds produce a null
-  * bin which the equi-join drops, matching BETWEEN's unknown→no-match.
-  * The rewritten join carries an equi conjunct, so the rule cannot
-  * re-fire on its own output (idempotent under transformUp). Restricted
-  * to integral types — no ANSI-sensitive casts.
+  * one bin so no match duplicates. Null or inverted (lo > hi) bounds
+  * are filtered from both branches, matching BETWEEN's
+  * unknown→no-match. The binned join carries an equi conjunct, so the
+  * rule skips it on re-application. Restricted to integral types — no
+  * ANSI-sensitive casts.
   *
-  * Bin width: `spark.graft.rangeJoin.binWidth` (default 256); pick it
-  * near the median interval length so interval replication stays O(1).
-  * Injected via [[graft.functions.GraftExtensions]].
+  * Confs: `spark.graft.rangeJoin.binWidth` (default 256; pick near the
+  * median interval length) and `spark.graft.rangeJoin.maxBinsPerInterval`
+  * (default 4096). Invalid conf values disable the rewrite rather than
+  * break optimization. Injected via [[graft.functions.GraftExtensions]].
   */
 object RangeJoinRewrite {
   /** Idempotent registration on an already-built session (the
@@ -46,24 +56,36 @@ object RangeJoinRewrite {
 
 case class RangeJoinRewrite() extends Rule[LogicalPlan] with PredicateHelper {
 
-  private def binWidth: Long =
-    conf.getConfString("spark.graft.rangeJoin.binWidth", "256").toLong
+  private def longConf(key: String, default: Long): Option[Long] =
+    try {
+      val v = conf.getConfString(key, default.toString).toLong
+      if (v > 0) Some(v) else None
+    } catch { case _: NumberFormatException => None }
 
-  override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
-    case j @ Join(left, right, Inner, Some(cond), hint) =>
-      val conjuncts = splitConjunctivePredicates(cond)
-      val hasCrossEqui = conjuncts.exists {
-        case EqualTo(a, b) =>
-          (canEvaluate(a, left) && canEvaluate(b, right)) ||
-            (canEvaluate(a, right) && canEvaluate(b, left))
-        case _ => false
+  override def apply(plan: LogicalPlan): LogicalPlan = {
+    val confs = for {
+      w <- longConf("spark.graft.rangeJoin.binWidth", 256L)
+      m <- longConf("spark.graft.rangeJoin.maxBinsPerInterval", 4096L)
+    } yield (w, m)
+    confs match {
+      case None => plan // invalid conf → leave every plan untouched
+      case Some((w, maxBins)) => plan.transformUp {
+        case j @ Join(left, right, Inner, Some(cond), _) =>
+          val conjuncts = splitConjunctivePredicates(cond)
+          val hasCrossEqui = conjuncts.exists {
+            case EqualTo(a, b) =>
+              (canEvaluate(a, left) && canEvaluate(b, right)) ||
+                (canEvaluate(a, right) && canEvaluate(b, left))
+            case _ => false
+          }
+          if (hasCrossEqui) j
+          else findRange(conjuncts, left, right) match {
+            case Some((point, lo, hi, pointOnLeft)) =>
+              rewrite(j, point, lo, hi, pointOnLeft, w, maxBins)
+            case None => j
+          }
       }
-      if (hasCrossEqui) j
-      else findRange(conjuncts, left, right) match {
-        case Some((point, lo, hi, pointOnLeft)) =>
-          rewrite(j, point, lo, hi, pointOnLeft)
-        case None => j
-      }
+    }
   }
 
   private def isIntegral(e: Expression): Boolean = e.dataType match {
@@ -99,35 +121,55 @@ case class RangeJoinRewrite() extends Rule[LogicalPlan] with PredicateHelper {
   }
 
   private def rewrite(j: Join, point: Expression, lo: Expression,
-                      hi: Expression, pointOnLeft: Boolean): LogicalPlan = {
+                      hi: Expression, pointOnLeft: Boolean,
+                      binWidth: Long, maxBins: Long): LogicalPlan = {
     val w = Literal(binWidth, LongType)
     def toLong(e: Expression): Expression =
       if (e.dataType == LongType) e else Cast(e, LongType)
     val (pointChild, boundChild) =
       if (pointOnLeft) (j.left, j.right) else (j.right, j.left)
+    val loBin = IntegralDivide(toLong(lo), w)
+    val hiBin = IntegralDivide(toLong(hi), w)
+    // valid (lo ≤ hi; null-free — null bounds match nothing) intervals,
+    // split by bin span. sequence(lo, hi, 1) throws when hi < lo, and an
+    // unbounded span would explode to millions of generated rows.
+    val valid = LessThanOrEqual(lo, hi)
+    val narrow = And(valid,
+      LessThanOrEqual(Subtract(hiBin, loBin), Literal(maxBins, LongType)))
+    val wide = And(valid,
+      GreaterThan(Subtract(hiBin, loBin), Literal(maxBins, LongType)))
 
+    // binned branch: explode narrow intervals to their bins, equi-join
     val pBin = Alias(IntegralDivide(toLong(point), w), "__graft_bin")()
     val pointProj = Project(pointChild.output :+ pBin, pointChild)
-
     val binAttr = AttributeReference("__graft_bin", LongType,
       nullable = true)()
-    // degenerate intervals (lo > hi) match nothing under the original
-    // predicate; filter them out — sequence(lo, hi, 1) throws when
-    // hi < lo rather than returning empty. Null bounds are dropped too
-    // (BETWEEN with null is no-match).
-    val boundFiltered = Filter(LessThanOrEqual(lo, hi), boundChild)
-    val seq = Sequence(IntegralDivide(toLong(lo), w),
-      IntegralDivide(toLong(hi), w), Some(Literal(1L, LongType)),
+    val seq = Sequence(loBin, hiBin, Some(Literal(1L, LongType)),
       Some(conf.sessionLocalTimeZone))
     val boundGen = Generate(Explode(seq), unrequiredChildIndex = Nil,
       outer = false, qualifier = None, generatorOutput = Seq(binAttr),
-      child = boundFiltered)
-
-    val (newLeft, newRight) =
+      child = Filter(narrow, boundChild))
+    val (binnedL, binnedR) =
       if (pointOnLeft) (pointProj, boundGen) else (boundGen, pointProj)
-    val newCond = And(EqualTo(pBin.toAttribute, binAttr),
-      j.condition.get)
-    Project(j.output,
-      Join(newLeft, newRight, Inner, Some(newCond), j.hint))
+    val binned = Project(j.output,
+      Join(binnedL, binnedR, Inner,
+        Some(And(EqualTo(pBin.toAttribute, binAttr), j.condition.get)),
+        j.hint))
+
+    // fallback branch: wide intervals keep the nested-loop shape. The
+    // ≤/≥ conjuncts become NOT(<)/NOT(>) — same three-valued truth
+    // table — so the fixed-point re-application of this rule finds no
+    // range pair here and cannot loop.
+    val fallbackCond = j.condition.get.transformUp {
+      case LessThanOrEqual(a, b) => Not(LessThan(b, a))
+      case GreaterThanOrEqual(a, b) => Not(GreaterThan(b, a))
+    }
+    val (fallL, fallR) =
+      if (pointOnLeft) (pointChild, Filter(wide, boundChild))
+      else (Filter(wide, boundChild), pointChild)
+    val fallback = Project(j.output,
+      Join(fallL, fallR, Inner, Some(fallbackCond), j.hint))
+
+    Union(Seq(binned, fallback))
   }
 }

@@ -1,13 +1,24 @@
 package graft
 
+import org.scalatest.BeforeAndAfterAll
 import org.scalatest.funsuite.AnyFunSuite
 import org.apache.spark.sql.functions._
 import graft.plans.RangeJoinRewrite
 
-class RangeJoinRewriteSpec extends AnyFunSuite with SparkTestBase {
+class RangeJoinRewriteSpec extends AnyFunSuite with SparkTestBase
+    with BeforeAndAfterAll {
   import spark.implicits._
 
   RangeJoinRewrite.register(spark)
+
+  // getOrCreate shares one session across suites in this JVM — remove
+  // the rule afterwards so other suites' plan assertions stay unrewritten
+  override def afterAll(): Unit = {
+    spark.experimental.extraOptimizations =
+      spark.experimental.extraOptimizations
+        .filterNot(_.isInstanceOf[RangeJoinRewrite])
+    super.afterAll()
+  }
 
   private lazy val points =
     Seq((1L, 5L), (2L, 100L), (3L, 255L), (4L, 256L), (5L, 1000L))
@@ -26,8 +37,11 @@ class RangeJoinRewriteSpec extends AnyFunSuite with SparkTestBase {
   test("raw BETWEEN join is rewritten: equi-join plan, exact results") {
     val joined = points.join(intervals, $"t" >= $"s" && $"t" <= $"e")
     val plan = joined.queryExecution.executedPlan.toString
-    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+    // binned equi-join branch present; the nested loop survives only as
+    // the wide-interval fallback branch (empty here — all intervals are
+    // narrow), fed by the `wide` filter
     assert(plan.contains("__graft_bin"), plan)
+    assert(plan.contains("> 4096"), plan)
     assert(joined.select("pid", "iv").as[(Long, Long)].collect().toSet
       == expected)
   }
@@ -35,7 +49,7 @@ class RangeJoinRewriteSpec extends AnyFunSuite with SparkTestBase {
   test("flipped operand orientation (lo <= p, hi >= p) also rewrites") {
     val joined = points.join(intervals, $"s" <= $"t" && $"e" >= $"t")
     val plan = joined.queryExecution.executedPlan.toString
-    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+    assert(plan.contains("__graft_bin"), plan)
     assert(joined.select("pid", "iv").as[(Long, Long)].collect().toSet
       == expected)
   }
@@ -71,6 +85,36 @@ class RangeJoinRewriteSpec extends AnyFunSuite with SparkTestBase {
     val got = points.join(bad, $"t" >= $"s" && $"t" <= $"e")
       .select("pid", "iv").as[(Long, Long)].collect().toSet
     assert(got == Set((1L, 31L))) // only t=5 in [0,99]... and t=100>99
+  }
+
+  test("wide intervals route through the fallback branch, exact results") {
+    // one narrow interval + one spanning ~10^9 bins at width 256: the
+    // binned branch alone would explode; the hybrid must stay exact
+    val mixed = Seq((40L, 0L, 99L), (41L, -300000000000L, 300000000000L))
+      .toDF("iv", "s", "e")
+    val joined = points.join(mixed, $"t" >= $"s" && $"t" <= $"e")
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(plan.contains("__graft_bin"), plan)          // binned branch
+    assert(plan.contains("BroadcastNestedLoopJoin"), plan) // fallback
+    val got = joined.select("pid", "iv").as[(Long, Long)].collect()
+      .groupBy(identity).view.mapValues(_.length).toMap
+    // every point is inside the wide interval exactly once; t=5 also
+    // hits [0,99]
+    assert(got == Map((1L, 40L) -> 1, (1L, 41L) -> 1, (2L, 41L) -> 1,
+      (3L, 41L) -> 1, (4L, 41L) -> 1, (5L, 41L) -> 1))
+  }
+
+  test("invalid binWidth conf disables the rewrite instead of breaking") {
+    for (bad <- Seq("0", "-5", "not-a-number")) {
+      spark.conf.set("spark.graft.rangeJoin.binWidth", bad)
+      try {
+        val joined = points.join(intervals, $"t" >= $"s" && $"t" <= $"e")
+        assert(!joined.queryExecution.executedPlan.toString
+          .contains("__graft_bin"), s"binWidth=$bad")
+        assert(joined.select("pid", "iv").as[(Long, Long)].collect().toSet
+          == expected)
+      } finally spark.conf.unset("spark.graft.rangeJoin.binWidth")
+    }
   }
 
   test("one-sided bound (no upper) is left alone") {
