@@ -1,0 +1,75 @@
+package graft.jobs
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import graft.dedup.Dedup
+
+/** Incremental dedup at ingest — the continuous-corpus-building pattern:
+  * each arriving micro-batch of documents is (1) deduplicated within the
+  * batch (keep lowest doc_id per content hash), then (2) anti-joined on
+  * the 60-bit content hash against the persisted hash store, and only
+  * genuinely-new documents append to the corpus + hash store. At 100 TB
+  * the hash store is the small side (16 bytes/doc) and the anti-join is
+  * a broadcast/shuffle hash join on the hash key — new data never
+  * rescans the corpus itself.
+  *
+  * Exactly-once notes: with a replayable source + checkpoint, a replayed
+  * batch re-appends — but its docs are already in the hash store, so the
+  * anti-join drops them and the corpus stays duplicate-free (the
+  * idempotence the content hash buys; pinned in the spec).
+  */
+object DedupIngestJob {
+
+  private def hashed(docs: DataFrame): DataFrame =
+    docs.withColumn("content_hash", Dedup.hash60(Dedup.normalize(col("text"))))
+
+  /** Batch core, shared by streaming foreachBatch and tests.
+    * @return number of new (non-duplicate) docs appended */
+  def writeBatch(docs: DataFrame, outDir: String): Long = {
+    val spark = docs.sparkSession
+    // in-batch dedup: one doc per content hash, lowest id wins
+    val inBatch = hashed(docs)
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("content_hash")).orderBy(col("doc_id"))))
+      .filter(col("rn") === 1).drop("rn")
+    // cross-batch dedup: drop docs whose hash the store already holds
+    val store = s"$outDir/content_hash"
+    val seen =
+      try spark.read.parquet(store)
+      catch { case _: Exception =>
+        spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          inBatch.select(col("content_hash")).schema)
+      }
+    val fresh = inBatch.join(seen, Seq("content_hash"), "left_anti")
+      .persist()
+    try {
+      val n = fresh.count()
+      if (n > 0) {
+        fresh.drop("content_hash").write.mode("append")
+          .parquet(s"$outDir/documents")
+        fresh.select(col("content_hash")).write.mode("append")
+          .parquet(store)
+      }
+      n
+    } finally fresh.unpersist()
+  }
+
+  /** File-drop streaming entry (replayable source + checkpoint →
+    * restart-safe): each dropped file holds JSON lines
+    * {"doc_id": …, "text": …}. AvailableNow drains and stops. */
+  def runFiles(spark: SparkSession, inDir: String, outDir: String,
+               checkpoint: String): StreamingQuery = {
+    val schema = "doc_id LONG, text STRING"
+    spark.readStream.schema(schema).json(inDir)
+      .writeStream
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (df: DataFrame, _: Long) =>
+        writeBatch(df, outDir); ()
+      }
+      .start()
+  }
+}

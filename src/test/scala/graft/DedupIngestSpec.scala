@@ -1,0 +1,55 @@
+package graft
+
+import java.nio.file.Files
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.jobs.DedupIngestJob
+
+class DedupIngestSpec extends AnyFunSuite with SparkTestBase {
+  import spark.implicits._
+
+  private def tmp(): String =
+    Files.createTempDirectory("graft_dedup_ingest").toString
+
+  test("cross-batch dedup: later batches drop already-seen content") {
+    val out = tmp()
+    val b1 = Seq((1L, "the quick brown fox"), (2L, "totally new text"),
+      (3L, "The quick BROWN fox!")).toDF("doc_id", "text") // 3 dups 1
+    val n1 = DedupIngestJob.writeBatch(b1, out)
+    assert(n1 == 2) // in-batch dedup keeps doc 1, drops 3
+
+    val b2 = Seq((10L, "the quick brown fox"), // seen in batch 1
+      (11L, "brand new content here")).toDF("doc_id", "text")
+    val n2 = DedupIngestJob.writeBatch(b2, out)
+    assert(n2 == 1)
+
+    val corpus = spark.read.parquet(s"$out/documents")
+    assert(corpus.count() == 3)
+    assert(corpus.select("doc_id").as[Long].collect().toSet
+      == Set(1L, 2L, 11L))
+  }
+
+  test("replay idempotence: re-appending a processed batch is a no-op") {
+    val out = tmp()
+    val b = Seq((1L, "alpha beta"), (2L, "gamma delta"))
+      .toDF("doc_id", "text")
+    assert(DedupIngestJob.writeBatch(b, out) == 2)
+    assert(DedupIngestJob.writeBatch(b, out) == 0) // replayed batch
+    assert(spark.read.parquet(s"$out/documents").count() == 2)
+  }
+
+  test("streaming file-drop: drains available files through foreachBatch") {
+    val out = tmp()
+    val in = tmp()
+    val lines = Seq(
+      """{"doc_id": 1, "text": "one two three"}""",
+      """{"doc_id": 2, "text": "ONE two three"}""", // near-dup of 1
+      """{"doc_id": 3, "text": "four five six"}""")
+    Files.write(java.nio.file.Paths.get(s"$in/docs.json"),
+      lines.mkString("\n").getBytes)
+    val q = DedupIngestJob.runFiles(spark, in, out, tmp())
+    q.awaitTermination(60000)
+    val corpus = spark.read.parquet(s"$out/documents")
+    assert(corpus.select("doc_id").as[Long].collect().toSet == Set(1L, 3L))
+  }
+}
