@@ -48,6 +48,11 @@ object DedupIngestJob {
     try {
       val n = fresh.count()
       if (n > 0) {
+        // corpus first, store second: a crash between the writes can
+        // re-admit this batch's docs on replay (rare duplicate), while
+        // the reverse order would silently LOSE them (hash present,
+        // doc absent). Atomic both-or-neither needs a transactional
+        // table format; with plain parquet, favor no-loss.
         fresh.drop("content_hash").write.mode("append")
           .parquet(s"$outDir/documents")
         fresh.select(col("content_hash")).write.mode("append")
