@@ -638,6 +638,13 @@ object SparkEntry {
       .agg(hll_sketch_estimate(hll_union_agg(col("sk")))
         .as("est_users"))
 
+  /** EXACT simhash hamming-≤3 near-dup pairs via pigeonhole banding
+    * (4 × 15-bit blocks: a pair within hamming 3 must agree on ≥1
+    * block) — banding for candidates, bit_count(xor) to verify; zero
+    * recall loss, never the cross product. */
+  def q62_simhash_pairs(s: SparkSession, d: String): DataFrame =
+    graft.dedup.Dedup.simhashPairs(Tables.documents(s, d), maxHamming = 3)
+
   private def syntheticBlockLines(s: SparkSession): DataFrame = {
     import s.implicits._
     Seq(
@@ -886,6 +893,7 @@ object SparkEntry {
     "q59_topk_agg" -> (q59_topk_agg _),
     "q60_zorder" -> (q60_zorder _),
     "q61_hll_merge" -> (q61_hll_merge _),
+    "q62_simhash_pairs" -> (q62_simhash_pairs _),
   )
 
   // DuckDB twins of the Scala normalization / hashing expressions
@@ -1508,5 +1516,31 @@ object SparkEntry {
         "user_id", "CAST(floor(value * 100) AS BIGINT)")
       s"SELECT event_id, $z AS z FROM events"
     },
+    "q62_simhash_pairs" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, unnest(string_split($NormSql, ' ')) AS tok
+         |  FROM documents),
+         |h AS (SELECT doc_id, ${hash60Sql("tok")} AS h FROM toks),
+         |bits AS (
+         |  SELECT doc_id, b,
+         |    sum(CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END) AS s
+         |  FROM h, (SELECT unnest(generate_series(0, 59)) AS b) bs
+         |  GROUP BY doc_id, b),
+         |sh AS (
+         |  SELECT doc_id,
+         |    CAST(sum(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << b)
+         |             ELSE 0 END) AS BIGINT) AS simhash
+         |  FROM bits GROUP BY doc_id),
+         |banded AS (
+         |  SELECT doc_id, simhash, b,
+         |    (simhash >> (b * 15)) & 32767 AS band
+         |  FROM sh, (SELECT unnest(generate_series(0, 3)) AS b) bb),
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS id1, c.doc_id AS id2,
+         |    a.simhash AS h1, c.simhash AS h2
+         |  FROM banded a JOIN banded c
+         |    ON a.b = c.b AND a.band = c.band AND a.doc_id < c.doc_id)
+         |SELECT id1, id2, CAST(bit_count(xor(h1, h2)) AS BIGINT) AS hamming
+         |FROM cand WHERE bit_count(xor(h1, h2)) <= 3""".stripMargin,
   )
 }

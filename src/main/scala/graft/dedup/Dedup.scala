@@ -239,6 +239,39 @@ object Dedup {
       .agg(graft.functions.SimHashAgg.simhash_agg(col("h"), bits)
         .as("simhash"))
 
+  /** EXACT hamming-≤k near-dup pairs over the simhash — the classic
+    * pigeonhole banding: split the `bits`-bit simhash into k+1 equal
+    * blocks; any pair within hamming distance k differs in ≤ k blocks,
+    * so at least one block matches exactly. Candidates come from the
+    * per-block equality join (hash-shuffleable, never the cross
+    * product), then `bit_count(h1 xor h2) ≤ k` verifies — no recall
+    * loss, unlike MinHash banding. Everything is md5-deterministic
+    * integer math → cross-engine oracle-able.
+    * @return (id1, id2, hamming), id1 < id2 */
+  def simhashPairs(docs: DataFrame, maxHamming: Int = 3,
+                   bits: Int = 60): DataFrame = {
+    val bands = maxHamming + 1
+    require(bits % bands == 0,
+      s"bits=$bits must divide into maxHamming+1=$bands bands")
+    val width = bits / bands
+    val mask = (1L << width) - 1
+    val banded = simhashFast(docs, bits)
+      .select(col("doc_id"), col("simhash"),
+        explode(sequence(lit(0), lit(bands - 1))).as("b"))
+      .withColumn("band", expr(s"(simhash >> (b * $width)) & $mask"))
+    val a = banded.select(col("b"), col("band"),
+      col("doc_id").as("id1"), col("simhash").as("h1"))
+    val c = banded.select(col("b"), col("band"),
+      col("doc_id").as("id2"), col("simhash").as("h2"))
+    a.join(c, Seq("b", "band"))
+      .filter(col("id1") < col("id2"))
+      .select(col("id1"), col("id2"), col("h1"), col("h2"))
+      .distinct() // a pair may share several intact bands
+      .withColumn("hamming", expr("bit_count(h1 ^ h2)").cast("long"))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("id1"), col("id2"), col("hamming"))
+  }
+
   /** Embedding near-dup: exact cosine within coarse blocks (here the
     * precomputed `label` cluster — the blocking key that keeps the pair
     * count sub-quadratic), pairs with cosine ≥ threshold. */

@@ -71,6 +71,22 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
     assert(hamming(sh(1L), sh(4L)) < hamming(sh(1L), sh(3L)))
   }
 
+  test("simhash pairs: pigeonhole banding is exact vs brute-force " +
+    "hamming") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.01")
+      .limit(200)
+    val got = Dedup.simhashPairs(docs, maxHamming = 3)
+      .as[(Long, Long, Long)].collect().toSet
+    // brute force over all pairs of simhashes
+    val sh = Dedup.simhashFast(docs).as[(Long, Long)].collect()
+    val brute = (for {
+      (i1, h1) <- sh; (i2, h2) <- sh if i1 < i2
+      d = java.lang.Long.bitCount(h1 ^ h2) if d <= 3
+    } yield (i1, i2, d.toLong)).toSet
+    assert(got == brute && brute.nonEmpty,
+      s"got ${got.size} vs brute ${brute.size}")
+  }
+
   test("embedding near-dups: blocked exact cosine over threshold") {
     val e = Seq(
       (1L, Array(1.0f, 0.0f), 0), (2L, Array(0.999f, 0.04f), 0),
