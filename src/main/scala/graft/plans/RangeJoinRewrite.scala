@@ -22,12 +22,25 @@ import org.apache.spark.sql.types._
   *
   * Wide-interval safety: bin explosion is data-dependent (an interval
   * spanning 10⁹ units at width 256 would explode to millions of rows),
-  * so intervals wider than `maxBins` bins take a fallback branch that
-  * keeps the original nested-loop join shape; the output is the UNION
-  * of the two disjoint branches. The fallback branch's ≤/≥ conjuncts
-  * are rewritten to their `NOT(<)`/`NOT(>)` equivalents (identical
-  * three-valued semantics) so this rule — which runs in a fixed-point
-  * batch — cannot re-fire on its own fallback.
+  * so intervals whose bin span reaches `maxBins` take a fallback branch
+  * that keeps the original nested-loop join shape; the output is the
+  * UNION of the two disjoint branches.
+  *
+  * Re-fire guard: this rule runs in a fixed-point batch, and the
+  * fallback branch still contains the original range predicate, so the
+  * rule must not rewrite its own fallback on the next iteration. The
+  * guard is structural: the fallback's bound side carries a filter on
+  * the interval's bin span (`hi div w - lo div w >= maxBins`) — a shape
+  * no user query produces and no optimizer rule erases (predicate
+  * pushdown only moves it further down the same subtree) — and the rule
+  * skips any join whose subtree contains that marker. Normalizing the
+  * fallback's ≤/≥ to NOT(<)/NOT(>) was tried first and does NOT work:
+  * `injectOptimizerRule` places this rule in the same fixed-point batch
+  * as BooleanSimplification, which immediately un-normalizes the guard
+  * and the batch burns its 100-iteration budget. The structural skip is
+  * deliberately conservative — a second range join stacked directly on
+  * top of a rewritten one is left un-rewritten rather than risking a
+  * loop.
   *
   * Correctness notes: truncating integer division by a positive width
   * is monotone, so a contained point's bin always lies in
@@ -78,7 +91,7 @@ case class RangeJoinRewrite() extends Rule[LogicalPlan] with PredicateHelper {
                 (canEvaluate(a, right) && canEvaluate(b, left))
             case _ => false
           }
-          if (hasCrossEqui) j
+          if (hasCrossEqui || hasWideMarker(left) || hasWideMarker(right)) j
           else findRange(conjuncts, left, right) match {
             case Some((point, lo, hi, pointOnLeft)) =>
               rewrite(j, point, lo, hi, pointOnLeft, w, maxBins)
@@ -90,6 +103,21 @@ case class RangeJoinRewrite() extends Rule[LogicalPlan] with PredicateHelper {
 
   private def isIntegral(e: Expression): Boolean = e.dataType match {
     case ByteType | ShortType | IntegerType | LongType => true
+    case _ => false
+  }
+
+  /** The wide-branch filter this rule itself emits: bin-span ≥ maxBins
+    * over two integral divisions. Its presence anywhere in a join's
+    * subtree marks that join as this rule's own fallback. */
+  private def isWideMarker(e: Expression): Boolean = e match {
+    case GreaterThanOrEqual(
+        Subtract(_: IntegralDivide, _: IntegralDivide, _), _: Literal) => true
+    case _ => false
+  }
+
+  private def hasWideMarker(plan: LogicalPlan): Boolean = plan.exists {
+    case f: Filter =>
+      splitConjunctivePredicates(f.condition).exists(isWideMarker)
     case _ => false
   }
 
@@ -133,11 +161,14 @@ case class RangeJoinRewrite() extends Rule[LogicalPlan] with PredicateHelper {
     // valid (lo ≤ hi; null-free — null bounds match nothing) intervals,
     // split by bin span. sequence(lo, hi, 1) throws when hi < lo, and an
     // unbounded span would explode to millions of generated rows.
+    // span < maxBins → at most maxBins exploded bins (span+1), honoring
+    // the conf name; span ≥ maxBins is also the re-fire marker shape
+    // isWideMarker recognizes.
     val valid = LessThanOrEqual(lo, hi)
     val narrow = And(valid,
-      LessThanOrEqual(Subtract(hiBin, loBin), Literal(maxBins, LongType)))
+      LessThan(Subtract(hiBin, loBin), Literal(maxBins, LongType)))
     val wide = And(valid,
-      GreaterThan(Subtract(hiBin, loBin), Literal(maxBins, LongType)))
+      GreaterThanOrEqual(Subtract(hiBin, loBin), Literal(maxBins, LongType)))
 
     // binned branch: explode narrow intervals to their bins, equi-join
     val pBin = Alias(IntegralDivide(toLong(point), w), "__graft_bin")()
@@ -156,19 +187,14 @@ case class RangeJoinRewrite() extends Rule[LogicalPlan] with PredicateHelper {
         Some(And(EqualTo(pBin.toAttribute, binAttr), j.condition.get)),
         j.hint))
 
-    // fallback branch: wide intervals keep the nested-loop shape. The
-    // ≤/≥ conjuncts become NOT(<)/NOT(>) — same three-valued truth
-    // table — so the fixed-point re-application of this rule finds no
-    // range pair here and cannot loop.
-    val fallbackCond = j.condition.get.transformUp {
-      case LessThanOrEqual(a, b) => Not(LessThan(b, a))
-      case GreaterThanOrEqual(a, b) => Not(GreaterThan(b, a))
-    }
+    // fallback branch: wide intervals keep the nested-loop shape with
+    // the original condition; the `wide` filter below is the structural
+    // marker that stops this rule from re-firing on it.
     val (fallL, fallR) =
       if (pointOnLeft) (pointChild, Filter(wide, boundChild))
       else (Filter(wide, boundChild), pointChild)
     val fallback = Project(j.output,
-      Join(fallL, fallR, Inner, Some(fallbackCond), j.hint))
+      Join(fallL, fallR, Inner, j.condition, j.hint))
 
     Union(Seq(binned, fallback))
   }

@@ -41,7 +41,7 @@ class RangeJoinRewriteSpec extends AnyFunSuite with SparkTestBase
     // the wide-interval fallback branch (empty here — all intervals are
     // narrow), fed by the `wide` filter
     assert(plan.contains("__graft_bin"), plan)
-    assert(plan.contains("> 4096"), plan)
+    assert(plan.contains(">= 4096"), plan)
     assert(joined.select("pid", "iv").as[(Long, Long)].collect().toSet
       == expected)
   }
@@ -121,5 +121,47 @@ class RangeJoinRewriteSpec extends AnyFunSuite with SparkTestBase
     val joined = points.join(intervals, $"t" >= $"s")
     assert(!joined.queryExecution.executedPlan.toString
       .contains("__graft_bin"))
+  }
+
+  test("injectOptimizerRule path converges in the fixed-point batch") {
+    // GraftExtensions places the rule in the operator-optimization
+    // fixed-point batch next to BooleanSimplification. Under
+    // spark.testing, RuleExecutor THROWS if that batch hits max
+    // iterations, so this test fails hard if the re-fire guard is ever
+    // erasable by a sibling rule (the NOT-normalization guard was).
+    import org.apache.spark.sql.SparkSession
+    val prevTesting = sys.props.get("spark.testing")
+    val prevDefault = SparkSession.getDefaultSession
+    val prevActive = SparkSession.getActiveSession
+    sys.props("spark.testing") = "true"
+    SparkSession.clearDefaultSession()
+    SparkSession.clearActiveSession()
+    try {
+      // reuses the suite's SparkContext; fresh sessionState with the
+      // extension-injected rule and no extraOptimizations
+      val s2 = SparkSession.builder()
+        .withExtensions(new graft.functions.GraftExtensions)
+        .getOrCreate()
+      val imp = s2.implicits
+      import imp._
+      val p2 = Seq((1L, 5L), (2L, 100L), (3L, 255L), (4L, 256L),
+        (5L, 1000L)).toDF("pid", "t")
+      val i2 = Seq((10L, 0L, 99L), (11L, 50L, 300L), (12L, 256L, 256L),
+        (13L, 2000L, 3000L)).toDF("iv", "s", "e")
+      val joined = p2.join(i2, p2("t") >= i2("s") && p2("t") <= i2("e"))
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("__graft_bin"), plan)
+      assert(joined.select("pid", "iv")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet == expected)
+    } finally {
+      prevTesting match {
+        case Some(v) => sys.props("spark.testing") = v
+        case None => sys.props.remove("spark.testing")
+      }
+      SparkSession.clearDefaultSession()
+      SparkSession.clearActiveSession()
+      prevDefault.foreach(SparkSession.setDefaultSession)
+      prevActive.foreach(SparkSession.setActiveSession)
+    }
   }
 }
