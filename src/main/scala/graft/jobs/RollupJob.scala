@@ -1,7 +1,9 @@
 package graft.jobs
 
-import org.apache.spark.sql.SparkSession
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
 import graft.ops.Volume
 import graft.graph.PageRank
 
@@ -12,38 +14,155 @@ import graft.graph.PageRank
   * The Airflow layer was scheduling, not semantics
   * (/root/reference/airflow/archive/dags/etl_vol_dag.py,
   * etl_pagerank_dag.py); invoke this per cadence tick.
+  *
+  * Scale design: every rollup table is stored PARTITIONED by a bucket
+  * column derived from its key (`pbucket` — height range for
+  * vol_by_block, key hash for vol_all_time / address_pagerank), and a
+  * tick touches only the partitions its updates land in: it reads those
+  * partitions back (partition-pruned scan), merges with
+  * [[Volume.upsert]], and rewrites just them via dynamic partition
+  * overwrite. The tick is O(delta·bucket), not O(table) — at 100 TB of
+  * history a cadence tick rewrites a handful of height buckets, never
+  * the table. Existence probes go through the Hadoop FileSystem API, so
+  * the job runs unchanged on HDFS/S3 (`java.io.File` does not).
+  *
+  * vol_all_time is maintained INCREMENTALLY: the tick computes, per
+  * unit, Δ = Σ(new by-block rows) − Σ(the rows they replace) and adds it
+  * to the stored all-time value, so neither leg ever rescans
+  * vol_by_block history. Incremental double summation reassociates
+  * floating-point adds (same class of reordering as Spark's own partial
+  * aggregation); exact-recompute equivalence is pinned to 1e-9 relative
+  * tolerance in StreamingJobSpec.
   */
 object RollupJob {
 
-  private def upsertInto(spark: SparkSession, path: String,
-                         updates: org.apache.spark.sql.DataFrame,
-                         keys: Seq[String]): Unit = {
-    val merged =
-      if (new java.io.File(path).exists()) {
-        // materialize before overwriting the dir we read from
-        val existing = spark.read.parquet(path)
-        Volume.upsert(existing, updates, keys).cache()
-      } else updates
-    merged.count() // force before overwrite
-    merged.write.mode("overwrite").parquet(path)
+  /** Heights per vol_by_block partition. Default 100k blocks ≈ one
+    * partition per ~3 weeks of chain; a tick appends to the newest
+    * bucket and occasionally revises a recent one. */
+  private def heightBucketSize(spark: SparkSession): Long =
+    spark.conf.get("spark.graft.rollup.heightBucketSize", "100000").toLong
+
+  /** Hash-bucket count for key-partitioned rollups (vol_all_time,
+    * address_pagerank). Small tables → few buckets; the point is
+    * partition-granular rewrites, not parallelism. */
+  private def keyBuckets(spark: SparkSession): Int =
+    spark.conf.get("spark.graft.rollup.keyBuckets", "16").toInt
+
+  private def exists(spark: SparkSession, path: String): Boolean = {
+    val p = new Path(path)
+    p.getFileSystem(spark.sessionState.newHadoopConf()).exists(p)
   }
 
-  def run(spark: SparkSession, dataDir: String): Unit = {
-    // extract: WHERE value_adj != 0 (F5)
-    val vol = spark.read.parquet(s"$dataDir/vol")
-      .filter(col("value_adj") =!= 0.0)
+  /** Partition-pruned read of only the `pbucket` partitions in
+    * `touched` — O(touched buckets), never a full-table scan. */
+  private def readTouched(spark: SparkSession, path: String,
+                          touched: Array[Long]): DataFrame = {
+    val df = spark.read.parquet(path)
+    if (touched.isEmpty) df.limit(0)
+    else df.filter(col("pbucket").isin(touched: _*))
+  }
+
+  /** The touched-partition list is driver-side metadata (one long per
+    * partition a tick writes) — the same enumeration dynamic partition
+    * overwrite itself performs at commit. */
+  private def touchedBuckets(withBucket: DataFrame): Array[Long] =
+    withBucket.select(col("pbucket").cast("long")).distinct()
+      .collect().map(_.getLong(0))
+
+  /** Partition-granular keyed upsert: merge `updates` (which must carry
+    * a `pbucket` column) into the partitioned table at `path`, reading
+    * and rewriting ONLY the touched partitions. */
+  private def upsertInto(spark: SparkSession, path: String,
+                         updates: DataFrame, keys: Seq[String]): Unit = {
+    if (!exists(spark, path)) {
+      updates.write.partitionBy("pbucket").mode("overwrite").parquet(path)
+      return
+    }
+    val touched = touchedBuckets(updates)
+    if (touched.isEmpty) return
+    val existing = readTouched(spark, path, touched)
+    val merged = Volume.upsert(existing, updates, keys)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    merged.count() // materialize before overwriting the partitions we read
+    merged.write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("pbucket").parquet(path)
+    merged.unpersist()
+  }
+
+  /** @param sinceHeight the tick's input window — only vol rows at
+    *   `height >= sinceHeight` are re-rolled (the cadence scheduler
+    *   passes the last processed height, minus any reorg margin). None
+    *   re-rolls the full table, which stays correct (idempotent) but is
+    *   O(history); production ticks should always pass a window. */
+  def run(spark: SparkSession, dataDir: String,
+          sinceHeight: Option[Long] = None): Unit = {
+    val hb = heightBucketSize(spark)
+    val kb = keyBuckets(spark)
+    val byBlockPath = s"$dataDir/vol_by_block"
+    val allTimePath = s"$dataDir/vol_all_time"
+
+    // extract: WHERE value_adj != 0 (F5), windowed to the tick
+    val vol = sinceHeight.foldLeft(
+      spark.read.parquet(s"$dataDir/vol")
+        .filter(col("value_adj") =!= 0.0))(
+      (df, h) => df.filter(col("height") >= h))
     val byBlock = Volume.byBlock(vol)
-    upsertInto(spark, s"$dataDir/vol_by_block", byBlock,
-      Seq("height", "unit"))
-    upsertInto(spark, s"$dataDir/vol_all_time",
-      Volume.allTime(spark.read.parquet(s"$dataDir/vol_by_block")),
-      Seq("unit"))
-    // pagerank leg (etl_pagerank_dag): edges → (address, score)
+      .withColumn("pbucket", expr(s"height div $hb"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    byBlock.count()
+
+    // all-time delta, computed BEFORE the by-block write rewrites the
+    // partitions it reads: Δ(unit) = Σ new rows − Σ the rows they replace
+    val newSums = byBlock.groupBy("unit")
+      .agg(sum(col("value_adj")).as("new_sum"))
+    val replacedSums =
+      if (exists(spark, byBlockPath))
+        readTouched(spark, byBlockPath, touchedBuckets(byBlock))
+          .join(byBlock.select("unit", "height").distinct(),
+            Seq("unit", "height"), "left_semi")
+          .groupBy("unit").agg(sum(col("value_adj")).as("old_sum"))
+      else newSums.select(col("unit"), lit(0.0).as("old_sum")).limit(0)
+    // Lineage CUT, not just cache: delta's plan scans vol_by_block, and
+    // the upsert below rewrites those partitions AND refreshes path
+    // caches (refreshByPath) — a plain persist would silently recompute
+    // delta from the post-write files, collapsing it to 0.
+    val delta = newSums.join(replacedSums, Seq("unit"), "left")
+      .select(col("unit"),
+        (col("new_sum") - coalesce(col("old_sum"), lit(0.0))).as("delta"))
+      .localCheckpoint(true)
+
+    upsertInto(spark, byBlockPath, byBlock, Seq("height", "unit"))
+
+    // apply the delta to the stored all-time values (key-hash buckets)
+    val deltaB = delta
+      .withColumn("pbucket", pmod(hash(col("unit")), lit(kb)).cast("long"))
+    val allTimeUpdates =
+      if (exists(spark, allTimePath))
+        deltaB.join(
+          readTouched(spark, allTimePath, touchedBuckets(deltaB))
+            .select(col("unit"), col("value_adj").as("old_v")),
+          Seq("unit"), "left")
+          .select(col("unit"),
+            (coalesce(col("old_v"), lit(0.0)) + col("delta"))
+              .as("value_adj"),
+            col("pbucket"))
+      else deltaB.select(col("unit"), col("delta").as("value_adj"),
+        col("pbucket"))
+    upsertInto(spark, allTimePath, allTimeUpdates, Seq("unit"))
+    byBlock.unpersist()
+
+    // pagerank leg (etl_pagerank_dag): edges → (address, score).
+    // PageRank is a global recompute, so every address — and thus every
+    // key bucket — is touched each tick; the partitioned upsert still
+    // keeps the write path uniform and FS-safe.
     val edgesPath = s"$dataDir/edges"
-    if (new java.io.File(edgesPath).exists()) {
+    if (exists(spark, edgesPath)) {
       val edges = spark.read.parquet(edgesPath)
         .select(col("send_addr").as("src"), col("rx_addr").as("dst"))
       val scores = PageRank.run(edges)
+        .withColumn("pbucket", pmod(hash(col("address")), lit(kb))
+          .cast("long"))
       upsertInto(spark, s"$dataDir/address_pagerank", scores,
         Seq("address"))
     }

@@ -63,14 +63,62 @@ class StreamingJobSpec extends AnyFunSuite with SparkTestBase {
     // rollup chain on top
     RollupJob.run(spark, out)
     val byBlock = spark.read.parquet(s"$out/vol_by_block")
+      .select("unit", "height", "value_adj")
       .as[(String, Long, Double)].collect().toSet
     assert(byBlock == Set(("lovelace", 100L, 1.0 / 1e6),
       ("lovelace", 101L, 0.4 / 1e6)))
+    val allTime = spark.read.parquet(s"$out/vol_all_time")
+      .select("unit", "value_adj").as[(String, Double)].collect().toSet
+    assert(allTime == Set(("lovelace", 1.4 / 1e6)))
     val pr = spark.read.parquet(s"$out/address_pagerank")
     assert(pr.count() == 2) // nodes A and B
-    // rollup is idempotent under re-run (upsert, not append)
+    // rollup is idempotent under re-run (upsert, not append; all-time
+    // delta = 0 when every replaced row equals its replacement)
     RollupJob.run(spark, out)
     assert(spark.read.parquet(s"$out/vol_by_block").count() == 2)
+    val allTime2 = spark.read.parquet(s"$out/vol_all_time")
+      .select("unit", "value_adj").as[(String, Double)].collect().toSet
+    assert(allTime2 == Set(("lovelace", 1.4 / 1e6)))
+  }
+
+  test("rollup upsert is partition-granular: a tick rewrites only the " +
+    "height buckets it touches") {
+    val out = Files.createTempDirectory("graft_rollup").toString
+    def files(bucket: Long): Set[String] = {
+      val dir = new java.io.File(s"$out/vol_by_block/pbucket=$bucket")
+      Option(dir.listFiles()).fold(Set.empty[String])(
+        _.map(_.getName).filter(_.endsWith(".parquet")).toSet)
+    }
+    spark.conf.set("spark.graft.rollup.heightBucketSize", "10")
+    try {
+      // tick 1: heights 5 and 15 → buckets 0 and 1
+      Seq(("t1", 5L, 50L, "u", 3e6), ("t2", 15L, 150L, "u", 4e6))
+        .toDF("hash", "height", "slot", "unit", "value_adj")
+        .write.parquet(s"$out/vol")
+      RollupJob.run(spark, out)
+      val (b0, b1) = (files(0), files(1))
+      assert(b0.nonEmpty && b1.nonEmpty)
+      assert(spark.read.parquet(s"$out/vol_all_time")
+        .select("unit", "value_adj").as[(String, Double)]
+        .collect().toSet == Set(("u", 7.0)))
+
+      // tick 2: only height 15 revised (4e6 → 5e6) + new height 17 —
+      // bucket 1 only; bucket 0's files must be byte-identical
+      Seq(("t2", 15L, 150L, "u", 5e6), ("t3", 17L, 170L, "u", 1e6))
+        .toDF("hash", "height", "slot", "unit", "value_adj")
+        .write.mode("overwrite").parquet(s"$out/vol")
+      RollupJob.run(spark, out, sinceHeight = Some(10L))
+      assert(files(0) == b0, "untouched bucket was rewritten")
+      assert(files(1) != b1, "touched bucket was not rewritten")
+      val got = spark.read.parquet(s"$out/vol_by_block")
+        .select("unit", "height", "value_adj").as[(String, Long, Double)]
+        .collect().toSet
+      assert(got == Set(("u", 5L, 3.0), ("u", 15L, 5.0), ("u", 17L, 1.0)))
+      // incremental all-time tracked the revision: 3 + 5 + 1
+      val at = spark.read.parquet(s"$out/vol_all_time")
+        .select("unit", "value_adj").as[(String, Double)].collect()
+      assert(at.length == 1 && math.abs(at.head._2 - 9.0) < 1e-9, at.toSeq)
+    } finally spark.conf.unset("spark.graft.rollup.heightBucketSize")
   }
 
   test("socket source: replay server → streaming raw persist") {
