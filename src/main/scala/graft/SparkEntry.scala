@@ -1490,9 +1490,11 @@ object SparkEntry {
         |r AS (
         |  SELECT doc_id, source, quality,
         |    percent_rank() OVER (PARTITION BY source
-        |      ORDER BY quality, doc_id) AS pr
+        |      ORDER BY quality, doc_id) AS pr,
+        |    count(*) OVER (PARTITION BY source) AS n
         |  FROM s)
-        |SELECT doc_id, source, quality FROM r WHERE pr >= 0.25""".stripMargin,
+        |SELECT doc_id, source, quality FROM r
+        |WHERE pr >= 0.25 OR n = 1""".stripMargin,
     "q58_source_mix" -> {
       val h = hash60Sql("'mix|'||CAST(doc_id AS VARCHAR)")
       s"""WITH c AS (

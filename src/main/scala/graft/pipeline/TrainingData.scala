@@ -96,13 +96,18 @@ object TrainingData {
     * use, rather than one global threshold that lets a high-quality
     * domain crowd out others). Windows partition by stratum → parallel
     * sorts, never a global single-partition order. percent_rank is
-    * (rank−1)/(n−1): exact integer ratios, identical cross-engine. */
+    * (rank−1)/(n−1): exact integer ratios, identical cross-engine.
+    * A single-row stratum's only doc has percent_rank 0 but is also
+    * that stratum's best — it is always kept, so no stratum is ever
+    * silently emptied. */
   def qualityGate(df: DataFrame, stratum: Column, score: Column,
                   id: Column, minPercentile: Double): DataFrame = {
     val w = Window.partitionBy(stratum).orderBy(score, id)
+    val cw = Window.partitionBy(stratum)
     df.withColumn("pr", percent_rank().over(w))
-      .filter(col("pr") >= minPercentile)
-      .drop("pr")
+      .withColumn("__n", count(lit(1)).over(cw))
+      .filter(col("pr") >= minPercentile || col("__n") === 1)
+      .drop("pr", "__n")
   }
 
   /** Source-mix rebalancing: uniformly downsample every stratum to the

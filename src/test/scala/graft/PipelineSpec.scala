@@ -76,6 +76,17 @@ class PipelineSpec extends AnyFunSuite with SparkTestBase {
       .collect().toMap.values.forall(_ == 5.0))
   }
 
+  test("qualityGate: a single-row stratum is kept, not silently emptied") {
+    // percent_rank = (rank-1)/(n-1) = 0 for n = 1 — the sole doc is
+    // also its stratum's best and must survive any minPercentile
+    val df = ((0 until 20).map(i => (s"a$i", "a", i.toDouble)) :+
+      (("solo", "b", 0.0))).toDF("id", "stratum", "score")
+    val kept = TrainingData.qualityGate(df, $"stratum", $"score", $"id",
+      0.25)
+    assert(kept.filter($"stratum" === "b").count() == 1)
+    assert(kept.count() == 16) // a: 15 of 20 kept; b: the solo doc
+  }
+
   test("rebalanceStrata: skewed strata downsample toward the smallest") {
     val df = ((0L until 300L).map(i => (i, "big")) ++
       (300L until 350L).map(i => (i, "small"))).toDF("id", "stratum")
