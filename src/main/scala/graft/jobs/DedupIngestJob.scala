@@ -9,10 +9,13 @@ import graft.dedup.Dedup
   * each arriving micro-batch of documents is (1) deduplicated within the
   * batch (keep lowest doc_id per content hash), then (2) anti-joined on
   * the 60-bit content hash against the persisted hash store, and only
-  * genuinely-new documents append to the corpus + hash store. At 100 TB
-  * the hash store is the small side (16 bytes/doc) and the anti-join is
-  * a broadcast/shuffle hash join on the hash key — new data never
-  * rescans the corpus itself.
+  * genuinely-new documents append to the corpus + hash store. The store
+  * (16 bytes/doc) is an external BUCKETED table on content_hash, so the
+  * anti-join shuffles only the incoming micro-batch into the store's
+  * bucketing — at 100 TB of corpus the store is never re-shuffled per
+  * batch, and new data never rescans the corpus itself. (Appends add
+  * one file per bucket per batch; a real deployment compacts the store
+  * on a slow cadence.)
   *
   * Exactly-once notes: with a replayable source + checkpoint, a replayed
   * batch re-appends — but its docs are already in the hash store, so the
@@ -23,6 +26,43 @@ object DedupIngestJob {
 
   private def hashed(docs: DataFrame): DataFrame =
     docs.withColumn("content_hash", Dedup.hash60(Dedup.normalize(col("text"))))
+
+  /** Buckets of the hash store. Must stay constant for a given store —
+    * Spark rejects appends with a different bucket spec. */
+  private def storeBuckets(spark: SparkSession): Int =
+    spark.conf.get("spark.graft.dedup.hashStoreBuckets", "64").toInt
+
+  /** Catalog name of the external bucketed store table rooted at
+    * `outDir` (bucket specs live in the catalog, not in parquet). */
+  private def storeTable(outDir: String): String = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+      .digest(outDir.getBytes("UTF-8"))
+    "graft_hash_store_" + md.take(8).map("%02x".format(_)).mkString
+  }
+
+  private def pathExists(spark: SparkSession, path: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    p.getFileSystem(spark.sessionState.newHadoopConf()).exists(p)
+  }
+
+  /** The persisted hash store, read bucket-aware: via the catalog table
+    * its scan reports hash-partitioning on content_hash, so the
+    * per-batch anti-join shuffles only the (small) incoming batch —
+    * the store itself is never re-shuffled (asserted in
+    * DedupIngestSpec). Falls back to a plain-path read when the
+    * catalog entry is gone (e.g. a fresh session over an existing
+    * store) — correct, just unbucketed until the next append
+    * re-registers the table. A missing store is the one absence
+    * handled here; genuine read failures PROPAGATE so the batch
+    * retries instead of silently admitting duplicates. */
+  private[graft] def storeView(spark: SparkSession,
+                               outDir: String): Option[DataFrame] = {
+    val path = s"$outDir/content_hash"
+    if (spark.catalog.tableExists(storeTable(outDir)))
+      Some(spark.table(storeTable(outDir)))
+    else if (pathExists(spark, path)) Some(spark.read.parquet(path))
+    else None
+  }
 
   /** Batch core, shared by streaming foreachBatch and tests.
     * @return number of new (non-duplicate) docs appended */
@@ -35,16 +75,13 @@ object DedupIngestJob {
           .partitionBy(col("content_hash")).orderBy(col("doc_id"))))
       .filter(col("rn") === 1).drop("rn")
     // cross-batch dedup: drop docs whose hash the store already holds
-    val store = s"$outDir/content_hash"
-    val seen =
-      try spark.read.parquet(store)
-      catch { case _: Exception =>
-        spark.createDataFrame(
-          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-          inBatch.select(col("content_hash")).schema)
-      }
-    val fresh = inBatch.join(seen, Seq("content_hash"), "left_anti")
-      .persist()
+    val fresh = storeView(spark, outDir) match {
+      case Some(seen) =>
+        inBatch.join(seen.select(col("content_hash")),
+          Seq("content_hash"), "left_anti")
+      case None => inBatch
+    }
+    fresh.persist()
     try {
       val n = fresh.count()
       if (n > 0) {
@@ -55,8 +92,15 @@ object DedupIngestJob {
         // table format; with plain parquet, favor no-loss.
         fresh.drop("content_hash").write.mode("append")
           .parquet(s"$outDir/documents")
-        fresh.select(col("content_hash")).write.mode("append")
-          .parquet(store)
+        val table = storeTable(outDir)
+        val w = fresh.select(col("content_hash")).write
+          .format("parquet")
+          .bucketBy(storeBuckets(spark), "content_hash")
+          .sortBy("content_hash")
+          .mode("append")
+        // location only on table creation; appends use the catalog's
+        (if (spark.catalog.tableExists(table)) w
+         else w.option("path", s"$outDir/content_hash")).saveAsTable(table)
       }
       n
     } finally fresh.unpersist()

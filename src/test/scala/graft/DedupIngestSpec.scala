@@ -38,6 +38,47 @@ class DedupIngestSpec extends AnyFunSuite with SparkTestBase {
     assert(spark.read.parquet(s"$out/documents").count() == 2)
   }
 
+  test("bucketed store: anti-join plans with no exchange on the store " +
+    "side") {
+    val out = tmp()
+    spark.conf.set("spark.graft.dedup.hashStoreBuckets", "4")
+    // two appends → multiple files per bucket, the realistic store shape
+    assert(DedupIngestJob.writeBatch(
+      Seq((1L, "aa bb"), (2L, "cc dd")).toDF("doc_id", "text"), out) == 2)
+    assert(DedupIngestJob.writeBatch(
+      Seq((3L, "ee ff")).toDF("doc_id", "text"), out) == 1)
+    // force the shuffle-join shape the 100 TB store takes (too big to
+    // broadcast) and a static plan we can traverse
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val store = DedupIngestJob.storeView(spark, out).get
+      val probe = Seq((99L, "zz yy")).toDF("doc_id", "text")
+        .withColumn("content_hash",
+          graft.dedup.Dedup.hash60(graft.dedup.Dedup.normalize(col("text"))))
+      val joined = probe.join(store.select("content_hash"),
+        Seq("content_hash"), "left_anti")
+      val plan = joined.queryExecution.executedPlan
+      import org.apache.spark.sql.execution.joins.{SortMergeJoinExec, ShuffledHashJoinExec}
+      import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+      val storeSide = plan.collectFirst {
+        case j: SortMergeJoinExec => j.right
+        case j: ShuffledHashJoinExec => j.right
+      }
+      assert(storeSide.isDefined, plan.toString)
+      assert(storeSide.get.collect {
+        case e: ShuffleExchangeExec => e
+      }.isEmpty, s"store side re-shuffled:\n$plan")
+      // the probe side DOES shuffle into the store's bucketing
+      assert(plan.collect { case e: ShuffleExchangeExec => e }.nonEmpty)
+      assert(joined.count() == 1)
+    } finally {
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      spark.conf.unset("spark.sql.adaptive.enabled")
+      spark.conf.unset("spark.graft.dedup.hashStoreBuckets")
+    }
+  }
+
   test("streaming file-drop: drains available files through foreachBatch") {
     val out = tmp()
     val in = tmp()
