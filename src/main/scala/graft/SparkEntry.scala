@@ -349,11 +349,13 @@ object SparkEntry {
       cells = 8, nprobe = 4, iters = 5)
   }
 
-  /** Sign-LSH bucketed ANN (deterministic md5-derived hyperplanes). */
+  /** Multi-table multiprobe sign-LSH ANN (deterministic md5-derived
+    * hyperplanes): 24 tables × 8 planes, Hamming-1 query probes, exact
+    * cosine rerank. Approximate by construction → rows-only; measured
+    * recall@10 ≥ 0.9 vs the exact q25 path is pinned in SimilaritySpec. */
   def q28_lsh_ann(s: SparkSession, d: String): DataFrame = {
     val e = Tables.embeddings(s, d)
-    graft.sim.Similarity.lshTopK(e, e.filter(col("vec_id") < 10), 5,
-      planes = 6)
+    graft.sim.Similarity.lshTopKMulti(e, e.filter(col("vec_id") < 10), 5)
   }
 
   /** Multimodal metadata transform: aspect-preserving resize plan over

@@ -179,18 +179,23 @@ object Similarity {
     }
 
   /** Sign-random-projection LSH signature: bit p of the signature is the
-    * sign of v·w_p; the hyperplanes enter the plan as array literals, so
-    * per row the work is `planes` codegen'd dot products (identical
-    * values to round 1 — same md5 derivation, same sequential sum). */
-  def lshSignature(v: Column, dims: Int, planes: Int): Column =
+    * sign of v·w_(planeOffset+p); the hyperplanes enter the plan as
+    * array literals, so per row the work is `planes` codegen'd dot
+    * products (identical values to round 1 — same md5 derivation, same
+    * sequential sum). `planeOffset` selects a disjoint plane set, which
+    * is how [[lshTopKMulti]] builds independent hash tables. */
+  def lshSignature(v: Column, dims: Int, planes: Int,
+                   planeOffset: Int = 0): Column =
     (0 until planes)
-      .map(p => when(dot(v, typedLit(planeVector(p, dims))) > 0,
+      .map(p => when(
+        dot(v, typedLit(planeVector(planeOffset + p, dims))) > 0,
         shiftleft(lit(1L), p)).otherwise(0L))
       .reduce(_ + _)
 
-  /** LSH-bucketed ANN: candidates share the full signature bucket; exact
-    * rerank inside buckets. Recall rises with fewer planes / multiple
-    * tables; this single-table form is the demonstration of the shape. */
+  /** Single-table LSH-bucketed ANN: candidates share the full signature
+    * bucket; exact rerank inside buckets. Recall is ungoverned — one
+    * table misses any neighbor differing in any plane sign — so this is
+    * a building block; [[lshTopKMulti]] is the production path. */
   def lshTopK(embeddings: DataFrame, queries: DataFrame, k: Int,
               planes: Int = 8, dims: Int = 64): DataFrame = {
     val sig = (df: DataFrame, idCol: String) => df
@@ -205,6 +210,68 @@ object Similarity {
     e.join(broadcast(q), Seq("bucket"))
       .filter(col("vec_id") =!= col("query_id"))
       .withColumn("cosine", cosine(col("v_query_id"), col("v_vec_id")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"), col("rank"))
+  }
+
+  /** Multi-table, multiprobe sign-LSH ANN with GOVERNED recall:
+    * `tables` independent hash tables (disjoint plane sets via the
+    * plane-index offset); a candidate is any vector whose bucket, in at
+    * least one table, is within Hamming distance `probeBits` (0 or 1)
+    * of the query's bucket in that table; exact cosine rerank over the
+    * deduped union.
+    *
+    * For per-plane sign-agreement probability p = 1 − θ/π, a true
+    * neighbor is found with probability 1 − (1 − P₁)^tables where
+    * P₁ = p^planes (probeBits = 0) or p^planes + planes·p^(planes−1)(1−p)
+    * (probeBits = 1): `tables` and `probeBits` are the recall dials,
+    * `planes` the candidate-volume dial. Multiprobe only fans out the
+    * QUERY side (planes+1 probe buckets per table), so it buys far more
+    * recall per candidate row than extra tables, which re-signature the
+    * whole corpus. Measured recall@10 ≥ 0.9 against the exact
+    * brute-force answer on the real corpus is pinned in SimilaritySpec
+    * — recall costs candidates when the neighbor structure is weak;
+    * that tradeoff is the point of governing it.
+    *
+    * Scale shape: the fact side computes tables×planes codegen'd dot
+    * products per row (one pass), the candidate join is an equi-join on
+    * (table, bucket) — shuffle-hash-joinable at any scale, never a
+    * cross product; dedup shuffles only candidate pairs. */
+  def lshTopKMulti(embeddings: DataFrame, queries: DataFrame, k: Int,
+                   planes: Int = 8, dims: Int = 64,
+                   tables: Int = 24, probeBits: Int = 1): DataFrame = {
+    require(probeBits == 0 || probeBits == 1,
+      "probeBits: only Hamming radius 0 or 1 is supported")
+    def sig(v: Column, t: Int): Column =
+      lshSignature(v, dims, planes, planeOffset = t * planes)
+    // fact side: one (table, bucket) row per table
+    val e = embeddings.select(col("vec_id"),
+      col("embedding").cast("array<double>").as("v"))
+      .select(col("vec_id"), col("v"),
+        posexplode(array((0 until tables).map(sig(col("v"), _)): _*))
+          .as(Seq("table", "bucket")))
+    // query side: the bucket plus (for probeBits=1) its single-bit flips
+    def probes(v: Column, t: Int): Seq[Column] = {
+      val s = sig(v, t)
+      val flips = if (probeBits == 1)
+        (0 until planes).map(b =>
+          s.bitwiseXOR(lit(1L << b))) else Seq.empty
+      (s +: flips).map(b => struct(lit(t).as("table"), b.as("bucket")))
+    }
+    val q = queries.select(col("vec_id").as("query_id"),
+      col("embedding").cast("array<double>").as("qv"))
+      .select(col("query_id"), col("qv"),
+        explode(array((0 until tables).flatMap(t =>
+          probes(col("qv"), t)): _*)).as("tb"))
+      .select(col("query_id"), col("qv"),
+        col("tb.table").as("table"), col("tb.bucket").as("bucket"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("vec_id").asc)
+    e.join(broadcast(q), Seq("table", "bucket"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .dropDuplicates("query_id", "vec_id") // union over tables & probes
+      .withColumn("cosine", cosine(col("qv"), col("v")))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("vec_id").as("neighbor_id"), col("rank"))

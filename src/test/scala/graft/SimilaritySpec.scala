@@ -81,6 +81,40 @@ class SimilaritySpec extends AnyFunSuite with SparkTestBase {
     assert(recall > 0.3, s"trained-IVF recall@10 with nprobe=4/8: $recall")
   }
 
+  test("multi-table multiprobe LSH: recall@10 >= 0.9 vs exact on real " +
+    "embeddings (sf0.1)") {
+    // deterministic, not flaky: md5-derived planes + a fixed corpus give
+    // one reproducible recall number (0.96 measured for 24×8 probe-1)
+    val e = Tables.embeddings(spark, "/root/testdata/sf0.1")
+    val q = e.filter($"vec_id" < 10)
+    val bf = Similarity.bruteForceTopK(e, q, 10)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val lsh = Similarity.lshTopKMulti(e, q, 10)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = (bf intersect lsh).size.toDouble / bf.size
+    assert(recall >= 0.9, s"multi-table LSH recall@10: $recall")
+    // every returned neighbor is exact-reranked, so precision of the
+    // overlap is symmetric: |lsh| = |bf| (10 per query)
+    assert(lsh.size == bf.size)
+  }
+
+  test("single-bit multiprobe strictly improves single-table recall") {
+    // deterministic (fixed planes + corpus): Hamming-1 probing must
+    // recover neighbors a lone table misses by exactly one plane sign
+    val e = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val q = e.filter($"vec_id" < 5)
+    val bf = Similarity.bruteForceTopK(e, q, 10)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    def recallAt(pb: Int): Double = {
+      val r = Similarity.lshTopKMulti(e, q, 10, planes = 8, tables = 1,
+        probeBits = pb)
+        .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+      (bf intersect r).size.toDouble / bf.size
+    }
+    val (r0, r1) = (recallAt(0), recallAt(1))
+    assert(r1 > r0, s"probe-1 recall $r1 vs probe-0 recall $r0")
+  }
+
   test("IVF recall vs brute force on real embeddings (sf0.001)") {
     val e = Tables.embeddings(spark, "/root/testdata/sf0.001")
     val q = e.filter($"vec_id" < 5)
