@@ -4,10 +4,10 @@ import org.apache.spark.sql.{Column, SparkSession}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo}
-import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo, UnaryExpression}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.graftbridge.Bridge
-import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, LongType}
 
 private[functions] trait DoubleArrayInputs { self: BinaryExpression =>
   override def checkInputDataTypes(): TypeCheckResult = {
@@ -126,6 +126,124 @@ case class CosineSimilarity(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** All `tables` sign-LSH signatures of a vector in ONE expression:
+  * element t of the result is an 8-byte bucket whose bit p is the sign
+  * of v·w_(t·planes+p), hyperplanes derived deterministically from
+  * md5(planeIndex|dim) (identical values to the per-plane Column form
+  * in [[graft.sim.Similarity.lshSignature]] — same derivation, same
+  * sequential summation order, bit-identical buckets).
+  *
+  * Why an expression and not `tables × planes` composed dot products:
+  * the composed form inlines one 64-double array LITERAL per plane into
+  * the generated Java — at 24 tables × 8 planes that is ~12k constants
+  * and ~200 unrolled loops per projection, which janino compiles for
+  * seconds per plan (and the query side of a multiprobe join repeats
+  * the signature subtree in every probe struct). Here the whole matrix
+  * enters codegen as one `addReferenceObj` double[] and the work is
+  * three tight loops; the matrix is derived once per (de)serialized
+  * expression instance, not per row. */
+case class SignLshSignatures(child: Expression, tables: Int, planes: Int,
+                             dims: Int) extends UnaryExpression {
+  require(tables > 0 && planes > 0 && planes <= 63 && dims > 0,
+    s"invalid LSH shape: tables=$tables planes=$planes dims=$dims")
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_lsh_sigs"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<double>, got ${t.simpleString}")
+  }
+
+  // flattened (tables*planes) × dims row-major; @transient lazy so each
+  // executor derives it once on first use after deserialization
+  @transient private lazy val matrix: Array[Double] =
+    SignLshSignatures.planeMatrix(tables * planes, dims)
+
+  override def nullSafeEval(input: Any): Any = {
+    val v = input.asInstanceOf[ArrayData]
+    val n = math.min(v.numElements(), dims)
+    val out = new Array[Long](tables)
+    val m = matrix
+    var t = 0
+    while (t < tables) {
+      var sig = 0L
+      var p = 0
+      while (p < planes) {
+        val base = (t * planes + p) * dims
+        var s = 0.0
+        var i = 0
+        while (i < n) { s += v.getDouble(i) * m(base + i); i += 1 }
+        if (s > 0) sig |= 1L << p
+        p += 1
+      }
+      out(t) = sig
+      t += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext,
+                                   ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, v => {
+      val m = ctx.addReferenceObj("lshPlanes", matrix, "double[]")
+      val n = ctx.freshName("n")
+      val out = ctx.freshName("out")
+      val t = ctx.freshName("t")
+      val p = ctx.freshName("p")
+      val i = ctx.freshName("i")
+      val s = ctx.freshName("s")
+      val sig = ctx.freshName("sig")
+      val base = ctx.freshName("base")
+      s"""
+         |int $n = java.lang.Math.min($v.numElements(), $dims);
+         |long[] $out = new long[$tables];
+         |for (int $t = 0; $t < $tables; $t++) {
+         |  long $sig = 0L;
+         |  for (int $p = 0; $p < $planes; $p++) {
+         |    int $base = ($t * $planes + $p) * $dims;
+         |    double $s = 0.0;
+         |    for (int $i = 0; $i < $n; $i++) {
+         |      $s += $v.getDouble($i) * $m[$base + $i];
+         |    }
+         |    if ($s > 0) $sig |= 1L << $p;
+         |  }
+         |  $out[$t] = $sig;
+         |}
+         |${ev.value} =
+         |  new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(
+      newChild: Expression): SignLshSignatures = copy(child = newChild)
+}
+
+object SignLshSignatures {
+  /** Deterministic hyperplane component w_p[d] in [-0.5, 0.5) from
+    * md5(p|d) — no RNG, reproducible across runs and engines. */
+  def planeComponent(p: Int, d: Int): Double = {
+    val md5 = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"$p|$d".getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    val h = java.lang.Long.parseLong(md5.substring(0, 15), 16)
+    (h % 1000) / 1000.0 - 0.5
+  }
+
+  /** Flattened nPlanes × dims row-major plane matrix. */
+  def planeMatrix(nPlanes: Int, dims: Int): Array[Double] = {
+    val m = new Array[Double](nPlanes * dims)
+    var p = 0
+    while (p < nPlanes) {
+      var d = 0
+      while (d < dims) { m(p * dims + d) = planeComponent(p, d); d += 1 }
+      p += 1
+    }
+    m
+  }
+}
+
 /** Column-API wrappers + SQL registration. */
 object VectorFunctions {
   def dot_product(a: Column, b: Column): Column =
@@ -135,6 +253,11 @@ object VectorFunctions {
   def cosine_sim(a: Column, b: Column): Column =
     Bridge.column(CosineSimilarity(
       Bridge.expression(a), Bridge.expression(b)))
+
+  def lsh_signatures(v: Column, tables: Int, planes: Int,
+                     dims: Int): Column =
+    Bridge.column(SignLshSignatures(
+      Bridge.expression(v), tables, planes, dims))
 
   /** Register graft_dot / graft_cosine for SQL use in an existing session. */
   def register(spark: SparkSession): Unit = {

@@ -170,13 +170,8 @@ object Similarity {
     * higher-order function — every row re-hashed planes × dims times
     * (the q28 scale-killer in VERDICT r1). */
   private def planeVector(p: Int, dims: Int): Seq[Double] =
-    (0 until dims).map { d =>
-      val md5 = java.security.MessageDigest.getInstance("MD5")
-        .digest(s"$p|$d".getBytes("UTF-8"))
-        .map("%02x".format(_)).mkString
-      val h = java.lang.Long.parseLong(md5.substring(0, 15), 16)
-      (h % 1000) / 1000.0 - 0.5
-    }
+    (0 until dims).map(
+      graft.functions.SignLshSignatures.planeComponent(p, _))
 
   /** Sign-random-projection LSH signature: bit p of the signature is the
     * sign of v·w_(planeOffset+p); the hyperplanes enter the plan as
@@ -243,27 +238,38 @@ object Similarity {
                    tables: Int = 24, probeBits: Int = 1): DataFrame = {
     require(probeBits == 0 || probeBits == 1,
       "probeBits: only Hamming radius 0 or 1 is supported")
-    def sig(v: Column, t: Int): Column =
-      lshSignature(v, dims, planes, planeOffset = t * planes)
+    // All tables' signatures come from ONE SignLshSignatures expression
+    // (array<long> of length `tables`, tight codegen loop over a
+    // reference-object plane matrix). The composed per-plane Column form
+    // inlined a 64-double literal per plane — 192 unrolled loops and
+    // ~12k constants per projection at 24×8, seconds of janino compile
+    // per plan, and the query side repeated that subtree in every probe
+    // struct (216× at probe-1). Same buckets, same recall; the compile
+    // cost was the q28 bench regression this replaces.
+    val sigs = (v: Column) => graft.functions.VectorFunctions
+      .lsh_signatures(v, tables, planes, dims)
     // fact side: one (table, bucket) row per table
     val e = embeddings.select(col("vec_id"),
       col("embedding").cast("array<double>").as("v"))
       .select(col("vec_id"), col("v"),
-        posexplode(array((0 until tables).map(sig(col("v"), _)): _*))
-          .as(Seq("table", "bucket")))
-    // query side: the bucket plus (for probeBits=1) its single-bit flips
-    def probes(v: Column, t: Int): Seq[Column] = {
-      val s = sig(v, t)
+        posexplode(sigs(col("v"))).as(Seq("table", "bucket")))
+    // query side: signatures materialize once per row in their own
+    // projection (CollapseProject keeps the boundary — the alias is
+    // non-cheap and referenced by every probe struct); the probe array
+    // is then `tables` element_at lookups plus single-bit xors.
+    val qSig = queries.select(col("vec_id").as("query_id"),
+      col("embedding").cast("array<double>").as("qv"))
+      .withColumn("sigs", sigs(col("qv")))
+    def probes(t: Int): Seq[Column] = {
+      val s = col("sigs").getItem(t)
       val flips = if (probeBits == 1)
         (0 until planes).map(b =>
           s.bitwiseXOR(lit(1L << b))) else Seq.empty
       (s +: flips).map(b => struct(lit(t).as("table"), b.as("bucket")))
     }
-    val q = queries.select(col("vec_id").as("query_id"),
-      col("embedding").cast("array<double>").as("qv"))
+    val q = qSig
       .select(col("query_id"), col("qv"),
-        explode(array((0 until tables).flatMap(t =>
-          probes(col("qv"), t)): _*)).as("tb"))
+        explode(array((0 until tables).flatMap(probes): _*)).as("tb"))
       .select(col("query_id"), col("qv"),
         col("tb.table").as("table"), col("tb.bucket").as("bucket"))
     val w = Window.partitionBy(col("query_id"))

@@ -42,6 +42,21 @@ class VectorExpressionSpec extends AnyFunSuite with SparkTestBase {
     assert(got)
   }
 
+  test("lsh_signatures bit-identical to the composed per-plane form " +
+    "on real vectors") {
+    val e = Tables.embeddings(spark, "/root/testdata/sf0.001")
+      .select($"embedding".cast("array<double>").as("v")).limit(200)
+    val (tables, planes, dims) = (4, 8, 64)
+    val composed = (0 until tables).map(t =>
+      Similarity.lshSignature($"v", dims, planes, planeOffset = t * planes))
+    val mismatches = e.select(
+      VectorFunctions.lsh_signatures($"v", tables, planes, dims).as("sigs"),
+      array(composed: _*).as("ref"))
+      .filter(not($"sigs" <=> $"ref")).count()
+    assert(mismatches == 0,
+      "SignLshSignatures must produce the same buckets as the composed form")
+  }
+
   test("SQL registration: graft_cosine callable from spark.sql") {
     VectorFunctions.register(spark)
     val got = spark.sql(
