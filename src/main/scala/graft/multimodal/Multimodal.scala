@@ -7,10 +7,12 @@ import org.apache.spark.sql.types._
 /** Multimodal-column plumbing (BASELINE.json north star): image/audio/video
   * as opaque `binary` columns with typed metadata. The Spark-side contract —
   * schema, partition-parallel batch processing, stable output shape — is
-  * real and tested; the codec kernels themselves are STUBBED with
-  * deterministic fakes (image/audio libraries are not in this container).
-  * Swap `decodeStub` for a real codec (e.g. a JNI/`mapInPandas` kernel)
-  * without touching any plumbing.
+  * real and tested. Image payloads decode through a REAL kernel
+  * (JDK `javax.imageio`: PNG/JPEG/GIF/BMP → pixel statistics); payloads
+  * that are not decodable images — and the audio/video modalities, whose
+  * codecs are not in the JDK — fall back to `decodeStub`, a deterministic
+  * byte-statistics fake. Swap the stub for a real audio/video codec
+  * (JNI/`mapInPandas` kernel) without touching any plumbing.
   */
 object Multimodal {
 
@@ -47,11 +49,51 @@ object Multimodal {
       lit(16000).as("sample_rate"),
       (col("n_chars") % 100 + 1).cast(IntegerType).as("n_frames"))
 
-  /** STUB decode kernel: a real implementation would decode the payload
-    * (JPEG→pixels, PCM→spectrogram) here. The deterministic fake derives
-    * an 8-dim feature from byte statistics so tests can pin exact values.
-    * Marked clearly; the mapPartitions batch shape (one iterator per
-    * partition — amortized model/codec init) is the real contract. */
+  /** Real image decode kernel: `javax.imageio` (pure JDK, headless-safe)
+    * decodes PNG/JPEG/GIF/BMP bytes and reduces the raster to an 8-dim
+    * feature — mean R/G/B, mean and variance of Rec.601 luma, log1p of
+    * width/height, aspect ratio. Returns None when the payload is not a
+    * decodable image (wrong magic bytes, truncated stream), letting the
+    * caller fall back to the stub — so text-packed fixtures and the
+    * audio/video modalities keep their round-2 feature values.
+    * The raster is fetched as one `getRGB` block per image, not a
+    * per-pixel call. */
+  private[multimodal] def decodeImage(
+      content: Array[Byte]): Option[Array[Float]] = {
+    val img =
+      try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(content))
+      catch { case _: java.io.IOException => null }
+    Option(img).map { im =>
+      val w = im.getWidth
+      val h = im.getHeight
+      val px = im.getRGB(0, 0, w, h, null, 0, w)
+      var sr = 0.0; var sg = 0.0; var sb = 0.0; var sl = 0.0; var sl2 = 0.0
+      var i = 0
+      while (i < px.length) {
+        val rgb = px(i)
+        val r = ((rgb >> 16) & 0xff) / 255.0
+        val g = ((rgb >> 8) & 0xff) / 255.0
+        val b = (rgb & 0xff) / 255.0
+        val l = 0.299 * r + 0.587 * g + 0.114 * b
+        sr += r; sg += g; sb += b; sl += l; sl2 += l * l
+        i += 1
+      }
+      val n = px.length.toDouble
+      val meanL = sl / n
+      Array((sr / n).toFloat, (sg / n).toFloat, (sb / n).toFloat,
+        meanL.toFloat, math.max(0.0, sl2 / n - meanL * meanL).toFloat,
+        math.log1p(w.toDouble).toFloat, math.log1p(h.toDouble).toFloat,
+        (w.toDouble / h).toFloat)
+    }
+  }
+
+  /** STUB decode kernel for the non-image modalities (and non-image
+    * bytes): a real implementation would decode the payload
+    * (PCM→spectrogram, video→keyframes) here. The deterministic fake
+    * derives an 8-dim feature from byte statistics so tests can pin
+    * exact values. Marked clearly; the mapPartitions batch shape (one
+    * iterator per partition — amortized model/codec init) is the real
+    * contract. */
   private def decodeStub(content: Array[Byte]): Array[Float] = {
     val n = content.length.max(1)
     val sum = content.foldLeft(0L)((a, b) => a + (b & 0xff))
@@ -70,9 +112,15 @@ object Multimodal {
   def extractFeatures(media: Dataset[MediaRow]): Dataset[MediaFeatures] = {
     import media.sparkSession.implicits._
     media.mapPartitions { rows =>
-      // real kernel: init codec/model here, once per partition
+      // per-partition codec init: disable ImageIO's disk-backed stream
+      // cache (pure in-memory decode; no executor-local temp files)
+      javax.imageio.ImageIO.setUseCache(false)
       rows.map { r =>
-        MediaFeatures(r.media_id, r.modality, decodeStub(r.content),
+        val feature =
+          if (r.modality == "image")
+            decodeImage(r.content).getOrElse(decodeStub(r.content))
+          else decodeStub(r.content)
+        MediaFeatures(r.media_id, r.modality, feature,
           r.content.length.toLong)
       }
     }

@@ -34,6 +34,40 @@ class MultimodalSpec extends AnyFunSuite with SparkTestBase {
     assert(m1 == m2)
   }
 
+  test("extractFeatures decodes a real PNG through javax.imageio; " +
+    "non-image bytes keep the stub fallback") {
+    implicit val s = spark
+    // 4×2 solid red PNG synthesized with pure-JDK AWT (headless-safe)
+    val img = new java.awt.image.BufferedImage(
+      4, 2, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (x <- 0 until 4; y <- 0 until 2) img.setRGB(x, y, 0xff0000)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    val png = bos.toByteArray
+    val textBytes = "not an image".getBytes("UTF-8")
+    val ds = Seq(
+      Multimodal.MediaRow(1L, "image", png, 4, 2, 0, 1),
+      Multimodal.MediaRow(2L, "image", textBytes, 4, 2, 0, 1)).toDS()
+    val feats = Multimodal.extractFeatures(ds).collect().sortBy(_.media_id)
+
+    val real = feats(0).feature
+    assert(math.abs(real(0) - 1.0f) < 1e-6, "mean R of solid red")
+    assert(real(1) == 0f && real(2) == 0f, "mean G/B of solid red")
+    assert(math.abs(real(3) - 0.299f) < 1e-6, "Rec.601 luma of pure red")
+    assert(real(4) == 0f, "luma variance of a solid image")
+    assert(real(7) == 2.0f, "aspect ratio 4/2")
+
+    // fallback path reproduces the documented stub formula exactly
+    val nB = textBytes.length.max(1)
+    val sum = textBytes.foldLeft(0L)((a, b) => a + (b & 0xff))
+    val expectedStub = Array.tabulate(8) { i =>
+      ((sum % (31 + i)).toDouble / (31 + i) +
+        (nB % (7 + i)).toDouble / 100.0).toFloat
+    }
+    assert(feats(1).feature.toSeq == expectedStub.toSeq,
+      "non-decodable bytes must take the deterministic stub path")
+  }
+
   test("resize plan: aspect-preserving, never upscales") {
     val plan = Multimodal.resizePlan(media, 64)
       .select("width", "height", "out_width", "out_height")
