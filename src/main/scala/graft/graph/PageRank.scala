@@ -35,10 +35,15 @@ object PageRank {
     * @param init     n → initial score column
     * @param contrib  per-edge contribution over (score, out_deg)
     * @param zero     score-typed zero literal (dangling-mass coalesce)
-    * @param update   (n, contrib, Some(danglingMass)?) → new score */
+    * @param update   (n, contrib, Some(danglingMass)?) → new score
+    * @param onIter   (iteration, seconds) after each eagerly
+    *   materialized iteration — the skew-probe instrumentation hook;
+    *   fires only for checkpointed iterations (the last one is lazy
+    *   until the caller's action) */
   private def loop(edges: DataFrame, iterations: Int, checkpointEvery: Int,
                    init: Long => Column, contrib: Column, zero: Column,
-                   update: (Long, Column, Option[Column]) => Column)
+                   update: (Long, Column, Option[Column]) => Column,
+                   onIter: (Int, Double) => Unit = (_, _) => ())
       : DataFrame = {
     val e = edges.select(col("src"), col("dst")).distinct()
       .localCheckpoint(true)
@@ -56,6 +61,7 @@ object PageRank {
 
     var ranks = nodes.withColumn("score", init(n))
     for (i <- 1 to iterations) {
+      val t0 = System.nanoTime()
       val contribs = eDeg
         .join(ranks, eDeg("src") === ranks("address"))
         .select(col("dst").as("address"), contrib.as("contrib"))
@@ -75,8 +81,10 @@ object PageRank {
         } else
           joined.select(col("address"),
             update(n, col("contrib"), None).as("score"))
-      if (i % checkpointEvery == 0 && i < iterations)
+      if (i % checkpointEvery == 0 && i < iterations) {
         ranks = ranks.localCheckpoint(true)
+        onIter(i, (System.nanoTime() - t0) / 1e9)
+      }
     }
     ranks
   }
@@ -114,8 +122,9 @@ object PageRank {
     * @return (address, score) with score = rank · scale as a long */
   def runScaled(edges: DataFrame, iterations: Int = 10,
                 scale: Long = 1000000000000L,
-                checkpointEvery: Int = 1): DataFrame =
-    loop(edges, iterations, checkpointEvery,
+                checkpointEvery: Int = 1,
+                onIter: (Int, Double) => Unit = (_, _) => ()): DataFrame =
+    loop(edges, iterations, checkpointEvery, onIter = onIter,
       init = n => lit(scale / n),
       contrib = expr("score div out_deg"),
       zero = lit(0L),

@@ -1,0 +1,82 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** PageRank skew probe (round-3 verdict item 7): per-iteration wall
+  * time of `PageRank.runScaled` on a uniform graph vs a deliberately
+  * power-law graph of the SAME edge count, with broadcast joins
+  * DISABLED so the probe exercises the 1000-executor shape (ranks too
+  * big to broadcast → shuffle join on src) rather than the local-mode
+  * shortcut. Node 1 of the skewed graph fans out to every node
+  * (out-degree N) and its edges land on one src partition; per-edge
+  * contributions to each dst then flow through the partial
+  * HashAggregate before the dst shuffle.
+  *
+  * Emits a markdown block with per-iteration seconds; the measured
+  * numbers are recorded in SCALE_AUDIT.md's PageRank-skew section.
+  *
+  * Usage: runMain graft.tools.PageRankSkewProbe [nNodes]
+  */
+object PageRankSkewProbe {
+  def main(args: Array[String]): Unit = {
+    val n = args.headOption.map(_.toInt).getOrElse(200000)
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.adaptive.enabled", "true")
+      // force the at-scale plan: ranks (one row per node) do not fit
+      // in a broadcast at 100 TB, so probe the shuffle-join regime
+      .config("spark.sql.autoBroadcastJoinThreshold", "-1")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.driver.memory", "8g")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    // power-law out-degrees: deg(i) = max(1, N/i) → ~N·H(N) edges,
+    // node 1 alone fans out to all N nodes; dst is hash-uniform
+    val skewed = spark.range(1, n + 1).toDF("id")
+      .withColumn("deg",
+        greatest(lit(1L), (lit(n.toLong) / col("id")).cast("long")))
+      .withColumn("j", explode(sequence(lit(0L), col("deg") - 1)))
+      .select(concat(lit("a"), col("id")).as("src"),
+        concat(lit("a"),
+          pmod(hash(col("id"), col("j")).cast("long"), lit(n.toLong)) + 1)
+          .as("dst"))
+    val m = skewed.count()
+    // uniform control: same node set, same edge count, flat out-degree
+    val degU = math.max(1L, m / n)
+    val uniform = spark.range(1, n + 1).toDF("id")
+      .withColumn("j", explode(sequence(lit(0L), lit(degU - 1))))
+      .select(concat(lit("a"), col("id")).as("src"),
+        concat(lit("a"),
+          pmod(hash(col("id"), col("j"), lit(7)).cast("long"),
+            lit(n.toLong)) + 1).as("dst"))
+
+    def probe(name: String, edges: DataFrame): (Seq[Double], Double) = {
+      val times = scala.collection.mutable.ArrayBuffer.empty[Double]
+      val t0 = System.nanoTime()
+      val r = graft.graph.PageRank.runScaled(edges, iterations = 10,
+        onIter = (_, s) => times += s)
+      val top = r.orderBy(col("score").desc).limit(3)
+        .collect().map(_.getString(0)).mkString(",")
+      val total = (System.nanoTime() - t0) / 1e9
+      println(f"[skewprobe] $name%-8s total $total%6.1f s  " +
+        f"iters ${times.map(t => f"$t%.2f").mkString(" ")}  top3=$top")
+      (times.toSeq, total)
+    }
+
+    println(s"[skewprobe] n=$n nodes, m=$m edges (both graphs), " +
+      "broadcast disabled, 10 iterations")
+    probe("warmup", uniform.limit(1000))
+    // alternate to cancel JIT/page-cache order effects
+    val (st0, stot0) = probe("skewed", skewed)
+    val (ut, utot) = probe("uniform", uniform)
+    val (st, stot) = probe("skewed", skewed)
+    val _ = (st0, stot0)
+    println(f"[skewprobe] ratio skewed/uniform total: ${stot / utot}%.2f; " +
+      f"max-iter ratio: ${st.max / ut.max}%.2f")
+    spark.stop()
+  }
+}
