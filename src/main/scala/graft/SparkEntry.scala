@@ -647,6 +647,23 @@ object SparkEntry {
   def q62_simhash_pairs(s: SparkSession, d: String): DataFrame =
     graft.dedup.Dedup.simhashPairs(Tables.documents(s, d), maxHamming = 3)
 
+  /** Per-language doc-length distribution via the mergeable equi-width
+    * histogram sketch (256 bins × width 4): one fixed-size buffer per
+    * group crosses the shuffle (map-side partial fold, bin-wise merge) —
+    * no per-group sort, rollup-mergeable like the HLL path. All-integer
+    * bin edges → bit-exact DuckDB oracle, unlike t-digest/GK sketches. */
+  def q63_hist_quantiles(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .groupBy(col("lang"))
+      .agg(graft.functions.HistogramQuantileAgg.hist_quantiles(
+        col("n_chars"), lo = 0L, width = 4L, bins = 256,
+        percents = Seq(25, 50, 75, 95)).as("qs"),
+        count(lit(1)).as("n_docs"))
+      .select(col("lang"),
+        col("qs").getItem(0).as("p25"), col("qs").getItem(1).as("p50"),
+        col("qs").getItem(2).as("p75"), col("qs").getItem(3).as("p95"),
+        col("n_docs"))
+
   private def syntheticBlockLines(s: SparkSession): DataFrame = {
     import s.implicits._
     Seq(
@@ -896,6 +913,7 @@ object SparkEntry {
     "q60_zorder" -> (q60_zorder _),
     "q61_hll_merge" -> (q61_hll_merge _),
     "q62_simhash_pairs" -> (q62_simhash_pairs _),
+    "q63_hist_quantiles" -> (q63_hist_quantiles _),
   )
 
   // DuckDB twins of the Scala normalization / hashing expressions
@@ -1546,5 +1564,24 @@ object SparkEntry {
          |    ON a.b = c.b AND a.band = c.band AND a.doc_id < c.doc_id)
          |SELECT id1, id2, CAST(bit_count(xor(h1, h2)) AS BIGINT) AS hamming
          |FROM cand WHERE bit_count(xor(h1, h2)) <= 3""".stripMargin,
+    // the sketch's deterministic contract, restated relationally:
+    // p-th percentile = left edge of the smallest bin with cum·100 ≥ p·n
+    "q63_hist_quantiles" ->
+      """WITH b AS (
+        |  SELECT lang, LEAST(255, GREATEST(0, n_chars // 4)) AS bin,
+        |    count(*) AS c
+        |  FROM documents GROUP BY 1, 2),
+        |cum AS (
+        |  SELECT lang, bin, c,
+        |    sum(c) OVER (PARTITION BY lang ORDER BY bin) AS cum,
+        |    sum(c) OVER (PARTITION BY lang) AS n
+        |  FROM b)
+        |SELECT lang,
+        |  min(CASE WHEN cum * 100 >= 25 * n THEN bin * 4 END) AS p25,
+        |  min(CASE WHEN cum * 100 >= 50 * n THEN bin * 4 END) AS p50,
+        |  min(CASE WHEN cum * 100 >= 75 * n THEN bin * 4 END) AS p75,
+        |  min(CASE WHEN cum * 100 >= 95 * n THEN bin * 4 END) AS p95,
+        |  CAST(max(n) AS BIGINT) AS n_docs
+        |FROM cum GROUP BY lang""".stripMargin,
   )
 }

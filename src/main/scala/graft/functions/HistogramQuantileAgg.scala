@@ -1,0 +1,138 @@
+package graft.functions
+
+import java.nio.ByteBuffer
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.graftbridge.Bridge
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
+
+/** Mergeable equi-width histogram quantiles — the distribution-profiling
+  * sketch a 100 TB corpus audit needs (doc-length / score distributions
+  * per language/source without a per-group sort).
+  *
+  * Why a sketch and not `percentile` / a sort: exact percentiles shuffle
+  * every value to its group's reducer and sort there — O(rows) wire
+  * traffic, unmergeable across rollup tiers. This buffer is `bins`
+  * longs per GROUP (not per row): input rows fold map-side, partials
+  * merge bin-wise (associative+commutative), and one fixed-size buffer
+  * per group crosses the wire. Mergeability also makes it a rollup
+  * citizen — per-partition sketches can be persisted and re-merged
+  * (same contract HllSketch rollups rely on).
+  *
+  * Determinism (what makes it hash-oracle-able, unlike t-digest/GK):
+  * values clamp to bin `(x - lo) div width` in [0, bins); the
+  * p-th percentile is the LEFT EDGE `lo + b·width` of the smallest bin
+  * whose cumulative count satisfies `cum·100 ≥ p·n`. All-integer
+  * arithmetic, so DuckDB reproduces it bit-exactly from the same rule
+  * (CORRECTNESS q63) — the sketch trades resolution (one bin width),
+  * never reproducibility.
+  *
+  * Output: array<bigint> of percentile edges, one per requested percent,
+  * in request order; empty-group eval yields null.
+  */
+case class HistogramQuantileAgg(
+    child: Expression,
+    lo: Long,
+    width: Long,
+    bins: Int,
+    percents: Seq[Int],
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[Array[Long]] {
+
+  require(width > 0 && bins > 0 && percents.nonEmpty &&
+    percents.forall(p => p >= 0 && p <= 100),
+    s"invalid histogram shape: width=$width bins=$bins percents=$percents")
+
+  override def children: Seq[Expression] = Seq(child)
+  override def nullable: Boolean = true
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_hist_quantiles"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == LongType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a bigint input, got " +
+        child.dataType.simpleString)
+
+  override def createAggregationBuffer(): Array[Long] = new Array[Long](bins)
+
+  override def update(buf: Array[Long], row: InternalRow): Array[Long] = {
+    val v = child.eval(row)
+    if (v != null) {
+      val x = v.asInstanceOf[Long]
+      val b = math.min(bins - 1L, math.max(0L, (x - lo) / width)).toInt
+      buf(b) += 1
+    }
+    buf
+  }
+
+  override def merge(a: Array[Long], b: Array[Long]): Array[Long] = {
+    var i = 0
+    while (i < bins) { a(i) += b(i); i += 1 }
+    a
+  }
+
+  override def eval(buf: Array[Long]): Any = {
+    var n = 0L
+    var i = 0
+    while (i < bins) { n += buf(i); i += 1 }
+    if (n == 0L) null
+    else {
+      val out = new Array[Long](percents.length)
+      var pi = 0
+      while (pi < percents.length) {
+        val target = percents(pi).toLong * n // cum*100 >= p*n, integer
+        var cum = 0L
+        var b = 0
+        var edge = lo // percent 0 → left edge of the domain
+        var found = false
+        while (b < bins && !found) {
+          cum += buf(b)
+          if (cum * 100L >= target && (target > 0L || cum > 0L)) {
+            edge = lo + b.toLong * width
+            found = true
+          }
+          b += 1
+        }
+        out(pi) = if (found) edge else lo + (bins - 1).toLong * width
+        pi += 1
+      }
+      new GenericArrayData(out)
+    }
+  }
+
+  override def serialize(buf: Array[Long]): Array[Byte] = {
+    val bb = ByteBuffer.allocate(8 * bins)
+    buf.foreach(bb.putLong)
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): Array[Long] = {
+    val bb = ByteBuffer.wrap(bytes)
+    Array.fill(bins)(bb.getLong())
+  }
+
+  override def withNewMutableAggBufferOffset(o: Int): HistogramQuantileAgg =
+    copy(mutableAggBufferOffset = o)
+  override def withNewInputAggBufferOffset(o: Int): HistogramQuantileAgg =
+    copy(inputAggBufferOffset = o)
+  override protected def withNewChildrenInternal(
+      cs: IndexedSeq[Expression]): HistogramQuantileAgg =
+    copy(child = cs.head)
+}
+
+object HistogramQuantileAgg {
+  /** Column form: hist_quantiles(x, lo, width, bins, percents) for
+    * groupBy().agg(); element i of the result is the percents(i)-th
+    * percentile's bin edge. */
+  def hist_quantiles(x: Column, lo: Long, width: Long, bins: Int,
+                     percents: Seq[Int]): Column =
+    Bridge.column(HistogramQuantileAgg(
+      Bridge.expression(x), lo, width, bins, percents)
+      .toAggregateExpression())
+}

@@ -1,0 +1,79 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.functions.HistogramQuantileAgg.hist_quantiles
+
+class HistogramQuantileSpec extends AnyFunSuite with SparkTestBase {
+  import spark.implicits._
+
+  test("partition-merge invariance: same sketch from 1 and 13 partitions") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    def run(parts: Int) = docs.repartition(parts)
+      .groupBy($"lang")
+      .agg(hist_quantiles($"n_chars", 0L, 4L, 256, Seq(25, 50, 75, 95))
+        .as("qs"))
+      .as[(String, Seq[Long])].collect().toMap
+    assert(run(1) == run(13),
+      "bin-wise merge must be partitioning-independent")
+  }
+
+  test("edge bin contains the exact lower-percentile order statistic") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    for (p <- Seq(25, 50, 75, 95)) {
+      val sketch = docs.groupBy($"lang")
+        .agg(hist_quantiles($"n_chars", 0L, 4L, 256, Seq(p)).as("qs"))
+        .select($"lang", $"qs".getItem(0)).as[(String, Long)]
+        .collect().toMap
+      // the rule targets the smallest value v with rank·100 ≥ p·n —
+      // percentile_disc-lower semantics, not interpolation
+      val exact = docs.select($"lang", $"n_chars").as[(String, Long)]
+        .collect().groupBy(_._1).map { case (lang, xs) =>
+          val sorted = xs.map(_._2).sorted
+          val rank = math.max(1,
+            math.ceil(p * sorted.length / 100.0).toInt)
+          lang -> sorted(rank - 1)
+        }
+      exact.foreach { case (lang, v) =>
+        val edge = sketch(lang)
+        assert(edge <= v && v < edge + 4,
+          s"$lang p$p: order statistic $v outside sketch bin [$edge, ${edge + 4})")
+      }
+    }
+  }
+
+  test("deterministic rule on a hand case; nulls ignored; empty → null") {
+    // values 0..9, width 1: p50 → smallest bin with cum*100 >= 50*10
+    // = bin 4 (cum 5); p100 → bin 9
+    val df = ((0L to 9L).map(Option(_)) :+ Option.empty[Long])
+      .toDF("x").withColumn("g", lit("a"))
+    val got = df.groupBy($"g")
+      .agg(hist_quantiles($"x", 0L, 1L, 16, Seq(50, 100)).as("qs"))
+      .as[(String, Seq[Long])].head()
+    assert(got._2 == Seq(4L, 9L))
+    val empty = Seq(Option.empty[Long]).toDF("x").withColumn("g", lit("a"))
+      .groupBy($"g")
+      .agg(hist_quantiles($"x", 0L, 1L, 16, Seq(50)).as("qs"))
+      .select($"qs".isNull).as[Boolean].head()
+    assert(empty, "all-null group must evaluate to null")
+  }
+
+  test("out-of-range values clamp to the boundary bins") {
+    val df = Seq(-100L, 5L, 900L).toDF("x").withColumn("g", lit("a"))
+    val got = df.groupBy($"g")
+      .agg(hist_quantiles($"x", 0L, 4L, 16, Seq(0, 100)).as("qs"))
+      .as[(String, Seq[Long])].head()
+    // -100 clamps to bin 0 (edge 0), 900 clamps to bin 15 (edge 60)
+    assert(got._2 == Seq(0L, 60L))
+  }
+
+  test("plan: partial aggregation (map-side fold), one shuffle") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val plan = docs.groupBy($"lang")
+      .agg(hist_quantiles($"n_chars", 0L, 4L, 256, Seq(50)).as("qs"))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("partial_graft_hist_quantiles"),
+      s"expected a partial aggregate stage in:\n$plan")
+    assert("Exchange hashpartitioning".r.findAllIn(plan).size == 1)
+  }
+}
