@@ -13,6 +13,10 @@ import org.apache.spark.sql.types.{BinaryType, IntegerType, LongType}
   *   graft_hash60(s)            md5-based 60-bit hash (cross-engine)
   *   graft_simhash(tokenHash)   SimHash aggregate over 60-bit hashes
   *   graft_topk(score, id, k)   bounded-heap top-k aggregate → id array
+  *   graft_lsh_sigs(v, tables, planes, dims)
+  *                              all sign-LSH table buckets of a vector
+  *   graft_hist_quantiles(x, lo, width, bins, p1[, p2...])
+  *                              mergeable histogram quantile sketch
   *
   * Registered either per-session (`registerAll`) or at build time via
   * [[GraftExtensions]] (`spark.sql.extensions`). Aggregate builders
@@ -41,7 +45,21 @@ object GraftFunctions {
       else ZOrder2(es(0), es(1))),
     "graft_hash60" -> (es => hash60Expr(es(0))),
     "graft_simhash" -> (es => SimHashAgg(es(0))),
-    "graft_topk" -> (es => TopKAgg(es(0), es(1), intArg(es(2), "k")))
+    "graft_topk" -> (es => TopKAgg(es(0), es(1), intArg(es(2), "k"))),
+    "graft_lsh_sigs" -> (es => SignLshSignatures(es(0),
+      intArg(es(1), "tables"), intArg(es(2), "planes"),
+      intArg(es(3), "dims"))),
+    "graft_hist_quantiles" -> (es => {
+      def longArg(e: Expression, what: String): Long = e match {
+        case Literal(v: Int, IntegerType) => v.toLong
+        case Literal(v: Long, LongType) => v
+        case other => throw new IllegalArgumentException(
+          s"$what must be an integer literal, got $other")
+      }
+      HistogramQuantileAgg(es(0), longArg(es(1), "lo"),
+        longArg(es(2), "width"), intArg(es(3), "bins"),
+        es.drop(4).map(intArg(_, "percent")))
+    })
   )
 
   /** Register the whole surface on an already-built session. */

@@ -56,6 +56,28 @@ class SqlFunctionsSpec extends AnyFunSuite with SparkTestBase {
     assert(got == (("a", Seq(2L, 3L))))
   }
 
+  test("graft_lsh_sigs from SQL equals the Column form") {
+    val df = Seq((1L, Array(0.5, -0.25, 1.0, 0.0)))
+      .toDF("id", "v")
+    df.createOrReplaceTempView("lt")
+    val sql = spark.sql(
+      "SELECT graft_lsh_sigs(v, 3, 8, 4) AS s FROM lt")
+      .as[Seq[Long]].head()
+    val col = df.select(graft.functions.VectorFunctions
+      .lsh_signatures($"v", 3, 8, 4).as("s")).as[Seq[Long]].head()
+    assert(sql == col && sql.length == 3)
+  }
+
+  test("graft_hist_quantiles aggregate from SQL applies the edge rule") {
+    Seq(("a", 0L), ("a", 1L), ("a", 2L), ("a", 3L), ("a", 4L),
+      ("a", 5L), ("a", 6L), ("a", 7L), ("a", 8L), ("a", 9L))
+      .toDF("g", "x").createOrReplaceTempView("hq")
+    val got = spark.sql(
+      "SELECT g, graft_hist_quantiles(x, 0, 1, 16, 50, 100) FROM hq " +
+        "GROUP BY g").as[(String, Seq[Long])].head()
+    assert(got == (("a", Seq(4L, 9L))))
+  }
+
   test("non-literal k is rejected with a clear error") {
     Seq((1.0, 1L)).toDF("s", "id").createOrReplaceTempView("bad")
     val e = intercept[Exception](
