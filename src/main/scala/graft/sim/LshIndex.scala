@@ -1,0 +1,85 @@
+package graft.sim
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Persisted sign-LSH ANN index — the build-once / probe-many form of
+  * [[Similarity.lshTopKMulti]] for a corpus that outlives a session.
+  *
+  * `lshTopKMulti` re-signatures the whole corpus per query batch: fine
+  * inside one job, wrong at 100 TB where the corpus is static and query
+  * batches arrive all day. Here signatures are computed ONCE at build
+  * time and stored sorted+bucketed by the combined bucket key
+  * `tb = table·2^planes + bucket`, so a probe reads only matching
+  * buckets: the probe keys (|queries| × tables × (planes+1) values —
+  * bounded by the QUERY batch, never the corpus) push down as an
+  * `In(tb, ...)` parquet filter, and row-group min/max stats on the
+  * sorted tb column prune everything else. The index side joins with
+  * no shuffle (broadcast probe frame); only candidate pairs shuffle for
+  * dedup + exact-cosine rerank.
+  *
+  * Probe results are row-identical to `lshTopKMulti` at the same
+  * (tables, planes, dims, probeBits) — pinned in LshIndexSpec.
+  */
+object LshIndex {
+
+  /** Build the index table: one (tb, vec_id, v) row per (vector, hash
+    * table), bucketed+sorted by tb. `buckets` is a file-layout choice
+    * (power of two → splittable re-bucketing, per io.Layout), not a
+    * hash-table parameter. */
+  def build(embeddings: DataFrame, table: String,
+            tables: Int = 24, planes: Int = 8, dims: Int = 64,
+            buckets: Int = 32): Unit = {
+    val rows = embeddings.select(col("vec_id"),
+      col("embedding").cast("array<double>").as("v"))
+      .select(col("vec_id"), col("v"),
+        posexplode(graft.functions.VectorFunctions
+          .lsh_signatures(col("v"), tables, planes, dims))
+          .as(Seq("table", "bucket")))
+      .select(
+        (col("table").cast("long") * (1L << planes) + col("bucket"))
+          .as("tb"),
+        col("vec_id"), col("v"))
+    graft.io.Layout.writeBucketed(rows, table, buckets, Seq("tb"))
+  }
+
+  /** Probe the index with a query batch. The distinct probe-key set is
+    * collected driver-side — sized by the query batch
+    * (|q|·tables·(planes+1) longs), the same sanctioned bound as
+    * k-means' centroid collect — and pushed into the index scan.
+    * @return (query_id, neighbor_id, rank) — lshTopKMulti's shape */
+  def probe(spark: SparkSession, table: String, queries: DataFrame, k: Int,
+            tables: Int = 24, planes: Int = 8, dims: Int = 64,
+            probeBits: Int = 1): DataFrame = {
+    require(probeBits == 0 || probeBits == 1,
+      "probeBits: only Hamming radius 0 or 1 is supported")
+    import graft.functions.VectorFunctions.{cosine_sim, lsh_signatures}
+    val qSig = queries.select(col("vec_id").as("query_id"),
+      col("embedding").cast("array<double>").as("qv"))
+      .withColumn("sigs", lsh_signatures(col("qv"), tables, planes, dims))
+    def probes(t: Int): Seq[org.apache.spark.sql.Column] = {
+      val s = col("sigs").getItem(t)
+      val flips = if (probeBits == 1)
+        (0 until planes).map(b => s.bitwiseXOR(lit(1L << b)))
+      else Seq.empty
+      (s +: flips).map(b => lit(t.toLong) * (1L << planes) + b)
+    }
+    val q = qSig.select(col("query_id"), col("qv"),
+      explode(array((0 until tables).flatMap(probes): _*)).as("tb"))
+    // bounded driver-side key set → parquet pushdown + row-group pruning
+    val probeKeys = q.select(col("tb")).distinct()
+      .collect().map(_.getLong(0)).sorted
+    val index = graft.io.Layout.read(spark, table)
+      .filter(col("tb").isin(probeKeys.toIndexedSeq: _*))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("vec_id").asc)
+    index.join(broadcast(q), Seq("tb"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .dropDuplicates("query_id", "vec_id")
+      .withColumn("cosine", cosine_sim(col("qv"), col("v")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"), col("rank"))
+  }
+}

@@ -1,0 +1,75 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.sim.{LshIndex, Similarity}
+
+class LshIndexSpec extends AnyFunSuite with SparkTestBase {
+  import spark.implicits._
+
+  private lazy val e = Tables.embeddings(spark, "/root/testdata/sf0.001")
+  private lazy val q = e.filter(col("vec_id") < 10)
+
+  // fresh metastore per JVM but persistent warehouse dir: clear both
+  private def freshTable(t: String): Unit = {
+    spark.sql(s"DROP TABLE IF EXISTS $t")
+    val loc = new java.io.File(
+      spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:"), t)
+    if (loc.exists()) {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm)
+        f.delete()
+      }
+      rm(loc)
+    }
+  }
+
+  test("persisted probe is row-identical to the in-session multiprobe") {
+    freshTable("lsh_idx_eq")
+    LshIndex.build(e, "lsh_idx_eq", tables = 8, planes = 8, buckets = 4)
+    val fromIndex = LshIndex.probe(spark, "lsh_idx_eq", q, 5, tables = 8)
+      .as[(Long, Long, Int)].collect().sorted.toSeq
+    val inSession = Similarity.lshTopKMulti(e, q, 5, tables = 8)
+      .as[(Long, Long, Int)].collect().sorted.toSeq
+    assert(fromIndex == inSession)
+    assert(fromIndex.nonEmpty)
+  }
+
+  test("probe scan pushes the bucket-key filter; index side never " +
+    "shuffles before the join") {
+    freshTable("lsh_idx_plan")
+    LshIndex.build(e, "lsh_idx_plan", tables = 4, planes = 8, buckets = 4)
+    val plan = LshIndex.probe(spark, "lsh_idx_plan", q, 5, tables = 4)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [In(tb"),
+      s"expected In(tb, ...) pushed to the index scan in:\n$plan")
+    // the only hash exchanges are on the candidate side (dedup +
+    // window); the index reaches its join through scan → filter →
+    // broadcast join, so at most 2 exist in the whole plan
+    val exchanges =
+      "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(exchanges <= 2,
+      s"expected only the dedup+window exchanges, got $exchanges:\n$plan")
+    assert(plan.contains("SelectedBucketsCount"),
+      s"index scan must be bucket-aware:\n$plan")
+  }
+
+  test("probe key set is query-bounded and selective over the index") {
+    freshTable("lsh_idx_prune")
+    LshIndex.build(e, "lsh_idx_prune", tables = 4, planes = 8,
+      buckets = 16)
+    val idx = graft.io.Layout.read(spark, "lsh_idx_prune")
+    val total = idx.count()
+    assert(total == e.count() * 4, "one index row per (vector, table)")
+    // a single query's probe keys: tables × (planes + 1) = 36 buckets
+    // out of the 4 × 256 bucket space — the isin filter must select a
+    // strict subset of index rows (probing is sub-linear I/O, not a
+    // full scan shape)
+    val one = q.limit(1)
+    val probedRows = idx.join(
+      LshIndex.probe(spark, "lsh_idx_prune", one, 5, tables = 4)
+        .select(col("neighbor_id").as("vec_id")), Seq("vec_id"),
+      "left_semi").count()
+    assert(probedRows < total)
+  }
+}
