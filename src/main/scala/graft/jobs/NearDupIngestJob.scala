@@ -1,0 +1,191 @@
+package graft.jobs
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import graft.dedup.Dedup
+
+/** Incremental NEAR-dup suppression at ingest — [[DedupIngestJob]]'s
+  * sibling for the fuzzy half of corpus building: exact dedup drops
+  * byte-identical re-crawls; this drops re-crawls with a tweaked
+  * boilerplate line, the dominant duplicate class in web corpora.
+  *
+  * Per micro-batch:
+  *   1. MinHash signatures (numHashes seeds over word-shingle xxhashes)
+  *      and LSH band buckets are computed for the BATCH only — the
+  *      corpus is never re-signatured.
+  *   2. In-batch near-dup clusters (banded candidates, verified by
+  *      signature agreement, closed under connected components) each
+  *      contribute ONE representative: the lowest doc_id.
+  *   3. Representatives anti-match the persisted band-bucket store:
+  *      any store doc sharing a bucket is a candidate, candidates are
+  *      verified against the persisted signature store, and a verified
+  *      match drops the representative (and with it its cluster).
+  *   4. Survivors append to the corpus; their signatures and buckets
+  *      append to the two stores.
+  *
+  * Store layout mirrors the exact job's 100 TB shape: the bucket store
+  * is bucketed BY bucket and the signature store BY doc_id, so both
+  * per-batch joins shuffle only batch-sized frames into the stores'
+  * bucketing — the stores are never re-shuffled and the corpus text is
+  * never rescanned. Store cost is numHashes·8 B + bands·16 B per doc
+  * (~192 B at 16/4), independent of document size.
+  *
+  * Match semantics: agreement = fraction of signature positions equal —
+  * the unbiased MinHash estimate of Jaccard similarity. `minMatchFrac`
+  * is therefore an (estimated) Jaccard threshold; banding bounds which
+  * pairs are ever TESTED (same sub-quadratic candidate generation as
+  * Dedup.minhashDuplicatePairs), agreement decides. Replay idempotence
+  * comes free: a replayed survivor agrees 1.0 with its own stored
+  * signature and is dropped (pinned in NearDupIngestSpec).
+  *
+  * Crash ordering matches DedupIngestJob: corpus first, stores second —
+  * a crash between the writes can re-admit a batch on replay (rare
+  * duplicate) while the reverse order would silently lose documents.
+  */
+object NearDupIngestJob {
+
+  private case class Params(numHashes: Int, bands: Int, shingleN: Int,
+                            minMatchFrac: Double, storeBuckets: Int)
+
+  private def params(spark: SparkSession): Params = Params(
+    numHashes = spark.conf.get("spark.graft.neardup.numHashes", "16").toInt,
+    bands = spark.conf.get("spark.graft.neardup.bands", "4").toInt,
+    shingleN = spark.conf.get("spark.graft.neardup.shingleN", "3").toInt,
+    minMatchFrac =
+      spark.conf.get("spark.graft.neardup.minMatchFrac", "0.7").toDouble,
+    storeBuckets =
+      spark.conf.get("spark.graft.neardup.storeBuckets", "64").toInt)
+
+  private def tableName(outDir: String, kind: String): String = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+      .digest(outDir.getBytes("UTF-8"))
+    s"graft_neardup_${kind}_" + md.take(8).map("%02x".format(_)).mkString
+  }
+
+  private def pathExists(spark: SparkSession, path: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    p.getFileSystem(spark.sessionState.newHadoopConf()).exists(p)
+  }
+
+  /** Bucket-aware view of a store table; plain-path fallback for a
+    * fresh session over an existing store; None only when absent. */
+  private[graft] def storeView(spark: SparkSession, outDir: String,
+                               kind: String): Option[DataFrame] = {
+    val path = s"$outDir/$kind"
+    if (spark.catalog.tableExists(tableName(outDir, kind)))
+      Some(spark.table(tableName(outDir, kind)))
+    else if (pathExists(spark, path)) Some(spark.read.parquet(path))
+    else None
+  }
+
+  /** (doc_id, sig) — the per-doc signature vector, seed-ordered. */
+  private def packedSigs(docs: DataFrame, p: Params): DataFrame =
+    Dedup.minhashSignatures(Dedup.shingleKeys(docs, p.shingleN),
+      p.numHashes)
+      .groupBy(col("doc_id"))
+      .agg(transform(
+        sort_array(collect_list(struct(col("seed"), col("minhash")))),
+        x => x.getField("minhash")).as("sig"))
+
+  /** (doc_id, bucket) — one row per band; bucket hashes the band's
+    * slice of the signature (same banding as Dedup.lshCandidatePairs). */
+  private def bandBuckets(sigs: DataFrame, p: Params): DataFrame = {
+    val rows = p.numHashes / p.bands
+    sigs.select(col("doc_id"),
+      explode(array((0 until p.bands).map(b =>
+        xxhash64(lit(b), slice(col("sig"), b * rows + 1, rows))): _*))
+        .as("bucket"))
+  }
+
+  /** Fraction of equal signature positions — MinHash's Jaccard
+    * estimate. */
+  private def agreement(a: Column, b: Column, p: Params): Column =
+    aggregate(zip_with(a, b, (x, y) => when(x === y, 1).otherwise(0)),
+      lit(0), (acc, v) => acc + v).cast("double") / p.numHashes
+
+  /** Batch core, shared by streaming foreachBatch and tests.
+    * @return number of admitted (non-near-dup) docs appended */
+  def writeBatch(docs: DataFrame, outDir: String): Long = {
+    val spark = docs.sparkSession
+    val p = params(spark)
+    val sigs = packedSigs(docs, p).localCheckpoint(true)
+    val buckets = bandBuckets(sigs, p).localCheckpoint(true)
+
+    // in-batch: banded candidates → agreement-verified pairs →
+    // components → keep the lowest id per cluster
+    val cand = buckets.select(col("doc_id").as("id1"), col("bucket"))
+      .join(buckets.select(col("doc_id").as("id2"), col("bucket")),
+        Seq("bucket"))
+      .filter(col("id1") < col("id2"))
+      .select(col("id1"), col("id2")).distinct()
+    val pairs = cand
+      .join(sigs.select(col("doc_id").as("id1"), col("sig").as("s1")),
+        Seq("id1"))
+      .join(sigs.select(col("doc_id").as("id2"), col("sig").as("s2")),
+        Seq("id2"))
+      .filter(agreement(col("s1"), col("s2"), p) >= p.minMatchFrac)
+      .select(col("id1").as("src"), col("id2").as("dst"))
+    val reps = graft.graph.ConnectedComponents.run(pairs)
+      .filter(col("id") === col("component")).select(col("id"))
+    val clustered = pairs.select(col("src")).union(pairs.select(col("dst")))
+      .distinct().withColumnRenamed("src", "doc_id")
+    val inBatchKept = docs.select(col("doc_id"))
+      .join(clustered, Seq("doc_id"), "left_anti") // singletons
+      .union(reps.withColumnRenamed("id", "doc_id"))
+
+    // cross-batch: candidates from the bucket store, verified against
+    // the signature store; both joins shuffle only batch-sized frames
+    val crossDropped = storeView(spark, outDir, "buckets") match {
+      case Some(storeBk) =>
+        val c = buckets.join(inBatchKept, Seq("doc_id"), "left_semi")
+          .join(storeBk.select(col("bucket"),
+            col("doc_id").as("store_id")), Seq("bucket"))
+          .select(col("doc_id"), col("store_id")).distinct()
+        val storeSigs = storeView(spark, outDir, "sigs").get
+        c.join(sigs, Seq("doc_id"))
+          .join(storeSigs.select(col("doc_id").as("store_id"),
+            col("sig").as("store_sig")), Seq("store_id"))
+          .filter(agreement(col("sig"), col("store_sig"), p)
+            >= p.minMatchFrac)
+          .select(col("doc_id")).distinct()
+      case None => spark.emptyDataFrame.withColumn("doc_id", lit(0L))
+        .limit(0).select(col("doc_id"))
+    }
+
+    val keptIds = inBatchKept.join(crossDropped, Seq("doc_id"), "left_anti")
+      .localCheckpoint(true)
+    val n = keptIds.count()
+    if (n > 0) {
+      docs.join(keptIds, Seq("doc_id"), "left_semi")
+        .write.mode("append").parquet(s"$outDir/documents")
+      def appendStore(df: DataFrame, kind: String, key: String): Unit = {
+        val t = tableName(outDir, kind)
+        val w = df.write.format("parquet")
+          .bucketBy(p.storeBuckets, key).sortBy(key).mode("append")
+        (if (spark.catalog.tableExists(t)) w
+         else w.option("path", s"$outDir/$kind")).saveAsTable(t)
+      }
+      appendStore(sigs.join(keptIds, Seq("doc_id"), "left_semi"),
+        "sigs", "doc_id")
+      appendStore(buckets.join(keptIds, Seq("doc_id"), "left_semi")
+        .select(col("bucket"), col("doc_id")), "buckets", "bucket")
+    }
+    n
+  }
+
+  /** File-drop streaming entry (replayable source + checkpoint →
+    * restart-safe), mirroring DedupIngestJob.runFiles. */
+  def runFiles(spark: SparkSession, inDir: String, outDir: String,
+               checkpoint: String): StreamingQuery = {
+    val schema = "doc_id LONG, text STRING"
+    spark.readStream.schema(schema).json(inDir)
+      .writeStream
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (df: DataFrame, _: Long) =>
+        writeBatch(df, outDir); ()
+      }
+      .start()
+  }
+}
