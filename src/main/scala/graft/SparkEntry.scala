@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.types._
@@ -664,6 +664,37 @@ object SparkEntry {
         col("qs").getItem(2).as("p75"), col("qs").getItem(3).as("p95"),
         col("n_docs"))
 
+  /** Count-Min frequency estimates over supplier keys: the sketch is
+    * ONE depth×width buffer per (here: global) group — built with
+    * map-side partial folds and element-wise merges, never a shuffle of
+    * the key space — then per-item estimates are plain array lookups
+    * (min over depth of the addressed cell). Positions use md5-hash60,
+    * so the estimates (collision over-counts included) are bit-exact
+    * cross-engine → real DuckDB hash oracle, rare for a frequency
+    * sketch. */
+  def q64_countmin(s: SparkSession, d: String): DataFrame = {
+    val depth = 4
+    val width = 1024
+    def positions(item: Column): Column =
+      transform(sequence(lit(0), lit(depth - 1)),
+        r => pmod(graft.dedup.Dedup.hash60(
+          concat(r.cast(StringType), lit("|"), item)),
+          lit(width.toLong)))
+    val sketch = Tables.lineitem(s, d)
+      .agg(graft.functions.CountMinAgg.countmin_agg(
+        positions(col("l_suppkey").cast(StringType)), depth, width)
+        .as("sk"))
+    s.range(1, 21).toDF("suppkey")
+      .crossJoin(broadcast(sketch)) // 1-row sketch
+      .select(col("suppkey"),
+        array_min(transform(sequence(lit(0), lit(depth - 1)),
+          r => element_at(col("sk"),
+            (r * width + pmod(graft.dedup.Dedup.hash60(
+              concat(r.cast(StringType), lit("|"),
+                col("suppkey").cast(StringType))), lit(width.toLong)))
+              .cast("int") + 1))).as("est"))
+  }
+
   private def syntheticBlockLines(s: SparkSession): DataFrame = {
     import s.implicits._
     Seq(
@@ -914,6 +945,7 @@ object SparkEntry {
     "q61_hll_merge" -> (q61_hll_merge _),
     "q62_simhash_pairs" -> (q62_simhash_pairs _),
     "q63_hist_quantiles" -> (q63_hist_quantiles _),
+    "q64_countmin" -> (q64_countmin _),
   )
 
   // DuckDB twins of the Scala normalization / hashing expressions
@@ -1583,5 +1615,23 @@ object SparkEntry {
         |  min(CASE WHEN cum * 100 >= 95 * n THEN bin * 4 END) AS p95,
         |  CAST(max(n) AS BIGINT) AS n_docs
         |FROM cum GROUP BY lang""".stripMargin,
+    // relational restatement of the Count-Min build + lookup: counts
+    // per (row, cell), estimate = min over rows of the item's cell
+    "q64_countmin" -> {
+      def pos(item: String) = hash60Sql(
+        s"CAST(r AS VARCHAR) || '|' || $item") + " % 1024"
+      s"""WITH rs AS (SELECT unnest(generate_series(0, 3)) AS r),
+         |counts AS (
+         |  SELECT r, ${pos("CAST(l_suppkey AS VARCHAR)")} AS p,
+         |    count(*) AS c
+         |  FROM lineitem, rs GROUP BY 1, 2),
+         |items AS (SELECT unnest(generate_series(1, 20)) AS suppkey),
+         |ipos AS (
+         |  SELECT suppkey, r, ${pos("CAST(suppkey AS VARCHAR)")} AS p
+         |  FROM items, rs)
+         |SELECT suppkey, CAST(min(coalesce(c, 0)) AS BIGINT) AS est
+         |FROM ipos LEFT JOIN counts USING (r, p)
+         |GROUP BY suppkey""".stripMargin
+    },
   )
 }

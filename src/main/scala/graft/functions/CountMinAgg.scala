@@ -1,0 +1,118 @@
+package graft.functions
+
+import java.nio.ByteBuffer
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.graftbridge.Bridge
+import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType, LongType}
+
+/** Count-Min sketch build as a TypedImperativeAggregate — the mergeable
+  * frequency sketch for heavy-hitter/frequency estimates over columns
+  * whose exact per-key counts would be a 100 TB-scale shuffle of the
+  * key space itself.
+  *
+  * The aggregate takes the row's PRE-COMPUTED position vector (one bin
+  * index per sketch row, any hash family — md5-hash60 for cross-engine
+  * oracle-able demos, xxhash64 where only speed matters) and owns just
+  * the counting: buffer = depth×width longs per GROUP, O(depth) update,
+  * element-wise merge (associative+commutative → partitioning-
+  * independent, same contract as the HLL and histogram sketches).
+  * Estimates (min over rows of the addressed cell) are plain column
+  * arithmetic over the emitted array — see SparkEntry q64.
+  *
+  * Determinism: counts depend only on the data and the caller's hash
+  * columns, so estimates — including the over-count from collisions —
+  * are bit-identical in any engine applying the same definition
+  * (CORRECTNESS q64 hash-matches DuckDB replicating the sketch
+  * relationally).
+  *
+  * Output: array<bigint> of depth·width counts, row-major.
+  */
+case class CountMinAgg(
+    positions: Expression,
+    depth: Int,
+    width: Int,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[Array[Long]] {
+
+  require(depth > 0 && width > 0 && depth * width <= (1 << 22),
+    s"invalid sketch shape: depth=$depth width=$width")
+
+  override def children: Seq[Expression] = Seq(positions)
+  override def nullable: Boolean = false
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_countmin"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    positions.dataType match {
+      case ArrayType(LongType, _) | ArrayType(IntegerType, _) =>
+        TypeCheckResult.TypeCheckSuccess
+      case t => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires array<bigint> positions, got " +
+          t.simpleString)
+    }
+
+  // lazy: the child may still be unresolved at construction time
+  @transient private lazy val intPositions = positions.dataType match {
+    case ArrayType(IntegerType, _) => true
+    case _ => false
+  }
+
+  override def createAggregationBuffer(): Array[Long] =
+    new Array[Long](depth * width)
+
+  override def update(buf: Array[Long], row: InternalRow): Array[Long] = {
+    val v = positions.eval(row)
+    if (v != null) {
+      val arr = v.asInstanceOf[ArrayData]
+      val n = math.min(depth, arr.numElements())
+      var r = 0
+      while (r < n) {
+        val p = if (intPositions) arr.getInt(r).toLong else arr.getLong(r)
+        require(p >= 0 && p < width,
+          s"position $p out of range [0, $width) at sketch row $r")
+        buf(r * width + p.toInt) += 1
+        r += 1
+      }
+    }
+    buf
+  }
+
+  override def merge(a: Array[Long], b: Array[Long]): Array[Long] = {
+    var i = 0
+    while (i < a.length) { a(i) += b(i); i += 1 }
+    a
+  }
+
+  override def eval(buf: Array[Long]): Any = new GenericArrayData(buf)
+
+  override def serialize(buf: Array[Long]): Array[Byte] = {
+    val bb = ByteBuffer.allocate(8 * buf.length)
+    buf.foreach(bb.putLong)
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): Array[Long] = {
+    val bb = ByteBuffer.wrap(bytes)
+    Array.fill(depth * width)(bb.getLong())
+  }
+
+  override def withNewMutableAggBufferOffset(o: Int): CountMinAgg =
+    copy(mutableAggBufferOffset = o)
+  override def withNewInputAggBufferOffset(o: Int): CountMinAgg =
+    copy(inputAggBufferOffset = o)
+  override protected def withNewChildrenInternal(
+      cs: IndexedSeq[Expression]): CountMinAgg = copy(positions = cs.head)
+}
+
+object CountMinAgg {
+  /** Column form: countmin_agg(positionsArray, depth, width). */
+  def countmin_agg(positions: Column, depth: Int, width: Int): Column =
+    Bridge.column(CountMinAgg(Bridge.expression(positions), depth, width)
+      .toAggregateExpression())
+}

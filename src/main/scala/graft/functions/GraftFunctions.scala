@@ -17,6 +17,8 @@ import org.apache.spark.sql.types.{BinaryType, IntegerType, LongType}
   *                              all sign-LSH table buckets of a vector
   *   graft_hist_quantiles(x, lo, width, bins, p1[, p2...])
   *                              mergeable histogram quantile sketch
+  *   graft_countmin(positions, depth, width)
+  *                              mergeable Count-Min sketch build
   *
   * Registered either per-session (`registerAll`) or at build time via
   * [[GraftExtensions]] (`spark.sql.extensions`). Aggregate builders
@@ -46,6 +48,8 @@ object GraftFunctions {
     "graft_hash60" -> (es => hash60Expr(es(0))),
     "graft_simhash" -> (es => SimHashAgg(es(0))),
     "graft_topk" -> (es => TopKAgg(es(0), es(1), intArg(es(2), "k"))),
+    "graft_countmin" -> (es => CountMinAgg(es(0),
+      intArg(es(1), "depth"), intArg(es(2), "width"))),
     "graft_lsh_sigs" -> (es => SignLshSignatures(es(0),
       intArg(es(1), "tables"), intArg(es(2), "planes"),
       intArg(es(3), "dims"))),

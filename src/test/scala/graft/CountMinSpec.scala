@@ -1,0 +1,59 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StringType
+import graft.functions.CountMinAgg.countmin_agg
+
+class CountMinSpec extends AnyFunSuite with SparkTestBase {
+  import spark.implicits._
+
+  private val depth = 4
+  private val width = 64
+
+  private def positions(item: Column): Column =
+    transform(sequence(lit(0), lit(depth - 1)),
+      r => pmod(graft.dedup.Dedup.hash60(
+        concat(r.cast(StringType), lit("|"), item)), lit(width.toLong)))
+
+  private def estimate(sk: Column, item: Column): Column =
+    array_min(transform(sequence(lit(0), lit(depth - 1)),
+      r => element_at(sk,
+        (r * width + pmod(graft.dedup.Dedup.hash60(
+          concat(r.cast(StringType), lit("|"), item)),
+          lit(width.toLong))).cast("int") + 1)))
+
+  test("partition-merge invariance: same sketch from 1 and 9 partitions") {
+    val df = (1L to 500L).map(i => (i % 37).toString).toDF("k")
+    def sketch(parts: Int) = df.repartition(parts)
+      .agg(countmin_agg(positions($"k"), depth, width))
+      .as[Seq[Long]].head()
+    assert(sketch(1) == sketch(9))
+  }
+
+  test("estimates never undercount, and total mass is exact per row") {
+    val df = (1L to 1000L).map(i => (i % 53).toString).toDF("k")
+    val truth = df.groupBy($"k").agg(count(lit(1)).as("n"))
+    val sk = df.agg(countmin_agg(positions($"k"), depth, width).as("sk"))
+    val joined = truth.crossJoin(broadcast(sk))
+      .select($"k", $"n", estimate($"sk", $"k").as("est"))
+      .as[(String, Long, Long)].collect()
+    assert(joined.nonEmpty)
+    joined.foreach { case (k, n, est) =>
+      assert(est >= n, s"key $k: estimate $est under true count $n")
+    }
+    // each sketch row holds every input exactly once
+    val flat = sk.as[Seq[Long]].head()
+    assert(flat.length == depth * width)
+    assert(flat.grouped(width).map(_.sum).toSeq == Seq.fill(depth)(1000L))
+  }
+
+  test("out-of-range positions are rejected, not silently wrapped") {
+    val df = Seq(Seq(9999L, 0L, 0L, 0L)).toDF("pos")
+    val ex = intercept[Exception] {
+      df.agg(countmin_agg($"pos", depth, width)).collect()
+    }
+    assert(ex.getMessage != null)
+  }
+}

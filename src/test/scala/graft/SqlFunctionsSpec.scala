@@ -78,6 +78,16 @@ class SqlFunctionsSpec extends AnyFunSuite with SparkTestBase {
     assert(got == (("a", Seq(4L, 9L))))
   }
 
+  test("graft_countmin aggregate from SQL builds the sketch") {
+    Seq(Seq(3L, 7L), Seq(3L, 1L)).toDF("pos")
+      .createOrReplaceTempView("cm")
+    val sk = spark.sql(
+      "SELECT graft_countmin(pos, 2, 8) FROM cm").as[Seq[Long]].head()
+    assert(sk.length == 16)
+    assert(sk(3) == 2L && sk(8 + 7) == 1L && sk(8 + 1) == 1L)
+    assert(sk.sum == 4L)
+  }
+
   test("non-literal k is rejected with a clear error") {
     Seq((1.0, 1L)).toDF("s", "id").createOrReplaceTempView("bad")
     val e = intercept[Exception](
