@@ -664,6 +664,22 @@ object SparkEntry {
         col("qs").getItem(2).as("p75"), col("qs").getItem(3).as("p95"),
         col("n_docs"))
 
+  /** Product-quantized ANN with exact rerank: the corpus is scanned as
+    * 8 code bytes + a norm per vector (64× smaller than the raw
+    * doubles), scored by per-query lookup tables, and only the ADC
+    * top-50 candidate ids rejoin full vectors for the exact cosine.
+    * Approximate by construction → rows-only; measured recall pinned in
+    * ProductQuantizerSpec. */
+  def q65_pq_ann(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.embeddings(s, d)
+    val model = graft.sim.ProductQuantizer.train(e, subspaces = 8,
+      k = 32, dims = 64, iters = 3)
+    val codes = graft.sim.ProductQuantizer.encode(e, model)
+    graft.sim.ProductQuantizer.adcTopK(codes,
+      e.filter(col("vec_id") < 10), 5, model,
+      embeddings = e, rerank = 50)
+  }
+
   /** Count-Min frequency estimates over supplier keys: the sketch is
     * ONE depth×width buffer per (here: global) group — built with
     * map-side partial folds and element-wise merges, never a shuffle of
@@ -946,6 +962,7 @@ object SparkEntry {
     "q62_simhash_pairs" -> (q62_simhash_pairs _),
     "q63_hist_quantiles" -> (q63_hist_quantiles _),
     "q64_countmin" -> (q64_countmin _),
+    "q65_pq_ann" -> (q65_pq_ann _),
   )
 
   // DuckDB twins of the Scala normalization / hashing expressions

@@ -1,0 +1,133 @@
+package graft.sim
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Product quantization — the memory-bound ANN path: at 100 TB of
+  * embeddings the limit is not compute but bytes per vector (a 64-dim
+  * float64 vector is 512 B; its PQ code is `subspaces` bytes + one
+  * norm). The corpus is scanned as codes, scored by table lookup, and
+  * only a top-R candidate set ever touches full vectors again.
+  *
+  *  - train: an independent codebook per subspace — k centroids over
+  *    that slice of the corpus (reuses [[Similarity.kmeansCentroids]]'s
+  *    deterministic Lloyd's; model size subspaces·k·subDim doubles).
+  *  - encode: per subspace, the argmin-L2 centroid index — a codegen'd
+  *    per-row argmin over codebook literals, zero shuffle; the exact
+  *    vector norm rides along so cosine denominators stay exact.
+  *  - search (ADC): per query, ONE lookup table of q·centroid inner
+  *    products per subspace (subspaces·k doubles, computed once per
+  *    query row); scoring a corpus vector is `subspaces` array lookups
+  *    instead of `dims` multiplies, over 8-byte codes instead of 512-B
+  *    vectors. Approximate by construction; optional exact rerank of
+  *    the top-R ADC candidates joins the candidate ids (not the corpus)
+  *    back to full vectors.
+  *
+  * Quantization error analysis and measured recall (with and without
+  * rerank) are pinned in ProductQuantizerSpec.
+  */
+object ProductQuantizer {
+
+  /** codebooks(m)(j) = centroid j of subspace m (subDim doubles). */
+  case class Model(subspaces: Int, subDim: Int,
+                   codebooks: Seq[Seq[Seq[Double]]])
+
+  def train(embeddings: DataFrame, subspaces: Int = 8, k: Int = 16,
+            dims: Int = 64, iters: Int = 5): Model = {
+    require(dims % subspaces == 0, s"$subspaces subspaces must tile $dims")
+    val subDim = dims / subspaces
+    val books = (0 until subspaces).map { m =>
+      Similarity.kmeansCentroids(
+        embeddings.select(col("vec_id"),
+          slice(col("embedding").cast("array<double>"),
+            m * subDim + 1, subDim).as("embedding")), k, iters, l2 = true)
+    }
+    Model(subspaces, subDim, books)
+  }
+
+  private def sq(c: Column): Column = c * c
+
+  /** argmin-L2 centroid index of `sub` within one codebook: scored as
+    * max of (-distance², -index) so ties break to the LOWEST index —
+    * deterministic encode. */
+  private def nearestCode(sub: Column, book: Seq[Seq[Double]]): Column = {
+    val scored = transform(typedLit(book), (c, i) =>
+      struct(
+        aggregate(zip_with(sub, c, (x, y) => sq(x - y)),
+          lit(0.0), (acc, v) => acc + v).unary_-.as("s"),
+        (-i).as("ni")))
+    (-array_max(scored).getField("ni")).cast("int")
+  }
+
+  /** (vec_id, codes array<int>, norm double) — the persisted form of
+    * the corpus: subspaces bytes of code + 8 B of norm per vector. */
+  def encode(embeddings: DataFrame, model: Model): DataFrame = {
+    val v = col("embedding").cast("array<double>")
+    embeddings.select(col("vec_id"),
+      array(model.codebooks.zipWithIndex.map { case (book, m) =>
+        nearestCode(slice(v, m * model.subDim + 1, model.subDim), book)
+      }: _*).as("codes"),
+      sqrt(aggregate(transform(v, x => sq(x)),
+        lit(0.0), (acc, x) => acc + x)).as("norm"))
+  }
+
+  /** ADC cosine top-k: codes-only scan, per-query lookup tables, exact
+    * denominator from stored norms; `rerank > 0` re-scores that many
+    * ADC candidates per query with the exact cosine (joining candidate
+    * ids back to `embeddings`) before taking k.
+    * @return (query_id, neighbor_id, rank) */
+  def adcTopK(codes: DataFrame, queries: DataFrame, k: Int, model: Model,
+              embeddings: DataFrame = null, rerank: Int = 0): DataFrame = {
+    val qv = col("embedding").cast("array<double>")
+    // per-query LUTs: lut(m)(j) = q_m · c_(m,j); one flat array of
+    // subspaces·k entries, addressed as m·k + code
+    val bookSize = model.codebooks.head.length
+    val lut = flatten(array(model.codebooks.zipWithIndex.map {
+      case (book, m) =>
+        transform(typedLit(book), c =>
+          aggregate(zip_with(
+            slice(qv, m * model.subDim + 1, model.subDim), c,
+            (x, y) => x * y), lit(0.0), (acc, v) => acc + v))
+    }: _*))
+    val q = queries.select(col("vec_id").as("query_id"), lut.as("lut"),
+      sqrt(aggregate(transform(qv, x => sq(x)),
+        lit(0.0), (acc, x) => acc + x)).as("qnorm"))
+    val ip = (0 until model.subspaces).map(m =>
+      element_at(col("lut"),
+        lit(m * bookSize) + col("codes").getItem(m) + 1))
+      .reduce(_ + _)
+    val scored = codes.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        (ip / (col("qnorm") * col("norm"))).as("adc_cosine"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("adc_cosine").desc, col("vec_id").asc)
+    if (rerank <= 0)
+      scored.withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= k)
+        .select(col("query_id"), col("vec_id").as("neighbor_id"),
+          col("rank"))
+    else {
+      require(embeddings != null, "rerank needs the full vectors")
+      val cand = scored.withColumn("r0", row_number().over(w))
+        .filter(col("r0") <= rerank)
+        .select(col("query_id"), col("vec_id"))
+      val e = embeddings.select(col("vec_id"),
+        col("embedding").cast("array<double>").as("v"))
+      val qe = queries.select(col("vec_id").as("query_id"),
+        col("embedding").cast("array<double>").as("qv2"))
+      val wx = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("query_id"))
+        .orderBy(col("cosine").desc, col("vec_id").asc)
+      cand.join(e, Seq("vec_id"))
+        .join(broadcast(qe), Seq("query_id"))
+        .withColumn("cosine", graft.functions.VectorFunctions
+          .cosine_sim(col("qv2"), col("v")))
+        .withColumn("rank", row_number().over(wx))
+        .filter(col("rank") <= k)
+        .select(col("query_id"), col("vec_id").as("neighbor_id"),
+          col("rank"))
+    }
+  }
+}

@@ -102,6 +102,19 @@ object Similarity {
     (-array_max(scored).getField("ni")).cast("int")
   }
 
+  /** L2 twin of [[nearestCell]]: argmin squared distance (as argmax of
+    * its negation), ties to the lowest index. The metric PQ codebook
+    * training needs — subspace slices carry magnitude, which cosine
+    * assignment ignores. */
+  private def nearestCellL2(v: Column, centroids: Seq[Seq[Double]]): Column = {
+    val scored = transform(typedLit(centroids),
+      (c, i) => struct(
+        aggregate(zip_with(v, c, (x, y) => (x - y) * (x - y)),
+          lit(0.0), (acc, d) => acc + d).unary_-.as("s"),
+        (-i).as("ni")))
+    (-array_max(scored).getField("ni")).cast("int")
+  }
+
   /** Lloyd's k-means over the embedding column — the centroid-training
     * step IVF needs on an unlabeled corpus (no label shortcut). Pure
     * DataFrame ops + a k×d driver-side model per iteration:
@@ -121,7 +134,7 @@ object Similarity {
     * cosine-coherent cells.
     * @return the trained model: k centroid vectors, index = cell id */
   def kmeansCentroids(embeddings: DataFrame, k: Int,
-                      maxIter: Int = 8): Seq[Seq[Double]] = {
+                      maxIter: Int = 8, l2: Boolean = false): Seq[Seq[Double]] = {
     val e = embeddings
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
       .localCheckpoint(true)
@@ -132,7 +145,9 @@ object Similarity {
       .map(_.getSeq[Double](0)).toSeq
     for (_ <- 1 to maxIter) {
       val updated = e
-        .withColumn("cell", nearestCell(col("v"), cents))
+        .withColumn("cell",
+          if (l2) nearestCellL2(col("v"), cents)
+          else nearestCell(col("v"), cents))
         .select(col("cell"), posexplode(col("v")).as(Seq("i", "x")))
         .groupBy(col("cell"), col("i")).agg(avg(col("x")).as("m"))
         .groupBy(col("cell"))
