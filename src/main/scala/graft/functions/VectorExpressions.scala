@@ -244,6 +244,111 @@ object SignLshSignatures {
   }
 }
 
+/** All product-quantization subspace codes of a vector in ONE
+  * expression: element m of the result is the argmin-L2 centroid index
+  * of the vector's m-th slice within codebook m (ties to the lowest
+  * index — deterministic encode).
+  *
+  * Why not `subspaces × k` composed `aggregate(zip_with(...))` columns:
+  * higher-order functions evaluate interpreted (no codegen) with a
+  * lambda frame per element, and every codebook enters the plan as a
+  * literal tree — at 8×32×8 that is ~2k constants re-planned per
+  * k-means iteration. Here the codebooks are one `addReferenceObj`
+  * double[] and the argmin is three tight loops inside whole-stage
+  * codegen — the same treatment as [[SignLshSignatures]]. */
+case class PqCodes(child: Expression, codebooks: Seq[Seq[Seq[Double]]])
+    extends UnaryExpression {
+  private val subspaces = codebooks.length
+  private val k = codebooks.head.length
+  private val subDim = codebooks.head.head.length
+  require(subspaces > 0 && k > 0 && subDim > 0 &&
+    codebooks.forall(b => b.length == k && b.forall(_.length == subDim)),
+    "codebooks must be a uniform subspaces × k × subDim grid")
+
+  override def dataType: DataType =
+    ArrayType(org.apache.spark.sql.types.IntegerType, containsNull = false)
+  override def prettyName: String = "graft_pq_codes"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<double>, got ${t.simpleString}")
+  }
+
+  // flat row-major [m][j][d]
+  @transient private lazy val matrix: Array[Double] = {
+    val m = new Array[Double](subspaces * k * subDim)
+    var i = 0
+    for (book <- codebooks; c <- book; x <- c) { m(i) = x; i += 1 }
+    m
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val v = input.asInstanceOf[ArrayData]
+    val out = new Array[Int](subspaces)
+    val mat = matrix
+    var m = 0
+    while (m < subspaces) {
+      var best = Double.MaxValue
+      var bestJ = 0
+      var j = 0
+      while (j < k) {
+        val base = (m * k + j) * subDim
+        var s = 0.0
+        var d = 0
+        while (d < subDim) {
+          val diff = v.getDouble(m * subDim + d) - mat(base + d)
+          s += diff * diff
+          d += 1
+        }
+        if (s < best) { best = s; bestJ = j }
+        j += 1
+      }
+      out(m) = bestJ
+      m += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext,
+                                   ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, v => {
+      val mat = ctx.addReferenceObj("pqBooks", matrix, "double[]")
+      val out = ctx.freshName("out")
+      val m = ctx.freshName("m")
+      val j = ctx.freshName("j")
+      val d = ctx.freshName("d")
+      val s = ctx.freshName("s")
+      val diff = ctx.freshName("diff")
+      val best = ctx.freshName("best")
+      val bestJ = ctx.freshName("bestJ")
+      val base = ctx.freshName("base")
+      s"""
+         |int[] $out = new int[$subspaces];
+         |for (int $m = 0; $m < $subspaces; $m++) {
+         |  double $best = Double.MAX_VALUE;
+         |  int $bestJ = 0;
+         |  for (int $j = 0; $j < $k; $j++) {
+         |    int $base = ($m * $k + $j) * $subDim;
+         |    double $s = 0.0;
+         |    for (int $d = 0; $d < $subDim; $d++) {
+         |      double $diff = $v.getDouble($m * $subDim + $d)
+         |        - $mat[$base + $d];
+         |      $s += $diff * $diff;
+         |    }
+         |    if ($s < $best) { $best = $s; $bestJ = $j; }
+         |  }
+         |  $out[$m] = $bestJ;
+         |}
+         |${ev.value} =
+         |  new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(
+      newChild: Expression): PqCodes = copy(child = newChild)
+}
+
 /** Column-API wrappers + SQL registration. */
 object VectorFunctions {
   def dot_product(a: Column, b: Column): Column =
@@ -258,6 +363,9 @@ object VectorFunctions {
                      dims: Int): Column =
     Bridge.column(SignLshSignatures(
       Bridge.expression(v), tables, planes, dims))
+
+  def pq_codes(v: Column, codebooks: Seq[Seq[Seq[Double]]]): Column =
+    Bridge.column(PqCodes(Bridge.expression(v), codebooks))
 
   /** Register graft_dot / graft_cosine for SQL use in an existing session. */
   def register(spark: SparkSession): Unit = {

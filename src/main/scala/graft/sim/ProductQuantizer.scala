@@ -10,8 +10,9 @@ import org.apache.spark.sql.functions._
   * only a top-R candidate set ever touches full vectors again.
   *
   *  - train: an independent codebook per subspace — k centroids over
-  *    that slice of the corpus (reuses [[Similarity.kmeansCentroids]]'s
-  *    deterministic Lloyd's; model size subspaces·k·subDim doubles).
+  *    that slice of the corpus (deterministic Lloyd's, all subspaces
+  *    fused into one pass per iteration; model size subspaces·k·subDim
+  *    doubles).
   *  - encode: per subspace, the argmin-L2 centroid index — a codegen'd
   *    per-row argmin over codebook literals, zero shuffle; the exact
   *    vector norm rides along so cosine denominators stay exact.
@@ -32,41 +33,63 @@ object ProductQuantizer {
   case class Model(subspaces: Int, subDim: Int,
                    codebooks: Seq[Seq[Seq[Double]]])
 
+  /** All subspaces train TOGETHER: each Lloyd's iteration is ONE pass
+    * over the corpus — per row, every subspace's argmin-L2 cell is a
+    * codegen'd expression, and the (subspace, cell, dim) means come
+    * back in a single subspaces·k·subDim-row aggregate (sufficient
+    * statistics, the k-means collect contract). A per-subspace loop
+    * over [[Similarity.kmeansCentroids]] computes the same codebooks
+    * but costs subspaces× the passes — 48 driver jobs for 8×3 — which
+    * was q65's entire wall time. Seeding matches kmeansCentroids
+    * (min-xxhash rows, sliced per subspace); assignment is L2 because
+    * subspace slices carry magnitude. Empty cells keep their previous
+    * centroid. */
   def train(embeddings: DataFrame, subspaces: Int = 8, k: Int = 16,
             dims: Int = 64, iters: Int = 5): Model = {
     require(dims % subspaces == 0, s"$subspaces subspaces must tile $dims")
     val subDim = dims / subspaces
-    val books = (0 until subspaces).map { m =>
-      Similarity.kmeansCentroids(
-        embeddings.select(col("vec_id"),
-          slice(col("embedding").cast("array<double>"),
-            m * subDim + 1, subDim).as("embedding")), k, iters, l2 = true)
+    val e = embeddings
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .localCheckpoint(true)
+    val seeds = e.withColumn("hk", xxhash64(col("vec_id")))
+      .orderBy(col("hk"), col("vec_id")).limit(k)
+      .select(col("v")).collect().map(_.getSeq[Double](0)).toSeq
+    var books: Seq[Seq[Seq[Double]]] = (0 until subspaces).map(m =>
+      seeds.map(_.slice(m * subDim, (m + 1) * subDim)))
+    for (_ <- 1 to iters) {
+      val cells = graft.functions.VectorFunctions.pq_codes(col("v"), books)
+      val updated = e.select(col("v"), cells.as("cells"))
+        .select(posexplode(col("v")).as(Seq("i", "x")), col("cells"))
+        .select((col("i") / subDim).cast("int").as("m"),
+          pmod(col("i"), lit(subDim)).cast("int").as("d"),
+          element_at(col("cells"),
+            (col("i") / subDim).cast("int") + 1).as("cell"),
+          col("x"))
+        .groupBy(col("m"), col("cell"), col("d"))
+        .agg(avg(col("x")).as("mean"))
+        .collect()
+        .groupBy(r => (r.getInt(0), r.getInt(1)))
+        .map { case (key, rows) =>
+          key -> rows.sortBy(_.getInt(2)).map(_.getDouble(3)).toSeq
+        }
+      books = books.zipWithIndex.map { case (book, m) =>
+        book.indices.map(j => updated.getOrElse((m, j), book(j)))
+      }
     }
     Model(subspaces, subDim, books)
   }
 
   private def sq(c: Column): Column = c * c
 
-  /** argmin-L2 centroid index of `sub` within one codebook: scored as
-    * max of (-distance², -index) so ties break to the LOWEST index —
-    * deterministic encode. */
-  private def nearestCode(sub: Column, book: Seq[Seq[Double]]): Column = {
-    val scored = transform(typedLit(book), (c, i) =>
-      struct(
-        aggregate(zip_with(sub, c, (x, y) => sq(x - y)),
-          lit(0.0), (acc, v) => acc + v).unary_-.as("s"),
-        (-i).as("ni")))
-    (-array_max(scored).getField("ni")).cast("int")
-  }
-
   /** (vec_id, codes array<int>, norm double) — the persisted form of
-    * the corpus: subspaces bytes of code + 8 B of norm per vector. */
+    * the corpus: subspaces bytes of code + 8 B of norm per vector.
+    * Codes come from the [[graft.functions.PqCodes]] codegen argmin
+    * (ties to the lowest centroid index — deterministic encode). */
   def encode(embeddings: DataFrame, model: Model): DataFrame = {
     val v = col("embedding").cast("array<double>")
     embeddings.select(col("vec_id"),
-      array(model.codebooks.zipWithIndex.map { case (book, m) =>
-        nearestCode(slice(v, m * model.subDim + 1, model.subDim), book)
-      }: _*).as("codes"),
+      graft.functions.VectorFunctions.pq_codes(v, model.codebooks)
+        .as("codes"),
       sqrt(aggregate(transform(v, x => sq(x)),
         lit(0.0), (acc, x) => acc + x)).as("norm"))
   }

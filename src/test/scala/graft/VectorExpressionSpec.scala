@@ -57,6 +57,18 @@ class VectorExpressionSpec extends AnyFunSuite with SparkTestBase {
       "SignLshSignatures must produce the same buckets as the composed form")
   }
 
+  test("pq_codes: argmin-L2 per subspace, ties to the lowest index") {
+    val books = Seq(
+      Seq(Seq(0.0, 0.0), Seq(1.0, 1.0)),
+      Seq(Seq(5.0, 5.0), Seq(2.0, 2.0)))
+    val got = Seq(Seq(0.9, 0.9, 2.1, 2.1)).toDF("v")
+      .select(VectorFunctions.pq_codes($"v", books)).as[Seq[Int]].head()
+    assert(got == Seq(1, 1))
+    val tie = Seq(Seq(0.5, 0.5, 3.5, 3.5)).toDF("v")
+      .select(VectorFunctions.pq_codes($"v", books)).as[Seq[Int]].head()
+    assert(tie == Seq(0, 0), "equidistant centroids must pick index 0")
+  }
+
   test("SQL registration: graft_cosine callable from spark.sql") {
     VectorFunctions.register(spark)
     val got = spark.sql(
