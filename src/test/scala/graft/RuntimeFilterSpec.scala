@@ -1,0 +1,48 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+/** Runtime bloom-filter join pruning — the built-in Catalyst feature
+  * that makes selective fact⋈dim joins sub-scan at 100 TB: a bloom
+  * filter built from the filtered (creation) side is pushed into the
+  * fact side's scan, so fact rows that cannot join are dropped before
+  * the shuffle. This spec pins that the engine's conf + layout actually
+  * trigger it on the TPC-ish tables — the knob regresses silently
+  * otherwise (it is off by default in some distros and sensitive to
+  * size thresholds). */
+class RuntimeFilterSpec extends AnyFunSuite with SparkTestBase {
+
+  test("selective dim filter injects a bloom filter into the fact scan") {
+    spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled",
+      "true")
+    // local fixtures are tiny; drop the size gates so the plan shape
+    // (not the sizes) is what's under test
+    spark.conf.set("spark.sql.optimizer.runtime.bloomFilter" +
+      ".applicationSideScanSizeThreshold", "0")
+    spark.conf.set("spark.sql.optimizer.runtime.bloomFilter" +
+      ".creationSideThreshold", "100MB")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val li = Tables.lineitem(spark, "/root/testdata/sf0.001")
+      val o = Tables.orders(spark, "/root/testdata/sf0.001")
+        .filter(col("o_orderpriority") === "1-URGENT")
+      val j = li.join(o, li("l_orderkey") === o("o_orderkey"))
+      val optimized = j.queryExecution.optimizedPlan.toString
+      assert(optimized.contains("bloom_filter_agg") ||
+        optimized.contains("BloomFilter"),
+        s"expected a runtime bloom filter in:\n$optimized")
+      // and the result is unchanged by the filter
+      val expected = li.join(o.hint("broadcast"),
+        li("l_orderkey") === o("o_orderkey")).count()
+      assert(j.count() == expected)
+    } finally {
+      spark.conf.unset("spark.sql.optimizer.runtime.bloomFilter.enabled")
+      spark.conf.unset("spark.sql.optimizer.runtime.bloomFilter" +
+        ".applicationSideScanSizeThreshold")
+      spark.conf.unset("spark.sql.optimizer.runtime.bloomFilter" +
+        ".creationSideThreshold")
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    }
+  }
+}
