@@ -664,6 +664,16 @@ object SparkEntry {
         col("qs").getItem(2).as("p75"), col("qs").getItem(3).as("p95"),
         col("n_docs"))
 
+  /** Temperature-mix sampling (τ=0.5, target 300): rare languages keep
+    * a larger share than their natural frequency — the LLM-pretraining
+    * data-mixing op, deterministic via hash gating (no RNG). See
+    * TrainingData.temperatureMix for the cross-engine float
+    * discipline. */
+  def q66_temperature_mix(s: SparkSession, d: String): DataFrame =
+    graft.pipeline.TrainingData.temperatureMix(
+      Tables.documents(s, d).select(col("doc_id"), col("lang")),
+      col("lang"), col("doc_id"), tau = 0.5, target = 300)
+
   /** Product-quantized ANN with exact rerank: the corpus is scanned as
     * 8 code bytes + a norm per vector (64× smaller than the raw
     * doubles), scored by per-query lookup tables, and only the ADC
@@ -963,6 +973,7 @@ object SparkEntry {
     "q63_hist_quantiles" -> (q63_hist_quantiles _),
     "q64_countmin" -> (q64_countmin _),
     "q65_pq_ann" -> (q65_pq_ann _),
+    "q66_temperature_mix" -> (q66_temperature_mix _),
   )
 
   // DuckDB twins of the Scala normalization / hashing expressions
@@ -1649,6 +1660,29 @@ object SparkEntry {
          |SELECT suppkey, CAST(min(coalesce(c, 0)) AS BIGINT) AS est
          |FROM ipos LEFT JOIN counts USING (r, p)
          |GROUP BY suppkey""".stripMargin
+    },
+    // mirror temperatureMix's float discipline exactly: sqrt weights,
+    // sequential stratum-ordered sum, same multiply/divide shape
+    "q66_temperature_mix" -> {
+      val h = hash60Sql("'temp|' || CAST(doc_id AS VARCHAR)")
+      s"""WITH c AS (
+         |  SELECT lang AS lg, count(*) AS n FROM documents GROUP BY 1),
+         |w AS (SELECT lg, n, sqrt(CAST(n AS DOUBLE)) AS w FROM c),
+         |r AS (
+         |  SELECT lg, n, w,
+         |    sum(w) OVER (ORDER BY lg
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run
+         |  FROM w),
+         |p AS (
+         |  SELECT lg, CAST(floor(
+         |    least(CAST(1.0 AS DOUBLE),
+         |      CAST(300 AS DOUBLE) * w /
+         |        ((max(run) OVER ()) * CAST(n AS DOUBLE)))
+         |    * 1000000) AS BIGINT) AS thresh
+         |  FROM r)
+         |SELECT doc_id, lang
+         |FROM documents JOIN p ON lang = p.lg
+         |WHERE $h % 1000000 < thresh""".stripMargin
     },
   )
 }

@@ -128,6 +128,49 @@ object TrainingData {
       .drop("__stratum", "__n", "__min_n")
   }
 
+  /** Temperature-based source mixing — the multilingual/multi-source
+    * sampling scheme of LLM pretraining: stratum s gets sampling weight
+    * w_s = n_s^τ / Σ_t n_t^τ, so τ < 1 upsamples rare sources relative
+    * to their natural share (τ=1 is proportional, τ=0 uniform). A doc
+    * of stratum s is kept with probability min(1, target·w_s / n_s)
+    * via the deterministic hash gate `hash60(temp|id) mod 10⁶ <
+    * floor(p_s·10⁶)` — reproducible, no RNG, one pass.
+    *
+    * Cross-engine float discipline (what makes this hash-oracle-able):
+    * n^τ is `sqrt` at τ=0.5 (IEEE-correctly-rounded, identical in any
+    * engine — general `pow` is not), and Σ n^τ is summed SEQUENTIALLY
+    * in stratum order via an ordered running-sum window whose last
+    * value is taken with an order-insensitive max — both engines add
+    * the same doubles in the same order. The per-stratum table is one
+    * aggregation; docs join it broadcast.
+    */
+  def temperatureMix(df: DataFrame, stratum: Column, id: Column,
+                     tau: Double, target: Long): DataFrame = {
+    val wOf: Column => Column =
+      if (tau == 0.5) sqrt
+      else if (tau == 1.0) identity
+      else (n: Column) => pow(n, lit(tau))
+    val seqW = Window.orderBy(col("__stratum"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val weights = df.groupBy(stratum.as("__stratum"))
+      .agg(count(lit(1)).as("__n"))
+      .withColumn("__w", wOf(col("__n").cast("double")))
+      .withColumn("__run", sum(col("__w")).over(seqW))
+      .withColumn("__wsum", max(col("__run")).over(
+        Window.partitionBy()))
+      .withColumn("__thresh",
+        floor(least(lit(1.0),
+          lit(target.toDouble) * col("__w") /
+            (col("__wsum") * col("__n").cast("double"))) * 1000000))
+      .select(col("__stratum"), col("__thresh"))
+    df.join(broadcast(weights), stratum === col("__stratum"))
+      .filter(
+        graft.dedup.Dedup.hash60(
+          concat(lit("temp|"), id.cast("string"))) % 1000000
+          < col("__thresh"))
+      .drop("__stratum", "__thresh")
+  }
+
   /** Concat-and-chunk sequence packing: docs are laid out in a
     * deterministic hash order within hash-assigned batches, token
     * offsets accumulate, and example id = start-offset div `budget` —

@@ -100,6 +100,26 @@ class PipelineSpec extends AnyFunSuite with SparkTestBase {
       .collect().toSet == got.collect().toSet)
   }
 
+  test("temperatureMix: tau<1 upsamples the rare stratum's share") {
+    val df = ((0L until 900L).map(i => (i, "big")) ++
+      (900L until 1000L).map(i => (i, "small"))).toDF("id", "stratum")
+    val got = TrainingData.temperatureMix(df, $"stratum", $"id",
+      tau = 0.5, target = 400)
+    val counts = got.groupBy("stratum").count().as[(String, Long)]
+      .collect().toMap
+    // natural shares 90/10; sqrt weights 0.75/0.25 → rare stratum's
+    // kept fraction of ITS docs must far exceed the common stratum's
+    val rateSmall = counts("small").toDouble / 100
+    val rateBig = counts("big").toDouble / 900
+    assert(rateSmall > 2 * rateBig,
+      s"expected tau=0.5 upsampling, got small=$rateSmall big=$rateBig")
+    // expectation: big ≈ 400·0.75 = 300, small ≈ 400·0.25 = 100 (capped)
+    assert(counts("big") > 200 && counts("big") < 400, counts)
+    // deterministic
+    assert(TrainingData.temperatureMix(df, $"stratum", $"id", 0.5, 400)
+      .collect().toSet == got.collect().toSet)
+  }
+
   test("packSequences: offsets accumulate, example = start div budget") {
     val df = (0L until 100L).map(i => (i, 10L + i % 7)).toDF("id", "n")
     val got = TrainingData.packSequences(df, $"id", $"n", 4, 50L)
