@@ -664,6 +664,18 @@ object SparkEntry {
         col("qs").getItem(2).as("p75"), col("qs").getItem(3).as("p95"),
         col("n_docs"))
 
+  /** SCD-2 change compression of the event stream: one row per
+    * (user, event_type RUN) with its validity interval in epoch-µs —
+    * the versioned-dimension shape point-in-time joins (q48 as-of)
+    * resolve against. Windows per user key; deterministic tie-break on
+    * event_id. */
+  def q67_scd2(s: SparkSession, d: String): DataFrame =
+    graft.ops.Scd.scd2(
+      Tables.events(s, d).withColumn("ts_us", expr("ts div 1000")),
+      col("user_id"), col("ts_us"), col("event_type"), col("event_id"))
+      .select(col("key").as("user_id"), col("value").as("event_type"),
+        col("valid_from"), col("valid_to"), col("version"))
+
   /** Temperature-mix sampling (τ=0.5, target 300): rare languages keep
     * a larger share than their natural frequency — the LLM-pretraining
     * data-mixing op, deterministic via hash gating (no RNG). See
@@ -974,6 +986,7 @@ object SparkEntry {
     "q64_countmin" -> (q64_countmin _),
     "q65_pq_ann" -> (q65_pq_ann _),
     "q66_temperature_mix" -> (q66_temperature_mix _),
+    "q67_scd2" -> (q67_scd2 _),
   )
 
   // DuckDB twins of the Scala normalization / hashing expressions
@@ -1684,5 +1697,21 @@ object SparkEntry {
          |FROM documents JOIN p ON lang = p.lg
          |WHERE $h % 1000000 < thresh""".stripMargin
     },
+    "q67_scd2" ->
+      """WITH u AS (
+        |  SELECT user_id, epoch_us(ts) AS ts_us, event_type, event_id
+        |  FROM events),
+        |s AS (
+        |  SELECT user_id, ts_us, event_type, event_id,
+        |    lag(event_type) OVER (
+        |      PARTITION BY user_id ORDER BY ts_us, event_id) AS prev
+        |  FROM u),
+        |st AS (SELECT * FROM s WHERE prev IS DISTINCT FROM event_type)
+        |SELECT user_id, event_type, ts_us AS valid_from,
+        |  lead(ts_us) OVER w AS valid_to,
+        |  CAST(row_number() OVER w AS BIGINT) AS version
+        |FROM st
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)"""
+        .stripMargin,
   )
 }

@@ -1,0 +1,47 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** SCD-2 style change compression: turn an event/update stream into a
+  * versioned dimension — one row per (key, attribute-value RUN) with
+  * its validity interval — the standard "slowly changing dimension"
+  * shape a warehouse keeps for point-in-time joins (pairs with
+  * [[graft.plans.AsOfJoin]]: compress here, resolve as-of there).
+  *
+  * Runs are detected with lag() (a value row is a version start iff it
+  * differs from its predecessor), intervals attached with lead() over
+  * the version starts; `valid_to` is null for the open current
+  * version. Everything windows per key — |keys| parallel partitions,
+  * one shuffle on the key, no global sort. Ties in `ts` are ordered by
+  * `tieBreak` so the compression is deterministic under duplicates.
+  */
+object Scd {
+
+  /** @param updates  raw update rows
+    * @param key      dimension key column
+    * @param ts       ordering column (event time)
+    * @param value    the tracked attribute
+    * @param tieBreak deterministic order within equal ts
+    * @return (key, value, valid_from, valid_to, version) */
+  def scd2(updates: DataFrame, key: Column, ts: Column, value: Column,
+           tieBreak: Column): DataFrame = {
+    val starts = updates
+      .select(key.as("key"), ts.as("valid_from"), value.as("value"),
+        tieBreak.as("__tb"))
+      .withColumn("__prev",
+        lag(col("value"), 1).over(Window.partitionBy(col("key"))
+          .orderBy(col("valid_from"), col("__tb"))))
+      // a run starts where the value differs from its predecessor
+      // (null-safe: the first row of a key always starts a run)
+      .filter(not(col("value") <=> col("__prev")))
+    val vw = Window.partitionBy(col("key"))
+      .orderBy(col("valid_from"), col("__tb"))
+    starts
+      .withColumn("valid_to", lead(col("valid_from"), 1).over(vw))
+      .withColumn("version", row_number().over(vw).cast("long"))
+      .select(col("key"), col("value"), col("valid_from"),
+        col("valid_to"), col("version"))
+  }
+}

@@ -1,0 +1,47 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.ops.Scd
+
+class ScdSpec extends AnyFunSuite with SparkTestBase {
+  import spark.implicits._
+
+  test("runs compress to versions with adjoining validity intervals") {
+    val updates = Seq(
+      ("a", 1L, "x", 10L), ("a", 2L, "x", 11L), ("a", 3L, "y", 12L),
+      ("a", 4L, "y", 13L), ("a", 5L, "x", 14L),
+      ("b", 7L, "z", 20L))
+      .toDF("k", "ts", "v", "id")
+    val got = Scd.scd2(updates, $"k", $"ts", $"v", $"id")
+      .as[(String, String, Long, Option[Long], Long)]
+      .collect().sortBy(r => (r._1, r._5)).toSeq
+    assert(got == Seq(
+      ("a", "x", 1L, Some(3L), 1L),
+      ("a", "y", 3L, Some(5L), 2L),
+      ("a", "x", 5L, None, 3L),
+      ("b", "z", 7L, None, 1L)))
+  }
+
+  test("equal timestamps order by the tie-break, deterministically") {
+    val updates = Seq(
+      ("a", 1L, "x", 2L), ("a", 1L, "y", 1L)) // y first by tie-break
+      .toDF("k", "ts", "v", "id")
+    val got = Scd.scd2(updates, $"k", $"ts", $"v", $"id")
+      .as[(String, String, Long, Option[Long], Long)]
+      .collect().sortBy(_._5).toSeq
+    assert(got == Seq(
+      ("a", "y", 1L, Some(1L), 1L),
+      ("a", "x", 1L, None, 2L)))
+  }
+
+  test("null attribute values form their own runs (null-safe compare)") {
+    val updates = Seq(
+      ("a", 1L, Some("x"), 1L), ("a", 2L, None, 2L),
+      ("a", 3L, None, 3L), ("a", 4L, Some("x"), 4L))
+      .toDF("k", "ts", "v", "id")
+    val got = Scd.scd2(updates, $"k", $"ts", $"v", $"id")
+      .select("version").as[Long].collect().sorted.toSeq
+    assert(got == Seq(1L, 2L, 3L), "x / null / x must be three versions")
+  }
+}
