@@ -1,6 +1,5 @@
 package graft.jobs
 
-import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.storage.StorageLevel
@@ -48,47 +47,18 @@ object RollupJob {
   private def keyBuckets(spark: SparkSession): Int =
     spark.conf.get("spark.graft.rollup.keyBuckets", "16").toInt
 
-  private def exists(spark: SparkSession, path: String): Boolean = {
-    val p = new Path(path)
-    p.getFileSystem(spark.sessionState.newHadoopConf()).exists(p)
-  }
-
-  /** Partition-pruned read of only the `pbucket` partitions in
-    * `touched` — O(touched buckets), never a full-table scan. */
+  // partition-granular plumbing lives in Volume (shared with the
+  // streaming incremental rollup)
+  private def exists(spark: SparkSession, path: String): Boolean =
+    Volume.pathExists(spark, path)
   private def readTouched(spark: SparkSession, path: String,
-                          touched: Array[Long]): DataFrame = {
-    val df = spark.read.parquet(path)
-    if (touched.isEmpty) df.limit(0)
-    else df.filter(col("pbucket").isin(touched: _*))
-  }
-
-  /** The touched-partition list is driver-side metadata (one long per
-    * partition a tick writes) — the same enumeration dynamic partition
-    * overwrite itself performs at commit. */
+                          touched: Array[Long]): DataFrame =
+    Volume.readTouched(spark, path, touched)
   private def touchedBuckets(withBucket: DataFrame): Array[Long] =
-    withBucket.select(col("pbucket").cast("long")).distinct()
-      .collect().map(_.getLong(0))
-
-  /** Partition-granular keyed upsert: merge `updates` (which must carry
-    * a `pbucket` column) into the partitioned table at `path`, reading
-    * and rewriting ONLY the touched partitions. */
+    Volume.touchedBuckets(withBucket)
   private def upsertInto(spark: SparkSession, path: String,
-                         updates: DataFrame, keys: Seq[String]): Unit = {
-    if (!exists(spark, path)) {
-      updates.write.partitionBy("pbucket").mode("overwrite").parquet(path)
-      return
-    }
-    val touched = touchedBuckets(updates)
-    if (touched.isEmpty) return
-    val existing = readTouched(spark, path, touched)
-    val merged = Volume.upsert(existing, updates, keys)
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    merged.count() // materialize before overwriting the partitions we read
-    merged.write.mode("overwrite")
-      .option("partitionOverwriteMode", "dynamic")
-      .partitionBy("pbucket").parquet(path)
-    merged.unpersist()
-  }
+                         updates: DataFrame, keys: Seq[String]): Unit =
+    Volume.upsertPartitioned(spark, path, updates, keys)
 
   /** @param sinceHeight the tick's input window — only vol rows at
     *   `height >= sinceHeight` are re-rolled (the cadence scheduler

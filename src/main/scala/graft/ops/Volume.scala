@@ -1,7 +1,9 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
 
 /** Volume reduction + rollups (SURVEY.md §2.9 reduce_vol, §2.7 A4–A6,
   * §2.2 K4 upsert).
@@ -55,4 +57,50 @@ object Volume {
              keys: Seq[String]): DataFrame =
     existing.join(updates.select(keys.map(col): _*), keys, "left_anti")
       .unionByName(updates)
+
+  /** Cloud-FS-safe existence probe (`java.io.File` is local-only). */
+  def pathExists(spark: SparkSession, path: String): Boolean = {
+    val p = new Path(path)
+    p.getFileSystem(spark.sessionState.newHadoopConf()).exists(p)
+  }
+
+  /** The touched-partition list is driver-side metadata (one long per
+    * partition a tick writes) — the same enumeration dynamic partition
+    * overwrite itself performs at commit. */
+  def touchedBuckets(withBucket: DataFrame): Array[Long] =
+    withBucket.select(col("pbucket").cast("long")).distinct()
+      .collect().map(_.getLong(0))
+
+  /** Partition-pruned read of only the `pbucket` partitions in
+    * `touched` — O(touched buckets), never a full-table scan. */
+  def readTouched(spark: SparkSession, path: String,
+                  touched: Array[Long]): DataFrame = {
+    val df = spark.read.parquet(path)
+    if (touched.isEmpty) df.limit(0)
+    else df.filter(col("pbucket").isin(touched.toIndexedSeq: _*))
+  }
+
+  /** Partition-granular keyed upsert: merge `updates` (which must carry
+    * a long-valued `pbucket` column) into the `pbucket`-partitioned
+    * table at `path`, reading and rewriting ONLY the touched partitions
+    * via dynamic partition overwrite — O(delta·bucket) per tick, never
+    * O(table). The at-scale form of [[upsert]]; shared by the batch
+    * RollupJob tick and the streaming incremental rollup. */
+  def upsertPartitioned(spark: SparkSession, path: String,
+                        updates: DataFrame, keys: Seq[String]): Unit = {
+    if (!pathExists(spark, path)) {
+      updates.write.partitionBy("pbucket").mode("overwrite").parquet(path)
+      return
+    }
+    val touched = touchedBuckets(updates)
+    if (touched.isEmpty) return
+    val existing = readTouched(spark, path, touched)
+    val merged = upsert(existing, updates, keys)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    merged.count() // materialize before overwriting the partitions we read
+    merged.write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("pbucket").parquet(path)
+    merged.unpersist()
+  }
 }

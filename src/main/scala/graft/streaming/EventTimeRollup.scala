@@ -28,25 +28,27 @@ object EventTimeRollup {
     * update mode, upserted into the serving table per micro-batch — the
     * continuous form of RollupJob (the Airflow cadence tick becomes a
     * watermark-driven incremental view). Late rows within the watermark
-    * revise their window's row via the keyed upsert. */
+    * revise their window's row via the keyed upsert.
+    *
+    * The serving table is partitioned by the window's day
+    * (`pbucket = unix_timestamp div 86400`) and maintained with
+    * [[graft.ops.Volume.upsertPartitioned]]: update-mode batches only
+    * carry windows inside the watermark horizon, so a micro-batch
+    * rewrites a couple of recent day partitions — O(delta), cloud-FS-
+    * safe, never the read-all→overwrite of the whole serving history
+    * (the RollupJob scale fix, applied to the streaming twin). */
   def incrementalRollup(volStream: DataFrame, servingDir: String,
                         windowLength: String = "5 minutes",
                         watermark: String = "10 minutes")
       : org.apache.spark.sql.streaming.StreamingQuery = {
-    val spark = volStream.sparkSession
     val agg = windowedVolume(volStream, windowLength, Some(watermark))
     agg.writeStream
       .outputMode("update")
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        val path = servingDir
-        val merged =
-          if (new java.io.File(path).exists()) {
-            val existing = spark.read.parquet(path)
-            graft.ops.Volume.upsert(existing, batch,
-              Seq("window_start", "unit")).cache()
-          } else batch
-        merged.count()
-        merged.write.mode("overwrite").parquet(path)
+        graft.ops.Volume.upsertPartitioned(batch.sparkSession, servingDir,
+          batch.withColumn("pbucket",
+            expr("unix_timestamp(window_start) div 86400")),
+          Seq("window_start", "unit"))
       }
       .start()
   }
