@@ -44,28 +44,47 @@ final class BlockJsonTable(path: String) extends Table with SupportsRead {
       override def build(): Scan = this
       override def readSchema(): StructType = Schemas.blockStateSchema
       override def toBatch: Batch = this
+      // Hadoop FS for enumeration AND reads — the source runs unchanged
+      // on HDFS/S3/local; java.io.File would pin it to local disk
       override def planInputPartitions(): Array[InputPartition] = {
-        val f = new java.io.File(path)
+        val hconf = org.apache.spark.sql.SparkSession.active
+          .sessionState.newHadoopConf()
+        val p = new org.apache.hadoop.fs.Path(path)
+        val fs = p.getFileSystem(hconf)
         val files =
-          if (f.isDirectory)
-            f.listFiles().filter(_.isFile).map(_.getAbsolutePath)
-          else Array(f.getAbsolutePath)
+          if (fs.getFileStatus(p).isDirectory)
+            fs.listStatus(p).filter(_.isFile).map(_.getPath.toString)
+          else Array(fs.makeQualified(p).toString)
         files.sorted.map(BlockFilePartition(_): InputPartition)
       }
-      override def createReaderFactory(): PartitionReaderFactory =
-        new BlockJsonReaderFactory
+      override def createReaderFactory(): PartitionReaderFactory = {
+        // executors have no SparkSession — ship the hadoop conf entries
+        val hconf = org.apache.spark.sql.SparkSession.active
+          .sessionState.newHadoopConf()
+        new BlockJsonReaderFactory(
+          hconf.iterator().asScala.map(e => e.getKey -> e.getValue).toMap)
+      }
     }
 }
 
 case class BlockFilePartition(file: String) extends InputPartition
 
-final class BlockJsonReaderFactory extends PartitionReaderFactory {
+final class BlockJsonReaderFactory(hadoopConf: Map[String, String])
+    extends PartitionReaderFactory {
   override def createReader(partition: InputPartition)
       : PartitionReader[InternalRow] = {
     val file = partition.asInstanceOf[BlockFilePartition].file
     new PartitionReader[InternalRow] {
-      private val lines = scala.io.Source.fromFile(file, "UTF-8")
-      private val it = lines.getLines()
+      private val in = {
+        val conf = new org.apache.hadoop.conf.Configuration(false)
+        hadoopConf.foreach { case (k, v) => conf.set(k, v) }
+        val p = new org.apache.hadoop.fs.Path(file)
+        new java.io.BufferedReader(new java.io.InputStreamReader(
+          p.getFileSystem(conf).open(p),
+          java.nio.charset.StandardCharsets.UTF_8))
+      }
+      private val it =
+        Iterator.continually(in.readLine()).takeWhile(_ != null)
       // parse with the envelope schema, then unwrap field 0 (py/state)
       private val parser = new JacksonParser(
         Schemas.blockLineSchema,
@@ -95,7 +114,7 @@ final class BlockJsonReaderFactory extends PartitionReaderFactory {
         current != null
       }
       override def get(): InternalRow = current
-      override def close(): Unit = lines.close()
+      override def close(): Unit = in.close()
     }
   }
 }
