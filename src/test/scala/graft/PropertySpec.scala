@@ -184,6 +184,77 @@ class PropertySpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  private val longsGen: Gen[List[Long]] =
+    Gen.nonEmptyListOf(Gen.choose(0L, 1023L))
+
+  test("histogram quantile property: the p-th edge's bin contains the " +
+    "p-th lower order statistic") {
+    forAll(longsGen) { xs =>
+      val df = xs.map(x => ("g", x)).toDF("g", "x")
+      for (p <- Seq(10, 50, 90)) {
+        val edge = df.groupBy($"g")
+          .agg(graft.functions.HistogramQuantileAgg
+            .hist_quantiles($"x", 0L, 8L, 128, Seq(p)).as("qs"))
+          .select($"qs".getItem(0)).as[Long].head()
+        val sorted = xs.sorted
+        val rank = math.max(1, math.ceil(p * sorted.length / 100.0).toInt)
+        val v = sorted(rank - 1)
+        assert(edge <= v && v < edge + 8,
+          s"p$p edge $edge, order stat $v, xs size ${xs.length}")
+      }
+    }
+  }
+
+  test("count-min property: estimates never undercount any key") {
+    forAll(longsGen) { xs =>
+      val df = xs.map(x => Tuple1((x % 17).toString)).toDF("k")
+      val pos = org.apache.spark.sql.functions.transform(
+        sequence(lit(0), lit(3)),
+        r => pmod(graft.dedup.Dedup.hash60(
+          concat(r.cast("string"), lit("|"), $"k")), lit(32L)))
+      val sk = df.agg(graft.functions.CountMinAgg
+        .countmin_agg(pos, 4, 32).as("sk")).as[Seq[Long]].head()
+      val truth = xs.map(x => (x % 17).toString)
+        .groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+      truth.foreach { case (k, n) =>
+        val est = (0 until 4).map { r =>
+          val md5 = java.security.MessageDigest.getInstance("MD5")
+            .digest(s"$r|$k".getBytes("UTF-8"))
+            .map("%02x".format(_)).mkString
+          val h = java.lang.Long.parseLong(md5.substring(0, 15), 16)
+          sk(r * 32 + (h % 32).toInt)
+        }.min
+        assert(est >= n, s"key $k: est $est < true $n")
+      }
+    }
+  }
+
+  test("scd2 property: expanding intervals reproduces the value at " +
+    "every original timestamp") {
+    val updatesGen = Gen.nonEmptyListOf(for {
+      ts <- Gen.choose(1L, 30L)
+      v <- Gen.oneOf("x", "y", "z")
+    } yield (ts, v))
+    forAll(updatesGen) { raw =>
+      // unique (ts) per key: keep the first value per ts for the model
+      val rows = raw.groupBy(_._1).map { case (ts, vs) => (ts, vs.head._2) }
+        .toList.sortBy(_._1)
+      val df = rows.zipWithIndex
+        .map { case ((ts, v), i) => ("k", ts, v, i.toLong) }
+        .toDF("k", "ts", "v", "id")
+      val versions = graft.ops.Scd.scd2(df, $"k", $"ts", $"v", $"id")
+        .as[(String, String, Long, Option[Long], Long)].collect()
+      rows.foreach { case (ts, v) =>
+        val covering = versions.filter(r =>
+          r._3 <= ts && r._4.forall(_ > ts))
+        assert(covering.length == 1,
+          s"ts $ts covered by ${covering.length} versions")
+        assert(covering.head._2 == v,
+          s"ts $ts: interval value ${covering.head._2} != original $v")
+      }
+    }
+  }
+
   test("upsert idempotence: applying the same updates twice = once") {
     forAll(flowGen) { rows =>
       whenever(rows.nonEmpty) {
