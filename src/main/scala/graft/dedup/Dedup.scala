@@ -90,7 +90,10 @@ object Dedup {
     * Hashing is xxhash64, not md5-hash60: minhash is approximate by
     * construction (never oracled cross-engine), and xxhash64 is codegen'd
     * native long math — no md5 digest + hex string + base conversion per
-    * (shingle × seed) row, which dominated the round-1 q19 profile. */
+    * (shingle × seed) row, which dominated the round-1 q19 profile.
+    * At 100 TB prefer [[graft.functions.MinHashAgg]]: the same
+    * signatures' SHAPE from one fixed-size buffer per doc — no
+    * ×numHashes row explode, no second aggregation to pack the array. */
   def minhashSignatures(shingleDf: DataFrame,
                         numHashes: Int = 16): DataFrame =
     shingleDf

@@ -19,6 +19,8 @@ import org.apache.spark.sql.types.{BinaryType, IntegerType, LongType}
   *                              mergeable histogram quantile sketch
   *   graft_countmin(positions, depth, width)
   *                              mergeable Count-Min sketch build
+  *   graft_minhash(shingleHash, n)
+  *                              MinHash signature aggregate
   *
   * Registered either per-session (`registerAll`) or at build time via
   * [[GraftExtensions]] (`spark.sql.extensions`). Aggregate builders
@@ -50,6 +52,7 @@ object GraftFunctions {
     "graft_topk" -> (es => TopKAgg(es(0), es(1), intArg(es(2), "k"))),
     "graft_countmin" -> (es => CountMinAgg(es(0),
       intArg(es(1), "depth"), intArg(es(2), "width"))),
+    "graft_minhash" -> (es => MinHashAgg(es(0), intArg(es(1), "n"))),
     "graft_lsh_sigs" -> (es => SignLshSignatures(es(0),
       intArg(es(1), "tables"), intArg(es(2), "planes"),
       intArg(es(3), "dims"))),

@@ -1,0 +1,122 @@
+package graft.functions
+
+import java.nio.ByteBuffer
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.graftbridge.Bridge
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
+
+/** MinHash signature build as a TypedImperativeAggregate — the
+  * constant-factor upgrade Dedup.minhashSignatures' own scaladoc points
+  * at for 100 TB: the composable form explodes every (doc, shingle)
+  * row ×numHashes before its (doc, seed) partial-min shuffle; this
+  * aggregate keeps all numHashes running minima in ONE buffer per doc —
+  * no ×numHashes row inflation, no second aggregation to pack the
+  * signature into an array, and one numHashes·8 B buffer per doc per
+  * partition on the wire (same bytes as the partial-min form, far less
+  * row machinery).
+  *
+  * Per-seed hashing is splitmix64 over (shingleHash + seed·golden) —
+  * a public-domain finalizer with full avalanche, computed inline as
+  * native long math (the same reasoning that moved the Column path off
+  * md5: signatures are approximate-by-construction and never oracled,
+  * so the hash family only needs to be deterministic and well-mixed,
+  * not cross-engine). NOTE: a different family than the Column path's
+  * xxhash64 — the two paths produce different (internally consistent)
+  * signatures; pick one per corpus.
+  *
+  * Input: the doc's 64-bit shingle hashes (e.g. Dedup.shingleKeys).
+  * Output: array<bigint> of length numHashes — element i is
+  * min over shingles of splitmix64(shingle + i·golden).
+  */
+case class MinHashAgg(
+    child: Expression,
+    numHashes: Int = 16,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[Array[Long]] {
+
+  require(numHashes > 0 && numHashes <= 1024,
+    s"invalid signature length: $numHashes")
+
+  override def children: Seq[Expression] = Seq(child)
+  override def nullable: Boolean = false
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_minhash"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == LongType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a bigint shingle hash, got " +
+        child.dataType.simpleString)
+
+  override def createAggregationBuffer(): Array[Long] =
+    Array.fill(numHashes)(Long.MaxValue)
+
+  override def update(buf: Array[Long], row: InternalRow): Array[Long] = {
+    val v = child.eval(row)
+    if (v != null) {
+      val shingle = v.asInstanceOf[Long]
+      var i = 0
+      while (i < numHashes) {
+        val h = MinHashAgg.splitmix64(
+          shingle + i * MinHashAgg.Golden)
+        if (h < buf(i)) buf(i) = h
+        i += 1
+      }
+    }
+    buf
+  }
+
+  override def merge(a: Array[Long], b: Array[Long]): Array[Long] = {
+    var i = 0
+    while (i < numHashes) {
+      if (b(i) < a(i)) a(i) = b(i)
+      i += 1
+    }
+    a
+  }
+
+  override def eval(buf: Array[Long]): Any = new GenericArrayData(buf)
+
+  override def serialize(buf: Array[Long]): Array[Byte] = {
+    val bb = ByteBuffer.allocate(8 * numHashes)
+    buf.foreach(bb.putLong)
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): Array[Long] = {
+    val bb = ByteBuffer.wrap(bytes)
+    Array.fill(numHashes)(bb.getLong())
+  }
+
+  override def withNewMutableAggBufferOffset(o: Int): MinHashAgg =
+    copy(mutableAggBufferOffset = o)
+  override def withNewInputAggBufferOffset(o: Int): MinHashAgg =
+    copy(inputAggBufferOffset = o)
+  override protected def withNewChildrenInternal(
+      cs: IndexedSeq[Expression]): MinHashAgg = copy(child = cs.head)
+}
+
+object MinHashAgg {
+  /** 2⁶⁴/φ — the Weyl-sequence increment splitmix64 was published
+    * with (public domain, Steele et al.). */
+  final val Golden = 0x9E3779B97F4A7C15L
+
+  /** splitmix64 finalizer: full-avalanche 64-bit mix. */
+  def splitmix64(x: Long): Long = {
+    var z = x + Golden
+    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+    z ^ (z >>> 31)
+  }
+
+  /** Column form: minhash_agg(shingleHash, n) for groupBy().agg(). */
+  def minhash_agg(shingleHash: Column, numHashes: Int = 16): Column =
+    Bridge.column(MinHashAgg(Bridge.expression(shingleHash), numHashes)
+      .toAggregateExpression())
+}

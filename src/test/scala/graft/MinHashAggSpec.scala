@@ -1,0 +1,58 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.functions.MinHashAgg
+import graft.functions.MinHashAgg.minhash_agg
+
+class MinHashAggSpec extends AnyFunSuite with SparkTestBase {
+  import spark.implicits._
+
+  test("signature equals the driver-computed reference mins") {
+    val rows = Seq((1L, 10L), (1L, 99L), (1L, 7L), (2L, 10L), (2L, 500L))
+    val got = rows.toDF("doc_id", "shingle")
+      .groupBy($"doc_id").agg(minhash_agg($"shingle", 8).as("sig"))
+      .as[(Long, Seq[Long])].collect().toMap
+    val expected = rows.groupBy(_._1).map { case (doc, rs) =>
+      doc -> (0 until 8).map(i => rs.map { case (_, sh) =>
+        MinHashAgg.splitmix64(sh + i * MinHashAgg.Golden) }.min).toSeq
+    }
+    assert(got == expected)
+  }
+
+  test("partition-merge invariance") {
+    val df = (1L to 400L).map(i => (i % 7, i * 31)).toDF("doc_id", "shingle")
+    def run(parts: Int) = df.repartition(parts)
+      .groupBy($"doc_id").agg(minhash_agg($"shingle", 16).as("sig"))
+      .as[(Long, Seq[Long])].collect().toMap
+    assert(run(1) == run(11))
+  }
+
+  test("signature agreement tracks Jaccard on the real corpus") {
+    val sh = graft.dedup.Dedup.shingleKeys(
+      Tables.documents(spark, "/root/testdata/sf0.001"))
+    val sigs = sh.groupBy($"doc_id")
+      .agg(minhash_agg($"shingle", 16).as("sig"))
+      .as[(Long, Seq[Long])].collect().toMap
+    // exact near-dup pairs (jaccard >= 0.7) vs a disjoint control pair
+    val pairs = graft.dedup.Dedup.jaccardPairs(sh, 0.7)
+      .as[(Long, Long, Double)].collect()
+    assert(pairs.nonEmpty, "corpus has planted near-dups")
+    val agree = (a: Seq[Long], b: Seq[Long]) =>
+      a.zip(b).count(p => p._1 == p._2) / 16.0
+    val dupAgree = pairs.map { case (i1, i2, _) =>
+      agree(sigs(i1), sigs(i2)) }
+    assert(dupAgree.sum / dupAgree.length > 0.55,
+      s"mean agreement over true near-dups: ${dupAgree.sum / dupAgree.length}")
+    // two random non-dup docs agree on ~0 positions
+    val ids = sigs.keySet.toSeq.sorted
+    val nonDupPairs = ids.take(20).combinations(2)
+      .map { case Seq(a, b) => (a, b) }
+      .filterNot(p => pairs.exists(q =>
+        (q._1, q._2) == p || (q._2, q._1) == p)).take(30).toSeq
+    val nonAgree = nonDupPairs.map { case (a, b) =>
+      agree(sigs(a), sigs(b)) }
+    assert(nonAgree.sum / nonAgree.length < 0.2,
+      s"mean agreement over non-dups: ${nonAgree.sum / nonAgree.length}")
+  }
+}
