@@ -664,6 +664,36 @@ object SparkEntry {
         col("qs").getItem(2).as("p75"), col("qs").getItem(3).as("p95"),
         col("n_docs"))
 
+  /** Two-level histogram rollup: per-day RAW bin vectors (the
+    * persistable sketch form) merged by element-wise sum, quantiles
+    * taken from the merged bins — the mergeable-rollup contract as a
+    * CORRECTNESS entry: the oracle computes the same quantiles
+    * DIRECTLY (no day level), so a hash match proves two-level ==
+    * single-level exactly. At 100 TB the daily bins are what you
+    * persist; any time-range distribution is a cheap re-merge, never a
+    * re-scan. */
+  def q68_hist_rollup(s: SparkSession, d: String): DataFrame = {
+    val (lo, width, bins) = (0L, 256L, 256)
+    val ev = Tables.events(s, d).select(
+      floor(col("value") * 100).cast(LongType).as("cents"),
+      expr("ts div 86400000000000").as("day"))
+    val daily = ev.groupBy(col("day"))
+      .agg(graft.functions.HistogramQuantileAgg
+        .hist_bins(col("cents"), lo, width, bins).as("bins"))
+    val merged = daily
+      .select(posexplode(col("bins")).as(Seq("bin", "c")))
+      .groupBy(col("bin")).agg(sum(col("c")).as("c"))
+    val w = Window.orderBy(col("bin"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = merged.withColumn("cum", sum(col("c")).over(w))
+      .withColumn("n", max(col("cum")).over(Window.partitionBy()))
+    def edge(p: Int) = min(when(
+      col("cum") * 100 >= lit(p.toLong) * col("n"),
+      col("bin") * width)).as(s"p$p")
+    cum.agg(edge(25), edge(50), edge(75), edge(95),
+      max(col("n")).as("n_events"))
+  }
+
   /** SCD-2 change compression of the event stream: one row per
     * (user, event_type RUN) with its validity interval in epoch-µs —
     * the versioned-dimension shape point-in-time joins (q48 as-of)
@@ -987,6 +1017,7 @@ object SparkEntry {
     "q65_pq_ann" -> (q65_pq_ann _),
     "q66_temperature_mix" -> (q66_temperature_mix _),
     "q67_scd2" -> (q67_scd2 _),
+    "q68_hist_rollup" -> (q68_hist_rollup _),
   )
 
   // DuckDB twins of the Scala normalization / hashing expressions
@@ -1713,5 +1744,30 @@ object SparkEntry {
         |FROM st
         |WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)"""
         .stripMargin,
+    // DIRECT single-level quantiles — a hash match against the
+    // two-level Spark rollup proves the bin merge is exact
+    "q68_hist_rollup" ->
+      """WITH b AS (
+        |  SELECT LEAST(255, GREATEST(0,
+        |    CAST(floor(value * 100) AS BIGINT) // 256)) AS bin,
+        |    count(*) AS c
+        |  FROM events GROUP BY 1),
+        |cum AS (
+        |  SELECT bin, c,
+        |    sum(c) OVER (ORDER BY bin
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        |    sum(c) OVER () AS n
+        |  FROM b)
+        |SELECT
+        |  CAST(min(CASE WHEN cum*100 >= 25*n THEN bin*256 END) AS BIGINT)
+        |    AS p25,
+        |  CAST(min(CASE WHEN cum*100 >= 50*n THEN bin*256 END) AS BIGINT)
+        |    AS p50,
+        |  CAST(min(CASE WHEN cum*100 >= 75*n THEN bin*256 END) AS BIGINT)
+        |    AS p75,
+        |  CAST(min(CASE WHEN cum*100 >= 95*n THEN bin*256 END) AS BIGINT)
+        |    AS p95,
+        |  CAST(max(n) AS BIGINT) AS n_events
+        |FROM cum""".stripMargin,
   )
 }

@@ -40,11 +40,12 @@ case class HistogramQuantileAgg(
     width: Long,
     bins: Int,
     percents: Seq[Int],
+    emitBins: Boolean = false,
     mutableAggBufferOffset: Int = 0,
     inputAggBufferOffset: Int = 0)
   extends TypedImperativeAggregate[Array[Long]] {
 
-  require(width > 0 && bins > 0 && percents.nonEmpty &&
+  require(width > 0 && bins > 0 && (emitBins || percents.nonEmpty) &&
     percents.forall(p => p >= 0 && p <= 100),
     s"invalid histogram shape: width=$width bins=$bins percents=$percents")
 
@@ -82,6 +83,7 @@ case class HistogramQuantileAgg(
     var i = 0
     while (i < bins) { n += buf(i); i += 1 }
     if (n == 0L) null
+    else if (emitBins) new GenericArrayData(buf.clone())
     else {
       val out = new Array[Long](percents.length)
       var pi = 0
@@ -134,5 +136,15 @@ object HistogramQuantileAgg {
                      percents: Seq[Int]): Column =
     Bridge.column(HistogramQuantileAgg(
       Bridge.expression(x), lo, width, bins, percents)
+      .toAggregateExpression())
+
+  /** The sketch's RAW bins (array<bigint> of length `bins`) — the
+    * persistable, exactly-mergeable rollup form: store per-partition/
+    * per-day bins, merge tiers by element-wise add, take quantiles at
+    * read. Two-level == single-level exactly (pinned by q68's oracle,
+    * which computes the quantiles directly). */
+  def hist_bins(x: Column, lo: Long, width: Long, bins: Int): Column =
+    Bridge.column(HistogramQuantileAgg(
+      Bridge.expression(x), lo, width, bins, Nil, emitBins = true)
       .toAggregateExpression())
 }
