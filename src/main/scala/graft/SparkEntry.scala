@@ -694,6 +694,34 @@ object SparkEntry {
       max(col("n")).as("n_events"))
   }
 
+  /** X-series extension: triangle counting (degree-ordered wedge join,
+    * [[graft.graph.Triangles]]) over the supplier co-supply graph —
+    * suppliers are adjacent when they supply the same order. The edge set
+    * is the top-2000 pairs by distinct-order co-count with a
+    * deterministic (count DESC, a, b) tie-break: an absolute co-count
+    * threshold is SF-unstable (sf0.001's K10 has min co-count 140 while
+    * sf0.1's 453k pairs have median 2), whereas a fixed-size top-k is a
+    * TakeOrderedAndProject at any scale. The co-count itself is a
+    * per-order self-join (fan-out bounded by order size, never
+    * all-pairs) plus one pair-key shuffle. */
+  def q69_triangles(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d).select(col("l_orderkey"), col("l_suppkey"))
+    val pairs = li
+      .join(li.select(col("l_orderkey"), col("l_suppkey").as("s2")),
+        Seq("l_orderkey"))
+      .filter(col("l_suppkey") < col("s2"))
+      .select(col("l_orderkey"),
+        col("l_suppkey").as("sa"), col("s2").as("sb"))
+      .distinct()
+    val edges = pairs.groupBy(col("sa"), col("sb"))
+      .agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("sa"), col("sb"))
+      .limit(2000)
+    val canon = graft.graph.Triangles.canonicalize(edges, "sa", "sb")
+    graft.graph.Triangles.perNode(canon)
+      .select(col("node").as("suppkey"), col("triangles"))
+  }
+
   /** SCD-2 change compression of the event stream: one row per
     * (user, event_type RUN) with its validity interval in epoch-µs —
     * the versioned-dimension shape point-in-time joins (q48 as-of)
@@ -1018,6 +1046,7 @@ object SparkEntry {
     "q66_temperature_mix" -> (q66_temperature_mix _),
     "q67_scd2" -> (q67_scd2 _),
     "q68_hist_rollup" -> (q68_hist_rollup _),
+    "q69_triangles" -> (q69_triangles _),
   )
 
   // DuckDB twins of the Scala normalization / hashing expressions
@@ -1769,5 +1798,26 @@ object SparkEntry {
         |    AS p95,
         |  CAST(max(n) AS BIGINT) AS n_events
         |FROM cum""".stripMargin,
+    "q69_triangles" ->
+      """WITH pairs AS (
+        |  SELECT DISTINCT l1.l_orderkey AS ok,
+        |    l1.l_suppkey AS sa, l2.l_suppkey AS sb
+        |  FROM lineitem l1 JOIN lineitem l2
+        |    ON l1.l_orderkey = l2.l_orderkey
+        |   AND l1.l_suppkey < l2.l_suppkey),
+        |e AS (
+        |  SELECT sa AS a, sb AS b FROM (
+        |    SELECT sa, sb, count(*) AS c FROM pairs GROUP BY 1, 2
+        |    ORDER BY c DESC, sa, sb LIMIT 2000)),
+        |tri AS (
+        |  SELECT e1.a AS x, e1.b AS y, e2.b AS z
+        |  FROM e e1
+        |  JOIN e e2 ON e1.a = e2.a AND e1.b < e2.b
+        |  JOIN e e3 ON e3.a = e1.b AND e3.b = e2.b)
+        |SELECT n AS suppkey, count(*) AS triangles FROM (
+        |  SELECT x AS n FROM tri
+        |  UNION ALL SELECT y FROM tri
+        |  UNION ALL SELECT z FROM tri)
+        |GROUP BY 1""".stripMargin,
   )
 }

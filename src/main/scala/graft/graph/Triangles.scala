@@ -1,0 +1,76 @@
+package graft.graph
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Triangle counting via the degree-ordered wedge join — the third
+  * DataFrame graph algorithm (after PageRank and ConnectedComponents).
+  *
+  * The naive formulation (three-way self-join of the edge list) explodes
+  * on high-degree nodes: a hub of degree d generates O(d^2) wedges, and a
+  * k-clique O(k^3) join rows. Orienting every edge from its lower-ranked
+  * endpoint to its higher-ranked one — rank = (degree, id), a total
+  * order — fixes both: each triangle then has exactly ONE node whose two
+  * oriented out-edges form its wedge (the triangle's minimum-rank vertex),
+  * so no triangle is found twice, and the oriented out-degree of any node
+  * is O(sqrt(m)) regardless of its raw degree (a node keeps an out-edge
+  * only toward neighbors with at least its own degree, and at most
+  * 2*sqrt(m) nodes have degree >= sqrt(m)). Wedge fan-out — the only
+  * super-linear term — is therefore bounded by m^1.5 total, the best known
+  * for exact counting, and skew on hub nodes is structurally eliminated
+  * rather than salted around.
+  *
+  * Execution shape: two shuffles to attach degrees, one shuffle on the
+  * wedge pivot, one shuffle on the closing-edge key. All joins are plain
+  * equi-joins — no cross products, nothing collected to the driver.
+  */
+object Triangles {
+
+  /** Canonical undirected edge set: self-loops dropped, duplicates and
+    * reversed orientations collapsed to a single (a < b) row. */
+  def canonicalize(edges: DataFrame, src: String, dst: String): DataFrame =
+    edges
+      .filter(col(src) =!= col(dst))
+      .select(
+        least(col(src), col(dst)).as("a"),
+        greatest(col(src), col(dst)).as("b"))
+      .distinct()
+
+  /** Per-node triangle participation counts over a canonical edge set
+    * (as produced by [[canonicalize]]).
+    *
+    * @return (node, triangles) — only nodes in at least one triangle */
+  def perNode(canonical: DataFrame): DataFrame = {
+    val deg = canonical.select(col("a").as("n"))
+      .union(canonical.select(col("b")))
+      .groupBy("n").agg(count(lit(1)).as("deg"))
+    // Orient a→b edges from lower (deg, id) to higher; structs compare
+    // lexicographically, giving the total order directly in the plan.
+    // The head's rank rides along so wedges can order their two spokes
+    // by the SAME rank, making the closing edge a direct (lo, hi) lookup.
+    val ranked = canonical
+      .join(deg.select(col("n").as("a"), col("deg").as("deg_a")), "a")
+      .join(deg.select(col("n").as("b"), col("deg").as("deg_b")), "b")
+    def rank(d: String, n: String) =
+      struct(col(d).as("d"), col(n).as("i"))
+    val aFirst = rank("deg_a", "a") < rank("deg_b", "b")
+    val oriented = ranked.select(
+      when(aFirst, col("a")).otherwise(col("b")).as("lo"),
+      when(aFirst, col("b")).otherwise(col("a")).as("hi"),
+      when(aFirst, rank("deg_b", "b"))
+        .otherwise(rank("deg_a", "a")).as("rank_hi"))
+    val e1 = oriented.select(col("lo"), col("hi").as("u"), col("rank_hi").as("ru"))
+    val e2 = oriented.select(col("lo"), col("hi").as("v"), col("rank_hi").as("rv"))
+    val wedges = e1.join(e2, Seq("lo")).filter(col("ru") < col("rv"))
+      .select(col("lo").as("pivot"), col("u"), col("v"))
+    // A wedge (pivot; u, v) closes iff the oriented edge u→v exists —
+    // u precedes v in rank by construction, so one orientation suffices.
+    val triangles = wedges.join(
+      oriented.select(col("lo").as("u"), col("hi").as("v")), Seq("u", "v"))
+    triangles
+      .select(col("pivot").as("node"))
+      .union(triangles.select(col("u")))
+      .union(triangles.select(col("v")))
+      .groupBy("node").agg(count(lit(1)).as("triangles"))
+  }
+}
