@@ -975,6 +975,62 @@ object SparkEntry {
       .select(col("src"), col("mid"), col("dst")).distinct()
   }
 
+  /** Blocked fuzzy self-join (record linkage) over part names: first
+    * token blocks candidates, a length band and Spark's BOUNDED
+    * levenshtein (early-abandon DP) refine — Σ|block|² work, never
+    * |part|². See [[graft.ops.FuzzyJoin]] for the scale contract. */
+  def q70_fuzzy_join(s: SparkSession, d: String): DataFrame =
+    graft.ops.FuzzyJoin.blockedPairs(
+      Tables.part(s, d), col("p_partkey"), col("p_name"),
+      substring_index(col("p_name"), " ", 2),
+      maxLenDiff = 1, maxDist = 2)
+
+  /** Bigram LM-support novelty scoring: corpus bigram counts (the
+    * trained model) → per-doc share of rare bigrams (support ≤ 2) —
+    * CCNet-style quality filtering kept integer-exact so it
+    * hash-oracles. */
+  def q71_bigram_novelty(s: SparkSession, d: String): DataFrame =
+    graft.text.LanguageModel.noveltyScores(
+      Tables.documents(s, d), maxSupport = 2)
+
+  /** Exact-k per-stratum deterministic sample: reservoir semantics via
+    * hash-rank-per-stratum (at most 20 docs per language), no RNG. */
+  def q72_exactk_sample(s: SparkSession, d: String): DataFrame =
+    graft.pipeline.TrainingData.exactKSample(
+      Tables.documents(s, d).select(col("doc_id"), col("lang")),
+      col("lang"), col("doc_id"), k = 20)
+
+  /** Sliding token-window chunking (64-token windows, stride 48 →
+    * 16-token overlap) — the doc→chunk explode feeding embedding
+    * pipelines; pure per-row generate, zero shuffle. */
+  def q73_chunking(s: SparkSession, d: String): DataFrame =
+    graft.pipeline.TrainingData.chunkDocuments(
+      Tables.documents(s, d), col("doc_id"), col("text"),
+      chunkTokens = 64, stride = 48)
+
+  /** CUBE grouping-sets rollup — all 4 grouping combinations of
+    * (returnflag, linestatus) in one pass (Catalyst expands to a single
+    * Expand + hash aggregate, not 4 scans); decimal-exact sums, null
+    * group keys labeled 'ALL' for a deterministic oracle. */
+  def q74_cube(s: SparkSession, d: String): DataFrame = noDec {
+    Tables.lineitem(s, d)
+      .cube(col("l_returnflag"), col("l_linestatus"))
+      .agg(sum(dec(col("l_quantity"))).as("sum_qty"),
+        count(lit(1)).as("n_rows"))
+      .select(coalesce(col("l_returnflag"), lit("ALL")).as("rf"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("ls"),
+        col("sum_qty"), col("n_rows"))
+  }
+
+  /** Token-budget-capped per-language selection: greedy deterministic
+    * budget fill (20k chars per language) via integer window prefix
+    * sums — the form mixture specs are written in. */
+  def q75_token_budget(s: SparkSession, d: String): DataFrame =
+    graft.pipeline.TrainingData.tokenBudgetSample(
+      Tables.documents(s, d).select(col("doc_id"), col("lang"),
+        col("n_chars")),
+      col("lang"), col("doc_id"), col("n_chars"), budget = 20000L)
+
   // ---------------------------------------------------------------- registry
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1047,6 +1103,12 @@ object SparkEntry {
     "q67_scd2" -> (q67_scd2 _),
     "q68_hist_rollup" -> (q68_hist_rollup _),
     "q69_triangles" -> (q69_triangles _),
+    "q70_fuzzy_join" -> (q70_fuzzy_join _),
+    "q71_bigram_novelty" -> (q71_bigram_novelty _),
+    "q72_exactk_sample" -> (q72_exactk_sample _),
+    "q73_chunking" -> (q73_chunking _),
+    "q74_cube" -> (q74_cube _),
+    "q75_token_budget" -> (q75_token_budget _),
   )
 
   // DuckDB twins of the Scala normalization / hashing expressions
@@ -1819,5 +1881,76 @@ object SparkEntry {
         |  UNION ALL SELECT y FROM tri
         |  UNION ALL SELECT z FROM tri)
         |GROUP BY 1""".stripMargin,
+    "q70_fuzzy_join" ->
+      """WITH p AS (
+        |  SELECT p_partkey, p_name,
+        |    array_to_string(string_split(p_name, ' ')[1:2], ' ') AS blk
+        |  FROM part)
+        |SELECT a.p_partkey AS id_a, b.p_partkey AS id_b,
+        |  CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS dist
+        |FROM p a JOIN p b
+        |  ON a.blk = b.blk AND a.p_partkey < b.p_partkey
+        |WHERE abs(len(a.p_name) - len(b.p_name)) <= 1
+        |  AND levenshtein(a.p_name, b.p_name) <= 2""".stripMargin,
+    "q71_bigram_novelty" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, string_split($NormSql, ' ') AS ws
+         |  FROM documents),
+         |ix AS (
+         |  SELECT doc_id, ws, unnest(range(1, len(ws))) AS i FROM t
+         |  WHERE len(ws) >= 2),
+         |bg AS (
+         |  SELECT doc_id, ws[i] AS w1, ws[i + 1] AS w2 FROM ix),
+         |cnt AS (
+         |  SELECT w1, w2, count(*) AS c2 FROM bg GROUP BY w1, w2),
+         |agg AS (
+         |  SELECT bg.doc_id, count(*) AS n_bigrams,
+         |    CAST(sum(CASE WHEN cnt.c2 <= 2 THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS n_rare
+         |  FROM bg JOIN cnt USING (w1, w2) GROUP BY bg.doc_id)
+         |SELECT doc_id, n_bigrams, n_rare,
+         |  n_rare * 100.0 / n_bigrams AS rare_pct
+         |FROM agg""".stripMargin,
+    "q72_exactk_sample" ->
+      s"""WITH r AS (
+         |  SELECT doc_id, lang,
+         |    row_number() OVER (PARTITION BY lang ORDER BY
+         |      ${hash60Sql("'exactk|' || CAST(doc_id AS VARCHAR)")},
+         |      doc_id) AS rk
+         |  FROM documents)
+         |SELECT doc_id, lang, CAST(rk AS BIGINT) AS rk
+         |FROM r WHERE rk <= 20""".stripMargin,
+    "q73_chunking" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS ws
+        |  FROM documents),
+        |s AS (
+        |  SELECT doc_id, ws, unnest(range(0, len(ws), 48)) AS start
+        |  FROM t)
+        |SELECT doc_id, CAST(start // 48 AS BIGINT) AS chunk_id,
+        |  CAST(least(64, len(ws) - start) AS BIGINT) AS n_tokens,
+        |  array_to_string(list_slice(ws, start + 1, start + 64), ' ')
+        |    AS chunk
+        |FROM s""".stripMargin,
+    "q75_token_budget" ->
+      s"""WITH r AS (
+         |  SELECT doc_id, lang, n_chars,
+         |    sum(n_chars) OVER (PARTITION BY lang ORDER BY
+         |      ${hash60Sql("'budget|' || CAST(doc_id AS VARCHAR)")},
+         |      doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |      AS cum_tokens
+         |  FROM documents)
+         |SELECT doc_id, lang, n_chars, CAST(cum_tokens AS BIGINT)
+         |  AS cum_tokens
+         |FROM r WHERE cum_tokens <= 20000""".stripMargin,
+    "q74_cube" ->
+      """SELECT coalesce(l_returnflag, 'ALL') AS rf,
+        |  coalesce(l_linestatus, 'ALL') AS ls,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+        |    AS sum_qty,
+        |  count(*) AS n_rows
+        |FROM lineitem
+        |GROUP BY CUBE (l_returnflag, l_linestatus)""".stripMargin,
   )
 }

@@ -1,0 +1,47 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Blocked fuzzy self-join — record linkage by edit distance, the
+  * classic entity-resolution step (near-identical names/titles across a
+  * corpus) that naive SQL writes as an O(n²) cross join.
+  *
+  * Scale design: candidates come only from equality on a cheap blocking
+  * key (e.g. first token), so the join is a plain hash-shuffle equi-join
+  * and cost is Σ|block|², never |n|². Within a block two refinements run
+  * BEFORE the DP: a length band (|len(a)−len(b)| ≤ maxLenDiff — an edit
+  * distance lower bound, so no recall loss inside the band) and then
+  * Spark's bounded `levenshtein(l, r, threshold)`, which abandons the DP
+  * once the distance provably exceeds the bound — O(len·maxDist) per
+  * pair instead of O(len²). Hot blocks (a very common first token) are
+  * ordinary join skew: AQE skew-join splits them, or pre-salt with
+  * [[Skew]] when a block exceeds executor memory.
+  *
+  * Recall contract: pairs that disagree on the blocking key are never
+  * compared — that is the blocking tradeoff (standard in record linkage),
+  * not an approximation inside a block. Within a block, recall is exact.
+  */
+object FuzzyJoin {
+
+  /** All unordered pairs (id_a < id_b) sharing `block` whose texts are
+    * within `maxDist` edits (and `maxLenDiff` length difference).
+    * @return (id_a, id_b, dist) */
+  def blockedPairs(df: DataFrame, id: Column, text: Column, block: Column,
+                   maxLenDiff: Int, maxDist: Int): DataFrame = {
+    val keyed = df.select(block.as("blk"), id.as("id"), text.as("txt"))
+    val a = keyed.select(col("blk"), col("id").as("id_a"),
+      col("txt").as("txt_a"))
+    val b = keyed.select(col("blk"), col("id").as("id_b"),
+      col("txt").as("txt_b"))
+    a.join(b, Seq("blk"))
+      .filter(col("id_a") < col("id_b"))
+      .filter(abs(length(col("txt_a")) - length(col("txt_b")))
+        <= maxLenDiff)
+      // bounded DP: -1 when the distance exceeds maxDist
+      .withColumn("dist",
+        levenshtein(col("txt_a"), col("txt_b"), maxDist))
+      .filter(col("dist") >= 0)
+      .select(col("id_a"), col("id_b"), col("dist").cast("long").as("dist"))
+  }
+}

@@ -195,6 +195,67 @@ object TrainingData {
         expr(s"tok_start div ${budget}L").as("example"))
   }
 
+  /** Exact-k per-stratum deterministic sample — reservoir-sampling
+    * semantics (exactly min(k, n) rows per stratum, every row equally
+    * likely under the hash's uniformity) without RNG or a driver-side
+    * reservoir: rank rows within each stratum by an independent 60-bit
+    * hash of the id and keep the k smallest. The window partitions by
+    * stratum → parallel per-stratum sorts, never a global order; at
+    * 100 TB replace row_number with [[graft.functions.TopKAgg]] to keep
+    * only k rows per partition crossing the shuffle. Unlike the
+    * rate-based [[stratifiedSample]], the output size is exact — the
+    * contract dataset-curation caps ("at most k docs per domain") need.
+    * @return input rows + `rk` (1-based rank within stratum) */
+  def exactKSample(df: DataFrame, stratum: Column, id: Column,
+                   k: Int): DataFrame = {
+    val w = Window.partitionBy(stratum).orderBy(
+      hash60(concat(lit("exactk|"), id.cast("string"))), id)
+    df.withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= k)
+  }
+
+  /** Token-budget-capped per-stratum selection — "fill each source's
+    * token budget" (the unit mixture specs are actually written in),
+    * rather than a doc-count cap: docs are taken in deterministic hash
+    * order within each stratum while the stratum's RUNNING token total
+    * stays ≤ `budget`. Integer window prefix sums over a unique
+    * per-stratum order → exactly reproducible; the window partitions by
+    * stratum so the sort is parallel. (A doc larger than the remaining
+    * budget blocks its stratum's tail — first-fit semantics, matching
+    * the greedy budget fill real mixture tooling uses.)
+    * @return input rows + `cum_tokens` (inclusive running total) */
+  def tokenBudgetSample(df: DataFrame, stratum: Column, id: Column,
+                        nTokens: Column, budget: Long): DataFrame = {
+    val w = Window.partitionBy(stratum).orderBy(
+      hash60(concat(lit("budget|"), id.cast("string"))), id)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.withColumn("cum_tokens", sum(nTokens.cast("long")).over(w))
+      .filter(col("cum_tokens") <= budget)
+  }
+
+  /** Sliding token-window chunking — the doc → fixed-size-chunk explode
+    * feeding embedding/indexing pipelines: windows of `chunkTokens`
+    * whitespace tokens starting every `stride` tokens (stride <
+    * chunkTokens ⇒ overlap). Pure per-row generate (explode of an
+    * arithmetic sequence + array slice): zero shuffle, zero joins, scales
+    * embarrassingly. Trailing windows shorter than a full chunk are kept
+    * with their true n_tokens; callers drop them with a filter when the
+    * model needs full windows.
+    * @return (doc_id, chunk_id, n_tokens, chunk) */
+  def chunkDocuments(docs: DataFrame, id: Column, text: Column,
+                     chunkTokens: Int, stride: Int): DataFrame = {
+    require(stride > 0 && chunkTokens > 0)
+    docs.select(id.as("doc_id"), split(trim(text), "\\s+").as("w"))
+      .select(col("doc_id"), col("w"),
+        posexplode(expr(s"sequence(0, size(w) - 1, $stride)"))
+          .as(Seq("chunk_id", "start")))
+      .select(col("doc_id"), col("chunk_id").cast("long").as("chunk_id"),
+        least(lit(chunkTokens), size(col("w")) - col("start"))
+          .cast("long").as("n_tokens"),
+        array_join(expr(s"slice(w, start + 1, $chunkTokens)"), " ")
+          .as("chunk"))
+  }
+
   /** Deterministic global shuffle into training batches WITHOUT a global
     * sort: batch = hash60(batch|id) mod `numBatches` (hash-uniform, so
     * batches are balanced), position within batch by a second independent

@@ -1,0 +1,55 @@
+package graft.text
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.dedup.Dedup.normalize
+
+/** Corpus n-gram language-model support — the train-then-score shape of
+  * LM-based quality filtering (CCNet-style): pass 1 aggregates corpus
+  * bigram counts (the "model"), pass 2 scores every document against
+  * them. Here the score is the RARE-BIGRAM RATE — the share of a doc's
+  * bigrams with corpus support ≤ maxSupport — which flags the same
+  * low-LM-support outliers (gibberish, OCR noise, boilerplate mashups)
+  * as perplexity while staying integer-exact: counts are ints and the
+  * rate is one pointwise division per doc, so the whole query
+  * hash-matches a DuckDB oracle (a log-prob mean would reassociate
+  * float adds across rows under partial aggregation). Swapping the
+  * rare-indicator for log((c2+α)/(c1+αV)) on the same joined frame
+  * gives full add-α log-prob scoring when bit-exactness isn't required.
+  *
+  * Scale design: bigram generation is a per-row arrays_zip-style
+  * transform (no join); counting is one hash shuffle on the bigram key
+  * with map-side partial counts; scoring re-shuffles doc bigrams once
+  * against the counts table on the same key. Stopword-pair keys are
+  * frequent on the PROBE side only (the build side has one row per
+  * distinct bigram), so skew is bounded by AQE's skew-join split.
+  */
+object LanguageModel {
+
+  private def tokenized(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), split(normalize(col("text")), " ").as("w"))
+      .filter(size(col("w")) >= 2)
+
+  private def docBigrams(docs: DataFrame): DataFrame =
+    tokenized(docs).select(col("doc_id"),
+      explode(expr("transform(sequence(0, size(w) - 2), " +
+        "i -> struct(w[i] AS w1, w[i + 1] AS w2))")).as("bg"))
+      .select(col("doc_id"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+
+  /** The trained model: corpus occurrence count per distinct bigram. */
+  def bigramCounts(docs: DataFrame): DataFrame =
+    docBigrams(docs).groupBy(col("w1"), col("w2"))
+      .agg(count(lit(1)).as("c2"))
+
+  /** Per-doc novelty: n_bigrams, n_rare (corpus support ≤ maxSupport),
+    * rare_pct = n_rare·100/n_bigrams. Inner join is lossless — every doc
+    * bigram is in the model by construction (it contributed to it). */
+  def noveltyScores(docs: DataFrame, maxSupport: Long): DataFrame =
+    docBigrams(docs)
+      .join(bigramCounts(docs), Seq("w1", "w2"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(when(col("c2") <= maxSupport, 1L).otherwise(0L)).as("n_rare"))
+      .withColumn("rare_pct",
+        col("n_rare") * lit(100.0) / col("n_bigrams"))
+}

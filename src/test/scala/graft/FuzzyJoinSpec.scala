@@ -1,0 +1,57 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.ops.FuzzyJoin
+
+class FuzzyJoinSpec extends AnyFunSuite with SparkTestBase {
+  import spark.implicits._
+
+  private val names = Seq(
+    (1L, "goldenrod lavender spring chocolate lace"),
+    (2L, "goldenrod lavender spring chocolate lack"),   // dist 1 from 1
+    (3L, "goldenrod lavender summer chocolate lace"),   // dist 4 from 1
+    (4L, "goldenrod totally different words here"),     // same block, far
+    (5L, "midnight lavender spring chocolate lace"),    // different block
+    (6L, "midnight lavender spring chocolate laces")    // dist 1 from 5
+  ).toDF("id", "name")
+
+  private def brute(maxLenDiff: Int, maxDist: Int): Set[(Long, Long, Long)] = {
+    val rows = names.as[(Long, String)].collect()
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
+        if (i == 0) j else if (j == 0) i else 0
+      }
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    (for {
+      (ia, na) <- rows; (ib, nb) <- rows
+      if ia < ib
+      if na.split(" ").head == nb.split(" ").head // blocking contract
+      if math.abs(na.length - nb.length) <= maxLenDiff
+      dist = lev(na, nb)
+      if dist <= maxDist
+    } yield (ia, ib, dist.toLong)).toSet
+  }
+
+  test("blockedPairs equals brute force within blocks") {
+    val got = FuzzyJoin.blockedPairs(names, $"id", $"name",
+        substring_index($"name", " ", 1), maxLenDiff = 2, maxDist = 6)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got == brute(2, 6))
+    assert(got.contains((1L, 2L, 1L)) && got.contains((5L, 6L, 1L)))
+    // cross-block near-identical pair (1,5) is never compared — blocking
+    assert(!got.exists { case (a, b, _) => (a, b) == (1L, 5L) })
+  }
+
+  test("bounded levenshtein abandons above the threshold (no false pairs)") {
+    val got = FuzzyJoin.blockedPairs(names, $"id", $"name",
+        substring_index($"name", " ", 1), maxLenDiff = 40, maxDist = 3)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got == brute(40, 3))
+    assert(!got.exists { case (a, b, _) => (a, b) == (1L, 4L) })
+  }
+}

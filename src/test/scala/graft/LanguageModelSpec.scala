@@ -1,0 +1,34 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.text.LanguageModel
+
+class LanguageModelSpec extends AnyFunSuite with SparkTestBase {
+  import spark.implicits._
+
+  // normalized corpus: "a b c a b" , "a b x" , "q"
+  private val docs = Seq(
+    (1L, "a b c a b"),
+    (2L, "a b x"),
+    (3L, "q") // single token: no bigrams
+  ).toDF("doc_id", "text")
+
+  test("bigramCounts: corpus counts match hand computation") {
+    val got = LanguageModel.bigramCounts(docs)
+      .as[(String, String, Long)].collect().toSet
+    // doc1: (a,b) (b,c) (c,a) (a,b) ; doc2: (a,b) (b,x)
+    assert(got == Set(("a", "b", 3L), ("b", "c", 1L), ("c", "a", 1L),
+      ("b", "x", 1L)))
+  }
+
+  test("noveltyScores: rare rate over corpus support, docs w/o bigrams drop") {
+    val got = LanguageModel.noveltyScores(docs, maxSupport = 2)
+      .as[(Long, Long, Long, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    // doc1 bigrams: ab ab bc ca -> support 3,3,1,1 -> rare(<=2): bc,ca
+    assert(got(1L) == ((4L, 2L, 50.0)))
+    // doc2: ab bx -> support 3,1 -> rare: bx
+    assert(got(2L) == ((2L, 1L, 50.0)))
+    assert(!got.contains(3L))
+  }
+}

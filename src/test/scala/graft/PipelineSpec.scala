@@ -120,6 +120,60 @@ class PipelineSpec extends AnyFunSuite with SparkTestBase {
       .collect().toSet == got.collect().toSet)
   }
 
+  test("exactKSample: exactly min(k, n) per stratum, deterministic") {
+    val df = ((0L until 100L).map(i => (i, "big")) ++
+      (100L until 103L).map(i => (i, "tiny"))).toDF("doc_id", "lang")
+    val got = TrainingData.exactKSample(df, $"lang", $"doc_id", k = 10)
+    val counts = got.groupBy("lang").count().as[(String, Long)]
+      .collect().toMap
+    assert(counts == Map("big" -> 10L, "tiny" -> 3L))
+    // rk is 1..n within each stratum
+    assert(got.filter($"lang" === "big").select("rk")
+      .as[Long].collect().sorted.toSeq == (1L to 10L))
+    // deterministic, and stable under unrelated growth: big's picks are
+    // unchanged when another stratum appears
+    val grown = df.union(Seq((200L, "new"), (201L, "new"))
+      .toDF("doc_id", "lang"))
+    val again = TrainingData.exactKSample(grown, $"lang", $"doc_id", 10)
+    assert(again.filter($"lang" === "big").select("doc_id")
+      .as[Long].collect().toSet ==
+      got.filter($"lang" === "big").select("doc_id")
+        .as[Long].collect().toSet)
+  }
+
+  test("tokenBudgetSample: greedy fill stops at the budget, per stratum") {
+    val df = (0L until 50L).map(i => (i, if (i < 40) "a" else "b", 100L))
+      .toDF("doc_id", "lang", "n")
+    val got = TrainingData.tokenBudgetSample(df, $"lang", $"doc_id",
+      $"n", budget = 1000L)
+    val counts = got.groupBy("lang").count().as[(String, Long)]
+      .collect().toMap
+    // uniform 100-token docs → exactly 10 fit in stratum a's 1000 budget;
+    // b has 10 docs of 100 → all fit
+    assert(counts == Map("a" -> 10L, "b" -> 10L))
+    assert(got.agg(max("cum_tokens")).as[Long].head() == 1000L)
+    // deterministic
+    assert(TrainingData.tokenBudgetSample(df, $"lang", $"doc_id", $"n",
+      1000L).collect().toSet == got.collect().toSet)
+  }
+
+  test("chunkDocuments: windows, stride overlap, short tail kept") {
+    val text = (1 to 10).map(i => s"w$i").mkString(" ") // 10 tokens
+    val df = Seq((1L, text)).toDF("doc_id", "text")
+    val got = TrainingData.chunkDocuments(df, $"doc_id", $"text",
+        chunkTokens = 4, stride = 3)
+      .as[(Long, Long, Long, String)].collect()
+      .sortBy(_._2).toSeq
+    // starts 0,3,6,9 → chunks of 4,4,4,1 tokens
+    assert(got.map(_._2) == Seq(0L, 1L, 2L, 3L))
+    assert(got.map(_._3) == Seq(4L, 4L, 4L, 1L))
+    assert(got.head._4 == "w1 w2 w3 w4")
+    assert(got(1)._4 == "w4 w5 w6 w7") // 1-token overlap at stride 3
+    assert(got.last._4 == "w10")
+    // reconstruction: stride-aligned prefixes cover the doc exactly
+    assert(got.flatMap(_._4.split(" ")).distinct.length == 10)
+  }
+
   test("packSequences: offsets accumulate, example = start div budget") {
     val df = (0L until 100L).map(i => (i, 10L + i % 7)).toDF("id", "n")
     val got = TrainingData.packSequences(df, $"id", $"n", 4, 50L)
