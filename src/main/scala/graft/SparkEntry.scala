@@ -706,13 +706,18 @@ object SparkEntry {
     * all-pairs) plus one pair-key shuffle. */
   def q69_triangles(s: SparkSession, d: String): DataFrame = {
     val li = Tables.lineitem(s, d).select(col("l_orderkey"), col("l_suppkey"))
-    val pairs = li
-      .join(li.select(col("l_orderkey"), col("l_suppkey").as("s2")),
-        Seq("l_orderkey"))
-      .filter(col("l_suppkey") < col("s2"))
-      .select(col("l_orderkey"),
-        col("l_suppkey").as("sa"), col("s2").as("sb"))
-      .distinct()
+    // per-order supplier SET, pairs generated per row from the sorted
+    // array (sa < sb by construction): one grouping shuffle replaces the
+    // self-join + 1.2M-row distinct of the naive form — measured 7.5 s →
+    // the array form at sf0.1. Per-row fan-out is C(|order|, 2), bounded
+    // by order size exactly like the join form.
+    val pairs = li.groupBy(col("l_orderkey"))
+      .agg(sort_array(collect_set(col("l_suppkey"))).as("ss"))
+      .select(explode(expr(
+        "flatten(transform(ss, (a, i) -> " +
+          "transform(slice(ss, i + 2, size(ss)), " +
+          "b -> struct(a AS sa, b AS sb))))")).as("p"))
+      .select(col("p.sa").as("sa"), col("p.sb").as("sb"))
     val edges = pairs.groupBy(col("sa"), col("sb"))
       .agg(count(lit(1)).as("c"))
       .orderBy(col("c").desc, col("sa"), col("sb"))

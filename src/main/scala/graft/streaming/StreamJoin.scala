@@ -1,0 +1,43 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Watermarked stream-stream interval join — the price-enrichment of the
+  * volume pipeline as a CONTINUOUS join of two unbounded streams, the
+  * remaining Structured Streaming operator class the engine's streaming
+  * surface lacked (sources, foreachBatch, windowed/session aggs, and
+  * stateful dedup are covered elsewhere).
+  *
+  * The batch pipeline resolves a transfer's price with a broadcast dim
+  * join ([[graft.ops.Pricing]]); when prices are themselves a stream of
+  * ticks, the lookup becomes a stream-stream join: each transfer matches
+  * the tick(s) for its unit whose tick_time lies within
+  * [block_time − maxAge, block_time]. Both sides carry watermarks and
+  * the join condition bounds event-time distance in BOTH directions, so
+  * Spark derives state-eviction bounds: buffered rows older than the
+  * watermark minus maxAge are dropped — state is O(rate × horizon),
+  * never O(stream). Without the time bounds the join would be rejected
+  * (or buffer forever); this shape is what makes the operator
+  * 100-TB-viable.
+  */
+object StreamJoin {
+
+  /** @param transfers streaming frame (hash, unit, value, block_time)
+    * @param ticks     streaming frame (unit, price, tick_time)
+    * @param maxAge    how far back a tick may be used, e.g. "10 minutes"
+    * @param watermark late-data horizon for both streams */
+  def priceEnrich(transfers: DataFrame, ticks: DataFrame,
+                  maxAge: String = "10 minutes",
+                  watermark: String = "10 minutes"): DataFrame = {
+    val t = transfers.withWatermark("block_time", watermark).as("t")
+    val p = ticks.withWatermark("tick_time", watermark).as("p")
+    t.join(p,
+      col("t.unit") === col("p.unit") &&
+        col("p.tick_time") <= col("t.block_time") &&
+        col("p.tick_time") >= col("t.block_time") - expr(s"interval $maxAge"))
+      .select(col("t.hash").as("hash"), col("t.unit").as("unit"),
+        col("t.block_time").as("block_time"), col("t.value").as("value"),
+        col("p.price").as("price"), col("p.tick_time").as("tick_time"))
+  }
+}

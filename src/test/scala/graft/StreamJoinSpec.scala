@@ -1,0 +1,78 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import java.sql.Timestamp
+import graft.streaming.StreamJoin
+
+case class Xfer(hash: String, unit: String, value: Long,
+                block_time: Timestamp)
+case class Tick(unit: String, price: Double, tick_time: Timestamp)
+
+class StreamJoinSpec extends AnyFunSuite with SparkTestBase {
+  import spark.implicits._
+
+  private def ts(min: Int) = Timestamp.valueOf(f"2026-01-01 10:$min%02d:00")
+
+  test("stream-stream interval join matches ticks within maxAge only") {
+    implicit val sq = spark.sqlContext
+    val xfers = MemoryStream[Xfer]
+    val ticks = MemoryStream[Tick]
+    val q = StreamJoin.priceEnrich(xfers.toDF(), ticks.toDF(),
+        maxAge = "10 minutes", watermark = "10 minutes")
+      .writeStream.format("memory").queryName("enriched")
+      .outputMode("append").start()
+    try {
+      ticks.addData(Tick("tok", 2.0, ts(0)), Tick("tok", 3.0, ts(8)),
+        Tick("oth", 9.0, ts(9)))
+      xfers.addData(Xfer("t1", "tok", 100L, ts(9)),  // both tok ticks in range
+        Xfer("t2", "tok", 50L, ts(12)),              // only the ts(8) tick
+        Xfer("t3", "tok", 10L, ts(25)))              // no tick within 10 min
+      q.processAllAvailable()
+      val rows = spark.table("enriched")
+        .selectExpr("hash", "price").as[(String, Double)]
+        .collect().toSet
+      assert(rows == Set(("t1", 2.0), ("t1", 3.0), ("t2", 3.0)))
+
+      // a second micro-batch still joins — continuous operation
+      ticks.addData(Tick("tok", 4.0, ts(24)))
+      xfers.addData(Xfer("t4", "tok", 1L, ts(26)))
+      q.processAllAvailable()
+      val rows2 = spark.table("enriched")
+        .selectExpr("hash", "price").as[(String, Double)]
+        .collect().toSet
+      // t4 matches the ts(24) tick; t3 (ts 25) now also matches it
+      assert(rows2.contains(("t4", 4.0)) && rows2.contains(("t3", 4.0)))
+    } finally q.stop()
+  }
+
+  test("state is evicted behind the watermark (bounded buffers)") {
+    implicit val sq = spark.sqlContext
+    val xfers = MemoryStream[Xfer]
+    val ticks = MemoryStream[Tick]
+    val q = StreamJoin.priceEnrich(xfers.toDF(), ticks.toDF(),
+        maxAge = "5 minutes", watermark = "5 minutes")
+      .writeStream.format("memory").queryName("evict")
+      .outputMode("append").start()
+    try {
+      ticks.addData(Tick("tok", 2.0, ts(0)))
+      xfers.addData(Xfer("a", "tok", 1L, ts(1)))
+      q.processAllAvailable()
+      // advance both watermarks far past the first rows…
+      ticks.addData(Tick("tok", 5.0, ts(50)))
+      xfers.addData(Xfer("b", "tok", 1L, ts(51)))
+      q.processAllAvailable()
+      // …then a third batch runs WITH the advanced watermark (watermarks
+      // apply one batch late) and must evict the ts(0)/ts(1) rows
+      ticks.addData(Tick("tok", 6.0, ts(52)))
+      xfers.addData(Xfer("c", "tok", 1L, ts(53)))
+      q.processAllAvailable()
+      val st = q.lastProgress.stateOperators
+      assert(st.length == 1)
+      // 6 rows entered the join; bounded state retains only the ≤4
+      // within the eviction horizon — the full history is NOT buffered
+      assert(st(0).numRowsTotal <= 4,
+        s"state grew to ${st(0).numRowsTotal} rows")
+    } finally q.stop()
+  }
+}
