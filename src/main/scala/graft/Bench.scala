@@ -20,11 +20,13 @@ object Bench {
     // one query per heavy plan family: TPC-ish agg, event scan, text,
     // vector, shingle/dedup mining, iterative graph, block pipeline
     // (q32 — json parse/resolver joins; covers q33), proportions window
-    // re-agg (q42 — covers q08/q37)
+    // re-agg (q42 — covers q08/q37), wedge join (q69), blocked
+    // levenshtein (q70), bigram model join (q71)
     for (w <- Seq("q01_agg_sums", "q16_slot_time", "q24_fingerprint",
                   "q25_cosine_topk", "q18_ngram_jaccard", "q34_pagerank",
                   "q51_contamination", "q32_pipeline_vol",
-                  "q42_proportions"))
+                  "q42_proportions", "q69_triangles", "q70_fuzzy_join",
+                  "q71_bigram_novelty"))
       try SparkEntry.queries(w)(spark, sfDir).count()
       catch { case _: Throwable => }
     // drop the warm-up queries' checkpoint blocks so the first timed

@@ -722,7 +722,11 @@ object SparkEntry {
       .agg(count(lit(1)).as("c"))
       .orderBy(col("c").desc, col("sa"), col("sb"))
       .limit(2000)
-    val canon = graft.graph.Triangles.canonicalize(edges, "sa", "sb")
+    // lineage cut: the 2000-edge frame is referenced by every role in
+    // the wedge join — checkpointing it stops the pair mining above
+    // from being re-planned per reference
+    val canon = graft.graph.Triangles
+      .canonicalize(edges, "sa", "sb").localCheckpoint(true)
     graft.graph.Triangles.perNode(canon)
       .select(col("node").as("suppkey"), col("triangles"))
   }
@@ -1036,6 +1040,39 @@ object SparkEntry {
         col("n_chars")),
       col("lang"), col("doc_id"), col("n_chars"), budget = 20000L)
 
+  /** Weighted sampling without replacement (Efraimidis–Spirakis keys,
+    * derandomized): 15 docs per language, inclusion odds ∝ n_chars.
+    * The length-biased curation draw, exactly-k and reproducible. */
+  def q76_weighted_sample(s: SparkSession, d: String): DataFrame =
+    graft.pipeline.TrainingData.weightedSample(
+      Tables.documents(s, d).select(col("doc_id"), col("lang"),
+        col("n_chars")),
+      col("lang"), col("doc_id"), col("n_chars"), k = 15)
+
+  /** Quantile discretization: per-language decile of doc length via
+    * ntile — the feature-binning step before bucketed histograms /
+    * calibration; integer-exact with a deterministic tie-break. */
+  def q77_decile_bins(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("lang"), col("n_chars"),
+        ntile(10).over(Window.partitionBy(col("lang"))
+          .orderBy(col("n_chars"), col("doc_id"))).cast(LongType)
+          .as("decile"))
+
+  /** Ordered behavior-sequence export: per user, the first 20 event
+    * types in (ts, event_id) order as one training-ready string — the
+    * sequence-modeling export shape. sort_array over collected structs:
+    * the grouped collect is one shuffle; the order is total (event_id
+    * tie-break) so the string is deterministic. */
+  def q78_seq_export(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        array_join(expr(
+          "transform(slice(sort_array(collect_list(" +
+            "struct(ts, event_id, event_type))), 1, 20), " +
+            "x -> x.event_type)"), " ").as("seq_prefix"))
+
   // ---------------------------------------------------------------- registry
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1114,6 +1151,9 @@ object SparkEntry {
     "q73_chunking" -> (q73_chunking _),
     "q74_cube" -> (q74_cube _),
     "q75_token_budget" -> (q75_token_budget _),
+    "q76_weighted_sample" -> (q76_weighted_sample _),
+    "q77_decile_bins" -> (q77_decile_bins _),
+    "q78_seq_export" -> (q78_seq_export _),
   )
 
   // DuckDB twins of the Scala normalization / hashing expressions
@@ -1949,6 +1989,28 @@ object SparkEntry {
          |SELECT doc_id, lang, n_chars, CAST(cum_tokens AS BIGINT)
          |  AS cum_tokens
          |FROM r WHERE cum_tokens <= 20000""".stripMargin,
+    "q76_weighted_sample" ->
+      s"""WITH r AS (
+         |  SELECT doc_id, lang, n_chars,
+         |    row_number() OVER (PARTITION BY lang ORDER BY
+         |      ln((CAST(${hash60Sql("'ws|' || CAST(doc_id AS VARCHAR)")}
+         |            % 1000000 AS DOUBLE) + 0.5) / 1000000.0)
+         |        / CAST(n_chars AS DOUBLE) DESC,
+         |      doc_id) AS rk
+         |  FROM documents)
+         |SELECT doc_id, lang, n_chars, CAST(rk AS BIGINT) AS rk
+         |FROM r WHERE rk <= 15""".stripMargin,
+    "q77_decile_bins" ->
+      """SELECT doc_id, lang, n_chars,
+        |  CAST(ntile(10) OVER (PARTITION BY lang
+        |    ORDER BY n_chars, doc_id) AS BIGINT) AS decile
+        |FROM documents""".stripMargin,
+    "q78_seq_export" ->
+      """SELECT user_id, count(*) AS n_events,
+        |  array_to_string(
+        |    list(event_type ORDER BY ts, event_id)[1:20], ' ')
+        |    AS seq_prefix
+        |FROM events GROUP BY user_id""".stripMargin,
     "q74_cube" ->
       """SELECT coalesce(l_returnflag, 'ALL') AS rf,
         |  coalesce(l_linestatus, 'ALL') AS ls,

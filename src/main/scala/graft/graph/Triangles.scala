@@ -41,14 +41,20 @@ object Triangles {
     *
     * @return (node, triangles) — only nodes in at least one triangle */
   def perNode(canonical: DataFrame): DataFrame = {
-    val deg = canonical.select(col("a").as("n"))
-      .union(canonical.select(col("b")))
+    // The edge set feeds degree counting, ranking, both wedge spokes and
+    // the closing-edge probe — persist it (and the oriented form below)
+    // so the plan references an InMemoryRelation instead of replaying
+    // the caller's full upstream lineage once per role (the unpersisted
+    // form planned 45 parquet scans for q69's 15 edge references).
+    val c = canonical.persist()
+    val deg = c.select(col("a").as("n"))
+      .union(c.select(col("b")))
       .groupBy("n").agg(count(lit(1)).as("deg"))
     // Orient a→b edges from lower (deg, id) to higher; structs compare
     // lexicographically, giving the total order directly in the plan.
     // The head's rank rides along so wedges can order their two spokes
     // by the SAME rank, making the closing edge a direct (lo, hi) lookup.
-    val ranked = canonical
+    val ranked = c
       .join(deg.select(col("n").as("a"), col("deg").as("deg_a")), "a")
       .join(deg.select(col("n").as("b"), col("deg").as("deg_b")), "b")
     def rank(d: String, n: String) =
@@ -59,6 +65,7 @@ object Triangles {
       when(aFirst, col("b")).otherwise(col("a")).as("hi"),
       when(aFirst, rank("deg_b", "b"))
         .otherwise(rank("deg_a", "a")).as("rank_hi"))
+      .persist()
     val e1 = oriented.select(col("lo"), col("hi").as("u"), col("rank_hi").as("ru"))
     val e2 = oriented.select(col("lo"), col("hi").as("v"), col("rank_hi").as("rv"))
     val wedges = e1.join(e2, Seq("lo")).filter(col("ru") < col("rv"))
@@ -67,10 +74,10 @@ object Triangles {
     // u precedes v in rank by construction, so one orientation suffices.
     val triangles = wedges.join(
       oriented.select(col("lo").as("u"), col("hi").as("v")), Seq("u", "v"))
+    // one triangle row → its three member nodes via explode, so the
+    // wedge join executes ONCE (a 3-way union would replay it per role)
     triangles
-      .select(col("pivot").as("node"))
-      .union(triangles.select(col("u")))
-      .union(triangles.select(col("v")))
+      .select(explode(array(col("pivot"), col("u"), col("v"))).as("node"))
       .groupBy("node").agg(count(lit(1)).as("triangles"))
   }
 }

@@ -233,6 +233,27 @@ object TrainingData {
       .filter(col("cum_tokens") <= budget)
   }
 
+  /** Weighted sampling WITHOUT replacement, exactly k per stratum —
+    * Efraimidis–Spirakis exponential keys, derandomized: u =
+    * (hash60(id) mod 10⁶ + 0.5)/10⁶ stands in for the uniform draw, and
+    * ranking by ln(u)/weight descending samples k items with inclusion
+    * probability proportional to weight (the one-pass distributed form
+    * of weighted reservoir sampling). Per-stratum windows → parallel
+    * sorts; ties are impossible up to hash collisions and broken by id.
+    * ln is evaluated POINTWISE per row (never accumulated), so
+    * cross-engine double drift is bounded to the final ulp of each key —
+    * order flips would need two keys within one ulp.
+    * @return input rows + `rk` (1 = most favored) */
+  def weightedSample(df: DataFrame, stratum: Column, id: Column,
+                     weight: Column, k: Int): DataFrame = {
+    val u = ((hash60(concat(lit("ws|"), id.cast("string"))) % 1000000L)
+      .cast("double") + lit(0.5)) / lit(1000000.0)
+    val key = log(u) / weight.cast("double")
+    val w = Window.partitionBy(stratum).orderBy(key.desc, id)
+    df.withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= k)
+  }
+
   /** Sliding token-window chunking — the doc → fixed-size-chunk explode
     * feeding embedding/indexing pipelines: windows of `chunkTokens`
     * whitespace tokens starting every `stride` tokens (stride <

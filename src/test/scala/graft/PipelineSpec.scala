@@ -141,6 +141,18 @@ class PipelineSpec extends AnyFunSuite with SparkTestBase {
         .as[Long].collect().toSet)
   }
 
+  test("weightedSample: exactly k, strongly biased toward heavy weights") {
+    // one stratum: 50 docs at weight 1000, 50 at weight 1 — with k=20
+    // the E-S keys make a light doc's win probability ≈ 7e-4
+    val df = ((0L until 50L).map(i => (i, "s", 1000L)) ++
+      (50L until 100L).map(i => (i, "s", 1L))).toDF("doc_id", "lang", "w")
+    val got = TrainingData.weightedSample(df, $"lang", $"doc_id", $"w", 20)
+    assert(got.count() == 20)
+    assert(got.filter($"doc_id" < 50).count() >= 15)
+    assert(TrainingData.weightedSample(df, $"lang", $"doc_id", $"w", 20)
+      .collect().toSet == got.collect().toSet)
+  }
+
   test("tokenBudgetSample: greedy fill stops at the budget, per stratum") {
     val df = (0L until 50L).map(i => (i, if (i < 40) "a" else "b", 100L))
       .toDF("doc_id", "lang", "n")
