@@ -255,6 +255,79 @@ class PropertySpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("blockedPairs equals brute force on random word strings") {
+    val wordGen = Gen.oneOf("red", "blue", "bolt", "bolts", "ring", "rings")
+    val nameGen = Gen.listOfN(3, wordGen).map(_.mkString(" "))
+    forAll(Gen.nonEmptyListOf(nameGen)) { names =>
+      val df = names.zipWithIndex.map { case (n, i) => (i.toLong, n) }
+        .toDF("id", "name")
+      val got = graft.ops.FuzzyJoin.blockedPairs(df, $"id", $"name",
+          substring_index($"name", " ", 1), maxLenDiff = 3, maxDist = 4)
+        .as[(Long, Long, Long)].collect().toSet
+      def lev(a: String, b: String): Int = {
+        val d = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
+          if (i == 0) j else if (j == 0) i else 0 }
+        for (i <- 1 to a.length; j <- 1 to b.length)
+          d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+            d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+        d(a.length)(b.length)
+      }
+      val idx = names.zipWithIndex
+      val want = (for {
+        (na, ia) <- idx; (nb, ib) <- idx
+        if ia < ib
+        if na.split(" ").head == nb.split(" ").head
+        if math.abs(na.length - nb.length) <= 3
+        dd = lev(na, nb) if dd <= 4
+      } yield (ia.toLong, ib.toLong, dd.toLong)).toSet
+      assert(got == want)
+    }
+  }
+
+  test("chunkDocuments: stride-aligned reassembly recovers every token") {
+    val tokGen = Gen.choose(1, 40)
+    forAll2(tokGen, Gen.choose(1, 7)) { (nTok, stride) =>
+      val text = (1 to nTok).map(i => s"t$i").mkString(" ")
+      val chunk = stride + 2 // overlap of 2
+      val got = graft.pipeline.TrainingData.chunkDocuments(
+          Seq((1L, text)).toDF("doc_id", "text"), $"doc_id", $"text",
+          chunkTokens = chunk, stride = stride)
+        .as[(Long, Long, Long, String)].collect().sortBy(_._2)
+      // chunk 0 starts at token 1; consecutive starts differ by stride;
+      // taking the first `stride` tokens of each chunk (plus the last
+      // chunk's tail) reassembles the doc exactly
+      val reassembled = got.flatMap { case (_, cid, _, c) =>
+        val toks = c.split(" ").toSeq
+        if (cid == got.last._2) toks else toks.take(stride)
+      }
+      assert(reassembled.toSeq == text.split(" ").toSeq)
+      // every chunk except possibly the last has min(chunk, remaining)
+      got.foreach { case (_, cid, n, c) =>
+        assert(n == c.split(" ").length)
+        assert(n <= chunk && n >= 1)
+      }
+    }
+  }
+
+  test("weightedSample/exactKSample: k bound, rank contiguity") {
+    forAll(Gen.choose(1, 30)) { k =>
+      val df = (0L until 60L).map(i => (i, (i % 3).toString, 1L + i % 9))
+        .toDF("id", "s", "w")
+      for (sample <- Seq(
+        graft.pipeline.TrainingData.exactKSample(df, $"s", $"id", k),
+        graft.pipeline.TrainingData.weightedSample(df, $"s", $"id",
+          $"w", k))) {
+        val perStratum = sample.groupBy("s")
+          .agg(count(lit(1)).as("n"), max("rk").as("mx"))
+          .as[(String, Long, Long)].collect()
+        perStratum.foreach { case (_, n, mx) =>
+          assert(n == math.min(k, 20))
+          assert(mx == n) // ranks are 1..n, no gaps
+        }
+      }
+    }
+  }
+
   test("upsert idempotence: applying the same updates twice = once") {
     forAll(flowGen) { rows =>
       whenever(rows.nonEmpty) {
