@@ -1073,6 +1073,88 @@ object SparkEntry {
             "struct(ts, event_id, event_type))), 1, 20), " +
             "x -> x.event_type)"), " ").as("seq_prefix"))
 
+  /** Batch gap sessionization of the event stream (30-minute gap):
+    * the offline twin of q43's streaming session window. Both windows
+    * and the final aggregation share one hash-partitioning on user_id —
+    * a single wide shuffle end-to-end (see ops/Sessionize). */
+  def q79_sessionize(s: SparkSession, d: String): DataFrame = noDec {
+    // µs timestamps: DuckDB's parquet reader truncates ns → µs, so the
+    // cross-engine form works in epoch-µs (same convention as q67)
+    graft.ops.Sessionize.sessions(
+      Tables.events(s, d).withColumn("ts_us", expr("ts div 1000")),
+      col("user_id"), col("ts_us"), col("event_id"), dec(col("value")),
+      gap = 30L * 60 * 1000000L) // 30 min in µs
+      .select(col("key").as("user_id"), col("session_seq"),
+        col("session_start"), col("session_end"), col("n_events"),
+        col("total_value"))
+  }
+
+  /** Intra-document repetition (Gopher-style filters): duplicate-word
+    * and top-bigram fractions, integer-ppm so the numbers are engine-
+    * exact. The boilerplate/auto-generation signal that complements the
+    * cross-document dedup family (q17–q19, q52). */
+  def q80_repetition(s: SparkSession, d: String): DataFrame =
+    graft.text.TextAnalysis.repetition(Tables.documents(s, d))
+
+  /** Bounded inverted index over the corpus: per term the exact doc
+    * frequency plus a capped posting string — capped BEFORE collection
+    * so no stop-word list ever materializes O(corpus) in one buffer. */
+  def q81_inverted_index(s: SparkSession, d: String): DataFrame =
+    graft.text.TextAnalysis.invertedIndex(Tables.documents(s, d), cap = 100)
+
+  /** Bloom-prefiltered semi-join: build a 16 KiB bloom over urgent
+    * orders' keys (one sketch row — the same sanctioned KB-scale
+    * sufficient statistic as k-means' centroids), prune lineitem AT THE
+    * SCAN with the codegen probe, then exact-semi-join away the false
+    * positives. Result ≡ plain semi-join (bloom has no false
+    * negatives) → full SQL oracle; at 100 TB the prune keeps
+    * non-matching fact rows out of the join shuffle entirely, the
+    * explicit form of RuntimeFilterSpec's optimizer-injected filter. */
+  def q82_bloom_prune(s: SparkSession, d: String): DataFrame = {
+    val urgent = Tables.orders(s, d)
+      .filter(col("o_orderpriority") === "1-URGENT")
+      .select(col("o_orderkey"))
+    val sketch = urgent
+      .agg(graft.functions.BloomFilter.bloom_build(
+        col("o_orderkey"), numBits = 1 << 17, numHashes = 4).as("b"))
+      .head().getAs[Array[Byte]](0)
+    Tables.lineitem(s, d)
+      .filter(graft.functions.BloomFilter.bloom_might_contain(
+        lit(sketch), col("l_orderkey")))
+      .join(urgent.withColumnRenamed("o_orderkey", "l_orderkey"),
+        Seq("l_orderkey"), "left_semi")
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n_items"),
+        sum(dec(col("l_quantity"))).cast("double").as("sum_qty"))
+  }
+
+  /** Rolling ROWS-frame aggregates: per user, the trailing-20-event
+    * moving sum and count of `value` in (ts, event_id) order — the
+    * bounded-frame sliding feature (vs q09's unbounded CMA). One
+    * window shuffle; the frame is O(1) state per row. */
+  def q83_rolling_window(s: SparkSession, d: String): DataFrame = noDec {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_us").asc, col("event_id").asc)
+      .rowsBetween(-19, Window.currentRow)
+    Tables.events(s, d).withColumn("ts_us", expr("ts div 1000"))
+      .select(col("user_id"), col("event_id"), col("ts_us"),
+        sum(dec(col("value"))).over(w).as("trail_sum"),
+        count(lit(1)).over(w).as("trail_n"))
+  }
+
+  /** Degree distribution of the supplier→customer trade graph: distinct
+    * edges from the order/lineitem join, out-degree per supplier, then
+    * the (degree → node count) histogram — the graph-stats companion to
+    * q34/q41/q69, all exact integers. */
+  def q84_degree_stats(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d).select(col("l_orderkey"), col("l_suppkey"))
+      .join(Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey")),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(col("l_suppkey").as("supp"), col("o_custkey").as("cust"))
+      .distinct()
+      .groupBy(col("supp")).agg(count(lit(1)).as("degree"))
+      .groupBy(col("degree")).agg(count(lit(1)).as("n_suppliers"))
+
   // ---------------------------------------------------------------- registry
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1154,6 +1236,12 @@ object SparkEntry {
     "q76_weighted_sample" -> (q76_weighted_sample _),
     "q77_decile_bins" -> (q77_decile_bins _),
     "q78_seq_export" -> (q78_seq_export _),
+    "q79_sessionize" -> (q79_sessionize _),
+    "q80_repetition" -> (q80_repetition _),
+    "q81_inverted_index" -> (q81_inverted_index _),
+    "q82_bloom_prune" -> (q82_bloom_prune _),
+    "q83_rolling_window" -> (q83_rolling_window _),
+    "q84_degree_stats" -> (q84_degree_stats _),
   )
 
   // DuckDB twins of the Scala normalization / hashing expressions
@@ -2019,5 +2107,99 @@ object SparkEntry {
         |  count(*) AS n_rows
         |FROM lineitem
         |GROUP BY CUBE (l_returnflag, l_linestatus)""".stripMargin,
+    // gap > 30 min STRICTLY starts a new session (boundary events stay
+    // in-session), matching ops/Sessionize's `ts - prev > gap`
+    "q79_sessionize" ->
+      """WITH u AS (
+        |  SELECT user_id, epoch_us(ts) AS tus, event_id, value
+        |  FROM events),
+        |f AS (
+        |  SELECT user_id, tus, event_id, value,
+        |    CASE WHEN lag(tus) OVER w IS NULL
+        |           OR tus - lag(tus) OVER w > 1800000000
+        |         THEN 1 ELSE 0 END AS new_s
+        |  FROM u
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY tus, event_id)),
+        |s AS (
+        |  SELECT user_id, tus, value,
+        |    sum(new_s) OVER (PARTITION BY user_id ORDER BY tus, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS session_seq
+        |  FROM f)
+        |SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq,
+        |  min(tus) AS session_start, max(tus) AS session_end,
+        |  count(*) AS n_events,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+        |    AS total_value
+        |FROM s GROUP BY user_id, session_seq""".stripMargin,
+    "q80_repetition" ->
+      s"""WITH words AS (
+         |  SELECT doc_id, unnest(string_split($NormSql, ' ')) AS w
+         |  FROM documents),
+         |wc AS (
+         |  SELECT doc_id, w, count(*) AS c
+         |  FROM words GROUP BY doc_id, w),
+         |ws AS (
+         |  SELECT doc_id, sum(c) AS n_words, count(*) AS n_distinct_words,
+         |    max(c) AS top_word_n
+         |  FROM wc GROUP BY doc_id),
+         |toks AS (
+         |  SELECT doc_id, string_split($NormSql, ' ') AS a
+         |  FROM documents),
+         |bg AS (
+         |  SELECT doc_id, unnest(list_transform(range(1, len(a)),
+         |    i -> a[i] || ' ' || a[i+1])) AS b
+         |  FROM toks WHERE len(a) >= 2),
+         |bc AS (
+         |  SELECT doc_id, b, count(*) AS c FROM bg GROUP BY doc_id, b),
+         |bs AS (SELECT doc_id, max(c) AS top_bigram_n FROM bc
+         |       GROUP BY doc_id)
+         |SELECT ws.doc_id, CAST(n_words AS BIGINT) AS n_words,
+         |  n_distinct_words, top_word_n,
+         |  coalesce(top_bigram_n, 0) AS top_bigram_n,
+         |  CAST((n_words - n_distinct_words) * 1000000 // n_words
+         |    AS BIGINT) AS dup_word_ppm,
+         |  CAST(coalesce(top_bigram_n, 0) * 1000000
+         |    // greatest(n_words - 1, 1) AS BIGINT) AS top_bigram_ppm
+         |FROM ws LEFT JOIN bs ON ws.doc_id = bs.doc_id""".stripMargin,
+    "q81_inverted_index" ->
+      s"""WITH terms AS (
+         |  SELECT DISTINCT doc_id,
+         |    unnest(string_split($NormSql, ' ')) AS term
+         |  FROM documents),
+         |ranked AS (
+         |  SELECT term, doc_id, row_number() OVER (
+         |    PARTITION BY term ORDER BY doc_id) AS rn
+         |  FROM terms)
+         |SELECT term, count(*) AS df_docs,
+         |  string_agg(CASE WHEN rn <= 100 THEN CAST(doc_id AS VARCHAR)
+         |             END, ',' ORDER BY doc_id) AS postings
+         |FROM ranked GROUP BY term""".stripMargin,
+    // the bloom prefilter has no false negatives and the semi-join
+    // removes its false positives, so the oracle is the PLAIN semi-join
+    "q82_bloom_prune" ->
+      """SELECT l_returnflag, count(*) AS n_items,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+        |    AS sum_qty
+        |FROM lineitem
+        |WHERE l_orderkey IN (
+        |  SELECT o_orderkey FROM orders
+        |  WHERE o_orderpriority = '1-URGENT')
+        |GROUP BY l_returnflag""".stripMargin,
+    "q83_rolling_window" ->
+      """SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE)
+        |    AS trail_sum,
+        |  count(*) OVER w AS trail_n
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+        |  ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)""".stripMargin,
+    "q84_degree_stats" ->
+      """WITH e AS (
+        |  SELECT DISTINCT l_suppkey AS supp, o_custkey AS cust
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+        |d AS (SELECT supp, count(*) AS degree FROM e GROUP BY supp)
+        |SELECT degree, count(*) AS n_suppliers FROM d
+        |GROUP BY degree""".stripMargin,
   )
 }

@@ -1,0 +1,197 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionDescription}
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.XXH64
+import org.apache.spark.sql.graftbridge.Bridge
+import org.apache.spark.sql.types.{BinaryType, BooleanType, DataType, IntegerType, LongType}
+
+/** Bloom-filter build + probe as first-class user operators — the
+  * membership sketch behind semi-join pruning at 100 TB: build a
+  * KB–MB bitset over the SMALL side's join keys once, broadcast it,
+  * and drop non-matching fact rows AT THE SCAN before they ever reach
+  * the join shuffle. Spark's own InjectRuntimeFilter does this
+  * opportunistically (pinned in RuntimeFilterSpec); this pair makes the
+  * same pruning available explicitly — against a persisted sketch, a
+  * dimension loaded in another job, or across pipeline stages where the
+  * optimizer cannot see both sides.
+  *
+  * Hashing is the Kirsch–Mitzenmacher double-hash family over XXH64:
+  * position_i = (h1 + i·h2) mod m with h1 = xxh64(key, 0),
+  * h2 = xxh64(key, 1) | 1 — k positions from two hashes, the standard
+  * construction with provably equivalent false-positive behavior.
+  * Bits are a long-word array; merge is word-wise OR (associative +
+  * commutative → partitioning-independent). No false negatives ever,
+  * so `bloom_might_contain` prefilter + exact join == exact join — the
+  * sketch only prunes, it never changes results (CORRECTNESS q82 is a
+  * plain semi-join oracle).
+  */
+case class BloomBuildAgg(
+    key: Expression,
+    numBits: Int,
+    numHashes: Int,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[Array[Long]] {
+
+  require(numBits >= 64 && (numBits & (numBits - 1)) == 0 &&
+    numBits <= (1 << 28), s"numBits must be a power of two in [64, 2^28], got $numBits")
+  require(numHashes >= 1 && numHashes <= 16,
+    s"numHashes must be in [1, 16], got $numHashes")
+
+  override def children: Seq[Expression] = Seq(key)
+  override def nullable: Boolean = false
+  override def dataType: DataType = BinaryType
+  override def prettyName: String = "graft_bloom_build"
+
+  override def checkInputDataTypes(): TypeCheckResult = key.dataType match {
+    case LongType | IntegerType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires an integral key, got ${t.simpleString}")
+  }
+
+  override def createAggregationBuffer(): Array[Long] =
+    new Array[Long](numBits / 64)
+
+  override def update(buf: Array[Long], row: InternalRow): Array[Long] = {
+    val v = key.eval(row)
+    if (v != null) {
+      val k = v match {
+        case l: java.lang.Long => l.longValue()
+        case i: java.lang.Integer => i.longValue()
+      }
+      BloomBits.set(buf, k, numBits, numHashes)
+    }
+    buf
+  }
+
+  override def merge(a: Array[Long], b: Array[Long]): Array[Long] = {
+    var i = 0
+    while (i < a.length) { a(i) |= b(i); i += 1 }
+    a
+  }
+
+  override def eval(buf: Array[Long]): Any = serialize(buf)
+
+  override def serialize(buf: Array[Long]): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(8 * buf.length)
+    buf.foreach(bb.putLong)
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): Array[Long] = {
+    val bb = java.nio.ByteBuffer.wrap(bytes)
+    Array.fill(bytes.length / 8)(bb.getLong())
+  }
+
+  override def withNewMutableAggBufferOffset(o: Int): BloomBuildAgg =
+    copy(mutableAggBufferOffset = o)
+  override def withNewInputAggBufferOffset(o: Int): BloomBuildAgg =
+    copy(inputAggBufferOffset = o)
+  override protected def withNewChildrenInternal(
+      cs: IndexedSeq[Expression]): BloomBuildAgg = copy(key = cs.head)
+}
+
+/** Shared bit math for build and probe — one definition so the two
+  * sides can never disagree on the hash family. */
+object BloomBits {
+  def positions(key: Long, numBits: Int, numHashes: Int): Array[Int] = {
+    val h1 = XXH64.hashLong(key, 0L)
+    val h2 = XXH64.hashLong(key, 1L) | 1L
+    val out = new Array[Int](numHashes)
+    var i = 0
+    while (i < numHashes) {
+      // numBits is a power of two → mask instead of mod (and never negative)
+      out(i) = ((h1 + i * h2) & (numBits - 1)).toInt
+      i += 1
+    }
+    out
+  }
+
+  def set(words: Array[Long], key: Long, numBits: Int, numHashes: Int): Unit = {
+    val ps = positions(key, numBits, numHashes)
+    var i = 0
+    while (i < ps.length) {
+      words(ps(i) >>> 6) |= (1L << (ps(i) & 63)); i += 1
+    }
+  }
+
+  /** Probe entry point referenced from generated code — keep the
+    * signature stable. */
+  def test(bytes: Array[Byte], key: Long, numHashes: Int): Boolean = {
+    val numBits = bytes.length * 8
+    val h1 = XXH64.hashLong(key, 0L)
+    val h2 = XXH64.hashLong(key, 1L) | 1L
+    var i = 0
+    while (i < numHashes) {
+      val p = ((h1 + i * h2) & (numBits - 1)).toInt
+      // bytes were written big-endian long-words by serialize()
+      val byteIdx = (p >>> 6) * 8 + 7 - ((p & 63) >>> 3)
+      if ((bytes(byteIdx) & (1 << (p & 7))) == 0) return false
+      i += 1
+    }
+    true
+  }
+}
+
+/** bloom_might_contain(bloomBytes, key) — true if the key MAY be in the
+  * set the bloom was built over; false means definitely absent. The
+  * bloom side is typically a literal/broadcast (one sketch row), the key
+  * side a fact column — evaluated inside whole-stage codegen via a
+  * static helper call, so the prefilter runs at scan speed. */
+@ExpressionDescription(
+  usage = "bloom_might_contain(bloom, key) - membership probe against a graft bloom sketch")
+case class BloomMightContain(left: Expression, right: Expression,
+                             numHashes: Int = 4)
+  extends BinaryExpression {
+
+  require(numHashes >= 1 && numHashes <= 16,
+    s"numHashes must match the build side's, in [1, 16]; got $numHashes")
+
+  override def dataType: DataType = BooleanType
+  override def prettyName: String = "bloom_might_contain"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (BinaryType, LongType | IntegerType) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires (binary, integral), got " +
+          s"(${l.simpleString}, ${r.simpleString})")
+    }
+
+  override def nullSafeEval(bloom: Any, key: Any): Any = {
+    val k = key match {
+      case l: java.lang.Long => l.longValue()
+      case i: java.lang.Integer => i.longValue()
+    }
+    BloomBits.test(bloom.asInstanceOf[Array[Byte]], k, numHashes)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext,
+                                   ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (b, k) =>
+      s"graft.functions.BloomBits.test($b, (long)($k), $numHashes)")
+
+  override protected def withNewChildrenInternal(
+      l: Expression, r: Expression): BloomMightContain =
+    copy(left = l, right = r)
+}
+
+object BloomFilter {
+  /** Aggregate column: build a bloom bitset over an integral key. */
+  def bloom_build(key: Column, numBits: Int = 1 << 20,
+                  numHashes: Int = 4): Column =
+    Bridge.column(BloomBuildAgg(Bridge.expression(key), numBits, numHashes)
+      .toAggregateExpression())
+
+  /** Probe column — `numHashes` must match the build side's. */
+  def bloom_might_contain(bloom: Column, key: Column,
+                          numHashes: Int = 4): Column =
+    Bridge.column(BloomMightContain(
+      Bridge.expression(bloom), Bridge.expression(key), numHashes))
+}

@@ -1,0 +1,50 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Batch gap-based sessionization: the offline analog of the streaming
+  * session window (q43 / `streaming/EventTimeRollup`). Events for a key
+  * are split into sessions wherever the gap between consecutive events
+  * exceeds `gap` (in the units of `ts`), then aggregated per session.
+  *
+  * Plan shape: both windows (the lag and the running sum) share one
+  * `partitionBy(key) orderBy(ts, tieBreak)` spec, so Catalyst plans a
+  * single Exchange + single sort and evaluates both frames in one
+  * `Window` operator pass; the per-session aggregation then reuses the
+  * same hash-partitioning on `key` (only adding the session ordinal), so
+  * the whole op is ONE wide shuffle on the session key. Scales linearly:
+  * no per-key state beyond the running counters, no driver collects, and
+  * hot keys degrade into a single partition's sort (salting is not
+  * applicable — session numbering is inherently sequential per key).
+  */
+object Sessionize {
+
+  /** Assign a per-key session ordinal (1-based) to each event.
+    *
+    * @param tieBreak deterministic order column for equal timestamps
+    *                 (SURVEY §7.4 risk 5 — distributed windows need a
+    *                 total order to be well-defined).
+    */
+  def assign(events: DataFrame, key: Column, ts: Column, tieBreak: Column,
+             gap: Long): DataFrame = {
+    val w = Window.partitionBy(key).orderBy(ts.asc, tieBreak.asc)
+    val run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val prev = lag(ts, 1).over(w)
+    val isNew = when(prev.isNull || ts - prev > gap, 1L).otherwise(0L)
+    events.withColumn("session_seq", sum(isNew).over(run))
+  }
+
+  /** Sessionize and aggregate: one row per (key, session) with its span
+    * and event stats. */
+  def sessions(events: DataFrame, key: Column, ts: Column, tieBreak: Column,
+               value: Column, gap: Long): DataFrame =
+    assign(events, key, ts, tieBreak, gap)
+      .groupBy(key.as("key"), col("session_seq"))
+      .agg(
+        min(ts).as("session_start"),
+        max(ts).as("session_end"),
+        count(lit(1)).as("n_events"),
+        sum(value).as("total_value"))
+}

@@ -111,6 +111,70 @@ object TextAnalysis {
         log(lit(n + 1.0) / (col("df").cast("double") + 1.0)))
   }
 
+  /** Intra-document repetition metrics (the Gopher-style repetition
+    * filters, adapted to newline-free corpora): per doc the word count,
+    * distinct-word count, most-frequent-word count and most-frequent-
+    * bigram count, plus parts-per-million fractions kept integer-exact
+    * (scaled `div`, no floats) so the same numbers reproduce on any
+    * engine. High `top_bigram_ppm` → boilerplate/auto-generated text.
+    *
+    * Plan: one explode over words and one over bigrams, each aggregated
+    * with map-side partial counts on (doc_id, gram) then per-doc max —
+    * two shuffle rounds keyed by doc, no per-doc state larger than a
+    * counter, linear at any corpus size. The bigram array is built
+    * positionally (`transform` over indices), no self-join. */
+  def repetition(docs: DataFrame): DataFrame = {
+    val words = split(Dedup.normalize(col("text")), " ")
+    val bigrams = transform(
+      sequence(lit(0), size(words) - 2),
+      i => concat_ws(" ", element_at(words, i + 1), element_at(words, i + 2)))
+    val wordStats = docs
+      .select(col("doc_id"), explode(words).as("w"))
+      .groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("c")).as("n_words"),
+        count(lit(1)).as("n_distinct_words"),
+        max(col("c")).as("top_word_n"))
+    val bigramStats = docs
+      .filter(size(words) >= 2)
+      .select(col("doc_id"), explode(bigrams).as("b"))
+      .groupBy(col("doc_id"), col("b")).agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"))
+      .agg(max(col("c")).as("top_bigram_n"))
+    wordStats.join(bigramStats, Seq("doc_id"), "left")
+      .withColumn("top_bigram_n", coalesce(col("top_bigram_n"), lit(0L)))
+      .select(col("doc_id"), col("n_words"), col("n_distinct_words"),
+        col("top_word_n"), col("top_bigram_n"),
+        // `div` (IntegralDivide), not `/` — long-exact in every engine
+        expr("((n_words - n_distinct_words) * 1000000) div n_words")
+          .as("dup_word_ppm"),
+        expr("(top_bigram_n * 1000000) div greatest(n_words - 1, 1)")
+          .as("top_bigram_ppm"))
+  }
+
+  /** Bounded inverted index: per term its exact document frequency and
+    * the first `cap` doc ids as a comma-joined posting string. The cap
+    * is the 100 TB guard — a stop-word's full posting list is O(corpus)
+    * and must never pass through one `collect_list` buffer, so postings
+    * are truncated with a rank window BEFORE collection while `df_docs`
+    * stays exact from a separate count. Both aggregations share the
+    * shuffle key (term). */
+  def invertedIndex(docs: DataFrame, cap: Int = 1000): DataFrame = {
+    val terms = docs.select(col("doc_id"),
+      explode(array_distinct(split(Dedup.normalize(col("text")), " ")))
+        .as("term"))
+    val dfExact = terms.groupBy(col("term"))
+      .agg(count(lit(1)).as("df_docs"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("term")).orderBy(col("doc_id").asc)
+    val capped = terms.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= cap)
+      .groupBy(col("term"))
+      .agg(array_join(sort_array(collect_list(col("doc_id"))), ",")
+        .as("postings"))
+    dfExact.join(capped, Seq("term"))
+  }
+
   /** Rolling polynomial hash over the word stream (base-31 mod 2^31−1),
     * the classic streaming fingerprint: fold over the token array —
     * sequential, deterministic, no UDF. The modulus keeps every

@@ -1,0 +1,39 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+
+/** Repeated single-query timer: `runMain graft.tools.QueryProfile q44_dup_groups 3`
+  * — isolates a query from bench-order effects (codegen cache, GC debt
+  * from earlier queries) to tell real regressions from interplay. */
+object QueryProfile {
+  def main(args: Array[String]): Unit = {
+    val names = args(0).split(",").toSeq
+    val reps = if (args.length > 1) args(1).toInt else 3
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    for (name <- names) {
+      val fn = graft.SparkEntry.queries(name)
+      val times = (1 to reps).map { _ =>
+        val t0 = System.nanoTime()
+        fn(spark, sfDir).count()
+        val dt = (System.nanoTime() - t0) / 1e9
+        spark.sparkContext.getPersistentRDDs.values
+          .foreach(_.unpersist(blocking = false))
+        dt
+      }
+      println(f"PROFILE $name%-24s " +
+        times.map(t => f"$t%6.2f").mkString(" ") +
+        f"  min=${times.min}%6.2f")
+    }
+    spark.stop()
+  }
+}

@@ -1,0 +1,70 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.functions.{BloomBits, BloomFilter}
+
+class BloomFilterSpec extends AnyFunSuite with SparkTestBase {
+  import spark.implicits._
+
+  private val bits = 1 << 14
+  private val k = 4
+
+  private def build(keys: Seq[Long], parts: Int = 4): Array[Byte] =
+    keys.toDF("key").repartition(parts)
+      .agg(BloomFilter.bloom_build($"key", bits, k).as("b"))
+      .head().getAs[Array[Byte]](0)
+
+  test("no false negatives, ever") {
+    val keys = (0L until 2000L).map(_ * 37 + 11)
+    val sketch = build(keys)
+    keys.foreach { key =>
+      assert(BloomBits.test(sketch, key, k), s"false negative for $key")
+    }
+  }
+
+  test("false-positive rate is near theory, not near 1") {
+    val keys = (0L until 1000L)
+    val sketch = build(keys)
+    val probes = (1000000L until 1010000L)
+    val fp = probes.count(p => BloomBits.test(sketch, p, k))
+    // m=16384, n=1000, k=4 → theoretical fpr ≈ (1-e^(-kn/m))^k ≈ 0.24%
+    assert(fp < 200, s"fp rate ${fp / 10000.0} far above theory")
+  }
+
+  test("merge is partitioning-independent") {
+    val keys = (0L until 5000L).map(_ * 13)
+    assert(build(keys, parts = 1).toSeq == build(keys, parts = 7).toSeq)
+  }
+
+  test("probe column (codegen path) agrees with the scala helper") {
+    val keys = (0L until 500L).map(_ * 7)
+    val sketch = build(keys)
+    val got = (0L until 3500L).toDF("key")
+      .filter(BloomFilter.bloom_might_contain(lit(sketch), $"key", k))
+      .as[Long].collect().toSet
+    val want = (0L until 3500L).filter(p => BloomBits.test(sketch, p, k)).toSet
+    assert(got == want)
+    assert(keys.toSet.subsetOf(got)) // inserted keys all pass
+  }
+
+  test("prefilter + exact semi-join ≡ plain semi-join") {
+    val dim = (0L until 300L).map(_ * 3 + 1).toDF("key")
+    val fact = (0L until 3000L).toDF("key")
+    val sketch = dim.agg(BloomFilter.bloom_build($"key", bits, k))
+      .head().getAs[Array[Byte]](0)
+    val pruned = fact
+      .filter(BloomFilter.bloom_might_contain(lit(sketch), $"key", k))
+      .join(dim, Seq("key"), "left_semi").as[Long].collect().sorted
+    val plain = fact.join(dim, Seq("key"), "left_semi")
+      .as[Long].collect().sorted
+    assert(pruned.toSeq == plain.toSeq)
+  }
+
+  test("int keys accepted and hash like their long widening") {
+    val sketch = Seq(1, 2, 3).toDF("key")
+      .agg(BloomFilter.bloom_build($"key", bits, k))
+      .head().getAs[Array[Byte]](0)
+    assert(BloomBits.test(sketch, 1L, k) && BloomBits.test(sketch, 3L, k))
+  }
+}

@@ -1,0 +1,98 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.text.TextAnalysis
+
+class RepetitionSpec extends AnyFunSuite with SparkTestBase {
+  import spark.implicits._
+
+  private def stats(text: String): (Long, Long, Long, Long, Long, Long) = {
+    val df = Seq((1L, text)).toDF("doc_id", "text")
+    val r = TextAnalysis.repetition(df).collect().head
+    (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+      r.getLong(5), r.getLong(6))
+  }
+
+  test("fully repetitive doc: one word, ppm saturates") {
+    val (n, d, topW, topB, dupPpm, bigPpm) = stats("spam spam spam spam")
+    assert(n == 4 && d == 1 && topW == 4)
+    assert(topB == 3)          // "spam spam" ×3
+    assert(dupPpm == 750000)   // (4-1)/4
+    assert(bigPpm == 1000000)  // 3/3
+  }
+
+  test("all-distinct doc: zero duplication") {
+    val (n, d, topW, topB, dupPpm, bigPpm) = stats("a b c d")
+    assert(n == 4 && d == 4 && topW == 1 && topB == 1)
+    assert(dupPpm == 0)
+    assert(bigPpm == 333333) // 1/3
+  }
+
+  test("single-word doc: no bigrams, guard against div-by-zero") {
+    val (n, d, topW, topB, dupPpm, bigPpm) = stats("solo")
+    assert(n == 1 && d == 1 && topW == 1 && topB == 0)
+    assert(dupPpm == 0 && bigPpm == 0)
+  }
+
+  test("top bigram counts overlapping occurrences positionally") {
+    // "x y x y x" → bigrams: "x y","y x","x y","y x" → top = 2
+    val (_, _, _, topB, _, _) = stats("x y x y x")
+    assert(topB == 2)
+  }
+
+  test("brute-force agreement on a mixed corpus") {
+    val docs = Seq(
+      (1L, "the cat sat on the mat the cat"),
+      (2L, "all work and no play makes jack a dull boy " * 3),
+      (3L, "unique words only here today friend")
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.repetition(docs).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toMap
+    def brute(t: String) = {
+      val ws = t.trim.toLowerCase.replaceAll("[^a-z0-9 ]", "")
+        .replaceAll(" +", " ").split(" ").toSeq
+      val bg = ws.sliding(2).filter(_.size == 2).map(_.mkString(" ")).toSeq
+      (ws.size.toLong, ws.distinct.size.toLong,
+        ws.groupBy(identity).values.map(_.size).max.toLong,
+        if (bg.isEmpty) 0L
+        else bg.groupBy(identity).values.map(_.size).max.toLong)
+    }
+    Seq((1L, "the cat sat on the mat the cat"),
+      (2L, "all work and no play makes jack a dull boy " * 3),
+      (3L, "unique words only here today friend")).foreach {
+      case (id, t) => assert(got(id) == brute(t), s"doc $id")
+    }
+  }
+}
+
+class InvertedIndexSpec extends AnyFunSuite with SparkTestBase {
+  import spark.implicits._
+
+  private val docs = Seq(
+    (10L, "alpha beta gamma"),
+    (20L, "alpha beta"),
+    (30L, "alpha alpha alpha"), // dup words count once per doc
+    (40L, "delta")
+  ).toDF("doc_id", "text")
+
+  test("df is exact and postings are sorted distinct doc ids") {
+    val got = TextAnalysis.invertedIndex(docs)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getString(2)))
+      .toMap
+    assert(got("alpha") == (3L, "10,20,30"))
+    assert(got("beta") == (2L, "10,20"))
+    assert(got("gamma") == (1L, "10"))
+    assert(got("delta") == (1L, "40"))
+  }
+
+  test("cap truncates postings but never df") {
+    val many = (1L to 50L).map(i => (i, "common word" + (i % 7)))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.invertedIndex(many, cap = 5)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getString(2)))
+      .toMap
+    assert(got("common")._1 == 50L)
+    assert(got("common")._2 == "1,2,3,4,5")
+  }
+}

@@ -1,0 +1,56 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.ops.Sessionize
+
+class SessionizeSpec extends AnyFunSuite with SparkTestBase {
+  import spark.implicits._
+
+  private val gap = 100L
+
+  // (user, ts, id, value)
+  private def fixture = Seq(
+    (1L, 0L, 1L, 1.0),
+    (1L, 100L, 2L, 2.0),   // gap == 100 → same session (strict >)
+    (1L, 201L, 3L, 3.0),   // gap 101 → new session
+    (1L, 250L, 4L, 4.0),
+    (2L, 5L, 5L, 5.0),     // second key, one session
+    (2L, 50L, 6L, 6.0)
+  ).toDF("u", "ts", "id", "v")
+
+  test("gap strictly greater than threshold splits; boundary stays") {
+    val got = Sessionize.sessions(fixture, $"u", $"ts", $"id", $"v", gap)
+      .orderBy($"key", $"session_seq")
+      .as[(Long, Long, Long, Long, Long, Double)].collect()
+    assert(got === Array(
+      (1L, 1L, 0L, 100L, 2L, 3.0),
+      (1L, 2L, 201L, 250L, 2L, 7.0),
+      (2L, 1L, 5L, 50L, 2L, 11.0)))
+  }
+
+  test("session ordinals are 1-based, contiguous, and per-key") {
+    val seqs = Sessionize.assign(fixture, $"u", $"ts", $"id", gap)
+      .groupBy($"u").agg(collect_set($"session_seq").as("s"))
+      .as[(Long, Seq[Long])].collect().toMap
+    assert(seqs(1L).sorted == Seq(1L, 2L))
+    assert(seqs(2L).sorted == Seq(1L))
+  }
+
+  test("partitioning-independent: same result at 1 and 4 partitions") {
+    val shuffled = fixture.repartition(4)
+    val a = Sessionize.sessions(fixture, $"u", $"ts", $"id", $"v", gap)
+      .orderBy($"key", $"session_seq").collect().toSeq
+    val b = Sessionize.sessions(shuffled, $"u", $"ts", $"id", $"v", gap)
+      .orderBy($"key", $"session_seq").collect().toSeq
+    assert(a == b)
+  }
+
+  test("one Exchange: both windows and the agg share the key partitioning") {
+    val plan = Sessionize.sessions(fixture, $"u", $"ts", $"id", $"v", gap)
+      .queryExecution.executedPlan.toString
+    val exchanges = "Exchange hashpartitioning".r
+      .findAllIn(plan).length
+    assert(exchanges == 1, s"expected 1 shuffle, plan:\n$plan")
+  }
+}
