@@ -21,12 +21,21 @@ object Bench {
     // vector, shingle/dedup mining, iterative graph, block pipeline
     // (q32 — json parse/resolver joins; covers q33), proportions window
     // re-agg (q42 — covers q08/q37), wedge join (q69), blocked
-    // levenshtein (q70), bigram model join (q71)
+    // levenshtein (q70), bigram model join (q71), connected components
+    // (q44 — its iterative loop codegens per-round plans), minhash
+    // aggregate (q19), IVF/LSH/PQ vector indexes (q27/q28/q65 — each
+    // compiles its own assignment expressions), histogram sketch (q63),
+    // as-of merge exec (q48), binned range join rewrite (q56), bloom
+    // build+probe (q82), session windows over events (q79)
     for (w <- Seq("q01_agg_sums", "q16_slot_time", "q24_fingerprint",
                   "q25_cosine_topk", "q18_ngram_jaccard", "q34_pagerank",
                   "q51_contamination", "q32_pipeline_vol",
                   "q42_proportions", "q69_triangles", "q70_fuzzy_join",
-                  "q71_bigram_novelty"))
+                  "q71_bigram_novelty", "q44_dup_groups",
+                  "q19_minhash_lsh", "q27_ivf_ann", "q28_lsh_ann",
+                  "q65_pq_ann", "q63_hist_quantiles", "q48_asof_rates",
+                  "q56_range_join", "q82_bloom_prune", "q79_sessionize",
+                  "q33_pipeline_transfers"))
       try SparkEntry.queries(w)(spark, sfDir).count()
       catch { case _: Throwable => }
     // drop the warm-up queries' checkpoint blocks so the first timed

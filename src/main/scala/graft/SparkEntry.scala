@@ -992,7 +992,7 @@ object SparkEntry {
     graft.ops.FuzzyJoin.blockedPairs(
       Tables.part(s, d), col("p_partkey"), col("p_name"),
       substring_index(col("p_name"), " ", 2),
-      maxLenDiff = 1, maxDist = 2)
+      maxLenDiff = 1, maxDist = 2, blockIsPrefix = true)
 
   /** Bigram LM-support novelty scoring: corpus bigram counts (the
     * trained model) → per-doc share of rare bigrams (support ≤ 2) —

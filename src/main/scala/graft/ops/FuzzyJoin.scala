@@ -26,21 +26,36 @@ object FuzzyJoin {
 
   /** All unordered pairs (id_a < id_b) sharing `block` whose texts are
     * within `maxDist` edits (and `maxLenDiff` length difference).
+    *
+    * @param blockIsPrefix set true when `block` is a literal prefix of
+    *   `text` (e.g. "first k tokens") — then the DP runs on the
+    *   suffixes AFTER the shared block, which is exact (removing a
+    *   common prefix never changes Levenshtein distance: any optimal
+    *   alignment can be normalized to match the prefix identically)
+    *   and cuts the quadratic DP cost by the prefix's share of the
+    *   string. The length band still uses full-string lengths (equal
+    *   prefixes → same band, just cheaper columns).
     * @return (id_a, id_b, dist) */
   def blockedPairs(df: DataFrame, id: Column, text: Column, block: Column,
-                   maxLenDiff: Int, maxDist: Int): DataFrame = {
+                   maxLenDiff: Int, maxDist: Int,
+                   blockIsPrefix: Boolean = false): DataFrame = {
+    // project lengths (and the DP operand) ONCE per input row, not per
+    // candidate pair — at Σ|block|² pairs every per-pair char op counts
     val keyed = df.select(block.as("blk"), id.as("id"), text.as("txt"))
-    val a = keyed.select(col("blk"), col("id").as("id_a"),
-      col("txt").as("txt_a"))
-    val b = keyed.select(col("blk"), col("id").as("id_b"),
-      col("txt").as("txt_b"))
-    a.join(b, Seq("blk"))
+      .withColumn("ln", length(col("txt")))
+      .withColumn("dp",
+        if (blockIsPrefix)
+          // strip exactly the shared block — NOT block+separator: the
+          // last block token may end the string (no separator follows)
+          substring(col("txt"), length(col("blk")) + 1, lit(1 << 24))
+        else col("txt"))
+    def side(s: String) = keyed.select(col("blk"), col("id").as(s"id_$s"),
+      col("ln").as(s"ln_$s"), col("dp").as(s"dp_$s"))
+    side("a").join(side("b"), Seq("blk"))
       .filter(col("id_a") < col("id_b"))
-      .filter(abs(length(col("txt_a")) - length(col("txt_b")))
-        <= maxLenDiff)
+      .filter(abs(col("ln_a") - col("ln_b")) <= maxLenDiff)
       // bounded DP: -1 when the distance exceeds maxDist
-      .withColumn("dist",
-        levenshtein(col("txt_a"), col("txt_b"), maxDist))
+      .withColumn("dist", levenshtein(col("dp_a"), col("dp_b"), maxDist))
       .filter(col("dist") >= 0)
       .select(col("id_a"), col("id_b"), col("dist").cast("long").as("dist"))
   }

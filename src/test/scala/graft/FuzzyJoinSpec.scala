@@ -54,4 +54,24 @@ class FuzzyJoinSpec extends AnyFunSuite with SparkTestBase {
     assert(got == brute(40, 3))
     assert(!got.exists { case (a, b, _) => (a, b) == (1L, 4L) })
   }
+
+  test("blockIsPrefix fast path is exact: same pairs, same distances") {
+    for ((lenBand, dist) <- Seq((2, 6), (40, 3), (1, 2))) {
+      val slow = FuzzyJoin.blockedPairs(names, $"id", $"name",
+          substring_index($"name", " ", 1), lenBand, dist)
+        .as[(Long, Long, Long)].collect().toSet
+      val fast = FuzzyJoin.blockedPairs(names, $"id", $"name",
+          substring_index($"name", " ", 1), lenBand, dist,
+          blockIsPrefix = true)
+        .as[(Long, Long, Long)].collect().toSet
+      assert(fast == slow, s"band=$lenBand dist=$dist")
+    }
+    // degenerate: a text that IS its block (empty DP suffix)
+    val tiny = Seq((1L, "solo"), (2L, "solo"), (3L, "solo extra"))
+      .toDF("id", "name")
+    val got = FuzzyJoin.blockedPairs(tiny, $"id", $"name",
+        substring_index($"name", " ", 1), 40, 40, blockIsPrefix = true)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got == Set((1L, 2L, 0L), (1L, 3L, 6L), (2L, 3L, 6L)))
+  }
 }
