@@ -288,7 +288,12 @@ object SparkEntry {
     graft.dedup.Dedup.exactDuplicates(Tables.documents(s, d), Seq("dup"))
 
   /** Exact word-3-gram Jaccard near-dup pairs via the inverted shingle
-    * join (never the cross product). */
+    * join (never the cross product). `Dedup.jaccardPairsPrefix`
+    * (AllPairs/PPJoin prefix filtering, result-identical per DedupSpec)
+    * is the swap-in when a corpus has stop-shingles whose postings make
+    * this join quadratic — measured SLOWER here (5.0 s vs 2.7 s at
+    * sf0.1: its extra df/rank shuffles outweigh pruning on this
+    * mild-skew corpus), so the plain join stays the default. */
   def q18_ngram_jaccard(s: SparkSession, d: String): DataFrame =
     // hashed shingle keys (long joins, not string joins); materialized
     // once — they are read 3× downstream (sizes + both join sides)

@@ -55,6 +55,30 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
     assert(got.toSeq == Seq((1L, 2L, 1.0 / 3)))
   }
 
+  test("prefix-filtered jaccard equals the full inverted join — " +
+    "thresholds including float-noisy t·|S| (0.3, 0.5, 0.7)") {
+    val corpus = Tables.documents(spark, "/root/testdata/sf0.001")
+    val sh = Dedup.shingleKeys(corpus, 3).localCheckpoint(true)
+    for (t <- Seq(0.3, 0.5, 0.7)) {
+      val full = Dedup.jaccardPairs(sh, t)
+        .as[(Long, Long, Double)].collect().toSet
+      val pref = Dedup.jaccardPairsPrefix(sh, t)
+        .as[(Long, Long, Double)].collect().toSet
+      assert(pref == full, s"threshold $t: prefix ${pref.size} " +
+        s"vs full ${full.size}")
+      assert(full.nonEmpty, s"threshold $t: vacuous fixture")
+    }
+  }
+
+  test("prefix filter: t=1.0 keeps only rarest-shingle postings yet " +
+    "still finds identical docs") {
+    val d = Seq((1L, "a b c d e"), (2L, "a b c d e"), (3L, "z y x w v"))
+      .toDF("doc_id", "text")
+    val got = Dedup.jaccardPairsPrefix(Dedup.shingleKeys(d, 3), 1.0)
+      .select("id1", "id2").as[(Long, Long)].collect().toSet
+    assert(got == Set((1L, 2L)))
+  }
+
   test("minhash+LSH pipeline finds the exact-dup pair and verifies with " +
     "true jaccard") {
     val pairs = Dedup.minhashDuplicatePairs(docs, threshold = 0.8)
