@@ -1160,6 +1160,77 @@ object SparkEntry {
       .groupBy(col("supp")).agg(count(lit(1)).as("degree"))
       .groupBy(col("degree")).agg(count(lit(1)).as("n_suppliers"))
 
+  /** Wide-table pivot: per-user event counts and exact cent-sums, one
+    * column pair per event type. The pivot values are PINNED (no
+    * discovery pass over the data — at 100 TB the implicit
+    * `pivot(col)` two-job form is a full extra scan) so the whole
+    * thing is one grouped aggregation, one shuffle on user_id. Values
+    * are integer cents → engine-exact; absent (user, type) cells are
+    * zero-filled to match SQL's FILTER semantics. */
+  def q85_pivot(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .withColumn("cents", expr("cast(round(value * 100) as bigint)"))
+      .groupBy(col("user_id"))
+      .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+      .agg(count(lit(1)).as("n"), sum(col("cents")).as("cents"))
+      .na.fill(0L)
+
+  /** Interval⨯interval overlap join (ops/RangeJoin.intervalOverlap):
+    * lineitem ship windows [shipdate, shipdate+quantity days] of a 1%
+    * supplier slice against urgent orders' fulfilment weeks — the
+    * two-sided generalization of q56's point-in-interval. Binned to an
+    * equi-join with canonical-bin emission: no nested loop, no
+    * post-join dedup shuffle. All arithmetic in whole days (epoch-day
+    * longs) → hash-exact across engines. */
+  def q86_interval_overlap(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d)
+      .filter(col("l_suppkey") % 100 === 0)
+      .select(col("l_returnflag"),
+        expr("cast(datediff(l_shipdate, date'1970-01-01') as bigint)")
+          .as("l_start"),
+        (expr("cast(datediff(l_shipdate, date'1970-01-01') as bigint)") +
+          col("l_quantity").cast("long")).as("l_end"))
+    val ords = Tables.orders(s, d)
+      .filter(col("o_orderpriority") === "1-URGENT")
+      .select(
+        expr("cast(datediff(o_orderdate, date'1970-01-01') as bigint)")
+          .as("o_start"),
+        (expr("cast(datediff(o_orderdate, date'1970-01-01') as bigint)") +
+          lit(7L)).as("o_end"))
+    graft.ops.RangeJoin.intervalOverlap(li, "l_start", "l_end",
+        ords, "o_start", "o_end", binWidth = 16L)
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(least(col("l_end"), col("o_end")) -
+          greatest(col("l_start"), col("o_start")) + lit(1L))
+          .as("overlap_days"))
+  }
+
+  /** Bounded multi-source BFS (graph/Bfs): exact min hop distance ≤ 3
+    * from a seed supplier set over the undirected supplier↔customer
+    * trade graph (customers offset into their own id space). Level-
+    * synchronous frontier expansion — each round joins only the
+    * frontier, discovers new nodes with an anti-join, never collects.
+    * Output is the distance histogram — exact integers. */
+  def q87_bfs_hops(s: SparkSession, d: String): DataFrame = {
+    val edges = Tables.lineitem(s, d)
+      .select(col("l_orderkey"), col("l_suppkey"))
+      .join(Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey")),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(col("l_suppkey").as("supp"),
+        (col("o_custkey") + lit(1000000L)).as("cust"))
+      .distinct()
+    val undirected = edges.select(col("supp").as("src"), col("cust").as("dst"))
+      .unionByName(edges.select(col("cust").as("src"), col("supp").as("dst")))
+    val seeds = Tables.supplier(s, d)
+      .filter(col("s_suppkey") % 97 === 0)
+      .select(col("s_suppkey").as("node"))
+    graft.graph.Bfs.boundedBfs(undirected, seeds, maxHops = 3)
+      .groupBy(col("dist"))
+      .agg(count(lit(1)).as("n_nodes"),
+        min(col("node")).as("min_node"), max(col("node")).as("max_node"))
+  }
+
   // ---------------------------------------------------------------- registry
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1247,6 +1318,9 @@ object SparkEntry {
     "q82_bloom_prune" -> (q82_bloom_prune _),
     "q83_rolling_window" -> (q83_rolling_window _),
     "q84_degree_stats" -> (q84_degree_stats _),
+    "q85_pivot" -> (q85_pivot _),
+    "q86_interval_overlap" -> (q86_interval_overlap _),
+    "q87_bfs_hops" -> (q87_bfs_hops _),
   )
 
   // DuckDB twins of the Scala normalization / hashing expressions
@@ -2206,5 +2280,65 @@ object SparkEntry {
         |d AS (SELECT supp, count(*) AS degree FROM e GROUP BY supp)
         |SELECT degree, count(*) AS n_suppliers FROM d
         |GROUP BY degree""".stripMargin,
+    "q85_pivot" -> {
+      val types = Seq("click", "error", "purchase", "signup", "view")
+      val cols = types.map { t =>
+        s"""  count(*) FILTER (event_type = '$t') AS ${t}_n,
+           |  CAST(COALESCE(sum(CAST(round(value * 100) AS BIGINT))
+           |    FILTER (event_type = '$t'), 0) AS BIGINT) AS ${t}_cents"""
+          .stripMargin
+      }.mkString(",\n")
+      s"""SELECT user_id,
+         |$cols
+         |FROM events GROUP BY user_id""".stripMargin
+    },
+    "q86_interval_overlap" ->
+      """WITH li AS (
+        |  SELECT l_returnflag,
+        |    datediff('day', DATE '1970-01-01', CAST(l_shipdate AS DATE))
+        |      AS l_start,
+        |    datediff('day', DATE '1970-01-01', CAST(l_shipdate AS DATE))
+        |      + CAST(l_quantity AS BIGINT) AS l_end
+        |  FROM lineitem WHERE l_suppkey % 100 = 0),
+        |o AS (
+        |  SELECT
+        |    datediff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))
+        |      AS o_start,
+        |    datediff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))
+        |      + 7 AS o_end
+        |  FROM orders WHERE o_orderpriority = '1-URGENT')
+        |SELECT l_returnflag, count(*) AS n_pairs,
+        |  CAST(sum(least(l_end, o_end) - greatest(l_start, o_start) + 1)
+        |    AS BIGINT) AS overlap_days
+        |FROM li JOIN o ON l_start <= o_end AND o_start <= l_end
+        |GROUP BY l_returnflag""".stripMargin,
+    "q87_bfs_hops" ->
+      """WITH e AS (
+        |  SELECT DISTINCT l_suppkey AS supp, 1000000 + o_custkey AS cust
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+        |ed AS (SELECT supp AS src, cust AS dst FROM e
+        |       UNION ALL SELECT cust AS src, supp AS dst FROM e),
+        |d0 AS (SELECT DISTINCT CAST(s_suppkey AS BIGINT) AS node
+        |       FROM supplier WHERE s_suppkey % 97 = 0),
+        |d1 AS (SELECT DISTINCT ed.dst AS node
+        |       FROM ed JOIN d0 ON ed.src = d0.node
+        |       WHERE ed.dst NOT IN (SELECT node FROM d0)),
+        |d2 AS (SELECT DISTINCT ed.dst AS node
+        |       FROM ed JOIN d1 ON ed.src = d1.node
+        |       WHERE ed.dst NOT IN (SELECT node FROM d0
+        |                            UNION SELECT node FROM d1)),
+        |d3 AS (SELECT DISTINCT ed.dst AS node
+        |       FROM ed JOIN d2 ON ed.src = d2.node
+        |       WHERE ed.dst NOT IN (SELECT node FROM d0
+        |                            UNION SELECT node FROM d1
+        |                            UNION SELECT node FROM d2)),
+        |alld AS (
+        |  SELECT node, 0 AS dist FROM d0
+        |  UNION ALL SELECT node, 1 FROM d1
+        |  UNION ALL SELECT node, 2 FROM d2
+        |  UNION ALL SELECT node, 3 FROM d3)
+        |SELECT CAST(dist AS INTEGER) AS dist, count(*) AS n_nodes,
+        |  min(node) AS min_node, max(node) AS max_node
+        |FROM alld GROUP BY dist""".stripMargin,
   )
 }

@@ -47,4 +47,35 @@ object RangeJoin {
       .filter(col(pointCol) >= col(startCol) && col(pointCol) <= col(endCol))
       .drop("__bin")
   }
+
+  /** Interval⨯interval overlap join, same binning discipline as
+    * [[pointInInterval]]: both sides explode to their covered bins, the
+    * join is a plain equi-join on the bin key, and the exact overlap
+    * predicate (`lStart <= rEnd && rStart <= lEnd`, inclusive) refines.
+    *
+    * Dedup-free by construction: a pair that overlaps shares every bin
+    * in `[max(starts), min(ends)]`, so the pair is emitted only from its
+    * canonical bin — the one containing `max(lStart, rStart)` — which
+    * both sides are guaranteed to cover. No post-join `distinct` (and
+    * therefore no second shuffle over the pair set).
+    *
+    * Replication is `len/binWidth + 1` per interval per side — pick
+    * binWidth near the median interval length. Output carries all
+    * columns of both inputs; callers ensure the names don't collide. */
+  def intervalOverlap(left: DataFrame, lStart: String, lEnd: String,
+                      right: DataFrame, rStart: String, rEnd: String,
+                      binWidth: Long): DataFrame = {
+    require(binWidth > 0, "binWidth must be positive")
+    def binned(df: DataFrame, s: String, e: String): DataFrame =
+      df.filter(col(s) <= col(e)).withColumn("__bin",
+        explode(sequence(
+          expr(s"cast(`$s` as bigint) div ${binWidth}L"),
+          expr(s"cast(`$e` as bigint) div ${binWidth}L"))))
+    binned(left, lStart, lEnd)
+      .join(binned(right, rStart, rEnd), Seq("__bin"))
+      .filter(col(lStart) <= col(rEnd) && col(rStart) <= col(lEnd))
+      .filter(col("__bin") ===
+        expr(s"greatest(cast(`$lStart` as bigint), cast(`$rStart` as bigint)) div ${binWidth}L"))
+      .drop("__bin")
+  }
 }

@@ -1,0 +1,50 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.graph.Bfs
+
+class BfsSpec extends AnyFunSuite with SparkTestBase {
+  import spark.implicits._
+
+  // 1→2→3→4→5 chain, a 1→6 branch, 7↔8 island, 9 isolated seed
+  private lazy val edges =
+    Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (1L, 6L), (7L, 8L), (8L, 7L))
+      .toDF("src", "dst")
+
+  private def run(seedIds: Seq[Long], maxHops: Int): Map[Long, Int] =
+    Bfs.boundedBfs(edges, seedIds.toDF("node"), maxHops)
+      .as[(Long, Int)].collect().toMap
+
+  test("single-source distances are exact and bounded") {
+    assert(run(Seq(1L), 3) ==
+      Map(1L -> 0, 2L -> 1, 6L -> 1, 3L -> 2, 4L -> 3))
+    assert(run(Seq(1L), 0) == Map(1L -> 0))
+  }
+
+  test("multi-source takes the minimum distance over seeds") {
+    // node 3 is 2 hops from seed 1 but 0 hops as its own seed;
+    // 4 becomes 1 hop, 5 becomes reachable at 2
+    assert(run(Seq(1L, 3L), 3) ==
+      Map(1L -> 0, 3L -> 0, 2L -> 1, 6L -> 1, 4L -> 1, 5L -> 2))
+  }
+
+  test("unreachable components stay absent; isolated seed is distance 0") {
+    val d = run(Seq(9L), 3)
+    assert(d == Map(9L -> 0)) // 9 has no edges; nothing else reached
+    val d2 = run(Seq(7L), 3)
+    assert(d2 == Map(7L -> 0, 8L -> 1)) // cycle doesn't loop distances
+  }
+
+  test("edges are followed in direction only") {
+    // seed 5: the chain points toward 5, so nothing is reachable
+    assert(run(Seq(5L), 3) == Map(5L -> 0))
+  }
+
+  test("duplicate seeds and duplicate edges don't inflate the result") {
+    val dup = Seq((1L, 2L), (1L, 2L), (2L, 3L)).toDF("src", "dst")
+    val d = Bfs.boundedBfs(dup, Seq(1L, 1L).toDF("node"), 2)
+      .as[(Long, Int)].collect()
+    assert(d.length == d.map(_._1).distinct.length) // one row per node
+    assert(d.toMap == Map(1L -> 0, 2L -> 1, 3L -> 2))
+  }
+}

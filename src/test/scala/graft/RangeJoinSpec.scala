@@ -48,4 +48,50 @@ class RangeJoinSpec extends AnyFunSuite with SparkTestBase {
     assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
     assert(!plan.contains("CartesianProduct"), plan)
   }
+
+  // ------------------------------------------------------ intervalOverlap
+
+  private lazy val left =
+    Seq((1L, 0L, 10L), (2L, 50L, 60L), (3L, 100L, 100L), (4L, 300L, 500L),
+      (5L, 70L, 40L)) // degenerate: start > end
+      .toDF("lid", "ls", "le")
+  private lazy val right =
+    Seq((10L, 5L, 7L), (11L, 10L, 50L), (12L, 61L, 99L), (13L, 100L, 100L),
+      (14L, 450L, 2000L)).toDF("rid", "rs", "re")
+
+  test("overlap join matches the inequality-join semantics exactly") {
+    val got = RangeJoin
+      .intervalOverlap(left, "ls", "le", right, "rs", "re", 32L)
+      .select("lid", "rid").as[(Long, Long)].collect().toSet
+    val expected = (for {
+      (l, ls, le) <- Seq((1L, 0L, 10L), (2L, 50L, 60L), (3L, 100L, 100L),
+        (4L, 300L, 500L), (5L, 70L, 40L))
+      (r, rs, re) <- Seq((10L, 5L, 7L), (11L, 10L, 50L), (12L, 61L, 99L),
+        (13L, 100L, 100L), (14L, 450L, 2000L))
+      if ls <= le && rs <= re && ls <= re && rs <= le
+    } yield (l, r)).toSet
+    assert(got == expected && expected.nonEmpty)
+    // fixture sanity: touching endpoints (1,11), point-point (3,13),
+    // containment-free partial overlap (4,14) all present; degenerate
+    // left row 5 matches nothing
+    assert(expected((1L, 11L)) && expected((3L, 13L)) && expected((4L, 14L)))
+    assert(!expected.exists(_._1 == 5L))
+  }
+
+  test("canonical-bin emission: exactly one output row per overlapping pair") {
+    // wide intervals spanning many bins on both sides
+    val wl = Seq((1L, 0L, 1000L), (2L, 500L, 1500L)).toDF("lid", "ls", "le")
+    val wr = Seq((10L, 100L, 900L), (11L, 0L, 2000L)).toDF("rid", "rs", "re")
+    val got = RangeJoin.intervalOverlap(wl, "ls", "le", wr, "rs", "re", 16L)
+    assert(got.count() == 4) // all pairs overlap, each emitted once
+    assert(got.count() == got.distinct().count())
+  }
+
+  test("overlap plan is an equi-join, not a nested loop") {
+    val plan = RangeJoin
+      .intervalOverlap(left, "ls", "le", right, "rs", "re", 32L)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
 }
