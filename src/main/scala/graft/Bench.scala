@@ -26,7 +26,8 @@ object Bench {
     // aggregate (q19), IVF/LSH/PQ vector indexes (q27/q28/q65 — each
     // compiles its own assignment expressions), histogram sketch (q63),
     // as-of merge exec (q48), binned range join rewrite (q56), bloom
-    // build+probe (q82), session windows over events (q79)
+    // build+probe (q82), session windows over events (q79), frontier
+    // BFS (q87 — per-round checkpointed join plans)
     for (w <- Seq("q01_agg_sums", "q16_slot_time", "q24_fingerprint",
                   "q25_cosine_topk", "q18_ngram_jaccard", "q34_pagerank",
                   "q51_contamination", "q32_pipeline_vol",
@@ -35,7 +36,7 @@ object Bench {
                   "q19_minhash_lsh", "q27_ivf_ann", "q28_lsh_ann",
                   "q65_pq_ann", "q63_hist_quantiles", "q48_asof_rates",
                   "q56_range_join", "q82_bloom_prune", "q79_sessionize",
-                  "q33_pipeline_transfers"))
+                  "q33_pipeline_transfers", "q87_bfs_hops"))
       try SparkEntry.queries(w)(spark, sfDir).count()
       catch { case _: Throwable => }
     // drop the warm-up queries' checkpoint blocks so the first timed

@@ -1231,6 +1231,16 @@ object SparkEntry {
         min(col("node")).as("min_node"), max(col("node")).as("max_node"))
   }
 
+  /** Directed shingle-containment pairs (dedup/Dedup.containmentPairs):
+    * |S(A)∩S(B)| / |S(A)| ≥ 0.8 — the quote/excerpt-inclusion signal
+    * that Jaccard (q18) misses when a short doc is embedded in a long
+    * one. Same inverted shingle-join scale shape as q18; hashed
+    * 8-byte shingle keys on the wire. */
+  def q88_containment(s: SparkSession, d: String): DataFrame =
+    graft.dedup.Dedup.containmentPairs(
+      graft.dedup.Dedup.shingleKeys(Tables.documents(s, d), 3)
+        .localCheckpoint(true), 0.8)
+
   // ---------------------------------------------------------------- registry
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1321,6 +1331,7 @@ object SparkEntry {
     "q85_pivot" -> (q85_pivot _),
     "q86_interval_overlap" -> (q86_interval_overlap _),
     "q87_bfs_hops" -> (q87_bfs_hops _),
+    "q88_containment" -> (q88_containment _),
   )
 
   // DuckDB twins of the Scala normalization / hashing expressions
@@ -2340,5 +2351,22 @@ object SparkEntry {
         |SELECT CAST(dist AS INTEGER) AS dist, count(*) AS n_nodes,
         |  min(node) AS min_node, max(node) AS max_node
         |FROM alld GROUP BY dist""".stripMargin,
+    "q88_containment" ->
+      s"""WITH w AS (
+         |  SELECT doc_id, string_split($NormSql, ' ') AS ws FROM documents),
+         |sh AS (
+         |  SELECT DISTINCT doc_id,
+         |    unnest([array_to_string(ws[i:i+2], ' ')
+         |            for i in range(1, greatest(len(ws)-3, 0)+2)]) AS s
+         |  FROM w),
+         |sz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+         |inter AS (
+         |  SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS i
+         |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id <> b.doc_id
+         |  GROUP BY 1, 2)
+         |SELECT id1, id2,
+         |  CAST(i AS DOUBLE) / CAST(sz AS DOUBLE) AS containment
+         |FROM inter JOIN sz ON sz.doc_id = id1
+         |WHERE CAST(i AS DOUBLE) / CAST(sz AS DOUBLE) >= 0.8""".stripMargin,
   )
 }

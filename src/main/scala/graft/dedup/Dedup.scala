@@ -162,6 +162,32 @@ object Dedup {
     jaccardFromCounts(inter, shingleSizes(shingleDf), threshold)
   }
 
+  /** Asymmetric shingle CONTAINMENT: |S(A)∩S(B)| / |S(A)| ≥ threshold —
+    * "most of A's n-grams also appear in B". Catches quote/superset
+    * relationships Jaccard misses (a paragraph pasted into a much longer
+    * document scores near-zero Jaccard but containment ≈ 1), the
+    * standard training-data signal for excerpt/boilerplate inclusion.
+    *
+    * Directed: (id1 → id2) and (id2 → id1) are independent rows with
+    * different denominators. Same inverted-join scale shape as
+    * [[jaccardPairs]] — only co-shingled pairs materialize, one shuffle
+    * on the shingle key, then per-pair counts. */
+  def containmentPairs(shingleDf: DataFrame, threshold: Double): DataFrame = {
+    val a = shingleDf.select(col("doc_id").as("id1"), col("shingle"))
+    val b = shingleDf.select(col("doc_id").as("id2"), col("shingle"))
+    val inter = a.join(b, Seq("shingle"))
+      .filter(col("id1") =!= col("id2"))
+      .groupBy(col("id1"), col("id2"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(shingleSizes(shingleDf).withColumnRenamed("doc_id", "id1")
+        .withColumnRenamed("sz", "sz1"), Seq("id1"))
+      .withColumn("containment",
+        col("inter").cast("double") / col("sz1").cast("double"))
+      .filter(col("containment") >= threshold)
+      .select(col("id1"), col("id2"), col("containment"))
+  }
+
   /** Exact Jaccard pairs via PREFIX FILTERING (Bayardo et al.'s
     * AllPairs / PPJoin candidate generation): only each doc's first
     * `|S| − ⌈t·|S|⌉ + 1` shingles — in a global rarest-first canonical

@@ -35,19 +35,23 @@ object Bfs {
     * @return (node: long, dist: int) — min #hops from any seed, ≤ maxHops */
   def boundedBfs(edges: DataFrame, seeds: DataFrame, maxHops: Int): DataFrame = {
     require(maxHops >= 0, "maxHops must be non-negative")
+    // materialize the (possibly expensive) edge build once: every round
+    // re-reads it, and without the cut each round's lineage would
+    // re-run it — frontier_h feeds both the next expansion and the
+    // final union, so re-evaluations compound with depth
     val e = edges.select(col("src").cast("long"), col("dst").cast("long"))
+      .localCheckpoint(true)
     var dist = seeds.select(col("node").cast("long"))
-      .distinct().withColumn("dist", lit(0))
+      .distinct().withColumn("dist", lit(0)).localCheckpoint(true)
     var frontier = dist.select(col("node"))
     var hop = 1
-    while (hop <= maxHops) {
+    while (hop <= maxHops && !frontier.isEmpty) {
       val reached = frontier
         .join(e, frontier("node") === e("src"))
         .select(col("dst").as("node")).distinct()
       val fresh = reached.join(dist.select(col("node")), Seq("node"), "left_anti")
         .withColumn("dist", lit(hop))
-      // localCheckpoint would be overkill for the small constant depth;
-      // union keeps the plan a flat `maxHops`-way tree
+        .localCheckpoint(true) // cut per-round lineage (as q34/q44 do)
       dist = dist.unionByName(fresh)
       frontier = fresh.select(col("node"))
       hop += 1

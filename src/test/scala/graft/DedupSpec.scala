@@ -55,6 +55,20 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
     assert(got.toSeq == Seq((1L, 2L, 1.0 / 3)))
   }
 
+  test("containment: asymmetric, exact on hand-computed sets") {
+    // doc1 ⊂ doc2's shingles: doc1 {a b c, b c d}; doc2 {a b c, b c d,
+    // c d e} → containment(1→2)=1.0, (2→1)=2/3; direction matters
+    val d = Seq((1L, "a b c d"), (2L, "a b c d e")).toDF("doc_id", "text")
+    val got = Dedup.containmentPairs(Dedup.shingles(d, 3), 0.0)
+      .select("id1", "id2", "containment")
+      .as[(Long, Long, Double)].collect().toSet
+    assert(got == Set((1L, 2L, 1.0), (2L, 1L, 2.0 / 3)))
+    // thresholding keeps only the embedded direction
+    val th = Dedup.containmentPairs(Dedup.shingles(d, 3), 0.8)
+      .select("id1", "id2").as[(Long, Long)].collect().toSet
+    assert(th == Set((1L, 2L)))
+  }
+
   test("prefix-filtered jaccard equals the full inverted join — " +
     "thresholds including float-noisy t·|S| (0.3, 0.5, 0.7)") {
     val corpus = Tables.documents(spark, "/root/testdata/sf0.001")
