@@ -1241,6 +1241,42 @@ object SparkEntry {
       graft.dedup.Dedup.shingleKeys(Tables.documents(s, d), 3)
         .localCheckpoint(true), 0.8)
 
+  /** Vocabulary build (text/Vocab): corpus term counts → min-count 5 →
+    * contiguous token ids in (count desc, term) order via distributed
+    * sort + zipWithIndex — NOT a global row_number window (which would
+    * single-partition the vocabulary). */
+  def q89_vocab(s: SparkSession, d: String): DataFrame =
+    graft.text.Vocab.build(Tables.documents(s, d), minCount = 5L)
+
+  /** Bounded k-core peel (graph/KCore): k=30, ≤8 rounds over the
+    * supplier↔customer trade graph — degree histogram of the surviving
+    * core. Round-bounded semantics make the iterative fixpoint
+    * SQL-oracle-able (the oracle unrolls the same 8 peels). */
+  def q90_kcore(s: SparkSession, d: String): DataFrame = {
+    val edges = Tables.lineitem(s, d)
+      .select(col("l_orderkey"), col("l_suppkey"))
+      .join(Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey")),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(col("l_suppkey").as("src"),
+        (col("o_custkey") + lit(1000000L)).as("dst"))
+    graft.graph.KCore.peel(edges, k = 30, rounds = 8)
+      .groupBy(col("degree")).agg(count(lit(1)).as("n_nodes"))
+  }
+
+  /** Per-stratum winsorization (TrainingData.winsorize): clamp event
+    * values into their type's exact [p5, p95] order statistics —
+    * integer-cent inputs, integer rank math, so the clipped sums are
+    * engine-exact. */
+  def q91_winsorize(s: SparkSession, d: String): DataFrame =
+    graft.pipeline.TrainingData.winsorize(
+      Tables.events(s, d)
+        .withColumn("cents", expr("cast(round(value * 100) as bigint)")),
+      col("event_type"), col("cents"), col("event_id"), loPct = 5, hiPct = 95)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        min(col("__lo")).as("lo_cents"), min(col("__hi")).as("hi_cents"),
+        sum(col("__winsorized")).as("clipped_sum"))
+
   // ---------------------------------------------------------------- registry
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1332,6 +1368,9 @@ object SparkEntry {
     "q86_interval_overlap" -> (q86_interval_overlap _),
     "q87_bfs_hops" -> (q87_bfs_hops _),
     "q88_containment" -> (q88_containment _),
+    "q89_vocab" -> (q89_vocab _),
+    "q90_kcore" -> (q90_kcore _),
+    "q91_winsorize" -> (q91_winsorize _),
   )
 
   // DuckDB twins of the Scala normalization / hashing expressions
@@ -2368,5 +2407,62 @@ object SparkEntry {
          |  CAST(i AS DOUBLE) / CAST(sz AS DOUBLE) AS containment
          |FROM inter JOIN sz ON sz.doc_id = id1
          |WHERE CAST(i AS DOUBLE) / CAST(sz AS DOUBLE) >= 0.8""".stripMargin,
+    "q89_vocab" ->
+      s"""WITH t AS (
+         |  SELECT unnest(string_split($NormSql, ' ')) AS term
+         |  FROM documents),
+         |c AS (
+         |  SELECT term, count(*) AS n FROM t WHERE term <> ''
+         |  GROUP BY term HAVING count(*) >= 5)
+         |SELECT term, n,
+         |  CAST(row_number() OVER (ORDER BY n DESC, term) - 1 AS BIGINT)
+         |    AS token_id
+         |FROM c""".stripMargin,
+    "q90_kcore" -> {
+      // unrolled 8-round peel — must mirror graph/KCore.peel exactly.
+      // MATERIALIZED is load-bearing: inlined, the 3 references per
+      // level make the plan re-evaluate the chain ~3^8 times
+      val peels = (1 to 8).map { r =>
+        s"""k$r AS MATERIALIZED (SELECT src FROM e${r - 1} GROUP BY src
+           |        HAVING count(*) >= 30),
+           |e$r AS MATERIALIZED (SELECT src, dst FROM e${r - 1}
+           |        WHERE src IN (SELECT src FROM k$r)
+           |          AND dst IN (SELECT src FROM k$r))""".stripMargin
+      }.mkString(",\n")
+      s"""WITH raw AS MATERIALIZED (
+         |  SELECT l_suppkey AS src, 1000000 + o_custkey AS dst
+         |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+         |e0 AS MATERIALIZED (
+         |  SELECT DISTINCT src, dst FROM (
+         |    SELECT src, dst FROM raw
+         |    UNION ALL SELECT dst AS src, src AS dst FROM raw)),
+         |$peels,
+         |d AS (SELECT src, count(*) AS degree FROM e8 GROUP BY src
+         |      HAVING count(*) >= 30)
+         |SELECT degree, count(*) AS n_nodes FROM d GROUP BY degree"""
+        .stripMargin
+    },
+    "q91_winsorize" ->
+      """WITH v AS (
+        |  SELECT event_type, event_id,
+        |    CAST(round(value * 100) AS BIGINT) AS cents FROM events),
+        |r AS (
+        |  SELECT event_type, cents,
+        |    row_number() OVER (PARTITION BY event_type
+        |      ORDER BY cents, event_id) - 1 AS rk,
+        |    count(*) OVER (PARTITION BY event_type) AS n
+        |  FROM v),
+        |b AS (
+        |  SELECT event_type,
+        |    min(CASE WHEN rk = (5 * (n - 1)) // 100 THEN cents END) AS lo,
+        |    min(CASE WHEN rk = (95 * (n - 1)) // 100 THEN cents END) AS hi
+        |  FROM r GROUP BY event_type)
+        |SELECT r.event_type, count(*) AS n,
+        |  CAST(min(b.lo) AS BIGINT) AS lo_cents,
+        |  CAST(min(b.hi) AS BIGINT) AS hi_cents,
+        |  CAST(sum(greatest(least(r.cents, b.hi), b.lo)) AS BIGINT)
+        |    AS clipped_sum
+        |FROM r JOIN b ON r.event_type = b.event_type
+        |GROUP BY r.event_type""".stripMargin,
   )
 }

@@ -1,0 +1,55 @@
+package graft.graph
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** k-core extraction by iterative peeling: repeatedly delete nodes whose
+  * degree (over the surviving subgraph) is below k, until fixpoint or a
+  * driver-bounded round limit. The standard graph-cleaning pass before
+  * community/centrality work — strips the low-degree fringe so the
+  * iterative algorithms (q34 PageRank, q44 CC, q69 triangles) run on the
+  * dense core.
+  *
+  * Each round is two scale-safe steps over the edge list: a degree
+  * aggregation (one shuffle on node id) and a both-endpoint semi-join
+  * against the survivors. Edges are checkpointed per round — same
+  * lineage discipline as Bfs/ConnectedComponents — so round r never
+  * re-executes rounds 0..r-1. Early exit on fixpoint is sound for
+  * bounded-round semantics: once the edge count stops changing, every
+  * further round is the identity, so "fixpoint result" == "round-R
+  * result" whenever the fixpoint arrives within R rounds.
+  */
+object KCore {
+
+  /** @param edges directed/undirected edge list (src, dst); symmetrized
+    *              and self-loop-stripped internally
+    * @param k      minimum degree to survive
+    * @param rounds peel-round bound (fixpoint usually arrives in <10)
+    * @return surviving (node, degree) — degree within the core */
+  def peel(edges: DataFrame, k: Int, rounds: Int): DataFrame = {
+    require(k >= 1 && rounds >= 1, "k and rounds must be positive")
+    var e = {
+      val d = edges.select(col("src").cast("long"), col("dst").cast("long"))
+        .filter(col("src") =!= col("dst"))
+      d.unionByName(d.select(col("dst").as("src"), col("src").as("dst")))
+        .distinct().localCheckpoint(true)
+    }
+    var size = e.count()
+    var r = 0
+    var fixed = false
+    while (r < rounds && !fixed && size > 0) {
+      val keep = e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+        .filter(col("deg") >= k).select(col("src"))
+      val e2 = e
+        .join(keep, Seq("src"), "left_semi")
+        .join(keep.withColumnRenamed("src", "dst"), Seq("dst"), "left_semi")
+        .localCheckpoint(true)
+      val newSize = e2.count()
+      fixed = newSize == size
+      e = e2; size = newSize; r += 1
+    }
+    e.groupBy(col("src")).agg(count(lit(1)).as("degree"))
+      .filter(col("degree") >= k)
+      .select(col("src").as("node"), col("degree"))
+  }
+}

@@ -110,6 +110,43 @@ object TrainingData {
       .drop("pr", "__n")
   }
 
+  /** Per-stratum winsorization: clamp `value` into [p_lo, p_hi] of its
+    * stratum, with the percentile defined as the EXACT order statistic
+    * at 0-indexed rank ⌊pct·(n−1)/100⌋ — integer index math, no
+    * interpolation, so the clip bounds are values that exist in the
+    * data and the whole transform is engine-exact on integer inputs
+    * (percentile-with-interpolation would reintroduce float drift).
+    * The feature-cleaning twin of [[qualityGate]]: bound outliers
+    * instead of dropping rows.
+    *
+    * One window per stratum (parallel sorts, never a global order) to
+    * rank, one tiny per-stratum bounds frame joined back. At 100 TB
+    * with few strata, derive the bounds from the mergeable histogram
+    * sketch (functions/HistogramQuantileAgg) instead of the exact rank
+    * — same clamp, sketch-accurate bounds, no per-stratum sort. */
+  def winsorize(df: DataFrame, stratum: Column, value: Column, id: Column,
+                loPct: Int, hiPct: Int): DataFrame = {
+    require(0 <= loPct && loPct <= hiPct && hiPct <= 100, "bad percentiles")
+    val w = Window.partitionBy(stratum).orderBy(value, id)
+    val cw = Window.partitionBy(stratum)
+    // both windows share the stratum hash-partitioning → ONE shuffle;
+    // integer rank math: ⌊pct·(n−1)/100⌋, 0-indexed
+    // `div` (not `/`): Spark's / on ints is double division and its
+    // double→long cast truncates while other engines round — integer
+    // division is the only portable floor
+    df.withColumn("__rank", row_number().over(w) - 1)
+      .withColumn("__n", count(lit(1)).over(cw))
+      .withColumn("__lo", min(when(
+        col("__rank") === expr(s"($loPct * (__n - 1)) div 100"),
+        value)).over(cw))
+      .withColumn("__hi", min(when(
+        col("__rank") === expr(s"($hiPct * (__n - 1)) div 100"),
+        value)).over(cw))
+      .withColumn("__winsorized",
+        greatest(least(value, col("__hi")), col("__lo")))
+      .drop("__rank", "__n")
+  }
+
   /** Source-mix rebalancing: uniformly downsample every stratum to the
     * smallest stratum's size — `hash60(id) % n_stratum < n_min` keeps
     * exactly rate n_min/n_stratum, deterministically. The per-stratum

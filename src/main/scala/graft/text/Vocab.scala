@@ -1,0 +1,65 @@
+package graft.text
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+import graft.dedup.Dedup
+
+/** Vocabulary construction: corpus term counts → min-count filter →
+  * CONTIGUOUS token ids in (count desc, term asc) order — the
+  * tokenizer-dictionary step of a training-data pipeline.
+  *
+  * The interesting part at scale is the id assignment. The SQL-obvious
+  * form — `row_number() OVER (ORDER BY n DESC, term)` — has no
+  * PARTITION BY, so Spark moves the whole vocabulary to ONE partition
+  * (WindowExec warns about exactly this). Instead:
+  *
+  *   1. `orderBy(n desc, term)` — a range-partitioned distributed sort
+  *      (each partition holds a contiguous rank range, sorted within);
+  *   2. `rdd.zipWithIndex` — Spark computes per-partition counts with
+  *      one lightweight job, then assigns `partitionOffset + localIndex`
+  *      per row, fully in parallel.
+  *
+  * Total order (and therefore the ids) is deterministic because the
+  * sort key (count, term) is unique per term. One of the few sanctioned
+  * RDD drops in the engine: Catalyst has no distributed row-number
+  * without a partition key, and this is the standard idiom for it.
+  */
+object Vocab {
+
+  /** @return (term, n, token_id) — token_id contiguous from 0 in
+    *         (n desc, term asc) order, only terms with n ≥ minCount */
+  def build(docs: DataFrame, minCount: Long): DataFrame = {
+    val counts = docs
+      .select(explode(split(Dedup.normalize(col("text")), " ")).as("term"))
+      .filter(col("term") =!= "")
+      .groupBy(col("term")).agg(count(lit(1)).as("n"))
+      .filter(col("n") >= minCount)
+    val sorted = counts.orderBy(col("n").desc, col("term").asc)
+    val schema = sorted.schema.add("token_id", LongType, nullable = false)
+    val withIds = sorted.rdd.zipWithIndex.map { case (r, i) =>
+      Row.fromSeq(r.toSeq :+ i)
+    }
+    sorted.sparkSession.createDataFrame(withIds, schema)
+  }
+
+  /** Encode documents as token-id sequences against a built vocabulary:
+    * explode to (doc position, term), broadcast-join the dictionary
+    * (vocabularies are ~10⁵–10⁶ rows — always the small side), and
+    * re-assemble in position order. Out-of-vocabulary terms map to
+    * `unkId`. One shuffle (the re-assembly groupBy on doc_id). */
+  def encode(docs: DataFrame, vocab: DataFrame, unkId: Long): DataFrame = {
+    val toks = docs.select(col("doc_id"),
+      posexplode(split(Dedup.normalize(col("text")), " ")))
+      .toDF("doc_id", "pos", "term")
+    toks
+      .join(broadcast(vocab.select(col("term"), col("token_id"))),
+        Seq("term"), "left")
+      .select(col("doc_id"), col("pos"),
+        coalesce(col("token_id"), lit(unkId)).as("tid"))
+      .groupBy(col("doc_id"))
+      .agg(array_sort(collect_list(struct(col("pos"), col("tid"))))
+        .as("toks"))
+      .select(col("doc_id"), expr("transform(toks, t -> t.tid)").as("token_ids"))
+  }
+}

@@ -1,0 +1,53 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.graph.KCore
+
+class KCoreSpec extends AnyFunSuite with SparkTestBase {
+  import spark.implicits._
+
+  // K4 clique (1,2,3,4) + a pendant chain 4-5-6 + a triangle 7,8,9
+  private lazy val edges = Seq(
+    (1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L),
+    (4L, 5L), (5L, 6L),
+    (7L, 8L), (8L, 9L), (7L, 9L)
+  ).toDF("src", "dst")
+
+  test("3-core keeps exactly the K4 clique") {
+    val got = KCore.peel(edges, k = 3, rounds = 10)
+      .as[(Long, Long)].collect().toMap
+    // chain peels (6 then 5), triangle peels (degree 2 < 3), K4 stays;
+    // 4 loses its pendant edge → all four have in-core degree 3
+    assert(got == Map(1L -> 3, 2L -> 3, 3L -> 3, 4L -> 3))
+  }
+
+  test("2-core keeps K4 and the triangle, drops the chain") {
+    val got = KCore.peel(edges, k = 2, rounds = 10)
+      .as[(Long, Long)].collect().toMap
+    assert(got.keySet == Set(1L, 2L, 3L, 4L, 7L, 8L, 9L))
+    assert(got(7L) == 2 && got(8L) == 2 && got(9L) == 2)
+  }
+
+  test("k above max degree empties the graph without error") {
+    assert(KCore.peel(edges, k = 10, rounds = 5).count() == 0)
+  }
+
+  test("cascading peel needs multiple rounds (chain unravels end-in)") {
+    // path 1-2-3-4-5: 1-core is everything; 2-core is empty but only
+    // after the endpoints peel round by round
+    val path = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L)).toDF("src", "dst")
+    assert(KCore.peel(path, k = 2, rounds = 10).count() == 0)
+    // with rounds=1 only the endpoints peel: surviving edges are
+    // (2,3),(3,4) and only node 3 still has degree ≥ 2
+    val partial = KCore.peel(path, k = 2, rounds = 1)
+      .as[(Long, Long)].collect().toMap
+    assert(partial == Map(3L -> 2))
+  }
+
+  test("self-loops and duplicate edges don't count toward degree") {
+    val messy = Seq((1L, 1L), (1L, 2L), (2L, 1L), (1L, 2L)).toDF("src", "dst")
+    val got = KCore.peel(messy, k = 1, rounds = 5)
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 1, 2L -> 1))
+  }
+}

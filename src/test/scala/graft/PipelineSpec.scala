@@ -87,6 +87,24 @@ class PipelineSpec extends AnyFunSuite with SparkTestBase {
     assert(kept.count() == 16) // a: 15 of 20 kept; b: the solo doc
   }
 
+  test("winsorize: clamps into exact per-stratum order statistics") {
+    // stratum a: values 0..100 → p5 rank ⌊5·100/100⌋=5, p95 rank 95
+    val df = ((0 to 100).map(i => (s"a$i", "a", i.toLong)) ++
+      Seq(("b1", "b", 7L), ("b2", "b", 9L), ("b3", "b", 1000L)))
+      .toDF("id", "stratum", "v")
+    val got = TrainingData.winsorize(df, $"stratum", $"v", $"id", 5, 95)
+    val a = got.filter($"stratum" === "a")
+      .select("v", "__winsorized").as[(Long, Long)].collect().toMap
+    assert(a(0L) == 5L && a(3L) == 5L && a(5L) == 5L) // clipped up
+    assert(a(50L) == 50L)                             // untouched
+    assert(a(95L) == 95L && a(99L) == 95L && a(100L) == 95L) // clipped down
+    // stratum b (n=3): lo rank ⌊5·2/100⌋=0 → 7, hi rank ⌊95·2/100⌋=1 → 9
+    val b = got.filter($"stratum" === "b")
+      .select("v", "__winsorized").as[(Long, Long)].collect().toMap
+    assert(b == Map(7L -> 7L, 9L -> 9L, 1000L -> 9L))
+    assert(got.count() == df.count()) // rows bounded, never dropped
+  }
+
   test("rebalanceStrata: skewed strata downsample toward the smallest") {
     val df = ((0L until 300L).map(i => (i, "big")) ++
       (300L until 350L).map(i => (i, "small"))).toDF("id", "stratum")

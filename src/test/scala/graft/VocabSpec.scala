@@ -1,0 +1,43 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.text.Vocab
+
+class VocabSpec extends AnyFunSuite with SparkTestBase {
+  import spark.implicits._
+
+  private lazy val docs = Seq(
+    (1L, "the cat sat on the mat"),
+    (2L, "the dog sat on the log"),
+    (3L, "a cat and a dog")
+  ).toDF("doc_id", "text")
+
+  test("build: min-count filter, (count desc, term asc) contiguous ids") {
+    val v = Vocab.build(docs, 2L)
+      .as[(String, Long, Long)].collect().sortBy(_._3)
+    // counts: the=4, a=2, cat=2, dog=2, on=2, sat=2; rest below 2
+    assert(v.map(_._1).toSeq == Seq("the", "a", "cat", "dog", "on", "sat"))
+    assert(v.map(_._3).toSeq == (0L until 6L)) // contiguous from 0
+    assert(v.head == ("the", 4L, 0L))
+  }
+
+  test("build: ids are dense and unique even across partitions") {
+    val big = (0L until 500L).flatMap(i =>
+      Seq((i, s"tok$i common"), (i + 500L, s"tok$i common")))
+      .toDF("doc_id", "text").repartition(7)
+    val v = Vocab.build(big, 2L).as[(String, Long, Long)].collect()
+    val ids = v.map(_._3).sorted
+    assert(ids.toSeq == (0L until v.length))
+    // "common" appears 1000× → id 0; tok* each 2×, tie-broken by term
+    assert(v.minBy(_._3)._1 == "common")
+  }
+
+  test("encode: positions preserved, OOV maps to unkId") {
+    val v = Vocab.build(docs, 2L)
+    val enc = Vocab.encode(
+      Seq((9L, "the unknown cat")).toDF("doc_id", "text"), v, unkId = -1L)
+      .as[(Long, Seq[Long])].collect().head
+    // the→0, unknown→-1, cat→2
+    assert(enc == ((9L, Seq(0L, -1L, 2L))))
+  }
+}
