@@ -1,5 +1,6 @@
 package graft.io
 
+import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Storage layout for scale (the 100 TB story): bucketed tables co-locate
@@ -28,4 +29,67 @@ object Layout {
 
   def read(spark: SparkSession, table: String): DataFrame =
     spark.table(table)
+
+  /** One planned compaction group: output file index, member paths, and
+    * their total size. */
+  final case class CompactionGroup(group: Int, files: Seq[String],
+                                   bytes: Long)
+
+  /** Small-file compaction plan for a parquet directory: first-fit-
+    * decreasing bin packing of data files into groups of ≈`targetBytes`.
+    * Streaming sinks and partition-granular upserts (RollupJob,
+    * DedupIngestJob) accrete small files; at 100 TB unplanned scans of
+    * millions of sub-MB files are dominated by open/footer overhead, so
+    * periodic compaction is part of the engine's operational surface.
+    *
+    * Planning is driver-side over the FILE LISTING only (names + sizes
+    * from the Hadoop FileSystem — the same metadata any scan already
+    * lists; never the data). Files ≥ targetBytes are already compact and
+    * are left alone, and a bin that ends up with a single file is not
+    * emitted either — callers rewrite only returned groups.
+    *
+    * Deterministic: files sort by (size desc, path) before packing. */
+  def compactionPlan(spark: SparkSession, dir: String,
+                     targetBytes: Long): Seq[CompactionGroup] = {
+    require(targetBytes > 0, "targetBytes must be positive")
+    val p = new Path(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val files = fs.listStatus(p).toSeq
+      .filter(s => s.isFile && s.getLen > 0 &&
+        s.getPath.getName.endsWith(".parquet"))
+      .map(s => (s.getPath.toString, s.getLen))
+      .filter(_._2 < targetBytes)
+      .sortBy { case (path, len) => (-len, path) }
+    // first-fit-decreasing into bins capped at targetBytes
+    val bins = scala.collection.mutable.ArrayBuffer
+      .empty[(scala.collection.mutable.ArrayBuffer[String], Long)]
+    for ((path, len) <- files) {
+      bins.indexWhere(_._2 + len <= targetBytes) match {
+        case -1 =>
+          bins += ((scala.collection.mutable.ArrayBuffer(path), len))
+        case i =>
+          val (b, tot) = bins(i); b += path; bins(i) = (b, tot + len)
+      }
+    }
+    // a group of one file is a rename, not a compaction — skip it
+    bins.toSeq.zipWithIndex.collect {
+      case ((paths, tot), i) if paths.size > 1 =>
+        CompactionGroup(i, paths.toSeq, tot)
+    }
+  }
+
+  /** Execute a compaction plan: each group's files are read together and
+    * rewritten as ONE file into `outDir` (coalesce(1) per group — the
+    * point of the exercise; groups proceed as independent jobs so a
+    * 10k-group compaction parallelizes across the cluster's job
+    * scheduler, not within one job). Source files are NOT deleted —
+    * swap-in is the caller's transactional concern (at 100 TB that's a
+    * metastore/table-format commit, not a filesystem mutation). */
+  def compact(spark: SparkSession, plan: Seq[CompactionGroup],
+              outDir: String): Unit =
+    plan.foreach { g =>
+      spark.read.parquet(g.files: _*)
+        .coalesce(1)
+        .write.mode("append").parquet(s"$outDir/group=${g.group}")
+    }
 }

@@ -88,4 +88,39 @@ class IoSpec extends AnyFunSuite with SparkTestBase {
       assert(joined.count() == 2)
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
+
+  test("compaction: small files bin-pack under target, big files left " +
+    "alone, rewrite preserves rows") {
+    val dir = Files.createTempDirectory("graft_compact").toString
+    // 6 tiny files (one row each) + 1 larger file (500 rows)
+    (0 until 6).foreach { i =>
+      Seq((i.toLong, s"v$i")).toDF("id", "v")
+        .coalesce(1).write.mode("append").parquet(dir)
+    }
+    (0L until 500L).map(i => (i + 100L, "big")).toDF("id", "v")
+      .coalesce(1).write.mode("append").parquet(dir)
+    val sizes = new java.io.File(dir).listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(_.length)
+    val target = sizes.max // the big file is "already compact"
+    val plan = Layout.compactionPlan(spark, dir, target)
+    // the 6 tiny files pack into one group; the big file is excluded
+    assert(plan.map(_.files.size).sum == 6, plan)
+    assert(plan.forall(_.bytes <= target))
+    assert(plan.forall(_.files.size > 1))
+    // deterministic plan
+    assert(plan == Layout.compactionPlan(spark, dir, target))
+    val out = Files.createTempDirectory("graft_compact_out").toString
+    Layout.compact(spark, plan, out)
+    val rewritten = spark.read.parquet(
+      plan.map(g => s"$out/group=${g.group}"): _*)
+    assert(rewritten.count() == 6)
+    assert(rewritten.select("id").as[Long].collect().toSet ==
+      (0L until 6L).toSet)
+    // each group wrote exactly one data file
+    plan.foreach { g =>
+      val n = new java.io.File(s"$out/group=${g.group}").listFiles()
+        .count(_.getName.endsWith(".parquet"))
+      assert(n == 1, s"group ${g.group} wrote $n files")
+    }
+  }
 }
