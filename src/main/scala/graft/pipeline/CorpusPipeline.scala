@@ -1,0 +1,87 @@
+package graft.pipeline
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.dedup.Dedup
+import graft.graph.ConnectedComponents
+import graft.text.TextAnalysis
+
+/** End-to-end training-corpus preparation — the composition proof that
+  * the engine's operators chain into the pipeline a large pretraining
+  * data build actually runs, with per-stage row accounting (the
+  * "funnel receipt" every data build publishes):
+  *
+  *   1. language filter        (TextAnalysis.langId, keep allowed langs)
+  *   2. per-source quality gate (TrainingData.qualityGate on the
+  *      composite quality score, worst tail dropped per source)
+  *   3. exact dedup            (Dedup.exactDuplicates → keep canonicals)
+  *   4. near-dup removal       (MinHash/LSH pairs → connected
+  *      components → keep each cluster's min doc_id)
+  *   5. benchmark-contamination drop (shared-5-gram docs removed)
+  *
+  * Every stage is the already-audited library operator — this adds no
+  * new shuffle shapes. Stage frames are persisted before counting so
+  * the accounting pass re-reads cached partitions instead of
+  * recomputing the lineage; at 100 TB run the stages as separate
+  * checkpointed jobs and take the counts from the write metrics
+  * instead.
+  */
+object CorpusPipeline {
+
+  final case class StageCount(stage: String, rows: Long)
+
+  /** @param docs      (doc_id, text, source, ...) corpus
+    * @param benchmark (doc_id, text) eval sets to decontaminate against
+    * @param langs     allowed predicted languages
+    * @param minQualityPercentile per-source quality floor (0.0–1.0)
+    * @param nearDupThreshold Jaccard threshold for near-dup clustering
+    * @return (surviving docs — original columns, funnel counts) */
+  def prepare(docs: DataFrame, benchmark: DataFrame, langs: Seq[String],
+              minQualityPercentile: Double,
+              nearDupThreshold: Double): (DataFrame, Seq[StageCount]) = {
+    val funnel = scala.collection.mutable.ArrayBuffer.empty[StageCount]
+    def record(stage: String, df: DataFrame): DataFrame = {
+      val kept = df.persist()
+      funnel += StageCount(stage, kept.count())
+      kept
+    }
+    val input = record("input", docs)
+
+    val allowed = TextAnalysis.langId(input)
+      .filter(col("pred_lang").isin(langs: _*))
+      .select(col("doc_id"))
+    val langKept = record("lang_filter",
+      input.join(allowed, Seq("doc_id"), "left_semi"))
+
+    val scored = TextAnalysis.qualityScore(langKept)
+      .select(col("doc_id"), col("quality"))
+    val qualityIds = TrainingData.qualityGate(
+      scored.join(langKept.select(col("doc_id"), col("source")),
+        Seq("doc_id")),
+      col("source"), col("quality"), col("doc_id"), minQualityPercentile)
+      .select(col("doc_id"))
+    val qualityKept = record("quality_gate",
+      langKept.join(qualityIds, Seq("doc_id"), "left_semi"))
+
+    val exactDups = Dedup.exactDuplicates(qualityKept)
+      .filter(col("doc_id") =!= col("canonical_id"))
+      .select(col("doc_id"))
+    val exactKept = record("exact_dedup",
+      qualityKept.join(exactDups, Seq("doc_id"), "left_anti"))
+
+    val pairs = Dedup.minhashDuplicatePairs(exactKept, nearDupThreshold)
+      .select(col("id1").as("src"), col("id2").as("dst"))
+    val dropNear = ConnectedComponents.run(pairs)
+      .filter(col("id") =!= col("component")) // keep each cluster's min
+      .select(col("id").as("doc_id"))
+    val nearKept = record("near_dedup",
+      exactKept.join(dropNear, Seq("doc_id"), "left_anti"))
+
+    val contaminated = TrainingData.contamination(nearKept, benchmark)
+      .select(col("doc_id"))
+    val cleanKept = record("decontaminate",
+      nearKept.join(contaminated, Seq("doc_id"), "left_anti"))
+
+    (cleanKept, funnel.toSeq)
+  }
+}

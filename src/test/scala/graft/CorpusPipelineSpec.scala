@@ -1,0 +1,57 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.pipeline.CorpusPipeline
+
+class CorpusPipelineSpec extends AnyFunSuite with SparkTestBase {
+  import spark.implicits._
+
+  // English texts that pass the stopword/alpha quality score; each doc
+  // is lexically distinct so only the planted pairs relate. The junk
+  // docs keep a few English stopwords (so language-ID still says "en"
+  // and the QUALITY gate, not the language filter, is what drops them).
+  private val t1 = "the cat and the dog walked over the hill at dawn"
+  private val t3 = "the ship sailed and the crew sang of the open sea"
+  private val t8 = "the garden grew and the roses bloomed under the sun"
+  private val junk = "zq xv the 9 and 9 zq xv the 9 and 9"
+
+  private lazy val docs = Seq(
+    (1L, t1, "web"),
+    (2L, t1, "web"),                          // exact dup of 1 → dropped
+    (3L, t3 + " tonight", "web"),
+    (4L, t3 + " forever", "web"),             // near-dup of 3 → dropped
+    (5L, "el la de el la de el la de el la de", "web"), // Spanish → dropped
+    (6L, junk, "web"),                        // junk → quality-gated
+    (7L, "the benchmark sentence copied verbatim here and the tale of " +
+      "the fox", "books"),                    // contaminated → dropped
+    (8L, t8, "books"),
+    (9L, junk + " ww", "books")               // junk → quality-gated
+  ).toDF("doc_id", "text", "source")
+
+  // shares a 5-gram run with doc 7 (id space disjoint from the corpus)
+  private lazy val benchmark = Seq(
+    (900L, "the benchmark sentence copied verbatim here indeed"))
+    .toDF("doc_id", "text")
+
+  test("funnel: each stage drops exactly its targets, order preserved") {
+    val (kept, funnel) = CorpusPipeline.prepare(
+      docs, benchmark, langs = Seq("en"),
+      minQualityPercentile = 0.2, nearDupThreshold = 0.5)
+    val ids = kept.select("doc_id").as[Long].collect().toSet
+    assert(ids == Set(1L, 3L, 8L), s"survivors: $ids")
+    val stages = funnel.map(f => f.stage -> f.rows)
+    assert(stages.map(_._1) == Seq("input", "lang_filter", "quality_gate",
+      "exact_dedup", "near_dedup", "decontaminate"))
+    val m = stages.toMap
+    assert(m("input") == 9)
+    assert(m("lang_filter") == 8)   // doc 5 (es) gone
+    assert(m("quality_gate") == 6)  // junk docs 6 and 9 gone
+    assert(m("exact_dedup") == 5)   // doc 2 gone, canonical 1 kept
+    assert(m("near_dedup") == 4)    // doc 4 gone, cluster-min 3 kept
+    assert(m("decontaminate") == 3) // doc 7 gone
+    // funnel is monotone non-increasing
+    assert(funnel.map(_.rows).sliding(2).forall(w => w(0) >= w(1)))
+    // survivors keep the original schema
+    assert(kept.columns.toSeq == Seq("doc_id", "text", "source"))
+  }
+}
