@@ -1277,6 +1277,27 @@ object SparkEntry {
         min(col("__lo")).as("lo_cents"), min(col("__hi")).as("hi_cents"),
         sum(col("__winsorized")).as("clipped_sum"))
 
+  /** Nearest-direction as-of join with a match tolerance (the pandas
+    * merge_asof contract) on q48's orders⨯rates fixture: each order
+    * takes the rate whose timestamp is closest within ±400 days, ties
+    * backward, else null. Same custom exec as q48 — one clustered
+    * exchange per side, binary search per probe row. */
+  def q92_asof_nearest(s: SparkSession, d: String): DataFrame = {
+    val orders = Tables.orders(s, d).select(
+      col("o_orderkey"),
+      (col("o_custkey") % 5).as("key"),
+      datediff(to_date(col("o_orderdate")),
+        lit(java.sql.Date.valueOf("1970-01-01"))).cast(LongType).as("t"))
+    val rates = Tables.region(s, d)
+      .select(col("r_regionkey").cast(LongType).as("key"),
+        explode(sequence(lit(0L), lit(3L))).as("i"))
+      .select(col("key"), (lit(9200L) + col("i") * 600L).as("ts"),
+        (col("key") * 10L + col("i")).as("rate"))
+    graft.plans.AsOfJoin.asof(orders, rates, Seq("key"), "t", "ts",
+        direction = "nearest", tolerance = 400L)
+      .select(col("o_orderkey"), col("t"), col("rate"))
+  }
+
   // ---------------------------------------------------------------- registry
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1371,6 +1392,7 @@ object SparkEntry {
     "q89_vocab" -> (q89_vocab _),
     "q90_kcore" -> (q90_kcore _),
     "q91_winsorize" -> (q91_winsorize _),
+    "q92_asof_nearest" -> (q92_asof_nearest _),
   )
 
   // DuckDB twins of the Scala normalization / hashing expressions
@@ -2464,5 +2486,28 @@ object SparkEntry {
         |    AS clipped_sum
         |FROM r JOIN b ON r.event_type = b.event_type
         |GROUP BY r.event_type""".stripMargin,
+    "q92_asof_nearest" ->
+      """WITH o AS (
+        |  SELECT o_orderkey, o_custkey % 5 AS key,
+        |    CAST(date_diff('day', DATE '1970-01-01',
+        |      CAST(o_orderdate AS DATE)) AS BIGINT) AS t
+        |  FROM orders),
+        |r AS (
+        |  SELECT CAST(r_regionkey AS BIGINT) AS key,
+        |    9200 + i * 600 AS ts,
+        |    CAST(r_regionkey AS BIGINT) * 10 + i AS rate
+        |  FROM region, (SELECT unnest(generate_series(0, 3)) AS i) g),
+        |cand AS (
+        |  SELECT o.o_orderkey, o.t, r.rate, abs(r.ts - o.t) AS gap,
+        |    CASE WHEN r.ts <= o.t THEN 0 ELSE 1 END AS fwd, r.ts
+        |  FROM o JOIN r ON o.key = r.key
+        |  WHERE abs(r.ts - o.t) <= 400),
+        |best AS (
+        |  SELECT o_orderkey, t, rate, row_number() OVER (
+        |    PARTITION BY o_orderkey ORDER BY gap, fwd, ts) AS rn
+        |  FROM cand)
+        |SELECT o.o_orderkey, o.t, b.rate
+        |FROM o LEFT JOIN (SELECT * FROM best WHERE rn = 1) b
+        |  ON o.o_orderkey = b.o_orderkey""".stripMargin,
   )
 }

@@ -32,7 +32,8 @@ import org.apache.spark.sql.graftbridge.Bridge
   */
 case class AsOfJoinPlan(left: LogicalPlan, right: LogicalPlan,
                         leftKeys: Seq[Attribute], rightKeys: Seq[Attribute],
-                        leftTime: Attribute, rightTime: Attribute)
+                        leftTime: Attribute, rightTime: Attribute,
+                        direction: String, tolerance: Long)
     extends BinaryNode {
   override def output: Seq[Attribute] =
     left.output ++ right.output.map(_.withNullability(true))
@@ -43,7 +44,8 @@ case class AsOfJoinPlan(left: LogicalPlan, right: LogicalPlan,
 
 case class AsOfJoinExec(left: SparkPlan, right: SparkPlan,
                         leftKeys: Seq[Expression], rightKeys: Seq[Expression],
-                        leftTime: Expression, rightTime: Expression)
+                        leftTime: Expression, rightTime: Expression,
+                        direction: String, tolerance: Long)
     extends BinaryExecNode {
   override def output: Seq[Attribute] =
     left.output ++ right.output.map(_.withNullability(true))
@@ -62,6 +64,8 @@ case class AsOfJoinExec(left: SparkPlan, right: SparkPlan,
     val rKeys = rightKeys
     val lTime = leftTime
     val rTime = rightTime
+    val dir = direction
+    val tol = tolerance
     left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
       val rKeyProj = UnsafeProjection.create(rKeys, rightOut)
       val rTimeProj = UnsafeProjection.create(Seq(rTime), rightOut)
@@ -85,16 +89,37 @@ case class AsOfJoinExec(left: SparkPlan, right: SparkPlan,
         val t = lTimeProj(lRow).getLong(0)
         val matched = build.get(lKeyProj(lRow)) match {
           case Some(buf) =>
-            // binary search: largest index with time ≤ t
+            // binary search: floor = largest index with time ≤ t;
+            // floor + 1 is then the ceiling (smallest time > t — for
+            // an exact hit the floor IS the nearest/forward match too)
             var lo = 0
             var hi = buf.length - 1
-            var best = -1
+            var floor = -1
             while (lo <= hi) {
               val mid = (lo + hi) >>> 1
-              if (buf(mid)._1 <= t) { best = mid; lo = mid + 1 }
+              if (buf(mid)._1 <= t) { floor = mid; lo = mid + 1 }
               else hi = mid - 1
             }
-            if (best >= 0) buf(best)._2 else null
+            // exact hit: the floor row has time == t and is the forward
+            // match too (≥), not just the backward one
+            val fwdIdx =
+              if (floor >= 0 && buf(floor)._1 == t) floor else floor + 1
+            // existence is a flag, not a sentinel gap: Long.MaxValue
+            // would pass a `gap <= Long.MaxValue` tolerance check
+            val hasBack = floor >= 0 && t - buf(floor)._1 <= tol
+            val hasFwd = fwdIdx < buf.length && buf(fwdIdx)._1 - t <= tol
+            val pick = dir match {
+              case "backward" => if (hasBack) floor else -1
+              case "forward"  => if (hasFwd) fwdIdx else -1
+              case _ => // nearest; ties → backward
+                if (hasBack && hasFwd)
+                  { if (t - buf(floor)._1 <= buf(fwdIdx)._1 - t) floor
+                    else fwdIdx }
+                else if (hasBack) floor
+                else if (hasFwd) fwdIdx
+                else -1
+            }
+            if (pick >= 0) buf(pick)._2 else null
           case None => null
         }
         outProj(joined(lRow, if (matched == null) nullRight else matched))
@@ -116,11 +141,19 @@ object AsOfJoin {
         strategies :+ new AsOfJoinStrategy
   }
 
-  /** left-outer as-of join: for each left row, the latest right row with
-    * equal `key` and time ≤ the left time. Time columns must be long or
-    * timestamp (64-bit internally). */
+  /** left-outer as-of join: for each left row, the right row with equal
+    * `key` nearest in time per `direction` — "backward" (latest time ≤
+    * left time, the default), "forward" (earliest time ≥ left time), or
+    * "nearest" (smaller gap; ties backward) — and within `tolerance`
+    * time units (the pandas merge_asof contract). Time columns must be
+    * long or timestamp (64-bit internally). */
   def asof(left: DataFrame, right: DataFrame, keys: Seq[String],
-           leftTimeCol: String, rightTimeCol: String): DataFrame = {
+           leftTimeCol: String, rightTimeCol: String,
+           direction: String = "backward",
+           tolerance: Long = Long.MaxValue): DataFrame = {
+    require(Set("backward", "forward", "nearest")(direction),
+      s"unknown direction $direction")
+    require(tolerance >= 0, "tolerance must be non-negative")
     val spark = left.sparkSession
     register(spark)
     val lPlan = Bridge.analyzedPlan(left)
@@ -130,7 +163,8 @@ object AsOfJoin {
         throw new IllegalArgumentException(s"column $name not found"))
     val node = AsOfJoinPlan(lPlan, rPlan,
       keys.map(attr(lPlan, _)), keys.map(attr(rPlan, _)),
-      attr(lPlan, leftTimeCol), attr(rPlan, rightTimeCol))
+      attr(lPlan, leftTimeCol), attr(rPlan, rightTimeCol),
+      direction, tolerance)
     Bridge.ofRows(spark, node)
   }
 }
@@ -139,8 +173,8 @@ object AsOfJoin {
   * idempotent registration). */
 class AsOfJoinStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case AsOfJoinPlan(l, r, lk, rk, lt, rt) =>
-      AsOfJoinExec(planLater(l), planLater(r), lk, rk, lt, rt) :: Nil
+    case AsOfJoinPlan(l, r, lk, rk, lt, rt, dir, tol) =>
+      AsOfJoinExec(planLater(l), planLater(r), lk, rk, lt, rt, dir, tol) :: Nil
     case _ => Nil
   }
 }

@@ -65,6 +65,48 @@ class AsOfJoinSpec extends AnyFunSuite with SparkTestBase {
     assert(native == composed && native.size == n)
   }
 
+  test("forward direction: earliest right time ≥ left time") {
+    val got = AsOfJoin.asof(txs, prices, Seq("unit"), "t", "ts",
+      direction = "forward")
+      .select($"hash", $"price")
+      .as[(String, Option[Double])].collect().toMap
+    assert(got == Map(
+      "t1" -> Some(1.0), // 5 → next price at 10
+      "t2" -> Some(1.0), // exact hit stays the hit
+      "t3" -> Some(3.0), // 25 → next at 30
+      "t4" -> None,      // nothing after 99
+      "t5" -> None,      // u2's only price is at 15 < 20
+      "t6" -> None))
+  }
+
+  test("nearest direction: smaller gap wins, ties go backward") {
+    val got = AsOfJoin.asof(txs, prices, Seq("unit"), "t", "ts",
+      direction = "nearest")
+      .select($"hash", $"price")
+      .as[(String, Option[Double])].collect().toMap
+    // t3 at 25: gap 5 both ways → tie → backward (2.0)
+    assert(got == Map(
+      "t1" -> Some(1.0), "t2" -> Some(1.0), "t3" -> Some(2.0),
+      "t4" -> Some(3.0), "t5" -> Some(10.0), "t6" -> None))
+  }
+
+  test("tolerance bounds the match gap in every direction") {
+    val back = AsOfJoin.asof(txs, prices, Seq("unit"), "t", "ts",
+      tolerance = 4L)
+      .select($"hash", $"price")
+      .as[(String, Option[Double])].collect().toMap
+    // t3 (25, floor at 20, gap 5) and t4 (99, gap 69) now miss
+    assert(back == Map(
+      "t1" -> None, "t2" -> Some(1.0), "t3" -> None,
+      "t4" -> None, "t5" -> None, "t6" -> None))
+    val near = AsOfJoin.asof(txs, prices, Seq("unit"), "t", "ts",
+      direction = "nearest", tolerance = 5L)
+      .select($"hash", $"price")
+      .as[(String, Option[Double])].collect().toMap
+    assert(near("t1").contains(1.0) && near("t3").contains(2.0) &&
+      near("t4").isEmpty && near("t5").contains(10.0))
+  }
+
   test("end-to-end: time-versioned price adjustment over block flows") {
     // outputs at slots 1000/2000 pick the price active at their slot
     val flows = Seq(("t1", "u1", 100L, 12L), ("t2", "u1", 100L, 28L))
