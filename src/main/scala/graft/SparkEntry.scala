@@ -1298,6 +1298,23 @@ object SparkEntry {
       .select(col("o_orderkey"), col("t"), col("rate"))
   }
 
+  /** Deterministic negative sampling (TrainingData.negativeSample):
+    * 3 hash-ranked negatives per document via bucketed shortlists —
+    * never anchors⨯corpus. md5-ranked → exact cross-engine oracle. */
+  def q93_negative_sample(s: SparkSession, d: String): DataFrame =
+    graft.pipeline.TrainingData.negativeSample(
+      Tables.documents(s, d), col("doc_id"), k = 3, buckets = 16,
+      salt = "neg1")
+
+  /** Per-language z-score normalization of document length
+    * (TrainingData.zscore): integer sufficient statistics, one fixed
+    * IEEE-double expression over them → bit-identical scores across
+    * engines, shipped as round(z·10⁶). */
+  def q94_zscore(s: SparkSession, d: String): DataFrame =
+    graft.pipeline.TrainingData.zscore(
+      Tables.documents(s, d), col("lang"), "n_chars")
+      .select(col("doc_id"), col("lang"), col("n_chars"), col("z_ppm"))
+
   // ---------------------------------------------------------------- registry
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1393,6 +1410,8 @@ object SparkEntry {
     "q90_kcore" -> (q90_kcore _),
     "q91_winsorize" -> (q91_winsorize _),
     "q92_asof_nearest" -> (q92_asof_nearest _),
+    "q93_negative_sample" -> (q93_negative_sample _),
+    "q94_zscore" -> (q94_zscore _),
   )
 
   // DuckDB twins of the Scala normalization / hashing expressions
@@ -2509,5 +2528,48 @@ object SparkEntry {
         |SELECT o.o_orderkey, o.t, b.rate
         |FROM o LEFT JOIN (SELECT * FROM best WHERE rn = 1) b
         |  ON o.o_orderkey = b.o_orderkey""".stripMargin,
+    "q93_negative_sample" -> {
+      val ab = hash60Sql("'neg1|a|'||CAST(doc_id AS VARCHAR)") + " % 16"
+      val ch = hash60Sql("'neg1|c|'||CAST(doc_id AS VARCHAR)")
+      s"""WITH a AS (
+         |  SELECT doc_id AS anchor_id, $ab AS bucket FROM documents),
+         |c AS (
+         |  SELECT doc_id AS cand_id, $ab AS bucket, $ch AS ch
+         |  FROM documents),
+         |short AS (
+         |  SELECT cand_id, bucket, row_number() OVER (
+         |    PARTITION BY bucket ORDER BY ch, cand_id) AS rn
+         |  FROM c
+         |  QUALIFY rn <= 4),
+         |paired AS (
+         |  SELECT a.anchor_id, s.cand_id, row_number() OVER (
+         |    PARTITION BY a.anchor_id ORDER BY s.rn) AS nr
+         |  FROM a JOIN short s ON a.bucket = s.bucket
+         |  WHERE s.cand_id <> a.anchor_id)
+         |SELECT anchor_id, cand_id AS negative_id,
+         |  CAST(nr AS INTEGER) AS neg_rank
+         |FROM paired WHERE nr <= 3""".stripMargin
+    },
+    "q94_zscore" ->
+      """WITH s AS (
+        |  SELECT doc_id, lang, n_chars,
+        |    count(n_chars) OVER w AS n,
+        |    CAST(sum(CAST(n_chars AS DECIMAL(38,0))) OVER w AS BIGINT)
+        |      AS s1,
+        |    CAST(sum(CAST(n_chars * n_chars AS DECIMAL(38,0))) OVER w
+        |      AS BIGINT) AS s2
+        |  FROM documents WINDOW w AS (PARTITION BY lang))
+        |SELECT doc_id, lang, n_chars,
+        |  CAST(round((CASE WHEN (CAST(s2 AS DOUBLE)
+        |      - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)
+        |        / CAST(n AS DOUBLE)) / CAST(n AS DOUBLE) <= 0.0
+        |    THEN 0.0
+        |    ELSE (CAST(n_chars AS DOUBLE)
+        |      - CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
+        |      / sqrt((CAST(s2 AS DOUBLE)
+        |        - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)
+        |          / CAST(n AS DOUBLE)) / CAST(n AS DOUBLE))
+        |    END) * 1000000) AS BIGINT) AS z_ppm
+        |FROM s""".stripMargin,
   )
 }

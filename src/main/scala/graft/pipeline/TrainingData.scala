@@ -3,6 +3,7 @@ package graft.pipeline
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 import graft.dedup.Dedup.{hash60, normalize}
 
 /** Training-data pipeline operators beyond dedup/similarity: the
@@ -146,6 +147,81 @@ object TrainingData {
         greatest(least(value, col("__hi")), col("__lo")))
       .drop("__rank", "__n")
   }
+
+  /** Deterministic negative sampling for contrastive/retrieval training:
+    * each anchor gets `k` pseudo-random partners ≠ itself, without ever
+    * forming the anchors⨯corpus product. Docs hash into `buckets`
+    * groups; each bucket pre-ranks its k+1 hash-smallest candidates (a
+    * per-bucket window — parallel, bounded output), anchors join ONLY
+    * their own bucket's shortlist, drop themselves, and keep the k
+    * best. One shuffle on the bucket key; candidate side is
+    * buckets·(k+1) rows — broadcast-sized for any real k.
+    *
+    * Everything is md5-hash-ranked (no RNG), so samples are
+    * reproducible across runs, engines, and retries — the same
+    * derandomization discipline as [[stratifiedSample]] /
+    * [[weightedSample]]. */
+  def negativeSample(df: DataFrame, id: Column, k: Int, buckets: Int,
+                     salt: String): DataFrame = {
+    require(k >= 1 && buckets >= 1, "k and buckets must be positive")
+    val anchors = df.select(id.cast("long").as("anchor_id"))
+      .withColumn("__bucket",
+        pmod(hash60(concat(lit(salt), lit("|a|"),
+          col("anchor_id").cast("string"))), lit(buckets)))
+    val candRank = Window.partitionBy(col("__bucket"))
+      .orderBy(col("__ch").asc, col("cand_id").asc)
+    val shortlist = df.select(id.cast("long").as("cand_id"))
+      .withColumn("__bucket",
+        pmod(hash60(concat(lit(salt), lit("|a|"),
+          col("cand_id").cast("string"))), lit(buckets)))
+      .withColumn("__ch", hash60(concat(lit(salt), lit("|c|"),
+        col("cand_id").cast("string"))))
+      .withColumn("__rn", row_number().over(candRank))
+      .filter(col("__rn") <= k + 1) // +1 absorbs the anchor itself
+    val perAnchor = Window.partitionBy(col("anchor_id"))
+      .orderBy(col("__rn").asc)
+    anchors.join(shortlist, Seq("__bucket"))
+      .filter(col("cand_id") =!= col("anchor_id"))
+      .withColumn("__nr", row_number().over(perAnchor))
+      .filter(col("__nr") <= k)
+      .select(col("anchor_id"), col("cand_id").as("negative_id"),
+        col("__nr").as("neg_rank"))
+  }
+
+  /** Per-stratum z-score normalization from integer sufficient
+    * statistics (n, Σx, Σx²) — one window shuffle, no second pass. The
+    * float part is a FIXED expression over exactly those integers, so
+    * two engines computing the same IEEE-double operation sequence get
+    * bit-identical scores — emit `z_ppm = round(z·10⁶)` for the
+    * cross-engine contract. Zero-variance strata normalize to 0. Sums
+    * are taken in DECIMAL(38,0) (exact for any realistic corpus);
+    * callers square integral inputs, so Σx² of 64-bit values never
+    * wraps. */
+  def zscore(df: DataFrame, stratum: Column, valueCol: String): DataFrame = {
+    val value = col(valueCol)
+    val cw = Window.partitionBy(stratum)
+    df.withColumn("__n", count(value).over(cw))
+      .withColumn("__s1",
+        sum(value.cast(DecimalType(38, 0))).over(cw).cast("long"))
+      .withColumn("__s2",
+        sum((value * value).cast(DecimalType(38, 0))).over(cw)
+          .cast("long"))
+      .withColumn("__z", expr(
+        s"""CASE WHEN (CAST(__s2 AS DOUBLE)
+           |  - CAST(__s1 AS DOUBLE) * CAST(__s1 AS DOUBLE)
+           |    / CAST(__n AS DOUBLE)) / CAST(__n AS DOUBLE) <= 0.0
+           |THEN 0.0
+           |ELSE (CAST(`$valueCol` AS DOUBLE)
+           |  - CAST(__s1 AS DOUBLE) / CAST(__n AS DOUBLE))
+           |  / sqrt((CAST(__s2 AS DOUBLE)
+           |    - CAST(__s1 AS DOUBLE) * CAST(__s1 AS DOUBLE)
+           |      / CAST(__n AS DOUBLE)) / CAST(__n AS DOUBLE))
+           |END""".stripMargin))
+      .withColumn("z_ppm",
+        expr("CAST(round(__z * 1000000) AS BIGINT)"))
+      .drop("__n", "__s1", "__s2", "__z")
+  }
+
 
   /** Source-mix rebalancing: uniformly downsample every stratum to the
     * smallest stratum's size — `hash60(id) % n_stratum < n_min` keeps

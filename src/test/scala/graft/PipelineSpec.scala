@@ -105,6 +105,37 @@ class PipelineSpec extends AnyFunSuite with SparkTestBase {
     assert(got.count() == df.count()) // rows bounded, never dropped
   }
 
+  test("negativeSample: k per anchor, never itself, deterministic") {
+    val df = (0L until 200L).map(i => (i, s"d$i")).toDF("doc_id", "t")
+    val neg = TrainingData.negativeSample(df, $"doc_id", k = 3,
+      buckets = 8, salt = "s")
+    val rows = neg.as[(Long, Long, Int)].collect()
+    assert(rows.length == 200 * 3)
+    assert(rows.forall { case (a, n, _) => a != n })
+    val perAnchor = rows.groupBy(_._1)
+    assert(perAnchor.size == 200 &&
+      perAnchor.values.forall(_.map(_._3).sorted.toSeq == Seq(1, 2, 3)))
+    // reproducible; different salt → different pairing
+    assert(rows.toSet == TrainingData.negativeSample(df, $"doc_id", 3,
+      8, "s").as[(Long, Long, Int)].collect().toSet)
+    assert(rows.toSet != TrainingData.negativeSample(df, $"doc_id", 3,
+      8, "other").as[(Long, Long, Int)].collect().toSet)
+  }
+
+  test("zscore: hand-computed scores, zero-variance stratum → 0") {
+    // stratum a: values 1,2,3 → mean 2, pop-var 2/3
+    val df = Seq(("a", 1L), ("a", 2L), ("a", 3L),
+      ("b", 7L), ("b", 7L)).toDF("s", "v")
+    val got = TrainingData.zscore(df, $"s", "v")
+      .select($"s", $"v", $"z_ppm").as[(String, Long, Long)]
+      .collect().toSet
+    val sd = math.sqrt(2.0 / 3.0)
+    def ppm(z: Double) = math.round(z * 1e6)
+    assert(got == Set(
+      ("a", 1L, ppm(-1.0 / sd)), ("a", 2L, 0L), ("a", 3L, ppm(1.0 / sd)),
+      ("b", 7L, 0L), ("b", 7L, 0L)))
+  }
+
   test("rebalanceStrata: skewed strata downsample toward the smallest") {
     val df = ((0L until 300L).map(i => (i, "big")) ++
       (300L until 350L).map(i => (i, "small"))).toDF("id", "stratum")
