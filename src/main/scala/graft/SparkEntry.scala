@@ -920,6 +920,58 @@ object SparkEntry {
     header + steps + s"\nSELECT address, score FROM r$iters"
   }
 
+  /** Unrolled personalized-PageRank oracle — mirrors
+    * PageRank.runScaledPersonalized on q95's graph/seed choice exactly
+    * (same MATERIALIZED discipline as [[pagerankOracleSql]]). */
+  private def pprOracleSql(iters: Int): String = {
+    val scale = "1000000000000"
+    val base = s"(SELECT $scale // s FROM ss)"
+    val header =
+      s"""WITH edges AS MATERIALIZED (
+         |  SELECT DISTINCT CAST(c_nationkey AS VARCHAR) AS src,
+         |    CAST(s_nationkey AS VARCHAR) AS dst
+         |  FROM orders
+         |  JOIN customer ON o_custkey = c_custkey
+         |  JOIN lineitem ON o_orderkey = l_orderkey
+         |  JOIN supplier ON l_suppkey = s_suppkey
+         |  WHERE o_orderkey % 601 = 0),
+         |seedsrc AS MATERIALIZED (
+         |  SELECT DISTINCT CAST(n_nationkey AS VARCHAR) AS node
+         |  FROM nation WHERE n_nationkey % 5 = 0),
+         |nodes AS MATERIALIZED (SELECT src AS address FROM edges
+         |          UNION SELECT dst AS address FROM edges),
+         |nds AS MATERIALIZED (
+         |  SELECT n.address,
+         |    CASE WHEN sd.node IS NULL THEN 0 ELSE 1 END AS is_seed
+         |  FROM nodes n LEFT JOIN seedsrc sd ON n.address = sd.node),
+         |ss AS MATERIALIZED (
+         |  SELECT CAST(sum(is_seed) AS BIGINT) AS s FROM nds),
+         |deg AS MATERIALIZED (
+         |  SELECT src, COUNT(*) AS out_deg FROM edges GROUP BY src),
+         |r0 AS MATERIALIZED (
+         |  SELECT address, is_seed * $base AS score FROM nds)""".stripMargin
+    val steps = (1 to iters).map { i =>
+      val p = s"r${i - 1}"
+      s""",
+         |c$i AS MATERIALIZED (
+         |  SELECT e.dst AS address,
+         |    CAST(SUM(r.score // d.out_deg) AS BIGINT) AS contrib
+         |  FROM edges e JOIN $p r ON e.src = r.address
+         |  JOIN deg d ON e.src = d.src
+         |  GROUP BY e.dst),
+         |r$i AS MATERIALIZED (
+         |  SELECT nd.address,
+         |    (15 * $base * nd.is_seed + 85 * (COALESCE(c.contrib, 0)
+         |      + nd.is_seed * ((SELECT CAST(COALESCE(SUM(score), 0)
+         |          AS BIGINT) FROM $p
+         |         WHERE address NOT IN (SELECT src FROM deg))
+         |        // (SELECT s FROM ss)))) // 100 AS score
+         |  FROM nds nd LEFT JOIN c$i c ON nd.address = c.address)"""
+        .stripMargin
+    }.mkString
+    header + steps + s"\nSELECT address, score FROM r$iters"
+  }
+
   /** uuid() surrogate keys (P3) — nondeterministic by design → rows-only. */
   def q35_uuid_surrogate(s: SparkSession, d: String): DataFrame =
     Tables.orders(s, d).select(expr("uuid()").as("id"),
@@ -1315,6 +1367,26 @@ object SparkEntry {
       Tables.documents(s, d), col("lang"), "n_chars")
       .select(col("doc_id"), col("lang"), col("n_chars"), col("z_ppm"))
 
+  /** Personalized PageRank (graph/PageRank.runScaledPersonalized):
+    * random-walk-with-restart to a 5-nation seed set over q34's
+    * sparsified trade graph, integer-scaled → bit-exact 10-iteration
+    * DuckDB oracle (the same unrolled-CTE discipline as q34). */
+  def q95_ppr(s: SparkSession, d: String): DataFrame = {
+    val edges = Tables.orders(s, d)
+      .filter(col("o_orderkey") % 601 === 0)
+      .join(Tables.customer(s, d),
+        col("o_custkey") === col("c_custkey"))
+      .join(Tables.lineitem(s, d), col("o_orderkey") === col("l_orderkey"))
+      .join(Tables.supplier(s, d), col("l_suppkey") === col("s_suppkey"))
+      .select(col("c_nationkey").cast("string").as("src"),
+        col("s_nationkey").cast("string").as("dst"))
+    val seeds = Tables.nation(s, d)
+      .filter(col("n_nationkey") % 5 === 0)
+      .select(col("n_nationkey").cast("string").as("node"))
+    graft.graph.PageRank.runScaledPersonalized(edges, seeds,
+      iterations = 10, checkpointEvery = 2)
+  }
+
   // ---------------------------------------------------------------- registry
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1412,6 +1484,7 @@ object SparkEntry {
     "q92_asof_nearest" -> (q92_asof_nearest _),
     "q93_negative_sample" -> (q93_negative_sample _),
     "q94_zscore" -> (q94_zscore _),
+    "q95_ppr" -> (q95_ppr _),
   )
 
   // DuckDB twins of the Scala normalization / hashing expressions
@@ -2571,5 +2644,6 @@ object SparkEntry {
         |          / CAST(n AS DOUBLE)) / CAST(n AS DOUBLE))
         |    END) * 1000000) AS BIGINT) AS z_ppm
         |FROM s""".stripMargin,
+    "q95_ppr" -> pprOracleSql(10),
   )
 }

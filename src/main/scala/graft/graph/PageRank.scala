@@ -41,16 +41,30 @@ object PageRank {
     *   fires only for checkpointed iterations (the last one is lazy
     *   until the caller's action) */
   private def loop(edges: DataFrame, iterations: Int, checkpointEvery: Int,
-                   init: Long => Column, contrib: Column, zero: Column,
-                   update: (Long, Column, Option[Column]) => Column,
-                   onIter: (Int, Double) => Unit = (_, _) => ())
+                   init: (Long, Long) => Column, contrib: Column, zero: Column,
+                   update: (Long, Long, Column, Option[Column]) => Column,
+                   onIter: (Int, Double) => Unit = (_, _) => (),
+                   seeds: Option[DataFrame] = None)
       : DataFrame = {
     val e = edges.select(col("src"), col("dst")).distinct()
       .localCheckpoint(true)
-    val nodes = e.select(col("src").as("address"))
+    // teleport set: uniform PageRank IS the personalized recurrence with
+    // every node a seed, so one loop serves both — is_seed ∈ {0,1} and
+    // S = |seeds| parameterize init and update
+    val nodes0 = e.select(col("src").as("address"))
       .union(e.select(col("dst").as("address"))).distinct()
-      .localCheckpoint(true)
+    val nodes = (seeds match {
+      case Some(sd) =>
+        val flag = sd.select(col("node").cast(nodes0.schema.head.dataType)
+          .as("address")).distinct().withColumn("is_seed", lit(1))
+        nodes0.join(flag, Seq("address"), "left")
+          .select(col("address"),
+            coalesce(col("is_seed"), lit(0)).as("is_seed"))
+      case None => nodes0.withColumn("is_seed", lit(1))
+    }).localCheckpoint(true)
     val n = nodes.count()
+    val s = nodes.filter(col("is_seed") === 1).count()
+    require(s > 0, "personalization seeds must intersect the graph")
     val eDeg = e.join(
       e.groupBy(col("src")).agg(count(lit(1)).as("out_deg")), Seq("src"))
       .localCheckpoint(true)
@@ -59,7 +73,8 @@ object PageRank {
       .select(col("address")).localCheckpoint(true)
     val hasDangling = danglingNodes.limit(1).count() > 0
 
-    var ranks = nodes.withColumn("score", init(n))
+    var ranks = nodes.select(col("address"),
+      init(n, s).as("score"))
     for (i <- 1 to iterations) {
       val t0 = System.nanoTime()
       val contribs = eDeg
@@ -77,10 +92,10 @@ object PageRank {
             .agg(coalesce(sum(col("score")), zero).as("dm"))
           joined.crossJoin(broadcast(dangling))
             .select(col("address"),
-              update(n, col("contrib"), Some(col("dm"))).as("score"))
+              update(n, s, col("contrib"), Some(col("dm"))).as("score"))
         } else
           joined.select(col("address"),
-            update(n, col("contrib"), None).as("score"))
+            update(n, s, col("contrib"), None).as("score"))
       if (i % checkpointEvery == 0 && i < iterations) {
         ranks = ranks.localCheckpoint(true)
         onIter(i, (System.nanoTime() - t0) / 1e9)
@@ -95,15 +110,16 @@ object PageRank {
   def run(edges: DataFrame, iterations: Int = 20, damping: Double = 0.85,
           checkpointEvery: Int = 1): DataFrame =
     loop(edges, iterations, checkpointEvery,
-      init = n => lit(1.0 / n),
+      init = (_, s) => col("is_seed") * lit(1.0 / s),
       contrib = col("score") / col("out_deg"),
       zero = lit(0.0),
-      update = (n, c, dm) => {
+      update = (_, s, c, dm) => {
         val inflow = dm match {
-          case Some(mass) => coalesce(c, lit(0.0)) + mass / n
+          case Some(mass) =>
+            coalesce(c, lit(0.0)) + col("is_seed") * (mass / s)
           case None => coalesce(c, lit(0.0))
         }
-        lit((1.0 - damping) / n) + lit(damping) * inflow
+        col("is_seed") * lit((1.0 - damping) / s) + lit(damping) * inflow
       })
 
   /** Integer-scaled (fixed-point) PageRank: ranks live as longs in units
@@ -125,17 +141,62 @@ object PageRank {
                 checkpointEvery: Int = 1,
                 onIter: (Int, Double) => Unit = (_, _) => ()): DataFrame =
     loop(edges, iterations, checkpointEvery, onIter = onIter,
-      init = n => lit(scale / n),
+      init = (_, s) => expr(s"is_seed * ${scale / s}L"),
       contrib = expr("score div out_deg"),
       zero = lit(0L),
-      update = (n, c, dm) => {
-        val base = scale / n
+      update = (_, s, c, dm) => {
+        val base = scale / s
         dm match {
           case Some(_) =>
-            expr(s"(15 * ${base}L + 85 * (coalesce(contrib, 0L) " +
-              s"+ dm div ${n}L)) div 100")
+            expr(s"(15 * ${base}L * is_seed + 85 * (coalesce(contrib, 0L) " +
+              s"+ is_seed * (dm div ${s}L))) div 100")
           case None =>
-            expr(s"(15 * ${base}L + 85 * coalesce(contrib, 0L)) div 100")
+            expr(s"(15 * ${base}L * is_seed " +
+              "+ 85 * coalesce(contrib, 0L)) div 100")
+        }
+      })
+
+  /** Personalized (seeded) PageRank, float variant — see
+    * [[runScaledPersonalized]] for the contract. */
+  def runPersonalized(edges: DataFrame, seeds: DataFrame,
+                      iterations: Int = 20, damping: Double = 0.85,
+                      checkpointEvery: Int = 1): DataFrame =
+    loop(edges, iterations, checkpointEvery, seeds = Some(seeds),
+      init = (_, s) => col("is_seed") * lit(1.0 / s),
+      contrib = col("score") / col("out_deg"),
+      zero = lit(0.0),
+      update = (_, s, c, dm) => {
+        val inflow = dm match {
+          case Some(mass) =>
+            coalesce(c, lit(0.0)) + col("is_seed") * (mass / s)
+          case None => coalesce(c, lit(0.0))
+        }
+        col("is_seed") * lit((1.0 - damping) / s) + lit(damping) * inflow
+      })
+
+  /** Personalized (seeded) PageRank, integer-scaled: teleport and
+    * dangling mass go only to `seeds` (a frame with a `node` column),
+    * so scores measure proximity to the seed set — the random-walk-
+    * with-restart used for related-wallet / related-document queries.
+    * Uniform [[runScaled]] is exactly this with every node a seed, so
+    * both share one loop and the same bit-reproducibility contract. */
+  def runScaledPersonalized(edges: DataFrame, seeds: DataFrame,
+                            iterations: Int = 10,
+                            scale: Long = 1000000000000L,
+                            checkpointEvery: Int = 1): DataFrame =
+    loop(edges, iterations, checkpointEvery, seeds = Some(seeds),
+      init = (_, s) => expr(s"is_seed * ${scale / s}L"),
+      contrib = expr("score div out_deg"),
+      zero = lit(0L),
+      update = (_, s, c, dm) => {
+        val base = scale / s
+        dm match {
+          case Some(_) =>
+            expr(s"(15 * ${base}L * is_seed + 85 * (coalesce(contrib, 0L) " +
+              s"+ is_seed * (dm div ${s}L))) div 100")
+          case None =>
+            expr(s"(15 * ${base}L * is_seed " +
+              "+ 85 * coalesce(contrib, 0L)) div 100")
         }
       })
 

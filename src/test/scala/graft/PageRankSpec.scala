@@ -58,6 +58,38 @@ class PageRankSpec extends AnyFunSuite with SparkTestBase {
     assert(s == Map("A" -> 28L, "B" -> 71L))
   }
 
+  test("personalized: teleport and dangling mass go only to seeds") {
+    // chain 1→2→3, seed {1}; hand-computed first three rounds
+    val edges = Seq(("1", "2"), ("2", "3")).toDF("src", "dst")
+    val seeds = Seq("1").toDF("node")
+    val scaled = PageRank.runScaledPersonalized(edges, seeds,
+      iterations = 3, scale = 1000000000000L)
+      .as[(String, Long)].collect().toMap
+    // float recurrence: r3 = (0.764125, 0.1275, 0.108375)
+    assert(math.abs(scaled("1") / 1e12 - 0.764125) < 1e-9, scaled)
+    assert(math.abs(scaled("2") / 1e12 - 0.1275) < 1e-9, scaled)
+    assert(math.abs(scaled("3") / 1e12 - 0.108375) < 1e-9, scaled)
+    // mass conservation (up to integer truncation)
+    assert(math.abs(scaled.values.sum - 1000000000000L) < 1000L)
+  }
+
+  test("personalized float variant matches the scaled one") {
+    val edges = Seq(("1", "2"), ("2", "3"), ("3", "1"), ("1", "3"))
+      .toDF("src", "dst")
+    val seeds = Seq("2").toDF("node")
+    val f = PageRank.runPersonalized(edges, seeds, iterations = 8)
+      .as[(String, Double)].collect().toMap
+    val s = PageRank.runScaledPersonalized(edges, seeds, iterations = 8)
+      .as[(String, Long)].collect().toMap
+    f.foreach { case (k, v) =>
+      assert(math.abs(v - s(k) / 1e12) < 1e-6, s"$k: $v vs ${s(k)}")
+    }
+    // restart mass keeps the seed at or above the teleport floor, and
+    // total mass is conserved
+    assert(f("2") >= 0.15 - 1e-9)
+    assert(math.abs(f.values.sum - 1.0) < 1e-9)
+  }
+
   test("ranked extract is descending with stable ties") {
     val edges = Seq(("A", "C"), ("B", "C")).toDF("src", "dst")
     val ranked = PageRank.ranked(PageRank.run(edges, iterations = 5))
