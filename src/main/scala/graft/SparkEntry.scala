@@ -1387,6 +1387,23 @@ object SparkEntry {
       iterations = 10, checkpointEvery = 2)
   }
 
+  /** Time-series gap fill (ops/TimeSeries.interpolate): daily per-type
+    * cent totals thinned to every 3rd day, then re-densified by integer
+    * linear interpolation — engine-exact since both sides truncate
+    * integer division toward zero. */
+  def q96_interpolate(s: SparkSession, d: String): DataFrame = {
+    val daily = Tables.events(s, d)
+      .select(col("event_type").as("k"),
+        expr("ts div 86400000000000").as("t"),
+        expr("cast(round(value * 100) as bigint)").as("cents"))
+      .groupBy(col("k"), col("t"))
+      .agg(sum(col("cents")).as("v"))
+      .filter(col("t") % 3 === 0)
+    graft.ops.TimeSeries.interpolate(daily, "k", "t", "v", step = 1L)
+      .select(col("k").as("event_type"), col("t").as("day"),
+        col("v_filled"), col("interpolated").cast("long").as("interp"))
+  }
+
   // ---------------------------------------------------------------- registry
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1485,6 +1502,7 @@ object SparkEntry {
     "q93_negative_sample" -> (q93_negative_sample _),
     "q94_zscore" -> (q94_zscore _),
     "q95_ppr" -> (q95_ppr _),
+    "q96_interpolate" -> (q96_interpolate _),
   )
 
   // DuckDB twins of the Scala normalization / hashing expressions
@@ -2645,5 +2663,38 @@ object SparkEntry {
         |    END) * 1000000) AS BIGINT) AS z_ppm
         |FROM s""".stripMargin,
     "q95_ppr" -> pprOracleSql(10),
+    "q96_interpolate" ->
+      """WITH daily AS (
+        |  SELECT event_type AS k, epoch_us(ts) // 86400000000 AS t,
+        |    CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS v
+        |  FROM events GROUP BY 1, 2),
+        |known AS (SELECT * FROM daily WHERE t % 3 = 0),
+        |b AS (SELECT k, min(t) AS t0, max(t) AS t1 FROM known GROUP BY k),
+        |axis AS (
+        |  SELECT k, unnest(generate_series(t0, t1, 1)) AS t FROM b),
+        |j AS (
+        |  SELECT a.k, a.t, kn.v FROM axis a
+        |  LEFT JOIN known kn ON a.k = kn.k AND a.t = kn.t),
+        |w AS (
+        |  SELECT k, t, v,
+        |    last_value(v IGNORE NULLS) OVER wp AS pv,
+        |    last_value(CASE WHEN v IS NOT NULL THEN t END IGNORE NULLS)
+        |      OVER wp AS pt,
+        |    first_value(v IGNORE NULLS) OVER wn AS nv,
+        |    first_value(CASE WHEN v IS NOT NULL THEN t END IGNORE NULLS)
+        |      OVER wn AS nt
+        |  FROM j
+        |  WINDOW wp AS (PARTITION BY k ORDER BY t
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+        |  wn AS (PARTITION BY k ORDER BY t
+        |    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+        |SELECT k AS event_type, t AS day,
+        |  CASE WHEN v IS NOT NULL THEN v
+        |       WHEN pv IS NULL THEN nv
+        |       WHEN nv IS NULL THEN pv
+        |       ELSE pv + ((nv - pv) * (t - pt)) // (nt - pt)
+        |  END AS v_filled,
+        |  CAST(v IS NULL AS BIGINT) AS interp
+        |FROM w""".stripMargin,
   )
 }

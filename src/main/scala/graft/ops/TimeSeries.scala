@@ -1,0 +1,59 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Time-series regularization: densify each series to a fixed step grid
+  * and fill the gaps by LINEAR INTERPOLATION between the nearest known
+  * points (edges hold the nearest known value) — the numeric
+  * generalization of q08's zero-padding, for feature series where 0 is
+  * wrong (prices, balances, gauges).
+  *
+  * All arithmetic is integral: the interpolated value is
+  * `prev + ((next−prev)·(t−t_prev)) div (t_next−t_prev)` and both Spark
+  * (`div`) and ANSI engines (DuckDB `//`) truncate integer division
+  * toward zero, so filled series are engine-exact on integer inputs.
+  *
+  * Shuffle shape: one per-key aggregation for the bounds, the axis
+  * explode (linear in output rows), one join onto the known points, and
+  * the two IGNORE-NULLS windows share a single hash-partitioning on the
+  * key — per-key parallel sorts, never a global order.
+  */
+object TimeSeries {
+
+  /** @param df   known points (key, t, v), v integral, t on a step grid
+    * @param key  series column name
+    * @param t    time column name (integral)
+    * @param v    value column name (integral)
+    * @param step dense-axis stride in t units
+    * @return (key, t, v_filled, interpolated) — one row per axis tick */
+  def interpolate(df: DataFrame, key: String, t: String, v: String,
+                  step: Long): DataFrame = {
+    require(step > 0, "step must be positive")
+    val bounds = df.groupBy(col(key))
+      .agg(min(col(t)).as("__t0"), max(col(t)).as("__t1"))
+    val axis = bounds.select(col(key),
+      explode(sequence(col("__t0"), col("__t1"), lit(step))).as(t))
+    val known = df.select(col(key), col(t), col(v).as("__v"))
+    val wPrev = Window.partitionBy(col(key)).orderBy(col(t))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wNext = Window.partitionBy(col(key)).orderBy(col(t))
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    axis.join(known, Seq(key, t), "left")
+      .withColumn("__pv", last(col("__v"), ignoreNulls = true).over(wPrev))
+      .withColumn("__pt", last(when(col("__v").isNotNull, col(t)),
+        ignoreNulls = true).over(wPrev))
+      .withColumn("__nv", first(col("__v"), ignoreNulls = true).over(wNext))
+      .withColumn("__nt", first(when(col("__v").isNotNull, col(t)),
+        ignoreNulls = true).over(wNext))
+      .withColumn("v_filled",
+        when(col("__v").isNotNull, col("__v"))
+          .when(col("__pv").isNull, col("__nv")) // leading edge
+          .when(col("__nv").isNull, col("__pv")) // trailing edge
+          .otherwise(expr(
+            "__pv + ((__nv - __pv) * (" + t + " - __pt)) div (__nt - __pt)")))
+      .withColumn("interpolated", col("__v").isNull)
+      .select(col(key), col(t), col("v_filled"), col("interpolated"))
+  }
+}

