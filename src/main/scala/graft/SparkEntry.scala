@@ -1225,7 +1225,9 @@ object SparkEntry {
       .groupBy(col("user_id"))
       .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
       .agg(count(lit(1)).as("n"), sum(col("cents")).as("cents"))
-      .na.fill(0L)
+      // zero-fill only the pivoted cells, never the group key
+      .na.fill(0L, Seq("click", "error", "purchase", "signup", "view")
+        .flatMap(t => Seq(s"${t}_n", s"${t}_cents")))
 
   /** Interval⨯interval overlap join (ops/RangeJoin.intervalOverlap):
     * lineitem ship windows [shipdate, shipdate+quantity days] of a 1%

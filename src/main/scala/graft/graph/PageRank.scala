@@ -63,8 +63,11 @@ object PageRank {
       case None => nodes0.withColumn("is_seed", lit(1))
     }).localCheckpoint(true)
     val n = nodes.count()
+    if (n == 0) // empty graph → empty result, for both variants
+      return nodes.select(col("address")).withColumn("score", zero)
     val s = nodes.filter(col("is_seed") === 1).count()
-    require(s > 0, "personalization seeds must intersect the graph")
+    require(seeds.isEmpty || s > 0,
+      "personalization seeds must intersect the graph")
     val eDeg = e.join(
       e.groupBy(col("src")).agg(count(lit(1)).as("out_deg")), Seq("src"))
       .localCheckpoint(true)
@@ -109,7 +112,15 @@ object PageRank {
     * @return (address, score) */
   def run(edges: DataFrame, iterations: Int = 20, damping: Double = 0.85,
           checkpointEvery: Int = 1): DataFrame =
-    loop(edges, iterations, checkpointEvery,
+    floatLoop(edges, None, iterations, damping, checkpointEvery)
+
+  /** One float body for both the uniform and personalized variants —
+    * with no seeds every node is a seed and the recurrence reduces to
+    * classic PageRank, so the formulas cannot drift apart. */
+  private def floatLoop(edges: DataFrame, seeds: Option[DataFrame],
+                        iterations: Int, damping: Double,
+                        checkpointEvery: Int): DataFrame =
+    loop(edges, iterations, checkpointEvery, seeds = seeds,
       init = (_, s) => col("is_seed") * lit(1.0 / s),
       contrib = col("score") / col("out_deg"),
       zero = lit(0.0),
@@ -140,7 +151,15 @@ object PageRank {
                 scale: Long = 1000000000000L,
                 checkpointEvery: Int = 1,
                 onIter: (Int, Double) => Unit = (_, _) => ()): DataFrame =
-    loop(edges, iterations, checkpointEvery, onIter = onIter,
+    scaledLoop(edges, None, iterations, scale, checkpointEvery, onIter)
+
+  /** One integer-scaled body for both variants — see [[floatLoop]]. */
+  private def scaledLoop(edges: DataFrame, seeds: Option[DataFrame],
+                         iterations: Int, scale: Long,
+                         checkpointEvery: Int,
+                         onIter: (Int, Double) => Unit = (_, _) => ())
+      : DataFrame =
+    loop(edges, iterations, checkpointEvery, onIter = onIter, seeds = seeds,
       init = (_, s) => expr(s"is_seed * ${scale / s}L"),
       contrib = expr("score div out_deg"),
       zero = lit(0L),
@@ -161,18 +180,7 @@ object PageRank {
   def runPersonalized(edges: DataFrame, seeds: DataFrame,
                       iterations: Int = 20, damping: Double = 0.85,
                       checkpointEvery: Int = 1): DataFrame =
-    loop(edges, iterations, checkpointEvery, seeds = Some(seeds),
-      init = (_, s) => col("is_seed") * lit(1.0 / s),
-      contrib = col("score") / col("out_deg"),
-      zero = lit(0.0),
-      update = (_, s, c, dm) => {
-        val inflow = dm match {
-          case Some(mass) =>
-            coalesce(c, lit(0.0)) + col("is_seed") * (mass / s)
-          case None => coalesce(c, lit(0.0))
-        }
-        col("is_seed") * lit((1.0 - damping) / s) + lit(damping) * inflow
-      })
+    floatLoop(edges, Some(seeds), iterations, damping, checkpointEvery)
 
   /** Personalized (seeded) PageRank, integer-scaled: teleport and
     * dangling mass go only to `seeds` (a frame with a `node` column),
@@ -184,21 +192,7 @@ object PageRank {
                             iterations: Int = 10,
                             scale: Long = 1000000000000L,
                             checkpointEvery: Int = 1): DataFrame =
-    loop(edges, iterations, checkpointEvery, seeds = Some(seeds),
-      init = (_, s) => expr(s"is_seed * ${scale / s}L"),
-      contrib = expr("score div out_deg"),
-      zero = lit(0L),
-      update = (_, s, c, dm) => {
-        val base = scale / s
-        dm match {
-          case Some(_) =>
-            expr(s"(15 * ${base}L * is_seed + 85 * (coalesce(contrib, 0L) " +
-              s"+ is_seed * (dm div ${s}L))) div 100")
-          case None =>
-            expr(s"(15 * ${base}L * is_seed " +
-              "+ 85 * coalesce(contrib, 0L)) div 100")
-        }
-      })
+    scaledLoop(edges, Some(seeds), iterations, scale, checkpointEvery)
 
   /** Ranked extract (W3): scores descending, deterministic tie-break. */
   def ranked(scores: DataFrame): DataFrame =

@@ -91,6 +91,7 @@ object Layout {
     * form. */
   def fileStats(spark: SparkSession, dir: String,
                 cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "fileStats needs at least one column")
     import org.apache.spark.sql.functions.{col, input_file_name, max, min}
     val aggs = cols.flatMap(c =>
       Seq(min(col(c)).as(s"${c}_min"), max(col(c)).as(s"${c}_max")))
@@ -128,9 +129,11 @@ object Layout {
     * metastore/table-format commit, not a filesystem mutation). */
   def compact(spark: SparkSession, plan: Seq[CompactionGroup],
               outDir: String): Unit =
+    // overwrite per group directory: a retried plan is idempotent
+    // instead of silently doubling already-written groups
     plan.foreach { g =>
       spark.read.parquet(g.files: _*)
         .coalesce(1)
-        .write.mode("append").parquet(s"$outDir/group=${g.group}")
+        .write.mode("overwrite").parquet(s"$outDir/group=${g.group}")
     }
 }

@@ -40,9 +40,16 @@ object CorpusPipeline {
               minQualityPercentile: Double,
               nearDupThreshold: Double): (DataFrame, Seq[StageCount]) = {
     val funnel = scala.collection.mutable.ArrayBuffer.empty[StageCount]
+    var previous: Option[DataFrame] = None
     def record(stage: String, df: DataFrame): DataFrame = {
       val kept = df.persist()
       funnel += StageCount(stage, kept.count())
+      // the predecessor fed this stage's materialization; its cached
+      // copy is dead now — release it so five superseded full-corpus
+      // frames don't pin executor storage (only the returned frame
+      // stays persisted, the caller's to release)
+      previous.foreach(_.unpersist(blocking = false))
+      previous = Some(kept)
       kept
     }
     val input = record("input", docs)

@@ -160,7 +160,12 @@ object TrainingData {
     * Everything is md5-hash-ranked (no RNG), so samples are
     * reproducible across runs, engines, and retries — the same
     * derandomization discipline as [[stratifiedSample]] /
-    * [[weightedSample]]. */
+    * [[weightedSample]].
+    *
+    * Contract: an anchor whose bucket holds fewer than k+1 docs gets
+    * that bucket's population minus itself — size `buckets` so the
+    * smallest bucket comfortably exceeds k (n/buckets ≫ k); with
+    * hashed assignment that is the expected case for any real corpus. */
   def negativeSample(df: DataFrame, id: Column, k: Int, buckets: Int,
                      salt: String): DataFrame = {
     require(k >= 1 && buckets >= 1, "k and buckets must be positive")

@@ -111,13 +111,17 @@ case class AsOfJoinExec(left: SparkPlan, right: SparkPlan,
             val pick = dir match {
               case "backward" => if (hasBack) floor else -1
               case "forward"  => if (hasFwd) fwdIdx else -1
-              case _ => // nearest; ties → backward
+              case "nearest" => // ties → backward
                 if (hasBack && hasFwd)
                   { if (t - buf(floor)._1 <= buf(fwdIdx)._1 - t) floor
                     else fwdIdx }
                 else if (hasBack) floor
                 else if (hasFwd) fwdIdx
                 else -1
+              case other => throw new IllegalArgumentException(
+                s"unknown as-of direction $other") // exec-level guard:
+                // plans built without the asof() wrapper fail loudly
+                // instead of silently running nearest semantics
             }
             if (pick >= 0) buf(pick)._2 else null
           case None => null

@@ -52,7 +52,11 @@ object Vocab {
     val toks = docs.select(col("doc_id"),
       posexplode(split(Dedup.normalize(col("text")), " ")))
       .toDF("doc_id", "pos", "term")
-    toks
+      // split("") yields [""] — drop it or an empty doc would encode as
+      // one phantom UNK token (normalize never leaves interior empties,
+      // so positions stay contiguous for non-empty docs)
+      .filter(col("term") =!= "")
+    val encoded = toks
       .join(broadcast(vocab.select(col("term"), col("token_id"))),
         Seq("term"), "left")
       .select(col("doc_id"), col("pos"),
@@ -61,5 +65,9 @@ object Vocab {
       .agg(array_sort(collect_list(struct(col("pos"), col("tid"))))
         .as("toks"))
       .select(col("doc_id"), expr("transform(toks, t -> t.tid)").as("token_ids"))
+    // empty docs grouped away above — restore them with empty sequences
+    docs.select(col("doc_id")).join(encoded, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("token_ids"), expr("array()")).as("token_ids"))
   }
 }

@@ -32,6 +32,15 @@ class VocabSpec extends AnyFunSuite with SparkTestBase {
     assert(v.minBy(_._3)._1 == "common")
   }
 
+  test("encode: a punctuation-only doc yields an EMPTY sequence, " +
+    "not one phantom UNK") {
+    val v = Vocab.build(docs, 2L)
+    val enc = Vocab.encode(
+      Seq((9L, "!!! ... ???")).toDF("doc_id", "text"), v, unkId = -1L)
+      .as[(Long, Seq[Long])].collect().head
+    assert(enc == ((9L, Seq.empty[Long])))
+  }
+
   test("encode: positions preserved, OOV maps to unkId") {
     val v = Vocab.build(docs, 2L)
     val enc = Vocab.encode(
