@@ -935,11 +935,11 @@ object SparkEntry {
          |  JOIN lineitem ON o_orderkey = l_orderkey
          |  JOIN supplier ON l_suppkey = s_suppkey
          |  WHERE o_orderkey % 601 = 0),
-         |seedsrc AS MATERIALIZED (
-         |  SELECT DISTINCT CAST(n_nationkey AS VARCHAR) AS node
-         |  FROM nation WHERE n_nationkey % 5 = 0),
          |nodes AS MATERIALIZED (SELECT src AS address FROM edges
          |          UNION SELECT dst AS address FROM edges),
+         |seedsrc AS MATERIALIZED (
+         |  SELECT address AS node FROM nodes
+         |  ORDER BY CAST(address AS INTEGER) LIMIT 3),
          |nds AS MATERIALIZED (
          |  SELECT n.address,
          |    CASE WHEN sd.node IS NULL THEN 0 ELSE 1 END AS is_seed
@@ -1382,9 +1382,12 @@ object SparkEntry {
       .join(Tables.supplier(s, d), col("l_suppkey") === col("s_suppkey"))
       .select(col("c_nationkey").cast("string").as("src"),
         col("s_nationkey").cast("string").as("dst"))
-    val seeds = Tables.nation(s, d)
-      .filter(col("n_nationkey") % 5 === 0)
-      .select(col("n_nationkey").cast("string").as("node"))
+    // seeds from the graph itself (3 lowest-id nations PRESENT): a
+    // fixed external seed list can miss the sampled graph entirely at
+    // tiny scale factors
+    val seeds = edges.select(col("src").as("node"))
+      .unionByName(edges.select(col("dst").as("node"))).distinct()
+      .orderBy(col("node").cast("int").asc).limit(3)
     graft.graph.PageRank.runScaledPersonalized(edges, seeds,
       iterations = 10, checkpointEvery = 2)
   }
