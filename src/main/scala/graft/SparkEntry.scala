@@ -1409,6 +1409,22 @@ object SparkEntry {
         col("v_filled"), col("interpolated").cast("long").as("interp"))
   }
 
+  /** k-anonymity suppression (TrainingData.kAnonymize): events keep a
+    * row only when its (user cohort, event type, value decile)
+    * quasi-identifier combo has ≥ 8 members; output is the per-type
+    * survivor accounting. */
+  def q97_kanonymity(s: SparkSession, d: String): DataFrame = {
+    val quasi = Tables.events(s, d)
+      .select(col("event_id"), col("event_type"),
+        expr("user_id div 10").as("cohort"),
+        expr("cast(round(value * 100) as bigint) div 500").as("vband"))
+    graft.pipeline.TrainingData.kAnonymize(
+      quasi, Seq(col("cohort"), col("event_type"), col("vband")), k = 8L)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_kept"),
+        countDistinct(col("cohort"), col("vband")).as("n_combos"))
+  }
+
   // ---------------------------------------------------------------- registry
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1508,6 +1524,7 @@ object SparkEntry {
     "q94_zscore" -> (q94_zscore _),
     "q95_ppr" -> (q95_ppr _),
     "q96_interpolate" -> (q96_interpolate _),
+    "q97_kanonymity" -> (q97_kanonymity _),
   )
 
   // DuckDB twins of the Scala normalization / hashing expressions
@@ -2701,5 +2718,18 @@ object SparkEntry {
         |  END AS v_filled,
         |  CAST(v IS NULL AS BIGINT) AS interp
         |FROM w""".stripMargin,
+    "q97_kanonymity" ->
+      """WITH q AS (
+        |  SELECT event_id, event_type, user_id // 10 AS cohort,
+        |    CAST(round(value * 100) AS BIGINT) // 500 AS vband
+        |  FROM events),
+        |g AS (
+        |  SELECT *, count(*) OVER (
+        |    PARTITION BY cohort, event_type, vband) AS gsize
+        |  FROM q)
+        |SELECT event_type, count(*) AS n_kept,
+        |  count(DISTINCT (cohort, vband)) AS n_combos
+        |FROM g WHERE gsize >= 8
+        |GROUP BY event_type""".stripMargin,
   )
 }

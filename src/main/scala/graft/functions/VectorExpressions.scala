@@ -391,5 +391,8 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
     }
     // auto-rewrite nested-loop range joins into the binned equi-join form
     e.injectOptimizerRule(_ => graft.plans.RangeJoinRewrite())
+    // plan AsOfJoinPlan nodes without requiring the asof() wrapper's
+    // per-session register() call
+    e.injectPlannerStrategy(_ => new graft.plans.AsOfJoinStrategy)
   }
 }

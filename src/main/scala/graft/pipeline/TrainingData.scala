@@ -148,6 +148,20 @@ object TrainingData {
       .drop("__rank", "__n")
   }
 
+  /** k-anonymity suppression: keep a row only if its quasi-identifier
+    * combination is shared by at least `k` rows — the release-side
+    * privacy gate that complements [[redactPii]]'s content-side masking
+    * (rare attribute combinations re-identify individuals even with
+    * direct identifiers scrubbed). One count-window over the composite
+    * quasi key — a single hash shuffle, no self-join. */
+  def kAnonymize(df: DataFrame, quasi: Seq[Column], k: Long): DataFrame = {
+    require(quasi.nonEmpty && k >= 1, "need quasi columns and k >= 1")
+    val w = Window.partitionBy(quasi: _*)
+    df.withColumn("__gsize", count(lit(1)).over(w))
+      .filter(col("__gsize") >= k)
+      .drop("__gsize")
+  }
+
   /** Deterministic negative sampling for contrastive/retrieval training:
     * each anchor gets `k` pseudo-random partners ≠ itself, without ever
     * forming the anchors⨯corpus product. Docs hash into `buckets`

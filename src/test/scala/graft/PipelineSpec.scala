@@ -136,6 +136,19 @@ class PipelineSpec extends AnyFunSuite with SparkTestBase {
       ("b", 7L, 0L), ("b", 7L, 0L)))
   }
 
+  test("kAnonymize: suppresses quasi-identifier groups smaller than k") {
+    val df = (Seq.fill(5)(("adult", "paris")) ++ Seq.fill(3)(("adult",
+      "lyon")) ++ Seq(("minor", "paris"))).zipWithIndex
+      .map { case ((a, c), i) => (i.toLong, a, c) }
+      .toDF("id", "age_band", "city")
+    val kept = TrainingData.kAnonymize(df, Seq($"age_band", $"city"), 4L)
+    assert(kept.count() == 5) // only the 5-member (adult, paris) combo
+    assert(kept.select("age_band", "city").distinct().count() == 1)
+    // k=1 keeps everything; schema unchanged
+    assert(TrainingData.kAnonymize(df, Seq($"age_band"), 1L).count() == 9)
+    assert(kept.columns.toSeq == Seq("id", "age_band", "city"))
+  }
+
   test("rebalanceStrata: skewed strata downsample toward the smallest") {
     val df = ((0L until 300L).map(i => (i, "big")) ++
       (300L until 350L).map(i => (i, "small"))).toDF("id", "stratum")
