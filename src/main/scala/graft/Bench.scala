@@ -36,7 +36,7 @@ object Bench {
                   "q19_minhash_lsh", "q27_ivf_ann", "q28_lsh_ann",
                   "q65_pq_ann", "q63_hist_quantiles", "q48_asof_rates",
                   "q56_range_join", "q82_bloom_prune", "q79_sessionize",
-                  "q33_pipeline_transfers", "q87_bfs_hops"))
+                  "q33_pipeline_transfers", "q87_bfs_hops", "q95_ppr"))
       try SparkEntry.queries(w)(spark, sfDir).count()
       catch { case _: Throwable => }
     // drop the warm-up queries' checkpoint blocks so the first timed

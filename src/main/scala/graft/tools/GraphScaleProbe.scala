@@ -1,0 +1,75 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Scale probe for the frontier/peel graph operators (Bfs, KCore):
+  * wall time at 1× and 10× synthetic edge counts, broadcast joins
+  * disabled to exercise the shuffle-join regime a 1000-executor run
+  * sees. Sub-linear or ~linear growth in wall time across the decade
+  * is the evidence that round cost tracks frontier/surviving-edge size
+  * rather than graph size × rounds; measured numbers are recorded in
+  * SCALE_AUDIT.md.
+  *
+  * Graph: a preferential-attachment-flavored multigraph — each node
+  * i > 0 links to (i mod b) hubs and i−1 — giving hubs with O(N/b)
+  * degree, a connected spine for BFS depth, and a dense-enough core
+  * for k-core to retain structure.
+  *
+  * Usage: runMain graft.tools.GraphScaleProbe [nBase]
+  */
+object GraphScaleProbe {
+  def main(args: Array[String]): Unit = {
+    val base = args.headOption.map(_.toInt).getOrElse(200000)
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.autoBroadcastJoinThreshold", "-1")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    def edges(n: Int) = {
+      val b = 97
+      spark.range(1, n.toLong).toDF("id")
+        .select(col("id").as("src"),
+          explode(array(pmod(col("id"), lit(b)),
+            col("id") - 1)).as("dst"))
+        .filter(col("src") =!= col("dst"))
+    }
+    def time[A](f: => A): (A, Double) = {
+      val t0 = System.nanoTime()
+      val a = f
+      (a, (System.nanoTime() - t0) / 1e9)
+    }
+
+    println(s"| op | n | edges | result rows | seconds |")
+    println(s"|---|---|---|---|---|")
+    for (mult <- Seq(1, 10)) {
+      val n = base * mult
+      val e = edges(n).localCheckpoint(true)
+      val ec = e.count()
+      import spark.implicits._
+      val seeds = Seq(0L, 1L).toDF("node")
+      // BFS over the symmetrized graph: the raw edges all point hub-ward
+      // (src > dst), so directed BFS from the hubs would see nothing —
+      // the undirected form is also what q87 builds
+      val und = e.unionByName(
+        e.select(col("dst").as("src"), col("src").as("dst")))
+        .localCheckpoint(true)
+      val (bfsRows, bfsSec) = time {
+        graft.graph.Bfs.boundedBfs(und, seeds, maxHops = 3).count()
+      }
+      println(s"| bfs(3 hops, 2 seeds) | $n | $ec | $bfsRows | " +
+        f"$bfsSec%.1f |")
+      val (coreRows, coreSec) = time {
+        graft.graph.KCore.peel(e, k = 3, rounds = 8).count()
+      }
+      println(s"| kcore(k=3, ≤8 rounds) | $n | $ec | $coreRows | " +
+        f"$coreSec%.1f |")
+    }
+    spark.stop()
+  }
+}
