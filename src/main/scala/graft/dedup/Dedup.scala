@@ -259,6 +259,58 @@ object Dedup {
     jaccardFromCounts(inter, sizes, threshold)
   }
 
+  /** Prefix-filtered exact containment — the one-sided AllPairs
+    * argument: containment(A→B) ≥ t ⟹ |A∩B| ≥ ⌈t·|A|⌉, so the
+    * canonically-smallest shared shingle cannot sit outside A's first
+    * |A| − ⌈t·|A|⌉ + 1 shingles (rarest-first order) — else the whole
+    * intersection would fit in the ⌈t·|A|⌉ − 1 positions behind it.
+    * Only A-side postings shrink (B is unconstrained — a superset
+    * must stay fully indexed), but the A-prefix join against rare-
+    * first shingles is what kills the stop-shingle blowup, exactly as
+    * in [[jaccardPairsPrefix]]. Result-identical to
+    * [[containmentPairs]] (equality pinned in DedupSpec). */
+  def containmentPairsPrefix(shingleDf: DataFrame,
+                             threshold: Double): DataFrame = {
+    val sh = shingleDf
+    val sizes = shingleSizes(sh)
+    val df = sh.groupBy(col("shingle")).agg(count(lit(1)).as("__df"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id"))
+      .orderBy(col("__df").asc, col("shingle").asc)
+    // − ε as in jaccardPairsPrefix: err toward longer prefixes
+    val prefixLen =
+      (col("sz") - ceil(lit(threshold) * col("sz") - lit(1e-9)) + 1)
+        .cast("long")
+    val prefixes = sh
+      .join(df, Seq("shingle"))
+      .withColumn("__rk", row_number().over(w))
+      .join(sizes, Seq("doc_id"))
+      .filter(col("__rk") <= prefixLen)
+      .select(col("doc_id"), col("shingle"))
+    val candidates = prefixes.select(col("doc_id").as("id1"), col("shingle"))
+      .join(sh.select(col("doc_id").as("id2"), col("shingle")),
+        Seq("shingle"))
+      .filter(col("id1") =!= col("id2"))
+      .select(col("id1"), col("id2")).distinct()
+    val candDocs = candidates.select(col("id1").as("doc_id"))
+      .union(candidates.select(col("id2").as("doc_id"))).distinct()
+    val candSh = sh.join(candDocs, Seq("doc_id"), "left_semi")
+    val inter = candidates
+      .join(candSh.select(col("doc_id").as("id1"), col("shingle")),
+        Seq("id1"))
+      .join(candSh.select(col("doc_id").as("id2"), col("shingle")),
+        Seq("id2", "shingle"))
+      .groupBy(col("id1"), col("id2"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.withColumnRenamed("doc_id", "id1")
+        .withColumnRenamed("sz", "sz1"), Seq("id1"))
+      .withColumn("containment",
+        col("inter").cast("double") / col("sz1").cast("double"))
+      .filter(col("containment") >= threshold)
+      .select(col("id1"), col("id2"), col("containment"))
+  }
+
   /** MinHash+LSH near-dup pipeline: LSH candidates, then exact-Jaccard
     * verification of ONLY the candidates — the verification joins are
     * restricted to candidate docs' shingles, so its cost scales with the

@@ -69,6 +69,19 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
     assert(th == Set((1L, 2L)))
   }
 
+  test("prefix-filtered containment equals the full inverted join " +
+    "(0.3, 0.5, 0.8, 1.0)") {
+    val corpus = Tables.documents(spark, "/root/testdata/sf0.001")
+    val sh = Dedup.shingleKeys(corpus, 3).localCheckpoint(true)
+    for (t <- Seq(0.3, 0.5, 0.8, 1.0)) {
+      val full = Dedup.containmentPairs(sh, t)
+        .select("id1", "id2").as[(Long, Long)].collect().toSet
+      val pref = Dedup.containmentPairsPrefix(sh, t)
+        .select("id1", "id2").as[(Long, Long)].collect().toSet
+      assert(pref == full, s"threshold $t: ${pref.size} vs ${full.size}")
+    }
+  }
+
   test("prefix-filtered jaccard equals the full inverted join — " +
     "thresholds including float-noisy t·|S| (0.3, 0.5, 0.7)") {
     val corpus = Tables.documents(spark, "/root/testdata/sf0.001")
