@@ -1429,6 +1429,23 @@ object SparkEntry {
         countDistinct(col("cohort"), col("vband")).as("n_combos"))
   }
 
+  /** Ordered funnel (ops/Events.funnel): view → click → purchase with
+    * strict event-order matching — each stage's reach time must follow
+    * the previous stage's. µs timestamps for cross-engine equality of
+    * the strict > comparisons. */
+  def q98_funnel(s: SparkSession, d: String): DataFrame =
+    graft.ops.Events.funnel(
+      Tables.events(s, d).withColumn("ts_us", expr("ts div 1000")),
+      "user_id", "ts_us", "event_type",
+      Seq("view", "click", "purchase"))
+
+  /** Cohort retention (ops/Events.retention): users cohorted by first-
+    * activity week, distinct-user counts per (cohort, week offset). */
+  def q99_retention(s: SparkSession, d: String): DataFrame =
+    graft.ops.Events.retention(
+      Tables.events(s, d).withColumn("ts_us", expr("ts div 1000")),
+      "user_id", "ts_us", periodLength = 604800000000L)
+
   // ---------------------------------------------------------------- registry
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1529,6 +1546,8 @@ object SparkEntry {
     "q95_ppr" -> (q95_ppr _),
     "q96_interpolate" -> (q96_interpolate _),
     "q97_kanonymity" -> (q97_kanonymity _),
+    "q98_funnel" -> (q98_funnel _),
+    "q99_retention" -> (q99_retention _),
   )
 
   // DuckDB twins of the Scala normalization / hashing expressions
@@ -2735,5 +2754,35 @@ object SparkEntry {
         |  count(DISTINCT (cohort, vband)) AS n_combos
         |FROM g WHERE gsize >= 8
         |GROUP BY event_type""".stripMargin,
+    "q98_funnel" ->
+      """WITH s1 AS (
+        |  SELECT user_id, min(epoch_us(ts)) AS t FROM events
+        |  WHERE event_type = 'view' GROUP BY user_id),
+        |s2 AS (
+        |  SELECT e.user_id, min(epoch_us(e.ts)) AS t FROM events e
+        |  JOIN s1 ON e.user_id = s1.user_id
+        |  WHERE e.event_type = 'click' AND epoch_us(e.ts) > s1.t
+        |  GROUP BY e.user_id),
+        |s3 AS (
+        |  SELECT e.user_id, min(epoch_us(e.ts)) AS t FROM events e
+        |  JOIN s2 ON e.user_id = s2.user_id
+        |  WHERE e.event_type = 'purchase' AND epoch_us(e.ts) > s2.t
+        |  GROUP BY e.user_id)
+        |SELECT CAST(1 AS INTEGER) AS stage_idx, 'view' AS stage,
+        |  (SELECT count(*) FROM s1) AS n_users
+        |UNION ALL SELECT 2, 'click', (SELECT count(*) FROM s2)
+        |UNION ALL SELECT 3, 'purchase', (SELECT count(*) FROM s3)"""
+        .stripMargin,
+    "q99_retention" ->
+      """WITH active AS (
+        |  SELECT DISTINCT user_id,
+        |    epoch_us(ts) // 604800000000 AS p
+        |  FROM events),
+        |cohorts AS (
+        |  SELECT user_id, min(p) AS cohort FROM active GROUP BY user_id)
+        |SELECT c.cohort, a.p - c.cohort AS offset,
+        |  count(DISTINCT a.user_id) AS n_users
+        |FROM active a JOIN cohorts c ON a.user_id = c.user_id
+        |GROUP BY c.cohort, a.p - c.cohort""".stripMargin,
   )
 }

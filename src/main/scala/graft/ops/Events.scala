@@ -1,0 +1,71 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Event-sequence analytics: ordered funnels and cohort retention — the
+  * two product-analytics staples every event warehouse serves, here as
+  * exact integer aggregations (no sessionization dependency, no
+  * approximate sketches).
+  */
+object Events {
+
+  /** Ordered funnel: for each user, the earliest time of stage 1, the
+    * earliest stage-2 time AFTER that, the earliest stage-3 time after
+    * THAT, and so on — strict event-order matching, not mere
+    * set-membership. Returns one row per funnel stage with the count
+    * of users who reached it.
+    *
+    * Shape: one conditional aggregation per stage, each hash-
+    * partitioned on the user key; every later stage joins the previous
+    * stage's (user → reach time) frame — k small shuffles for a
+    * k-stage funnel, all on the same key (AQE reuses the
+    * partitioning). No windows over whole event histories, no
+    * collect_list of per-user event arrays. Fully lazy: one union of
+    * per-stage count aggregates.
+    *
+    * @param events (user, ts, stage) — `stage` values matched against
+    *               `stages` in order
+    * @return (stage_idx, stage, n_users), stage_idx 1-based */
+  def funnel(events: DataFrame, user: String, ts: String, stage: String,
+             stages: Seq[String]): DataFrame = {
+    require(stages.nonEmpty, "need at least one funnel stage")
+    var reached: DataFrame = null
+    stages.zipWithIndex.map { case (st, i) =>
+      reached =
+        if (i == 0)
+          events.filter(col(stage) === st)
+            .groupBy(col(user)).agg(min(col(ts)).as("__t"))
+        else
+          events.filter(col(stage) === st)
+            .join(reached.withColumnRenamed("__t", "__prev"), Seq(user))
+            .filter(col(ts) > col("__prev"))
+            .groupBy(col(user)).agg(min(col(ts)).as("__t"))
+      reached.agg(count(lit(1)).as("n_users"))
+        .select(lit(i + 1).as("stage_idx"), lit(st).as("stage"),
+          col("n_users"))
+    }.reduce(_ unionByName _)
+  }
+
+  /** Cohort retention: users are cohorted by their FIRST-activity
+    * period; the matrix counts, for each (cohort, offset), the
+    * distinct users of that cohort active `offset` periods later.
+    * Two aggregations and one join, all hash-partitioned on the user
+    * key. Period is integer `ts div periodLength` — engine-exact.
+    *
+    * @return (cohort, offset, n_users) with offset ≥ 0 */
+  def retention(events: DataFrame, user: String, ts: String,
+                periodLength: Long): DataFrame = {
+    require(periodLength > 0, "periodLength must be positive")
+    val active = events
+      .select(col(user), expr(s"cast(`$ts` as bigint) div ${periodLength}L")
+        .as("__p"))
+      .distinct()
+    val cohorts = active.groupBy(col(user))
+      .agg(min(col("__p")).as("__cohort"))
+    active.join(cohorts, Seq(user))
+      .groupBy(col("__cohort").as("cohort"),
+        (col("__p") - col("__cohort")).as("offset"))
+      .agg(countDistinct(col(user)).as("n_users"))
+  }
+}

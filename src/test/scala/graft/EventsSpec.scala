@@ -1,0 +1,54 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.ops.Events
+
+class EventsSpec extends AnyFunSuite with SparkTestBase {
+  import spark.implicits._
+
+  private lazy val events = Seq(
+    // u1: full ordered funnel
+    (1L, 10L, "view"), (1L, 20L, "click"), (1L, 30L, "purchase"),
+    // u2: purchase BEFORE click — order-violating, stops at click
+    (2L, 10L, "view"), (2L, 30L, "click"), (2L, 20L, "purchase"),
+    // u3: no view — never enters the funnel despite click+purchase
+    (3L, 10L, "click"), (3L, 20L, "purchase"),
+    // u4: view only
+    (4L, 99L, "view"),
+    // u5: repeated stages — earliest valid chain wins
+    (5L, 10L, "view"), (5L, 5L, "click"), (5L, 15L, "click"),
+    (5L, 12L, "purchase"), (5L, 40L, "purchase")
+  ).toDF("user_id", "ts", "event_type")
+
+  test("funnel: strict order, per-stage user counts") {
+    val got = Events.funnel(events, "user_id", "ts", "event_type",
+      Seq("view", "click", "purchase"))
+      .as[(Int, String, Long)].collect().toList
+    // view: u1,u2,u4,u5; click after view: u1,u2,u5 (u5 via ts=15);
+    // purchase after that click: u1 (30>20), u5 (40>15); u2's purchase
+    // (20) precedes its click (30)
+    assert(got == List((1, "view", 4L), (2, "click", 3L),
+      (3, "purchase", 2L)))
+  }
+
+  test("funnel: single stage degenerates to distinct-user count") {
+    val got = Events.funnel(events, "user_id", "ts", "event_type",
+      Seq("purchase")).as[(Int, String, Long)].collect().toList
+    assert(got == List((1, "purchase", 4L))) // u1, u2, u3, u5
+  }
+
+  test("retention: cohort by first period, offsets count distinct users") {
+    // period length 10: u1 active p1,p2; u2 active p1; u3 active p2,p4
+    val ev = Seq((1L, 10L), (1L, 12L), (1L, 25L), (2L, 15L),
+      (3L, 20L), (3L, 40L)).toDF("user_id", "ts")
+      .withColumn("event_type", org.apache.spark.sql.functions.lit("x"))
+    val got = Events.retention(ev, "user_id", "ts", 10L)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got == Set(
+      (1L, 0L, 2L), // cohort p1: u1, u2 active in week 0
+      (1L, 1L, 1L), // u1 returns in p2
+      (2L, 0L, 1L), // cohort p2: u3
+      (2L, 2L, 1L)  // u3 returns at p4 (offset 2)
+    ))
+  }
+}
