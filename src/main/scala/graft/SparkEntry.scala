@@ -1446,6 +1446,18 @@ object SparkEntry {
       Tables.events(s, d).withColumn("ts_us", expr("ts div 1000")),
       "user_id", "ts_us", periodLength = 604800000000L)
 
+  /** Corpus-overlap audit: exact shingle-set Jaccard between SOURCES
+    * (not documents) — "how much does crawl A overlap dump B", the
+    * acquisition-dedup question asked before any per-doc work. Reuses
+    * the inverted-join miner keyed by source; per-source shingle sets
+    * are distinct'd first so sizes are set sizes. */
+  def q100_corpus_overlap(s: SparkSession, d: String): DataFrame =
+    graft.dedup.Dedup.jaccardPairs(
+      graft.dedup.Dedup.shingleKeys(
+        Tables.documents(s, d).select(col("source").as("doc_id"),
+          col("text")), 3).localCheckpoint(true), 0.02)
+      .select(col("id1").as("src1"), col("id2").as("src2"), col("jaccard"))
+
   // ---------------------------------------------------------------- registry
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1548,6 +1560,7 @@ object SparkEntry {
     "q97_kanonymity" -> (q97_kanonymity _),
     "q98_funnel" -> (q98_funnel _),
     "q99_retention" -> (q99_retention _),
+    "q100_corpus_overlap" -> (q100_corpus_overlap _),
   )
 
   // DuckDB twins of the Scala normalization / hashing expressions
@@ -2784,5 +2797,26 @@ object SparkEntry {
         |  count(DISTINCT a.user_id) AS n_users
         |FROM active a JOIN cohorts c ON a.user_id = c.user_id
         |GROUP BY c.cohort, a.p - c.cohort""".stripMargin,
+    "q100_corpus_overlap" ->
+      s"""WITH w AS (
+         |  SELECT source, string_split($NormSql, ' ') AS ws
+         |  FROM documents),
+         |sh AS (
+         |  SELECT DISTINCT source,
+         |    unnest([array_to_string(ws[i:i+2], ' ')
+         |            for i in range(1, greatest(len(ws)-3, 0)+2)]) AS s
+         |  FROM w),
+         |sz AS (SELECT source, count(*) AS sz FROM sh GROUP BY source),
+         |inter AS (
+         |  SELECT a.source AS src1, b.source AS src2, count(*) AS i
+         |  FROM sh a JOIN sh b ON a.s = b.s AND a.source < b.source
+         |  GROUP BY 1, 2)
+         |SELECT src1, src2,
+         |  CAST(i AS DOUBLE) / CAST(s1.sz + s2.sz - i AS DOUBLE)
+         |    AS jaccard
+         |FROM inter
+         |JOIN sz s1 ON s1.source = src1 JOIN sz s2 ON s2.source = src2
+         |WHERE CAST(i AS DOUBLE) / CAST(s1.sz + s2.sz - i AS DOUBLE)
+         |  >= 0.02""".stripMargin,
   )
 }
