@@ -1374,7 +1374,7 @@ object SparkEntry {
       .select(col("doc_id"), col("lang"), col("n_chars"), col("z_ppm"))
 
   /** Personalized PageRank (graph/PageRank.runScaledPersonalized):
-    * random-walk-with-restart to a 5-nation seed set over q34's
+    * random-walk-with-restart to the graph's 3 lowest-id nations over q34's
     * sparsified trade graph, integer-scaled → bit-exact 10-iteration
     * DuckDB oracle (the same unrolled-CTE discipline as q34). */
   def q95_ppr(s: SparkSession, d: String): DataFrame = {

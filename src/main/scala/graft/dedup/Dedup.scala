@@ -179,14 +179,64 @@ object Dedup {
       .filter(col("id1") =!= col("id2"))
       .groupBy(col("id1"), col("id2"))
       .agg(count(lit(1)).as("inter"))
+    containmentFromCounts(inter, shingleSizes(shingleDf), threshold)
+  }
+
+  /** Rarest-first prefix postings (AllPairs/PPJoin candidate side):
+    * each doc's first |S| − ⌈t·|S|⌉ + 1 shingles in global
+    * (document-frequency asc, shingle asc) order. The − ε guards float
+    * noise in t·sz (e.g. 0.3·10 → 3.0000000000000004, whose ceil would
+    * shorten the prefix and silently DROP true pairs); erring low only
+    * lengthens prefixes — never loses recall. */
+  private def rarestFirstPrefixes(sh: DataFrame,
+                                  threshold: Double): DataFrame = {
+    val sizes = shingleSizes(sh)
+    val df = sh.groupBy(col("shingle")).agg(count(lit(1)).as("__df"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id"))
+      .orderBy(col("__df").asc, col("shingle").asc)
+    val prefixLen =
+      (col("sz") - ceil(lit(threshold) * col("sz") - lit(1e-9)) + 1)
+        .cast("long")
+    sh.join(df, Seq("shingle"))
+      .withColumn("__rk", row_number().over(w))
+      .join(sizes, Seq("doc_id"))
+      .filter(col("__rk") <= prefixLen)
+      .select(col("doc_id"), col("shingle"))
+  }
+
+  /** Exact |A∩B| for candidate pairs, computed only over the candidate
+    * docs' shingles (the verification tail all three miners share).
+    * @param materialize checkpoint the restricted shingle set when the
+    *   caller's `sh` is expensive to recompute for the two join reads
+    * @return (per-pair intersection counts, the restricted shingle set) */
+  private def candidateIntersections(candidates: DataFrame, sh: DataFrame,
+                                     materialize: Boolean)
+      : (DataFrame, DataFrame) = {
+    val candDocs = candidates.select(col("id1").as("doc_id"))
+      .union(candidates.select(col("id2").as("doc_id"))).distinct()
+    val candSh0 = sh.join(candDocs, Seq("doc_id"), "left_semi")
+    val candSh = if (materialize) candSh0.localCheckpoint(true) else candSh0
+    val inter = candidates
+      .join(candSh.select(col("doc_id").as("id1"), col("shingle")),
+        Seq("id1"))
+      .join(candSh.select(col("doc_id").as("id2"), col("shingle")),
+        Seq("id2", "shingle"))
+      .groupBy(col("id1"), col("id2"))
+      .agg(count(lit(1)).as("inter"))
+    (inter, candSh)
+  }
+
+  /** Shared containment tail: attach |A| and keep inter/|A| ≥ t. */
+  private def containmentFromCounts(inter: DataFrame, sizes: DataFrame,
+                                    threshold: Double): DataFrame =
     inter
-      .join(shingleSizes(shingleDf).withColumnRenamed("doc_id", "id1")
+      .join(sizes.withColumnRenamed("doc_id", "id1")
         .withColumnRenamed("sz", "sz1"), Seq("id1"))
       .withColumn("containment",
         col("inter").cast("double") / col("sz1").cast("double"))
       .filter(col("containment") >= threshold)
       .select(col("id1"), col("id2"), col("containment"))
-  }
 
   /** Exact Jaccard pairs via PREFIX FILTERING (Bayardo et al.'s
     * AllPairs / PPJoin candidate generation): only each doc's first
@@ -221,24 +271,7 @@ object Dedup {
   def jaccardPairsPrefix(shingleDf: DataFrame,
                          threshold: Double): DataFrame = {
     val sh = shingleDf
-    val sizes = shingleSizes(sh) // (doc_id, sz)
-    val df = sh.groupBy(col("shingle")).agg(count(lit(1)).as("__df"))
-    // rank each doc's shingles rarest-first; keep the prefix
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("doc_id"))
-      .orderBy(col("__df").asc, col("shingle").asc)
-    // − ε guards float noise in t·sz (e.g. 0.3·10 → 3.0000000000000004,
-    // whose ceil would shorten the prefix and silently DROP true pairs);
-    // erring low only lengthens prefixes — never loses recall
-    val prefixLen =
-      (col("sz") - ceil(lit(threshold) * col("sz") - lit(1e-9)) + 1)
-        .cast("long")
-    val prefixes = sh
-      .join(df, Seq("shingle"))
-      .withColumn("__rk", row_number().over(w))
-      .join(sizes, Seq("doc_id"))
-      .filter(col("__rk") <= prefixLen)
-      .select(col("doc_id"), col("shingle"))
+    val prefixes = rarestFirstPrefixes(sh, threshold)
     val a = prefixes.select(col("doc_id").as("id1"), col("shingle"))
     val b = prefixes.select(col("doc_id").as("id2"), col("shingle"))
     val candidates = a.join(b, Seq("shingle"))
@@ -246,17 +279,9 @@ object Dedup {
       .select(col("id1"), col("id2")).distinct()
     // exact verification over candidates' full sets (the
     // minhashDuplicatePairs tail, without the approximation upstream)
-    val candDocs = candidates.select(col("id1").as("doc_id"))
-      .union(candidates.select(col("id2").as("doc_id"))).distinct()
-    val candSh = sh.join(candDocs, Seq("doc_id"), "left_semi")
-    val inter = candidates
-      .join(candSh.select(col("doc_id").as("id1"), col("shingle")),
-        Seq("id1"))
-      .join(candSh.select(col("doc_id").as("id2"), col("shingle")),
-        Seq("id2", "shingle"))
-      .groupBy(col("id1"), col("id2"))
-      .agg(count(lit(1)).as("inter"))
-    jaccardFromCounts(inter, sizes, threshold)
+    val (inter, _) = candidateIntersections(candidates, sh,
+      materialize = false)
+    jaccardFromCounts(inter, shingleSizes(sh), threshold)
   }
 
   /** Prefix-filtered exact containment — the one-sided AllPairs
@@ -272,43 +297,15 @@ object Dedup {
   def containmentPairsPrefix(shingleDf: DataFrame,
                              threshold: Double): DataFrame = {
     val sh = shingleDf
-    val sizes = shingleSizes(sh)
-    val df = sh.groupBy(col("shingle")).agg(count(lit(1)).as("__df"))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("doc_id"))
-      .orderBy(col("__df").asc, col("shingle").asc)
-    // − ε as in jaccardPairsPrefix: err toward longer prefixes
-    val prefixLen =
-      (col("sz") - ceil(lit(threshold) * col("sz") - lit(1e-9)) + 1)
-        .cast("long")
-    val prefixes = sh
-      .join(df, Seq("shingle"))
-      .withColumn("__rk", row_number().over(w))
-      .join(sizes, Seq("doc_id"))
-      .filter(col("__rk") <= prefixLen)
-      .select(col("doc_id"), col("shingle"))
-    val candidates = prefixes.select(col("doc_id").as("id1"), col("shingle"))
+    val candidates = rarestFirstPrefixes(sh, threshold)
+      .select(col("doc_id").as("id1"), col("shingle"))
       .join(sh.select(col("doc_id").as("id2"), col("shingle")),
         Seq("shingle"))
       .filter(col("id1") =!= col("id2"))
       .select(col("id1"), col("id2")).distinct()
-    val candDocs = candidates.select(col("id1").as("doc_id"))
-      .union(candidates.select(col("id2").as("doc_id"))).distinct()
-    val candSh = sh.join(candDocs, Seq("doc_id"), "left_semi")
-    val inter = candidates
-      .join(candSh.select(col("doc_id").as("id1"), col("shingle")),
-        Seq("id1"))
-      .join(candSh.select(col("doc_id").as("id2"), col("shingle")),
-        Seq("id2", "shingle"))
-      .groupBy(col("id1"), col("id2"))
-      .agg(count(lit(1)).as("inter"))
-    inter
-      .join(sizes.withColumnRenamed("doc_id", "id1")
-        .withColumnRenamed("sz", "sz1"), Seq("id1"))
-      .withColumn("containment",
-        col("inter").cast("double") / col("sz1").cast("double"))
-      .filter(col("containment") >= threshold)
-      .select(col("id1"), col("id2"), col("containment"))
+    val (inter, _) = candidateIntersections(candidates, sh,
+      materialize = false)
+    containmentFromCounts(inter, shingleSizes(sh), threshold)
   }
 
   /** MinHash+LSH near-dup pipeline: LSH candidates, then exact-Jaccard
@@ -326,17 +323,8 @@ object Dedup {
     val candidates =
       lshCandidatePairs(minhashSignatures(sh, numHashes), numHashes, bands)
         .localCheckpoint(true)
-    val candDocs = candidates.select(col("id1").as("doc_id"))
-      .union(candidates.select(col("id2").as("doc_id"))).distinct()
-    val candSh = sh.join(candDocs, Seq("doc_id"), "left_semi")
-      .localCheckpoint(true)
-    val inter = candidates
-      .join(candSh.select(col("doc_id").as("id1"), col("shingle")),
-        Seq("id1"))
-      .join(candSh.select(col("doc_id").as("id2"), col("shingle")),
-        Seq("id2", "shingle"))
-      .groupBy(col("id1"), col("id2"))
-      .agg(count(lit(1)).as("inter"))
+    val (inter, candSh) = candidateIntersections(candidates, sh,
+      materialize = true)
     jaccardFromCounts(inter, shingleSizes(candSh), threshold)
   }
 

@@ -30,9 +30,11 @@ object Layout {
   def read(spark: SparkSession, table: String): DataFrame =
     spark.table(table)
 
-  /** One planned compaction group: output file index, member paths, and
-    * their total size. */
-  final case class CompactionGroup(group: Int, files: Seq[String],
+  /** One planned compaction group: content-derived id (md5 of the
+    * sorted member list — stable across re-plans of the same files, so
+    * overwrite-on-retry is safe and two DIFFERENT plans into one
+    * directory never clobber each other), member paths, total size. */
+  final case class CompactionGroup(group: String, files: Seq[String],
                                    bytes: Long)
 
   /** Small-file compaction plan for a parquet directory: first-fit-
@@ -72,9 +74,12 @@ object Layout {
       }
     }
     // a group of one file is a rename, not a compaction — skip it
-    bins.toSeq.zipWithIndex.collect {
-      case ((paths, tot), i) if paths.size > 1 =>
-        CompactionGroup(i, paths.toSeq, tot)
+    bins.toSeq.collect {
+      case (paths, tot) if paths.size > 1 =>
+        val id = java.security.MessageDigest.getInstance("MD5")
+          .digest(paths.sorted.mkString("\n").getBytes("UTF-8"))
+          .take(8).map("%02x".format(_)).mkString
+        CompactionGroup(id, paths.toSeq, tot)
     }
   }
 

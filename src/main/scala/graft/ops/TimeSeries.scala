@@ -22,20 +22,24 @@ import org.apache.spark.sql.functions._
   */
 object TimeSeries {
 
-  /** @param df   known points (key, t, v), v integral, t on a step grid
+  /** @param df   known points (key, t, v), v and t integral
     * @param key  series column name
     * @param t    time column name (integral)
     * @param v    value column name (integral)
     * @param step dense-axis stride in t units
-    * @return (key, t, v_filled, interpolated) — one row per axis tick */
+    * @return (key, t, v_filled, interpolated) — one row per axis tick;
+    *         the axis is the per-key min..max step grid UNIONED with the
+    *         known timestamps, so off-grid knowns are kept (and anchor
+    *         the interpolation) instead of silently vanishing */
   def interpolate(df: DataFrame, key: String, t: String, v: String,
                   step: Long): DataFrame = {
     require(step > 0, "step must be positive")
     val bounds = df.groupBy(col(key))
       .agg(min(col(t)).as("__t0"), max(col(t)).as("__t1"))
+    val known = df.select(col(key), col(t), col(v).as("__v"))
     val axis = bounds.select(col(key),
       explode(sequence(col("__t0"), col("__t1"), lit(step))).as(t))
-    val known = df.select(col(key), col(t), col(v).as("__v"))
+      .unionByName(known.select(col(key), col(t))).distinct()
     val wPrev = Window.partitionBy(col(key)).orderBy(col(t))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val wNext = Window.partitionBy(col(key)).orderBy(col(t))

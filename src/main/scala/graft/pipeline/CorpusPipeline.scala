@@ -45,14 +45,17 @@ object CorpusPipeline {
       val kept = df.persist()
       funnel += StageCount(stage, kept.count())
       // the predecessor fed this stage's materialization; its cached
-      // copy is dead now — release it so five superseded full-corpus
-      // frames don't pin executor storage (only the returned frame
-      // stays persisted, the caller's to release)
+      // copy is dead now — release it so superseded full-corpus frames
+      // don't pin executor storage (only the returned frame stays
+      // persisted, the caller's to release)
       previous.foreach(_.unpersist(blocking = false))
       previous = Some(kept)
       kept
     }
-    val input = record("input", docs)
+    // the caller's frame is never persisted or unpersisted here —
+    // caching side effects on an argument are not part of the contract
+    funnel += StageCount("input", docs.count())
+    val input = docs
 
     val allowed = TextAnalysis.langId(input)
       .filter(col("pred_lang").isin(langs: _*))
