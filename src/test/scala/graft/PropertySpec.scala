@@ -328,6 +328,80 @@ class PropertySpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("winsorize: output bounded by stratum [lo, hi], rows preserved, " +
+    "idempotent") {
+    val valsGen = Gen.listOfN(25, Gen.choose(-1000L, 1000L))
+    forAll(valsGen) { vs =>
+      whenever(vs.nonEmpty) {
+        val df = vs.zipWithIndex
+          .map { case (v, i) => (s"id$i", if (i % 2 == 0) "a" else "b", v) }
+          .toDF("id", "stratum", "v")
+        val got = graft.pipeline.TrainingData
+          .winsorize(df, $"stratum", $"v", $"id", 10, 90)
+        assert(got.count() == vs.length)
+        val rows = got.select("stratum", "__lo", "__hi", "__winsorized")
+          .as[(String, Long, Long, Long)].collect()
+        assert(rows.forall { case (_, lo, hi, w) => lo <= w && w <= hi })
+        // clamping a clamped column changes nothing
+        val again = graft.pipeline.TrainingData.winsorize(
+          got.select($"id", $"stratum", $"__winsorized".as("v")),
+          $"stratum", $"v", $"id", 10, 90)
+        assert(again.filter($"v" =!= $"__winsorized").count() == 0)
+      }
+    }
+  }
+
+  test("interpolate: endpoints exact, interior between neighbors") {
+    val ptsGen = Gen.listOfN(6, Gen.zip(Gen.choose(0L, 40L),
+      Gen.choose(-500L, 500L)))
+    forAll(ptsGen) { pts =>
+      val dd = pts.toMap.toSeq // dedupe timestamps
+      whenever(dd.size >= 2) {
+        val df = dd.map { case (t, v) => ("k", t, v) }.toDF("k", "t", "v")
+        val got = graft.ops.TimeSeries.interpolate(df, "k", "t", "v", 3L)
+          .as[(String, Long, Long, Boolean)].collect()
+          .map(r => r._2 -> (r._3, r._4)).toMap
+        // known points come back exactly, unflagged
+        dd.foreach { case (t, v) => assert(got(t) == ((v, false))) }
+        // every filled value lies within [min, max] of the bracketing
+        // knowns (linear interpolation's range bound)
+        val ts = dd.map(_._1).sorted
+        got.foreach { case (t, (w, interp)) =>
+          if (interp) {
+            val prev = dd.filter(_._1 <= t).maxByOption(_._1)
+            val next = dd.filter(_._1 >= t).minByOption(_._1)
+            (prev, next) match {
+              case (Some((_, pv)), Some((_, nv))) =>
+                assert(w >= math.min(pv, nv) && w <= math.max(pv, nv),
+                  s"t=$t w=$w pv=$pv nv=$nv")
+              case (Some((_, pv)), None) => assert(w == pv)
+              case (None, Some((_, nv))) => assert(w == nv)
+              case _ => fail("tick outside known range")
+            }
+          }
+        }
+      }
+    }
+  }
+
+  test("kAnonymize: every surviving combo has ≥ k rows; k=1 keeps all") {
+    val rowsGen = Gen.listOfN(30, Gen.zip(Gen.choose(0, 3), Gen.choose(0, 2)))
+    forAll(rowsGen) { rows =>
+      whenever(rows.nonEmpty) {
+        val df = rows.zipWithIndex
+          .map { case ((a, b), i) => (i.toLong, a, b) }
+          .toDF("id", "qa", "qb")
+        val kept = graft.pipeline.TrainingData
+          .kAnonymize(df, Seq($"qa", $"qb"), 3L)
+        val sizes = kept.groupBy("qa", "qb").count()
+          .as[(Int, Int, Long)].collect()
+        assert(sizes.forall(_._3 >= 3))
+        assert(graft.pipeline.TrainingData
+          .kAnonymize(df, Seq($"qa", $"qb"), 1L).count() == rows.length)
+      }
+    }
+  }
+
   test("upsert idempotence: applying the same updates twice = once") {
     forAll(flowGen) { rows =>
       whenever(rows.nonEmpty) {
