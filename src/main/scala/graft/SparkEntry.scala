@@ -1458,6 +1458,32 @@ object SparkEntry {
           col("text")), 3).localCheckpoint(true), 0.02)
       .select(col("id1").as("src1"), col("id2").as("src2"), col("jaccard"))
 
+  /** CDC apply / MERGE (ops/Cdc.applyChanges): a synthetic change feed
+    * over orders — every key≡0 (mod 10) deleted, ≡1..2 updated to a
+    * doubled price, plus fresh inserts in a disjoint key range — folds
+    * in one anti-join + union. Integer-cent arithmetic throughout. */
+  def q101_cdc_merge(s: SparkSession, d: String): DataFrame = {
+    val orders = Tables.orders(s, d).select(
+      col("o_orderkey"), col("o_custkey"),
+      expr("cast(round(o_totalprice * 100) as bigint)").as("price_cents"))
+    val changes = orders
+      .filter(col("o_orderkey") % 10 <= 2)
+      .select(col("o_orderkey"), col("o_custkey"),
+        when(col("o_orderkey") % 10 === 0, col("price_cents"))
+          .otherwise(col("price_cents") * 2).as("price_cents"),
+        when(col("o_orderkey") % 10 === 0, lit("D"))
+          .otherwise(lit("U")).as("op"))
+      .unionByName(orders.filter(col("o_orderkey") % 1000 === 7)
+        .select((col("o_orderkey") + lit(100000000L)).as("o_orderkey"),
+          col("o_custkey"), col("price_cents"), lit("I").as("op")))
+    graft.ops.Cdc.applyChanges(orders, changes,
+        Seq("o_orderkey"), "op")
+      .groupBy((col("o_orderkey") % 7).as("shard"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("price_cents")).as("total_cents"),
+        max(col("o_orderkey")).as("max_key"))
+  }
+
   // ---------------------------------------------------------------- registry
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1561,6 +1587,7 @@ object SparkEntry {
     "q98_funnel" -> (q98_funnel _),
     "q99_retention" -> (q99_retention _),
     "q100_corpus_overlap" -> (q100_corpus_overlap _),
+    "q101_cdc_merge" -> (q101_cdc_merge _),
   )
 
   // DuckDB twins of the Scala normalization / hashing expressions
@@ -2818,5 +2845,29 @@ object SparkEntry {
          |JOIN sz s1 ON s1.source = src1 JOIN sz s2 ON s2.source = src2
          |WHERE CAST(i AS DOUBLE) / CAST(s1.sz + s2.sz - i AS DOUBLE)
          |  >= 0.02""".stripMargin,
+    "q101_cdc_merge" ->
+      """WITH t AS (
+        |  SELECT o_orderkey, o_custkey,
+        |    CAST(round(o_totalprice * 100) AS BIGINT) AS price_cents
+        |  FROM orders),
+        |changes AS (
+        |  SELECT o_orderkey, o_custkey,
+        |    CASE WHEN o_orderkey % 10 = 0 THEN price_cents
+        |         ELSE price_cents * 2 END AS price_cents,
+        |    CASE WHEN o_orderkey % 10 = 0 THEN 'D' ELSE 'U' END AS op
+        |  FROM t WHERE o_orderkey % 10 <= 2
+        |  UNION ALL
+        |  SELECT o_orderkey + 100000000, o_custkey, price_cents, 'I'
+        |  FROM t WHERE o_orderkey % 1000 = 7),
+        |merged AS (
+        |  SELECT o_orderkey, o_custkey, price_cents FROM t
+        |  WHERE o_orderkey NOT IN (SELECT o_orderkey FROM changes)
+        |  UNION ALL
+        |  SELECT o_orderkey, o_custkey, price_cents FROM changes
+        |  WHERE op IN ('I', 'U'))
+        |SELECT o_orderkey % 7 AS shard, count(*) AS n,
+        |  CAST(sum(price_cents) AS BIGINT) AS total_cents,
+        |  max(o_orderkey) AS max_key
+        |FROM merged GROUP BY o_orderkey % 7""".stripMargin,
   )
 }

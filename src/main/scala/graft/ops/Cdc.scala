@@ -1,0 +1,34 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Change-data-capture apply — SQL MERGE INTO semantics over key-
+  * addressed tables: a change feed of inserts / updates / deletes folds
+  * into the target in ONE pass. [[graft.ops.Volume.upsert]] is the
+  * insert/update special case; this adds delete handling, completing
+  * the warehouse maintenance triad (append, upsert, merge-with-delete).
+  *
+  * Plan shape: one anti-join of the target against the touched keys
+  * (drops updated AND deleted rows), one union of the surviving rows
+  * with the change feed's insert/update images. Both sides hash-
+  * partition on the key; at 100 TB pair it with the partition-granular
+  * overwrite discipline (RollupJob) so a tick rewrites only touched
+  * partitions, and bucket the target by the key (io/Layout) so the
+  * anti-join is co-located.
+  *
+  * Contract: `changes` carries the target's full schema plus `opCol`
+  * ∈ {"I","U","D"}, at most one change per key (pre-compact a feed
+  * with keep-last, ops/Analytics.dedupKeepLast, if it has several).
+  */
+object Cdc {
+
+  def applyChanges(target: DataFrame, changes: DataFrame,
+                   keys: Seq[String], opCol: String): DataFrame = {
+    require(keys.nonEmpty, "need at least one merge key")
+    val touched = changes.select(keys.map(col): _*).distinct()
+    val surviving = target.join(touched, keys, "left_anti")
+    val images = changes.filter(col(opCol).isin("I", "U")).drop(opCol)
+    surviving.unionByName(images)
+  }
+}

@@ -1,0 +1,55 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.ops.Cdc
+
+class CdcSpec extends AnyFunSuite with SparkTestBase {
+  import spark.implicits._
+
+  private lazy val target = Seq(
+    (1L, "a", 100L), (2L, "b", 200L), (3L, "c", 300L), (4L, "d", 400L)
+  ).toDF("k", "name", "v")
+
+  test("merge: insert, update, delete, untouched — all in one apply") {
+    val changes = Seq(
+      (2L, "b2", 250L, "U"), // update
+      (3L, "c", 300L, "D"),  // delete
+      (9L, "i", 900L, "I")   // insert
+    ).toDF("k", "name", "v", "op")
+    val got = Cdc.applyChanges(target, changes, Seq("k"), "op")
+      .as[(Long, String, Long)].collect().toSet
+    assert(got == Set(
+      (1L, "a", 100L),   // untouched
+      (2L, "b2", 250L),  // updated image
+      (4L, "d", 400L),   // untouched
+      (9L, "i", 900L)))  // inserted
+  }
+
+  test("empty change feed is the identity; delete-everything empties") {
+    val none = Seq.empty[(Long, String, Long, String)]
+      .toDF("k", "name", "v", "op")
+    assert(Cdc.applyChanges(target, none, Seq("k"), "op")
+      .as[(Long, String, Long)].collect().toSet ==
+      target.as[(Long, String, Long)].collect().toSet)
+    val delAll = target.withColumn("op",
+      org.apache.spark.sql.functions.lit("D"))
+    assert(Cdc.applyChanges(target, delAll, Seq("k"), "op").count() == 0)
+  }
+
+  test("idempotence: re-applying the same compacted feed is a no-op") {
+    val changes = Seq((2L, "b2", 250L, "U"), (3L, "c", 0L, "D"),
+      (9L, "i", 900L, "I")).toDF("k", "name", "v", "op")
+    val once = Cdc.applyChanges(target, changes, Seq("k"), "op")
+    val twice = Cdc.applyChanges(once, changes, Seq("k"), "op")
+    assert(once.as[(Long, String, Long)].collect().toSet ==
+      twice.as[(Long, String, Long)].collect().toSet)
+  }
+
+  test("composite keys merge on the full key tuple") {
+    val t2 = Seq((1L, "x", 10L), (1L, "y", 20L)).toDF("k1", "k2", "v")
+    val ch = Seq((1L, "x", 99L, "U")).toDF("k1", "k2", "v", "op")
+    val got = Cdc.applyChanges(t2, ch, Seq("k1", "k2"), "op")
+      .as[(Long, String, Long)].collect().toSet
+    assert(got == Set((1L, "x", 99L), (1L, "y", 20L)))
+  }
+}
