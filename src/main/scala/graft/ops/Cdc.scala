@@ -26,9 +26,28 @@ object Cdc {
   def applyChanges(target: DataFrame, changes: DataFrame,
                    keys: Seq[String], opCol: String): DataFrame = {
     require(keys.nonEmpty, "need at least one merge key")
-    val touched = changes.select(keys.map(col): _*).distinct()
+    // fail fast instead of corrupting: an unrecognized op would delete
+    // the key (it reaches `touched`) while its image is filtered away,
+    // and a NULL key never equi-joins, turning updates into duplicates
+    // and deletes into no-ops. The guards live ON the key columns —
+    // every downstream path reads the keys, so column pruning cannot
+    // optimize the validation away (it would, if it sat on opCol alone,
+    // for the delete path that never reads opCol)
+    val opOk = col(opCol).isin("I", "U", "D")
+    val guardedKeys = keys.map { k =>
+      when(col(k).isNull,
+        raise_error(lit(s"CDC change with null merge key $k")))
+        .when(!opOk, raise_error(
+          concat(lit("unknown CDC op: "),
+            coalesce(col(opCol), lit("null")))))
+        .otherwise(col(k)).as(k)
+    }
+    val passthrough = changes.columns.filterNot(keys.contains)
+      .map(col).toIndexedSeq
+    val checked = changes.select(guardedKeys ++ passthrough: _*)
+    val touched = checked.select(keys.map(col): _*).distinct()
     val surviving = target.join(touched, keys, "left_anti")
-    val images = changes.filter(col(opCol).isin("I", "U")).drop(opCol)
+    val images = checked.filter(col(opCol).isin("I", "U")).drop(opCol)
     surviving.unionByName(images)
   }
 }

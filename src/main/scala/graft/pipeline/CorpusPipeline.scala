@@ -52,10 +52,12 @@ object CorpusPipeline {
       previous = Some(kept)
       kept
     }
-    // the caller's frame is never persisted or unpersisted here —
-    // caching side effects on an argument are not part of the contract
-    funnel += StageCount("input", docs.count())
-    val input = docs
+    // a lazy localCheckpoint: the caller's frame (and its cache state)
+    // is untouched, yet the possibly-expensive input lineage
+    // materializes ONCE and the three stage-1 reads hit the checkpoint
+    // blocks (released with the JVM's context cleaner, not our
+    // unpersist chain)
+    val input = record("input", docs.localCheckpoint(false))
 
     val allowed = TextAnalysis.langId(input)
       .filter(col("pred_lang").isin(langs: _*))

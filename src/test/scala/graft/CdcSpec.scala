@@ -45,6 +45,24 @@ class CdcSpec extends AnyFunSuite with SparkTestBase {
       twice.as[(Long, String, Long)].collect().toSet)
   }
 
+  test("malformed feeds fail fast instead of corrupting") {
+    // unknown op code: would otherwise silently DELETE key 2
+    val badOp = Seq((2L, "b2", 250L, "UPDATE")).toDF("k", "name", "v", "op")
+    val e1 = intercept[Exception] {
+      Cdc.applyChanges(target, badOp, Seq("k"), "op").collect()
+    }
+    assert(e1.getMessage.contains("unknown CDC op") ||
+      e1.getCause != null, e1.getMessage)
+    // null merge key: would otherwise duplicate on U, no-op on D
+    val nullKey = Seq((Option.empty[Long], "x", 1L, "U"))
+      .toDF("k", "name", "v", "op")
+    val e2 = intercept[Exception] {
+      Cdc.applyChanges(target, nullKey, Seq("k"), "op").collect()
+    }
+    assert(e2.getMessage.contains("null merge key") ||
+      e2.getCause != null, e2.getMessage)
+  }
+
   test("composite keys merge on the full key tuple") {
     val t2 = Seq((1L, "x", 10L), (1L, "y", 20L)).toDF("k1", "k2", "v")
     val ch = Seq((1L, "x", 99L, "U")).toDF("k1", "k2", "v", "op")
