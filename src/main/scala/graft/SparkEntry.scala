@@ -1484,6 +1484,17 @@ object SparkEntry {
         max(col("o_orderkey")).as("max_key"))
   }
 
+  /** Incremental vocabulary update (text/Vocab.update): v1 built on the
+    * single-digit sources (src0–src9), then updated with the full
+    * corpus — existing token ids stay fixed (the checkpoint-stability
+    * contract), new qualifying terms append after the old maximum. */
+  def q102_vocab_update(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val v1 = graft.text.Vocab.build(
+      docs.filter(length(col("source")) === 4), minCount = 5L)
+    graft.text.Vocab.update(v1, docs, minCount = 5L)
+  }
+
   // ---------------------------------------------------------------- registry
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1588,6 +1599,7 @@ object SparkEntry {
     "q99_retention" -> (q99_retention _),
     "q100_corpus_overlap" -> (q100_corpus_overlap _),
     "q101_cdc_merge" -> (q101_cdc_merge _),
+    "q102_vocab_update" -> (q102_vocab_update _),
   )
 
   // DuckDB twins of the Scala normalization / hashing expressions
@@ -2869,5 +2881,39 @@ object SparkEntry {
         |  CAST(sum(price_cents) AS BIGINT) AS total_cents,
         |  max(o_orderkey) AS max_key
         |FROM merged GROUP BY o_orderkey % 7""".stripMargin,
+    "q102_vocab_update" ->
+      s"""WITH t1 AS (
+         |  SELECT unnest(string_split($NormSql, ' ')) AS term
+         |  FROM documents WHERE length(source) = 4),
+         |c1 AS (
+         |  SELECT term, count(*) AS n FROM t1 WHERE term <> ''
+         |  GROUP BY term HAVING count(*) >= 5),
+         |v1 AS (
+         |  SELECT term, n,
+         |    CAST(row_number() OVER (ORDER BY n DESC, term) - 1 AS BIGINT)
+         |      AS token_id
+         |  FROM c1),
+         |t2 AS (
+         |  SELECT unnest(string_split($NormSql, ' ')) AS term
+         |  FROM documents),
+         |c2 AS (
+         |  SELECT term, count(*) AS n FROM t2 WHERE term <> ''
+         |  GROUP BY term),
+         |existing AS (
+         |  SELECT v1.term, CAST(COALESCE(c2.n, 0) AS BIGINT) AS n,
+         |    v1.token_id
+         |  FROM v1 LEFT JOIN c2 ON v1.term = c2.term),
+         |fresh AS (
+         |  SELECT c2.term, c2.n FROM c2
+         |  WHERE c2.n >= 5
+         |    AND c2.term NOT IN (SELECT term FROM v1)),
+         |freshids AS (
+         |  SELECT term, n,
+         |    (SELECT max(token_id) + 1 FROM v1)
+         |      + CAST(row_number() OVER (ORDER BY n DESC, term) - 1
+         |        AS BIGINT) AS token_id
+         |  FROM fresh)
+         |SELECT term, n, token_id FROM existing
+         |UNION ALL SELECT term, n, token_id FROM freshids""".stripMargin,
   )
 }

@@ -27,20 +27,53 @@ import graft.dedup.Dedup
   */
 object Vocab {
 
-  /** @return (term, n, token_id) — token_id contiguous from 0 in
-    *         (n desc, term asc) order, only terms with n ≥ minCount */
-  def build(docs: DataFrame, minCount: Long): DataFrame = {
-    val counts = docs
+  private def termCounts(docs: DataFrame): DataFrame =
+    docs
       .select(explode(split(Dedup.normalize(col("text")), " ")).as("term"))
       .filter(col("term") =!= "")
       .groupBy(col("term")).agg(count(lit(1)).as("n"))
-      .filter(col("n") >= minCount)
+
+  /** Distributed contiguous ids: range-partitioned sort + zipWithIndex,
+    * offset by `startId`. */
+  private def assignIds(counts: DataFrame, startId: Long): DataFrame = {
     val sorted = counts.orderBy(col("n").desc, col("term").asc)
     val schema = sorted.schema.add("token_id", LongType, nullable = false)
     val withIds = sorted.rdd.zipWithIndex.map { case (r, i) =>
-      Row.fromSeq(r.toSeq :+ i)
+      Row.fromSeq(r.toSeq :+ (startId + i))
     }
     sorted.sparkSession.createDataFrame(withIds, schema)
+  }
+
+  /** @return (term, n, token_id) — token_id contiguous from 0 in
+    *         (n desc, term asc) order, only terms with n ≥ minCount */
+  def build(docs: DataFrame, minCount: Long): DataFrame =
+    assignIds(termCounts(docs).filter(col("n") >= minCount), 0L)
+
+  /** Incremental vocabulary update with STABLE ids — the tokenizer-
+    * maintenance contract: a term's id must never change once model
+    * checkpoints reference it. Existing entries keep their ids (counts
+    * refreshed from the new corpus); newly qualifying terms get fresh
+    * contiguous ids starting after the current maximum, in the same
+    * (count desc, term) order a fresh build would use. Existing terms
+    * are never dropped, even if their new count falls below minCount —
+    * shrinking a live vocabulary would orphan trained embeddings.
+    *
+    * The max-id read is a one-scalar driver fetch (same class as
+    * k-means' centroid stats); everything else is joins over the
+    * (small) vocabulary and one sort of the fresh terms. */
+  def update(vocab: DataFrame, docs: DataFrame, minCount: Long): DataFrame = {
+    val counts = termCounts(docs)
+    val existing = vocab.select(col("term"), col("token_id"))
+      .join(counts, Seq("term"), "left")
+      .select(col("term"), coalesce(col("n"), lit(0L)).as("n"),
+        col("token_id"))
+    val nextId = vocab.agg(max(col("token_id"))).head() match {
+      case r if r.isNullAt(0) => 0L
+      case r => r.getLong(0) + 1L
+    }
+    val fresh = counts.filter(col("n") >= minCount)
+      .join(vocab.select(col("term")), Seq("term"), "left_anti")
+    existing.unionByName(assignIds(fresh, nextId))
   }
 
   /** Encode documents as token-id sequences against a built vocabulary:
