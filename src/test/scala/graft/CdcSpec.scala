@@ -63,6 +63,36 @@ class CdcSpec extends AnyFunSuite with SparkTestBase {
       e2.getCause != null, e2.getMessage)
   }
 
+  test("streaming: change batches fold into a served table via " +
+    "foreachBatch, replay-stable end state") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.Encoders
+    val dir = java.nio.file.Files.createTempDirectory("graft_cdc").toString
+    target.write.mode("overwrite").parquet(dir)
+    implicit val enc = Encoders.product[(Long, String, Long, String)]
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[(Long, String, Long, String)]
+    mem.addData((2L, "b2", 250L, "U"), (3L, "c", 0L, "D"))
+    mem.addData((9L, "i", 900L, "I"), (1L, "a2", 111L, "U"))
+    val q = mem.toDF().toDF("k", "name", "v", "op").writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        // read-merge-rewrite per micro-batch — the full-table form;
+        // at scale this is the partition-granular overwrite (RollupJob)
+        val cur = spark.read.parquet(dir)
+        Cdc.applyChanges(cur, batch, Seq("k"), "op")
+          .localCheckpoint(true) // sever from the files being replaced
+          .write.mode("overwrite").parquet(dir)
+        ()
+      }
+      .start()
+    q.processAllAvailable(); q.stop()
+    val got = spark.read.parquet(dir)
+      .as[(Long, String, Long)].collect().toSet
+    assert(got == Set(
+      (1L, "a2", 111L), (2L, "b2", 250L), (4L, "d", 400L),
+      (9L, "i", 900L)))
+  }
+
   test("composite keys merge on the full key tuple") {
     val t2 = Seq((1L, "x", 10L), (1L, "y", 20L)).toDF("k1", "k2", "v")
     val ch = Seq((1L, "x", 99L, "U")).toDF("k1", "k2", "v", "op")
