@@ -127,18 +127,35 @@ object Layout {
 
   /** Execute a compaction plan: each group's files are read together and
     * rewritten as ONE file into `outDir` (coalesce(1) per group — the
-    * point of the exercise; groups proceed as independent jobs so a
-    * 10k-group compaction parallelizes across the cluster's job
-    * scheduler, not within one job). Source files are NOT deleted —
-    * swap-in is the caller's transactional concern (at 100 TB that's a
-    * metastore/table-format commit, not a filesystem mutation). */
+    * point of the exercise). Each group is a one-task job, so the
+    * parallelism has to come from CONCURRENT job submission: groups are
+    * dispatched as Futures over a bounded pool (Spark's scheduler is
+    * thread-safe and runs jobs from different threads concurrently).
+    * A serial foreach would run a 10k-group compaction as 10k
+    * back-to-back single-task jobs, idling the cluster. Source files
+    * are NOT deleted — swap-in is the caller's transactional concern
+    * (at 100 TB that's a metastore/table-format commit, not a
+    * filesystem mutation). */
   def compact(spark: SparkSession, plan: Seq[CompactionGroup],
-              outDir: String): Unit =
-    // overwrite per group directory: a retried plan is idempotent
-    // instead of silently doubling already-written groups
-    plan.foreach { g =>
-      spark.read.parquet(g.files: _*)
-        .coalesce(1)
-        .write.mode("overwrite").parquet(s"$outDir/group=${g.group}")
-    }
+              outDir: String, maxConcurrent: Int = 8): Unit = {
+    import java.util.concurrent.Executors
+    import scala.concurrent.duration.Duration
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    val pool = Executors.newFixedThreadPool(
+      math.max(1, math.min(maxConcurrent, plan.size)))
+    implicit val ec: ExecutionContext =
+      ExecutionContext.fromExecutorService(pool)
+    try {
+      // overwrite per group directory: a retried plan is idempotent
+      // instead of silently doubling already-written groups
+      val jobs = plan.map { g =>
+        Future {
+          spark.read.parquet(g.files: _*)
+            .coalesce(1)
+            .write.mode("overwrite").parquet(s"$outDir/group=${g.group}")
+        }
+      }
+      jobs.foreach(Await.result(_, Duration.Inf))
+    } finally pool.shutdown()
+  }
 }

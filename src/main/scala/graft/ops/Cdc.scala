@@ -33,7 +33,10 @@ object Cdc {
     // every downstream path reads the keys, so column pruning cannot
     // optimize the validation away (it would, if it sat on opCol alone,
     // for the delete path that never reads opCol)
-    val opOk = col(opCol).isin("I", "U", "D")
+    // coalesce to false: for a NULL op, `isin` yields NULL, and a bare
+    // `!NULL` is NULL which `when` treats as false — the row would slip
+    // past the guard and silently delete its key
+    val opOk = coalesce(col(opCol).isin("I", "U", "D"), lit(false))
     val guardedKeys = keys.map { k =>
       when(col(k).isNull,
         raise_error(lit(s"CDC change with null merge key $k")))
@@ -48,6 +51,68 @@ object Cdc {
     val touched = checked.select(keys.map(col): _*).distinct()
     val surviving = target.join(touched, keys, "left_anti")
     val images = checked.filter(col(opCol).isin("I", "U")).drop(opCol)
+    surviving.unionByName(images)
+  }
+
+  /** Sequenced CDC apply — the multi-batch ordering contract that
+    * [[applyChanges]]'s one-change-per-key precondition leaves open.
+    * `changes` may carry several changes per key and batches may arrive
+    * out of order; `seqCol` (a monotone version stamp assigned by the
+    * producer — LSN, offset, commit ts) decides, not arrival order:
+    *
+    *  1. WITHIN a batch: last-writer-wins — only the max-`seqCol`
+    *     change per key applies (ties broken by op, "D" < "I" < "U"
+    *     lexicographically, so an update outranks a same-seq delete —
+    *     deterministic, but producers should make seq unique per key).
+    *  2. ACROSS batches: monotonic — the target carries `seqCol` as the
+    *     applied version per key, and a change with `seq <=` the
+    *     applied version is DISCARDED as stale. Replaying a batch is
+    *     therefore a no-op (equality is stale), and a late-delivered
+    *     older batch cannot roll a key backwards.
+    *  3. DELETE drops the key AND its version memory: a later insert
+    *     of the same key starts a fresh epoch (any seq applies to an
+    *     absent key). The feed contract in exchange: once a delete is
+    *     emitted, no stale pre-delete change may be delivered later —
+    *     exactly the guarantee log-compacted CDC transports give.
+    *
+    * Plan shape: the within-batch compaction is one window over the
+    * (small) change feed; the stale filter is a left join on the key —
+    * co-partitioned with the anti-join that follows, so the key shuffle
+    * is reused, and broadcast when the feed is micro-batch-sized. */
+  def applyChangesSeq(target: DataFrame, changes: DataFrame,
+                      keys: Seq[String], opCol: String,
+                      seqCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(keys.nonEmpty, "need at least one merge key")
+    require(target.columns.contains(seqCol),
+      s"sequenced merge target must carry the applied-version column $seqCol")
+    val opOk = coalesce(col(opCol).isin("I", "U", "D"), lit(false))
+    val guardedKeys = keys.map { k =>
+      when(col(k).isNull,
+        raise_error(lit(s"CDC change with null merge key $k")))
+        .when(!opOk, raise_error(
+          concat(lit("unknown CDC op: "),
+            coalesce(col(opCol), lit("null")))))
+        .when(col(seqCol).isNull,
+          raise_error(lit(s"CDC change with null sequence $seqCol")))
+        .otherwise(col(k)).as(k)
+    }
+    val passthrough = changes.columns.filterNot(keys.contains)
+      .map(col).toIndexedSeq
+    val checked = changes.select(guardedKeys ++ passthrough: _*)
+    val lww = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col(seqCol).desc, col(opCol).desc)
+    val latest = checked
+      .withColumn("__rn", row_number().over(lww))
+      .filter(col("__rn") === 1).drop("__rn")
+    val applied = target.select(
+      (keys.map(col) :+ col(seqCol).as("__applied")): _*)
+    val fresh = latest.join(applied, keys, "left")
+      .filter(col("__applied").isNull || col(seqCol) > col("__applied"))
+      .drop("__applied")
+    val touched = fresh.select(keys.map(col): _*).distinct()
+    val surviving = target.join(touched, keys, "left_anti")
+    val images = fresh.filter(col(opCol).isin("I", "U")).drop(opCol)
     surviving.unionByName(images)
   }
 }

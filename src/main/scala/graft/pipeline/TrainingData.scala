@@ -213,18 +213,22 @@ object TrainingData {
     * two engines computing the same IEEE-double operation sequence get
     * bit-identical scores — emit `z_ppm = round(z·10⁶)` for the
     * cross-engine contract. Zero-variance strata normalize to 0. Sums
-    * are taken in DECIMAL(38,0) (exact for any realistic corpus);
-    * callers square integral inputs, so Σx² of 64-bit values never
-    * wraps. */
+    * are taken in DECIMAL(38,0) (exact for any realistic corpus), and
+    * each x is widened to DECIMAL(38,0) BEFORE squaring — x² of a
+    * 64-bit value overflows long arithmetic for |x| ≳ 3.04e9, so the
+    * widening has to happen on the factor, not the product. */
   def zscore(df: DataFrame, stratum: Column, valueCol: String): DataFrame = {
     val value = col(valueCol)
     val cw = Window.partitionBy(stratum)
+    // the sums stay DECIMAL end-to-end (Σx² of 64-bit values exceeds
+    // long range); the only narrowing is the final correctly-rounded
+    // decimal→double cast, the same conversion DuckDB performs
     df.withColumn("__n", count(value).over(cw))
       .withColumn("__s1",
-        sum(value.cast(DecimalType(38, 0))).over(cw).cast("long"))
+        sum(value.cast(DecimalType(38, 0))).over(cw))
       .withColumn("__s2",
-        sum((value * value).cast(DecimalType(38, 0))).over(cw)
-          .cast("long"))
+        sum(value.cast(DecimalType(38, 0))
+          * value.cast(DecimalType(38, 0))).over(cw))
       .withColumn("__z", expr(
         s"""CASE WHEN (CAST(__s2 AS DOUBLE)
            |  - CAST(__s1 AS DOUBLE) * CAST(__s1 AS DOUBLE)

@@ -61,6 +61,68 @@ class CdcSpec extends AnyFunSuite with SparkTestBase {
     }
     assert(e2.getMessage.contains("null merge key") ||
       e2.getCause != null, e2.getMessage)
+    // NULL op: isin yields NULL, and a non-null-safe !NULL guard would
+    // let the row through — silently deleting key 2
+    val nullOp = Seq((2L, "b2", 250L, Option.empty[String]))
+      .toDF("k", "name", "v", "op")
+    val e3 = intercept[Exception] {
+      Cdc.applyChanges(target, nullOp, Seq("k"), "op").collect()
+    }
+    assert(e3.getMessage.contains("unknown CDC op") ||
+      e3.getCause != null, e3.getMessage)
+  }
+
+  // ---- sequenced merge: the multi-batch ordering contract ----
+
+  private lazy val seqTarget = Seq(
+    (1L, "a", 100L, 10L), (2L, "b", 200L, 10L),
+    (3L, "c", 300L, 10L), (4L, "d", 400L, 10L)
+  ).toDF("k", "name", "v", "seq")
+
+  test("seq merge: last-writer-wins within one batch") {
+    // three changes to key 2 in one feed — only seq 23 applies;
+    // the seq-21 delete must NOT win
+    val ch = Seq(
+      (2L, "b21", 210L, "U", 21L), (2L, "b23", 230L, "U", 23L),
+      (2L, "gone", 0L, "D", 22L)
+    ).toDF("k", "name", "v", "op", "seq")
+    val got = Cdc.applyChangesSeq(seqTarget, ch, Seq("k"), "op", "seq")
+      .as[(Long, String, Long, Long)].collect().toSet
+    assert(got.contains((2L, "b23", 230L, 23L)), got)
+    assert(got.size == 4)
+  }
+
+  test("seq merge: stale and replayed batches are discarded") {
+    val b2 = Seq((2L, "new", 999L, "U", 30L))
+      .toDF("k", "name", "v", "op", "seq")
+    val after2 = Cdc.applyChangesSeq(seqTarget, b2, Seq("k"), "op", "seq")
+      .localCheckpoint(true)
+    // batch 1 delivered LATE (seq 20 < applied 30): must not roll back
+    val b1late = Seq((2L, "old", 111L, "U", 20L))
+      .toDF("k", "name", "v", "op", "seq")
+    val after1 = Cdc.applyChangesSeq(after2, b1late, Seq("k"), "op", "seq")
+    assert(after1.filter($"k" === 2L)
+      .as[(Long, String, Long, Long)].head() == (2L, "new", 999L, 30L))
+    // replaying batch 2 (seq equality = stale) is a no-op
+    val replay = Cdc.applyChangesSeq(after2, b2, Seq("k"), "op", "seq")
+    assert(replay.as[(Long, String, Long, Long)].collect().toSet ==
+      after2.as[(Long, String, Long, Long)].collect().toSet)
+  }
+
+  test("seq merge: delete then reinsert across two batches") {
+    val del = Seq((3L, "c", 0L, "D", 20L))
+      .toDF("k", "name", "v", "op", "seq")
+    val afterDel =
+      Cdc.applyChangesSeq(seqTarget, del, Seq("k"), "op", "seq")
+        .localCheckpoint(true)
+    assert(afterDel.filter($"k" === 3L).count() == 0)
+    // fresh epoch: the reinsert applies even though its seq restarts low
+    val ins = Seq((3L, "c2", 333L, "I", 5L))
+      .toDF("k", "name", "v", "op", "seq")
+    val afterIns =
+      Cdc.applyChangesSeq(afterDel, ins, Seq("k"), "op", "seq")
+    assert(afterIns.filter($"k" === 3L)
+      .as[(Long, String, Long, Long)].head() == (3L, "c2", 333L, 5L))
   }
 
   test("streaming: change batches fold into a served table via " +
@@ -91,6 +153,45 @@ class CdcSpec extends AnyFunSuite with SparkTestBase {
     assert(got == Set(
       (1L, "a2", 111L), (2L, "b2", 250L), (4L, "d", 400L),
       (9L, "i", 900L)))
+  }
+
+  test("streaming: three sequenced ticks with interleaved deletes, " +
+    "including delete-then-reinsert of one key") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.Encoders
+    val dir = java.nio.file.Files.createTempDirectory("graft_cdc3").toString
+    seqTarget.write.mode("overwrite").parquet(dir)
+    implicit val enc = Encoders.product[(Long, String, Long, String, Long)]
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[(Long, String, Long, String, Long)]
+    val q = mem.toDF().toDF("k", "name", "v", "op", "seq").writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        val cur = spark.read.parquet(dir)
+        Cdc.applyChangesSeq(cur, batch, Seq("k"), "op", "seq")
+          .localCheckpoint(true)
+          .write.mode("overwrite").parquet(dir)
+        ()
+      }
+      .start()
+    // tick 1: update 2, DELETE 3
+    mem.addData((2L, "b2", 250L, "U", 20L), (3L, "c", 0L, "D", 21L))
+    q.processAllAvailable()
+    // tick 2: REINSERT 3 (fresh epoch), DELETE 4, insert 9
+    mem.addData((3L, "c2", 333L, "I", 30L), (4L, "d", 0L, "D", 31L),
+      (9L, "i", 900L, "I", 32L))
+    q.processAllAvailable()
+    // tick 3: DELETE 9 again, stale re-delivery of tick-1's update
+    // (seq 20 <= applied 20 — must not resurrect anything), update 1
+    mem.addData((9L, "i", 0L, "D", 40L), (2L, "b2", 250L, "U", 20L),
+      (1L, "a3", 101L, "U", 41L))
+    q.processAllAvailable(); q.stop()
+    val got = spark.read.parquet(dir)
+      .as[(Long, String, Long, Long)].collect().toSet
+    assert(got == Set(
+      (1L, "a3", 101L, 41L),  // tick-3 update
+      (2L, "b2", 250L, 20L),  // tick-1 update, stale replay ignored
+      (3L, "c2", 333L, 30L))) // deleted tick 1, reinserted tick 2
+    // 4 deleted tick 2, 9 inserted tick 2 + deleted tick 3
   }
 
   test("composite keys merge on the full key tuple") {

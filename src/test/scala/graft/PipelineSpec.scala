@@ -136,6 +136,22 @@ class PipelineSpec extends AnyFunSuite with SparkTestBase {
       ("b", 7L, 0L), ("b", 7L, 0L)))
   }
 
+  test("zscore: values past the long-square wrap point (|x| > ~3.04e9) " +
+    "stay exact — squaring happens AFTER the decimal widening") {
+    // 5e9² = 2.5e19 > Long.MaxValue: squaring in long arithmetic would
+    // wrap silently (non-ANSI) and poison Σx². With the widened square,
+    // two equal values are a zero-variance stratum → z exactly 0, and
+    // a symmetric pair normalizes to ±1.
+    val df = Seq(("a", 5000000000L), ("a", 5000000000L),
+      ("b", 5000000000L), ("b", -5000000000L)).toDF("s", "v")
+    val got = TrainingData.zscore(df, $"s", "v")
+      .select($"s", $"v", $"z_ppm").as[(String, Long, Long)]
+      .collect().toSet
+    assert(got == Set(
+      ("a", 5000000000L, 0L),
+      ("b", 5000000000L, 1000000L), ("b", -5000000000L, -1000000L)))
+  }
+
   test("kAnonymize: suppresses quasi-identifier groups smaller than k") {
     val df = (Seq.fill(5)(("adult", "paris")) ++ Seq.fill(3)(("adult",
       "lyon")) ++ Seq(("minor", "paris"))).zipWithIndex
