@@ -373,17 +373,22 @@ object SparkEntry {
         col("scale"), col("out_width"), col("out_height"))
 
   /** Multimodal feature extraction: partition-parallel typed mapPartitions
-    * over binary payloads (stub kernel — plumbing is the real contract).
-    * The feature vector is flattened to scalar f0..f7 doubles: the stub
-    * kernel is deterministic byte math computed double-then-float, so the
-    * DuckDB oracle replicates it bit-exactly (and the driver's comparator
-    * can't sort/hash array columns — round-1 q30 err). */
+    * over binary payloads, through REAL codecs for two modalities —
+    * image rows are genuine 4×4 BMPs decoded by `javax.imageio`, audio
+    * rows genuine 16-bit PCM WAVs decoded by `javax.sound.sampled`
+    * (video keeps the documented byte-stat stub: no JDK video codec).
+    * Payload pixels/samples are fixed functions of doc_id, and both
+    * kernels reduce to integer sufficient statistics before one double
+    * expression, so the DuckDB oracle replicates the full
+    * synth→encode→decode→features path bit-exactly from the formulas.
+    * Features are flattened to scalar f0..f7 doubles (the driver's
+    * comparator can't sort/hash array columns — round-1 q30 err). */
   def q30_media_features(s: SparkSession, d: String): DataFrame = {
     implicit val sp: SparkSession = s
     val media = graft.multimodal.Multimodal
-      .packDocuments(Tables.documents(s, d))
+      .packDocumentsReal(Tables.documents(s, d))
     val feats = graft.multimodal.Multimodal
-      .extractFeatures(graft.multimodal.Multimodal.toTyped(media))
+      .extractFeatures(media)
       .toDF()
     val fcols = (0 until 8).map(i =>
       col("feature").getItem(i).cast("double").as(s"f$i"))
@@ -1868,27 +1873,88 @@ object SparkEntry {
         |FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
         |WHERE list_cosine_similarity(a.v, b.v) >= 0.4""".stripMargin,
     "q30_media_features" -> {
-      val fcols = (0 until 8).map { i =>
-        s"  CAST(CAST((coalesce(bsum, 0) % ${31 + i}) / ${31 + i}.0 + " +
-          s"(n % ${7 + i}) / 100.0 AS FLOAT) AS DOUBLE) AS f$i"
+      // replicates the full synth→encode→decode→feature path from the
+      // payload formulas alone (the JDK codecs roundtrip exactly):
+      // image = 4×4 BMP pixel stats, audio = PCM frame energies,
+      // video = the documented byte-stat stub
+      val lum = "(299*((doc_id*3 + p*7) % 256) " +
+        "+ 587*((doc_id*5 + p*11) % 256) + 114*((doc_id*7 + p*13) % 256))"
+      def frame(k: Int): String = {
+        val (lo, hi, len) =
+          if (k < 3) (s"${k}*q+1", s"${k + 1}*q", "q")
+          else ("3*q+1", "n", "n-3*q")
+        s"sqrt(CAST(coalesce(list_sum(list_transform(" +
+          s"list_slice(s, $lo, $hi), x -> x*x)), 0) AS DOUBLE) " +
+          s"/ CAST(greatest($len, 1) AS DOUBLE)) / 32768.0 AS d$k"
+      }
+      val stubCols = (0 until 8).map { i =>
+        s"    (coalesce(bsum, 0) % ${31 + i}) / ${31 + i}.0 + " +
+          s"(n % ${7 + i}) / 100.0 AS d$i"
       }.mkString(",\n")
-      s"""WITH b AS (
-         |  SELECT doc_id, CAST(text AS BLOB) AS blob,
-         |    greatest(octet_length(CAST(text AS BLOB)), 1) AS n,
-         |    octet_length(CAST(text AS BLOB)) AS nb
-         |  FROM documents),
-         |s AS (
-         |  SELECT doc_id, n, nb,
+      val fCast = (0 until 8).map(i =>
+        s"  CAST(CAST(d$i AS FLOAT) AS DOUBLE) AS f$i").mkString(",\n")
+      s"""WITH img AS (
+         |  SELECT doc_id,
+         |    list_sum([(doc_id*3 + p*7) % 256 for p in range(0, 16)]) AS sr,
+         |    list_sum([(doc_id*5 + p*11) % 256 for p in range(0, 16)]) AS sg,
+         |    list_sum([(doc_id*7 + p*13) % 256 for p in range(0, 16)]) AS sb,
+         |    list_sum([$lum for p in range(0, 16)]) AS sl,
+         |    list_sum([$lum * $lum for p in range(0, 16)]) AS sl2
+         |  FROM documents WHERE doc_id % 3 = 0),
+         |imgf AS (
+         |  SELECT doc_id, 'image' AS modality, CAST(102 AS BIGINT) AS n_bytes,
+         |    CAST(sr AS DOUBLE) / (255.0 * 16.0) AS d0,
+         |    CAST(sg AS DOUBLE) / (255.0 * 16.0) AS d1,
+         |    CAST(sb AS DOUBLE) / (255.0 * 16.0) AS d2,
+         |    CAST(sl AS DOUBLE) / (255000.0 * 16.0) AS d3,
+         |    greatest(0.0, CAST(sl2 AS DOUBLE) / (255000.0 * 255000.0 * 16.0)
+         |      - (CAST(sl AS DOUBLE) / (255000.0 * 16.0))
+         |        * (CAST(sl AS DOUBLE) / (255000.0 * 16.0))) AS d4,
+         |    ln(5.0) AS d5, ln(5.0) AS d6, 1.0 AS d7
+         |  FROM img),
+         |aud AS (
+         |  SELECT doc_id,
+         |    CAST(n_chars % 100 + 1 AS BIGINT) AS n,
+         |    CAST((n_chars % 100 + 1) // 4 AS BIGINT) AS q,
+         |    [CAST((doc_id*131 + (i-1)*7919) % 65536 - 32768 AS BIGINT)
+         |     for i in range(1, CAST(n_chars % 100 + 1 AS BIGINT) + 1)] AS s
+         |  FROM documents WHERE doc_id % 3 = 1),
+         |audf AS (
+         |  SELECT doc_id, 'audio' AS modality,
+         |    CAST(44 + 2*n AS BIGINT) AS n_bytes,
+         |    ${frame(0)},
+         |    ${frame(1)},
+         |    ${frame(2)},
+         |    ${frame(3)},
+         |    CAST(coalesce(list_sum([CASE WHEN s[i]*s[i-1] < 0 THEN 1
+         |      ELSE 0 END for i in range(2, n + 1)]), 0) AS DOUBLE)
+         |      / CAST(n AS DOUBLE) AS d4,
+         |    CAST(coalesce(list_sum(s), 0) AS DOUBLE) / CAST(n AS DOUBLE)
+         |      / 32768.0 AS d5,
+         |    CAST(n AS DOUBLE) / 1000.0 AS d6,
+         |    16000.0 / 48000.0 AS d7
+         |  FROM aud),
+         |vid AS (
+         |  SELECT doc_id, CAST(text AS BLOB) AS blob
+         |  FROM documents WHERE doc_id % 3 = 2),
+         |vid2 AS (
+         |  SELECT doc_id, octet_length(blob) AS nb,
+         |    greatest(octet_length(blob), 1) AS n,
          |    list_sum([CAST(('0x' || substring(hex(blob), 2*i-1, 2))
-         |                   AS BIGINT) for i in range(1, nb + 1)]) AS bsum
-         |  FROM b)
-         |SELECT doc_id AS media_id,
-         |  CASE WHEN doc_id % 3 = 0 THEN 'image'
-         |       WHEN doc_id % 3 = 1 THEN 'audio'
-         |       ELSE 'video' END AS modality,
-         |  CAST(nb AS BIGINT) AS n_bytes,
-         |$fcols
-         |FROM s""".stripMargin
+         |                   AS BIGINT)
+         |              for i in range(1, octet_length(blob) + 1)]) AS bsum
+         |  FROM vid),
+         |vidf AS (
+         |  SELECT doc_id, 'video' AS modality, CAST(nb AS BIGINT) AS n_bytes,
+         |$stubCols
+         |  FROM vid2),
+         |u AS (
+         |  SELECT * FROM imgf UNION ALL
+         |  SELECT * FROM audf UNION ALL
+         |  SELECT * FROM vidf)
+         |SELECT doc_id AS media_id, modality, n_bytes,
+         |$fCast
+         |FROM u""".stripMargin
     },
     "q29_resize_plan" ->
       """SELECT doc_id AS media_id,

@@ -8,11 +8,18 @@ import org.apache.spark.sql.types._
   * as opaque `binary` columns with typed metadata. The Spark-side contract —
   * schema, partition-parallel batch processing, stable output shape — is
   * real and tested. Image payloads decode through a REAL kernel
-  * (JDK `javax.imageio`: PNG/JPEG/GIF/BMP → pixel statistics); payloads
-  * that are not decodable images — and the audio/video modalities, whose
-  * codecs are not in the JDK — fall back to `decodeStub`, a deterministic
-  * byte-statistics fake. Swap the stub for a real audio/video codec
-  * (JNI/`mapInPandas` kernel) without touching any plumbing.
+  * (JDK `javax.imageio`: PNG/JPEG/GIF/BMP → pixel statistics) and audio
+  * payloads through a REAL kernel (JDK `javax.sound.sampled`: WAV/PCM →
+  * frame-energy statistics); payloads a codec rejects — and the video
+  * modality, whose codecs are not in the JDK — fall back to `decodeStub`,
+  * a deterministic byte-statistics fake. Swap the stub for a real video
+  * codec (JNI/`mapInPandas` kernel) without touching any plumbing.
+  *
+  * Both real kernels reduce to INTEGER sufficient statistics first and
+  * apply one fixed double-expression at the end: the float features are
+  * then bit-exactly replicable by a SQL oracle that knows the payload's
+  * pixel/sample values — which is how q30 keeps a DuckDB oracle while
+  * exercising real codecs.
   */
 object Multimodal {
 
@@ -54,10 +61,15 @@ object Multimodal {
     * feature — mean R/G/B, mean and variance of Rec.601 luma, log1p of
     * width/height, aspect ratio. Returns None when the payload is not a
     * decodable image (wrong magic bytes, truncated stream), letting the
-    * caller fall back to the stub — so text-packed fixtures and the
-    * audio/video modalities keep their round-2 feature values.
-    * The raster is fetched as one `getRGB` block per image, not a
-    * per-pixel call. */
+    * caller fall back to the stub. The raster is fetched as one `getRGB`
+    * block per image, not a per-pixel call.
+    *
+    * Accumulation is INTEGER (Σr, Σg, Σb, Σlum, Σlum² with
+    * lum = 299r+587g+114b, the ×1000-scaled Rec.601 weights): the float
+    * features are one fixed double expression over exact integers, so an
+    * engine that knows the pixels reproduces them bit-for-bit. Σlum² of
+    * a (255000)²-max term bounds images to ~140 MP before Long overflow
+    * — far past any sane in-column payload. */
   private[multimodal] def decodeImage(
       content: Array[Byte]): Option[Array[Float]] = {
     val img =
@@ -67,28 +79,178 @@ object Multimodal {
       val w = im.getWidth
       val h = im.getHeight
       val px = im.getRGB(0, 0, w, h, null, 0, w)
-      var sr = 0.0; var sg = 0.0; var sb = 0.0; var sl = 0.0; var sl2 = 0.0
+      var sr = 0L; var sg = 0L; var sb = 0L; var sl = 0L; var sl2 = 0L
       var i = 0
       while (i < px.length) {
         val rgb = px(i)
-        val r = ((rgb >> 16) & 0xff) / 255.0
-        val g = ((rgb >> 8) & 0xff) / 255.0
-        val b = (rgb & 0xff) / 255.0
-        val l = 0.299 * r + 0.587 * g + 0.114 * b
-        sr += r; sg += g; sb += b; sl += l; sl2 += l * l
+        val r = (rgb >> 16) & 0xff
+        val g = (rgb >> 8) & 0xff
+        val b = rgb & 0xff
+        val lum = 299L * r + 587L * g + 114L * b
+        sr += r; sg += g; sb += b; sl += lum; sl2 += lum * lum
         i += 1
       }
       val n = px.length.toDouble
-      val meanL = sl / n
-      Array((sr / n).toFloat, (sg / n).toFloat, (sb / n).toFloat,
-        meanL.toFloat, math.max(0.0, sl2 / n - meanL * meanL).toFloat,
+      val meanL = sl / (255000.0 * n)
+      Array((sr / (255.0 * n)).toFloat, (sg / (255.0 * n)).toFloat,
+        (sb / (255.0 * n)).toFloat, meanL.toFloat,
+        math.max(0.0,
+          sl2 / (255000.0 * 255000.0 * n) - meanL * meanL).toFloat,
         math.log1p(w.toDouble).toFloat, math.log1p(h.toDouble).toFloat,
         (w.toDouble / h).toFloat)
     }
   }
 
-  /** STUB decode kernel for the non-image modalities (and non-image
-    * bytes): a real implementation would decode the payload
+  /** Real audio decode kernel: `javax.sound.sampled` (pure JDK) parses
+    * WAV containers and yields the PCM stream; 16-bit mono signed PCM
+    * reduces to an 8-dim feature — four frame RMS-energy bins (quarters
+    * of the clip), zero-crossing rate, mean amplitude, clip length,
+    * sample rate. Returns None for anything the JDK codec rejects or a
+    * non-16-bit/mono format, falling back to the stub.
+    *
+    * Like the image kernel: integer sufficient statistics (Σs², Σs,
+    * crossing count per frame) → one fixed double expression → float,
+    * so a SQL oracle that knows the samples replicates bit-exactly
+    * (sqrt is IEEE-correctly-rounded in every engine). */
+  private[multimodal] def decodeAudio(
+      content: Array[Byte]): Option[Array[Float]] =
+    try {
+      val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(content))
+      val fmt = ais.getFormat
+      val pcmSigned =
+        javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED
+      if (fmt.getEncoding != pcmSigned || fmt.getSampleSizeInBits != 16 ||
+        fmt.getChannels != 1) None
+      else {
+        val bytes = ais.readAllBytes()
+        val n = bytes.length / 2
+        if (n == 0) None
+        else {
+          val s = new Array[Int](n)
+          var i = 0
+          while (i < n) {
+            s(i) =
+              if (fmt.isBigEndian)
+                (bytes(2 * i) << 8) | (bytes(2 * i + 1) & 0xff)
+              else (bytes(2 * i + 1) << 8) | (bytes(2 * i) & 0xff)
+            i += 1
+          }
+          val q = n / 4
+          val bounds =
+            Array((0, q), (q, 2 * q), (2 * q, 3 * q), (3 * q, n))
+          val energies = bounds.map { case (a, b) =>
+            var e = 0L; var j = a
+            while (j < b) { e += s(j).toLong * s(j); j += 1 }
+            math.sqrt(e / math.max(b - a, 1).toDouble) / 32768.0
+          }
+          var zc = 0L; var sum = 0L
+          i = 0
+          while (i < n) {
+            sum += s(i)
+            if (i > 0 && s(i).toLong * s(i - 1) < 0) zc += 1
+            i += 1
+          }
+          Some(Array(
+            energies(0).toFloat, energies(1).toFloat,
+            energies(2).toFloat, energies(3).toFloat,
+            (zc / n.toDouble).toFloat,
+            (sum / n.toDouble / 32768.0).toFloat,
+            (n / 1000.0).toFloat,
+            (fmt.getSampleRate.toDouble / 48000.0).toFloat))
+        }
+      }
+    } catch { case scala.util.control.NonFatal(_) => None }
+
+  /** Canonical 44-byte-header WAV container around 16-bit mono signed
+    * little-endian PCM — a REAL file any WAV reader (including
+    * `javax.sound.sampled`) decodes. */
+  private[graft] def wavBytes(samples: Array[Short],
+                                   rate: Int): Array[Byte] = {
+    val dataLen = samples.length * 2
+    val bb = java.nio.ByteBuffer.allocate(44 + dataLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")); bb.putInt(36 + dataLen)
+    bb.put("WAVE".getBytes("US-ASCII"))
+    bb.put("fmt ".getBytes("US-ASCII")); bb.putInt(16)
+    bb.putShort(1)            // PCM
+    bb.putShort(1)            // mono
+    bb.putInt(rate); bb.putInt(rate * 2)
+    bb.putShort(2); bb.putShort(16)
+    bb.put("data".getBytes("US-ASCII")); bb.putInt(dataLen)
+    samples.foreach(bb.putShort)
+    bb.array()
+  }
+
+  /** Uncompressed 24-bpp BMP (bottom-up rows, BGR, 4-byte row padding)
+    * — a REAL file `javax.imageio` decodes. `rgb(x, y)` addresses the
+    * decoded (top-left-origin) raster. */
+  private[graft] def bmpBytes(w: Int, h: Int,
+      rgb: (Int, Int) => (Int, Int, Int)): Array[Byte] = {
+    val rowBytes = w * 3
+    val pad = (4 - rowBytes % 4) % 4
+    val dataLen = (rowBytes + pad) * h
+    val bb = java.nio.ByteBuffer.allocate(54 + dataLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put('B'.toByte); bb.put('M'.toByte)
+    bb.putInt(54 + dataLen); bb.putInt(0); bb.putInt(54)
+    bb.putInt(40); bb.putInt(w); bb.putInt(h)
+    bb.putShort(1); bb.putShort(24)
+    bb.putInt(0); bb.putInt(dataLen)
+    bb.putInt(2835); bb.putInt(2835); bb.putInt(0); bb.putInt(0)
+    var y = h - 1
+    while (y >= 0) {          // file rows run bottom-up
+      var x = 0
+      while (x < w) {
+        val (r, g, b) = rgb(x, y)
+        bb.put(b.toByte); bb.put(g.toByte); bb.put(r.toByte)
+        x += 1
+      }
+      var p = 0
+      while (p < pad) { bb.put(0.toByte); p += 1 }
+      y -= 1
+    }
+    bb.array()
+  }
+
+  /** Media table with REAL payloads, synthesized deterministically from
+    * the documents table: image rows carry a 4×4 24-bpp BMP whose pixel
+    * colors are a fixed function of (doc_id, pixel index), audio rows a
+    * WAV of 16-bit PCM whose samples are a fixed function of
+    * (doc_id, i) — both roundtrip exactly through the JDK codecs, so
+    * the extracted features are engine-replicable from the formulas
+    * alone. Video rows keep the raw text payload (stub modality; no JDK
+    * video codec). Synthesis is a typed map — partition-parallel, no
+    * driver involvement. */
+  def packDocumentsReal(docs: DataFrame): Dataset[MediaRow] = {
+    import docs.sparkSession.implicits._
+    docs.select(col("doc_id"), col("text"), col("n_chars").cast("long"))
+      .as[(Long, String, Long)]
+      .map { case (id, text, nChars) =>
+        val nAud = (nChars % 100 + 1).toInt
+        (id % 3) match {
+          case 0 =>
+            val content = bmpBytes(4, 4, (x, y) => {
+              val p = y * 4 + x
+              (((id * 3 + p * 7) % 256).toInt,
+                ((id * 5 + p * 11) % 256).toInt,
+                ((id * 7 + p * 13) % 256).toInt)
+            })
+            MediaRow(id, "image", content, 4, 4, 16000, nAud)
+          case 1 =>
+            val samples = Array.tabulate(nAud)(i =>
+              (((id * 131 + i * 7919) % 65536) - 32768).toShort)
+            MediaRow(id, "audio", wavBytes(samples, 16000),
+              (id % 640 + 32).toInt, (id % 480 + 32).toInt, 16000, nAud)
+          case _ =>
+            MediaRow(id, "video", text.getBytes("UTF-8"),
+              (id % 640 + 32).toInt, (id % 480 + 32).toInt, 16000, nAud)
+        }
+      }
+  }
+
+  /** STUB decode kernel for the video modality (and bytes the real
+    * codecs reject): a real implementation would decode the payload
     * (PCM→spectrogram, video→keyframes) here. The deterministic fake
     * derives an 8-dim feature from byte statistics so tests can pin
     * exact values. Marked clearly; the mapPartitions batch shape (one
@@ -116,10 +278,13 @@ object Multimodal {
       // cache (pure in-memory decode; no executor-local temp files)
       javax.imageio.ImageIO.setUseCache(false)
       rows.map { r =>
-        val feature =
-          if (r.modality == "image")
+        val feature = r.modality match {
+          case "image" =>
             decodeImage(r.content).getOrElse(decodeStub(r.content))
-          else decodeStub(r.content)
+          case "audio" =>
+            decodeAudio(r.content).getOrElse(decodeStub(r.content))
+          case _ => decodeStub(r.content)
+        }
         MediaFeatures(r.media_id, r.modality, feature,
           r.content.length.toLong)
       }

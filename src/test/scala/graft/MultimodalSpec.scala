@@ -68,6 +68,87 @@ class MultimodalSpec extends AnyFunSuite with SparkTestBase {
       "non-decodable bytes must take the deterministic stub path")
   }
 
+  test("extractFeatures decodes a real WAV through javax.sound.sampled " +
+    "with exactly pinned frame-energy features; non-WAV bytes with " +
+    "audio modality keep the stub fallback") {
+    implicit val s = spark
+    // 8 samples, alternating sign, growing magnitude: every feature is
+    // hand-computable. q = 2 → frames (1000,-1000) (2000,-2000) ...
+    val samples =
+      Array[Short](1000, -1000, 2000, -2000, 3000, -3000, 4000, -4000)
+    val wav = Multimodal.wavBytes(samples, 16000)
+    val textBytes = "not audio".getBytes("UTF-8")
+    val ds = Seq(
+      Multimodal.MediaRow(1L, "audio", wav, 0, 0, 16000, 1),
+      Multimodal.MediaRow(2L, "audio", textBytes, 0, 0, 16000, 1)).toDS()
+    val feats = Multimodal.extractFeatures(ds).collect().sortBy(_.media_id)
+
+    val real = feats(0).feature
+    // frame RMS of (±a, ∓a) is exactly a; /32768 is a power-of-two scale
+    assert(real(0) == (1000.0 / 32768).toFloat, "frame-0 energy")
+    assert(real(1) == (2000.0 / 32768).toFloat, "frame-1 energy")
+    assert(real(2) == (3000.0 / 32768).toFloat, "frame-2 energy")
+    assert(real(3) == (4000.0 / 32768).toFloat, "frame-3 energy")
+    assert(real(4) == 0.875f, "7 sign changes over 8 samples")
+    assert(real(5) == 0f, "alternating signs sum to zero mean")
+    assert(real(6) == 0.008f, "8 samples / 1000")
+    assert(real(7) == (16000.0 / 48000.0).toFloat, "sample rate /48k")
+
+    val nB = textBytes.length.max(1)
+    val sum = textBytes.foldLeft(0L)((a, b) => a + (b & 0xff))
+    val expectedStub = Array.tabulate(8) { i =>
+      ((sum % (31 + i)).toDouble / (31 + i) +
+        (nB % (7 + i)).toDouble / 100.0).toFloat
+    }
+    assert(feats(1).feature.toSeq == expectedStub.toSeq,
+      "non-decodable audio bytes must take the stub path")
+  }
+
+  test("packDocumentsReal: BMP and WAV payloads roundtrip through the " +
+    "real codecs to the formula-predicted features") {
+    implicit val s = spark
+    val real = Multimodal.packDocumentsReal(
+      Tables.documents(spark, "/root/testdata/sf0.001"))
+    val feats = Multimodal.extractFeatures(real).collect()
+    val byId = feats.map(f => f.media_id -> f).toMap
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+      .select("doc_id", "n_chars").as[(Long, Long)].collect().toMap
+
+    // image row (doc_id % 3 == 0): integer pixel stats from the formula
+    val imgIds = byId.keys.filter(_ % 3 == 0)
+    assert(imgIds.nonEmpty)
+    imgIds.foreach { id =>
+      var sr = 0L; var sg = 0L; var sb = 0L; var sl = 0L; var sl2 = 0L
+      (0 until 16).foreach { p =>
+        val r = ((id * 3 + p * 7) % 256).toInt
+        val g = ((id * 5 + p * 11) % 256).toInt
+        val b = ((id * 7 + p * 13) % 256).toInt
+        val lum = 299L * r + 587L * g + 114L * b
+        sr += r; sg += g; sb += b; sl += lum; sl2 += lum * lum
+      }
+      val meanL = sl / (255000.0 * 16)
+      val expect = Seq(
+        (sr / (255.0 * 16)).toFloat, (sg / (255.0 * 16)).toFloat,
+        (sb / (255.0 * 16)).toFloat, meanL.toFloat,
+        math.max(0.0,
+          sl2 / (255000.0 * 255000.0 * 16) - meanL * meanL).toFloat,
+        math.log1p(4.0).toFloat, math.log1p(4.0).toFloat, 1.0f)
+      assert(byId(id).feature.toSeq == expect, s"image features for $id")
+      assert(byId(id).n_bytes == 102L, "4×4 24-bpp BMP is 54+48 bytes")
+    }
+
+    // audio row (doc_id % 3 == 1): WAV length + one exact feature family
+    val audIds = byId.keys.filter(_ % 3 == 1)
+    assert(audIds.nonEmpty)
+    audIds.foreach { id =>
+      val n = (docs(id) % 100 + 1).toInt
+      assert(byId(id).n_bytes == 44L + 2 * n, s"WAV container size for $id")
+      assert(byId(id).feature(6) == (n / 1000.0).toFloat,
+        s"clip length decoded from the WAV data chunk for $id")
+      assert(byId(id).feature(7) == (16000.0 / 48000.0).toFloat)
+    }
+  }
+
   test("resize plan: aspect-preserving, never upscales") {
     val plan = Multimodal.resizePlan(media, 64)
       .select("width", "height", "out_width", "out_height")
