@@ -1,11 +1,10 @@
 package graft.plans
 
-import scala.collection.mutable
 import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.execution.SparkStrategy
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{Attribute, Expression, GenericInternalRow, JoinedRow, UnsafeProjection}
+import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, Expression, GenericInternalRow, JoinedRow, RowOrdering, SortOrder, UnsafeProjection}
 import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan}
 import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution}
 import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan}
@@ -24,11 +23,14 @@ import org.apache.spark.sql.graftbridge.Bridge
   * /root/reference/src/etl_vol_transfers/main.py:107-119).
   *
   * Execution: both children hash-cluster on the key (EnsureRequirements
-  * inserts the exchanges and aligns partition counts); each partition
-  * builds the right side as per-key time-sorted arrays (the build side
-  * must fit per-partition memory, like a hash join's), then streams the
-  * left side with a binary search per row. No sort on the streamed side,
-  * no candidate-pair blowup.
+  * inserts the exchanges and aligns partition counts) AND sort by
+  * (key, time) — Spark plants external, SPILLABLE SortExecs, so no
+  * partition ever has to fit in task memory. The exec itself is a
+  * streaming merge in sort-merge-join style: one pass over both sorted
+  * sides holding O(1) state (the current key's floor row plus a peek at
+  * the ceiling). A hot key with millions of versions costs disk-backed
+  * sort, never an OOM — the round-3 hash-build design (per-key in-memory
+  * arrays) died exactly there.
   */
 case class AsOfJoinPlan(left: LogicalPlan, right: LogicalPlan,
                         leftKeys: Seq[Attribute], rightKeys: Seq[Attribute],
@@ -53,6 +55,13 @@ case class AsOfJoinExec(left: SparkPlan, right: SparkPlan,
   override def requiredChildDistribution: Seq[Distribution] =
     ClusteredDistribution(leftKeys) :: ClusteredDistribution(rightKeys) :: Nil
 
+  // (key, time) ascending on BOTH sides: EnsureRequirements plants
+  // external spillable SortExecs, which is the whole memory story —
+  // the merge below never buffers more than one right row per side
+  override def requiredChildOrdering: Seq[Seq[SortOrder]] = Seq(
+    (leftKeys :+ leftTime).map(SortOrder(_, Ascending)),
+    (rightKeys :+ rightTime).map(SortOrder(_, Ascending)))
+
   override protected def doExecute(): RDD[InternalRow] = {
     val leftOut = left.output
     val rightOut = right.output
@@ -69,62 +78,72 @@ case class AsOfJoinExec(left: SparkPlan, right: SparkPlan,
     left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
       val rKeyProj = UnsafeProjection.create(rKeys, rightOut)
       val rTimeProj = UnsafeProjection.create(Seq(rTime), rightOut)
-      // build: key → rows sorted by time
-      val build = mutable.HashMap.empty[InternalRow,
-        mutable.ArrayBuffer[(Long, InternalRow)]]
-      rIter.foreach { row =>
-        val k = rKeyProj(row).copy()
-        val t = rTimeProj(row).getLong(0)
-        build.getOrElseUpdate(k, mutable.ArrayBuffer.empty)
-          .append((t, row.copy()))
-      }
-      build.values.foreach(b => b.sortInPlaceBy(_._1))
-
       val lKeyProj = UnsafeProjection.create(lKeys, leftOut)
       val lTimeProj = UnsafeProjection.create(Seq(lTime), leftOut)
+      val keyOrder =
+        RowOrdering.createNaturalAscendingOrdering(lKeys.map(_.dataType))
       val outProj = UnsafeProjection.create(outAttrs, outAttrs)
       val nullRight = new GenericInternalRow(rightOut.length)
       val joined = new JoinedRow
+      val rBuf = rIter.buffered
+      // O(1) merge state: the latest right row with time ≤ current left
+      // time for the current key (floor), refreshed as both sorted
+      // streams advance. Left times are non-decreasing within a key, so
+      // the right cursor never rewinds.
+      var curKey: InternalRow = null
+      var floorRow: InternalRow = null
+      var floorTime = 0L
       lIter.map { lRow =>
+        val lKey = lKeyProj(lRow)
         val t = lTimeProj(lRow).getLong(0)
-        val matched = build.get(lKeyProj(lRow)) match {
-          case Some(buf) =>
-            // binary search: floor = largest index with time ≤ t;
-            // floor + 1 is then the ceiling (smallest time > t — for
-            // an exact hit the floor IS the nearest/forward match too)
-            var lo = 0
-            var hi = buf.length - 1
-            var floor = -1
-            while (lo <= hi) {
-              val mid = (lo + hi) >>> 1
-              if (buf(mid)._1 <= t) { floor = mid; lo = mid + 1 }
-              else hi = mid - 1
-            }
-            // exact hit: the floor row has time == t and is the forward
-            // match too (≥), not just the backward one
-            val fwdIdx =
-              if (floor >= 0 && buf(floor)._1 == t) floor else floor + 1
-            // existence is a flag, not a sentinel gap: Long.MaxValue
-            // would pass a `gap <= Long.MaxValue` tolerance check
-            val hasBack = floor >= 0 && t - buf(floor)._1 <= tol
-            val hasFwd = fwdIdx < buf.length && buf(fwdIdx)._1 - t <= tol
-            val pick = dir match {
-              case "backward" => if (hasBack) floor else -1
-              case "forward"  => if (hasFwd) fwdIdx else -1
-              case "nearest" => // ties → backward
-                if (hasBack && hasFwd)
-                  { if (t - buf(floor)._1 <= buf(fwdIdx)._1 - t) floor
-                    else fwdIdx }
-                else if (hasBack) floor
-                else if (hasFwd) fwdIdx
-                else -1
-              case other => throw new IllegalArgumentException(
-                s"unknown as-of direction $other") // exec-level guard:
-                // plans built without the asof() wrapper fail loudly
-                // instead of silently running nearest semantics
-            }
-            if (pick >= 0) buf(pick)._2 else null
-          case None => null
+        if (curKey == null || keyOrder.compare(lKey, curKey) != 0) {
+          curKey = lKey.copy()
+          floorRow = null
+        }
+        // advance the right cursor: discard keys that sort before the
+        // current left key; absorb same-key rows with time ≤ t as the
+        // (ever-later) floor. Stops at the ceiling — the first same-key
+        // row with time > t — without consuming it.
+        var scanning = true
+        while (scanning && rBuf.hasNext) {
+          val cmp = keyOrder.compare(rKeyProj(rBuf.head), curKey)
+          if (cmp < 0) { rBuf.next(); () }
+          else if (cmp == 0 &&
+            rTimeProj(rBuf.head).getLong(0) <= t) {
+            val r = rBuf.next()
+            floorTime = rTimeProj(r).getLong(0)
+            floorRow = r.copy()
+          } else scanning = false
+        }
+        var ceilRow: InternalRow = null
+        var ceilTime = 0L
+        if (rBuf.hasNext &&
+          keyOrder.compare(rKeyProj(rBuf.head), curKey) == 0) {
+          ceilRow = rBuf.head
+          ceilTime = rTimeProj(ceilRow).getLong(0)
+        }
+        // exact hit: the floor row has time == t and is the forward
+        // match too (≥), not just the backward one. Existence is a
+        // flag, not a sentinel gap: Long.MaxValue would pass a
+        // `gap <= Long.MaxValue` tolerance check.
+        val fwdRow =
+          if (floorRow != null && floorTime == t) floorRow else ceilRow
+        val fwdTime = if (floorRow != null && floorTime == t) t else ceilTime
+        val hasBack = floorRow != null && t - floorTime <= tol
+        val hasFwd = fwdRow != null && fwdTime - t <= tol
+        val matched = dir match {
+          case "backward" => if (hasBack) floorRow else null
+          case "forward"  => if (hasFwd) fwdRow else null
+          case "nearest" => // ties → backward
+            if (hasBack && hasFwd)
+              { if (t - floorTime <= fwdTime - t) floorRow else fwdRow }
+            else if (hasBack) floorRow
+            else if (hasFwd) fwdRow
+            else null
+          case other => throw new IllegalArgumentException(
+            s"unknown as-of direction $other") // exec-level guard:
+            // plans built without the asof() wrapper fail loudly
+            // instead of silently running nearest semantics
         }
         outProj(joined(lRow, if (matched == null) nullRight else matched))
       }

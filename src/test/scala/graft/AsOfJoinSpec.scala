@@ -107,6 +107,33 @@ class AsOfJoinSpec extends AnyFunSuite with SparkTestBase {
       near("t4").isEmpty && near("t5").contains(10.0))
   }
 
+  test("hot-key build side: 200k versions of ONE key stream through " +
+    "the sorted merge without per-key in-memory arrays") {
+    // the round-3 hash-build exec would materialize all 200k rows as
+    // one ArrayBuffer in a single task; the merge exec holds one floor
+    // row — versions flow through Spark's spillable sort instead
+    val right = spark.range(200000).select(
+      lit("hot").as("unit"), ($"id" * 2).as("ts"),
+      $"id".cast("double").as("price"))
+    val left = spark.range(5000).select(
+      concat(lit("t"), $"id").as("hash"), lit("hot").as("unit"),
+      ($"id" * 37 % 400001).as("t"))
+    val got = AsOfJoin.asof(left, right, Seq("unit"), "t", "ts")
+      .select($"hash", $"t", $"price")
+      .as[(String, Long, Option[Double])].collect()
+    assert(got.length == 5000)
+    // right times are 0,2,4,…: the floor of t is price t/2, capped at
+    // the last version — checkable in closed form for every row
+    got.foreach { case (h, t, p) =>
+      assert(p.contains(math.min(t / 2, 199999L).toDouble),
+        s"$h at t=$t got $p")
+    }
+    // the plan sorts both sides instead of hash-building one
+    val plan = AsOfJoin.asof(left, right, Seq("unit"), "t", "ts")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("Sort"), plan)
+  }
+
   test("end-to-end: time-versioned price adjustment over block flows") {
     // outputs at slots 1000/2000 pick the price active at their slot
     val flows = Seq(("t1", "u1", 100L, 12L), ("t2", "u1", 100L, 28L))
