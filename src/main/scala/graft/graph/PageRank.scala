@@ -39,12 +39,22 @@ object PageRank {
     * @param onIter   (iteration, seconds) after each eagerly
     *   materialized iteration — the skew-probe instrumentation hook;
     *   fires only for checkpointed iterations (the last one is lazy
-    *   until the caller's action) */
+    *   until the caller's action)
+    * @param tolerance when set, stop as soon as the L1 delta
+    *   Σ|score − score_prevCheckpoint| < tolerance. Checked only at
+    *   checkpoint boundaries, where BOTH compared frames are already
+    *   materialized — the delta is one co-partitioned join + 1-row agg
+    *   over node-count rows, nothing of the edge-shuffle iteration is
+    *   recomputed. At 100 TB each saved round is a full edge shuffle;
+    *   a converged graph stops paying them. None (the default) keeps
+    *   the exact fixed-iteration schedule — the bit-reproducible
+    *   oracle contract (q34/q95) stays byte-identical. */
   private def loop(edges: DataFrame, iterations: Int, checkpointEvery: Int,
                    init: (Long, Long) => Column, contrib: Column, zero: Column,
                    update: (Long, Long, Column, Option[Column]) => Column,
                    onIter: (Int, Double) => Unit = (_, _) => (),
-                   seeds: Option[DataFrame] = None)
+                   seeds: Option[DataFrame] = None,
+                   tolerance: Option[Double] = None)
       : DataFrame = {
     val e = edges.select(col("src"), col("dst")).distinct()
       .localCheckpoint(true)
@@ -78,7 +88,11 @@ object PageRank {
 
     var ranks = nodes.select(col("address"),
       init(n, s).as("score"))
-    for (i <- 1 to iterations) {
+    // last materialized frame — the convergence comparand; starts as
+    // the (cheap, over checkpointed nodes) init frame
+    var lastCp = ranks
+    var converged = false
+    for (i <- 1 to iterations if !converged) {
       val t0 = System.nanoTime()
       val contribs = eDeg
         .join(ranks, eDeg("src") === ranks("address"))
@@ -102,6 +116,22 @@ object PageRank {
       if (i % checkpointEvery == 0 && i < iterations) {
         ranks = ranks.localCheckpoint(true)
         onIter(i, (System.nanoTime() - t0) / 1e9)
+        tolerance.foreach { tol =>
+          val delta = ranks
+            .select(col("address"), col("score").as("s_new"))
+            .join(lastCp.select(col("address"), col("score").as("s_old")),
+              Seq("address"))
+            .agg(sum(abs(col("s_new") - col("s_old"))).as("d"))
+            .head().get(0)
+          val d: Double = delta match {
+            case l: java.lang.Long       => l.doubleValue()
+            case f: java.lang.Double     => f.doubleValue()
+            case b: java.math.BigDecimal => b.doubleValue()
+            case _                       => 0.0
+          }
+          if (d < tol) converged = true
+        }
+        lastCp = ranks
       }
     }
     ranks
@@ -109,18 +139,26 @@ object PageRank {
 
   /** Floating-point variant (ranks sum to 1).
     * @param edges DataFrame with string columns `src`, `dst`
+    * @param tolerance > 0 enables L1-delta early exit (see [[loop]]);
+    *   0 keeps the exact fixed-iteration schedule
     * @return (address, score) */
   def run(edges: DataFrame, iterations: Int = 20, damping: Double = 0.85,
-          checkpointEvery: Int = 1): DataFrame =
-    floatLoop(edges, None, iterations, damping, checkpointEvery)
+          checkpointEvery: Int = 1, tolerance: Double = 0.0,
+          onIter: (Int, Double) => Unit = (_, _) => ()): DataFrame =
+    floatLoop(edges, None, iterations, damping, checkpointEvery,
+      tolerance, onIter)
 
   /** One float body for both the uniform and personalized variants —
     * with no seeds every node is a seed and the recurrence reduces to
     * classic PageRank, so the formulas cannot drift apart. */
   private def floatLoop(edges: DataFrame, seeds: Option[DataFrame],
                         iterations: Int, damping: Double,
-                        checkpointEvery: Int): DataFrame =
+                        checkpointEvery: Int, tolerance: Double = 0.0,
+                        onIter: (Int, Double) => Unit = (_, _) => ())
+      : DataFrame =
     loop(edges, iterations, checkpointEvery, seeds = seeds,
+      onIter = onIter,
+      tolerance = if (tolerance > 0) Some(tolerance) else None,
       init = (_, s) => col("is_seed") * lit(1.0 / s),
       contrib = col("score") / col("out_deg"),
       zero = lit(0.0),
@@ -150,16 +188,22 @@ object PageRank {
   def runScaled(edges: DataFrame, iterations: Int = 10,
                 scale: Long = 1000000000000L,
                 checkpointEvery: Int = 1,
-                onIter: (Int, Double) => Unit = (_, _) => ()): DataFrame =
-    scaledLoop(edges, None, iterations, scale, checkpointEvery, onIter)
+                onIter: (Int, Double) => Unit = (_, _) => (),
+                toleranceScaled: Long = 0L): DataFrame =
+    scaledLoop(edges, None, iterations, scale, checkpointEvery, onIter,
+      toleranceScaled)
 
-  /** One integer-scaled body for both variants — see [[floatLoop]]. */
+  /** One integer-scaled body for both variants — see [[floatLoop]].
+    * `toleranceScaled` is in score units (1/scale). */
   private def scaledLoop(edges: DataFrame, seeds: Option[DataFrame],
                          iterations: Int, scale: Long,
                          checkpointEvery: Int,
-                         onIter: (Int, Double) => Unit = (_, _) => ())
+                         onIter: (Int, Double) => Unit = (_, _) => (),
+                         toleranceScaled: Long = 0L)
       : DataFrame =
     loop(edges, iterations, checkpointEvery, onIter = onIter, seeds = seeds,
+      tolerance =
+        if (toleranceScaled > 0) Some(toleranceScaled.toDouble) else None,
       init = (_, s) => expr(s"is_seed * ${scale / s}L"),
       contrib = expr("score div out_deg"),
       zero = lit(0L),

@@ -25,6 +25,50 @@ class PageRankSpec extends AnyFunSuite with SparkTestBase {
     assert(math.abs(scores("B") - 0.7125) < 1e-12)
   }
 
+  test("convergence early exit: a cycle is converged from iteration 1 " +
+    "and stops there with ranks identical to the full schedule") {
+    // directed 4-cycle: out_deg 1 everywhere, ranks are exactly 1/4
+    // from init on — the L1 delta is 0.0 after the first materialized
+    // iteration, so a tolerance run must exit immediately
+    val edges = Seq(("A", "B"), ("B", "C"), ("C", "D"), ("D", "A"))
+      .toDF("src", "dst")
+    var iters = 0
+    val early = PageRank.run(edges, iterations = 30, tolerance = 1e-12,
+      onIter = (_, _) => iters += 1).as[(String, Double)].collect().toMap
+    assert(iters <= 2, s"expected early exit, ran $iters iterations")
+    val full = PageRank.run(edges, iterations = 30)
+      .as[(String, Double)].collect().toMap
+    assert(early == full, "early-exit ranks must equal the full run's")
+    // scaled variant: same contract in fixed-point
+    var scaledIters = 0
+    val earlyScaled = PageRank.runScaled(edges, iterations = 30,
+      toleranceScaled = 1L, onIter = (_, _) => scaledIters += 1)
+      .as[(String, Long)].collect().toMap
+    assert(scaledIters <= 2)
+    assert(earlyScaled ==
+      PageRank.runScaled(edges, iterations = 30)
+        .as[(String, Long)].collect().toMap)
+  }
+
+  test("convergence early exit: a mixing graph stops once the delta is " +
+    "under tolerance, close to the fixed-schedule ranks") {
+    val edges = Seq(("A", "B"), ("A", "C"), ("B", "C"), ("C", "A"),
+      ("D", "A"), ("B", "D")).toDF("src", "dst")
+    var iters = 0
+    val early = PageRank.run(edges, iterations = 60, tolerance = 1e-10,
+      onIter = (_, _) => iters += 1).as[(String, Double)].collect().toMap
+    assert(iters < 59, s"no early exit in $iters iterations")
+    val full = PageRank.run(edges, iterations = 60)
+      .as[(String, Double)].collect().toMap
+    full.foreach { case (k, v) =>
+      assert(math.abs(early(k) - v) < 1e-8, s"$k drifted") }
+    // tolerance 0 (the default) never exits early: bit-exact schedule
+    var fixedIters = 0
+    PageRank.run(edges, iterations = 5,
+      onIter = (_, _) => fixedIters += 1).collect()
+    assert(fixedIters == 4) // last iteration is lazy, not checkpointed
+  }
+
   test("mass conservation: scores sum to 1 with dangling redistribution") {
     val edges = Seq(("A", "B"), ("A", "C"), ("B", "C"), ("D", "A"))
       .toDF("src", "dst")
