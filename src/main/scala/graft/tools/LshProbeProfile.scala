@@ -1,0 +1,80 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Stage-by-stage timing of the persisted-LSH probe path (q28) — which
+  * of build / key collect / postings scan / dedup / rerank actually
+  * costs. Run: SPARK_GRAFT_SF_DIR=… runMain graft.tools.LshProbeProfile */
+object LshProbeProfile {
+  def main(args: Array[String]): Unit = {
+    val sfDir =
+      sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    def time[A](label: String)(f: => A): A = {
+      val t0 = System.nanoTime(); val r = f
+      println(f"[profile] $label: ${(System.nanoTime() - t0) / 1e9}%.2f s")
+      r
+    }
+    val e = graft.Tables.embeddings(spark, sfDir)
+    e.count() // warm session
+    val q = e.filter(col("vec_id") < 10)
+    time("build")(graft.sim.LshIndex.build(e, "prof_idx"))
+    time("probe cold")(
+      graft.sim.LshIndex.probe(spark, "prof_idx", q, 5).count())
+    time("probe warm")(
+      graft.sim.LshIndex.probe(spark, "prof_idx", q, 5).count())
+    time("inline lshTopKMulti")(
+      graft.sim.Similarity.lshTopKMulti(e, q, 5).count())
+    // pieces of the probe
+    import graft.functions.VectorFunctions.lsh_signatures
+    val qSig = q.select(col("vec_id").as("query_id"),
+      col("embedding").cast("array<double>").as("qv"))
+      .withColumn("sigs", lsh_signatures(col("qv"), 24, 8, 64))
+    time("query signatures collect")(qSig.collect())
+    val postings = graft.io.Layout.read(spark, "prof_idx")
+    time("postings full count")(postings.count())
+    time("postings one-key scan")(
+      postings.filter(col("tb") === 0L).count())
+    // granular probe stages
+    val qTb = qSig.select(col("query_id"),
+      explode(array((0 until 24).flatMap { t =>
+        val s = col("sigs").getItem(t)
+        val flips = (0 until 8).map(b => s.bitwiseXOR(lit(1L << b)))
+        (s +: flips).map(b => lit(t.toLong) * 256L + b)
+      }: _*)).as("tb"))
+    val probeKeys = time("probe-key collect")(
+      qTb.select(col("tb")).distinct().collect().map(_.getLong(0)).sorted)
+    println(s"[profile] probe keys: ${probeKeys.length}")
+    val filtered = postings.filter(col("tb").isin(probeKeys.toIndexedSeq: _*))
+    time("filtered postings count")(filtered.count())
+    val raw = filtered.join(broadcast(qTb), Seq("tb"))
+      .filter(col("vec_id") =!= col("query_id"))
+    println(s"[profile] raw candidate rows: ${time("raw cand count")(raw.count())}")
+    val cands = raw.select(col("query_id"), col("vec_id")).distinct()
+    println(s"[profile] distinct pairs: ${time("distinct pairs")(cands.count())}")
+    import graft.functions.VectorFunctions.cosine_sim
+    val joined = cands
+      .join(graft.io.Layout.read(spark, "prof_idx_vec"), Seq("vec_id"))
+      .join(broadcast(qSig.select(col("query_id"), col("qv"))),
+        Seq("query_id"))
+      .withColumn("cosine", cosine_sim(col("qv"), col("v")))
+    time("vec join + cosine")(joined.count())
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("vec_id").asc)
+    time("window topk")(
+      joined.withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 5).count())
+    spark.stop()
+  }
+}
