@@ -39,6 +39,40 @@ object VolTransferJob {
     } finally { txs.unpersist() }
   }
 
+  /** Idempotent batch core: every output table lands in a
+    * `batch=<id>` directory overwritten WHOLE, so a replayed
+    * micro-batch — a job killed in the window after its data writes
+    * but before its checkpoint commit — rewrites its own output
+    * instead of double-appending. Exactly-once for append-shaped
+    * streaming sinks = replayable source + checkpointed offsets +
+    * batch-id-keyed idempotent writes; this is the third leg. The
+    * pipeline is deterministic per batch (no uuid/rand on this path),
+    * so a rewrite reproduces identical bytes. */
+  def writeBatchIdempotent(spark: SparkSession, lines: DataFrame,
+                           priceDim: DataFrame, outDir: String,
+                           batchId: Long): Unit = {
+    val blocks = BlockParser.parse(lines)
+    val txs = Flatten.transactions(blocks).persist()
+    try {
+      val outFlows = TokenValues.outputFlows(txs).persist()
+      // grow the UTXO set first so intra- and cross-batch spends resolve
+      outFlows.write.mode("overwrite")
+        .parquet(s"$outDir/utxo/batch=$batchId")
+      // partition-discovery adds the synthetic batch column — drop it,
+      // downstream operators see the plain utxo schema
+      val utxo = spark.read.parquet(s"$outDir/utxo").drop("batch")
+      val inFlows = Resolver.resolve(Resolver.outpoints(txs), utxo)
+      val net = NetFlow.compute(outFlows, inFlows).persist()
+      val txMeta = txs.select("hash", "height", "slot")
+      Volume.vol(net, txMeta, priceDim)
+        .write.mode("overwrite").parquet(s"$outDir/vol/batch=$batchId")
+      Transfers.edges(net, priceDim)
+        .write.mode("overwrite").parquet(s"$outDir/edges/batch=$batchId")
+      net.unpersist()
+      outFlows.unpersist()
+    } finally { txs.unpersist() }
+  }
+
   /** Streaming entry (K5 foreachBatch, parity with
     * /root/reference/src/etl_vol_transfers/main.py:211-227). */
   def run(spark: SparkSession, host: String, port: Int, priceDim: DataFrame,
@@ -53,4 +87,23 @@ object VolTransferJob {
       }
     checkpoint.fold(w)(c => w.option("checkpointLocation", c)).start()
   }
+
+  /** Checkpointed file-source entry: the replayable-source form of the
+    * flagship job (the socket source cannot replay, so its checkpoint
+    * can't give exactly-once; a file/queue source can and does).
+    * AvailableNow drains what exists and terminates — restart with the
+    * same checkpoint resumes after the last COMMITTED batch and
+    * re-runs any uncommitted one, which `writeBatchIdempotent`
+    * absorbs. */
+  def runFiles(spark: SparkSession, inDir: String, priceDim: DataFrame,
+               outDir: String, checkpoint: String): StreamingQuery =
+    spark.readStream.text(inDir)
+      .writeStream
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (df: DataFrame, id: Long) =>
+        writeBatchIdempotent(spark, df.select("value"), priceDim,
+          outDir, id)
+      }
+      .start()
 }

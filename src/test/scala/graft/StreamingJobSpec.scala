@@ -195,6 +195,44 @@ class StreamingJobSpec extends AnyFunSuite with SparkTestBase {
     assert(hashes == Seq("b1", "b2")) // b1 exactly once despite restart
   }
 
+  test("vol/transfer flagship: checkpointed exactly-once across a " +
+    "mid-stream kill — uncommitted batch replays without duplicating " +
+    "vol rows") {
+    val in = Files.createTempDirectory("graft_volin").toString
+    val out = Files.createTempDirectory("graft_volout").toString
+    val ckpt = Files.createTempDirectory("graft_volckpt").toString
+    def volRows = spark.read.parquet(s"$out/vol")
+      .select("hash", "unit", "value_adj")
+      .as[(String, String, Double)].collect().toSeq.sorted
+    Files.writeString(java.nio.file.Path.of(in, "b1.jsonl"), line1 + "\n")
+    val q1 = VolTransferJob.runFiles(spark, in, dim, out, ckpt)
+    q1.awaitTermination(60000); q1.stop()
+    assert(volRows == Seq(("t1", "lovelace", 1.0)))
+    // simulate a kill in the vulnerable window: batch data written,
+    // checkpoint commit NOT — drop the latest commit marker; Spark
+    // must re-run that batch with the SAME id on restart
+    val commitDir = new java.io.File(s"$ckpt/commits")
+    val latest = commitDir.listFiles()
+      .filter(_.getName.forall(_.isDigit)).maxBy(_.getName.toLong)
+    assert(latest.delete())
+    // the local checksum FS keeps a .N.crc sidecar; a real crash loses
+    // both, so drop it too or the replayed commit's rename trips on it
+    val crc = new java.io.File(commitDir, s".${latest.getName}.crc")
+    if (crc.exists()) assert(crc.delete())
+    // and the world moves on before the restart: a new block arrives
+    Files.writeString(java.nio.file.Path.of(in, "b2.jsonl"), line2 + "\n")
+    val q2 = VolTransferJob.runFiles(spark, in, dim, out, ckpt)
+    q2.awaitTermination(60000); q2.stop()
+    // nothing lost (t2 arrived), nothing duplicated (t1's batch was
+    // replayed onto its own batch directory, not appended twice)
+    assert(volRows == Seq(("t1", "lovelace", 1.0),
+      ("t2", "lovelace", 0.4)))
+    // the utxo store also stayed replay-clean
+    val utxo = spark.read.parquet(s"$out/utxo")
+    assert(utxo.count() ==
+      utxo.dropDuplicates("hash", "output_index", "unit").count())
+  }
+
   test("incremental streaming rollup: update-mode window agg upserts the " +
     "serving table, late rows revise their window") {
     implicit val sq = spark.sqlContext
