@@ -1,0 +1,95 @@
+#!/usr/bin/env python3
+"""Generate a larger scale factor from the driver's sf0.1 tables for
+scale probes (BENCH/oracle sweeps at 10x). Deterministic: each of N
+copies offsets every key domain by k * (max_key + 1), so intra-copy
+join relationships are preserved and key spaces are disjoint across
+copies. Documents get a per-copy text suffix (and recomputed n_chars)
+so exact-dedup groups don't degenerate into 10x duplicates; embeddings
+get a tiny per-copy first-component perturbation for the same reason.
+Timestamps keep their physical type (ns) so Spark's nanosAsLong path
+and DuckDB's TIMESTAMP_NS reads behave exactly as with driver data.
+
+Usage: gen_sf.py <src_dir> <dst_dir> <copies>
+"""
+import sys
+
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+
+
+def key_offset(table, col, copies):
+    m = pc.max(table[col]).as_py() or 0
+    return m + 1
+
+
+def replicate(src, dst, name, copies, id_cols, mutate=None):
+    t = pq.read_table(f"{src}/{name}.parquet")
+    offs = {c: key_offset(t, c, copies) for c in id_cols}
+    parts = []
+    for k in range(copies):
+        part = t
+        for c, off in offs.items():
+            shifted = pc.add(part[c], pa.scalar(k * off, type=part[c].type))
+            part = part.set_column(part.schema.get_field_index(c), c,
+                                   shifted.cast(t[c].type))
+        if mutate is not None:
+            part = mutate(part, k)
+        parts.append(part)
+    out = pa.concat_tables(parts)
+    pq.write_table(out, f"{dst}/{name}.parquet",
+                   coerce_timestamps=None, use_deprecated_int96_timestamps=False)
+    print(f"{name}: {t.num_rows} -> {out.num_rows}")
+
+
+def mutate_documents(part, k):
+    if k == 0:
+        return part
+    suffix = f" r{k}"
+    text = pc.binary_join_element_wise(part["text"], pa.scalar(suffix),
+                                       pa.scalar(""))
+    n_chars = pc.add(part["n_chars"], pa.scalar(len(suffix), type=pa.int64()))
+    part = part.set_column(part.schema.get_field_index("text"), "text", text)
+    part = part.set_column(part.schema.get_field_index("n_chars"), "n_chars",
+                           n_chars.cast(pa.int64()))
+    return part
+
+
+def mutate_embeddings(part, k):
+    if k == 0:
+        return part
+    col = part["embedding"].combine_chunks()
+    values = col.values.to_numpy(zero_copy_only=False).copy()
+    dim = len(col[0])
+    # nudge one deterministic component per copy: near-dup structure
+    # survives, exact duplicates don't
+    values[(k % dim)::dim] += k * 1e-3
+    new = pa.ListArray.from_arrays(col.offsets,
+                                   pa.array(values, type=pa.float32()))
+    return part.set_column(part.schema.get_field_index("embedding"),
+                           "embedding", new.cast(part["embedding"].type))
+
+
+def main():
+    src, dst, copies = sys.argv[1], sys.argv[2], int(sys.argv[3])
+    import os
+    os.makedirs(dst, exist_ok=True)
+    for name in ("region", "nation"):  # dims stay as-is
+        t = pq.read_table(f"{src}/{name}.parquet")
+        pq.write_table(t, f"{dst}/{name}.parquet")
+        print(f"{name}: {t.num_rows} (copied)")
+    replicate(src, dst, "customer", copies, ["c_custkey"])
+    replicate(src, dst, "supplier", copies, ["s_suppkey"])
+    replicate(src, dst, "part", copies, ["p_partkey"])
+    replicate(src, dst, "orders", copies, ["o_orderkey", "o_custkey"])
+    replicate(src, dst, "lineitem", copies,
+              ["l_orderkey", "l_partkey", "l_suppkey"])
+    replicate(src, dst, "events", copies, ["event_id", "user_id"])
+    replicate(src, dst, "documents", copies, ["doc_id"],
+              mutate=mutate_documents)
+    replicate(src, dst, "embeddings", copies, ["vec_id"],
+              mutate=mutate_embeddings)
+
+
+if __name__ == "__main__":
+    main()
