@@ -1883,9 +1883,9 @@ object SparkEntry {
         |WHERE list_cosine_similarity(a.v, b.v) >= 0.4""".stripMargin,
     "q30_media_features" -> {
       // replicates the full synth→encode→decode→feature path from the
-      // payload formulas alone (the JDK codecs roundtrip exactly):
+      // payload formulas alone (the codecs roundtrip exactly):
       // image = 4×4 BMP pixel stats, audio = PCM frame energies,
-      // video = the documented byte-stat stub
+      // video = 4×4 Y4M luma + temporal-delta stats
       val lum = "(299*((doc_id*3 + p*7) % 256) " +
         "+ 587*((doc_id*5 + p*11) % 256) + 114*((doc_id*7 + p*13) % 256))"
       def frame(k: Int): String = {
@@ -1896,10 +1896,6 @@ object SparkEntry {
           s"list_slice(s, $lo, $hi), x -> x*x)), 0) AS DOUBLE) " +
           s"/ CAST(greatest($len, 1) AS DOUBLE)) / 32768.0 AS d$k"
       }
-      val stubCols = (0 until 8).map { i =>
-        s"    (coalesce(bsum, 0) % ${31 + i}) / ${31 + i}.0 + " +
-          s"(n % ${7 + i}) / 100.0 AS d$i"
-      }.mkString(",\n")
       val fCast = (0 until 8).map(i =>
         s"  CAST(CAST(d$i AS FLOAT) AS DOUBLE) AS f$i").mkString(",\n")
       s"""WITH img AS (
@@ -1944,18 +1940,32 @@ object SparkEntry {
          |    16000.0 / 48000.0 AS d7
          |  FROM aud),
          |vid AS (
-         |  SELECT doc_id, CAST(text AS BLOB) AS blob
+         |  SELECT doc_id, CAST(n_chars % 100 + 1 AS BIGINT) AS F,
+         |    [(doc_id*13 + (i//16)*37 + (i%16)*7) % 256
+         |     for i in range(0, CAST(n_chars % 100 + 1 AS BIGINT) * 16)]
+         |      AS ys
          |  FROM documents WHERE doc_id % 3 = 2),
          |vid2 AS (
-         |  SELECT doc_id, octet_length(blob) AS nb,
-         |    greatest(octet_length(blob), 1) AS n,
-         |    list_sum([CAST(('0x' || substring(hex(blob), 2*i-1, 2))
-         |                   AS BIGINT)
-         |              for i in range(1, octet_length(blob) + 1)]) AS bsum
+         |  SELECT doc_id, F,
+         |    CAST(coalesce(list_sum(ys), 0) AS DOUBLE) AS sy,
+         |    CAST(coalesce(list_sum(list_transform(ys, y -> y*y)), 0)
+         |      AS DOUBLE) AS sy2,
+         |    CAST(coalesce(list_sum(
+         |      [abs(((doc_id*13 + (i//16 + 1)*37 + (i%16)*7) % 256)
+         |         - ((doc_id*13 + (i//16)*37 + (i%16)*7) % 256))
+         |       for i in range(0, (F - 1) * 16)]), 0) AS DOUBLE) AS sd
          |  FROM vid),
          |vidf AS (
-         |  SELECT doc_id, 'video' AS modality, CAST(nb AS BIGINT) AS n_bytes,
-         |$stubCols
+         |  SELECT doc_id, 'video' AS modality,
+         |    CAST(39 + 30*F AS BIGINT) AS n_bytes,
+         |    sy / (255.0 * 16.0 * F) AS d0,
+         |    greatest(0.0, sy2 / (65025.0 * 16.0 * F)
+         |      - (sy / (255.0 * 16.0 * F)) * (sy / (255.0 * 16.0 * F)))
+         |      AS d1,
+         |    CASE WHEN F > 1 THEN sd / (255.0 * 16.0 * (F - 1))
+         |         ELSE 0.0 END AS d2,
+         |    ln(1.0 + F) AS d3,
+         |    ln(5.0) AS d4, ln(5.0) AS d5, 1.0 AS d6, 25.0/60.0 AS d7
          |  FROM vid2),
          |u AS (
          |  SELECT * FROM imgf UNION ALL

@@ -7,16 +7,19 @@ import org.apache.spark.sql.types._
 /** Multimodal-column plumbing (BASELINE.json north star): image/audio/video
   * as opaque `binary` columns with typed metadata. The Spark-side contract —
   * schema, partition-parallel batch processing, stable output shape — is
-  * real and tested. Image payloads decode through a REAL kernel
-  * (JDK `javax.imageio`: PNG/JPEG/GIF/BMP → pixel statistics) and audio
-  * payloads through a REAL kernel (JDK `javax.sound.sampled`: WAV/PCM →
-  * frame-energy statistics); payloads a codec rejects — and the video
-  * modality, whose codecs are not in the JDK — fall back to `decodeStub`,
-  * a deterministic byte-statistics fake. Swap the stub for a real video
-  * codec (JNI/`mapInPandas` kernel) without touching any plumbing.
+  * real and tested. All three modalities decode through REAL kernels:
+  * images via JDK `javax.imageio` (PNG/JPEG/GIF/BMP → pixel statistics),
+  * audio via JDK `javax.sound.sampled` (WAV/PCM → frame-energy
+  * statistics), video via a pure-JDK YUV4MPEG2 (Y4M) parser (uncompressed
+  * planar C420 frames → luma + temporal-delta statistics; Y4M is the
+  * interchange format ffmpeg/mjpegtools read and write, so real footage
+  * reaches this kernel through one `ffmpeg -f yuv4mpegpipe` hop).
+  * Payloads a codec rejects fall back to `decodeStub`, a deterministic
+  * byte-statistics fake. A compressed-codec kernel (H.264 etc. via
+  * JNI/`mapInPandas`) would slot in without touching any plumbing.
   *
-  * Both real kernels reduce to INTEGER sufficient statistics first and
-  * apply one fixed double-expression at the end: the float features are
+  * Every kernel reduces to INTEGER sufficient statistics first and
+  * applies one fixed double-expression at the end: the float features are
   * then bit-exactly replicable by a SQL oracle that knows the payload's
   * pixel/sample values — which is how q30 keeps a DuckDB oracle while
   * exercising real codecs.
@@ -162,6 +165,120 @@ object Multimodal {
       }
     } catch { case scala.util.control.NonFatal(_) => None }
 
+  /** Real video decode kernel: pure-JDK parser for the YUV4MPEG2 (Y4M)
+    * uncompressed container — `YUV4MPEG2 <params>\n` stream header, then
+    * `FRAME\n` + raw planar frames. Accepts the C420 chroma family (the
+    * Y4M default); anything else — other colorspaces, truncated frames,
+    * wrong magic — returns None and the caller falls back to the stub.
+    * Reduces the luma planes to an 8-dim feature: mean luma, luma
+    * variance, mean temporal delta (inter-frame |Δluma|, the motion
+    * proxy), log1p of frame count / width / height, aspect ratio,
+    * frame rate /60.
+    *
+    * Like the image/audio kernels: INTEGER sufficient statistics
+    * (Σy, Σy², Σ|Δy| across 8-bit luma) → one fixed double expression →
+    * float, so a SQL oracle that knows the pixel formulas replicates the
+    * features bit-exactly. Σy² ≤ 65025·pixels keeps Long exact past
+    * 10^11 luma samples — far beyond any in-column payload. */
+  private[multimodal] def decodeVideo(
+      content: Array[Byte]): Option[Array[Float]] =
+    try {
+      val nl = content.indexOf('\n'.toByte)
+      if (nl <= 0) None
+      else {
+        val toks = new String(content, 0, nl, "US-ASCII").split(' ')
+        if (toks.isEmpty || toks(0) != "YUV4MPEG2") None
+        else {
+          var w = -1; var h = -1; var fn = -1; var fd = -1
+          var c420 = true          // C420 is the Y4M default colorspace
+          toks.iterator.drop(1).filter(_.nonEmpty).foreach { t =>
+            t.charAt(0) match {
+              case 'W' => w = t.substring(1).toInt
+              case 'H' => h = t.substring(1).toInt
+              case 'F' =>
+                val p = t.substring(1).split(':')
+                fn = p(0).toInt; fd = p(1).toInt
+              case 'C' => c420 = t.startsWith("C420")
+              case _   => ()
+            }
+          }
+          if (!c420 || w <= 0 || h <= 0 || w % 2 != 0 || h % 2 != 0 ||
+            fn <= 0 || fd <= 0) None
+          else {
+            val nPix = w * h
+            val cLen = (w / 2) * (h / 2)
+            var pos = nl + 1
+            var sy = 0L; var sy2 = 0L; var sd = 0L; var frames = 0
+            var prev: Array[Int] = null
+            var bad = false
+            while (!bad && pos < content.length) {
+              if (pos + 5 > content.length ||
+                new String(content, pos, 5, "US-ASCII") != "FRAME") bad = true
+              else {
+                var e = pos + 5  // frame params (if any) run to the newline
+                while (e < content.length && content(e) != '\n') e += 1
+                val y0 = e + 1
+                if (e >= content.length ||
+                  y0 + nPix + 2 * cLen > content.length) bad = true
+                else {
+                  val cur = new Array[Int](nPix)
+                  var p = 0
+                  while (p < nPix) {
+                    val v = content(y0 + p) & 0xff
+                    cur(p) = v
+                    sy += v; sy2 += v.toLong * v
+                    if (prev != null) sd += math.abs(v - prev(p))
+                    p += 1
+                  }
+                  prev = cur
+                  frames += 1
+                  pos = y0 + nPix + 2 * cLen
+                }
+              }
+            }
+            if (bad || frames == 0) None
+            else {
+              val nT = nPix.toDouble * frames
+              val meanY = sy / (255.0 * nT)
+              Some(Array(
+                meanY.toFloat,
+                math.max(0.0, sy2 / (65025.0 * nT) - meanY * meanY).toFloat,
+                (if (frames > 1)
+                  sd / (255.0 * nPix.toDouble * (frames - 1))
+                else 0.0).toFloat,
+                math.log1p(frames.toDouble).toFloat,
+                math.log1p(w.toDouble).toFloat,
+                math.log1p(h.toDouble).toFloat,
+                (w.toDouble / h).toFloat,
+                (fn.toDouble / fd / 60.0).toFloat))
+            }
+          }
+        }
+      }
+    } catch { case scala.util.control.NonFatal(_) => None }
+
+  /** YUV4MPEG2 container around caller-provided 8-bit luma planes —
+    * a REAL uncompressed video stream any Y4M consumer (ffmpeg,
+    * mjpegtools, this kernel) reads. Chroma planes are neutral 128
+    * (C420: one chroma sample per 2×2 luma block). */
+  private[graft] def y4mBytes(w: Int, h: Int, fpsNum: Int, fpsDen: Int,
+      lumaFrames: Array[Array[Int]]): Array[Byte] = {
+    require(w % 2 == 0 && h % 2 == 0, "C420 needs even dimensions")
+    val header = s"YUV4MPEG2 W$w H$h F$fpsNum:$fpsDen Ip A1:1 C420jpeg\n"
+      .getBytes("US-ASCII")
+    val cLen = 2 * ((w / 2) * (h / 2))
+    val bb = java.nio.ByteBuffer.allocate(
+      header.length + lumaFrames.length * (6 + w * h + cLen))
+    bb.put(header)
+    lumaFrames.foreach { y =>
+      bb.put("FRAME\n".getBytes("US-ASCII"))
+      y.foreach(v => bb.put(v.toByte))
+      var i = 0
+      while (i < cLen) { bb.put(128.toByte); i += 1 }
+    }
+    bb.array()
+  }
+
   /** Canonical 44-byte-header WAV container around 16-bit mono signed
     * little-endian PCM — a REAL file any WAV reader (including
     * `javax.sound.sampled`) decodes. */
@@ -217,11 +334,12 @@ object Multimodal {
     * the documents table: image rows carry a 4×4 24-bpp BMP whose pixel
     * colors are a fixed function of (doc_id, pixel index), audio rows a
     * WAV of 16-bit PCM whose samples are a fixed function of
-    * (doc_id, i) — both roundtrip exactly through the JDK codecs, so
-    * the extracted features are engine-replicable from the formulas
-    * alone. Video rows keep the raw text payload (stub modality; no JDK
-    * video codec). Synthesis is a typed map — partition-parallel, no
-    * driver involvement. */
+    * (doc_id, i), video rows a 4×4 Y4M clip of n frames whose luma is a
+    * fixed function of (doc_id, frame, pixel) — all three roundtrip
+    * exactly through their codecs (BMP/WAV via the JDK, Y4M being
+    * uncompressed by definition), so the extracted features are
+    * engine-replicable from the formulas alone. Synthesis is a typed
+    * map — partition-parallel, no driver involvement. */
   def packDocumentsReal(docs: DataFrame): Dataset[MediaRow] = {
     import docs.sparkSession.implicits._
     docs.select(col("doc_id"), col("text"), col("n_chars").cast("long"))
@@ -243,19 +361,18 @@ object Multimodal {
             MediaRow(id, "audio", wavBytes(samples, 16000),
               (id % 640 + 32).toInt, (id % 480 + 32).toInt, 16000, nAud)
           case _ =>
-            MediaRow(id, "video", text.getBytes("UTF-8"),
-              (id % 640 + 32).toInt, (id % 480 + 32).toInt, 16000, nAud)
+            val luma = Array.tabulate(nAud)(f =>
+              Array.tabulate(16)(p => ((id * 13 + f * 37 + p * 7) % 256).toInt))
+            MediaRow(id, "video", y4mBytes(4, 4, 25, 1, luma),
+              4, 4, 16000, nAud)
         }
       }
   }
 
-  /** STUB decode kernel for the video modality (and bytes the real
-    * codecs reject): a real implementation would decode the payload
-    * (PCM→spectrogram, video→keyframes) here. The deterministic fake
-    * derives an 8-dim feature from byte statistics so tests can pin
-    * exact values. Marked clearly; the mapPartitions batch shape (one
-    * iterator per partition — amortized model/codec init) is the real
-    * contract. */
+  /** STUB decode kernel for bytes every real codec rejects (corrupt
+    * payloads, compressed video formats outside the JDK): the
+    * deterministic fake derives an 8-dim feature from byte statistics
+    * so tests can pin exact values on the fallback path too. */
   private def decodeStub(content: Array[Byte]): Array[Float] = {
     val n = content.length.max(1)
     val sum = content.foldLeft(0L)((a, b) => a + (b & 0xff))
@@ -283,6 +400,8 @@ object Multimodal {
             decodeImage(r.content).getOrElse(decodeStub(r.content))
           case "audio" =>
             decodeAudio(r.content).getOrElse(decodeStub(r.content))
+          case "video" =>
+            decodeVideo(r.content).getOrElse(decodeStub(r.content))
           case _ => decodeStub(r.content)
         }
         MediaFeatures(r.media_id, r.modality, feature,

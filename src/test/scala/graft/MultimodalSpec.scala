@@ -104,8 +104,46 @@ class MultimodalSpec extends AnyFunSuite with SparkTestBase {
       "non-decodable audio bytes must take the stub path")
   }
 
-  test("packDocumentsReal: BMP and WAV payloads roundtrip through the " +
-    "real codecs to the formula-predicted features") {
+  test("extractFeatures decodes a real Y4M clip with exactly pinned " +
+    "luma/temporal features; non-Y4M bytes with video modality keep " +
+    "the stub fallback") {
+    implicit val s = spark
+    // 2 frames of 2×2 luma: frame0 all 10, frame1 all 30 → every stat
+    // is hand-computable (mean 20, variance 100, |Δ| 20 per pixel)
+    val y4m = Multimodal.y4mBytes(2, 2, 30, 1,
+      Array(Array.fill(4)(10), Array.fill(4)(30)))
+    val textBytes = "not video".getBytes("UTF-8")
+    val ds = Seq(
+      Multimodal.MediaRow(1L, "video", y4m, 2, 2, 0, 2),
+      Multimodal.MediaRow(2L, "video", textBytes, 2, 2, 0, 2)).toDS()
+    val feats = Multimodal.extractFeatures(ds).collect().sortBy(_.media_id)
+
+    val real = feats(0).feature
+    val meanY = 160.0 / (255.0 * 8.0)              // Σy=4·10+4·30=160
+    assert(real(0) == meanY.toFloat, "mean luma")
+    assert(real(1) ==
+      (4000.0 / (65025.0 * 8.0) - meanY * meanY).toFloat,
+      "luma variance 100 in scaled space")          // Σy²=4·100+4·900
+    assert(real(2) == (80.0 / (255.0 * 4.0)).toFloat,
+      "temporal delta: |30-10| over 4 pixels, 1 transition")
+    assert(real(3) == math.log1p(2.0).toFloat, "frame count")
+    assert(real(4) == math.log1p(2.0).toFloat &&
+      real(5) == math.log1p(2.0).toFloat, "dimensions")
+    assert(real(6) == 1.0f, "aspect")
+    assert(real(7) == 0.5f, "30 fps / 60")
+
+    val nB = textBytes.length.max(1)
+    val sum = textBytes.foldLeft(0L)((a, b) => a + (b & 0xff))
+    val expectedStub = Array.tabulate(8) { i =>
+      ((sum % (31 + i)).toDouble / (31 + i) +
+        (nB % (7 + i)).toDouble / 100.0).toFloat
+    }
+    assert(feats(1).feature.toSeq == expectedStub.toSeq,
+      "non-decodable video bytes must take the stub path")
+  }
+
+  test("packDocumentsReal: BMP, WAV, and Y4M payloads roundtrip through " +
+    "the real codecs to the formula-predicted features") {
     implicit val s = spark
     val real = Multimodal.packDocumentsReal(
       Tables.documents(spark, "/root/testdata/sf0.001"))
@@ -146,6 +184,32 @@ class MultimodalSpec extends AnyFunSuite with SparkTestBase {
       assert(byId(id).feature(6) == (n / 1000.0).toFloat,
         s"clip length decoded from the WAV data chunk for $id")
       assert(byId(id).feature(7) == (16000.0 / 48000.0).toFloat)
+    }
+
+    // video row (doc_id % 3 == 2): Y4M container size + full formula check
+    val vidIds = byId.keys.filter(_ % 3 == 2)
+    assert(vidIds.nonEmpty)
+    vidIds.foreach { id =>
+      val f = (docs(id) % 100 + 1).toInt
+      assert(byId(id).n_bytes == 39L + 30 * f,
+        s"Y4M container size: 39-byte header + 30/frame for $id")
+      var sy = 0L; var sy2 = 0L; var sd = 0L
+      for (fr <- 0 until f; p <- 0 until 16) {
+        val y = ((id * 13 + fr * 37 + p * 7) % 256).toInt
+        sy += y; sy2 += y.toLong * y
+        if (fr > 0)
+          sd += math.abs(y - ((id * 13 + (fr - 1) * 37 + p * 7) % 256).toInt)
+      }
+      val nT = 16.0 * f
+      val meanY = sy / (255.0 * nT)
+      val expect = Seq(
+        meanY.toFloat,
+        math.max(0.0, sy2 / (65025.0 * nT) - meanY * meanY).toFloat,
+        (if (f > 1) sd / (255.0 * 16.0 * (f - 1)) else 0.0).toFloat,
+        math.log1p(f.toDouble).toFloat,
+        math.log1p(4.0).toFloat, math.log1p(4.0).toFloat, 1.0f,
+        (25.0 / 60.0).toFloat)
+      assert(byId(id).feature.toSeq == expect, s"video features for $id")
     }
   }
 
