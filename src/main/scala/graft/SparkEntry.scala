@@ -1058,7 +1058,13 @@ object SparkEntry {
   /** Blocked fuzzy self-join (record linkage) over part names: first
     * token blocks candidates, a length band and Spark's BOUNDED
     * levenshtein (early-abandon DP) refine — Σ|block|² work, never
-    * |part|². See [[graft.ops.FuzzyJoin]] for the scale contract. */
+    * |part|². Served by the plain form: on this data nearly every
+    * candidate passes the DP, so the query is OUTPUT-bound and the
+    * plain join's per-pair cost is minimal (measured at sf0.1 and the
+    * 10×-dup sf1 sweep: plain beats [[graft.ops.FuzzyJoin
+    * .blockedPairsClassed]] at both). The classed form is the right
+    * serve when the DP dominates — long strings or selective
+    * thresholds; see its scaladoc for the measured crossover. */
   def q70_fuzzy_join(s: SparkSession, d: String): DataFrame =
     graft.ops.FuzzyJoin.blockedPairs(
       Tables.part(s, d), col("p_partkey"), col("p_name"),

@@ -59,4 +59,71 @@ object FuzzyJoin {
       .filter(col("dist") >= 0)
       .select(col("id_a"), col("id_b"), col("dist").cast("long").as("dist"))
   }
+
+  /** [[blockedPairs]] with exact-duplicate collapse: identical texts are
+    * grouped into one CLASS before the pair join, the bounded DP runs
+    * once per class pair, and member id pairs are expanded afterwards.
+    * Result set is identical (distance depends only on the text, so
+    * every member pair inherits its class pair's distance; same-class
+    * pairs are distance 0 by definition).
+    *
+    * The DP cost drops from Σ|block|² to Σ|distinct-in-block|², so a
+    * corpus where every string occurs k times does k² less compare
+    * work. When to use which — measured on the part-name workload
+    * (q70 config) at sf0.1 and the 10×-duplicated sf1 sweep:
+    *
+    *  - plain won BOTH (1.4 vs 3.2 s; 76 vs 103 s): with a tight
+    *    prefix block and a small maxDist nearly every candidate passes
+    *    the cheap bounded DP, so the job is OUTPUT-bound and the
+    *    classed form's groupBy + array expansion is pure overhead —
+    *    saving DP work that wasn't the cost.
+    *  - classed wins when the DP dominates output: long texts (titles,
+    *    addresses, documents — O(len·maxDist) per pair), selective
+    *    thresholds (most class pairs rejected, so output ≪ candidates),
+    *    or both. Then the k² compare reduction is the wall-clock term —
+    *    measured on sf1 DOCUMENT texts (hundreds of chars, 10×
+    *    duplicated, maxDist 6): 28 s classed vs 217 s plain, 7.6×,
+    *    identical output.
+    *
+    * A class's id array must fit in a task (members of ONE identical
+    * string) — millions of copies of the same text should be
+    * exact-deduped upstream first. */
+  def blockedPairsClassed(df: DataFrame, id: Column, text: Column,
+                          block: Column, maxLenDiff: Int, maxDist: Int,
+                          blockIsPrefix: Boolean = false): DataFrame = {
+    val keyed = df.select(block.as("blk"), id.as("id"), text.as("txt"))
+      .withColumn("ln", length(col("txt")))
+      .withColumn("dp",
+        if (blockIsPrefix)
+          substring(col("txt"), length(col("blk")) + 1, lit(1 << 24))
+        else col("txt"))
+    // (blk, dp) identifies the full text; ln is constant per class.
+    // sort_array keeps the member list deterministic.
+    val classes = keyed.groupBy(col("blk"), col("dp"))
+      .agg(first(col("ln")).as("ln"),
+        sort_array(collect_list(col("id"))).as("ids"))
+    def side(s: String) = classes.select(col("blk"),
+      col("dp").as(s"dp_$s"), col("ln").as(s"ln_$s"),
+      col("ids").as(s"ids_$s"))
+    // cross-class: unordered class pairs (dp_a < dp_b — any total order
+    // on the class key works), one DP each, then the member expansion
+    val cross = side("a").join(side("b"), Seq("blk"))
+      .filter(col("dp_a") < col("dp_b"))
+      .filter(abs(col("ln_a") - col("ln_b")) <= maxLenDiff)
+      .withColumn("dist", levenshtein(col("dp_a"), col("dp_b"), maxDist))
+      .filter(col("dist") >= 0)
+      .select(explode(col("ids_a")).as("x"), col("ids_b"), col("dist"))
+      .select(col("x"), explode(col("ids_b")).as("y"), col("dist"))
+      .select(least(col("x"), col("y")).as("id_a"),
+        greatest(col("x"), col("y")).as("id_b"),
+        col("dist").cast("long").as("dist"))
+    // same-class: every member pair at distance 0 (identical text)
+    val within = classes.filter(size(col("ids")) > 1)
+      .select(explode(col("ids")).as("x"), col("ids"))
+      .select(col("x"), explode(col("ids")).as("y"))
+      .filter(col("x") < col("y"))
+      .select(col("x").as("id_a"), col("y").as("id_b"),
+        lit(0L).as("dist"))
+    cross.unionAll(within)
+  }
 }

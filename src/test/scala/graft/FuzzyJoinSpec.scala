@@ -74,4 +74,53 @@ class FuzzyJoinSpec extends AnyFunSuite with SparkTestBase {
       .as[(Long, Long, Long)].collect().toSet
     assert(got == Set((1L, 2L, 0L), (1L, 3L, 6L), (2L, 3L, 6L)))
   }
+
+  test("blockedPairsClassed equals the plain form on every config, " +
+    "including duplicated texts") {
+    // duplicate-heavy input: texts 1/2 repeat under fresh ids — the
+    // regime the classed form exists for
+    val dup = names.unionAll(Seq(
+      (11L, "goldenrod lavender spring chocolate lace"),
+      (12L, "goldenrod lavender spring chocolate lace"),
+      (13L, "goldenrod lavender spring chocolate lack"),
+      (15L, "midnight lavender spring chocolate lace")).toDF("id", "name"))
+    for {
+      df <- Seq(names, dup)
+      (lenBand, dist) <- Seq((2, 6), (40, 3), (1, 2), (0, 0))
+      prefix <- Seq(false, true)
+    } {
+      val plain = FuzzyJoin.blockedPairs(df, $"id", $"name",
+          substring_index($"name", " ", 1), lenBand, dist, prefix)
+        .as[(Long, Long, Long)].collect().toSet
+      val classed = FuzzyJoin.blockedPairsClassed(df, $"id", $"name",
+          substring_index($"name", " ", 1), lenBand, dist, prefix)
+        .as[(Long, Long, Long)].collect().toSet
+      assert(classed == plain,
+        s"band=$lenBand dist=$dist prefix=$prefix dup=${df ne names}")
+    }
+    // duplicated pair lands at distance 0 via the same-class expansion
+    val got = FuzzyJoin.blockedPairsClassed(dup, $"id", $"name",
+        substring_index($"name", " ", 1), 1, 2)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got.contains((1L, 11L, 0L)) && got.contains((11L, 12L, 0L)))
+    // and cross-class pairs expand to ALL member combinations
+    assert(got.contains((2L, 11L, 1L)) && got.contains((12L, 13L, 1L)))
+  }
+
+  test("classed form compares each distinct pair once: DP input rows " +
+    "are the class table, not the row table") {
+    val dup = Seq.tabulate(40)(i =>
+      (i.toLong, s"alpha beta text${i % 4}")).toDF("id", "name")
+    // 4 distinct texts → the class-pair join sees 4 rows a side, not 40
+    val classed = FuzzyJoin.blockedPairsClassed(dup, $"id", $"name",
+        substring_index($"name", " ", 1), 40, 40)
+    val plan = classed.queryExecution.optimizedPlan.toString
+    // the aggregate (class collapse) must sit BELOW the join
+    assert(plan.contains("Aggregate"), "class collapse present")
+    val pairs = classed.as[(Long, Long, Long)].collect()
+    // 40 rows, all same block: C(40,2) = 780 output pairs survive
+    assert(pairs.length == 780)
+    assert(pairs.count(_._3 == 0L) == 4 * (10 * 9 / 2),
+      "same-text pairs via within-class expansion")
+  }
 }
