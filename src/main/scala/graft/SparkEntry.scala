@@ -1515,6 +1515,15 @@ object SparkEntry {
     graft.text.Vocab.update(v1, docs, minCount = 5L)
   }
 
+  /** Exact substring dedup (the corpus TRANSFORM): token spans covered
+    * by an 8-gram already present in an earlier document are removed and
+    * the survivors re-joined — the keep-first boilerplate/repost scrub.
+    * Inverted-occurrence shape, linear in occurrences even on a
+    * k×-duplicated corpus (never per-pair); see
+    * [[graft.dedup.SubstringDedup]]. */
+  def q103_substring_dedup(s: SparkSession, d: String): DataFrame =
+    graft.dedup.SubstringDedup.dedupCorpus(Tables.documents(s, d), k = 8)
+
   // ---------------------------------------------------------------- registry
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1620,6 +1629,7 @@ object SparkEntry {
     "q100_corpus_overlap" -> (q100_corpus_overlap _),
     "q101_cdc_merge" -> (q101_cdc_merge _),
     "q102_vocab_update" -> (q102_vocab_update _),
+    "q103_substring_dedup" -> (q103_substring_dedup _),
   )
 
   // DuckDB twins of the Scala normalization / hashing expressions
@@ -3006,5 +3016,35 @@ object SparkEntry {
          |  FROM fresh)
          |SELECT term, n, token_id FROM existing
          |UNION ALL SELECT term, n, token_id FROM freshids""".stripMargin,
+    "q103_substring_dedup" ->
+      // mirrors SubstringDedup.dedupCorpus(k = 8): raw single-space
+      // tokens, positional 8-grams, covered = union of duplicated
+      // (earlier-doc) 8-gram spans, survivors re-joined
+      s"""WITH t AS (
+         |  SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+         |sh AS (
+         |  SELECT doc_id,
+         |    unnest(range(0, greatest(len(w) - 7, 0))) AS s,
+         |    unnest([array_to_string(w[i+1:i+8], ' ')
+         |            for i in range(0, greatest(len(w) - 7, 0))]) AS g
+         |  FROM t WHERE len(w) >= 8),
+         |m AS (SELECT g, min(doc_id) AS mind FROM sh GROUP BY g),
+         |cov AS (
+         |  SELECT DISTINCT sh.doc_id, sh.s + u.j AS c
+         |  FROM sh JOIN m USING (g)
+         |  CROSS JOIN (SELECT unnest(range(0, 8)) AS j) u
+         |  WHERE sh.doc_id > m.mind),
+         |covl AS (SELECT doc_id, list(c) AS cov FROM cov GROUP BY doc_id)
+         |SELECT t.doc_id,
+         |  CASE WHEN cov IS NULL THEN array_to_string(w, ' ')
+         |       -- duckdb array_to_string of an EMPTY list is NULL;
+         |       -- spark array_join is '' — coalesce to match
+         |       ELSE coalesce(
+         |         array_to_string([w[i+1] for i in range(0, len(w))
+         |                          if NOT list_contains(cov, i)], ' '), '')
+         |  END AS kept_text,
+         |  CAST(len(w) AS BIGINT) AS n_tokens,
+         |  CAST(coalesce(len(cov), 0) AS BIGINT) AS n_removed
+         |FROM t LEFT JOIN covl ON t.doc_id = covl.doc_id""".stripMargin,
   )
 }

@@ -1,0 +1,74 @@
+package graft.dedup
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Exact substring deduplication — the corpus TRANSFORM (not pair
+  * detection): every token span covered by a k-token run that also
+  * appears in an earlier document is removed, and the surviving tokens
+  * are re-joined into the served text. This is the "remove duplicated
+  * substrings, keep the first occurrence" prep step from the exact
+  * substring dedup literature (suffix-array dedup of training corpora),
+  * re-expressed as relational operators: boilerplate headers, licence
+  * blocks, and quoted reposts vanish from every document except the
+  * first one that contained them.
+  *
+  * Contract (deterministic, engine-replicable):
+  *  - tokens = `split(text, ' ')` (raw, no normalization — the rebuilt
+  *    text must be byte-identical where nothing is removed);
+  *  - a position t in doc D is covered iff some k-gram start s with
+  *    s ≤ t < s+k has its k-gram present in ANY doc with a smaller
+  *    doc_id (inter-document only: a doc repeating itself is q52's
+  *    concern, not dedup — and the first doc of a group always
+  *    survives intact, so no content is ever lost from the corpus);
+  *  - output = (doc_id, kept_text, n_tokens, n_removed).
+  *
+  * Scale design: this is the inverted-OCCURRENCE pattern, one row per
+  * k-gram occurrence end to end — group k-grams, attach each group's
+  * min doc_id back to occurrences, aggregate covered starts per doc.
+  * Cost is LINEAR in total occurrences regardless of how duplicated
+  * the corpus is (a k-times-duplicated corpus costs k×, not k²×) —
+  * strictly better asymptotics than any pair-producing dedup (q18/q88)
+  * and the reason this is the transform you run at 100 TB while pair
+  * detection is the audit tool. Three shuffles: k-gram group, starts
+  * re-group, final doc join; the k-gram join key is the raw token run
+  * (exact, zero collision risk) — swap in a 64/128-bit hash of it to
+  * shrink shuffle width when token runs are long.
+  *
+  * The per-doc coverage expansion is higher-order array functions over
+  * the doc's own token axis — no generator join, no driver work. */
+object SubstringDedup {
+
+  /** Deduplicated corpus: `(doc_id, kept_text, n_tokens, n_removed)`
+    * with covered spans (see class doc) removed from `kept_text`.
+    * Docs shorter than k tokens pass through verbatim. */
+  def dedupCorpus(docs: DataFrame, k: Int): DataFrame = {
+    require(k >= 1, "k-gram length must be positive")
+    val base = docs.select(col("doc_id"), split(col("text"), " ").as("w"))
+    // one row per k-gram OCCURRENCE, keeping its start position
+    val sh = base.filter(size(col("w")) >= k)
+      .select(col("doc_id"), explode(expr(
+        s"transform(sequence(0, size(w) - $k), i -> " +
+          s"struct(i AS s, array_join(slice(w, i + 1, $k), ' ') AS g))"))
+        .as("e"))
+      .select(col("doc_id"), col("e.s").as("s"), col("e.g").as("g"))
+    val minDoc = sh.groupBy(col("g")).agg(min(col("doc_id")).as("min_doc"))
+    // duplicated starts per doc: occurrences whose k-gram a smaller
+    // doc_id already holds (one row per occurrence — never per pair)
+    val starts = sh.join(minDoc, Seq("g"))
+      .filter(col("doc_id") > col("min_doc"))
+      .groupBy(col("doc_id")).agg(collect_set(col("s")).as("starts"))
+    base.join(starts, Seq("doc_id"), "left")
+      .withColumn("idx", expr("sequence(0, size(w) - 1)"))
+      .withColumn("cov",
+        when(col("starts").isNull, expr("CAST(array() AS array<int>)"))
+          .otherwise(expr(s"filter(idx, t -> " +
+            s"exists(starts, st -> st <= t AND t < st + $k))")))
+      .select(col("doc_id"),
+        expr("array_join(transform(" +
+          "filter(idx, t -> NOT array_contains(cov, t)), " +
+          "t -> element_at(w, t + 1)), ' ')").as("kept_text"),
+        size(col("w")).cast("long").as("n_tokens"),
+        size(col("cov")).cast("long").as("n_removed"))
+  }
+}

@@ -1,0 +1,68 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.dedup.SubstringDedup
+
+class SubstringDedupSpec extends AnyFunSuite with SparkTestBase {
+  import spark.implicits._
+
+  private def run(docs: Seq[(Long, String)], k: Int): Map[Long, (String, Long, Long)] =
+    SubstringDedup.dedupCorpus(docs.toDF("doc_id", "text"), k)
+      .as[(Long, String, Long, Long)].collect()
+      .map(r => r._1 -> (r._2, r._3, r._4)).toMap
+
+  test("covered spans are removed; the first document always survives") {
+    val out = run(Seq(
+      (1L, "a b c d e f"),
+      (2L, "x y a b c d q"),    // contains 1's run "a b c d"
+      (3L, "a b c d e f")),     // exact duplicate of 1
+      k = 4)
+    assert(out(1L) == ("a b c d e f", 6L, 0L), "first doc intact")
+    // in doc 2 only the 4-gram "a b c d" (start 2) is shared → tokens
+    // 2..5 are covered, "x y" and "q" survive
+    assert(out(2L) == ("x y q", 7L, 4L))
+    // every 4-gram of doc 3 appears in doc 1 → whole text removed
+    assert(out(3L) == ("", 6L, 6L))
+  }
+
+  test("overlapping duplicated runs merge into one covered span") {
+    val out = run(Seq(
+      (1L, "p q r s t u v"),
+      // shares "p q r s" (start 0) and "s t u v" (start 3): coverage is
+      // the union 0..6 = everything
+      (2L, "p q r s t u v")),
+      k = 4)
+    assert(out(2L) == ("", 7L, 7L))
+  }
+
+  test("intra-document repetition is NOT removed (inter-document only)") {
+    val out = run(Seq((5L, "p q p q p q p q")), k = 4)
+    assert(out(5L) == ("p q p q p q p q", 8L, 0L))
+  }
+
+  test("docs shorter than k pass through verbatim") {
+    val out = run(Seq((1L, "a b"), (2L, "a b")), k = 4)
+    assert(out(1L) == ("a b", 2L, 0L) && out(2L) == ("a b", 2L, 0L))
+  }
+
+  test("keep-first is by doc_id order, not input order") {
+    val out = run(Seq(
+      (9L, "m n o p z z"),
+      (2L, "m n o p w w")),     // smaller id holds the shared run
+      k = 4)
+    assert(out(2L) == ("m n o p w w", 6L, 0L))
+    assert(out(9L) == ("z z", 6L, 4L))
+  }
+
+  test("no pair blowup: plan has no self-join of the shingle table") {
+    val docs = Seq.tabulate(30)(i => (i.toLong, "same text for every doc here"))
+    val df = SubstringDedup.dedupCorpus(docs.toDF("doc_id", "text"), 4)
+    val plan = df.queryExecution.optimizedPlan.toString
+    // occurrence→group→occurrence shape: exactly one join against the
+    // aggregated min-doc side and one final left join back to the docs
+    assert("Join (Inner|LeftOuter|LeftSemi|Cross|FullOuter)".r
+      .findAllIn(plan).size == 2, plan)
+    val rows = df.as[(Long, String, Long, Long)].collect()
+    assert(rows.count(_._4 > 0) == 29, "all but the first fully covered")
+  }
+}
