@@ -1524,6 +1524,15 @@ object SparkEntry {
   def q103_substring_dedup(s: SparkSession, d: String): DataFrame =
     graft.dedup.SubstringDedup.dedupCorpus(Tables.documents(s, d), k = 8)
 
+  /** Semantic dedup (SemDeDup): k-means clusters block the embedding
+    * space, keep-first inside each cluster at cosine ≥ 0.95 — catches
+    * same-content-different-wording dups no token dedup sees.
+    * Approximate by construction (clustering is the blocking key) →
+    * rows-only; pinned by SemanticDedupSpec. */
+  def q104_semantic_dedup(s: SparkSession, d: String): DataFrame =
+    graft.dedup.SemanticDedup.semanticDedup(
+      Tables.embeddings(s, d), clusters = 8, threshold = 0.95)
+
   // ---------------------------------------------------------------- registry
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1630,6 +1639,7 @@ object SparkEntry {
     "q101_cdc_merge" -> (q101_cdc_merge _),
     "q102_vocab_update" -> (q102_vocab_update _),
     "q103_substring_dedup" -> (q103_substring_dedup _),
+    "q104_semantic_dedup" -> (q104_semantic_dedup _),
   )
 
   // DuckDB twins of the Scala normalization / hashing expressions

@@ -96,7 +96,7 @@ object Similarity {
   /** Index of the centroid (array-of-arrays literal) with the highest
     * cosine to `v`; ties break to the lowest index. Pure per-row
     * expression — no shuffle, no lookup join. */
-  private def nearestCell(v: Column, centroids: Seq[Seq[Double]]): Column = {
+  private[graft] def nearestCell(v: Column, centroids: Seq[Seq[Double]]): Column = {
     val scored = transform(typedLit(centroids),
       (c, i) => struct(cosine(v, c).as("s"), (-i).as("ni")))
     (-array_max(scored).getField("ni")).cast("int")

@@ -1,0 +1,64 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.dedup.SemanticDedup
+
+class SemanticDedupSpec extends AnyFunSuite with SparkTestBase {
+  import spark.implicits._
+
+  // three well-separated semantic directions (orthogonal axes); per
+  // direction: a base vector, near-copies (tiny angle), and one
+  // related-but-distinct member (large angle, below threshold)
+  private def corpus = {
+    def v(axis: Int, eps: Double, scale: Double): Array[Double] = {
+      val a = Array.fill(8)(0.0)
+      a(axis) = scale
+      a((axis + 3) % 8) = eps * scale   // angle ⇒ cosine ≈ 1/√(1+eps²)
+      a
+    }
+    Seq(
+      (10L, v(0, 0.0, 1.0)), (11L, v(0, 0.01, 2.0)), (12L, v(0, 0.02, 0.5)),
+      (13L, v(0, 0.8, 1.0)),                       // distinct: cos ≈ 0.78
+      (20L, v(1, 0.0, 1.0)), (21L, v(1, 0.015, 3.0)),
+      (30L, v(2, 0.0, 1.0))                        // singleton cluster
+    ).toDF("vec_id", "embedding")
+  }
+
+  private def run(df: org.apache.spark.sql.DataFrame) =
+    SemanticDedup.semanticDedup(df, clusters = 3, threshold = 0.99)
+      .as[(Long, Int, Option[Long], Boolean)].collect()
+      .map(r => r._1 -> (r._3, r._4)).toMap
+
+  test("near-copies drop to the smallest id; distinct members survive") {
+    val out = run(corpus)
+    assert(out(10L) == (None, true), "group head kept")
+    assert(out(11L) == (Some(10L), false), "near-copy drops, dup_of=head")
+    assert(out(12L) == (Some(10L), false))
+    assert(out(13L) == (None, true),
+      "related-but-distinct member survives (cos below threshold)")
+    assert(out(20L) == (None, true) && out(21L) == (Some(20L), false))
+    assert(out(30L) == (None, true), "singleton kept")
+  }
+
+  test("magnitude is ignored: cosine, not distance, decides") {
+    // 11L is 2× the magnitude of 10L and still drops (same direction)
+    val out = run(corpus)
+    assert(out(11L)._2 == false)
+  }
+
+  test("deterministic across partitioning") {
+    val a = run(corpus.repartition(7))
+    val b = run(corpus.repartition(2))
+    assert(a == b)
+  }
+
+  test("plan: pair join is blocked by cell — no global cross product") {
+    val df = SemanticDedup.semanticDedup(corpus, clusters = 3,
+      threshold = 0.99)
+    val plan = df.queryExecution.optimizedPlan.toString
+    assert(!plan.contains("Cartesian"), plan.take(2000))
+    // the within-cell join and the final left join back
+    assert("Join (Inner|LeftOuter)".r.findAllIn(plan).size == 2,
+      plan.take(2000))
+  }
+}
