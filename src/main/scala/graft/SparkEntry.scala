@@ -1533,6 +1533,14 @@ object SparkEntry {
     graft.dedup.SemanticDedup.semanticDedup(
       Tables.embeddings(s, d), clusters = 8, threshold = 0.95)
 
+  /** BPE merge learning (tokenizer training): top-10 merge operations
+    * over the document corpus — per-round argmax is a 1-row driver
+    * collect, merge application a per-word fold; cost tracks VOCABULARY
+    * size, not corpus size. Driver-looped → rows-only; pinned by
+    * BpeSpec's hand-computed golden corpus. */
+  def q105_bpe_merges(s: SparkSession, d: String): DataFrame =
+    graft.text.Bpe.learnMerges(Tables.documents(s, d), merges = 10)
+
   // ---------------------------------------------------------------- registry
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1640,6 +1648,7 @@ object SparkEntry {
     "q102_vocab_update" -> (q102_vocab_update _),
     "q103_substring_dedup" -> (q103_substring_dedup _),
     "q104_semantic_dedup" -> (q104_semantic_dedup _),
+    "q105_bpe_merges" -> (q105_bpe_merges _),
   )
 
   // DuckDB twins of the Scala normalization / hashing expressions

@@ -1,0 +1,108 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Byte-pair-encoding merge learning — the tokenizer TRAINING step
+  * (classic BPE: repeatedly merge the most frequent adjacent symbol
+  * pair), complementing [[Vocab]]'s id assignment and the BPE-ish
+  * token segmentation in text analysis. Words start as character
+  * sequences; each round counts adjacent pairs corpus-wide (weighted
+  * by word frequency), merges the argmax pair everywhere, and records
+  * it — the ordered merge list IS the tokenizer model.
+  *
+  * Scale design: the corpus collapses to the DISTINCT-word frequency
+  * table first (the classic trick — pair counting is over unique words
+  * weighted by n, so cost tracks vocabulary size, not corpus size).
+  * Each round is one explode + one grouped sum (map-side combinable)
+  * plus a 1-ROW collect (the argmax — model-sized driver action, same
+  * sanction as the k-means centroid fold), and the merge application
+  * is a per-word `aggregate` fold — no UDF, no driver data path. The
+  * symbol table is checkpointed per round so round r never replays
+  * rounds 0..r-1's folds.
+  *
+  * Determinism: argmax ties break on (count desc, left asc, right asc)
+  * — the merge list is a pure function of the corpus. Driver-looped
+  * with per-round argmax → no single SQL oracle; pinned by BpeSpec's
+  * hand-computed golden corpus. */
+object Bpe {
+
+  /** One greedy, left-to-right, non-overlapping merge pass of (l, r)
+    * over a symbol array: a fold whose state is (output, pending
+    * symbol). A freshly merged token never re-merges in the same pass
+    * (pending resets to null), matching reference BPE. */
+  private def mergePass(s: Column, l: String, r: String): Column = {
+    def flush(acc: Column) =
+      when(acc.getField("prev").isNull, acc.getField("out"))
+        .otherwise(array_append(acc.getField("out"), acc.getField("prev")))
+    aggregate(s,
+      struct(typedlit(Seq.empty[String]).as("out"),
+        lit(null).cast("string").as("prev")),
+      (acc, x) =>
+        when(acc.getField("prev") === lit(l) && x === lit(r),
+          struct(array_append(acc.getField("out"), lit(l + r)).as("out"),
+            lit(null).cast("string").as("prev")))
+          .otherwise(struct(flush(acc).as("out"), x.as("prev"))),
+      acc => flush(acc))
+  }
+
+  /** Learn the top `merges` BPE merge operations from `docs`'s text.
+    * @return (rank, left, right, pair_count) in learned order; fewer
+    *         rows than `merges` when the corpus runs out of repeated
+    *         pairs (pair_count 1 still merges, matching reference BPE).
+    */
+  def learnMerges(docs: DataFrame, merges: Int): DataFrame = {
+    require(merges >= 1, "merge count must be positive")
+    val spark = docs.sparkSession
+    // distinct-word frequency table: all later rounds cost |vocab|
+    var words = docs
+      .select(explode(split(col("text"), " ")).as("word"))
+      .filter(col("word") =!= "")
+      .groupBy(col("word")).agg(count(lit(1)).as("n"))
+      .withColumn("s", expr("filter(split(word, ''), x -> x <> '')"))
+      .select(col("n"), col("s"))
+      .localCheckpoint(true)
+    val learned = Seq.newBuilder[(Int, String, String, Long)]
+    var rank = 0
+    var exhausted = false
+    while (rank < merges && !exhausted) {
+      val top = words.filter(size(col("s")) >= 2)
+        .select(col("n"), explode(expr(
+          "transform(sequence(0, size(s) - 2), i -> " +
+            "struct(element_at(s, i + 1) AS l, element_at(s, i + 2) AS r))"))
+          .as("p"))
+        .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+        .agg(sum(col("n")).as("cnt"))
+        .orderBy(desc("cnt"), asc("l"), asc("r"))
+        .limit(1).collect()
+      if (top.isEmpty) exhausted = true
+      else {
+        val (l, r, cnt) =
+          (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
+        learned += ((rank, l, r, cnt))
+        words = words.withColumn("s", mergePass(col("s"), l, r))
+          .localCheckpoint(true)
+        rank += 1
+      }
+    }
+    import spark.implicits._
+    learned.result().toDF("rank", "left", "right", "pair_count")
+      .select(col("rank").cast("int"), col("left"), col("right"),
+        col("pair_count"))
+  }
+
+  /** Encode texts with a learned merge list: per word, character split
+    * then every merge applied in rank order (the standard BPE encode).
+    * `mergeList` is model-sized (it was a driver value at learn time).
+    * @return (word, tokens) per distinct word in `docs`. */
+  def encode(docs: DataFrame, mergeList: Seq[(String, String)]): DataFrame = {
+    val base = docs
+      .select(explode(split(col("text"), " ")).as("word"))
+      .filter(col("word") =!= "").distinct()
+      .withColumn("s", expr("filter(split(word, ''), x -> x <> '')"))
+    val encoded = mergeList.foldLeft(col("s")) {
+      case (acc, (l, r)) => mergePass(acc, l, r)
+    }
+    base.select(col("word"), encoded.as("tokens"))
+  }
+}

@@ -1,0 +1,69 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.text.Bpe
+
+class BpeSpec extends AnyFunSuite with SparkTestBase {
+  import spark.implicits._
+
+  // the classic BPE teaching corpus: low ×3, lower ×1, lowest ×1
+  private def corpus =
+    Seq("low low low", "lower lowest").toDF("text")
+
+  test("golden merges: hand-computed ranks, counts, and tie-breaks") {
+    val got = Bpe.learnMerges(corpus, 4)
+      .as[(Int, String, String, Long)].collect().toList
+    // pair counts round 1: (l,o)=5, (o,w)=5, (w,e)=2, (e,r)=1, (e,s)=1,
+    // (s,t)=1 → tie 5/5 breaks on left asc: "l" < "o"
+    assert(got == List(
+      (0, "l", "o", 5L),       // → "lo"
+      (1, "lo", "w", 5L),      // → "low"
+      (2, "low", "e", 2L),     // → "lowe"
+      // count-1 ties: (lowe,r) vs (lowe,s) vs (s,t) → left then right asc
+      (3, "lowe", "r", 1L)))
+  }
+
+  test("merged tokens never re-merge within the same pass") {
+    // "aaaa": pairs (a,a)=3·n; greedy left-to-right pass of (a,a) gives
+    // aa|aa, NOT aaa+a — the fold resets after each merge
+    val got = Bpe.learnMerges(Seq("aaaa aaaa").toDF("text"), 2)
+      .as[(Int, String, String, Long)].collect().toList
+    assert(got.head == (0, "a", "a", 6L))
+    // after round 1 every word is [aa, aa] → round 2 merges (aa, aa)
+    assert(got(1) == (1, "aa", "aa", 2L))
+  }
+
+  test("encode applies merges in rank order") {
+    val merges = Bpe.learnMerges(corpus, 4)
+      .as[(Int, String, String, Long)].collect().toList
+      .map(m => (m._2, m._3))
+    val enc = Bpe.encode(corpus, merges)
+      .as[(String, Seq[String])].collect().toMap
+    assert(enc("low") == Seq("low"))
+    // rank-3 merge is (lowe, r) → "lower" fully merges
+    assert(enc("lower") == Seq("lower"))
+    assert(enc("lowest") == Seq("lowe", "s", "t"))
+    // truncated model: without the rank-3 merge, "lower" stays split
+    val enc3 = Bpe.encode(corpus, merges.take(3))
+      .as[(String, Seq[String])].collect().toMap
+    assert(enc3("lower") == Seq("lowe", "r"))
+  }
+
+  test("deterministic across partitioning") {
+    val df = Tables.documents(spark, "/root/testdata/sf0.001")
+      .select("text")
+    val a = Bpe.learnMerges(df.repartition(7), 6)
+      .as[(Int, String, String, Long)].collect().toList
+    val b = Bpe.learnMerges(df.repartition(3), 6)
+      .as[(Int, String, String, Long)].collect().toList
+    assert(a == b && a.size == 6)
+  }
+
+  test("corpus out of pairs stops early") {
+    val got = Bpe.learnMerges(Seq("ab cd").toDF("text"), 10)
+      .as[(Int, String, String, Long)].collect()
+    // "ab" and "cd" each give one pair; after merging both, every word
+    // is a single symbol and learning stops at 2 merges
+    assert(got.length == 2)
+  }
+}
