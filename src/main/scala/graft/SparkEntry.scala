@@ -367,8 +367,8 @@ object SparkEntry {
     * SimilaritySpec. */
   def q28_lsh_ann(s: SparkSession, d: String): DataFrame = {
     val e = Tables.embeddings(s, d)
-    val idx = "graft_lsh_idx_" + Integer.toHexString(d.hashCode)
-    if (!s.catalog.tableExists(idx)) graft.sim.LshIndex.build(e, idx)
+    val idx = graft.sim.LshIndex.indexNameFor(d)
+    graft.sim.LshIndex.ensureBuilt(e, idx)
     graft.sim.LshIndex.probe(s, idx, e.filter(col("vec_id") < 10), 5)
   }
 

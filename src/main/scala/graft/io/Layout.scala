@@ -138,9 +138,10 @@ object Layout {
     * filesystem mutation). */
   def compact(spark: SparkSession, plan: Seq[CompactionGroup],
               outDir: String, maxConcurrent: Int = 8): Unit = {
-    import java.util.concurrent.Executors
+    import java.util.concurrent.{Executors, TimeUnit}
     import scala.concurrent.duration.Duration
     import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.util.Try
     val pool = Executors.newFixedThreadPool(
       math.max(1, math.min(maxConcurrent, plan.size)))
     implicit val ec: ExecutionContext =
@@ -155,7 +156,17 @@ object Layout {
             .write.mode("overwrite").parquet(s"$outDir/group=${g.group}")
         }
       }
-      jobs.foreach(Await.result(_, Duration.Inf))
-    } finally pool.shutdown()
+      // Collect every outcome (no fail-fast abandon): all in-flight
+      // writes finish or fail before we return/throw, so a caller that
+      // observes the error observes a quiesced outDir.
+      val outcomes =
+        Await.result(Future.sequence(jobs.map(_.transform(Try(_)))),
+                     Duration.Inf)
+      outcomes.collectFirst { case scala.util.Failure(e) => e }
+        .foreach(throw _)
+    } finally {
+      pool.shutdown()
+      pool.awaitTermination(1, TimeUnit.HOURS)
+    }
   }
 }

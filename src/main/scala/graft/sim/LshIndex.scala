@@ -33,6 +33,61 @@ import org.apache.spark.sql.functions._
   */
 object LshIndex {
 
+  /** Catalog-safe index name derived from the corpus directory. The
+    * PATH ITSELF (sanitized) is embedded — not a hash of it — so two
+    * distinct directories can never collide into one index name. */
+  def indexNameFor(path: String): String = {
+    val sane = path.toLowerCase.replaceAll("[^a-z0-9]+", "_")
+      .replaceAll("^_+|_+$", "")
+    s"graft_lsh_idx_$sane"
+  }
+
+  /** Source-data fingerprint from driver-side file metadata only
+    * (paths + lengths + mtimes — no Spark job): catches the corpus
+    * being rewritten in place under an existing index. */
+  def fingerprint(df: DataFrame): String = {
+    val conf = df.sparkSession.sparkContext.hadoopConfiguration
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val files = df.inputFiles.sorted
+    files.foreach { f =>
+      val p = new org.apache.hadoop.fs.Path(f)
+      val st = p.getFileSystem(conf).getFileStatus(p)
+      md.update(
+        s"$f|${st.getLen}|${st.getModificationTime};".getBytes("UTF-8"))
+    }
+    files.length + "_" + md.digest().map("%02x".format(_)).mkString
+  }
+
+  /** Build unless a CURRENT index for this corpus exists: presence is
+    * checked via the catalog, currency via the stored [[fingerprint]].
+    * A stale or missing index is rebuilt; a fresh one is reused as-is.
+    * The check is driver metadata only — nothing added to the probe
+    * path. */
+  def ensureBuilt(embeddings: DataFrame, table: String,
+                  tables: Int = 24, planes: Int = 8, dims: Int = 64,
+                  buckets: Int = 32): Unit = {
+    val spark = embeddings.sparkSession
+    val meta = s"${table}_meta"
+    val fp = fingerprint(embeddings)
+    val fresh = spark.catalog.tableExists(table) &&
+      spark.catalog.tableExists(meta) &&
+      spark.table(meta).head().getString(0) == fp
+    if (!fresh) {
+      build(embeddings, table, tables, planes, dims, buckets)
+      import spark.implicits._
+      dropTableAndLocation(spark, meta)
+      Seq(fp).toDF("fingerprint").write.saveAsTable(meta)
+    }
+  }
+
+  private def dropTableAndLocation(spark: SparkSession, t: String): Unit = {
+    spark.sql(s"DROP TABLE IF EXISTS $t")
+    val loc = new org.apache.hadoop.fs.Path(
+      spark.conf.get("spark.sql.warehouse.dir"), t.toLowerCase)
+    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(loc)) fs.delete(loc, true)
+  }
+
   /** Build the two index tables. `buckets` is a file-layout choice
     * (power of two → splittable re-bucketing, per io.Layout), not a
     * hash-table parameter. */
@@ -44,13 +99,7 @@ object LshIndex {
     // (bench/verify re-runs): overwrite only cleans locations the
     // CATALOG knows about, so purge stale directories explicitly or
     // saveAsTable dies with locationAlreadyExists
-    Seq(table, s"${table}_vec").foreach { t =>
-      spark.sql(s"DROP TABLE IF EXISTS $t")
-      val loc = new org.apache.hadoop.fs.Path(
-        spark.conf.get("spark.sql.warehouse.dir"), t.toLowerCase)
-      val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      if (fs.exists(loc)) fs.delete(loc, true)
-    }
+    Seq(table, s"${table}_vec").foreach(dropTableAndLocation(spark, _))
     val vecs = embeddings.select(col("vec_id"),
       col("embedding").cast("array<double>").as("v"))
     val postings = vecs

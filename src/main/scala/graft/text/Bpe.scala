@@ -80,8 +80,13 @@ object Bpe {
         val (l, r, cnt) =
           (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
         learned += ((rank, l, r, cnt))
+        val prev = words
         words = words.withColumn("s", mergePass(col("s"), l, r))
           .localCheckpoint(true)
+        // the new checkpoint is materialized (eager=true): the previous
+        // round's blocks are dead weight — without this, block-manager
+        // storage grows linearly with the merge count
+        prev.unpersist()
         rank += 1
       }
     }

@@ -18,14 +18,20 @@ import pyarrow.compute as pc
 import pyarrow.parquet as pq
 
 
-def key_offset(table, col, copies):
-    m = pc.max(table[col]).as_py() or 0
+def domain_offset(src, table_name, col):
+    """Offset for a key DOMAIN, computed once from the table that owns the
+    primary key (customer for custkey, part for partkey, ...) and reused by
+    every referencing column. Computing per-referencing-table maxes would
+    silently misalign copies whenever a referenced key is absent from the
+    fact table (max(FK) < max(PK))."""
+    t = pq.read_table(f"{src}/{table_name}.parquet", columns=[col])
+    m = pc.max(t[col]).as_py() or 0
     return m + 1
 
 
-def replicate(src, dst, name, copies, id_cols, mutate=None):
+def replicate(src, dst, name, copies, id_cols, offsets, mutate=None):
     t = pq.read_table(f"{src}/{name}.parquet")
-    offs = {c: key_offset(t, c, copies) for c in id_cols}
+    offs = {c: offsets[c] for c in id_cols}
     parts = []
     for k in range(copies):
         part = t
@@ -78,16 +84,32 @@ def main():
         t = pq.read_table(f"{src}/{name}.parquet")
         pq.write_table(t, f"{dst}/{name}.parquet")
         print(f"{name}: {t.num_rows} (copied)")
-    replicate(src, dst, "customer", copies, ["c_custkey"])
-    replicate(src, dst, "supplier", copies, ["s_suppkey"])
-    replicate(src, dst, "part", copies, ["p_partkey"])
-    replicate(src, dst, "orders", copies, ["o_orderkey", "o_custkey"])
+    # One offset per key DOMAIN, from the PK-owning table, shared by every
+    # referencing column so FK->PK relationships survive in every copy.
+    custkey = domain_offset(src, "customer", "c_custkey")
+    suppkey = domain_offset(src, "supplier", "s_suppkey")
+    partkey = domain_offset(src, "part", "p_partkey")
+    orderkey = domain_offset(src, "orders", "o_orderkey")
+    offsets = {
+        "c_custkey": custkey, "o_custkey": custkey,
+        "s_suppkey": suppkey, "l_suppkey": suppkey,
+        "p_partkey": partkey, "l_partkey": partkey,
+        "o_orderkey": orderkey, "l_orderkey": orderkey,
+        "event_id": domain_offset(src, "events", "event_id"),
+        "user_id": domain_offset(src, "events", "user_id"),
+        "doc_id": domain_offset(src, "documents", "doc_id"),
+        "vec_id": domain_offset(src, "embeddings", "vec_id"),
+    }
+    replicate(src, dst, "customer", copies, ["c_custkey"], offsets)
+    replicate(src, dst, "supplier", copies, ["s_suppkey"], offsets)
+    replicate(src, dst, "part", copies, ["p_partkey"], offsets)
+    replicate(src, dst, "orders", copies, ["o_orderkey", "o_custkey"], offsets)
     replicate(src, dst, "lineitem", copies,
-              ["l_orderkey", "l_partkey", "l_suppkey"])
-    replicate(src, dst, "events", copies, ["event_id", "user_id"])
-    replicate(src, dst, "documents", copies, ["doc_id"],
+              ["l_orderkey", "l_partkey", "l_suppkey"], offsets)
+    replicate(src, dst, "events", copies, ["event_id", "user_id"], offsets)
+    replicate(src, dst, "documents", copies, ["doc_id"], offsets,
               mutate=mutate_documents)
-    replicate(src, dst, "embeddings", copies, ["vec_id"],
+    replicate(src, dst, "embeddings", copies, ["vec_id"], offsets,
               mutate=mutate_embeddings)
 
 
