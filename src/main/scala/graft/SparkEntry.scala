@@ -1066,7 +1066,7 @@ object SparkEntry {
     * serve when the DP dominates — long strings or selective
     * thresholds; see its scaladoc for the measured crossover. */
   def q70_fuzzy_join(s: SparkSession, d: String): DataFrame =
-    graft.ops.FuzzyJoin.blockedPairs(
+    graft.ops.FuzzyJoin.blockedPairsAuto(
       Tables.part(s, d), col("p_partkey"), col("p_name"),
       substring_index(col("p_name"), " ", 2),
       maxLenDiff = 1, maxDist = 2, blockIsPrefix = true)

@@ -126,4 +126,85 @@ object FuzzyJoin {
         lit(0L).as("dist"))
     cross.unionAll(within)
   }
+
+  /** Corpus shape statistics driving the plain-vs-classed routing
+    * decision — computed in ONE aggregation pass over the blocking key
+    * (class table → per-block depths → a single collected row; the
+    * collect is 1 row of counters, driver metadata).
+    *
+    * `candPlain` / `candClassed` are the EXACT unordered candidate-pair
+    * counts the two forms would feed the length band (Σ n·(n−1)/2 over
+    * block depths vs over distinct-text depths); `avgDpLen` is the
+    * candidate-weighted mean DP-operand length — the length that
+    * actually enters the O(len·maxDist) bounded DP. */
+  final case class Stats(rows: Long, classes: Long, blocks: Long,
+                         candPlain: Double, candClassed: Double,
+                         avgDpLen: Double)
+
+  def stats(df: DataFrame, id: Column, text: Column, block: Column,
+            blockIsPrefix: Boolean = false): Stats = {
+    val dp =
+      if (blockIsPrefix) substring(text, length(block) + 1, lit(1 << 24))
+      else text
+    val classTable = df.select(block.as("blk"), dp.as("dp"))
+      .groupBy(col("blk"), col("dp"))
+      .agg(count(lit(1)).as("m"), length(first(col("dp"))).as("ln"))
+    val perBlock = classTable.groupBy(col("blk"))
+      .agg(sum(col("m")).as("n_b"), count(lit(1)).as("d_b"),
+        sum(col("m") * col("ln")).as("len_b"))
+    val row = perBlock.select(
+      sum(col("n_b")).as("rows"), sum(col("d_b")).as("classes"),
+      count(lit(1)).as("blocks"),
+      sum(col("n_b") * (col("n_b") - 1) / 2).as("cand_plain"),
+      sum(col("d_b") * (col("d_b") - 1) / 2).as("cand_classed"),
+      // weight each block's mean length by its candidate count: hot
+      // blocks dominate the DP bill, so they dominate the estimate
+      (sum((col("len_b") / col("n_b")) * (col("n_b") * (col("n_b") - 1) / 2))
+        / sum(col("n_b") * (col("n_b") - 1) / 2)).as("avg_dp_len")
+    ).head()
+    def l(i: Int) = if (row.isNullAt(i)) 0L else row.getLong(i)
+    def d(i: Int) = if (row.isNullAt(i)) 0.0 else row.getDouble(i)
+    Stats(l(0), l(1), l(2), d(3), d(4), d(5))
+  }
+
+  /** The routing rule, pure so it unit-tests without Spark.
+    *
+    * Classed saves `(candPlain − candClassed)` bounded-DP runs of
+    * ~`avgDpLen·maxDist` char-ops each, and pays a near-constant
+    * per-emitted-row premium (groupBy + double array explode vs the
+    * plain join's codegen'd probe-emit) on ~candPlain output rows when
+    * candidates mostly pass. Normalizing by candPlain:
+    * advantage = (1 − candClassed/candPlain) · avgDpLen · maxDist,
+    * in char-ops per output row; route classed when it exceeds the
+    * expansion premium. `premium = 128` is calibrated from the two
+    * measured sf1 regimes (part-names: 0.99·18·2 ≈ 36 → plain, and
+    * plain indeed won 65 vs 103 s; documents: 0.99·300·6 ≈ 1800 →
+    * classed, which won 7.6×) — an order of magnitude of slack on
+    * both sides of the cut. Degenerate corpora (no candidates) route
+    * plain. */
+  def chooseClassed(s: Stats, maxDist: Int,
+                    premium: Double = 128.0): Boolean =
+    s.candPlain > 0 &&
+      (1.0 - s.candClassed / s.candPlain) * s.avgDpLen * maxDist > premium
+
+  /** Dup-aware routing: measure the corpus shape with [[stats]], then
+    * run whichever of [[blockedPairs]] / [[blockedPairsClassed]] the
+    * cost model picks — the two are result-identical, so routing is
+    * purely a physical-plan choice. The stats pass is one input-sized
+    * aggregation (no pair join), amortized against a candidate-
+    * quadratic main job; at 100 TB it is the difference between the
+    * 7.6× classed win on a boilerplate-heavy corpus and the plain
+    * form's lower overhead on an output-bound one — chosen from
+    * measured block depths instead of a human guessing the regime. */
+  def blockedPairsAuto(df: DataFrame, id: Column, text: Column,
+                       block: Column, maxLenDiff: Int, maxDist: Int,
+                       blockIsPrefix: Boolean = false,
+                       premium: Double = 128.0): DataFrame = {
+    val s = stats(df, id, text, block, blockIsPrefix)
+    if (chooseClassed(s, maxDist, premium))
+      blockedPairsClassed(df, id, text, block, maxLenDiff, maxDist,
+        blockIsPrefix)
+    else
+      blockedPairs(df, id, text, block, maxLenDiff, maxDist, blockIsPrefix)
+  }
 }

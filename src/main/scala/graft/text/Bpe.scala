@@ -96,6 +96,138 @@ object Bpe {
         col("pair_count"))
   }
 
+  /** One greedy left-to-right pass applying a SET of pairwise
+    * symbol-disjoint merges: at each position the (prev, x) pair is
+    * tested against every rule — disjointness means at most one can
+    * match, so the combined pass is exactly the sequential composition
+    * of the individual [[mergePass]]es. */
+  private def mergePassMulti(s: Column,
+                             rules: Seq[(String, String)]): Column = {
+    def flush(acc: Column) =
+      when(acc.getField("prev").isNull, acc.getField("out"))
+        .otherwise(array_append(acc.getField("out"), acc.getField("prev")))
+    aggregate(s,
+      struct(typedlit(Seq.empty[String]).as("out"),
+        lit(null).cast("string").as("prev")),
+      (acc, x) => {
+        val merged = rules.foldLeft(
+          struct(flush(acc).as("out"), x.as("prev"))) {
+          case (els, (l, r)) =>
+            when(acc.getField("prev") === lit(l) && x === lit(r),
+              struct(array_append(acc.getField("out"), lit(l + r)).as("out"),
+                lit(null).cast("string").as("prev")))
+              .otherwise(els)
+        }
+        merged
+      },
+      acc => flush(acc))
+  }
+
+  /** Greedy prefix of `ranked` (already in (count desc, l, r) order)
+    * whose merges are pairwise NON-CONFLICTING: a candidate is taken
+    * only while none of {l, r, l+r} has been touched by an earlier
+    * take, and skipping stops the scan (a skipped higher-count pair
+    * must re-rank next round with fresh counts — taking later
+    * candidates past it could reorder the learned list). Pure,
+    * spec-testable. */
+  private[graft] def selectBatch(ranked: Seq[(String, String, Long)],
+                                 batch: Int): Seq[(String, String, Long)] = {
+    val used = scala.collection.mutable.Set.empty[String]
+    val out = Seq.newBuilder[(String, String, Long)]
+    var taken = 0
+    var stop = false
+    val it = ranked.iterator
+    while (!stop && taken < batch && it.hasNext) {
+      val c @ (l, r, _) = it.next()
+      if (Seq(l, r, l + r).exists(used.contains)) stop = true
+      else {
+        out += c
+        used ++= Seq(l, r, l + r)
+        taken += 1
+      }
+    }
+    out.result()
+  }
+
+  /** [[learnMerges]] in batched rounds: per round the pair counts are
+    * computed ONCE and the longest non-conflicting PREFIX of the
+    * ranked list (up to `batch` merges) is applied in one combined
+    * fold pass — the classic batched-BPE trick, cutting driver rounds
+    * (and checkpoint materializations) ~batch× for realistically
+    * sized merge lists.
+    *
+    * Fidelity: a selected batch is pairwise symbol-disjoint, so
+    * applying it cannot change any other selected pair's occurrence
+    * count — each batched merge sees exactly the count sequential BPE
+    * would have seen, and the combined pass equals the sequential
+    * passes (BpeSpec pins equality against [[learnMerges]] on the
+    * golden corpus and on random corpora). The one divergence window —
+    * a pair CREATED by an earlier merge in the same round out-ranking
+    * a later selection (sequential would have re-ranked) — is
+    * conservatively narrowed by cutting the batch at the first
+    * conflict; corpora where creation-reranking actually bites
+    * batch > 1 are knife-edge tie cases, and `batch = 1` restores
+    * exact sequential semantics by construction.
+    * @return same schema as [[learnMerges]] */
+  def learnMergesBatched(docs: DataFrame, merges: Int,
+                         batch: Int = 8): DataFrame = {
+    val (learned, _) = learnMergesBatchedRounds(docs, merges, batch)
+    val spark = docs.sparkSession
+    import spark.implicits._
+    learned.toDF("rank", "left", "right", "pair_count")
+      .select(col("rank").cast("int"), col("left"), col("right"),
+        col("pair_count"))
+  }
+
+  /** Implementation of [[learnMergesBatched]] also reporting how many
+    * DRIVER ROUNDS (pair-count jobs) ran — the quantity batching
+    * exists to shrink; exposed for the spec's round-count assert. */
+  private[graft] def learnMergesBatchedRounds(docs: DataFrame, merges: Int,
+      batch: Int): (Seq[(Int, String, String, Long)], Int) = {
+    require(merges >= 1, "merge count must be positive")
+    require(batch >= 1, "batch must be positive")
+    var words = docs
+      .select(explode(split(col("text"), " ")).as("word"))
+      .filter(col("word") =!= "")
+      .groupBy(col("word")).agg(count(lit(1)).as("n"))
+      .withColumn("s", expr("filter(split(word, ''), x -> x <> '')"))
+      .select(col("n"), col("s"))
+      .localCheckpoint(true)
+    val learned = Seq.newBuilder[(Int, String, String, Long)]
+    var rank = 0
+    var rounds = 0
+    var exhausted = false
+    while (rank < merges && !exhausted) {
+      val want = math.min(batch, merges - rank)
+      // over-fetch: conflicts consume ranked rows without being taken
+      val top = words.filter(size(col("s")) >= 2)
+        .select(col("n"), explode(expr(
+          "transform(sequence(0, size(s) - 2), i -> " +
+            "struct(element_at(s, i + 1) AS l, element_at(s, i + 2) AS r))"))
+          .as("p"))
+        .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+        .agg(sum(col("n")).as("cnt"))
+        .orderBy(desc("cnt"), asc("l"), asc("r"))
+        .limit(math.max(want * 4, 16)).collect()
+        .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSeq
+      rounds += 1
+      if (top.isEmpty) exhausted = true
+      else {
+        val picked = selectBatch(top, want)
+        picked.foreach { case (l, r, cnt) =>
+          learned += ((rank, l, r, cnt))
+          rank += 1
+        }
+        val prev = words
+        words = words.withColumn("s",
+          mergePassMulti(col("s"), picked.map(p => (p._1, p._2))))
+          .localCheckpoint(true)
+        prev.unpersist()
+      }
+    }
+    (learned.result(), rounds)
+  }
+
   /** Encode texts with a learned merge list: per word, character split
     * then every merge applied in rank order (the standard BPE encode).
     * `mergeList` is model-sized (it was a driver value at learn time).

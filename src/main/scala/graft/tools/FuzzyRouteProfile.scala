@@ -1,0 +1,87 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.ops.FuzzyJoin
+
+/** Measures the [[FuzzyJoin]] routing decision on the two regimes the
+  * cost model was calibrated from, at a real scale factor:
+  *
+  *  1. the q70 part-name workload (short DP, tight block — output-bound,
+  *     plain must stay the pick), and
+  *  2. a boilerplate-heavy document corpus (long DP, 10× duplicated —
+  *     the classed regime), built by replicating the documents table
+  *     with fresh ids and IDENTICAL text, the shape a 100 TB web crawl
+  *     with template boilerplate actually has.
+  *
+  * Prints per-workload: the measured Stats, the routing decision, and
+  * wall seconds for plain / classed / auto (auto = stats pass + the
+  * routed form, so its overhead vs the winner IS the routing cost).
+  *
+  * Usage: FuzzyRouteProfile <sfDir> [docLimit]
+  */
+object FuzzyRouteProfile {
+  def main(args: Array[String]): Unit = {
+    val dir = args(0)
+    val docLimit = if (args.length > 1) args(1).toInt else 10000
+    val spark = SparkSession.builder()
+      .appName("fuzzy-route-profile").master("local[32]")
+      .config("spark.sql.shuffle.partitions", 32)
+      .config("spark.ui.enabled", false)
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    def time[A](label: String)(f: => A): A = {
+      val t0 = System.nanoTime()
+      val r = f
+      println(f"  $label%-10s ${(System.nanoTime() - t0) / 1e9}%.2f s")
+      r
+    }
+
+    // ---- regime 1: q70 part names --------------------------------
+    println(s"== part names ($dir) ==")
+    val part = graft.Tables.part(spark, dir)
+    val blockP = substring_index(col("p_name"), " ", 2)
+    val sp = FuzzyJoin.stats(part, col("p_partkey"), col("p_name"), blockP,
+      blockIsPrefix = true)
+    println(s"  stats: $sp")
+    println(s"  chooseClassed(maxDist=2): ${FuzzyJoin.chooseClassed(sp, 2)}")
+    time("plain") {
+      FuzzyJoin.blockedPairs(part, col("p_partkey"), col("p_name"),
+        blockP, 1, 2, blockIsPrefix = true).count()
+    }
+    time("auto") {
+      FuzzyJoin.blockedPairsAuto(part, col("p_partkey"), col("p_name"),
+        blockP, 1, 2, blockIsPrefix = true).count()
+    }
+
+    // ---- regime 2: boilerplate-heavy documents -------------------
+    println(s"== documents ×10 identical-text replicas (limit $docLimit) ==")
+    val docs0 = graft.Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text")).limit(docLimit)
+    val copies = spark.range(10).select(col("id").as("copy"))
+    val docs = docs0.crossJoin(copies)
+      .select((col("doc_id") * 10 + col("copy")).as("doc_id"), col("text"))
+      .localCheckpoint(true)
+    val blockD = substring(col("text"), 1, 16)
+    val sd = FuzzyJoin.stats(docs, col("doc_id"), col("text"), blockD)
+    println(s"  stats: $sd")
+    println(s"  chooseClassed(maxDist=6): ${FuzzyJoin.chooseClassed(sd, 6)}")
+    def run(f: (DataFrame, org.apache.spark.sql.Column,
+                org.apache.spark.sql.Column, org.apache.spark.sql.Column,
+                Int, Int, Boolean) => DataFrame): Long =
+      f(docs, col("doc_id"), col("text"), blockD, 8, 6, false).count()
+    val nPlain = time("plain")(run(FuzzyJoin.blockedPairs(_, _, _, _, _, _, _)))
+    val nClassed =
+      time("classed")(run(FuzzyJoin.blockedPairsClassed(_, _, _, _, _, _, _)))
+    val nAuto = time("auto") {
+      FuzzyJoin.blockedPairsAuto(docs, col("doc_id"), col("text"),
+        blockD, 8, 6).count()
+    }
+    require(nPlain == nClassed && nPlain == nAuto,
+      s"result drift: plain=$nPlain classed=$nClassed auto=$nAuto")
+    println(s"  pairs: $nPlain (identical across all three)")
+    spark.stop()
+  }
+}

@@ -59,6 +59,47 @@ class BpeSpec extends AnyFunSuite with SparkTestBase {
     assert(a == b && a.size == 6)
   }
 
+  test("selectBatch takes the longest non-conflicting prefix and stops " +
+    "at the first conflict") {
+    // (a,b) then (c,d): disjoint → both taken
+    assert(Bpe.selectBatch(Seq(("a", "b", 9L), ("c", "d", 8L)), 8) ==
+      Seq(("a", "b", 9L), ("c", "d", 8L)))
+    // (a,b) then (b,c): share "b" → stop, do NOT skip ahead to (x,y)
+    assert(Bpe.selectBatch(
+      Seq(("a", "b", 9L), ("b", "c", 8L), ("x", "y", 7L)), 8) ==
+      Seq(("a", "b", 9L)))
+    // the merged token "ab" conflicts too: (a,b) creates ab, so a later
+    // (ab, z) pair in the same round is stale — stop
+    assert(Bpe.selectBatch(Seq(("a", "b", 9L), ("ab", "z", 8L)), 8) ==
+      Seq(("a", "b", 9L)))
+    // batch cap respected
+    assert(Bpe.selectBatch(
+      Seq(("a", "b", 9L), ("c", "d", 8L), ("e", "f", 7L)), 2).size == 2)
+  }
+
+  test("batched learning equals sequential on the golden corpus, " +
+    "driver data, and adjacent-dependent merges, in fewer rounds") {
+    for ((df, merges) <- Seq(
+      (corpus, 4),
+      (Seq("aaaa aaaa").toDF("text"), 2), // every merge conflicts: chained
+      (Tables.documents(spark, "/root/testdata/sf0.001")
+        .select("text"), 8))) {
+      val seq = Bpe.learnMerges(df, merges)
+        .as[(Int, String, String, Long)].collect().toList
+      for (batch <- Seq(1, 2, 8)) {
+        val (got, rounds) = Bpe.learnMergesBatchedRounds(df, merges, batch)
+        assert(got.toList == seq, s"batch=$batch merges=$merges")
+        assert(rounds <= merges, s"batch=$batch")
+        if (batch == 1) assert(rounds == seq.size, "batch=1 is sequential")
+      }
+    }
+    // the round-count win: 8 merges on the driver corpus in ≤ 3 rounds
+    // at batch=8 (vs 8 sequential rounds)
+    val df = Tables.documents(spark, "/root/testdata/sf0.001").select("text")
+    val (_, rounds) = Bpe.learnMergesBatchedRounds(df, 8, 8)
+    assert(rounds <= 3, s"batched rounds = $rounds")
+  }
+
   test("corpus out of pairs stops early") {
     val got = Bpe.learnMerges(Seq("ab cd").toDF("text"), 10)
       .as[(Int, String, String, Long)].collect()

@@ -107,6 +107,72 @@ class FuzzyJoinSpec extends AnyFunSuite with SparkTestBase {
     assert(got.contains((2L, 11L, 1L)) && got.contains((12L, 13L, 1L)))
   }
 
+  test("stats counts candidates and classes exactly") {
+    // blocks: goldenrod (ids 1-4, 4 distinct texts), midnight (5-6, 2)
+    val s = FuzzyJoin.stats(names, $"id", $"name",
+      substring_index($"name", " ", 1))
+    assert(s.rows == 6 && s.classes == 6 && s.blocks == 2)
+    assert(s.candPlain == 7.0 && s.candClassed == 7.0) // C(4,2)+C(2,2)
+    assert(s.avgDpLen > 30)
+    // duplicated texts: candClassed stays put while candPlain grows
+    val dup = names.unionAll(Seq(
+      (11L, "goldenrod lavender spring chocolate lace"),
+      (12L, "goldenrod lavender spring chocolate lace")).toDF("id", "name"))
+    val sd = FuzzyJoin.stats(dup, $"id", $"name",
+      substring_index($"name", " ", 1))
+    assert(sd.rows == 8 && sd.classes == 6)
+    assert(sd.candPlain == 16.0 && sd.candClassed == 7.0) // C(6,2)+C(2,2)
+  }
+
+  test("chooseClassed reproduces both measured sf1 regimes") {
+    // part-name shape: huge dup factor but a short DP (≈18 chars) and
+    // maxDist 2 — output-bound, plain must win
+    val partNames = FuzzyJoin.Stats(200000, 20000, 20000,
+      candPlain = 3.13e8, candClassed = 3.1e6, avgDpLen = 18)
+    assert(!FuzzyJoin.chooseClassed(partNames, maxDist = 2))
+    // document shape: same dup factor, ~300-char DP, maxDist 6 — the
+    // DP dominates, classed must win (measured 7.6×)
+    val docs = partNames.copy(avgDpLen = 300)
+    assert(FuzzyJoin.chooseClassed(docs, maxDist = 6))
+    // no duplication: candClassed == candPlain → advantage 0 → plain,
+    // regardless of text length
+    assert(!FuzzyJoin.chooseClassed(
+      docs.copy(candClassed = 3.13e8), maxDist = 6))
+    // degenerate: no candidates at all
+    assert(!FuzzyJoin.chooseClassed(
+      FuzzyJoin.Stats(1, 1, 1, 0, 0, 300), maxDist = 6))
+  }
+
+  test("blockedPairsAuto routes classed on a dup-heavy long-text corpus " +
+    "and plain on the short low-dup one, with identical results") {
+    // 30 rows over 3 distinct ~300-char texts in one block: dup 10,
+    // long DP → the classed regime
+    val base = "lorem ipsum dolor sit amet consectetur adipiscing elit " * 5
+    val longDup = Seq.tabulate(30)(i =>
+      (i.toLong, s"block ${base}v${i % 3}")).toDF("id", "name")
+    val blockCol = substring_index($"name", " ", 1)
+    val sLong = FuzzyJoin.stats(longDup, $"id", $"name", blockCol)
+    assert(FuzzyJoin.chooseClassed(sLong, maxDist = 6))
+    val auto = FuzzyJoin.blockedPairsAuto(longDup, $"id", $"name",
+      blockCol, maxLenDiff = 4, maxDist = 6)
+    // classed signature: the class-collapse Aggregate sits in the plan
+    assert(auto.queryExecution.optimizedPlan.toString.contains("Aggregate"))
+    val plain = FuzzyJoin.blockedPairs(longDup, $"id", $"name",
+        blockCol, maxLenDiff = 4, maxDist = 6)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(auto.as[(Long, Long, Long)].collect().toSet == plain)
+    // the short low-dup corpus routes plain (no Aggregate in the plan)
+    val sShort = FuzzyJoin.stats(names, $"id", $"name", blockCol)
+    assert(!FuzzyJoin.chooseClassed(sShort, maxDist = 2))
+    val autoShort = FuzzyJoin.blockedPairsAuto(names, $"id", $"name",
+      blockCol, maxLenDiff = 1, maxDist = 2)
+    assert(!autoShort.queryExecution.optimizedPlan.toString
+      .contains("Aggregate"))
+    assert(autoShort.as[(Long, Long, Long)].collect().toSet ==
+      FuzzyJoin.blockedPairs(names, $"id", $"name", blockCol, 1, 2)
+        .as[(Long, Long, Long)].collect().toSet)
+  }
+
   test("classed form compares each distinct pair once: DP input rows " +
     "are the class table, not the row table") {
     val dup = Seq.tabulate(40)(i =>

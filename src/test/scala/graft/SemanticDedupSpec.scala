@@ -52,6 +52,90 @@ class SemanticDedupSpec extends AnyFunSuite with SparkTestBase {
     assert(a == b)
   }
 
+  // ---- recall vs a brute-force golden set -------------------------
+  // Seeded corpus with known duplicate structure: 40 random unit
+  // directions in 16 dims, 5 members each (base + small deterministic
+  // perturbations → intra-group cosine ≥ threshold, inter-group cosine
+  // far below). Golden dup verdicts come from driver-side all-pairs
+  // brute force — the thing the clustered operator approximates.
+  private val goldenThreshold = 0.99
+  private lazy val goldenCorpus: Seq[(Long, Array[Double])] = {
+    val rnd = new scala.util.Random(42)
+    def unit(v: Array[Double]) = {
+      val n = math.sqrt(v.map(x => x * x).sum); v.map(_ / n)
+    }
+    // 20 groups × 10 members, noise wide enough that k-means at 16
+    // cells splits some groups across cells (the loss regime), but
+    // with intra-group cosine ≈ 0.9977 — comfortably above the 0.99
+    // threshold, no knife-edge verdicts
+    for {
+      g <- 0 until 20
+      base = unit(Array.fill(16)(rnd.nextGaussian()))
+      m <- 0 until 10
+      noise = Array.fill(16)(rnd.nextGaussian() * 0.012)
+    } yield ((g * 10 + m).toLong,
+      unit(base.zip(noise).map { case (x, e) => x + e }))
+  }
+  private lazy val goldenDropped: Set[Long] = {
+    def cos(a: Array[Double], b: Array[Double]) =
+      a.zip(b).map { case (x, y) => x * y }.sum
+    (for {
+      (ib, vb) <- goldenCorpus; (ia, va) <- goldenCorpus
+      if ia < ib && cos(va, vb) >= goldenThreshold
+    } yield ib).toSet
+  }
+
+  private def recallOf(run: org.apache.spark.sql.DataFrame): (Double, Set[Long]) = {
+    val dropped = run.filter(!$"kept").select($"vec_id")
+      .as[Long].collect().toSet
+    assert(dropped.subsetOf(goldenDropped),
+      "precision must be 1: within-cell cosine is exact, so every drop " +
+        "is a golden dup")
+    (dropped.size.toDouble / goldenDropped.size, dropped)
+  }
+
+  test("recall vs brute-force golden set, clusters ∈ {4, 8, 16}; " +
+    "2-nearest-cell multi-probe recovers the cross-cluster misses") {
+    val df = goldenCorpus.toDF("vec_id", "embedding")
+    assert(goldenDropped.size >= 120, s"golden set degenerate: " +
+      s"${goldenDropped.size} dropped of ${goldenCorpus.size}")
+    val results = for (k <- Seq(4, 8, 16)) yield {
+      val (rSingle, dSingle) = recallOf(
+        SemanticDedup.semanticDedup(df, k, goldenThreshold))
+      val (rMulti, dMulti) = recallOf(
+        SemanticDedup.semanticDedupMultiProbe(df, k, goldenThreshold))
+      // multi-probe's dominated set is a superset: kept only flips
+      // true→false relative to single-probe
+      assert(dSingle.subsetOf(dMulti), s"clusters=$k")
+      assert(rMulti >= rSingle, s"clusters=$k")
+      (k, rSingle, rMulti)
+    }
+    info(results.map { case (k, s, m) =>
+      f"clusters=$k%2d single=$s%.3f multi=$m%.3f" }.mkString("; "))
+    // pinned floors: measured single 1.000/0.994/0.983 and multi
+    // 1.000/1.000/1.000 on this seeded corpus — floors leave slack for
+    // float-summation drift, not for regressions
+    results.foreach { case (k, s, m) =>
+      val (sFloor, mFloor) = k match {
+        case 4 => (0.97, 0.99)
+        case 8 => (0.95, 0.98)
+        case 16 => (0.93, 0.98)
+      }
+      assert(s >= sFloor, f"single recall $s%.3f < $sFloor at clusters=$k")
+      assert(m >= mFloor, f"multi recall $m%.3f < $mFloor at clusters=$k")
+    }
+  }
+
+  test("multi-probe equals single-probe when clusters = 1 " +
+    "(both degenerate to exact all-pairs)") {
+    val df = goldenCorpus.take(50).toDF("vec_id", "embedding")
+    val single = SemanticDedup.semanticDedup(df, 1, goldenThreshold)
+      .as[(Long, Int, Option[Long], Boolean)].collect().sortBy(_._1).toSeq
+    val multi = SemanticDedup.semanticDedupMultiProbe(df, 1, goldenThreshold)
+      .as[(Long, Int, Option[Long], Boolean)].collect().sortBy(_._1).toSeq
+    assert(single == multi)
+  }
+
   test("plan: pair join is blocked by cell — no global cross product") {
     val df = SemanticDedup.semanticDedup(corpus, clusters = 3,
       threshold = 0.99)
