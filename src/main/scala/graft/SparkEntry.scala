@@ -1534,12 +1534,35 @@ object SparkEntry {
       Tables.embeddings(s, d), clusters = 8, threshold = 0.95)
 
   /** BPE merge learning (tokenizer training): top-10 merge operations
-    * over the document corpus — per-round argmax is a 1-row driver
-    * collect, merge application a per-word fold; cost tracks VOCABULARY
-    * size, not corpus size. Driver-looped → rows-only; pinned by
-    * BpeSpec's hand-computed golden corpus. */
+    * over the document corpus — BATCHED rounds (each round counts
+    * pairs once and applies the longest non-conflicting ranked prefix
+    * in one fold pass), so driver rounds track merges/batch instead of
+    * merges; result verified identical to sequential learning at
+    * sf0.01 and sf0.1, and pinned equal in BpeSpec. Cost tracks
+    * VOCABULARY size, not corpus size. Driver-looped → rows-only. */
   def q105_bpe_merges(s: SparkSession, d: String): DataFrame =
-    graft.text.Bpe.learnMerges(Tables.documents(s, d), merges = 10)
+    graft.text.Bpe.learnMergesBatched(Tables.documents(s, d), merges = 10)
+
+  /** The fixed 10-merge BPE model q107 encodes with: realistic English
+    * merges including two chained ones (t+h→th→the, a+n→an→and), so the
+    * rank-order dependence is exercised. Shared verbatim by the DuckDB
+    * oracle's merge VALUES list. */
+  private val FixedBpeMerges: Seq[(String, String)] = Seq(
+    ("t", "h"), ("th", "e"), ("i", "n"), ("a", "n"), ("e", "r"),
+    ("an", "d"), ("o", "n"), ("e", "n"), ("o", "r"), ("s", "t"))
+
+  /** BPE ENCODE with a fixed merge list — the deterministic half of the
+    * BPE surface (learning is driver-looped and rows-only; encoding
+    * with a given model is one declarative plan): per distinct word, a
+    * char split then each merge applied in rank order as a greedy
+    * left-to-right non-overlapping fold. Hash-oracled against a DuckDB
+    * nested-recursive CTE that walks (rank, position) through the SAME
+    * fold — tokens joined by space so no array column reaches the
+    * driver's hash. */
+  def q107_bpe_encode(s: SparkSession, d: String): DataFrame =
+    graft.text.Bpe.encode(Tables.documents(s, d), FixedBpeMerges)
+      .select(col("word"), array_join(col("tokens"), " ").as("tokens"),
+        size(col("tokens")).cast("long").as("n_tokens"))
 
   // ---------------------------------------------------------------- registry
 
@@ -1649,6 +1672,7 @@ object SparkEntry {
     "q103_substring_dedup" -> (q103_substring_dedup _),
     "q104_semantic_dedup" -> (q104_semantic_dedup _),
     "q105_bpe_merges" -> (q105_bpe_merges _),
+    "q107_bpe_encode" -> (q107_bpe_encode _),
   )
 
   // DuckDB twins of the Scala normalization / hashing expressions
@@ -3065,5 +3089,51 @@ object SparkEntry {
          |  CAST(len(w) AS BIGINT) AS n_tokens,
          |  CAST(coalesce(len(cov), 0) AS BIGINT) AS n_removed
          |FROM t LEFT JOIN covl ON t.doc_id = covl.doc_id""".stripMargin,
+    "q107_bpe_encode" ->
+      // mirrors Bpe.encode with the FixedBpeMerges model: nested
+      // recursion walks (rank, pos) through the same greedy
+      // left-to-right non-overlapping fold per distinct word — when
+      // pos passes the end, flush the pending symbol and start the
+      // next rank over the merged symbols
+      """WITH RECURSIVE merges(rank, l, r) AS (
+        |  VALUES (0,'t','h'),(1,'th','e'),(2,'i','n'),(3,'a','n'),
+        |         (4,'e','r'),(5,'an','d'),(6,'o','n'),(7,'e','n'),
+        |         (8,'o','r'),(9,'s','t')),
+        |words AS (
+        |  SELECT DISTINCT w AS word
+        |  FROM (SELECT unnest(string_split(text, ' ')) AS w
+        |        FROM documents)
+        |  WHERE w <> ''),
+        |chars AS (
+        |  SELECT word,
+        |    list_transform(range(1, length(word) + 1),
+        |                   i -> word[i:i]) AS syms
+        |  FROM words),
+        |enc(word, rank, pos, syms, out, prev) AS (
+        |  SELECT word, 0, 1, syms, CAST([] AS VARCHAR[]),
+        |         CAST(NULL AS VARCHAR)
+        |  FROM chars
+        |  UNION ALL
+        |  SELECT word,
+        |    CASE WHEN pos > len(syms) THEN rank + 1 ELSE rank END,
+        |    CASE WHEN pos > len(syms) THEN 1 ELSE pos + 1 END,
+        |    CASE WHEN pos > len(syms)
+        |         THEN CASE WHEN prev IS NULL THEN out
+        |              ELSE list_append(out, prev) END
+        |         ELSE syms END,
+        |    CASE WHEN pos > len(syms) THEN CAST([] AS VARCHAR[])
+        |         WHEN prev = m.l AND syms[pos] = m.r
+        |           THEN list_append(out, m.l || m.r)
+        |         WHEN prev IS NULL THEN out
+        |         ELSE list_append(out, prev) END,
+        |    CASE WHEN pos > len(syms) THEN NULL
+        |         WHEN prev = m.l AND syms[pos] = m.r THEN NULL
+        |         ELSE syms[pos] END
+        |  FROM enc JOIN merges m USING (rank)
+        |  WHERE rank <= 9)
+        |SELECT word,
+        |  list_aggregate(syms, 'string_agg', ' ') AS tokens,
+        |  CAST(len(syms) AS BIGINT) AS n_tokens
+        |FROM enc WHERE rank = 10 AND pos = 1""".stripMargin,
   )
 }
