@@ -24,6 +24,10 @@ object ConnectedComponents {
     var labels = und.select(col("a").as("id")).distinct()
       .withColumn("component", col("id"))
       .localCheckpoint(true)
+    // the frame holding the current round's materialized blocks: each
+    // new checkpoint retires the previous one (without the unpersist,
+    // block-manager storage grows linearly with the round count)
+    var materialized = labels
     var changed = 1L
     var i = 0
     while (changed > 0 && i < maxIterations) {
@@ -41,8 +45,7 @@ object ConnectedComponents {
             col("component"))).as("component"))
       // shortcut (pointer doubling): jump to the label's label — chains
       // collapse in O(log diameter) rounds instead of O(diameter).
-      // `prev` rides along so convergence is a filter+count on the
-      // checkpointed result, not a separate join job.
+      val obs = org.apache.spark.sql.Observation()
       val next = propagated.as("x")
         .join(propagated.select(col("id").as("pid"),
           col("component").as("pcomp")),
@@ -50,8 +53,15 @@ object ConnectedComponents {
         .select(col("x.id").as("id"), col("x.prev").as("prev"),
           least(col("x.component"), coalesce(col("pcomp"),
             col("x.component"))).as("component"))
+        // convergence metric collected DURING the checkpoint
+        // materialization job (CollectMetrics rides the same pass) —
+        // one job per round, not materialize + a second count job
+        .observe(obs,
+          count(when(col("component") =!= col("prev"), 1)).as("changed"))
         .localCheckpoint(true)
-      changed = next.filter(col("component") =!= col("prev")).count()
+      changed = obs.get("changed").asInstanceOf[Long]
+      materialized.unpersist()
+      materialized = next
       labels = next.select(col("id"), col("component"))
       i += 1
     }

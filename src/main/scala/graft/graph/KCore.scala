@@ -40,11 +40,18 @@ object KCore {
     while (r < rounds && !fixed && size > 0) {
       val keep = e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
         .filter(col("deg") >= k).select(col("src"))
+      // survivor count observed DURING checkpoint materialization (one
+      // job per peel round, not materialize + count), and the previous
+      // round's blocks retired — without the unpersist, storage grows
+      // linearly with the round count
+      val obs = org.apache.spark.sql.Observation()
       val e2 = e
         .join(keep, Seq("src"), "left_semi")
         .join(keep.withColumnRenamed("src", "dst"), Seq("dst"), "left_semi")
+        .observe(obs, count(lit(1)).as("n"))
         .localCheckpoint(true)
-      val newSize = e2.count()
+      val newSize = obs.get("n").asInstanceOf[Long]
+      e.unpersist()
       fixed = newSize == size
       e = e2; size = newSize; r += 1
     }

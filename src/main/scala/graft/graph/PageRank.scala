@@ -131,7 +131,13 @@ object PageRank {
           }
           if (d < tol) converged = true
         }
+        // retire the superseded comparand's blocks (a no-op for the
+        // un-checkpointed init frame): the new eager checkpoint is
+        // self-contained, so without this, block-manager storage grows
+        // with iterations / checkpointEvery
+        val retired = lastCp
         lastCp = ranks
+        if (retired ne ranks) retired.unpersist()
       }
     }
     ranks

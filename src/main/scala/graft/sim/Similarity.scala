@@ -156,6 +156,10 @@ object Similarity {
         .collect().map(r => r.getInt(0) -> r.getSeq[Double](1)).toMap
       cents = cents.indices.map(i => updated.getOrElse(i, cents(i)))
     }
+    // the model is extracted — the training frame's checkpoint blocks
+    // have no further reader (callers re-derive their own assignment
+    // frame from `embeddings`)
+    e.unpersist()
     cents
   }
 
