@@ -1543,6 +1543,24 @@ object SparkEntry {
   def q105_bpe_merges(s: SparkSession, d: String): DataFrame =
     graft.text.Bpe.learnMergesBatched(Tables.documents(s, d), merges = 10)
 
+  /** Deterministic corpus-preparation funnel end to end — the composed
+    * sub-chain of [[graft.pipeline.CorpusPipeline]] with the
+    * approximate stages off (nearDupThreshold 0, no embeddings):
+    * language filter → per-source quality gate → exact dedup →
+    * substring scrub (k=8) → benchmark decontamination, with the
+    * benchmark split off deterministically (doc_id % 50 = 0 — the same
+    * eval-set convention q51 uses). Every stage is hash-stable, so the
+    * WHOLE composition oracles in one DuckDB CTE chain. */
+  def q106_corpus_pipeline(s: SparkSession, d: String): DataFrame = {
+    val all = Tables.documents(s, d)
+    val p = graft.pipeline.CorpusPipeline.prepare(
+      all.filter(col("doc_id") % 50 =!= 0),
+      all.filter(col("doc_id") % 50 === 0),
+      langs = Seq("en", "und"), minQualityPercentile = 0.2,
+      nearDupThreshold = 0.0, scrubK = 8)
+    p.docs.select(col("doc_id"), col("text"), col("source"))
+  }
+
   /** The fixed 10-merge BPE model q107 encodes with: realistic English
     * merges including two chained ones (t+h→th→the, a+n→an→and), so the
     * rank-order dependence is exercised. Shared verbatim by the DuckDB
@@ -1672,6 +1690,7 @@ object SparkEntry {
     "q103_substring_dedup" -> (q103_substring_dedup _),
     "q104_semantic_dedup" -> (q104_semantic_dedup _),
     "q105_bpe_merges" -> (q105_bpe_merges _),
+    "q106_corpus_pipeline" -> (q106_corpus_pipeline _),
     "q107_bpe_encode" -> (q107_bpe_encode _),
   )
 
@@ -3089,6 +3108,111 @@ object SparkEntry {
          |  CAST(len(w) AS BIGINT) AS n_tokens,
          |  CAST(coalesce(len(cov), 0) AS BIGINT) AS n_removed
          |FROM t LEFT JOIN covl ON t.doc_id = covl.doc_id""".stripMargin,
+    "q106_corpus_pipeline" ->
+      // the deterministic corpus-prep funnel, stage by stage: language
+      // filter (q23 logic) → per-source quality percentile gate (q21
+      // score) → exact dedup on normalized text (keep min doc_id) →
+      // 8-gram substring scrub (q103 logic) with empty docs dropped →
+      // 5-gram benchmark decontamination (q51 logic) against the
+      // doc_id % 50 = 0 eval split
+      s"""WITH corpus0 AS (
+         |  SELECT doc_id, text, source FROM documents
+         |  WHERE doc_id % 50 <> 0),
+         |bench0 AS (
+         |  SELECT doc_id, text FROM documents WHERE doc_id % 50 = 0),
+         |toks AS (
+         |  SELECT doc_id,
+         |    unnest(string_split_regex(trim(lower(text)), '\\s+')) AS tok
+         |  FROM corpus0),
+         |profile(lang, marker) AS (VALUES
+         |  ('en','the'),('en','and'),('en','of'),
+         |  ('es','el'),('es','la'),('es','de'),
+         |  ('de','der'),('de','und'),('de','das'),
+         |  ('fr','le'),('fr','et'),('fr','les')),
+         |hits AS (
+         |  SELECT doc_id, lang, count(*) AS hits
+         |  FROM toks JOIN profile ON tok = marker
+         |  GROUP BY doc_id, lang),
+         |best AS (
+         |  SELECT doc_id, lang FROM (
+         |    SELECT doc_id, lang, row_number() OVER (
+         |      PARTITION BY doc_id ORDER BY hits DESC, lang ASC) AS rn
+         |    FROM hits) WHERE rn = 1),
+         |langf AS (
+         |  SELECT c.doc_id, c.text, c.source FROM corpus0 c
+         |  LEFT JOIN best USING (doc_id)
+         |  WHERE coalesce(best.lang, 'und') IN ('en', 'und')),
+         |qs AS (
+         |  SELECT doc_id, least(1.0, (
+         |      (CAST(len(list_filter(ws, w -> list_contains(
+         |         ['the','a','of','to','and','in','is','it','for','on'],
+         |         w))) AS DOUBLE) / CAST(len(ws) AS DOUBLE)) * 2.0
+         |      + (CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g'))
+         |         AS DOUBLE) / CAST(length(text) AS DOUBLE))) / 2.0)
+         |    AS quality
+         |  FROM (SELECT doc_id, text,
+         |          string_split_regex(trim(lower(text)), '\\s+') AS ws
+         |        FROM langf)),
+         |qg AS (
+         |  SELECT doc_id FROM (
+         |    SELECT q.doc_id,
+         |      percent_rank() OVER (PARTITION BY l.source
+         |        ORDER BY q.quality, q.doc_id) AS pr,
+         |      count(*) OVER (PARTITION BY l.source) AS n
+         |    FROM qs q JOIN langf l USING (doc_id))
+         |  WHERE pr >= 0.2 OR n = 1),
+         |qd AS (SELECT l.doc_id, l.text, l.source
+         |       FROM langf l JOIN qg USING (doc_id)),
+         |ed AS (
+         |  SELECT doc_id FROM (
+         |    SELECT doc_id, min(doc_id) OVER (PARTITION BY norm) AS canon
+         |    FROM (SELECT doc_id, $NormSql AS norm FROM qd))
+         |  WHERE doc_id = canon),
+         |edd AS (SELECT qd.doc_id, qd.text, qd.source
+         |        FROM qd JOIN ed USING (doc_id)),
+         |t AS (SELECT doc_id, string_split(text, ' ') AS w FROM edd),
+         |sh AS (
+         |  SELECT doc_id,
+         |    unnest(range(0, greatest(len(w) - 7, 0))) AS s,
+         |    unnest([array_to_string(w[i+1:i+8], ' ')
+         |            for i in range(0, greatest(len(w) - 7, 0))]) AS g
+         |  FROM t WHERE len(w) >= 8),
+         |m AS (SELECT g, min(doc_id) AS mind FROM sh GROUP BY g),
+         |cov AS (
+         |  SELECT DISTINCT sh.doc_id, sh.s + u.j AS c
+         |  FROM sh JOIN m USING (g)
+         |  CROSS JOIN (SELECT unnest(range(0, 8)) AS j) u
+         |  WHERE sh.doc_id > m.mind),
+         |covl AS (SELECT doc_id, list(c) AS cov FROM cov GROUP BY doc_id),
+         |scrub AS (
+         |  SELECT t.doc_id,
+         |    CASE WHEN cov IS NULL THEN array_to_string(w, ' ')
+         |         ELSE coalesce(
+         |           array_to_string([w[i+1] for i in range(0, len(w))
+         |                            if NOT list_contains(cov, i)], ' '),
+         |           '')
+         |    END AS text
+         |  FROM t LEFT JOIN covl ON t.doc_id = covl.doc_id),
+         |scrubbed AS (
+         |  SELECT s.doc_id, s.text, e.source
+         |  FROM scrub s JOIN edd e USING (doc_id)
+         |  WHERE s.text <> ''),
+         |csh AS (
+         |  SELECT DISTINCT doc_id,
+         |    unnest([array_to_string(ws[i:i+4], ' ')
+         |            for i in range(1, greatest(len(ws) - 5, 0) + 2)]) AS s
+         |  FROM (SELECT doc_id, string_split($NormSql, ' ') AS ws
+         |        FROM scrubbed)),
+         |bsh AS (
+         |  SELECT DISTINCT
+         |    unnest([array_to_string(ws[i:i+4], ' ')
+         |            for i in range(1, greatest(len(ws) - 5, 0) + 2)]) AS s
+         |  FROM (SELECT string_split($NormSql, ' ') AS ws FROM bench0)),
+         |contaminated AS (
+         |  SELECT DISTINCT c.doc_id FROM csh c JOIN bsh b ON c.s = b.s)
+         |SELECT s.doc_id, s.text, s.source FROM scrubbed s
+         |WHERE s.doc_id NOT IN (SELECT doc_id FROM contaminated)"""
+        .stripMargin,
     "q107_bpe_encode" ->
       // mirrors Bpe.encode with the FixedBpeMerges model: nested
       // recursion walks (rank, pos) through the same greedy

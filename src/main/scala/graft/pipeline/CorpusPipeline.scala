@@ -2,22 +2,32 @@ package graft.pipeline
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
-import graft.dedup.Dedup
+import graft.dedup.{Dedup, SemanticDedup, SubstringDedup}
 import graft.graph.ConnectedComponents
-import graft.text.TextAnalysis
+import graft.text.{Bpe, TextAnalysis}
 
 /** End-to-end training-corpus preparation — the composition proof that
   * the engine's operators chain into the pipeline a large pretraining
-  * data build actually runs, with per-stage row accounting (the
-  * "funnel receipt" every data build publishes):
+  * data build actually runs, with per-stage row AND token accounting
+  * (the "funnel receipt" every data build publishes):
   *
   *   1. language filter        (TextAnalysis.langId, keep allowed langs)
   *   2. per-source quality gate (TrainingData.qualityGate on the
   *      composite quality score, worst tail dropped per source)
   *   3. exact dedup            (Dedup.exactDuplicates → keep canonicals)
-  *   4. near-dup removal       (MinHash/LSH pairs → connected
-  *      components → keep each cluster's min doc_id)
-  *   5. benchmark-contamination drop (shared-5-gram docs removed)
+  *   4. exact substring scrub  (SubstringDedup.dedupCorpus: duplicated
+  *      k-gram spans removed keep-first; fully-boilerplate docs leave
+  *      the corpus)
+  *   5. near-dup removal       (MinHash/LSH pairs → connected
+  *      components → keep each cluster's min doc_id; skipped when
+  *      `nearDupThreshold` ≤ 0 — the deterministic sub-chain is then
+  *      SQL-oracle-able end to end, which is how q106 runs it)
+  *   6. semantic dedup         (SemDeDup keep-first inside k-means
+  *      cells, when an embedding table is supplied)
+  *   7. benchmark-contamination drop (shared-5-gram docs removed)
+  *   8. BPE merge learning on the survivor corpus (when `bpeMerges`
+  *      > 0) — the tokenizer model trains on exactly the text that
+  *      ships, not on what dedup later removes
   *
   * Every stage is the already-audited library operator — this adds no
   * new shuffle shapes. Stage frames are persisted before counting so
@@ -28,22 +38,44 @@ import graft.text.TextAnalysis
   */
 object CorpusPipeline {
 
-  final case class StageCount(stage: String, rows: Long)
+  /** `tokens` = Σ whitespace tokens of `text` at this stage (0 for an
+    * empty text), so scrub accounting closes: tokens(exact_dedup) −
+    * tokens(substring_scrub) = Σ n_removed, asserted in
+    * CorpusPipelineSpec. */
+  final case class StageCount(stage: String, rows: Long, tokens: Long)
+
+  /** @param bpeModel (rank, left, right, pair_count) merge list learned
+    *   on the final corpus — present iff `bpeMerges` > 0 */
+  final case class Prepared(docs: DataFrame, funnel: Seq[StageCount],
+                            bpeModel: Option[DataFrame])
 
   /** @param docs      (doc_id, text, source, ...) corpus
     * @param benchmark (doc_id, text) eval sets to decontaminate against
     * @param langs     allowed predicted languages
     * @param minQualityPercentile per-source quality floor (0.0–1.0)
-    * @param nearDupThreshold Jaccard threshold for near-dup clustering
-    * @return (surviving docs — original columns, funnel counts) */
+    * @param nearDupThreshold Jaccard threshold for near-dup clustering;
+    *   ≤ 0 skips the stage (deterministic sub-chain)
+    * @param scrubK    duplicated-span length for the substring scrub
+    * @param embeddings optional (doc_id, embedding) table enabling the
+    *   semantic-dedup stage
+    * @param bpeMerges  > 0 trains that many BPE merges on the survivors
+    * @return survivors (original columns, text scrubbed), funnel, and
+    *   the optional BPE model */
   def prepare(docs: DataFrame, benchmark: DataFrame, langs: Seq[String],
-              minQualityPercentile: Double,
-              nearDupThreshold: Double): (DataFrame, Seq[StageCount]) = {
+              minQualityPercentile: Double, nearDupThreshold: Double,
+              scrubK: Int = 8, embeddings: Option[DataFrame] = None,
+              semanticClusters: Int = 8, semanticThreshold: Double = 0.95,
+              bpeMerges: Int = 0): Prepared = {
     val funnel = scala.collection.mutable.ArrayBuffer.empty[StageCount]
     var previous: Option[DataFrame] = None
     def record(stage: String, df: DataFrame): DataFrame = {
       val kept = df.persist()
-      funnel += StageCount(stage, kept.count())
+      // rows and tokens in ONE pass over the cached stage frame
+      val row = kept.agg(count(lit(1)).as("n"),
+        coalesce(sum(when(col("text") === "", 0)
+          .otherwise(size(split(col("text"), " ")))), lit(0L)).as("tok"))
+        .head()
+      funnel += StageCount(stage, row.getLong(0), row.getLong(1))
       // the predecessor fed this stage's materialization; its cached
       // copy is dead now — release it so superseded full-corpus frames
       // don't pin executor storage (only the returned frame stays
@@ -58,6 +90,7 @@ object CorpusPipeline {
     // blocks (released with the JVM's context cleaner, not our
     // unpersist chain)
     val input = record("input", docs.localCheckpoint(false))
+    val cols = docs.columns.map(col).toSeq
 
     val allowed = TextAnalysis.langId(input)
       .filter(col("pred_lang").isin(langs: _*))
@@ -81,19 +114,55 @@ object CorpusPipeline {
     val exactKept = record("exact_dedup",
       qualityKept.join(exactDups, Seq("doc_id"), "left_anti"))
 
-    val pairs = Dedup.minhashDuplicatePairs(exactKept, nearDupThreshold)
-      .select(col("id1").as("src"), col("id2").as("dst"))
-    val dropNear = ConnectedComponents.run(pairs)
-      .filter(col("id") =!= col("component")) // keep each cluster's min
-      .select(col("id").as("doc_id"))
-    val nearKept = record("near_dedup",
-      exactKept.join(dropNear, Seq("doc_id"), "left_anti"))
+    // duplicated k-gram spans removed keep-first; the doc's remaining
+    // columns ride along with `text` replaced by the scrubbed text, and
+    // fully-covered (now empty) docs leave the corpus
+    val scrubbed = SubstringDedup.dedupCorpus(exactKept, scrubK)
+      .select(col("doc_id"), col("kept_text"))
+    val scrubKept = record("substring_scrub",
+      exactKept.drop("text")
+        .join(scrubbed.filter(col("kept_text") =!= "")
+          .withColumnRenamed("kept_text", "text"), Seq("doc_id"))
+        .select(cols: _*))
 
-    val contaminated = TrainingData.contamination(nearKept, benchmark)
+    val afterNear =
+      if (nearDupThreshold <= 0) scrubKept
+      else {
+        val pairs = Dedup
+          .minhashDuplicatePairs(scrubKept, nearDupThreshold)
+          .select(col("id1").as("src"), col("id2").as("dst"))
+        val dropNear = ConnectedComponents.run(pairs)
+          .filter(col("id") =!= col("component")) // keep cluster's min
+          .select(col("id").as("doc_id"))
+        record("near_dedup",
+          scrubKept.join(dropNear, Seq("doc_id"), "left_anti"))
+      }
+
+    val afterSemantic = embeddings match {
+      case None => afterNear
+      case Some(emb) =>
+        val sem = SemanticDedup.semanticDedup(
+          emb.join(afterNear.select(col("doc_id")), Seq("doc_id"),
+            "left_semi")
+            .select(col("doc_id").as("vec_id"), col("embedding")),
+          semanticClusters, semanticThreshold)
+        val drop = sem.filter(!col("kept"))
+          .select(col("vec_id").as("doc_id"))
+        record("semantic_dedup",
+          afterNear.join(drop, Seq("doc_id"), "left_anti"))
+    }
+
+    val contaminated = TrainingData.contamination(afterSemantic, benchmark)
       .select(col("doc_id"))
     val cleanKept = record("decontaminate",
-      nearKept.join(contaminated, Seq("doc_id"), "left_anti"))
+      afterSemantic.join(contaminated, Seq("doc_id"), "left_anti"))
 
-    (cleanKept, funnel.toSeq)
+    // tokenizer training on exactly the corpus that ships
+    val model =
+      if (bpeMerges <= 0) None
+      else Some(Bpe.learnMergesBatched(
+        cleanKept.select(col("text")), bpeMerges))
+
+    Prepared(cleanKept, funnel.toSeq, model)
   }
 }

@@ -12,7 +12,12 @@ class CorpusPipelineSpec extends AnyFunSuite with SparkTestBase {
   // and the QUALITY gate, not the language filter, is what drops them).
   private val t1 = "the cat and the dog walked over the hill at dawn"
   private val t3 = "the ship sailed and the crew sang of the open sea"
-  private val t8 = "the garden grew and the roses bloomed under the sun"
+  // 17 tokens — long enough to own 12-gram spans for the scrub stage
+  private val t8 = "the garden grew and the roses bloomed under the " +
+    "summer sun while the birds sang sweet songs"
+  // first 14 tokens of t8 + a unique 8-token tail: the scrub target
+  private val t10 = t8.split(" ").take(14).mkString(" ") +
+    " entirely fresh tail content appended for testing purposes"
   private val junk = "zq xv the 9 and 9 zq xv the 9 and 9"
 
   private lazy val docs = Seq(
@@ -25,7 +30,8 @@ class CorpusPipelineSpec extends AnyFunSuite with SparkTestBase {
     (7L, "the benchmark sentence copied verbatim here and the tale of " +
       "the fox", "books"),                    // contaminated → dropped
     (8L, t8, "books"),
-    (9L, junk + " ww", "books")               // junk → quality-gated
+    (9L, junk + " ww", "books"),              // junk → quality-gated
+    (10L, t10, "books")                       // 14-token span → scrubbed
   ).toDF("doc_id", "text", "source")
 
   // shares a 5-gram run with doc 7 (id space disjoint from the corpus)
@@ -33,25 +39,86 @@ class CorpusPipelineSpec extends AnyFunSuite with SparkTestBase {
     (900L, "the benchmark sentence copied verbatim here indeed"))
     .toDF("doc_id", "text")
 
-  test("funnel: each stage drops exactly its targets, order preserved") {
-    val (kept, funnel) = CorpusPipeline.prepare(
+  test("funnel: each stage drops exactly its targets, order preserved, " +
+    "and scrub token accounting closes") {
+    val p = CorpusPipeline.prepare(
       docs, benchmark, langs = Seq("en"),
-      minQualityPercentile = 0.2, nearDupThreshold = 0.5)
-    val ids = kept.select("doc_id").as[Long].collect().toSet
-    assert(ids == Set(1L, 3L, 8L), s"survivors: $ids")
-    val stages = funnel.map(f => f.stage -> f.rows)
+      minQualityPercentile = 0.2, nearDupThreshold = 0.5, scrubK = 12)
+    val ids = p.docs.select("doc_id").as[Long].collect().toSet
+    assert(ids == Set(1L, 3L, 8L, 10L), s"survivors: $ids")
+    val stages = p.funnel.map(f => f.stage -> f.rows)
     assert(stages.map(_._1) == Seq("input", "lang_filter", "quality_gate",
-      "exact_dedup", "near_dedup", "decontaminate"))
+      "exact_dedup", "substring_scrub", "near_dedup", "decontaminate"))
     val m = stages.toMap
-    assert(m("input") == 9)
-    assert(m("lang_filter") == 8)   // doc 5 (es) gone
-    assert(m("quality_gate") == 6)  // junk docs 6 and 9 gone
-    assert(m("exact_dedup") == 5)   // doc 2 gone, canonical 1 kept
-    assert(m("near_dedup") == 4)    // doc 4 gone, cluster-min 3 kept
-    assert(m("decontaminate") == 3) // doc 7 gone
-    // funnel is monotone non-increasing
-    assert(funnel.map(_.rows).sliding(2).forall(w => w(0) >= w(1)))
-    // survivors keep the original schema
-    assert(kept.columns.toSeq == Seq("doc_id", "text", "source"))
+    assert(m("input") == 10)
+    assert(m("lang_filter") == 9)    // doc 5 (es) gone
+    assert(m("quality_gate") == 7)   // junk docs 6 and 9 gone
+    assert(m("exact_dedup") == 6)    // doc 2 gone, canonical 1 kept
+    assert(m("substring_scrub") == 6) // rows kept; doc 10's span removed
+    assert(m("near_dedup") == 5)     // doc 4 gone, cluster-min 3 kept
+    assert(m("decontaminate") == 4)  // doc 7 gone
+    // funnel is monotone non-increasing in rows AND tokens
+    assert(p.funnel.map(_.rows).sliding(2).forall(w => w(0) >= w(1)))
+    assert(p.funnel.map(_.tokens).sliding(2).forall(w => w(0) >= w(1)))
+    // survivors keep the original schema; doc 10's text is the scrubbed
+    // tail (the 14-token span duplicated from doc 8 is gone)
+    assert(p.docs.columns.toSeq == Seq("doc_id", "text", "source"))
+    val text10 = p.docs.filter($"doc_id" === 10).select("text")
+      .as[String].head()
+    assert(text10 ==
+      "entirely fresh tail content appended for testing purposes")
+    assert(p.bpeModel.isEmpty)
+  }
+
+  test("token conservation: tokens removed by the scrub stage equal " +
+    "the operator's n_removed sum") {
+    val p = CorpusPipeline.prepare(
+      docs, benchmark, langs = Seq("en"),
+      minQualityPercentile = 0.2, nearDupThreshold = 0.5, scrubK = 12)
+    val m = p.funnel.map(f => f.stage -> f.tokens).toMap
+    // re-derive the scrub input independently and ask the operator
+    val exactSurvivors = docs.filter($"doc_id".isin(1L, 3L, 4L, 7L, 8L, 10L))
+    val removed = graft.dedup.SubstringDedup.dedupCorpus(exactSurvivors, 12)
+      .agg(org.apache.spark.sql.functions.sum("n_removed"))
+      .as[Long].head()
+    assert(removed == 14L, s"doc 10's 3 overlapping 12-gram spans " +
+      s"cover tokens 1..14; got $removed")
+    assert(m("exact_dedup") - m("substring_scrub") == removed)
+  }
+
+  test("full path: semantic dedup drops the planted embedding twin and " +
+    "BPE trains on the shipped corpus") {
+    // doc 8 is doc 1's semantic twin (cos ≈ 0.9992 ≥ 0.95); the rest
+    // are mutually orthogonal
+    val emb = Seq(
+      (1L, Array(1.0, 0.0, 0.0, 0.0)),
+      (3L, Array(0.0, 1.0, 0.0, 0.0)),
+      (7L, Array(0.0, 0.0, 1.0, 0.0)),
+      (8L, Array(0.999, 0.04, 0.0, 0.0)),
+      (10L, Array(0.0, 0.0, 0.0, 1.0))
+    ).toDF("doc_id", "embedding")
+    val p = CorpusPipeline.prepare(
+      docs, benchmark, langs = Seq("en"),
+      minQualityPercentile = 0.2, nearDupThreshold = 0.5, scrubK = 12,
+      embeddings = Some(emb), semanticClusters = 2,
+      semanticThreshold = 0.95, bpeMerges = 3)
+    val ids = p.docs.select("doc_id").as[Long].collect().toSet
+    assert(ids == Set(1L, 3L, 10L), s"survivors: $ids")
+    val stages = p.funnel.map(_.stage)
+    assert(stages == Seq("input", "lang_filter", "quality_gate",
+      "exact_dedup", "substring_scrub", "near_dedup", "semantic_dedup",
+      "decontaminate"))
+    val m = p.funnel.map(f => f.stage -> f.rows).toMap
+    assert(m("near_dedup") == 5 && m("semantic_dedup") == 4 &&
+      m("decontaminate") == 3)
+    // the tokenizer model: 3 merges learned from the 3 survivors
+    val model = p.bpeModel.get.as[(Int, String, String, Long)]
+      .collect().toList
+    assert(model.size == 3 && model.map(_._1) == List(0, 1, 2))
+    // it matches BPE learned directly on the shipped text
+    val direct = graft.text.Bpe.learnMerges(
+      p.docs.select("text"), 3).as[(Int, String, String, Long)]
+      .collect().toList
+    assert(model == direct)
   }
 }
