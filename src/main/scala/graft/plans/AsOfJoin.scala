@@ -95,19 +95,32 @@ case class AsOfJoinExec(left: SparkPlan, right: SparkPlan,
       var floorTime = 0L
       lIter.map { lRow =>
         val lKey = lKeyProj(lRow)
-        val t = lTimeProj(lRow).getLong(0)
+        val lTimeRow = lTimeProj(lRow)
+        if (lTimeRow.isNullAt(0)) {
+          // a null left time compares false to every right time (SQL
+          // comparison semantics) → no match in any direction; the
+          // right cursor is untouched (null times sort FIRST within
+          // the key, so no later same-key left row needed the rows we
+          // would have skipped)
+          outProj(joined(lRow, nullRight))
+        } else {
+        val t = lTimeRow.getLong(0)
         if (curKey == null || keyOrder.compare(lKey, curKey) != 0) {
           curKey = lKey.copy()
           floorRow = null
         }
         // advance the right cursor: discard keys that sort before the
-        // current left key; absorb same-key rows with time ≤ t as the
-        // (ever-later) floor. Stops at the ceiling — the first same-key
-        // row with time > t — without consuming it.
+        // current left key AND same-key null-time rows (unmatched in
+        // every direction, sorted first); absorb same-key rows with
+        // time ≤ t as the (ever-later) floor. Stops at the ceiling —
+        // the first same-key row with time > t — without consuming it.
         var scanning = true
         while (scanning && rBuf.hasNext) {
           val cmp = keyOrder.compare(rKeyProj(rBuf.head), curKey)
           if (cmp < 0) { rBuf.next(); () }
+          else if (cmp == 0 && rTimeProj(rBuf.head).isNullAt(0)) {
+            rBuf.next(); ()
+          }
           else if (cmp == 0 &&
             rTimeProj(rBuf.head).getLong(0) <= t) {
             val r = rBuf.next()
@@ -146,6 +159,7 @@ case class AsOfJoinExec(left: SparkPlan, right: SparkPlan,
             // instead of silently running nearest semantics
         }
         outProj(joined(lRow, if (matched == null) nullRight else matched))
+        }
       }
     }
   }

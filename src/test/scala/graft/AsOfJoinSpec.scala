@@ -65,6 +65,67 @@ class AsOfJoinSpec extends AnyFunSuite with SparkTestBase {
     assert(native == composed && native.size == n)
   }
 
+  test("property: native equals composed range-join+window across " +
+    "direction × tolerance × null times × duplicate timestamps × " +
+    "partition counts 1 and 32") {
+    // nulls on both time columns, heavy timestamp collisions (mod 53 /
+    // mod 59 over hundreds of rows), keys present on one side only
+    val right0 = spark.range(80).select(
+      concat(lit("k"), ($"id" % 7)).as("unit"),
+      when($"id" % 13 === 0, lit(null).cast("long"))
+        .otherwise($"id" * 11 % 59).as("ts"),
+      ($"id" + 0.5).as("price"))
+      .groupBy("unit", "ts").agg(max($"price").as("price"))
+    val left0 = spark.range(400).select(
+      concat(lit("t"), $"id").as("hash"),
+      concat(lit("k"), ($"id" % 9)).as("unit"),
+      when($"id" % 17 === 0, lit(null).cast("long"))
+        .otherwise($"id" * 7 % 53).as("t"))
+    def composed(dir: String, tol: Long): Map[String, Option[Double]] = {
+      val l = left0.as("l")
+      val r = right0.as("r")
+      def bounded(gap: org.apache.spark.sql.Column) =
+        if (tol == Long.MaxValue) gap.isNotNull else gap <= tol
+      val (cond, order) = dir match {
+        case "backward" =>
+          ($"r.ts" <= $"l.t" && bounded($"l.t" - $"r.ts"),
+            Seq($"r.ts".desc))
+        case "forward" =>
+          ($"r.ts" >= $"l.t" && bounded($"r.ts" - $"l.t"),
+            Seq($"r.ts".asc))
+        case "nearest" =>
+          (bounded(abs($"r.ts" - $"l.t")),
+            Seq(abs($"r.ts" - $"l.t").asc, $"r.ts".asc)) // tie → backward
+      }
+      l.join(r, $"l.unit" === $"r.unit" && cond, "left")
+        .withColumn("rn", row_number().over(
+          Window.partitionBy($"l.hash").orderBy(order: _*)))
+        .filter($"rn" === 1)
+        .select($"l.hash", $"r.price")
+        .as[(String, Option[Double])].collect().toMap
+    }
+    for {
+      parts <- Seq(1, 32)
+      dir <- Seq("backward", "forward", "nearest")
+      tol <- Seq(Long.MaxValue, 6L)
+    } {
+      val native = AsOfJoin.asof(
+        left0.repartition(parts), right0.repartition(parts),
+        Seq("unit"), "t", "ts", direction = dir, tolerance = tol)
+        .select($"hash", $"price")
+        .as[(String, Option[Double])].collect().toMap
+      val want = composed(dir, tol)
+      assert(native.size == 400, s"parts=$parts dir=$dir tol=$tol")
+      assert(native == want, {
+        val diff = (native.keySet ++ want.keySet)
+          .filter(k => native.get(k) != want.get(k)).take(5)
+        s"parts=$parts dir=$dir tol=$tol diff=" +
+          diff.map(k => s"$k native=${native.get(k)} want=${want.get(k)}")
+            .mkString(", ")
+      })
+    }
+  }
+
   test("forward direction: earliest right time ≥ left time") {
     val got = AsOfJoin.asof(txs, prices, Seq("unit"), "t", "ts",
       direction = "forward")
