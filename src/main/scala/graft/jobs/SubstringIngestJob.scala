@@ -1,0 +1,162 @@
+package graft.jobs
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+/** Incremental exact-substring scrub at ingest — the streaming form of
+  * [[graft.dedup.SubstringDedup.dedupCorpus]]: each arriving micro-batch
+  * is scrubbed against (1) the persisted k-gram store (every gram any
+  * EARLIER batch contributed) and (2) itself (within-batch keep-first),
+  * WITHOUT ever recomputing over the corpus. With doc ids increasing
+  * across batches (the append-only ingest contract), the accumulated
+  * output is row-identical to running `dedupCorpus` over the
+  * concatenated corpus in one batch — pinned in SubstringIngestSpec.
+  *
+  * Three persisted structures under `outDir`:
+  *  - `grams`: (g, min_doc) — one row per DISTINCT k-gram ever seen,
+  *    tagged with the first doc that held it; an external table
+  *    bucketed on g, so the per-batch join/anti-join shuffles only the
+  *    incoming batch (the store is never re-shuffled — same layout
+  *    story as DedupIngestJob's hash store). Grams are stored as
+  *    strings for exact parity with the batch operator; at 100 TB
+  *    switch the store key to xxhash64(g) (8 bytes) and accept the
+  *    2⁻⁶⁴-per-pair collision-scrub risk.
+  *  - `seen`: ingested doc_ids (replay guard, bucketed on doc_id).
+  *  - `documents`: the scrubbed corpus, `dedupCorpus`'s exact schema
+  *    (doc_id, kept_text, n_tokens, n_removed).
+  *
+  * Exactly-once: a replayed batch's doc_ids are already in `seen`, so
+  * nothing appends and the gram store gains nothing (its grams are
+  * already present) — idempotent under source replay, like the other
+  * ingest jobs.
+  */
+object SubstringIngestJob {
+
+  private def storeBuckets(spark: SparkSession): Int =
+    spark.conf.get("spark.graft.substring.storeBuckets", "64").toInt
+
+  private def tableName(outDir: String, kind: String): String = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+      .digest(outDir.getBytes("UTF-8"))
+    s"graft_sub_${kind}_" + md.take(8).map("%02x".format(_)).mkString
+  }
+
+  private def pathExists(spark: SparkSession, path: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    p.getFileSystem(spark.sessionState.newHadoopConf()).exists(p)
+  }
+
+  /** Bucket-aware store view (catalog table when registered, plain
+    * path fallback for a fresh session over an existing store). */
+  private def storeView(spark: SparkSession, outDir: String,
+                        kind: String): Option[DataFrame] = {
+    val path = s"$outDir/$kind"
+    if (spark.catalog.tableExists(tableName(outDir, kind)))
+      Some(spark.table(tableName(outDir, kind)))
+    else if (pathExists(spark, path)) Some(spark.read.parquet(path))
+    else None
+  }
+
+  private def appendBucketed(df: DataFrame, outDir: String, kind: String,
+                             bucketCol: String): Unit = {
+    val spark = df.sparkSession
+    val table = tableName(outDir, kind)
+    val w = df.write.format("parquet")
+      .bucketBy(storeBuckets(spark), bucketCol)
+      .sortBy(bucketCol)
+      .mode("append")
+    (if (spark.catalog.tableExists(table)) w
+     else w.option("path", s"$outDir/$kind")).saveAsTable(table)
+  }
+
+  /** Batch core, shared by streaming foreachBatch and tests.
+    * @param docs (doc_id, text) micro-batch; ids must be fresh and
+    *   larger than every previously ingested id for batch-equality
+    * @return number of docs appended (0 for a fully-replayed batch) */
+  def writeBatch(docs: DataFrame, outDir: String, k: Int = 8): Long = {
+    val spark = docs.sparkSession
+    // replay guard first: a doc already ingested contributes nothing
+    val fresh0 = storeView(spark, outDir, "seen") match {
+      case Some(seen) =>
+        docs.join(seen.select(col("doc_id")), Seq("doc_id"), "left_anti")
+      case None => docs
+    }
+    val fresh = fresh0.localCheckpoint(true)
+    try {
+      val base = fresh.select(col("doc_id"), split(col("text"), " ").as("w"))
+      // one row per k-gram occurrence with its start position — the
+      // inverted-occurrence shape of the batch operator (never a pair
+      // join)
+      val sh = base.filter(size(col("w")) >= k)
+        .select(col("doc_id"), explode(expr(
+          s"transform(sequence(0, size(w) - $k), i -> " +
+            s"struct(i AS s, array_join(slice(w, i + 1, $k), ' ') AS g))"))
+          .as("e"))
+        .select(col("doc_id"), col("e.s").as("s"), col("e.g").as("g"))
+        .localCheckpoint(true)
+      val batchMin = sh.groupBy(col("g")).agg(min(col("doc_id")).as("bmin"))
+      // a doc's occurrence is covered when an EARLIER doc holds the
+      // gram — earlier batch (store join) or earlier in this batch
+      val store = storeView(spark, outDir, "grams")
+      val withHistory = store match {
+        case Some(st) => batchMin.join(
+          st.select(col("g"), col("min_doc")), Seq("g"), "left")
+          .select(col("g"),
+            least(col("bmin"), coalesce(col("min_doc"), col("bmin")))
+              .as("min_doc"))
+        case None => batchMin.select(col("g"), col("bmin").as("min_doc"))
+      }
+      val starts = sh.join(withHistory, Seq("g"))
+        .filter(col("doc_id") > col("min_doc"))
+        .groupBy(col("doc_id")).agg(collect_set(col("s")).as("starts"))
+      val out = base.join(starts, Seq("doc_id"), "left")
+        .withColumn("idx", expr("sequence(0, size(w) - 1)"))
+        .withColumn("cov",
+          when(col("starts").isNull, expr("CAST(array() AS array<int>)"))
+            .otherwise(expr(s"filter(idx, t -> " +
+              s"exists(starts, st -> st <= t AND t < st + $k))")))
+        .select(col("doc_id"),
+          expr("array_join(transform(" +
+            "filter(idx, t -> NOT array_contains(cov, t)), " +
+            "t -> element_at(w, t + 1)), ' ')").as("kept_text"),
+          size(col("w")).cast("long").as("n_tokens"),
+          size(col("cov")).cast("long").as("n_removed"))
+      val n = fresh.count()
+      if (n > 0) {
+        // corpus first, stores second (no-loss ordering, as the other
+        // ingest jobs): a crash between the writes can re-append this
+        // batch on replay (rare duplicate rows), while the reverse
+        // order would silently LOSE docs (marked seen, never written)
+        out.write.mode("append").parquet(s"$outDir/documents")
+        val newGrams = store match {
+          case Some(st) => withHistory.join(st.select(col("g")),
+            Seq("g"), "left_anti")
+          case None => withHistory
+        }
+        appendBucketed(newGrams.select(col("g"), col("min_doc")),
+          outDir, "grams", "g")
+        appendBucketed(fresh.select(col("doc_id")), outDir, "seen",
+          "doc_id")
+      }
+      sh.unpersist()
+      n
+    } finally fresh.unpersist()
+  }
+
+  /** File-drop streaming entry (replayable source + checkpoint →
+    * restart-safe): each dropped file holds JSON lines
+    * {"doc_id": …, "text": …}. AvailableNow drains and stops. */
+  def runFiles(spark: SparkSession, inDir: String, outDir: String,
+               checkpoint: String, k: Int = 8): StreamingQuery = {
+    val schema = "doc_id LONG, text STRING"
+    spark.readStream.schema(schema).json(inDir)
+      .writeStream
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (df: DataFrame, _: Long) =>
+        writeBatch(df, outDir, k); ()
+      }
+      .start()
+  }
+}

@@ -1,0 +1,79 @@
+package graft
+
+import java.nio.file.Files
+import org.scalatest.funsuite.AnyFunSuite
+import graft.dedup.SubstringDedup
+import graft.jobs.SubstringIngestJob
+
+class SubstringIngestSpec extends AnyFunSuite with SparkTestBase {
+  import spark.implicits._
+
+  private def tmp(): String =
+    Files.createTempDirectory("graft_sub_ingest").toString
+
+  // 12-token texts so k=8 spans exist; doc 11 repeats doc 1's opening
+  // 8-gram run inside batch 1, doc 20 repeats it FROM batch 2 (history
+  // scrub), doc 21 is fresh content
+  private val t1 = "a b c d e f g h i j k l"
+  private val b1 = Seq(
+    (1L, t1),
+    (11L, "a b c d e f g h x y z w")).toDF("doc_id", "text")
+  private val b2 = Seq(
+    (20L, "p q a b c d e f g h r s"),
+    (21L, "fresh words only in here none shared with anything else ok"))
+    .toDF("doc_id", "text")
+
+  test("two-batch ingest equals the batch operator on the concatenated " +
+    "corpus") {
+    val out = tmp()
+    assert(SubstringIngestJob.writeBatch(b1, out, k = 8) == 2)
+    assert(SubstringIngestJob.writeBatch(b2, out, k = 8) == 2)
+    val streamed = spark.read.parquet(s"$out/documents")
+      .as[(Long, String, Long, Long)].collect().toSet
+    val batch = SubstringDedup.dedupCorpus(b1.unionByName(b2), k = 8)
+      .as[(Long, String, Long, Long)].collect().toSet
+    assert(streamed == batch)
+    // and the scrub really bit: doc 20's opening run from batch 1 is
+    // gone even though doc 1 was ingested in an earlier batch
+    val d20 = streamed.find(_._1 == 20L).get
+    assert(d20._4 > 0, s"history scrub missed: $d20")
+    assert(batch.find(_._1 == 20L).get == d20)
+  }
+
+  test("replay idempotence: re-running a processed batch appends " +
+    "nothing and leaves the gram store unchanged") {
+    val out = tmp()
+    assert(SubstringIngestJob.writeBatch(b1, out, k = 8) == 2)
+    val grams = spark.read.parquet(s"$out/grams").count()
+    assert(SubstringIngestJob.writeBatch(b1, out, k = 8) == 0)
+    assert(spark.read.parquet(s"$out/documents").count() == 2)
+    assert(spark.read.parquet(s"$out/grams").count() == grams)
+  }
+
+  test("streaming file-drop ingest: two drops through one checkpointed " +
+    "query equal the batch operator") {
+    val out = tmp()
+    val in = tmp()
+    val cp = tmp()
+    def drop(name: String, rows: Seq[(Long, String)]): Unit = {
+      val f = new java.io.PrintWriter(s"$in/$name")
+      rows.foreach { case (id, tx) =>
+        f.println(s"""{"doc_id": $id, "text": "$tx"}""")
+      }
+      f.close()
+    }
+    drop("b1.json", Seq(1L -> t1, 11L -> "a b c d e f g h x y z w"))
+    SubstringIngestJob.runFiles(spark, in, out, cp, k = 8)
+      .awaitTermination()
+    drop("b2.json", Seq(
+      20L -> "p q a b c d e f g h r s",
+      21L -> "fresh words only in here none shared with anything else ok"))
+    SubstringIngestJob.runFiles(spark, in, out, cp, k = 8)
+      .awaitTermination()
+    val streamed = spark.read.parquet(s"$out/documents")
+      .as[(Long, String, Long, Long)].collect().toSet
+    val batch = SubstringDedup.dedupCorpus(b1.unionByName(b2), k = 8)
+      .as[(Long, String, Long, Long)].collect().toSet
+    assert(streamed == batch)
+  }
+}
