@@ -39,7 +39,11 @@ object Bench {
                   "q65_pq_ann", "q63_hist_quantiles", "q48_asof_rates",
                   "q56_range_join", "q82_bloom_prune", "q79_sessionize",
                   "q33_pipeline_transfers", "q87_bfs_hops", "q95_ppr",
-                  "q90_kcore", "q30_media_features"))
+                  "q90_kcore", "q30_media_features",
+                  // driver-looped BPE rounds (per-round fold codegen)
+                  // and the composed corpus funnel (window gate +
+                  // scrub + contamination chain compile together)
+                  "q105_bpe_merges", "q106_corpus_pipeline"))
       try SparkEntry.queries(w)(spark, sfDir).count()
       catch { case _: Throwable => }
     // drop the warm-up queries' checkpoint blocks so the first timed

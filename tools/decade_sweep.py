@@ -1,0 +1,107 @@
+#!/usr/bin/env python3
+"""Reproducible sf1 decade sweep: generate sf1 (= 10 join-consistent
+copies of the driver's sf0.1, via gen_sf.py) if absent, run graft.Bench
+at sf0.1 and sf1, and emit per-query decade ratios as JSON plus a
+markdown table for SCALE_AUDIT's manual section. Pass a prior round's
+JSON to get a side-by-side ratio comparison column.
+
+Usage:
+  python3 tools/decade_sweep.py out.json [prior.json]
+
+Prereq: sbt -batch compile (runs from target/scala-2.13/classes).
+"""
+import json
+import os
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+SF01 = "/root/testdata/sf0.1"
+SF1 = os.path.join(REPO, "localdata", "sf1")
+
+ADD_OPENS = [
+    "--add-opens=java.base/java.lang=ALL-UNNAMED",
+    "--add-opens=java.base/java.lang.invoke=ALL-UNNAMED",
+    "--add-opens=java.base/java.nio=ALL-UNNAMED",
+    "--add-opens=java.base/java.util=ALL-UNNAMED",
+    "--add-opens=java.base/sun.nio.ch=ALL-UNNAMED",
+    "--add-opens=java.base/sun.util.calendar=ALL-UNNAMED",
+    "--add-opens=java.base/sun.security.action=ALL-UNNAMED",
+]
+
+
+def ensure_sf1():
+    if not os.path.isdir(SF1) or not os.path.exists(
+            os.path.join(SF1, "lineitem.parquet")):
+        os.makedirs(SF1, exist_ok=True)
+        print(f"generating {SF1} = 10x {SF01} ...", flush=True)
+        subprocess.run([sys.executable,
+                        os.path.join(REPO, "tools", "gen_sf.py"),
+                        SF01, SF1, "10"], check=True)
+
+
+def run_bench(sf_dir):
+    # match the driver's bench conditions: local[32] unless overridden
+    env = dict(os.environ, SPARK_GRAFT_SF_DIR=sf_dir,
+               SPARK_GRAFT_CPUS=os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    cp = os.path.join(REPO, "target", "scala-2.13", "classes") \
+        + ":/opt/spark/jars/*"
+    out = subprocess.run(
+        ["java", "-XX:+IgnoreUnrecognizedVMOptions", *ADD_OPENS,
+         "-cp", cp, "graft.Bench"],
+        env=env, cwd=REPO, capture_output=True, text=True, check=True)
+    queries, total = {}, None
+    for line in out.stdout.splitlines():
+        line = line.strip()
+        if not line.startswith("{"):
+            continue
+        j = json.loads(line)
+        if j.get("queries"):
+            queries = j["queries"]
+        if j.get("metric") == "total":
+            total = j["value"]
+    if not queries or total is None:
+        sys.exit(f"bench at {sf_dir} produced no parsable output:\n"
+                 + out.stdout[-2000:])
+    return queries, total
+
+
+def main():
+    out_path = sys.argv[1]
+    prior = json.load(open(sys.argv[2])) if len(sys.argv) > 2 else None
+    ensure_sf1()
+    print("bench sf0.1 ...", flush=True)
+    q01, t01 = run_bench(SF01)
+    print(f"  total {t01:.1f} s", flush=True)
+    print("bench sf1 ...", flush=True)
+    q1, t1 = run_bench(SF1)
+    print(f"  total {t1:.1f} s", flush=True)
+    ratios = {k: (q1[k] / q01[k] if q01.get(k) else None)
+              for k in sorted(q1) if k in q01}
+    result = {"sf01": {"queries": q01, "total": t01},
+              "sf1": {"queries": q1, "total": t1},
+              "ratios": ratios,
+              "total_ratio": t1 / t01}
+    with open(out_path, "w") as f:
+        json.dump(result, f, indent=1, sort_keys=True)
+    print(f"\nwrote {out_path}")
+    print(f"\n**Total: {t01:.1f} s (sf0.1) → {t1:.1f} s (sf1) = "
+          f"{t1 / t01:.1f}× wall for 10× data**\n")
+    hdr = "| query | sf0.1 s | sf1 s | decade ratio |"
+    sep = "| --- | --- | --- | --- |"
+    if prior:
+        hdr += " prior ratio |"
+        sep += " --- |"
+    print(hdr)
+    print(sep)
+    worst = sorted(ratios.items(), key=lambda kv: -(kv[1] or 0))
+    for k, r in worst:
+        row = f"| {k} | {q01[k]:.2f} | {q1[k]:.2f} | {r:.1f}× |"
+        if prior:
+            pr = prior.get("ratios", {}).get(k)
+            row += f" {pr:.1f}× |" if pr is not None else " — |"
+        print(row)
+
+
+if __name__ == "__main__":
+    main()
