@@ -29,12 +29,21 @@ import graft.text.{Bpe, TextAnalysis}
   *      > 0) — the tokenizer model trains on exactly the text that
   *      ships, not on what dedup later removes
   *
-  * Every stage is the already-audited library operator — this adds no
-  * new shuffle shapes. Stage frames are persisted before counting so
-  * the accounting pass re-reads cached partitions instead of
-  * recomputing the lineage; at 100 TB run the stages as separate
-  * checkpointed jobs and take the counts from the write metrics
-  * instead.
+  * Plan shape (the part that matters at 100 TB): the four gate stages
+  * (lang, quality, exact dedup — and the input accounting) are FUSED
+  * into one plan and materialized by a single job. Language-ID is a
+  * row-local projection ([[TextAnalysis.langIdCols]]); the quality
+  * gate derives a per-source boundary struct on a narrow
+  * (doc_id, source, quality) frame and broadcasts it back, so the full
+  * corpus is never shuffled by source (few strata would funnel the
+  * whole corpus into #sources sort partitions) and is never semi-joined
+  * on doc_id; exact dedup is one window over the content hash (one
+  * well-distributed full shuffle — cheaper than groupBy + join-back,
+  * which pays the same shuffle AND a join). Funnel accounting rides the
+  * same jobs as `observe` (CollectMetrics) nodes — zero extra passes.
+  * Only the inherently pair-based stages (substring scrub, near-dup,
+  * semantic, decontaminate) join, each fed from an eagerly
+  * checkpointed predecessor so shared lineage materializes once.
   */
 object CorpusPipeline {
 
@@ -66,81 +75,108 @@ object CorpusPipeline {
               scrubK: Int = 8, embeddings: Option[DataFrame] = None,
               semanticClusters: Int = 8, semanticThreshold: Double = 0.95,
               bpeMerges: Int = 0): Prepared = {
+    import org.apache.spark.sql.Observation
+    import org.apache.spark.sql.expressions.Window
     val funnel = scala.collection.mutable.ArrayBuffer.empty[StageCount]
-    var previous: Option[DataFrame] = None
-    def record(stage: String, df: DataFrame): DataFrame = {
-      val kept = df.persist()
-      // rows and tokens in ONE pass over the cached stage frame
-      val row = kept.agg(count(lit(1)).as("n"),
-        coalesce(sum(when(col("text") === "", 0)
-          .otherwise(size(split(col("text"), " ")))), lit(0L)).as("tok"))
-        .head()
-      funnel += StageCount(stage, row.getLong(0), row.getLong(1))
-      // the predecessor fed this stage's materialization; its cached
-      // copy is dead now — release it so superseded full-corpus frames
-      // don't pin executor storage (only the returned frame stays
-      // persisted, the caller's to release)
-      previous.foreach(_.unpersist(blocking = false))
-      previous = Some(kept)
-      kept
-    }
+    // rows + Σ tokens of the stage's survivors, riding the stage's own
+    // materialization job as a CollectMetrics node — accounting costs
+    // zero extra passes
+    def cnt = count(lit(1)).as("n")
+    def tok = coalesce(sum(when(col("text") === "", 0)
+      .otherwise(size(split(col("text"), " ")))), lit(0L)).as("tok")
+    def stageOf(name: String, o: Observation): Unit =
+      funnel += StageCount(name, o.get("n").asInstanceOf[Long],
+        o.get("tok").asInstanceOf[Long])
     // a lazy localCheckpoint: the caller's frame (and its cache state)
-    // is untouched, yet the possibly-expensive input lineage
-    // materializes ONCE and the three stage-1 reads hit the checkpoint
-    // blocks (released with the JVM's context cleaner, not our
-    // unpersist chain)
-    val input = record("input", docs.localCheckpoint(false))
+    // is untouched, yet a possibly-expensive input lineage materializes
+    // once even though both the main chain and the quality-boundary
+    // subplan read it
+    val input = docs.localCheckpoint(false)
     val cols = docs.columns.map(col).toSeq
+    val (predLang, _) = TextAnalysis.langIdCols(col("text"))
 
-    val allowed = TextAnalysis.langId(input)
-      .filter(col("pred_lang").isin(langs: _*))
-      .select(col("doc_id"))
-    val langKept = record("lang_filter",
-      input.join(allowed, Seq("doc_id"), "left_semi"))
+    // Per-source keep boundary for the quality gate, derived on a
+    // NARROW (doc_id, source, quality) frame: the smallest kept
+    // (quality, doc_id) struct per source — one row per source —
+    // broadcasts back so the gate is a row-local filter and the full
+    // corpus is never shuffled by source nor semi-joined on doc_id.
+    // Keep-set equality with TrainingData.qualityGate: its kept rows
+    // are exactly the ordered suffix per stratum from the boundary up
+    // (single-row strata keep their only — also best — row).
+    val qw = Window.partitionBy(col("source"))
+      .orderBy(col("__q"), col("doc_id"))
+    val cw = Window.partitionBy(col("source"))
+    val thresholds = input.filter(predLang.isin(langs: _*))
+      .select(col("doc_id"), col("source"),
+        TextAnalysis.qualityCol(col("text")).as("__q"))
+      .withColumn("__pr", percent_rank().over(qw))
+      .withColumn("__n", count(lit(1)).over(cw))
+      .filter(col("__pr") >= minQualityPercentile || col("__n") === 1)
+      .groupBy(col("source"))
+      .agg(min(struct(col("__q"), col("doc_id"))).as("__thr"))
 
-    val scored = TextAnalysis.qualityScore(langKept)
-      .select(col("doc_id"), col("quality"))
-    val qualityIds = TrainingData.qualityGate(
-      scored.join(langKept.select(col("doc_id"), col("source")),
-        Seq("doc_id")),
-      col("source"), col("quality"), col("doc_id"), minQualityPercentile)
-      .select(col("doc_id"))
-    val qualityKept = record("quality_gate",
-      langKept.join(qualityIds, Seq("doc_id"), "left_semi"))
-
-    val exactDups = Dedup.exactDuplicates(qualityKept)
-      .filter(col("doc_id") =!= col("canonical_id"))
-      .select(col("doc_id"))
-    val exactKept = record("exact_dedup",
-      qualityKept.join(exactDups, Seq("doc_id"), "left_anti"))
+    val oIn = Observation(); val oLang = Observation()
+    val oQual = Observation(); val oExact = Observation()
+    val hw = Window.partitionBy(col("__ch"))
+    val exactKept = input
+      .observe(oIn, cnt, tok)
+      .filter(predLang.isin(langs: _*))
+      .observe(oLang, cnt, tok)
+      .join(broadcast(thresholds), Seq("source"))
+      .filter(struct(TextAnalysis.qualityCol(col("text")).as("__q"),
+        col("doc_id")) >= col("__thr"))
+      .drop("__thr")
+      .observe(oQual, cnt, tok)
+      // exact dedup: keep each content-hash group's min doc_id — one
+      // window over one well-distributed shuffle, no join-back
+      .withColumn("__ch", Dedup.hash60(Dedup.normalize(col("text"))))
+      .withColumn("__keep", min(col("doc_id")).over(hw))
+      .filter(col("doc_id") === col("__keep"))
+      .select(cols: _*)
+      .observe(oExact, cnt, tok)
+      .localCheckpoint(true) // ONE job materializes all four gates
+    stageOf("input", oIn); stageOf("lang_filter", oLang)
+    stageOf("quality_gate", oQual); stageOf("exact_dedup", oExact)
 
     // duplicated k-gram spans removed keep-first; the doc's remaining
     // columns ride along with `text` replaced by the scrubbed text, and
     // fully-covered (now empty) docs leave the corpus
+    val oScrub = Observation()
     val scrubbed = SubstringDedup.dedupCorpus(exactKept, scrubK)
       .select(col("doc_id"), col("kept_text"))
-    val scrubKept = record("substring_scrub",
-      exactKept.drop("text")
-        .join(scrubbed.filter(col("kept_text") =!= "")
-          .withColumnRenamed("kept_text", "text"), Seq("doc_id"))
-        .select(cols: _*))
+    val scrubKept = exactKept.drop("text")
+      .join(scrubbed.filter(col("kept_text") =!= "")
+        .withColumnRenamed("kept_text", "text"), Seq("doc_id"))
+      .select(cols: _*)
+      .observe(oScrub, cnt, tok)
+      .localCheckpoint(true)
+    stageOf("substring_scrub", oScrub)
+    // each new checkpoint retires its predecessor's blocks so
+    // superseded full-corpus copies don't pin executor storage
+    exactKept.unpersist()
 
     val afterNear =
       if (nearDupThreshold <= 0) scrubKept
       else {
+        val oNear = Observation()
         val pairs = Dedup
           .minhashDuplicatePairs(scrubKept, nearDupThreshold)
           .select(col("id1").as("src"), col("id2").as("dst"))
         val dropNear = ConnectedComponents.run(pairs)
           .filter(col("id") =!= col("component")) // keep cluster's min
           .select(col("id").as("doc_id"))
-        record("near_dedup",
-          scrubKept.join(dropNear, Seq("doc_id"), "left_anti"))
+        val kept = scrubKept.join(dropNear, Seq("doc_id"), "left_anti")
+          .observe(oNear, cnt, tok)
+          .localCheckpoint(true)
+        stageOf("near_dedup", oNear)
+        scrubKept.unpersist()
+        kept
       }
 
     val afterSemantic = embeddings match {
       case None => afterNear
       case Some(emb) =>
+        val oSem = Observation()
         val sem = SemanticDedup.semanticDedup(
           emb.join(afterNear.select(col("doc_id")), Seq("doc_id"),
             "left_semi")
@@ -148,14 +184,24 @@ object CorpusPipeline {
           semanticClusters, semanticThreshold)
         val drop = sem.filter(!col("kept"))
           .select(col("vec_id").as("doc_id"))
-        record("semantic_dedup",
-          afterNear.join(drop, Seq("doc_id"), "left_anti"))
+        val kept = afterNear.join(drop, Seq("doc_id"), "left_anti")
+          .observe(oSem, cnt, tok)
+          .localCheckpoint(true)
+        stageOf("semantic_dedup", oSem)
+        afterNear.unpersist()
+        kept
     }
 
+    val oClean = Observation()
     val contaminated = TrainingData.contamination(afterSemantic, benchmark)
       .select(col("doc_id"))
-    val cleanKept = record("decontaminate",
-      afterSemantic.join(contaminated, Seq("doc_id"), "left_anti"))
+    val cleanKept = afterSemantic
+      .join(contaminated, Seq("doc_id"), "left_anti")
+      .observe(oClean, cnt, tok)
+      .persist()
+    cleanKept.count() // materialize the cache; fires the observation
+    stageOf("decontaminate", oClean)
+    afterSemantic.unpersist()
 
     // tokenizer training on exactly the corpus that ships
     val model =

@@ -25,9 +25,26 @@ object TextAnalysis {
   private val Stopwords =
     Seq("the", "a", "of", "to", "and", "in", "is", "it", "for", "on")
 
+  /** The [[qualityScore]] blend as ONE column over raw `text` — the
+    * same expression tree (so bit-identical doubles) for callers that
+    * fuse the quality gate into a wider plan instead of joining the
+    * scored frame back (graft.pipeline.CorpusPipeline). */
+  private[graft] def qualityCol(text: Column): Column = {
+    val words = split(trim(lower(text)), "\\s+")
+    val nWords = size(words).cast("double")
+    val stopHits = size(filter(words,
+      w => Stopwords.map(s => w === s).reduce(_ || _))).cast("double")
+    val alpha = length(regexp_replace(text, "[^A-Za-z]", ""))
+      .cast("double")
+    least(lit(1.0),
+      ((stopHits / nWords) * 2.0 + alpha / length(text).cast("double"))
+        / 2.0)
+  }
+
   /** Quality heuristics: mean word length, stopword ratio, alpha ratio,
     * and a blended [0,1] score. Division is IEEE-deterministic; the
-    * oracle replicates the exact expression tree. */
+    * oracle replicates the exact expression tree (and [[qualityCol]]
+    * inlines the same tree — keep them in lockstep). */
   def qualityScore(docs: DataFrame): DataFrame = {
     val words = split(trim(lower(col("text"))), "\\s+")
     val nWords = size(words).cast("double")
@@ -47,36 +64,39 @@ object TextAnalysis {
   }
 
   /** Language-ID by stopword-profile hits: tiny per-language marker
-    * lists; predicted = argmax hit count (ties → lexicographic lang).
-    * The profile is a broadcast dimension — the classic n-gram profile
-    * generalization with the same join shape. */
+    * lists; predicted = argmax hit count (ties → lexicographic lang). */
   val LangProfiles: Seq[(String, String)] = Seq(
     "en" -> "the", "en" -> "and", "en" -> "of",
     "es" -> "el", "es" -> "la", "es" -> "de",
     "de" -> "der", "de" -> "und", "de" -> "das",
     "fr" -> "le", "fr" -> "et", "fr" -> "les")
 
+  /** (pred_lang, hits) columns over raw `text`, entirely ROW-LOCAL:
+    * with a fixed small profile, each language's hit count is an array
+    * `filter` over the doc's own tokens (every matching occurrence
+    * counts, like the join form would) and the argmax is an `array_min`
+    * over (−hits, lang) structs — max hits, ties to the smaller lang,
+    * "und" when nothing matches. A pure projection rides the scan with
+    * ZERO exchanges at any corpus size; the equivalent
+    * explode + profile-join + per-doc-window plan pays three. */
+  private[graft] def langIdCols(text: Column): (Column, Column) = {
+    val words = split(trim(lower(text)), "\\s+")
+    val entries = LangProfiles.groupBy(_._1).view
+      .mapValues(_.map(_._2)).toSeq.sortBy(_._1)
+      .map { case (lang, markers) =>
+        val hits = size(filter(words,
+          w => markers.map(m => w === m).reduce(_ || _))).cast("long")
+        struct((lit(0L) - hits).as("neg"), lit(lang).as("lang"))
+      }
+    val best = array_min(array(entries: _*))
+    (when(best.getField("neg") === 0L, lit("und"))
+       .otherwise(best.getField("lang")),
+     lit(0L) - best.getField("neg"))
+  }
+
   def langId(docs: DataFrame): DataFrame = {
-    val spark = docs.sparkSession
-    import spark.implicits._
-    val profile = LangProfiles.toDF("lang", "marker")
-    val tokens = docs.select(col("doc_id"),
-      explode(split(trim(lower(col("text"))), "\\s+")).as("tok"))
-    val hits = tokens
-      .join(broadcast(profile), col("tok") === col("marker"))
-      .groupBy(col("doc_id"), col("lang"))
-      .agg(count(lit(1)).as("hits"))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("doc_id"))
-      .orderBy(col("hits").desc, col("lang").asc)
-    val best = hits.withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
-      .select(col("doc_id"), col("lang").as("pred_lang"), col("hits"))
-    docs.select(col("doc_id"))
-      .join(best, Seq("doc_id"), "left")
-      .select(col("doc_id"),
-        coalesce(col("pred_lang"), lit("und")).as("pred_lang"),
-        coalesce(col("hits"), lit(0L)).as("hits"))
+    val (pred, hits) = langIdCols(col("text"))
+    docs.select(col("doc_id"), pred.as("pred_lang"), hits.as("hits"))
   }
 
   /** Content fingerprint: md5 of the normalized text — the join/dedup key
