@@ -50,6 +50,13 @@ object Bench {
     // query doesn't run under their GC pressure
     spark.sparkContext.getPersistentRDDs.values
       .foreach(_.unpersist(blocking = false))
+    // opt-in inter-query GC (decade sweeps): the big allocators (q70's
+    // 10⁸ pairs at sf1) leave collection debt that taxes whichever
+    // queries happen to run next — measured 2.7 s (isolated) vs 41 s
+    // (in-run) for q05 at sf1. A forced collection between timed
+    // regions isolates each measurement. Off by default so driver runs
+    // keep their historical conditions.
+    val gcBetween = sys.env.get("SPARK_GRAFT_GC_BETWEEN").contains("1")
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
@@ -59,6 +66,7 @@ object Bench {
       // GC pressure on later queries
       spark.sparkContext.getPersistentRDDs.values
         .foreach(_.unpersist(blocking = false))
+      if (gcBetween) System.gc()
       name -> dt
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }

@@ -35,8 +35,18 @@ object SemanticDedup {
     * `dup_of` is the smallest same-cluster vec_id at cosine ≥
     * `threshold` (null ⇒ kept = true). */
   def semanticDedup(embeddings: DataFrame, clusters: Int,
-                    threshold: Double, iters: Int = 8): DataFrame = {
-    val model = Similarity.kmeansCentroids(embeddings, clusters, iters)
+                    threshold: Double, iters: Int = 8): DataFrame =
+    semanticDedupWithModel(embeddings,
+      Similarity.kmeansCentroids(embeddings, clusters, iters), threshold)
+
+  /** [[semanticDedup]] against a FIXED centroid model — the form the
+    * incremental ingest job ([[graft.jobs.SemanticIngestJob]]) and its
+    * two-batch-equals-batch spec share: with the blocking cells frozen,
+    * the verdict is a pure function of (corpus, model, threshold), so
+    * batch and incremental runs are row-identical. */
+  def semanticDedupWithModel(embeddings: DataFrame,
+                             model: Seq[Seq[Double]],
+                             threshold: Double): DataFrame = {
     val e = embeddings
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
       .withColumn("cell", Similarity.nearestCell(col("v"), model))

@@ -1,0 +1,177 @@
+package graft.jobs
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import graft.sim.Similarity
+
+/** Incremental semantic dedup at ingest — the streaming form of
+  * [[graft.dedup.SemanticDedup.semanticDedup]], completing the ingest
+  * family (exact hash → DedupIngestJob, MinHash/LSH → NearDupIngestJob,
+  * k-gram scrub → SubstringIngestJob, embedding space → here): each
+  * arriving micro-batch of vectors is assigned to the FROZEN k-means
+  * cells, compared against (1) the persisted per-cell vector store and
+  * (2) itself (within-batch keep-first), and appended with its verdict
+  * — the corpus history is never re-scored.
+  *
+  * Semantics: a vector's `dup_of` is the smallest same-cell vec_id at
+  * cosine ≥ threshold, over EVERYTHING ingested so far. Note the
+  * dominator needn't itself be kept (exactly the batch operator's
+  * contract), which is why the store holds ALL ingested vectors, not
+  * just survivors — dropping dropped vectors from the store would
+  * silently weaken the verdict for later arrivals whose only dominator
+  * was itself a duplicate. With doc ids increasing across batches (the
+  * append-only ingest contract), the accumulated verdicts are
+  * row-identical to [[graft.dedup.SemanticDedup.semanticDedupWithModel]]
+  * over the concatenated corpus with the same model — pinned in
+  * SemanticIngestSpec.
+  *
+  * Persisted structures under `outDir`:
+  *  - `model`: the centroid vectors (cell, centroid), written once by
+  *    the first batch (trained on it) and FROZEN — assignment must stay
+  *    stable or history blocking breaks. Model-sized; read via a
+  *    driver collect like every centroid model here.
+  *  - `vectors`: (vec_id, cell, v, dup_of, kept) — an external table
+  *    bucketed on cell, so the per-batch history join shuffles only
+  *    the incoming batch into the store's layout (bucketing on `cell`
+  *    co-partitions the (cell, …) joins; the store is never
+  *    re-shuffled — same story as the other ingest stores). At 100 TB
+  *    the per-cell scan is the cost driver: raise `clusters` so cells
+  *    stay executor-sized, exactly as in the batch operator.
+  *
+  * Exactly-once: a replayed batch's vec_ids are already in `vectors`
+  * (the (cell, vec_id) anti-join is bucket-aligned), so nothing
+  * re-appends — idempotent under source replay.
+  */
+object SemanticIngestJob {
+
+  private def storeBuckets(spark: SparkSession): Int =
+    spark.conf.get("spark.graft.semantic.storeBuckets", "64").toInt
+
+  private def tableName(outDir: String): String = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+      .digest(outDir.getBytes("UTF-8"))
+    "graft_sem_vectors_" + md.take(8).map("%02x".format(_)).mkString
+  }
+
+  private def pathExists(spark: SparkSession, path: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    p.getFileSystem(spark.sessionState.newHadoopConf()).exists(p)
+  }
+
+  /** Bucket-aware store view (catalog table when registered, plain
+    * path fallback for a fresh session over an existing store). */
+  private[graft] def storeView(spark: SparkSession,
+                               outDir: String): Option[DataFrame] = {
+    val path = s"$outDir/vectors"
+    if (spark.catalog.tableExists(tableName(outDir)))
+      Some(spark.table(tableName(outDir)))
+    else if (pathExists(spark, path)) Some(spark.read.parquet(path))
+    else None
+  }
+
+  /** The frozen model, or None before the first batch. */
+  private[graft] def loadModel(spark: SparkSession,
+                               outDir: String): Option[Seq[Seq[Double]]] = {
+    val path = s"$outDir/model"
+    if (!pathExists(spark, path)) None
+    else Some(spark.read.parquet(path)
+      .orderBy(col("cell"))
+      .collect().map(_.getSeq[Double](1)).toSeq)
+  }
+
+  private def saveModel(spark: SparkSession, outDir: String,
+                        model: Seq[Seq[Double]]): Unit = {
+    import spark.implicits._
+    model.zipWithIndex.map { case (c, i) => (i, c) }
+      .toDF("cell", "centroid")
+      .coalesce(1).write.mode("overwrite").parquet(s"$outDir/model")
+  }
+
+  /** Batch core, shared by streaming foreachBatch and tests.
+    * `vectors`: (vec_id, embedding). The first batch trains and
+    * freezes the model (`clusters`/`iters` are ignored afterwards).
+    * @return number of new vectors appended */
+  def writeBatch(vectors: DataFrame, outDir: String, clusters: Int,
+                 threshold: Double, iters: Int = 8): Long = {
+    val spark = vectors.sparkSession
+    val model = loadModel(spark, outDir).getOrElse {
+      val m = Similarity.kmeansCentroids(vectors, clusters, iters)
+      saveModel(spark, outDir, m)
+      m
+    }
+    val e = vectors
+      .select(col("vec_id"),
+        col("embedding").cast("array<double>").as("v"))
+      .withColumn("cell", Similarity.nearestCell(col("v"), model))
+    val store = storeView(spark, outDir)
+    // replay guard: cells are a pure function of the frozen model, so
+    // a replayed vector lands in the same cell and the anti-join is
+    // bucket-aligned (only the batch side shuffles)
+    val fresh0 = store match {
+      case Some(s) => e.join(s.select(col("cell"), col("vec_id")),
+        Seq("cell", "vec_id"), "left_anti")
+      case None => e
+    }
+    val fresh = fresh0.localCheckpoint(true)
+    try {
+      // dominators already ingested: smallest same-cell store id within
+      // threshold (the id filter matters only for non-monotonic ingest
+      // orders — it can never produce a false drop)
+      val histDom = store match {
+        case Some(s) =>
+          fresh.join(s.select(col("cell"), col("vec_id").as("id_small"),
+            col("v").as("v1")), Seq("cell"))
+            .filter(col("id_small") < col("vec_id"))
+            .filter(Similarity.cosine(col("v1"), col("v")) >= threshold)
+            .groupBy(col("vec_id")).agg(min(col("id_small")).as("dup_hist"))
+        case None =>
+          fresh.select(col("vec_id"), lit(null).cast("long").as("dup_hist"))
+            .limit(0)
+      }
+      // within-batch keep-first, blocked by cell — the batch operator's
+      // own pair shape
+      val inDom = fresh
+        .select(col("cell"), col("vec_id").as("id_small"), col("v").as("v1"))
+        .join(fresh.select(col("cell"), col("vec_id"), col("v").as("v2")),
+          Seq("cell"))
+        .filter(col("id_small") < col("vec_id"))
+        .filter(Similarity.cosine(col("v1"), col("v2")) >= threshold)
+        .groupBy(col("vec_id")).agg(min(col("id_small")).as("dup_batch"))
+      val verdict = fresh
+        .join(histDom, Seq("vec_id"), "left")
+        .join(inDom, Seq("vec_id"), "left")
+        .withColumn("dup_of", least(col("dup_hist"), col("dup_batch")))
+        .select(col("vec_id"), col("cell"), col("v"), col("dup_of"),
+          col("dup_of").isNull.as("kept"))
+      val n = fresh.count()
+      if (n > 0) {
+        val table = tableName(outDir)
+        val w = verdict.write.format("parquet")
+          .bucketBy(storeBuckets(spark), "cell")
+          .sortBy("cell", "vec_id")
+          .mode("append")
+        (if (spark.catalog.tableExists(table)) w
+         else w.option("path", s"$outDir/vectors")).saveAsTable(table)
+      }
+      n
+    } finally fresh.unpersist()
+  }
+
+  /** File-drop streaming entry (replayable source + checkpoint →
+    * restart-safe): each dropped file holds JSON lines
+    * {"vec_id": …, "embedding": [...]}. AvailableNow drains and stops. */
+  def runFiles(spark: SparkSession, inDir: String, outDir: String,
+               checkpoint: String, clusters: Int,
+               threshold: Double): StreamingQuery = {
+    val schema = "vec_id LONG, embedding ARRAY<DOUBLE>"
+    spark.readStream.schema(schema).json(inDir)
+      .writeStream
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (df: DataFrame, _: Long) =>
+        writeBatch(df, outDir, clusters, threshold); ()
+      }
+      .start()
+  }
+}

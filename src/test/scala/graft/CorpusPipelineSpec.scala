@@ -121,4 +121,43 @@ class CorpusPipelineSpec extends AnyFunSuite with SparkTestBase {
       .collect().toList
     assert(model == direct)
   }
+
+  test("fused quality gate keeps exactly TrainingData.qualityGate's " +
+    "rows (randomized strata, duplicate scores, single-row stratum)") {
+    // texts short enough (< 8 tokens) that the scrub stage can't touch
+    // them, mutually distinct so exact dedup is a no-op, benchmark
+    // disjoint so decontamination is a no-op, langs open so the lang
+    // filter passes everything → p.docs ids == quality-gate keep-set
+    val rnd = new scala.util.Random(20260813L)
+    val vocab = Array("the", "and", "of", "zq", "cat", "dog", "9", "xv")
+    val rows = (1L to 120L).map { id =>
+      val n = 3 + rnd.nextInt(4)
+      val words = Seq.fill(n)(vocab(rnd.nextInt(vocab.length)))
+      // a unique tail token keeps texts distinct without an 8-gram
+      (id, (words :+ s"u$id").mkString(" "),
+        if (id == 120L) "solo" else s"src${id % 3}")
+    }
+    val corpus = rows.toDF("doc_id", "text", "source")
+    val bench = Seq((999L, "completely unrelated benchmark content"))
+      .toDF("doc_id", "text")
+    val p = CorpusPipeline.prepare(
+      corpus, bench, langs = Seq("en", "es", "de", "fr", "und"),
+      minQualityPercentile = 0.4, nearDupThreshold = 0.0, scrubK = 8)
+    val got = p.docs.select("doc_id").as[Long].collect().toSet
+    val want = graft.pipeline.TrainingData.qualityGate(
+      graft.text.TextAnalysis.qualityScore(corpus)
+        .join(corpus.select($"doc_id", $"source"), Seq("doc_id")),
+      $"source", $"quality", $"doc_id", 0.4)
+      .select("doc_id").as[Long].collect().toSet
+    assert(got == want, s"fused minus ref: ${got diff want}; " +
+      s"ref minus fused: ${want diff got}")
+    // the single-row stratum's only doc always survives
+    assert(got.contains(120L))
+    val m = p.funnel.map(f => f.stage -> f.rows).toMap
+    assert(m("quality_gate") == want.size)
+    assert(m("input") == 120 && m("lang_filter") == 120 &&
+      m("exact_dedup") == want.size &&
+      m("substring_scrub") == want.size &&
+      m("decontaminate") == want.size)
+  }
 }

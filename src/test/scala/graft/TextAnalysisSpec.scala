@@ -33,6 +33,24 @@ class TextAnalysisSpec extends AnyFunSuite with SparkTestBase {
     assert(got(1L) == "en" && got(2L) == "es" && got(3L) == "und")
   }
 
+  test("langId: occurrence counting, lexicographic ties, empty text") {
+    val d = Seq(
+      (1L, "the the the el"),       // en 3 hits beats es 1
+      (2L, "the el and la"),        // tie 2-2 → lexicographic: "en"
+      (3L, "de und"),               // tie 1-1 (es "de", de "und") → "de"
+      (4L, ""),                     // no tokens → und, 0 hits
+      (5L, "THE And oF")            // case-folded: 3 en hits
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.langId(d)
+      .select("doc_id", "pred_lang", "hits").as[(Long, String, Long)]
+      .collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got(1L) == ("en", 3L))
+    assert(got(2L) == ("en", 2L))
+    assert(got(3L) == ("de", 1L))
+    assert(got(4L) == ("und", 0L))
+    assert(got(5L) == ("en", 3L))
+  }
+
   test("fingerprint: stable across formatting variants") {
     val variants = Seq((1L, "Hello,  World!"), (2L, "hello world"))
       .toDF("doc_id", "text")

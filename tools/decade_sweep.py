@@ -42,13 +42,18 @@ def ensure_sf1():
 
 def run_bench(sf_dir):
     # match the driver's bench conditions: local[32] unless overridden
+    # GC between timed queries + a roomy heap: without them, the big
+    # allocators' collection debt lands on whichever queries run next
+    # (measured 15x inflation on q05 at sf1) and ratios stop meaning
+    # anything
     env = dict(os.environ, SPARK_GRAFT_SF_DIR=sf_dir,
-               SPARK_GRAFT_CPUS=os.environ.get("SPARK_GRAFT_CPUS", "32"))
+               SPARK_GRAFT_CPUS=os.environ.get("SPARK_GRAFT_CPUS", "32"),
+               SPARK_GRAFT_GC_BETWEEN="1")
     cp = os.path.join(REPO, "target", "scala-2.13", "classes") \
         + ":/opt/spark/jars/*"
     out = subprocess.run(
-        ["java", "-XX:+IgnoreUnrecognizedVMOptions", *ADD_OPENS,
-         "-cp", cp, "graft.Bench"],
+        ["java", "-XX:+IgnoreUnrecognizedVMOptions", "-Xmx96g",
+         *ADD_OPENS, "-cp", cp, "graft.Bench"],
         env=env, cwd=REPO, capture_output=True, text=True, check=True)
     queries, total = {}, None
     for line in out.stdout.splitlines():
