@@ -64,9 +64,16 @@ object DedupIngestJob {
     else None
   }
 
-  /** Batch core, shared by streaming foreachBatch and tests.
-    * @return number of new (non-duplicate) docs appended */
-  def writeBatch(docs: DataFrame, outDir: String): Long = {
+  /** Exact-dedup stage core, two-phase so composed funnels
+    * ([[CorpusIngestJob]]) can write their corpus BEFORE committing the
+    * store (the no-loss ordering): `out` is the eagerly materialized
+    * batch survivors (original columns + `content_hash`; in-batch
+    * keep-lowest-id per hash, store hashes anti-joined away) and
+    * `commit()` appends their hashes to the bucketed store. Caller
+    * unpersists `out`. */
+  private[jobs] case class StagedHash(out: DataFrame, commit: () => Unit)
+
+  private[jobs] def hashCore(docs: DataFrame, outDir: String): StagedHash = {
     val spark = docs.sparkSession
     // in-batch dedup: one doc per content hash, lowest id wins
     val inBatch = hashed(docs)
@@ -75,35 +82,43 @@ object DedupIngestJob {
           .partitionBy(col("content_hash")).orderBy(col("doc_id"))))
       .filter(col("rn") === 1).drop("rn")
     // cross-batch dedup: drop docs whose hash the store already holds
-    val fresh = storeView(spark, outDir) match {
+    val fresh = (storeView(spark, outDir) match {
       case Some(seen) =>
         inBatch.join(seen.select(col("content_hash")),
           Seq("content_hash"), "left_anti")
       case None => inBatch
-    }
-    fresh.persist()
+    }).localCheckpoint(true)
+    StagedHash(fresh, () => {
+      val table = storeTable(outDir)
+      val w = fresh.select(col("content_hash")).write
+        .format("parquet")
+        .bucketBy(storeBuckets(spark), "content_hash")
+        .sortBy("content_hash")
+        .mode("append")
+      // location only on table creation; appends use the catalog's
+      (if (spark.catalog.tableExists(table)) w
+       else w.option("path", s"$outDir/content_hash")).saveAsTable(table)
+    })
+  }
+
+  /** Batch core, shared by streaming foreachBatch and tests.
+    * @return number of new (non-duplicate) docs appended */
+  def writeBatch(docs: DataFrame, outDir: String): Long = {
+    val staged = hashCore(docs, outDir)
     try {
-      val n = fresh.count()
+      val n = staged.out.count()
       if (n > 0) {
         // corpus first, store second: a crash between the writes can
         // re-admit this batch's docs on replay (rare duplicate), while
         // the reverse order would silently LOSE them (hash present,
         // doc absent). Atomic both-or-neither needs a transactional
         // table format; with plain parquet, favor no-loss.
-        fresh.drop("content_hash").write.mode("append")
+        staged.out.drop("content_hash").write.mode("append")
           .parquet(s"$outDir/documents")
-        val table = storeTable(outDir)
-        val w = fresh.select(col("content_hash")).write
-          .format("parquet")
-          .bucketBy(storeBuckets(spark), "content_hash")
-          .sortBy("content_hash")
-          .mode("append")
-        // location only on table creation; appends use the catalog's
-        (if (spark.catalog.tableExists(table)) w
-         else w.option("path", s"$outDir/content_hash")).saveAsTable(table)
+        staged.commit()
       }
       n
-    } finally fresh.unpersist()
+    } finally staged.out.unpersist()
   }
 
   /** File-drop streaming entry (replayable source + checkpoint →

@@ -70,6 +70,70 @@ object SubstringIngestJob {
      else w.option("path", s"$outDir/$kind")).saveAsTable(table)
   }
 
+  /** Scrub stage core, two-phase so composed funnels
+    * ([[CorpusIngestJob]]) can write their corpus BEFORE committing the
+    * gram store (the no-loss ordering). `fresh` must already be
+    * replay-guarded and materialized (it is scanned several times);
+    * `out` is the scrubbed batch in `dedupCorpus`'s schema,
+    * `commit()` appends the batch's new grams, `release()` drops the
+    * intermediate checkpoint. */
+  private[jobs] case class StagedScrub(out: DataFrame, commit: () => Unit,
+                                       release: () => Unit)
+
+  private[jobs] def scrubCore(fresh: DataFrame, outDir: String,
+                              k: Int): StagedScrub = {
+    val spark = fresh.sparkSession
+    val base = fresh.select(col("doc_id"), split(col("text"), " ").as("w"))
+    // one row per k-gram occurrence with its start position — the
+    // inverted-occurrence shape of the batch operator (never a pair
+    // join)
+    val sh = base.filter(size(col("w")) >= k)
+      .select(col("doc_id"), explode(expr(
+        s"transform(sequence(0, size(w) - $k), i -> " +
+          s"struct(i AS s, array_join(slice(w, i + 1, $k), ' ') AS g))"))
+        .as("e"))
+      .select(col("doc_id"), col("e.s").as("s"), col("e.g").as("g"))
+      .localCheckpoint(true)
+    val batchMin = sh.groupBy(col("g")).agg(min(col("doc_id")).as("bmin"))
+    // a doc's occurrence is covered when an EARLIER doc holds the
+    // gram — earlier batch (store join) or earlier in this batch
+    val store = storeView(spark, outDir, "grams")
+    val withHistory = store match {
+      case Some(st) => batchMin.join(
+        st.select(col("g"), col("min_doc")), Seq("g"), "left")
+        .select(col("g"),
+          least(col("bmin"), coalesce(col("min_doc"), col("bmin")))
+            .as("min_doc"))
+      case None => batchMin.select(col("g"), col("bmin").as("min_doc"))
+    }
+    val starts = sh.join(withHistory, Seq("g"))
+      .filter(col("doc_id") > col("min_doc"))
+      .groupBy(col("doc_id")).agg(collect_set(col("s")).as("starts"))
+    val out = base.join(starts, Seq("doc_id"), "left")
+      .withColumn("idx", expr("sequence(0, size(w) - 1)"))
+      .withColumn("cov",
+        when(col("starts").isNull, expr("CAST(array() AS array<int>)"))
+          .otherwise(expr(s"filter(idx, t -> " +
+            s"exists(starts, st -> st <= t AND t < st + $k))")))
+      .select(col("doc_id"),
+        expr("array_join(transform(" +
+          "filter(idx, t -> NOT array_contains(cov, t)), " +
+          "t -> element_at(w, t + 1)), ' ')").as("kept_text"),
+        size(col("w")).cast("long").as("n_tokens"),
+        size(col("cov")).cast("long").as("n_removed"))
+    StagedScrub(out,
+      () => {
+        val newGrams = store match {
+          case Some(st) => withHistory.join(st.select(col("g")),
+            Seq("g"), "left_anti")
+          case None => withHistory
+        }
+        appendBucketed(newGrams.select(col("g"), col("min_doc")),
+          outDir, "grams", "g")
+      },
+      () => sh.unpersist())
+  }
+
   /** Batch core, shared by streaming foreachBatch and tests.
     * @param docs (doc_id, text) micro-batch; ids must be fresh and
     *   larger than every previously ingested id for batch-equality
@@ -84,62 +148,19 @@ object SubstringIngestJob {
     }
     val fresh = fresh0.localCheckpoint(true)
     try {
-      val base = fresh.select(col("doc_id"), split(col("text"), " ").as("w"))
-      // one row per k-gram occurrence with its start position — the
-      // inverted-occurrence shape of the batch operator (never a pair
-      // join)
-      val sh = base.filter(size(col("w")) >= k)
-        .select(col("doc_id"), explode(expr(
-          s"transform(sequence(0, size(w) - $k), i -> " +
-            s"struct(i AS s, array_join(slice(w, i + 1, $k), ' ') AS g))"))
-          .as("e"))
-        .select(col("doc_id"), col("e.s").as("s"), col("e.g").as("g"))
-        .localCheckpoint(true)
-      val batchMin = sh.groupBy(col("g")).agg(min(col("doc_id")).as("bmin"))
-      // a doc's occurrence is covered when an EARLIER doc holds the
-      // gram — earlier batch (store join) or earlier in this batch
-      val store = storeView(spark, outDir, "grams")
-      val withHistory = store match {
-        case Some(st) => batchMin.join(
-          st.select(col("g"), col("min_doc")), Seq("g"), "left")
-          .select(col("g"),
-            least(col("bmin"), coalesce(col("min_doc"), col("bmin")))
-              .as("min_doc"))
-        case None => batchMin.select(col("g"), col("bmin").as("min_doc"))
-      }
-      val starts = sh.join(withHistory, Seq("g"))
-        .filter(col("doc_id") > col("min_doc"))
-        .groupBy(col("doc_id")).agg(collect_set(col("s")).as("starts"))
-      val out = base.join(starts, Seq("doc_id"), "left")
-        .withColumn("idx", expr("sequence(0, size(w) - 1)"))
-        .withColumn("cov",
-          when(col("starts").isNull, expr("CAST(array() AS array<int>)"))
-            .otherwise(expr(s"filter(idx, t -> " +
-              s"exists(starts, st -> st <= t AND t < st + $k))")))
-        .select(col("doc_id"),
-          expr("array_join(transform(" +
-            "filter(idx, t -> NOT array_contains(cov, t)), " +
-            "t -> element_at(w, t + 1)), ' ')").as("kept_text"),
-          size(col("w")).cast("long").as("n_tokens"),
-          size(col("cov")).cast("long").as("n_removed"))
+      val staged = scrubCore(fresh, outDir, k)
       val n = fresh.count()
       if (n > 0) {
         // corpus first, stores second (no-loss ordering, as the other
         // ingest jobs): a crash between the writes can re-append this
         // batch on replay (rare duplicate rows), while the reverse
         // order would silently LOSE docs (marked seen, never written)
-        out.write.mode("append").parquet(s"$outDir/documents")
-        val newGrams = store match {
-          case Some(st) => withHistory.join(st.select(col("g")),
-            Seq("g"), "left_anti")
-          case None => withHistory
-        }
-        appendBucketed(newGrams.select(col("g"), col("min_doc")),
-          outDir, "grams", "g")
+        staged.out.write.mode("append").parquet(s"$outDir/documents")
+        staged.commit()
         appendBucketed(fresh.select(col("doc_id")), outDir, "seen",
           "doc_id")
       }
-      sh.unpersist()
+      staged.release()
       n
     } finally fresh.unpersist()
   }

@@ -1,0 +1,129 @@
+package graft
+
+import java.nio.file.Files
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.jobs.CorpusIngestJob
+import graft.dedup.{Dedup, SubstringDedup}
+import graft.pipeline.TrainingData
+import graft.text.TextAnalysis
+
+class CorpusIngestSpec extends AnyFunSuite with SparkTestBase {
+  import spark.implicits._
+
+  private def tmp(): String =
+    Files.createTempDirectory("graft_corpus_ingest").toString
+
+  private val langs = Seq("en", "und")
+  private val floor = 0.5
+
+  // doc 1 owns the 8-gram spans doc 11 will duplicate
+  private val tA = "the cat and the dog walked over the hill at dawn today"
+  private val tB = "the ship sailed and the crew sang of the open sea tonight"
+  private lazy val batch1 = Seq(
+    (1L, tA, "web"),
+    (2L, "el la de el la de el la de", "web"),   // Spanish → lang gate
+    (3L, "zq xv 9 zq xv 9 zq", "web"),           // junk → quality floor
+    (4L, tA, "web"),                              // in-batch exact dup of 1
+    (5L, tB, "books")
+  ).toDF("doc_id", "text", "source")
+  private lazy val batch2 = Seq(
+    (10L, tA, "web"),                             // cross-batch exact dup
+    // first 9 tokens replay doc 1's 8-gram spans; unique tail survives
+    (11L, "the cat and the dog walked over the hill fresh unique " +
+      "ending words here", "web"),
+    (12L, "the benchmark sentence copied verbatim here and the story " +
+      "continues today friend", "web"),           // contaminated
+    (13L, "the garden grew and the roses bloomed under a summer sun",
+      "books")
+  ).toDF("doc_id", "text", "source")
+  private lazy val benchmark = Seq(
+    (900L, "the benchmark sentence copied verbatim here indeed"))
+    .toDF("doc_id", "text")
+
+  /** The batch chain the stream must equal: lang filter → quality
+    * floor → keep-min-per-hash → dedupCorpus scrub → contamination. */
+  private def batchChain(all: DataFrame): DataFrame = {
+    val cols = all.columns.map(col).toSeq
+    val (pred, _) = TextAnalysis.langIdCols(col("text"))
+    val gated = all.filter(pred.isin(langs: _*))
+      .filter(TextAnalysis.qualityCol(col("text")) >= floor)
+    val exact = gated
+      .withColumn("__h", Dedup.hash60(Dedup.normalize(col("text"))))
+      .withColumn("__m", min(col("doc_id")).over(Window.partitionBy("__h")))
+      .filter(col("doc_id") === col("__m")).drop("__h", "__m")
+    val scrubbed = SubstringDedup
+      .dedupCorpus(exact.select(col("doc_id"), col("text")), 8)
+      .filter(col("kept_text") =!= "")
+      .withColumnRenamed("kept_text", "text")
+      .select(col("doc_id"), col("text"))
+    val full = exact.drop("text").join(scrubbed, Seq("doc_id"))
+      .select(cols: _*)
+    full.join(TrainingData.contamination(full, benchmark)
+      .select(col("doc_id")), Seq("doc_id"), "left_anti")
+  }
+
+  test("two-batch ingest corpus equals the batch funnel over the " +
+    "concatenated input") {
+    val out = tmp()
+    assert(CorpusIngestJob.writeBatch(batch1, out, langs, floor,
+      benchmark = Some(benchmark)) == 2) // docs 1, 5
+    assert(CorpusIngestJob.writeBatch(batch2, out, langs, floor,
+      benchmark = Some(benchmark)) == 2) // docs 11 (scrubbed), 13
+    val got = spark.read.parquet(s"$out/documents")
+      .as[(Long, String, String)].collect().sortBy(_._1).toList
+    val want = batchChain(batch1.union(batch2))
+      .as[(Long, String, String)].collect().sortBy(_._1).toList
+    assert(got == want, s"stream: $got\nbatch:  $want")
+    assert(got.map(_._1) == List(1L, 5L, 11L, 13L))
+    // the cross-batch scrub removed doc 1's spans from doc 11
+    assert(got.find(_._1 == 11L).get._2 ==
+      "fresh unique ending words here")
+  }
+
+  test("replay idempotence: re-ingesting a processed batch appends " +
+    "nothing") {
+    val out = tmp()
+    assert(CorpusIngestJob.writeBatch(batch1, out, langs, floor,
+      benchmark = Some(benchmark)) == 2)
+    assert(CorpusIngestJob.writeBatch(batch2, out, langs, floor,
+      benchmark = Some(benchmark)) == 2)
+    assert(CorpusIngestJob.writeBatch(batch2, out, langs, floor,
+      benchmark = Some(benchmark)) == 0)
+    assert(spark.read.parquet(s"$out/documents").count() == 4)
+  }
+
+  test("a batch scrubbed to nothing still teaches the stores: its " +
+    "content dedups future copies without re-scrubbing") {
+    val out = tmp()
+    assert(CorpusIngestJob.writeBatch(batch1, out, langs, floor) == 2)
+    // doc 20 is entirely covered by doc 1's 8-grams → empty, no append
+    val b3 = Seq((20L, "the cat and the dog walked over the hill",
+      "web")).toDF("doc_id", "text", "source")
+    assert(CorpusIngestJob.writeBatch(b3, out, langs, floor) == 0)
+    // doc 21 repeats doc 20's text: the hash store (not the scrub
+    // path) must drop it — its hash committed despite the empty delta
+    val b4 = Seq((21L, "the cat and the dog walked over the hill",
+      "web")).toDF("doc_id", "text", "source")
+    assert(CorpusIngestJob.writeBatch(b4, out, langs, floor) == 0)
+    assert(spark.read.parquet(s"$out/documents").count() == 2)
+  }
+
+  test("streaming file-drop: drains available files through " +
+    "foreachBatch") {
+    val out = tmp()
+    val in = tmp()
+    val lines = Seq(
+      s"""{"doc_id": 1, "text": "$tA", "source": "web"}""",
+      s"""{"doc_id": 2, "text": "$tA", "source": "web"}""",
+      s"""{"doc_id": 3, "text": "$tB", "source": "books"}""")
+    Files.write(java.nio.file.Paths.get(s"$in/docs.json"),
+      lines.mkString("\n").getBytes)
+    val q = CorpusIngestJob.runFiles(spark, in, out, tmp(), langs, floor)
+    q.awaitTermination(60000)
+    assert(spark.read.parquet(s"$out/documents")
+      .select("doc_id").as[Long].collect().toSet == Set(1L, 3L))
+  }
+}
