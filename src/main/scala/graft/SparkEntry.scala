@@ -1594,6 +1594,58 @@ object SparkEntry {
       .select(col("word"), array_join(col("tokens"), " ").as("tokens"),
         size(col("tokens")).cast("long").as("n_tokens"))
 
+  /** Naive-Bayes TRAIN (graft.text.NaiveBayes): class-conditional token
+    * counts for a lang classifier, learned from the deterministic
+    * train split (q49's convention). Integer sufficient statistics
+    * only — bit-exact on any engine, so the MODEL itself oracles. */
+  def q109_nb_train(s: SparkSession, d: String): DataFrame =
+    graft.text.NaiveBayes.train(
+      Tables.documents(s, d).filter(
+        graft.pipeline.TrainingData.splitAssign(col("doc_id")) === "train"),
+      "lang")
+
+  /** Naive-Bayes CLASSIFY: score the held-out split against the q109
+    * model and keep the argmax class — the model-based filtering stage
+    * of the CCNet recipe (train on reference, keep what scores
+    * reference-like). α = 1 keeps scoring inner-join-only; scores ship
+    * as integer ppm (repo convention for doubles). */
+  def q110_nb_classify(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val split = graft.pipeline.TrainingData.splitAssign(col("doc_id"))
+    graft.text.NaiveBayes.classify(
+      docs.filter(split =!= "train"),
+      graft.text.NaiveBayes.train(docs.filter(split === "train"), "lang"))
+  }
+
+  /** Near-dup cluster REPRESENTATIVE selection — the "fuzzy dedup, keep
+    * best" stage: q44's clusters (exact-Jaccard ≥ 0.5 pairs → connected
+    * components), but instead of reporting membership, keep the
+    * highest-QUALITY document per cluster (q21's blend; ties to the
+    * smaller doc_id). Emits one row per cluster with the kept doc and
+    * the count it replaces. Oracle: q44's recursive CTE + quality
+    * expression + row_number. */
+  def q111_dedup_reps(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val clusters = graft.dedup.Dedup.dupGroups(
+      graft.dedup.Dedup.jaccardPairs(
+        graft.dedup.Dedup.shingleKeys(docs, 3).localCheckpoint(true), 0.5))
+    val quality = graft.text.TextAnalysis.qualityScore(docs)
+      .select(col("doc_id"), col("quality"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("canonical_id"))
+      .orderBy(col("quality").desc, col("doc_id").asc)
+    clusters.join(quality, Seq("doc_id"))
+      .withColumn("rn", row_number().over(w))
+      .withColumn("cluster_sz",
+        count(lit(1)).over(org.apache.spark.sql.expressions.Window
+          .partitionBy(col("canonical_id"))))
+      .where(col("rn") === 1)
+      .select(col("canonical_id").as("cluster_id"),
+        col("doc_id").as("rep_doc_id"),
+        col("cluster_sz"),
+        (col("cluster_sz") - 1).as("n_dropped"))
+  }
+
   // ---------------------------------------------------------------- registry
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1705,6 +1757,9 @@ object SparkEntry {
     "q106_corpus_pipeline" -> (q106_corpus_pipeline _),
     "q107_bpe_encode" -> (q107_bpe_encode _),
     "q108_semantic_multiprobe" -> (q108_semantic_multiprobe _),
+    "q109_nb_train" -> (q109_nb_train _),
+    "q110_nb_classify" -> (q110_nb_classify _),
+    "q111_dedup_reps" -> (q111_dedup_reps _),
   )
 
   // DuckDB twins of the Scala normalization / hashing expressions
@@ -3272,5 +3327,130 @@ object SparkEntry {
         |  list_aggregate(syms, 'string_agg', ' ') AS tokens,
         |  CAST(len(syms) AS BIGINT) AS n_tokens
         |FROM enc WHERE rank = 10 AND pos = 1""".stripMargin,
+    "q109_nb_train" -> {
+      val b = hash60Sql("'split|'||CAST(doc_id AS VARCHAR)") + " % 100"
+      s"""WITH train AS (
+         |  SELECT doc_id, lang, $NormSql AS norm
+         |  FROM documents WHERE $b < 80),
+         |tok AS (
+         |  SELECT lang AS label, unnest(string_split(norm, ' ')) AS term
+         |  FROM train),
+         |model AS (
+         |  SELECT label, term, count(*) AS cnt FROM tok GROUP BY 1, 2),
+         |ctot AS (
+         |  SELECT label, count(*) AS class_tokens FROM tok GROUP BY 1),
+         |cdocs AS (
+         |  SELECT lang AS label, count(*) AS class_docs
+         |  FROM train GROUP BY 1)
+         |SELECT m.label, m.term, m.cnt, ct.class_tokens, cd.class_docs
+         |FROM model m
+         |JOIN ctot ct USING (label)
+         |JOIN cdocs cd USING (label)""".stripMargin
+    },
+    "q110_nb_classify" -> {
+      val b = hash60Sql("'split|'||CAST(doc_id AS VARCHAR)") + " % 100"
+      // same α = 1 multinomial NB as graft.text.NaiveBayes: unseen
+      // terms contribute ln(1) = 0, so contrib is inner-join-only and
+      // absent (doc, class) contribs coalesce to 0
+      s"""WITH labeled AS (
+         |  SELECT doc_id, lang, $NormSql AS norm, $b AS bucket
+         |  FROM documents),
+         |train_tok AS (
+         |  SELECT lang AS label, unnest(string_split(norm, ' ')) AS term
+         |  FROM labeled WHERE bucket < 80),
+         |model AS (
+         |  SELECT label, term, count(*) AS cnt
+         |  FROM train_tok GROUP BY 1, 2),
+         |ctot AS (
+         |  SELECT label, count(*) AS class_tokens
+         |  FROM train_tok GROUP BY 1),
+         |cdocs AS (
+         |  SELECT lang AS label, count(*) AS class_docs
+         |  FROM labeled WHERE bucket < 80 GROUP BY 1),
+         |vocab AS (SELECT count(DISTINCT term) AS v FROM model),
+         |ndocs AS (SELECT count(*) AS n FROM labeled WHERE bucket < 80),
+         |tf AS (
+         |  SELECT doc_id, term, count(*) AS tf
+         |  FROM (SELECT doc_id, unnest(string_split(norm, ' ')) AS term
+         |        FROM labeled WHERE bucket >= 80)
+         |  GROUP BY 1, 2),
+         |dlen AS (SELECT doc_id, sum(tf) AS doc_len FROM tf GROUP BY 1),
+         |contrib AS (
+         |  SELECT tf.doc_id, m.label,
+         |    sum(CAST(tf.tf AS DOUBLE) * ln(CAST(m.cnt AS DOUBLE) + 1.0))
+         |      AS contrib
+         |  FROM tf JOIN model m ON tf.term = m.term GROUP BY 1, 2),
+         |scored AS (
+         |  SELECT d.doc_id, ct.label,
+         |    ln(CAST(cd.class_docs AS DOUBLE)) -
+         |      ln(CAST(n.n AS DOUBLE)) +
+         |      coalesce(c.contrib, 0.0) -
+         |      CAST(d.doc_len AS DOUBLE) *
+         |        ln(CAST(ct.class_tokens AS DOUBLE) + CAST(v.v AS DOUBLE))
+         |      AS score
+         |  FROM dlen d
+         |  CROSS JOIN ctot ct
+         |  JOIN cdocs cd USING (label)
+         |  CROSS JOIN vocab v
+         |  CROSS JOIN ndocs n
+         |  LEFT JOIN contrib c
+         |    ON c.doc_id = d.doc_id AND c.label = ct.label)
+         |SELECT doc_id, label AS pred_label,
+         |  CAST(round(score * 1e6) AS BIGINT) AS score_ppm
+         |FROM (SELECT doc_id, label, score,
+         |        row_number() OVER (PARTITION BY doc_id
+         |          ORDER BY score DESC, label) AS rn
+         |      FROM scored)
+         |WHERE rn = 1""".stripMargin
+    },
+    "q111_dedup_reps" ->
+      s"""WITH RECURSIVE w AS (
+         |  SELECT doc_id, string_split($NormSql, ' ') AS ws FROM documents),
+         |sh AS (
+         |  SELECT DISTINCT doc_id,
+         |    unnest([array_to_string(ws[i:i+2], ' ')
+         |            for i in range(1, greatest(len(ws)-3, 0)+2)]) AS s
+         |  FROM w),
+         |sz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+         |inter AS (
+         |  SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS i
+         |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2),
+         |pairs AS (
+         |  SELECT id1, id2 FROM inter
+         |  JOIN sz s1 ON s1.doc_id = id1 JOIN sz s2 ON s2.doc_id = id2
+         |  WHERE CAST(i AS DOUBLE) / CAST(s1.sz + s2.sz - i AS DOUBLE)
+         |    >= 0.5),
+         |und AS (
+         |  SELECT id1 AS a, id2 AS b FROM pairs
+         |  UNION SELECT id2, id1 FROM pairs),
+         |reach(a, b) AS (
+         |  SELECT a, b FROM und
+         |  UNION
+         |  SELECT r.a, u.b FROM reach r JOIN und u ON r.b = u.a),
+         |clusters AS (
+         |  SELECT a AS doc_id, least(a, min(b)) AS canonical_id
+         |  FROM reach GROUP BY a),
+         |t AS (
+         |  SELECT doc_id,
+         |    string_split_regex(trim(lower(text)), '\\s+') AS ws, text
+         |  FROM documents),
+         |q AS (
+         |  SELECT doc_id, least(1.0,
+         |    (CAST(len(list_filter(ws, x -> list_contains(
+         |       ['the','a','of','to','and','in','is','it','for','on'], x)))
+         |       AS DOUBLE) / CAST(len(ws) AS DOUBLE) * 2.0 +
+         |     CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g'))
+         |       AS DOUBLE) / CAST(length(text) AS DOUBLE)) / 2.0) AS quality
+         |  FROM t),
+         |ranked AS (
+         |  SELECT c.canonical_id, c.doc_id,
+         |    row_number() OVER (PARTITION BY c.canonical_id
+         |      ORDER BY q.quality DESC, c.doc_id) AS rn,
+         |    count(*) OVER (PARTITION BY c.canonical_id) AS cluster_sz
+         |  FROM clusters c JOIN q USING (doc_id))
+         |SELECT canonical_id AS cluster_id, doc_id AS rep_doc_id,
+         |  cluster_sz, cluster_sz - 1 AS n_dropped
+         |FROM ranked WHERE rn = 1""".stripMargin,
   )
 }

@@ -147,4 +147,26 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
       .select("id1", "id2").as[(Long, Long)].collect().toSet
     assert(got == Set((1L, 2L))) // 3 orthogonal; 4 in another block
   }
+
+  test("cluster representatives: one per cluster, highest quality kept") {
+    val dir = "/root/testdata/sf0.001"
+    val reps = SparkEntry.q111_dedup_reps(spark, dir)
+      .as[(Long, Long, Long, Long)].collect()
+    assert(reps.nonEmpty)
+    assert(reps.map(_._1).distinct.length == reps.length) // 1 per cluster
+    // independent recompute: membership + quality argmax per cluster
+    val docs = Tables.documents(spark, dir)
+    val members = Dedup.dupGroups(
+      Dedup.jaccardPairs(Dedup.shingleKeys(docs, 3), 0.5))
+      .as[(Long, Long)].collect().groupBy(_._2)
+    val q = graft.text.TextAnalysis.qualityScore(docs)
+      .select("doc_id", "quality").as[(Long, Double)].collect().toMap
+    assert(reps.length == members.size)
+    reps.foreach { case (cluster, rep, sz, dropped) =>
+      val ids = members(cluster).map(_._1)
+      assert(ids.contains(rep) && sz == ids.length && dropped == sz - 1)
+      val best = ids.map(i => (-q(i), i)).min._2 // max quality, min id tie
+      assert(rep == best, s"cluster $cluster kept $rep, expected $best")
+    }
+  }
 }

@@ -1,0 +1,89 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.text.NaiveBayes
+
+class NaiveBayesSpec extends AnyFunSuite with SparkTestBase {
+  import spark.implicits._
+
+  // Tiny separable corpus: "en" docs lean on the/and, "es" on el/de.
+  private lazy val train = Seq(
+    (1L, "the cat and the dog", "en"),
+    (2L, "the house and the tree", "en"),
+    (3L, "el gato y el perro", "es"),
+    (4L, "el arbol y de la casa", "es")
+  ).toDF("doc_id", "text", "lang")
+
+  test("train: hand-computed class-conditional counts") {
+    val m = NaiveBayes.train(train, "lang")
+      .as[(String, String, Long, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> (r._3, r._4, r._5)).toMap
+    // en tokens: the×4, cat, and×2, dog, house, tree → 10 total, 2 docs
+    assert(m(("en", "the")) == ((4L, 10L, 2L)))
+    assert(m(("en", "and")) == ((2L, 10L, 2L)))
+    assert(m(("en", "cat")) == ((1L, 10L, 2L)))
+    // es tokens: el×3, gato, y×2, perro, arbol, de, la, casa → 11, 2 docs
+    assert(m(("es", "el")) == ((3L, 11L, 2L)))
+    assert(m(("es", "y")) == ((2L, 11L, 2L)))
+    // a term never seen in a class has NO row (α=1 contract)
+    assert(!m.contains(("es", "the")) && !m.contains(("en", "el")))
+  }
+
+  test("classify: argmax matches a local dense reference computation") {
+    val model = NaiveBayes.train(train, "lang")
+    val test = Seq(
+      (10L, "the bird and the fish"),
+      (11L, "el pez y la mar"),
+      (12L, "zzz qqq www") // nothing in vocab: prior + length penalty only
+    ).toDF("doc_id", "text")
+
+    val got = NaiveBayes.classify(test, model)
+      .as[(Long, String, Long)].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+
+    // local dense reference: same α=1 formula over collected counts
+    val counts = model.as[(String, String, Long, Long, Long)].collect()
+    val byClass = counts.groupBy(_._1)
+    val classTokens = byClass.map { case (l, rs) => l -> rs.head._4 }
+    val classDocs = byClass.map { case (l, rs) => l -> rs.head._5 }
+    val vocab = counts.map(_._2).distinct.length
+    val nDocs = classDocs.values.sum
+    val cnt = counts.map(r => (r._1, r._2) -> r._3).toMap
+    def score(tokens: Seq[String], label: String): Double = {
+      val L = tokens.length
+      math.log(classDocs(label).toDouble) - math.log(nDocs.toDouble) +
+        tokens.map(t => math.log(cnt.getOrElse((label, t), 0L) + 1.0)).sum -
+        L * math.log(classTokens(label).toDouble + vocab)
+    }
+    val texts = Map(
+      10L -> "the bird and the fish", 11L -> "el pez y la mar",
+      12L -> "zzz qqq www")
+    texts.foreach { case (id, text) =>
+      val toks = text.split(" ").toSeq
+      val expected = Seq("en", "es")
+        .map(l => (l, score(toks, l)))
+        .minBy { case (l, s) => (-s, l) }
+      assert(got(id)._1 == expected._1, s"doc $id pred")
+      assert(got(id)._2 == math.round(expected._2 * 1e6), s"doc $id ppm")
+    }
+    // and the separable corpus actually separates
+    assert(got(10L)._1 == "en" && got(11L)._1 == "es")
+  }
+
+  test("classify: docs with no vocabulary overlap still score every class") {
+    val model = NaiveBayes.train(train, "lang")
+    val out = NaiveBayes.classify(
+      Seq((20L, "zzz qqq")).toDF("doc_id", "text"), model)
+    assert(out.count() == 1) // one argmax row, not zero
+  }
+
+  test("determinism: repeated classify runs are identical") {
+    val model = NaiveBayes.train(train, "lang")
+    val test = Seq((10L, "the bird and el gato")).toDF("doc_id", "text")
+    val a = NaiveBayes.classify(test, model).collect().toSeq
+    val b = NaiveBayes.classify(test, model).collect().toSeq
+    assert(a == b)
+  }
+}
