@@ -1646,6 +1646,26 @@ object SparkEntry {
         (col("cluster_sz") - 1).as("n_dropped"))
   }
 
+  /** q106's deterministic funnel with the MODEL-BASED gate added
+    * (CorpusPipeline stage 4b): a NaiveBayes lang classifier trained on
+    * the input corpus (label = the lang metadata column) refines the
+    * heuristic language filter — only docs whose learned argmax class
+    * is 'en' survive, scored on the SCRUBBED text that ships. Every
+    * stage is hash-stable, so the whole composition (including the NB
+    * argmax) oracles in one DuckDB CTE chain. */
+  def q112_corpus_classified(s: SparkSession, d: String): DataFrame = {
+    val all = Tables.documents(s, d)
+    val corpus = all.filter(col("doc_id") % 50 =!= 0)
+    val p = graft.pipeline.CorpusPipeline.prepare(
+      corpus,
+      all.filter(col("doc_id") % 50 === 0),
+      langs = Seq("en", "und"), minQualityPercentile = 0.2,
+      nearDupThreshold = 0.0, scrubK = 8,
+      classifier = Some((graft.text.NaiveBayes.train(corpus, "lang"),
+        Seq("en"))))
+    p.docs.select(col("doc_id"), col("text"), col("source"))
+  }
+
   // ---------------------------------------------------------------- registry
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1760,6 +1780,7 @@ object SparkEntry {
     "q109_nb_train" -> (q109_nb_train _),
     "q110_nb_classify" -> (q110_nb_classify _),
     "q111_dedup_reps" -> (q111_dedup_reps _),
+    "q112_corpus_classified" -> (q112_corpus_classified _),
   )
 
   // DuckDB twins of the Scala normalization / hashing expressions
@@ -1771,6 +1792,117 @@ object SparkEntry {
       "'\\b(dup)\\b','','g'),' +',' ','g'))"
   private def hash60Sql(x: String) =
     s"CAST(('0x'||substr(md5($x),1,15)) AS BIGINT)"
+
+  /** Shared CTE chain of the deterministic corpus funnel (q106/q112):
+    * language filter (q23 logic) → per-source quality percentile gate
+    * (q21 score) → exact dedup on normalized text (keep min doc_id) →
+    * 8-gram substring scrub (q103 logic) with empty docs dropped.
+    * Ends with the `scrubbed(doc_id, text, source)` CTE (no trailing
+    * comma); callers append their own stages. */
+  private def funnelSqlThroughScrub: String =
+    s"""WITH corpus0 AS (
+       |  SELECT doc_id, text, source FROM documents
+       |  WHERE doc_id % 50 <> 0),
+       |bench0 AS (
+       |  SELECT doc_id, text FROM documents WHERE doc_id % 50 = 0),
+       |toks AS (
+       |  SELECT doc_id,
+       |    unnest(string_split_regex(trim(lower(text)), '\\s+')) AS tok
+       |  FROM corpus0),
+       |profile(lang, marker) AS (VALUES
+       |  ('en','the'),('en','and'),('en','of'),
+       |  ('es','el'),('es','la'),('es','de'),
+       |  ('de','der'),('de','und'),('de','das'),
+       |  ('fr','le'),('fr','et'),('fr','les')),
+       |hits AS (
+       |  SELECT doc_id, lang, count(*) AS hits
+       |  FROM toks JOIN profile ON tok = marker
+       |  GROUP BY doc_id, lang),
+       |best AS (
+       |  SELECT doc_id, lang FROM (
+       |    SELECT doc_id, lang, row_number() OVER (
+       |      PARTITION BY doc_id ORDER BY hits DESC, lang ASC) AS rn
+       |    FROM hits) WHERE rn = 1),
+       |langf AS (
+       |  SELECT c.doc_id, c.text, c.source FROM corpus0 c
+       |  LEFT JOIN best USING (doc_id)
+       |  WHERE coalesce(best.lang, 'und') IN ('en', 'und')),
+       |qs AS (
+       |  SELECT doc_id, least(1.0, (
+       |      (CAST(len(list_filter(ws, w -> list_contains(
+       |         ['the','a','of','to','and','in','is','it','for','on'],
+       |         w))) AS DOUBLE) / CAST(len(ws) AS DOUBLE)) * 2.0
+       |      + (CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g'))
+       |         AS DOUBLE) / CAST(length(text) AS DOUBLE))) / 2.0)
+       |    AS quality
+       |  FROM (SELECT doc_id, text,
+       |          string_split_regex(trim(lower(text)), '\\s+') AS ws
+       |        FROM langf)),
+       |qg AS (
+       |  SELECT doc_id FROM (
+       |    SELECT q.doc_id,
+       |      percent_rank() OVER (PARTITION BY l.source
+       |        ORDER BY q.quality, q.doc_id) AS pr,
+       |      count(*) OVER (PARTITION BY l.source) AS n
+       |    FROM qs q JOIN langf l USING (doc_id))
+       |  WHERE pr >= 0.2 OR n = 1),
+       |qd AS (SELECT l.doc_id, l.text, l.source
+       |       FROM langf l JOIN qg USING (doc_id)),
+       |ed AS (
+       |  SELECT doc_id FROM (
+       |    SELECT doc_id, min(doc_id) OVER (PARTITION BY norm) AS canon
+       |    FROM (SELECT doc_id, $NormSql AS norm FROM qd))
+       |  WHERE doc_id = canon),
+       |edd AS (SELECT qd.doc_id, qd.text, qd.source
+       |        FROM qd JOIN ed USING (doc_id)),
+       |t AS (SELECT doc_id, string_split(text, ' ') AS w FROM edd),
+       |sh AS (
+       |  SELECT doc_id,
+       |    unnest(range(0, greatest(len(w) - 7, 0))) AS s,
+       |    unnest([array_to_string(w[i+1:i+8], ' ')
+       |            for i in range(0, greatest(len(w) - 7, 0))]) AS g
+       |  FROM t WHERE len(w) >= 8),
+       |m AS (SELECT g, min(doc_id) AS mind FROM sh GROUP BY g),
+       |cov AS (
+       |  SELECT DISTINCT sh.doc_id, sh.s + u.j AS c
+       |  FROM sh JOIN m USING (g)
+       |  CROSS JOIN (SELECT unnest(range(0, 8)) AS j) u
+       |  WHERE sh.doc_id > m.mind),
+       |covl AS (SELECT doc_id, list(c) AS cov FROM cov GROUP BY doc_id),
+       |scrub AS (
+       |  SELECT t.doc_id,
+       |    CASE WHEN cov IS NULL THEN array_to_string(w, ' ')
+       |         ELSE coalesce(
+       |           array_to_string([w[i+1] for i in range(0, len(w))
+       |                            if NOT list_contains(cov, i)], ' '),
+       |           '')
+       |    END AS text
+       |  FROM t LEFT JOIN covl ON t.doc_id = covl.doc_id),
+       |scrubbed AS (
+       |  SELECT s.doc_id, s.text, e.source
+       |  FROM scrub s JOIN edd e USING (doc_id)
+       |  WHERE s.text <> '')""".stripMargin
+
+  /** 5-gram benchmark decontamination (q51 logic) over `$src`, then the
+    * funnel's final projection — appended after [[funnelSqlThroughScrub]]
+    * (plus any caller-inserted stages). */
+  private def funnelSqlDecontaminate(src: String): String =
+    s"""csh AS (
+       |  SELECT DISTINCT doc_id,
+       |    unnest([array_to_string(ws[i:i+4], ' ')
+       |            for i in range(1, greatest(len(ws) - 5, 0) + 2)]) AS s
+       |  FROM (SELECT doc_id, string_split($NormSql, ' ') AS ws
+       |        FROM $src)),
+       |bsh AS (
+       |  SELECT DISTINCT
+       |    unnest([array_to_string(ws[i:i+4], ' ')
+       |            for i in range(1, greatest(len(ws) - 5, 0) + 2)]) AS s
+       |  FROM (SELECT string_split($NormSql, ' ') AS ws FROM bench0)),
+       |contaminated AS (
+       |  SELECT DISTINCT c.doc_id FROM csh c JOIN bsh b ON c.s = b.s)
+       |SELECT s.doc_id, s.text, s.source FROM $src s
+       |WHERE s.doc_id NOT IN (SELECT doc_id FROM contaminated)"""
+      .stripMargin
 
   def oracleSql: Map[String, String] = Map(
     "q01_agg_sums" ->
@@ -3178,109 +3310,10 @@ object SparkEntry {
          |FROM t LEFT JOIN covl ON t.doc_id = covl.doc_id""".stripMargin,
     "q106_corpus_pipeline" ->
       // the deterministic corpus-prep funnel, stage by stage: language
-      // filter (q23 logic) → per-source quality percentile gate (q21
-      // score) → exact dedup on normalized text (keep min doc_id) →
-      // 8-gram substring scrub (q103 logic) with empty docs dropped →
-      // 5-gram benchmark decontamination (q51 logic) against the
-      // doc_id % 50 = 0 eval split
-      s"""WITH corpus0 AS (
-         |  SELECT doc_id, text, source FROM documents
-         |  WHERE doc_id % 50 <> 0),
-         |bench0 AS (
-         |  SELECT doc_id, text FROM documents WHERE doc_id % 50 = 0),
-         |toks AS (
-         |  SELECT doc_id,
-         |    unnest(string_split_regex(trim(lower(text)), '\\s+')) AS tok
-         |  FROM corpus0),
-         |profile(lang, marker) AS (VALUES
-         |  ('en','the'),('en','and'),('en','of'),
-         |  ('es','el'),('es','la'),('es','de'),
-         |  ('de','der'),('de','und'),('de','das'),
-         |  ('fr','le'),('fr','et'),('fr','les')),
-         |hits AS (
-         |  SELECT doc_id, lang, count(*) AS hits
-         |  FROM toks JOIN profile ON tok = marker
-         |  GROUP BY doc_id, lang),
-         |best AS (
-         |  SELECT doc_id, lang FROM (
-         |    SELECT doc_id, lang, row_number() OVER (
-         |      PARTITION BY doc_id ORDER BY hits DESC, lang ASC) AS rn
-         |    FROM hits) WHERE rn = 1),
-         |langf AS (
-         |  SELECT c.doc_id, c.text, c.source FROM corpus0 c
-         |  LEFT JOIN best USING (doc_id)
-         |  WHERE coalesce(best.lang, 'und') IN ('en', 'und')),
-         |qs AS (
-         |  SELECT doc_id, least(1.0, (
-         |      (CAST(len(list_filter(ws, w -> list_contains(
-         |         ['the','a','of','to','and','in','is','it','for','on'],
-         |         w))) AS DOUBLE) / CAST(len(ws) AS DOUBLE)) * 2.0
-         |      + (CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g'))
-         |         AS DOUBLE) / CAST(length(text) AS DOUBLE))) / 2.0)
-         |    AS quality
-         |  FROM (SELECT doc_id, text,
-         |          string_split_regex(trim(lower(text)), '\\s+') AS ws
-         |        FROM langf)),
-         |qg AS (
-         |  SELECT doc_id FROM (
-         |    SELECT q.doc_id,
-         |      percent_rank() OVER (PARTITION BY l.source
-         |        ORDER BY q.quality, q.doc_id) AS pr,
-         |      count(*) OVER (PARTITION BY l.source) AS n
-         |    FROM qs q JOIN langf l USING (doc_id))
-         |  WHERE pr >= 0.2 OR n = 1),
-         |qd AS (SELECT l.doc_id, l.text, l.source
-         |       FROM langf l JOIN qg USING (doc_id)),
-         |ed AS (
-         |  SELECT doc_id FROM (
-         |    SELECT doc_id, min(doc_id) OVER (PARTITION BY norm) AS canon
-         |    FROM (SELECT doc_id, $NormSql AS norm FROM qd))
-         |  WHERE doc_id = canon),
-         |edd AS (SELECT qd.doc_id, qd.text, qd.source
-         |        FROM qd JOIN ed USING (doc_id)),
-         |t AS (SELECT doc_id, string_split(text, ' ') AS w FROM edd),
-         |sh AS (
-         |  SELECT doc_id,
-         |    unnest(range(0, greatest(len(w) - 7, 0))) AS s,
-         |    unnest([array_to_string(w[i+1:i+8], ' ')
-         |            for i in range(0, greatest(len(w) - 7, 0))]) AS g
-         |  FROM t WHERE len(w) >= 8),
-         |m AS (SELECT g, min(doc_id) AS mind FROM sh GROUP BY g),
-         |cov AS (
-         |  SELECT DISTINCT sh.doc_id, sh.s + u.j AS c
-         |  FROM sh JOIN m USING (g)
-         |  CROSS JOIN (SELECT unnest(range(0, 8)) AS j) u
-         |  WHERE sh.doc_id > m.mind),
-         |covl AS (SELECT doc_id, list(c) AS cov FROM cov GROUP BY doc_id),
-         |scrub AS (
-         |  SELECT t.doc_id,
-         |    CASE WHEN cov IS NULL THEN array_to_string(w, ' ')
-         |         ELSE coalesce(
-         |           array_to_string([w[i+1] for i in range(0, len(w))
-         |                            if NOT list_contains(cov, i)], ' '),
-         |           '')
-         |    END AS text
-         |  FROM t LEFT JOIN covl ON t.doc_id = covl.doc_id),
-         |scrubbed AS (
-         |  SELECT s.doc_id, s.text, e.source
-         |  FROM scrub s JOIN edd e USING (doc_id)
-         |  WHERE s.text <> ''),
-         |csh AS (
-         |  SELECT DISTINCT doc_id,
-         |    unnest([array_to_string(ws[i:i+4], ' ')
-         |            for i in range(1, greatest(len(ws) - 5, 0) + 2)]) AS s
-         |  FROM (SELECT doc_id, string_split($NormSql, ' ') AS ws
-         |        FROM scrubbed)),
-         |bsh AS (
-         |  SELECT DISTINCT
-         |    unnest([array_to_string(ws[i:i+4], ' ')
-         |            for i in range(1, greatest(len(ws) - 5, 0) + 2)]) AS s
-         |  FROM (SELECT string_split($NormSql, ' ') AS ws FROM bench0)),
-         |contaminated AS (
-         |  SELECT DISTINCT c.doc_id FROM csh c JOIN bsh b ON c.s = b.s)
-         |SELECT s.doc_id, s.text, s.source FROM scrubbed s
-         |WHERE s.doc_id NOT IN (SELECT doc_id FROM contaminated)"""
-        .stripMargin,
+      // filter → per-source quality gate → exact dedup → 8-gram scrub →
+      // 5-gram benchmark decontamination (CTE chain shared with q112
+      // via funnelSqlThroughScrub / funnelSqlDecontaminate)
+      (funnelSqlThroughScrub + ",\n" + funnelSqlDecontaminate("scrubbed")),
     "q107_bpe_encode" ->
       // mirrors Bpe.encode with the FixedBpeMerges model: nested
       // recursion walks (rank, pos) through the same greedy
@@ -3452,5 +3485,59 @@ object SparkEntry {
          |SELECT canonical_id AS cluster_id, doc_id AS rep_doc_id,
          |  cluster_sz, cluster_sz - 1 AS n_dropped
          |FROM ranked WHERE rn = 1""".stripMargin,
+    "q112_corpus_classified" ->
+      // q106's funnel + the NB classifier gate (q110 logic) on the
+      // SCRUBBED text: model trained on the input corpus with the lang
+      // metadata column as label, keep argmax = 'en'
+      (funnelSqlThroughScrub + ",\n" +
+        s"""nbtok AS (
+           |  SELECT lang AS label,
+           |    unnest(string_split($NormSql, ' ')) AS term
+           |  FROM documents WHERE doc_id % 50 <> 0),
+           |nbmodel AS (
+           |  SELECT label, term, count(*) AS cnt FROM nbtok GROUP BY 1, 2),
+           |nbctot AS (
+           |  SELECT label, count(*) AS class_tokens FROM nbtok GROUP BY 1),
+           |nbcdocs AS (
+           |  SELECT lang AS label, count(*) AS class_docs
+           |  FROM documents WHERE doc_id % 50 <> 0 GROUP BY 1),
+           |nbv AS (SELECT count(DISTINCT term) AS v FROM nbmodel),
+           |nbn AS (
+           |  SELECT count(*) AS n FROM documents WHERE doc_id % 50 <> 0),
+           |stf AS (
+           |  SELECT doc_id, term, count(*) AS tf
+           |  FROM (SELECT doc_id,
+           |          unnest(string_split($NormSql, ' ')) AS term
+           |        FROM scrubbed)
+           |  GROUP BY 1, 2),
+           |sdl AS (SELECT doc_id, sum(tf) AS doc_len FROM stf GROUP BY 1),
+           |scontrib AS (
+           |  SELECT stf.doc_id, m.label,
+           |    sum(CAST(stf.tf AS DOUBLE) * ln(CAST(m.cnt AS DOUBLE) + 1.0))
+           |      AS contrib
+           |  FROM stf JOIN nbmodel m ON stf.term = m.term GROUP BY 1, 2),
+           |sscored AS (
+           |  SELECT d.doc_id, ct.label,
+           |    ln(CAST(cd.class_docs AS DOUBLE)) -
+           |      ln(CAST(n.n AS DOUBLE)) + coalesce(c.contrib, 0.0) -
+           |      CAST(d.doc_len AS DOUBLE) *
+           |        ln(CAST(ct.class_tokens AS DOUBLE) + CAST(v.v AS DOUBLE))
+           |      AS score
+           |  FROM sdl d
+           |  CROSS JOIN nbctot ct
+           |  JOIN nbcdocs cd USING (label)
+           |  CROSS JOIN nbv v
+           |  CROSS JOIN nbn n
+           |  LEFT JOIN scontrib c
+           |    ON c.doc_id = d.doc_id AND c.label = ct.label),
+           |spred AS (
+           |  SELECT doc_id FROM (
+           |    SELECT doc_id, label, row_number() OVER (
+           |      PARTITION BY doc_id ORDER BY score DESC, label) AS rn
+           |    FROM sscored) WHERE rn = 1 AND label = 'en'),
+           |clf AS (
+           |  SELECT s.doc_id, s.text, s.source
+           |  FROM scrubbed s JOIN spred USING (doc_id)),"""
+          .stripMargin + "\n" + funnelSqlDecontaminate("clf")),
   )
 }

@@ -4,7 +4,7 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import graft.dedup.{Dedup, SemanticDedup, SubstringDedup}
 import graft.graph.ConnectedComponents
-import graft.text.{Bpe, TextAnalysis}
+import graft.text.{Bpe, NaiveBayes, TextAnalysis}
 
 /** End-to-end training-corpus preparation — the composition proof that
   * the engine's operators chain into the pipeline a large pretraining
@@ -18,6 +18,10 @@ import graft.text.{Bpe, TextAnalysis}
   *   4. exact substring scrub  (SubstringDedup.dedupCorpus: duplicated
   *      k-gram spans removed keep-first; fully-boilerplate docs leave
   *      the corpus)
+  *   4b. model-based classifier gate (NaiveBayes.classify on the
+  *      SCRUBBED text — the text that ships is the text that's scored,
+  *      the CCNet recipe's learned filter refining the heuristic gates;
+  *      runs when a trained model + keep-label set is supplied)
   *   5. near-dup removal       (MinHash/LSH pairs → connected
   *      components → keep each cluster's min doc_id; skipped when
   *      `nearDupThreshold` ≤ 0 — the deterministic sub-chain is then
@@ -68,13 +72,17 @@ object CorpusPipeline {
     * @param embeddings optional (doc_id, embedding) table enabling the
     *   semantic-dedup stage
     * @param bpeMerges  > 0 trains that many BPE merges on the survivors
+    * @param classifier optional (NaiveBayes model, keep pred labels)
+    *   enabling the model-based gate on the scrubbed text
     * @return survivors (original columns, text scrubbed), funnel, and
     *   the optional BPE model */
   def prepare(docs: DataFrame, benchmark: DataFrame, langs: Seq[String],
               minQualityPercentile: Double, nearDupThreshold: Double,
               scrubK: Int = 8, embeddings: Option[DataFrame] = None,
               semanticClusters: Int = 8, semanticThreshold: Double = 0.95,
-              bpeMerges: Int = 0): Prepared = {
+              bpeMerges: Int = 0,
+              classifier: Option[(DataFrame, Seq[String])] = None)
+      : Prepared = {
     import org.apache.spark.sql.Observation
     import org.apache.spark.sql.expressions.Window
     val funnel = scala.collection.mutable.ArrayBuffer.empty[StageCount]
@@ -155,21 +163,39 @@ object CorpusPipeline {
     // superseded full-corpus copies don't pin executor storage
     exactKept.unpersist()
 
+    // model-based gate on the text that ships: docs whose argmax class
+    // is outside the keep set leave the corpus. One classify pass
+    // (tf → model join → regroup); the semi join back is on doc_id.
+    val afterClf = classifier match {
+      case None => scrubKept
+      case Some((model, keep)) =>
+        val oClf = Observation()
+        val passing = NaiveBayes.classify(scrubKept, model)
+          .filter(col("pred_label").isin(keep: _*))
+          .select(col("doc_id"))
+        val kept = scrubKept.join(passing, Seq("doc_id"), "left_semi")
+          .observe(oClf, cnt, tok)
+          .localCheckpoint(true)
+        stageOf("classifier_gate", oClf)
+        scrubKept.unpersist()
+        kept
+    }
+
     val afterNear =
-      if (nearDupThreshold <= 0) scrubKept
+      if (nearDupThreshold <= 0) afterClf
       else {
         val oNear = Observation()
         val pairs = Dedup
-          .minhashDuplicatePairs(scrubKept, nearDupThreshold)
+          .minhashDuplicatePairs(afterClf, nearDupThreshold)
           .select(col("id1").as("src"), col("id2").as("dst"))
         val dropNear = ConnectedComponents.run(pairs)
           .filter(col("id") =!= col("component")) // keep cluster's min
           .select(col("id").as("doc_id"))
-        val kept = scrubKept.join(dropNear, Seq("doc_id"), "left_anti")
+        val kept = afterClf.join(dropNear, Seq("doc_id"), "left_anti")
           .observe(oNear, cnt, tok)
           .localCheckpoint(true)
         stageOf("near_dedup", oNear)
-        scrubKept.unpersist()
+        afterClf.unpersist()
         kept
       }
 

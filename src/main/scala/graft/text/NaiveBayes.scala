@@ -38,11 +38,14 @@ object NaiveBayes {
     * Output — one row per (label, term) seen in training:
     * (label, term, cnt, class_tokens, class_docs). Integer-exact. */
   def train(docs: DataFrame, labelCol: String): DataFrame = {
-    val t = tokens(docs, labelCol)
-    val termCounts = t.groupBy(col("label"), col("term"))
+    val termCounts = tokens(docs, labelCol)
+      .groupBy(col("label"), col("term"))
       .agg(count(lit(1)).as("cnt"))
-    val classTokens = t.groupBy(col("label"))
-      .agg(count(lit(1)).as("class_tokens"))
+    // derive per-class totals from the ALREADY-AGGREGATED frame, not a
+    // second pass over the token stream: the (label, term) exchange is
+    // reused and the corpus is tokenized exactly once
+    val classTokens = termCounts.groupBy(col("label"))
+      .agg(sum(col("cnt")).as("class_tokens"))
     val classDocs = docs.groupBy(col(labelCol).as("label"))
       .agg(count(lit(1)).as("class_docs"))
     termCounts

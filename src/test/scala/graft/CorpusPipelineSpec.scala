@@ -160,4 +160,39 @@ class CorpusPipelineSpec extends AnyFunSuite with SparkTestBase {
       m("substring_scrub") == want.size &&
       m("decontaminate") == want.size)
   }
+
+  test("classifier gate drops exactly the docs the NB model rejects; " +
+    "an all-labels keep set is the identity") {
+    val model = graft.text.NaiveBayes.train(docs, "source")
+    def run(clf: Option[(org.apache.spark.sql.DataFrame, Seq[String])]) =
+      CorpusPipeline.prepare(docs, benchmark, langs = Seq("en"),
+        minQualityPercentile = 0.2, nearDupThreshold = 0.0, scrubK = 12,
+        classifier = clf)
+    val base = run(None)
+    val baseIds = base.docs.select("doc_id").as[Long].collect().toSet
+
+    // keep ALL labels → the gate is a no-op on rows
+    val all = run(Some((model, Seq("web", "books"))))
+    assert(all.docs.select("doc_id").as[Long].collect().toSet == baseIds)
+    assert(all.funnel.map(_.stage) == Seq("input", "lang_filter",
+      "quality_gate", "exact_dedup", "substring_scrub",
+      "classifier_gate", "decontaminate"))
+
+    // keep 'books' only → survivors are base's survivors whose argmax
+    // class ON THE SCRUBBED TEXT is 'books' (classify is per-doc given
+    // a fixed model, and decontamination is doc-local, so the stages
+    // commute on the doc level)
+    val only = run(Some((model, Seq("books"))))
+    val onlyIds = only.docs.select("doc_id").as[Long].collect().toSet
+    val predBooks = graft.text.NaiveBayes
+      .classify(base.docs, model)
+      .filter($"pred_label" === "books")
+      .select("doc_id").as[Long].collect().toSet
+    assert(onlyIds == (baseIds intersect predBooks), s"got $onlyIds")
+    assert(onlyIds.nonEmpty && onlyIds != baseIds) // the gate gates
+    // funnel accounting: classifier_gate row count matches its stage
+    val rowsAt = only.funnel.map(f => f.stage -> f.rows).toMap
+    assert(rowsAt("classifier_gate") >= onlyIds.size &&
+      rowsAt("classifier_gate") <= rowsAt("substring_scrub"))
+  }
 }
