@@ -25,14 +25,20 @@ import graft.text.TextAnalysis
   *      spans already owned by an earlier doc (earlier batch via the
   *      bucketed gram store, or earlier in this batch) are removed
   *      keep-first; fully-covered docs leave the corpus
+  *   4b. classifier gate  — [[graft.text.NaiveBayes.classify]] with a
+  *      FROZEN model on the scrubbed text, per-doc and stateless (the
+  *      streaming twin of CorpusPipeline's stage 4b; like the quality
+  *      floor, the model is calibrated offline and frozen — retraining
+  *      on accumulated history would make past keep decisions
+  *      batch-boundary-dependent)
   *   5. decontamination   — shared-shingle drop against a FIXED
   *      benchmark set, per-doc and stateless
   *
   * With doc ids increasing across batches, the accumulated corpus is
   * row-identical to running the batch chain (lang filter → quality
   * floor → keep-min-per-hash → `SubstringDedup.dedupCorpus` →
-  * contamination drop) over the concatenated input — pinned in
-  * CorpusIngestSpec.
+  * frozen-model classifier gate → contamination drop) over the
+  * concatenated input — pinned in CorpusIngestSpec.
   *
   * Replay: a replayed batch re-drops its rows row-locally (stages 1–2)
   * and at the hash store (stage 3 — every surviving hash is already
@@ -53,10 +59,14 @@ object CorpusIngestJob {
     * @param docs      (doc_id, text, …) micro-batch; ids fresh and
     *   increasing across batches for batch-equality
     * @param benchmark optional fixed (doc_id, text) eval set
+    * @param classifier optional FROZEN (NaiveBayes model, keep labels)
+    *   gate applied to the scrubbed text
     * @return number of corpus docs appended */
   def writeBatch(docs: DataFrame, outDir: String, langs: Seq[String],
                  qualityFloor: Double, scrubK: Int = 8,
-                 benchmark: Option[DataFrame] = None): Long = {
+                 benchmark: Option[DataFrame] = None,
+                 classifier: Option[(DataFrame, Seq[String])] = None)
+      : Long = {
     val cols = docs.columns.map(col).toSeq
     val (predLang, _) = TextAnalysis.langIdCols(col("text"))
     val gated = docs
@@ -73,11 +83,18 @@ object CorpusIngestJob {
           .withColumnRenamed("kept_text", "text")
           .select(col("doc_id"), col("text")), Seq("doc_id"))
         .select(cols: _*)
-      val clean = benchmark match {
-        case Some(b) => scrubbed.join(
-          TrainingData.contamination(scrubbed, b).select(col("doc_id")),
-          Seq("doc_id"), "left_anti")
+      val classed = classifier match {
+        case Some((model, keep)) => scrubbed.join(
+          graft.text.NaiveBayes.classify(scrubbed, model)
+            .filter(col("pred_label").isin(keep: _*))
+            .select(col("doc_id")), Seq("doc_id"), "left_semi")
         case None => scrubbed
+      }
+      val clean = benchmark match {
+        case Some(b) => classed.join(
+          TrainingData.contamination(classed, b).select(col("doc_id")),
+          Seq("doc_id"), "left_anti")
+        case None => classed
       }
       val cleanKept = clean.localCheckpoint(true)
       try {

@@ -44,8 +44,10 @@ class CorpusIngestSpec extends AnyFunSuite with SparkTestBase {
     .toDF("doc_id", "text")
 
   /** The batch chain the stream must equal: lang filter → quality
-    * floor → keep-min-per-hash → dedupCorpus scrub → contamination. */
-  private def batchChain(all: DataFrame): DataFrame = {
+    * floor → keep-min-per-hash → dedupCorpus scrub → optional frozen
+    * classifier gate → contamination. */
+  private def batchChain(all: DataFrame,
+      classifier: Option[(DataFrame, Seq[String])] = None): DataFrame = {
     val cols = all.columns.map(col).toSeq
     val (pred, _) = TextAnalysis.langIdCols(col("text"))
     val gated = all.filter(pred.isin(langs: _*))
@@ -61,7 +63,14 @@ class CorpusIngestSpec extends AnyFunSuite with SparkTestBase {
       .select(col("doc_id"), col("text"))
     val full = exact.drop("text").join(scrubbed, Seq("doc_id"))
       .select(cols: _*)
-    full.join(TrainingData.contamination(full, benchmark)
+    val classed = classifier match {
+      case Some((m, keep)) => full.join(
+        graft.text.NaiveBayes.classify(full, m)
+          .filter(col("pred_label").isin(keep: _*))
+          .select(col("doc_id")), Seq("doc_id"), "left_semi")
+      case None => full
+    }
+    classed.join(TrainingData.contamination(classed, benchmark)
       .select(col("doc_id")), Seq("doc_id"), "left_anti")
   }
 
@@ -109,6 +118,29 @@ class CorpusIngestSpec extends AnyFunSuite with SparkTestBase {
       "web")).toDF("doc_id", "text", "source")
     assert(CorpusIngestJob.writeBatch(b4, out, langs, floor) == 0)
     assert(spark.read.parquet(s"$out/documents").count() == 2)
+  }
+
+  test("frozen-model classifier gate: two-batch ingest equals the " +
+    "batch funnel, and the gate actually gates") {
+    // frozen model: trained ONCE on the full labeled seed corpus (the
+    // offline calibration step), then applied per batch
+    val model = graft.text.NaiveBayes.train(
+      batch1.union(batch2).withColumnRenamed("source", "label_src"),
+      "label_src")
+    val clf = Some((model, Seq("web")))
+    val out = tmp()
+    CorpusIngestJob.writeBatch(batch1, out, langs, floor,
+      benchmark = Some(benchmark), classifier = clf)
+    CorpusIngestJob.writeBatch(batch2, out, langs, floor,
+      benchmark = Some(benchmark), classifier = clf)
+    val got = spark.read.parquet(s"$out/documents")
+      .as[(Long, String, String)].collect().sortBy(_._1).toList
+    val want = batchChain(batch1.union(batch2), clf)
+      .as[(Long, String, String)].collect().sortBy(_._1).toList
+    assert(got == want, s"stream: $got\nbatch:  $want")
+    val ungated = batchChain(batch1.union(batch2))
+      .select("doc_id").as[Long].collect().toSet
+    assert(got.map(_._1).toSet != ungated && got.nonEmpty) // gate gates
   }
 
   test("streaming file-drop: drains available files through " +
