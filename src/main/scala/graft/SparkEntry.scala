@@ -1666,6 +1666,37 @@ object SparkEntry {
     p.docs.select(col("doc_id"), col("text"), col("source"))
   }
 
+  /** Label-blocked exact k-NN graph with mutual-edge flags: the
+    * neighbor structure feeding density/cluster-based corpus curation.
+    * Σ|block|² work, never all-pairs (sim/KnnGraph). */
+  def q113_knn_graph(s: SparkSession, d: String): DataFrame =
+    graft.sim.KnnGraph.knnGraph(Tables.embeddings(s, d), k = 5)
+
+  /** DSIR-style importance weights from hashed token buckets: target =
+    * lang 'en' docs; per-doc weight = exact integer mass ratio (one
+    * final IEEE division → bit-exact oracle). */
+  def q114_dsir_weights(s: SparkSession, d: String): DataFrame =
+    graft.text.Importance.importanceWeights(
+      Tables.documents(s, d), col("lang") === "en", buckets = 512)
+
+  /** Sparse count-vector cosine pairs via df-capped inverted index:
+    * cosine ≥ 3/5 by integer cross-multiplication. */
+  def q115_sparse_cosine(s: SparkSession, d: String): DataFrame =
+    graft.text.SparseSim.countCosinePairs(
+      Tables.documents(s, d), maxDfPermille = 200, num = 3, den = 5)
+
+  /** Per-dimension uint8 scalar quantization of the embedding corpus,
+    * exploded (vec_id, dim, code) for the hash compare. */
+  def q116_scalar_quantize(s: SparkSession, d: String): DataFrame =
+    graft.sim.Quantize.quantizeExploded(Tables.embeddings(s, d))
+
+  /** Hard-negative mining: 3 nearest WRONG-label vectors for each of
+    * the first 100 vec_ids (anchors broadcast, corpus streams once). */
+  def q117_hard_negatives(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.embeddings(s, d)
+    graft.sim.KnnGraph.hardNegatives(e, e.filter(col("vec_id") < 100), k = 3)
+  }
+
   // ---------------------------------------------------------------- registry
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1781,6 +1812,11 @@ object SparkEntry {
     "q110_nb_classify" -> (q110_nb_classify _),
     "q111_dedup_reps" -> (q111_dedup_reps _),
     "q112_corpus_classified" -> (q112_corpus_classified _),
+    "q113_knn_graph" -> (q113_knn_graph _),
+    "q114_dsir_weights" -> (q114_dsir_weights _),
+    "q115_sparse_cosine" -> (q115_sparse_cosine _),
+    "q116_scalar_quantize" -> (q116_scalar_quantize _),
+    "q117_hard_negatives" -> (q117_hard_negatives _),
   )
 
   // DuckDB twins of the Scala normalization / hashing expressions
@@ -3539,5 +3575,101 @@ object SparkEntry {
            |  SELECT s.doc_id, s.text, s.source
            |  FROM scrubbed s JOIN spred USING (doc_id)),"""
           .stripMargin + "\n" + funnelSqlDecontaminate("clf")),
+    "q113_knn_graph" ->
+      """WITH e AS (
+        |  SELECT vec_id, label,
+        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings),
+        |s AS (
+        |  SELECT a.vec_id, b.vec_id AS neighbor_id,
+        |    list_cosine_similarity(a.v, b.v) AS c
+        |  FROM e a JOIN e b
+        |    ON a.label = b.label AND a.vec_id <> b.vec_id),
+        |r AS (
+        |  SELECT vec_id, neighbor_id, row_number() OVER (
+        |    PARTITION BY vec_id ORDER BY c DESC, neighbor_id ASC) AS rank
+        |  FROM s),
+        |k AS (
+        |  SELECT vec_id, neighbor_id, CAST(rank AS BIGINT) AS rank
+        |  FROM r WHERE rank <= 5)
+        |SELECT k.vec_id, k.neighbor_id, k.rank,
+        |  CAST(CASE WHEN m.vec_id IS NOT NULL THEN 1 ELSE 0 END AS BIGINT)
+        |    AS mutual
+        |FROM k LEFT JOIN k m
+        |  ON m.vec_id = k.neighbor_id AND m.neighbor_id = k.vec_id"""
+        .stripMargin,
+    "q114_dsir_weights" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, (lang = 'en') AS is_target,
+         |    unnest(string_split($NormSql, ' ')) AS w
+         |  FROM documents),
+         |tb AS (
+         |  SELECT doc_id, is_target, ${hash60Sql("w")} % 512 AS b
+         |  FROM toks),
+         |freq AS (
+         |  SELECT b, count(CASE WHEN is_target THEN 1 END) AS t,
+         |    count(*) AS r
+         |  FROM tb GROUP BY b)
+         |SELECT doc_id, count(*) AS n_tokens,
+         |  CAST(sum(t) AS BIGINT) AS target_mass,
+         |  CAST(sum(r) AS BIGINT) AS raw_mass,
+         |  CAST(sum(t) AS DOUBLE) / CAST(sum(r) AS DOUBLE) AS weight
+         |FROM tb JOIN freq USING (b)
+         |GROUP BY doc_id""".stripMargin,
+    "q115_sparse_cosine" ->
+      s"""WITH tf AS (
+         |  SELECT doc_id, term, count(*) AS c FROM (
+         |    SELECT doc_id, unnest(string_split($NormSql, ' ')) AS term
+         |    FROM documents)
+         |  GROUP BY 1, 2),
+         |nd AS (SELECT count(*) AS n_docs FROM documents),
+         |dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+         |kept AS (
+         |  SELECT tf.doc_id, tf.term, tf.c
+         |  FROM tf JOIN dfreq USING (term) CROSS JOIN nd
+         |  WHERE df * 1000 <= n_docs * 200),
+         |norms AS (
+         |  SELECT doc_id, CAST(sum(c * c) AS BIGINT) AS n2
+         |  FROM kept GROUP BY 1),
+         |pairs AS (
+         |  SELECT x.doc_id AS id1, y.doc_id AS id2,
+         |    CAST(sum(x.c * y.c) AS BIGINT) AS dot
+         |  FROM kept x JOIN kept y
+         |    ON x.term = y.term AND x.doc_id < y.doc_id
+         |  GROUP BY 1, 2)
+         |SELECT id1, id2, dot, a.n2 AS n1, b.n2 AS n2
+         |FROM pairs JOIN norms a ON a.doc_id = id1
+         |JOIN norms b ON b.doc_id = id2
+         |WHERE dot * dot * 25 >= a.n2 * b.n2 * 9""".stripMargin,
+    "q116_scalar_quantize" ->
+      """WITH d AS (
+        |  SELECT vec_id,
+        |    unnest(generate_series(1, len(embedding))) AS i,
+        |    unnest(list_transform(embedding, x -> CAST(x AS DOUBLE))) AS x
+        |  FROM embeddings),
+        |stats AS (SELECT i, min(x) AS mn, max(x) AS mx FROM d GROUP BY i)
+        |SELECT vec_id, CAST(i - 1 AS BIGINT) AS dim,
+        |  CAST(CASE WHEN mx = mn THEN 0
+        |       ELSE round((x - mn) / (mx - mn) * 255) END AS BIGINT) AS code
+        |FROM d JOIN stats USING (i)""".stripMargin,
+    "q117_hard_negatives" ->
+      """WITH e AS (
+        |  SELECT vec_id, label,
+        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings),
+        |q AS (
+        |  SELECT vec_id AS query_id, label AS q_label, v AS qv
+        |  FROM e WHERE vec_id < 100),
+        |s AS (
+        |  SELECT query_id, vec_id AS negative_id,
+        |    CAST(label AS BIGINT) AS neg_label,
+        |    list_cosine_similarity(qv, v) AS c
+        |  FROM q JOIN e ON e.label <> q.q_label),
+        |r AS (
+        |  SELECT query_id, negative_id, neg_label, row_number() OVER (
+        |    PARTITION BY query_id ORDER BY c DESC, negative_id ASC) AS rank
+        |  FROM s)
+        |SELECT query_id, negative_id, neg_label, CAST(rank AS BIGINT) AS rank
+        |FROM r WHERE rank <= 3""".stripMargin,
   )
 }

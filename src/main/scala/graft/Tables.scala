@@ -20,13 +20,25 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame = table(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame = table(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame = table(s, d, "lineitem")
-  /** events.ts is parquet timestamp[ns], which Spark 4 rejects by default
-    * ([PARQUET_TYPE_ILLEGAL]); read it as a nanosecond-epoch long instead.
-    * Ordering/window semantics are unchanged (same total order); convert
-    * with timestamp_micros(ts/1000) where a real timestamp is needed. */
+  /** events.ts arrives as parquet timestamp[ns] (early testdata drops)
+    * or timestamp[us] (current drops); the engine contract is a
+    * NANOSECOND-EPOCH LONG either way. ns files read as long directly
+    * (nanosAsLong — Spark 4 rejects ns timestamps otherwise,
+    * [PARQUET_TYPE_ILLEGAL]); µs files read as TIMESTAMP_NTZ and widen
+    * via unix_micros·1000 (session tz is UTC everywhere here, so the
+    * NTZ→instant cast is the identity). Ordering/window semantics are
+    * unchanged (same total order); convert with timestamp_micros(
+    * ts/1000) where a real timestamp is needed. */
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    table(s, d, "events")
+    val raw = table(s, d, "events")
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType => raw
+      case _ => raw.withColumn("ts",
+        org.apache.spark.sql.functions.unix_micros(
+          org.apache.spark.sql.functions.col("ts").cast("timestamp"))
+          * 1000L)
+    }
   }
   def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")

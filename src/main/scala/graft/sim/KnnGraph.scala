@@ -1,0 +1,81 @@
+package graft.sim
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** k-NN graph construction and hard-negative mining over an embedding
+  * column — the two neighbor-structure operators a contrastive /
+  * curriculum training-data pipeline needs on top of point-lookup ANN
+  * (reference scope: similarity over `embeddings.parquet`, cf.
+  * BASELINE.json similarity queries; graph consumers mirror the
+  * reference's Neo4j edge tables, src/etl_vol_transfers/main.py:190-209).
+  *
+  * Scale design: both operators are BLOCKED — the k-NN graph scores only
+  * within-block pairs (Σ|block|² work, the SemanticDedup/embeddingNearDups
+  * sanction), hard negatives broadcast a bounded anchor set against the
+  * corpus stream (one pass, no shuffle of the big side). The unblocked
+  * all-pairs graph is exactly the quadratic plan a 100 TB corpus cannot
+  * run; swapping the block column for an LSH bucket or IVF cell key
+  * (sim/LshIndex, Similarity.ivfTopKTrained) turns either into the
+  * approximate scale path without touching the ranking logic.
+  */
+object KnnGraph {
+
+  /** Exact within-block k-NN graph: for every vector, its `k` nearest
+    * same-block neighbors by cosine (ties → lower vec_id), plus a
+    * `mutual` flag marking edges whose reverse edge is also a k-NN edge
+    * (the mutual-kNN graph is the usual input to density/cluster-based
+    * corpus curation). One equi-join shuffle on the block key, one
+    * window per vector, one self-join of the (tiny) edge list. */
+  def knnGraph(embeddings: DataFrame, k: Int,
+               blockCol: String = "label"): DataFrame = {
+    val e = embeddings.select(col("vec_id"), col(blockCol).as("blk"),
+      col("embedding").cast("array<double>").as("v"))
+    val a = e.select(col("blk"), col("vec_id"), col("v"))
+    val b = e.select(col("blk"), col("vec_id").as("neighbor_id"),
+      col("v").as("nv"))
+    val w = Window.partitionBy(col("vec_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    val edges = a.join(b, Seq("blk"))
+      .filter(col("vec_id") =!= col("neighbor_id"))
+      .withColumn("cosine", Similarity.cosine(col("v"), col("nv")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("vec_id"), col("neighbor_id"),
+        col("rank").cast("long").as("rank"))
+    // mutual flag: k·|V| edges — self-join on the reversed pair is
+    // edge-list-sized, never corpus-sized
+    val rev = edges.select(col("neighbor_id").as("vec_id"),
+      col("vec_id").as("neighbor_id"), lit(1L).as("m"))
+    edges.join(rev, Seq("vec_id", "neighbor_id"), "left")
+      .select(col("vec_id"), col("neighbor_id"), col("rank"),
+        coalesce(col("m"), lit(0L)).as("mutual"))
+  }
+
+  /** Hard-negative mining: for each anchor, the `k` nearest vectors with
+    * a DIFFERENT label (closest wrong-class examples — the negatives a
+    * contrastive loss learns most from). Anchors broadcast; the corpus
+    * streams once through a codegen'd cosine + per-anchor top-k window.
+    * At 100 TB the anchor set is the bounded side by construction (a
+    * training batch), so the broadcast nested-loop is the right plan;
+    * label≠label admits no equi-key. */
+  def hardNegatives(embeddings: DataFrame, anchors: DataFrame,
+                    k: Int): DataFrame = {
+    val e = embeddings.select(col("vec_id").as("negative_id"),
+      col("label").as("neg_label"),
+      col("embedding").cast("array<double>").as("v"))
+    val q = anchors.select(col("vec_id").as("query_id"),
+      col("label").as("q_label"),
+      col("embedding").cast("array<double>").as("qv"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("negative_id").asc)
+    e.join(broadcast(q), col("neg_label") =!= col("q_label"))
+      .withColumn("cosine", Similarity.cosine(col("qv"), col("v")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("negative_id"),
+        col("neg_label").cast("long").as("neg_label"),
+        col("rank").cast("long").as("rank"))
+  }
+}

@@ -1,0 +1,66 @@
+package graft.sim
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Scalar (per-dimension min/max) uint8 quantization of an embedding
+  * column — the standard 4× footprint cut before a corpus-scale vector
+  * store (reference scope: embeddings.parquet as the similarity corpus;
+  * PQ codes in sim/ProductQuantizer are the heavier 32× path).
+  *
+  * Two passes, both linear: (1) a per-dimension min/max aggregate whose
+  * result is dims-sized (broadcast back), (2) a map-only quantize pass.
+  * No shuffle of the corpus beyond the posexplode re-group — and the
+  * packed form ([[quantize]]) avoids even that, folding the whole
+  * codebook application into one array expression per row. At 100 TB
+  * the stats pass is a partial-aggregate tree (map-side combine to 64
+  * rows per partition) and the quantize pass is embarrassingly parallel.
+  *
+  * Determinism: min/max of float32 values are exact; the affine map
+  * ((x-mn)/(mx-mn)*255, round-half-up) is a fixed IEEE op sequence on
+  * exactly-widened doubles, so codes are bit-identical across engines —
+  * the DuckDB oracle hash-matches (q116).
+  */
+object Quantize {
+
+  /** Per-dimension (dim, mn, mx) stats frame; dims-sized output. */
+  def dimStats(embeddings: DataFrame): DataFrame =
+    embeddings
+      .select(posexplode(col("embedding").cast("array<double>"))
+        .as(Seq("dim", "x")))
+      .groupBy(col("dim"))
+      .agg(min(col("x")).as("mn"), max(col("x")).as("mx"))
+
+  /** Packed form: one row per vector, `codes` = array<int> of uint8
+    * codes (the shape a vector store ingests). Stats broadcast as a
+    * dims-sized array literal-free plan: zip the embedding with the
+    * per-dim ranges via a posexplode-free transform over a broadcast
+    * map join on a constant key. */
+  def quantize(embeddings: DataFrame, stats: DataFrame): DataFrame = {
+    val s = stats
+      .agg(array_sort(collect_list(struct(col("dim"), col("mn"), col("mx"))))
+        .as("dm"))
+      .select(expr("transform(dm, s -> s.mn)").as("mns"),
+        expr("transform(dm, s -> s.mx)").as("mxs"))
+    embeddings
+      .crossJoin(broadcast(s))
+      .select(col("vec_id"),
+        expr("""transform(cast(embedding as array<double>), (x, i) ->
+          |  CASE WHEN mxs[i] = mns[i] THEN 0L
+          |       ELSE cast(round((x - mns[i]) / (mxs[i] - mns[i]) * 255D)
+          |            as long) END)""".stripMargin).as("codes"))
+  }
+
+  /** Exploded form (vec_id, dim, code) — the oracle-able surface (array
+    * outputs can't ride the driver's hash compare). */
+  def quantizeExploded(embeddings: DataFrame): DataFrame = {
+    val dims = embeddings.select(col("vec_id"),
+      posexplode(col("embedding").cast("array<double>")).as(Seq("dim", "x")))
+    dims.join(broadcast(dimStats(embeddings)), Seq("dim"))
+      .select(col("vec_id"), col("dim").cast("long").as("dim"),
+        when(col("mx") === col("mn"), 0L)
+          .otherwise(round((col("x") - col("mn"))
+            / (col("mx") - col("mn")) * lit(255d)).cast("long"))
+          .as("code"))
+  }
+}

@@ -1,0 +1,75 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.dedup.Dedup
+
+/** Data-selection importance weighting via hashed token buckets — the
+  * DSIR idea (Xie et al. 2023, "Data Selection for Language Models via
+  * Importance Resampling"): score every raw document by how much its
+  * hashed-feature mass looks like a TARGET corpus vs the raw pool, then
+  * keep/resample the highest-ratio docs. Here the feature space is
+  * md5-hash60 token buckets (the repo-wide deterministic hash), the
+  * target is any predicate over the corpus (a lang, a source, a quality
+  * gate), and the per-doc score is the exact integer ratio
+  * target_mass / raw_mass of summed bucket frequencies.
+  *
+  * Integer sufficient statistics keep the whole operator bit-exact for
+  * the DuckDB oracle (q114): bucket counts are longs, per-doc masses are
+  * sums of longs, and the final weight is ONE double division of exact
+  * integers (IEEE-identical in any engine). The log-probability DSIR
+  * score would order docs the same way only approximately; the mass
+  * ratio is the exactly-reproducible member of the family.
+  *
+  * Scale: the bucket table is `buckets` rows (broadcast), built by one
+  * map-side-combinable aggregate over the token stream; the per-doc pass
+  * is explode → broadcast-join → re-group on doc_id. Two linear shuffles
+  * (token grouping, doc grouping), nothing quadratic, no driver state —
+  * at 100 TB the 10k-bucket table is bytes, and the token explode is the
+  * same stream every text op here already rides.
+  */
+object Importance {
+
+  /** (doc_id, n_tokens, target_mass, raw_mass, weight) per document.
+    *
+    * `targetPred` marks the target slice (evaluated per document);
+    * bucket b's target count t_b / raw count r_b are corpus-wide token
+    * frequencies; target_mass = Σ_tokens t_b(token),
+    * raw_mass = Σ_tokens r_b(token) ≥ n_tokens ≥ 1 (every token counts
+    * itself), so the division is total. */
+  def importanceWeights(docs: DataFrame, targetPred: Column,
+                        buckets: Int = 4096): DataFrame = {
+    val toks = docs
+      .select(col("doc_id"), targetPred.as("is_target"),
+        explode(split(Dedup.normalize(col("text")), " ")).as("w"))
+      .withColumn("b", Dedup.hash60(col("w")) % buckets)
+    val freq = toks.groupBy(col("b")).agg(
+      count(when(col("is_target"), 1)).as("t"),
+      count(lit(1)).as("r"))
+    toks.join(broadcast(freq), Seq("b"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(col("t")).as("target_mass"),
+        sum(col("r")).as("raw_mass"))
+      .withColumn("weight",
+        col("target_mass").cast("double") / col("raw_mass").cast("double"))
+  }
+
+  /** Deterministic importance SELECTION: keep docs whose mass ratio
+    * beats the corpus-wide ratio scaled by `num`/`den` — the integer
+    * cross-comparison form of "weight above threshold·mean", with no
+    * float anywhere in the decision. */
+  def importanceSelect(docs: DataFrame, targetPred: Column,
+                       buckets: Int = 4096,
+                       num: Int = 1, den: Int = 1): DataFrame = {
+    val w = importanceWeights(docs, targetPred, buckets)
+    val tot = w.agg(sum(col("target_mass")).as("tot_t"),
+      sum(col("raw_mass")).as("tot_r"))
+    w.crossJoin(broadcast(tot))
+      .filter(col("target_mass") * col("tot_r") * den
+        >= col("raw_mass") * col("tot_t") * num)
+      .select(col("doc_id"), col("n_tokens"),
+        col("target_mass"), col("raw_mass"))
+  }
+}

@@ -1,0 +1,64 @@
+package graft.text
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.dedup.Dedup
+
+/** Sparse count-vector cosine similarity join over documents via an
+  * inverted index — the term-space twin of the dense embedding near-dup
+  * (dedup/Dedup.embeddingNearDups) and the exact backbone behind
+  * TF-IDF-style "similar documents" retrieval in a corpus pipeline.
+  *
+  * Plan shape (the classic sparse-similarity join): build per-doc term
+  * counts, DROP the high-document-frequency head (df-cap — the terms
+  * that would dominate posting-list self-join fan-out while carrying no
+  * discriminative signal), self-join the surviving postings on term, and
+  * re-group to per-pair dot products. Candidate work is Σ_term df² over
+  * KEPT terms — the df cap bounds every posting list, so the pair
+  * explosion a naive all-pairs cosine would hit at 100 TB is capped by
+  * construction (same Σ|bucket|² sanction as LSH banding / SemanticDedup
+  * cells). No dense vectors, no driver state, three hash shuffles
+  * (doc-term, term, pair).
+  *
+  * Exactness: counts, dot products, and squared norms are integers, and
+  * the cosine threshold num/den is applied by integer cross-
+  * multiplication (den²·dot² ≥ num²·n1·n2 with dot ≥ 0) — bit-exact in
+  * any engine, so the DuckDB oracle hash-matches (q115). Cosine here is
+  * over the PRUNED term space (norms sum kept terms only), the standard
+  * stopword-removed definition.
+  */
+object SparseSim {
+
+  /** Pairs (id1, id2, dot, n1, n2) with cosine ≥ num/den over df-capped
+    * term counts; id1 < id2. `maxDfPermille`: keep terms whose document
+    * frequency ≤ maxDfPermille/1000 of the corpus (integer-exact cap). */
+  def countCosinePairs(docs: DataFrame, maxDfPermille: Int = 200,
+                       num: Int = 3, den: Int = 5): DataFrame = {
+    val tf = docs
+      .select(col("doc_id"),
+        explode(split(Dedup.normalize(col("text")), " ")).as("term"))
+      .groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("c"))
+    val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+    val kept = tf
+      .withColumn("df", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("term"))))
+      .crossJoin(broadcast(nDocs))
+      .filter(col("df") * 1000 <= col("n_docs") * maxDfPermille)
+      .select(col("doc_id"), col("term"), col("c"))
+    val norms = kept.groupBy(col("doc_id")).agg(sum(col("c") * col("c")).as("n2"))
+    val pairs = kept.as("x")
+      .join(kept.select(col("doc_id").as("doc2"), col("term"),
+        col("c").as("c2")).as("y"), Seq("term"))
+      .filter(col("doc_id") < col("doc2"))
+      .groupBy(col("doc_id").as("id1"), col("doc2").as("id2"))
+      .agg(sum(col("c") * col("c2")).as("dot"))
+    pairs
+      .join(norms.select(col("doc_id").as("id1"), col("n2").as("n1")), Seq("id1"))
+      .join(norms.select(col("doc_id").as("id2"), col("n2")), Seq("id2"))
+      .filter(col("dot") * col("dot") * (den.toLong * den)
+        >= col("n1") * col("n2") * (num.toLong * num))
+      .select(col("id1"), col("id2"), col("dot"), col("n1"), col("n2"))
+  }
+}

@@ -1,0 +1,51 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.text.Importance
+
+class ImportanceSpec extends AnyFunSuite with SparkTestBase {
+  import spark.implicits._
+
+  // disjoint vocabularies: target docs speak {alpha,beta}, raw-only docs
+  // speak {gamma,delta} — with 4096 buckets the four words land in
+  // distinct buckets (verified by the weight asserts themselves: any
+  // collision would push a weight off its exact value)
+  private lazy val docs = Seq(
+    (1L, "alpha beta alpha", "en"),
+    (2L, "beta alpha", "en"),
+    (3L, "gamma delta gamma", "fr"),
+    (4L, "delta gamma delta delta", "fr")
+  ).toDF("doc_id", "text", "lang")
+
+  test("disjoint vocab: target docs weigh exactly 1, others exactly 0") {
+    val w = Importance.importanceWeights(docs, col("lang") === "en")
+      .select(col("doc_id"), col("weight"))
+      .as[(Long, Double)].collect().toMap
+    assert(w(1L) == 1.0 && w(2L) == 1.0)
+    assert(w(3L) == 0.0 && w(4L) == 0.0)
+  }
+
+  test("masses are integer sufficient statistics: raw ≥ target, " +
+    "raw ≥ n_tokens, weight = target/raw exactly") {
+    val rows = Importance.importanceWeights(docs, col("lang") === "en")
+      .as[(Long, Long, Long, Long, Double)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (_, n, t, r, w) =>
+      assert(r >= t && r >= n && t >= 0)
+      assert(w == t.toDouble / r.toDouble)
+    }
+    // hand check doc 1: alpha appears 3× corpus-wide, beta 2× → masses
+    // 3+2+3 = 8 over three tokens, all target
+    val d1 = rows.find(_._1 == 1L).get
+    assert(d1._2 == 3L && d1._3 == 8L && d1._4 == 8L)
+  }
+
+  test("importanceSelect keeps exactly the above-threshold docs") {
+    val kept = Importance
+      .importanceSelect(docs, col("lang") === "en")
+      .select(col("doc_id")).as[Long].collect().toSet
+    // corpus ratio = 9/19; target docs (ratio 1) pass, raw-only (0) fail
+    assert(kept == Set(1L, 2L))
+  }
+}

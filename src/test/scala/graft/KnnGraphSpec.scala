@@ -1,0 +1,70 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.sim.KnnGraph
+
+class KnnGraphSpec extends AnyFunSuite with SparkTestBase {
+  import spark.implicits._
+
+  // one block of four with a known cosine order, one singleton block
+  private lazy val emb = Seq(
+    (1L, Array(1.0f, 0.0f), 0),
+    (2L, Array(0.9f, 0.1f), 0),
+    (3L, Array(0.0f, 1.0f), 0),
+    (4L, Array(0.1f, 0.9f), 0),
+    (9L, Array(0.5f, 0.5f), 1)
+  ).toDF("vec_id", "embedding", "label")
+
+  test("knnGraph: within-block neighbors ranked by cosine, ties by id") {
+    val g = KnnGraph.knnGraph(emb, k = 2)
+      .orderBy("vec_id", "rank")
+      .select("vec_id", "neighbor_id", "rank")
+      .as[(Long, Long, Long)].collect().toSeq
+    // 1's nearest is 2; 3's nearest is 4; 2 sits between 1 and 4
+    assert(g.filter(_._1 == 1L).map(_._2) == Seq(2L, 4L))
+    assert(g.filter(_._1 == 3L).map(_._2) == Seq(4L, 2L))
+    // singleton block: no same-block neighbors at all
+    assert(!g.exists(_._1 == 9L) && !g.exists(_._2 == 9L))
+  }
+
+  test("knnGraph: mutual flag marks exactly the symmetric edges") {
+    val g = KnnGraph.knnGraph(emb, k = 1)
+    val edges = g.select("vec_id", "neighbor_id", "mutual")
+      .as[(Long, Long, Long)].collect()
+      .map { case (a, b, m) => (a, b) -> m }.toMap
+    // k=1: 1↔2 are each other's nearest (mutual), 3→4 and 4→3 likewise
+    assert(edges((1L, 2L)) == 1L && edges((2L, 1L)) == 1L)
+    assert(edges((3L, 4L)) == 1L && edges((4L, 3L)) == 1L)
+  }
+
+  test("knnGraph: every vector in a block of ≥ k+1 emits exactly k edges") {
+    val g = KnnGraph.knnGraph(emb, k = 2)
+    val counts = g.groupBy("vec_id").count()
+      .as[(Long, Long)].collect().toMap
+    assert(counts == Map(1L -> 2L, 2L -> 2L, 3L -> 2L, 4L -> 2L))
+  }
+
+  test("hardNegatives: nearest other-label vectors only, anchors excluded" +
+    " from own results by label") {
+    val anchors = emb.filter($"vec_id" === 1L)
+    val hn = KnnGraph.hardNegatives(emb, anchors, k = 2)
+      .orderBy("rank")
+      .select("negative_id", "neg_label", "rank")
+      .as[(Long, Long, Long)].collect().toSeq
+    // the only other-label vector is 9 → single row despite k=2
+    assert(hn == Seq((9L, 1L, 1L)))
+  }
+
+  test("hardNegatives: ranking is cross-label cosine, ties by id") {
+    val many = Seq(
+      (1L, Array(1.0f, 0.0f), 0),
+      (20L, Array(0.9f, 0.1f), 1),
+      (21L, Array(0.5f, 0.5f), 1),
+      (22L, Array(0.0f, 1.0f), 2)
+    ).toDF("vec_id", "embedding", "label")
+    val hn = KnnGraph.hardNegatives(many, many.filter($"vec_id" === 1L), k = 3)
+      .orderBy("rank").select("negative_id").as[Long].collect().toSeq
+    assert(hn == Seq(20L, 21L, 22L))
+  }
+}

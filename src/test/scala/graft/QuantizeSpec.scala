@@ -1,0 +1,46 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.sim.Quantize
+
+class QuantizeSpec extends AnyFunSuite with SparkTestBase {
+  import spark.implicits._
+
+  // dim 0 spans [0,1]; dim 1 is constant (degenerate range); dim 2 spans
+  // [-2,2] with an interior point
+  private lazy val emb = Seq(
+    (1L, Array(0.0f, 7.0f, -2.0f)),
+    (2L, Array(1.0f, 7.0f, 2.0f)),
+    (3L, Array(0.5f, 7.0f, 0.0f))
+  ).toDF("vec_id", "embedding")
+
+  test("exploded codes: endpoints hit 0/255, midpoint rounds half-up, " +
+    "constant dim codes 0") {
+    val got = Quantize.quantizeExploded(emb)
+      .as[(Long, Long, Long)].collect()
+      .map { case (v, d, c) => (v, d) -> c }.toMap
+    assert(got((1L, 0L)) == 0L && got((2L, 0L)) == 255L)
+    // 0.5 of [0,1] → 127.5 → half-up → 128
+    assert(got((3L, 0L)) == 128L)
+    assert(Seq(1L, 2L, 3L).forall(v => got((v, 1L)) == 0L))
+    assert(got((1L, 2L)) == 0L && got((2L, 2L)) == 255L
+      && got((3L, 2L)) == 128L)
+  }
+
+  test("all codes land in [0, 255]") {
+    val bad = Quantize.quantizeExploded(emb)
+      .filter(col("code") < 0 || col("code") > 255).count()
+    assert(bad == 0L)
+  }
+
+  test("packed form equals the exploded form element-wise") {
+    val packed = Quantize.quantize(emb, Quantize.dimStats(emb))
+      .select(col("vec_id"), posexplode(col("codes")).as(Seq("dim", "code")))
+      .select(col("vec_id"), col("dim").cast("long"), col("code"))
+      .as[(Long, Long, Long)].collect().toSet
+    val exploded = Quantize.quantizeExploded(emb)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(packed == exploded)
+  }
+}
