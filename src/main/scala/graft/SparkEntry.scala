@@ -1697,6 +1697,44 @@ object SparkEntry {
     graft.sim.KnnGraph.hardNegatives(e, e.filter(col("vec_id") < 100), k = 3)
   }
 
+  /** Segment-level (C4/CCNet-style "paragraph") dedup: 20-word aligned
+    * windows, corpus-wide keep-first, reassembled survivor docs. */
+  def q118_paragraph_dedup(s: SparkSession, d: String): DataFrame =
+    graft.dedup.ParagraphDedup.dedupSegments(Tables.documents(s, d), w = 20)
+
+  /** RefinedWeb-style per-source token budget: keep longest-first docs
+    * while each source's running token total stays within 800. */
+  def q119_domain_cap(s: SparkSession, d: String): DataFrame =
+    graft.pipeline.DomainBalance.capByTokenBudget(
+      Tables.documents(s, d), budgetTokens = 800)
+
+  /** Interpolated Kneser–Ney bigram model (D = 1/2) as exact integer
+    * rationals: (w1, w2, c2, p_num, p_den). */
+  def q120_kn_bigram(s: SparkSession, d: String): DataFrame =
+    graft.text.LanguageModel.kneserNeyBigrams(Tables.documents(s, d))
+
+  /** Length-bucketed batch assembly with exact integer padding-waste
+    * accounting (bucket width 16 tokens, batch size 16 docs). */
+  def q121_length_batches(s: SparkSession, d: String): DataFrame =
+    graft.pipeline.Batching.lengthBucketBatches(
+      Tables.documents(s, d), bucketWidth = 16, batchSize = 16)
+
+  /** JL sign random projection 64→16 dims, integer-exact coordinates
+    * (md5-derived ±1 matrix, floor-quantized inputs). */
+  def q122_random_projection(s: SparkSession, d: String): DataFrame =
+    graft.sim.Projection.projectInt(Tables.embeddings(s, d))
+
+  /** PCA phase 1: integer sufficient statistics (count, sums, Gram
+    * upper triangle) of the quantized embedding corpus in one pass. */
+  def q123_gram_moments(s: SparkSession, d: String): DataFrame =
+    graft.sim.Pca.momentsInt(Tables.embeddings(s, d))
+
+  /** PCA phase 2: top-4 principal-component projection (driver-side
+    * Jacobi eigen on the model-sized covariance; float output →
+    * rows-only check, pinned by PcaSpec). */
+  def q124_pca_project(s: SparkSession, d: String): DataFrame =
+    graft.sim.Pca.pcaProject(Tables.embeddings(s, d), k = 4)
+
   // ---------------------------------------------------------------- registry
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1817,6 +1855,13 @@ object SparkEntry {
     "q115_sparse_cosine" -> (q115_sparse_cosine _),
     "q116_scalar_quantize" -> (q116_scalar_quantize _),
     "q117_hard_negatives" -> (q117_hard_negatives _),
+    "q118_paragraph_dedup" -> (q118_paragraph_dedup _),
+    "q119_domain_cap" -> (q119_domain_cap _),
+    "q120_kn_bigram" -> (q120_kn_bigram _),
+    "q121_length_batches" -> (q121_length_batches _),
+    "q122_random_projection" -> (q122_random_projection _),
+    "q123_gram_moments" -> (q123_gram_moments _),
+    "q124_pca_project" -> (q124_pca_project _),
   )
 
   // DuckDB twins of the Scala normalization / hashing expressions
@@ -3671,5 +3716,97 @@ object SparkEntry {
         |  FROM s)
         |SELECT query_id, negative_id, neg_label, CAST(rank AS BIGINT) AS rank
         |FROM r WHERE rank <= 3""".stripMargin,
+    "q118_paragraph_dedup" ->
+      s"""WITH w AS (
+         |  SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+         |s AS (
+         |  SELECT doc_id,
+         |    CAST((len(ws) + 19) // 20 AS BIGINT) AS segs_total,
+         |    i AS seg_idx,
+         |    array_to_string(ws[(i * 20 + 1):(i * 20 + 20)], ' ') AS seg
+         |  FROM w, unnest(range((len(ws) + 19) // 20)) AS t(i)),
+         |h AS (SELECT *, ${hash60Sql("seg")} AS hh FROM s),
+         |k AS (
+         |  SELECT * FROM h QUALIFY row_number() OVER (
+         |    PARTITION BY hh ORDER BY doc_id, seg_idx) = 1)
+         |SELECT doc_id,
+         |  string_agg(seg, ' ' ORDER BY seg_idx) AS text_dedup,
+         |  CAST(count(*) AS BIGINT) AS segs_kept,
+         |  any_value(segs_total) AS segs_total
+         |FROM k GROUP BY doc_id""".stripMargin,
+    "q119_domain_cap" ->
+      """WITH t AS (
+        |  SELECT doc_id, source, n_chars,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS toks
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, source, toks, SUM(toks) OVER (
+        |    PARTITION BY source ORDER BY n_chars DESC, doc_id ASC
+        |    ROWS UNBOUNDED PRECEDING) AS cum_toks
+        |  FROM t)
+        |SELECT doc_id, source, toks, CAST(cum_toks AS BIGINT) AS cum_toks
+        |FROM c WHERE cum_toks <= 800""".stripMargin,
+    "q120_kn_bigram" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, string_split($NormSql, ' ') AS ws
+         |  FROM documents),
+         |ix AS (
+         |  SELECT doc_id, ws, unnest(range(1, len(ws))) AS i FROM t
+         |  WHERE len(ws) >= 2),
+         |bg AS (SELECT ws[i] AS w1, ws[i + 1] AS w2 FROM ix),
+         |c AS (SELECT w1, w2, count(*) AS c2 FROM bg GROUP BY w1, w2),
+         |l AS (
+         |  SELECT w1, CAST(sum(c2) AS BIGINT) AS c1, count(*) AS dr
+         |  FROM c GROUP BY w1),
+         |r AS (SELECT w2, count(*) AS cont FROM c GROUP BY w2),
+         |tot AS (SELECT count(*) AS bt FROM c)
+         |SELECT c.w1, c.w2, c.c2,
+         |  (2 * c.c2 - 1) * bt + dr * cont AS p_num,
+         |  2 * c1 * bt AS p_den
+         |FROM c JOIN l USING (w1) JOIN r USING (w2) CROSS JOIN tot""".stripMargin,
+    "q121_length_batches" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS toks
+        |  FROM documents),
+        |b AS (
+        |  SELECT doc_id, toks, toks // 16 AS bucket FROM t),
+        |r AS (
+        |  SELECT bucket, toks, (row_number() OVER (
+        |    PARTITION BY bucket ORDER BY toks DESC, doc_id ASC) - 1) // 16
+        |    AS batch_id
+        |  FROM b)
+        |SELECT bucket, CAST(batch_id AS BIGINT) AS batch_id,
+        |  count(*) AS n_docs, max(toks) AS max_toks,
+        |  CAST(sum(toks) AS BIGINT) AS sum_toks,
+        |  max(toks) * count(*) - CAST(sum(toks) AS BIGINT) AS pad_waste
+        |FROM r GROUP BY bucket, batch_id""".stripMargin,
+    "q122_random_projection" ->
+      """WITH x AS (
+        |  SELECT vec_id, j, d,
+        |    CAST(floor(CAST(embedding[d + 1] AS DOUBLE) * 2097152.0)
+        |      AS BIGINT) AS q
+        |  FROM embeddings, unnest(range(16)) AS t(j),
+        |       unnest(range(len(embedding))) AS u(d))
+        |SELECT vec_id, j,
+        |  CAST(SUM(q * CASE WHEN substr(md5(CAST(j AS VARCHAR) || '_' ||
+        |    CAST(d AS VARCHAR)), 1, 1) <= '7' THEN 1 ELSE -1 END)
+        |    AS BIGINT) AS proj
+        |FROM x GROUP BY vec_id, j""".stripMargin,
+    "q123_gram_moments" ->
+      """WITH q AS (
+        |  SELECT vec_id, d,
+        |    CAST(floor(CAST(embedding[d + 1] AS DOUBLE) * 2097152.0)
+        |      AS BIGINT) AS q
+        |  FROM embeddings, unnest(range(len(embedding))) AS t(d))
+        |SELECT CAST(-1 AS BIGINT) AS i, CAST(-1 AS BIGINT) AS j,
+        |  (SELECT count(DISTINCT vec_id) FROM q) AS sprod
+        |UNION ALL
+        |SELECT d AS i, CAST(-1 AS BIGINT) AS j, CAST(sum(q) AS BIGINT)
+        |FROM q GROUP BY d
+        |UNION ALL
+        |SELECT a.d AS i, b.d AS j, CAST(SUM(a.q * b.q) AS BIGINT)
+        |FROM q a JOIN q b ON a.vec_id = b.vec_id AND a.d <= b.d
+        |GROUP BY a.d, b.d""".stripMargin,
   )
 }

@@ -1,0 +1,78 @@
+package graft.dedup
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Segment-level corpus deduplication — the C4 / CCNet move of
+  * deduplicating BELOW document granularity: C4 removed repeated
+  * three-sentence spans corpus-wide, CCNet hash-deduplicated individual
+  * lines before language ID. Both observed that web boilerplate
+  * (headers, cookie banners, navigation) repeats across documents that
+  * are NOT near-duplicates of each other, so document-level dedup
+  * (exact q17, MinHash q19) never removes it.
+  *
+  * The corpus here is single-line text, so the segmenter is a fixed
+  * `w`-word window rather than `\n` or sentence boundaries — the
+  * pipeline shape (segment → hash → corpus-wide keep-first → reassemble
+  * survivors in order) is identical, and a caller with newline-structured
+  * text gets line-dedup by pre-splitting upstream.
+  *
+  * Distinct from [[SubstringDedup]]: that op finds repeated k-grams at
+  * ANY alignment (inverted-occurrence shape, best for verbatim overlap
+  * detection); this op removes ALIGNED fixed windows and REASSEMBLES the
+  * surviving document text — it is a corpus transform whose output is
+  * again a text corpus, ready for the next funnel stage.
+  *
+  * Scale: one shuffle on the 60-bit segment hash (the keep-first
+  * window), one shuffle on doc_id (reassembly) — both linear in total
+  * segments, nothing pairwise. The window partitions by the LONG hash,
+  * not the segment string, so shuffle rows carry 8-byte keys; at 100 TB
+  * the hottest hash key is the most-repeated boilerplate segment, whose
+  * group is (count, not bytes) large — row_number over it is a single
+  * streaming pass, no buffering. Collision risk of hash-keyed identity
+  * is the repo-standard 60-bit bound (~1e-18 under 1e9 distinct
+  * segments).
+  */
+object ParagraphDedup {
+
+  /** (doc_id, segs_total, seg_idx, seg): aligned `w`-word segments of
+    * each document, in order. The last segment may be short. */
+  def segments(docs: DataFrame, w: Int = 20): DataFrame = {
+    require(w >= 1, "segment width must be positive")
+    docs
+      .select(col("doc_id"), split(col("text"), " ").as("ws"))
+      .withColumn("segs_total",
+        floor((size(col("ws")) + (w - 1)) / lit(w)).cast("long"))
+      .select(col("doc_id"), col("segs_total"),
+        posexplode(transform(
+          sequence(lit(0), (col("segs_total") - 1).cast("int")),
+          i => concat_ws(" ", slice(col("ws"), i * w + 1, lit(w)))))
+          .as(Seq("seg_idx", "seg")))
+  }
+
+  /** Corpus-wide segment dedup with reassembly: every repeated segment
+    * keeps only its FIRST occurrence (by doc_id, then position — the
+    * deterministic keep-first contract shared with [[Dedup.exactDedup]]),
+    * then each document is rebuilt from its surviving segments in
+    * original order. Documents whose every segment was claimed earlier
+    * drop out entirely (they were pure boilerplate).
+    *
+    * Output: (doc_id, text_dedup, segs_kept, segs_total). */
+  def dedupSegments(docs: DataFrame, w: Int = 20): DataFrame = {
+    val seg = segments(docs, w)
+      .withColumn("h", Dedup.hash60(col("seg")))
+    val keepFirst = Window.partitionBy(col("h"))
+      .orderBy(col("doc_id").asc, col("seg_idx").asc)
+    seg
+      .withColumn("rn", row_number().over(keepFirst))
+      .filter(col("rn") === 1)
+      .groupBy(col("doc_id"))
+      .agg(
+        concat_ws(" ", transform(
+          array_sort(collect_list(struct(col("seg_idx"), col("seg")))),
+          s => s.getField("seg"))).as("text_dedup"),
+        count(lit(1)).as("segs_kept"),
+        any_value(col("segs_total")).as("segs_total"))
+  }
+}

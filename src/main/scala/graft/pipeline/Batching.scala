@@ -1,0 +1,52 @@
+package graft.pipeline
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Length-bucketed batch assembly — the "bucketing by sequence length"
+  * trick every large-scale trainer uses (fairseq/T5-style): grouping
+  * similar-length documents into the same batch bounds padding waste,
+  * because a batch pads every member to its longest sequence.
+  *
+  * Buckets are FIXED-WIDTH in token count (bucket = toks / width), not
+  * global quantiles: fixed boundaries need no global sort, are stable
+  * as the corpus grows (a new shard lands in the same buckets), and
+  * keep the op one window-per-bucket — the quantile variant would put
+  * an ntile over an unpartitioned frame (single-task sort at 100 TB).
+  * Within a bucket, documents are ordered longest-first (doc_id
+  * tiebreak) and chopped into batches of `batchSize`; per-batch padding
+  * waste = max_toks·n_docs − sum_toks is exact integer arithmetic.
+  *
+  * Scale: one shuffle partitioned by bucket (bounded key cardinality:
+  * maxToks/width), spillable per-bucket sort for row_number; the
+  * output is batch-granular (corpus_rows / batchSize). Skew note: real
+  * corpora concentrate in few length buckets — if one bucket dominates,
+  * sub-salt it by hash(doc_id) % k and renumber batches per salt, which
+  * changes batch MEMBERSHIP but not the waste bound; the unsalted form
+  * here is the deterministic oracle-able reference.
+  */
+object Batching {
+
+  /** Per-batch packing summary: (bucket, batch_id, n_docs, max_toks,
+    * sum_toks, pad_waste). */
+  def lengthBucketBatches(docs: DataFrame, bucketWidth: Int = 16,
+                          batchSize: Int = 16): DataFrame = {
+    require(bucketWidth >= 1 && batchSize >= 1,
+      "bucketWidth and batchSize must be positive")
+    val toks = docs.select(col("doc_id"),
+      size(split(col("text"), " ")).cast("long").as("toks"))
+      .withColumn("bucket", floor(col("toks") / lit(bucketWidth)))
+    val w = Window.partitionBy(col("bucket"))
+      .orderBy(col("toks").desc, col("doc_id").asc)
+    toks
+      .withColumn("batch_id",
+        floor((row_number().over(w) - 1) / lit(batchSize)).cast("long"))
+      .groupBy(col("bucket"), col("batch_id"))
+      .agg(count(lit(1)).as("n_docs"),
+        max(col("toks")).as("max_toks"),
+        sum(col("toks")).as("sum_toks"))
+      .withColumn("pad_waste",
+        col("max_toks") * col("n_docs") - col("sum_toks"))
+  }
+}

@@ -1,0 +1,61 @@
+package graft.pipeline
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Per-domain token budgeting — the RefinedWeb / Gopher-style source
+  * balancing step: a handful of giant domains (or sources) dominate any
+  * web crawl, and training mixes cap each domain's TOKEN contribution
+  * rather than its document count, keeping the highest-priority
+  * documents until the domain's budget is spent.
+  *
+  * Priority here is deterministic: longest documents first (n_chars
+  * DESC), doc_id as the total-order tiebreak — swap in any score column
+  * via `orderCol`. The running token sum is exact integer arithmetic,
+  * so the keep/cut decision is bit-reproducible (oracle q119).
+  *
+  * Scale: ONE shuffle, partitioned by source. The running sum needs a
+  * per-source sort, which Spark's window exec does with spillable
+  * external sort — a pathological mega-domain sorts on one task but
+  * never buffers the frame in memory. When even that sort is too much
+  * at 100 TB, the two-pass variant applies: aggregate a per-source
+  * histogram of (priority-bucket → token mass), pick each source's
+  * cutoff bucket from the (tiny, broadcastable) histogram table, and
+  * filter — no global per-source sort; the window form below is the
+  * exact-semantics reference for it.
+  */
+object DomainBalance {
+
+  /** Keep documents per source while the running token total (in
+    * priority order) stays within `budgetTokens`.
+    * Output: (doc_id, source, toks, cum_toks), kept rows only. */
+  def capByTokenBudget(docs: DataFrame, budgetTokens: Long,
+                       domainCol: String = "source"): DataFrame = {
+    val w = Window.partitionBy(col(domainCol))
+      .orderBy(col("n_chars").desc, col("doc_id").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    docs
+      .select(col("doc_id"), col(domainCol), col("n_chars"),
+        size(split(col("text"), " ")).cast("long").as("toks"))
+      .withColumn("cum_toks", sum(col("toks")).over(w))
+      .filter(col("cum_toks") <= budgetTokens)
+      .select(col("doc_id"), col(domainCol), col("toks"), col("cum_toks"))
+  }
+
+  /** Per-source funnel accounting for the cap: how many docs/tokens
+    * survive each source's budget. Output one row per source. */
+  def capAccounting(docs: DataFrame, budgetTokens: Long,
+                    domainCol: String = "source"): DataFrame = {
+    val kept = capByTokenBudget(docs, budgetTokens, domainCol)
+      .groupBy(col(domainCol))
+      .agg(count(lit(1)).as("docs_kept"), sum(col("toks")).as("toks_kept"))
+    val all = docs.groupBy(col(domainCol))
+      .agg(count(lit(1)).as("docs_total"),
+        sum(size(split(col("text"), " ")).cast("long")).as("toks_total"))
+    all.join(kept, Seq(domainCol), "left")
+      .select(col(domainCol), col("docs_total"), col("toks_total"),
+        coalesce(col("docs_kept"), lit(0L)).as("docs_kept"),
+        coalesce(col("toks_kept"), lit(0L)).as("toks_kept"))
+  }
+}

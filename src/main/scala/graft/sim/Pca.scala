@@ -1,0 +1,223 @@
+package graft.sim
+
+import org.apache.spark.sql.{DataFrame, Encoder, Encoders, SparkSession}
+import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.functions._
+
+/** Distributed PCA in the classic two-phase shape every large-scale
+  * implementation uses (e.g. the method-of-moments path in MLlib's
+  * RowMatrix): (1) ONE distributed pass folds the corpus into fixed-size
+  * sufficient statistics — count, per-dimension sums, and the upper
+  * triangle of the second-moment (Gram) matrix — via a typed Aggregator
+  * with map-side combine (a ~17 KB buffer per partition for 64 dims, no
+  * shuffle of row data); (2) the D×D covariance eigendecomposition runs
+  * on the driver (model-sized, the same sanction as the k-means centroid
+  * fold), and the top-k eigenvectors are baked back into a per-row
+  * projection expression — a second linear pass, no shuffle.
+  *
+  * The moments are INTEGER sufficient statistics over
+  * q_d = floor(x_d·2^scaleBits) (exact for power-of-two scales), so the
+  * statistics query (q123) is bit-exact against the DuckDB oracle and
+  * order-free under any partial-aggregation tree: longs commute. With
+  * |x| ≤ 1, |q| ≤ 2^21, one product ≤ 2^42, so int64 holds Σ over ~2^20
+  * rows per the require below; wider corpora raise dims' bound by
+  * lowering scaleBits.
+  *
+  * Eigensolver: cyclic Jacobi rotations — O(D³) per sweep, fully
+  * deterministic (fixed pivot order, fixed sweep count on convergence
+  * threshold), no pivoting on data-dependent magnitudes, which keeps the
+  * PCA projection reproducible bit-for-bit across runs (PcaSpec pins
+  * this plus the eigen residual).
+  */
+object Pca {
+
+  /** n, per-dim sums s (length D), upper-tri products p (row-major,
+    * length D(D+1)/2): all over the quantized integer vectors. */
+  case class GramMoments(n: Long, s: Array[Long], p: Array[Long])
+
+  private def triIndex(d: Int, i: Int, j: Int): Int =
+    i * d - i * (i - 1) / 2 + (j - i)
+
+  private class GramAgg(dims: Int, scale: Double)
+    extends Aggregator[Seq[Float], GramMoments, GramMoments] {
+    override def zero: GramMoments =
+      GramMoments(0L, new Array[Long](dims),
+        new Array[Long](dims * (dims + 1) / 2))
+    override def reduce(b: GramMoments, v: Seq[Float]): GramMoments = {
+      require(v.length == dims, s"expected $dims dims, got ${v.length}")
+      val q = new Array[Long](dims)
+      var i = 0
+      while (i < dims) { q(i) = math.floor(v(i) * scale).toLong; i += 1 }
+      i = 0
+      var t = 0
+      while (i < dims) {
+        b.s(i) += q(i)
+        var j = i
+        while (j < dims) { b.p(t) += q(i) * q(j); j += 1; t += 1 }
+        i += 1
+      }
+      GramMoments(b.n + 1, b.s, b.p)
+    }
+    override def merge(a: GramMoments, b: GramMoments): GramMoments = {
+      var i = 0
+      while (i < a.s.length) { a.s(i) += b.s(i); i += 1 }
+      i = 0
+      while (i < a.p.length) { a.p(i) += b.p(i); i += 1 }
+      GramMoments(a.n + b.n, a.s, a.p)
+    }
+    override def finish(r: GramMoments): GramMoments = r
+    override def bufferEncoder: Encoder[GramMoments] = Encoders.product
+    override def outputEncoder: Encoder[GramMoments] = Encoders.product
+  }
+
+  /** Integer moment table, one distributed pass:
+    * rows (-1,-1,n), (d,-1,Σq_d), and (i,j,Σq_i·q_j) for i ≤ j. */
+  def momentsInt(emb: DataFrame, dims: Int = 64,
+                 scaleBits: Int = 21): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val scale = (1L << scaleBits).toDouble
+    val agg = new GramAgg(dims, scale)
+    emb.select(col("embedding")).as[Seq[Float]]
+      .select(agg.toColumn)
+      .flatMap { m =>
+        val head = Iterator.single((-1L, -1L, m.n))
+        val sums = Iterator.tabulate(dims)(d => (d.toLong, -1L, m.s(d)))
+        val prods = for {
+          i <- Iterator.range(0, dims)
+          j <- Iterator.range(i, dims)
+        } yield (i.toLong, j.toLong, m.p(triIndex(dims, i, j)))
+        head ++ sums ++ prods
+      }
+      .toDF("i", "j", "sprod")
+  }
+
+  /** Driver-side covariance from the integer moments (unbiased, n−1). */
+  def covarianceFromMoments(m: GramMoments, dims: Int,
+                            scaleBits: Int): Array[Array[Double]] = {
+    val scale = (1L << scaleBits).toDouble
+    val n = m.n.toDouble
+    val c = Array.ofDim[Double](dims, dims)
+    var i = 0
+    while (i < dims) {
+      var j = i
+      while (j < dims) {
+        val cov = (m.p(triIndex(dims, i, j)) -
+          m.s(i).toDouble * m.s(j).toDouble / n) / ((n - 1) * scale * scale)
+        c(i)(j) = cov; c(j)(i) = cov
+        j += 1
+      }
+      i += 1
+    }
+    c
+  }
+
+  /** Cyclic Jacobi eigendecomposition of a symmetric matrix:
+    * (eigenvalues desc, eigenvectors as rows, matching order).
+    * Deterministic: fixed (i,j) sweep order, convergence on off-diagonal
+    * Frobenius mass, hard sweep cap. */
+  def jacobiEigen(mat: Array[Array[Double]], maxSweeps: Int = 64,
+                  eps: Double = 1e-18): (Array[Double], Array[Array[Double]]) = {
+    val d = mat.length
+    val a = Array.tabulate(d, d)((i, j) => mat(i)(j))
+    val v = Array.tabulate(d, d)((i, j) => if (i == j) 1.0 else 0.0)
+    var sweep = 0
+    var off = offDiag(a)
+    while (sweep < maxSweeps && off > eps) {
+      var i = 0
+      while (i < d - 1) {
+        var j = i + 1
+        while (j < d) {
+          if (a(i)(j) != 0.0) rotate(a, v, i, j)
+          j += 1
+        }
+        i += 1
+      }
+      off = offDiag(a)
+      sweep += 1
+    }
+    val order = (0 until d).sortBy(k => (-a(k)(k), k))
+    (order.map(k => a(k)(k)).toArray,
+      order.map(k => Array.tabulate(d)(r => v(r)(k))).toArray)
+  }
+
+  private def offDiag(a: Array[Array[Double]]): Double = {
+    var s = 0.0
+    var i = 0
+    while (i < a.length) {
+      var j = i + 1
+      while (j < a.length) { s += a(i)(j) * a(i)(j); j += 1 }
+      i += 1
+    }
+    s
+  }
+
+  private def rotate(a: Array[Array[Double]], v: Array[Array[Double]],
+                     p: Int, q: Int): Unit = {
+    val d = a.length
+    val theta = (a(q)(q) - a(p)(p)) / (2.0 * a(p)(q))
+    val t = {
+      val at = math.abs(theta)
+      if (at > 1e153) 1.0 / (2.0 * theta) // avoid theta² overflow
+      else {
+        val tt = 1.0 / (at + math.sqrt(theta * theta + 1.0))
+        if (theta < 0.0) -tt else tt // theta == 0 → t = 1 (45° rotation)
+      }
+    }
+    val c = 1.0 / math.sqrt(t * t + 1.0)
+    val s = t * c
+    val tau = s / (1.0 + c)
+    val apq = a(p)(q)
+    a(p)(p) -= t * apq
+    a(q)(q) += t * apq
+    a(p)(q) = 0.0; a(q)(p) = 0.0
+    var k = 0
+    while (k < d) {
+      if (k != p && k != q) {
+        val akp = a(k)(p); val akq = a(k)(q)
+        a(k)(p) = akp - s * (akq + tau * akp); a(p)(k) = a(k)(p)
+        a(k)(q) = akq + s * (akp - tau * akq); a(q)(k) = a(k)(q)
+      }
+      val vkp = v(k)(p); val vkq = v(k)(q)
+      v(k)(p) = vkp - s * (vkq + tau * vkp)
+      v(k)(q) = vkq + s * (vkp - tau * vkq)
+      k += 1
+    }
+  }
+
+  /** Collect the moments to the driver (model-sized: 1 + D + D(D+1)/2
+    * longs) for covariance/eigen work outside a DataFrame. */
+  def collectMoments(emb: DataFrame, dims: Int = 64,
+                     scaleBits: Int = 21): GramMoments = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val scale = (1L << scaleBits).toDouble
+    val agg = new GramAgg(dims, scale)
+    emb.select(col("embedding")).as[Seq[Float]]
+      .select(agg.toColumn).head()
+  }
+
+  /** Project the corpus onto the top-k principal components:
+    * (vec_id, pc, value) — mean-centered dot with the k-th eigenvector,
+    * evaluated as a per-row fold in fixed index order (deterministic
+    * across runs; PcaSpec pins variance-diagonality and the eigen
+    * residual). No shuffle: eigenvectors ride the plan as literals. */
+  def pcaProject(emb: DataFrame, k: Int = 4, dims: Int = 64,
+                 scaleBits: Int = 21): DataFrame = {
+    val m = collectMoments(emb, dims, scaleBits)
+    val cov = covarianceFromMoments(m, dims, scaleBits)
+    val (_, vecs) = jacobiEigen(cov)
+    val scale = (1L << scaleBits).toDouble
+    val mean = Array.tabulate(dims)(d => m.s(d) / (m.n.toDouble * scale))
+    val xd = transform(col("embedding"), x => x.cast("double"))
+    val pcCols = (0 until k).map { p =>
+      val e = vecs(p)
+      val prods = zip_with(xd, typedLit(e.toSeq), (a, b) => a * b)
+      val offset = (0 until dims).map(d => mean(d) * e(d)).sum
+      aggregate(prods, lit(0.0), (acc, x) => acc + x) - lit(offset)
+    }
+    emb
+      .select(col("vec_id"), posexplode(array(pcCols: _*)).as(Seq("pc", "value")))
+      .select(col("vec_id"), col("pc").cast("long").as("pc"), col("value"))
+  }
+}

@@ -1,0 +1,60 @@
+package graft.sim
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Random projection (Johnson–Lindenstrauss) over the embedding corpus
+  * with a ±1 sign matrix (Achlioptas 2001: database-friendly random
+  * projections — sign entries preserve pairwise distances in
+  * expectation just like Gaussians, and cost one add per term). The
+  * sign matrix is derived from md5("j_d"), the repo-wide deterministic
+  * hash, so Spark, DuckDB, and the driver all reconstruct the SAME
+  * matrix from nothing but (j, d) — no RNG state, no shipped model.
+  *
+  * Integer sufficient statistics (the repo's oracle pattern): inputs
+  * quantize to q_d = floor(x_d·2^scaleBits) — exact in IEEE double for
+  * a power-of-two scale — and each output coordinate is an exact
+  * integer Σ ±q_d, so q122 hash-matches bit-for-bit. Callers wanting
+  * the float projection divide by 2^scaleBits once.
+  *
+  * Scale: pure per-row map — NO shuffle, no join, no driver state; the
+  * sign matrix is outDims·inDims literals baked into the plan
+  * (16×64 = 1 KB). At 100 TB this runs at parquet scan speed, and the
+  * projected table is outDims/inDims of the input width. The per-row
+  * fold stays inside whole-stage codegen (zip_with + aggregate are
+  * codegen'd HOFs over a primitive array).
+  */
+object Projection {
+
+  private def md5Hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
+  /** Deterministic ±1 matrix: sign(j,d) = +1 iff the first hex digit of
+    * md5("j_d") is 0–7 (an unbiased bit of a full-avalanche hash). */
+  def signMatrix(outDims: Int, inDims: Int): Array[Array[Long]] =
+    Array.tabulate(outDims, inDims) { (j, d) =>
+      if (Character.digit(md5Hex(s"${j}_${d}").charAt(0), 16) < 8) 1L
+      else -1L
+    }
+
+  /** Exploded integer projection: (vec_id, j, proj) with
+    * proj = Σ_d sign(j,d)·floor(embedding[d]·2^scaleBits). */
+  def projectInt(emb: DataFrame, outDims: Int = 16, inDims: Int = 64,
+                 scaleBits: Int = 21): DataFrame = {
+    require(outDims >= 1 && scaleBits >= 0 && scaleBits <= 30,
+      "need 1 <= outDims and 0 <= scaleBits <= 30")
+    val scale = (1L << scaleBits).toDouble
+    val q = transform(col("embedding"),
+      x => floor(x.cast("double") * lit(scale)).cast("long"))
+    val signs = signMatrix(outDims, inDims)
+    val projCols = (0 until outDims).map { j =>
+      aggregate(
+        zip_with(q, typedLit(signs(j).toSeq), (a, b) => a * b),
+        lit(0L), (acc, x) => acc + x)
+    }
+    emb
+      .select(col("vec_id"), posexplode(array(projCols: _*)).as(Seq("j", "proj")))
+      .select(col("vec_id"), col("j").cast("long").as("j"), col("proj"))
+  }
+}

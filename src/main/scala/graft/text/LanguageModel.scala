@@ -52,4 +52,48 @@ object LanguageModel {
         sum(when(col("c2") <= maxSupport, 1L).otherwise(0L)).as("n_rare"))
       .withColumn("rare_pct",
         col("n_rare") * lit(100.0) / col("n_bigrams"))
+
+  /** Interpolated Kneser–Ney bigram model (Kneser & Ney 1995; the
+    * Chen & Goodman 1998 interpolated form), with absolute discount
+    * D = 1/2 chosen so every probability is an EXACT integer rational:
+    *
+    *   P(w2|w1) = (c(w1,w2) − D)/c(w1)
+    *            + D·N1+(w1,•)/c(w1) · N1+(•,w2)/B
+    *
+    * where N1+(w1,•) = distinct continuations of w1, N1+(•,w2) =
+    * distinct left contexts of w2 (the continuation count that makes KN
+    * famous: "Francisco" is frequent but only ever follows "San", so
+    * its unigram back-off mass is small), and B = distinct bigram
+    * types. With D = 1/2 and c ≥ 1 on the model table:
+    *
+    *   P = ((2c−1)·B + dr·cont) / (2·c1·B)
+    *
+    * — all-integer numerator/denominator, so the trained model
+    * hash-matches the DuckDB oracle bit-for-bit (q120); callers wanting
+    * floats divide once at the end. Normalization is exact: for every
+    * w1, Σ over SEEN w2 of P(w2|w1) plus the backoff mass
+    * λ(w1)·Σ_unseen Pcont(w2) (λ = D·dr/c1, the unseen-pair formula
+    * with max(c−D,0) = 0) equals 1 as a rational identity —
+    * KneserNeySpec pins it with BigInt arithmetic.
+    *
+    * Scale: the model table is one hash-shuffle over corpus bigrams
+    * (map-side combined); the three statistics tables are aggregates OF
+    * THE MODEL (vocabulary-sized, not corpus-sized) and broadcast back —
+    * no corpus-sized join, no window over an unpartitioned frame. */
+  def kneserNeyBigrams(docs: DataFrame): DataFrame = {
+    val counts = bigramCounts(docs)
+    val left = counts.groupBy(col("w1"))
+      .agg(sum(col("c2")).as("c1"), count(lit(1)).as("dr"))
+    val right = counts.groupBy(col("w2"))
+      .agg(count(lit(1)).as("cont"))
+    val total = counts.agg(count(lit(1)).as("bt"))
+    counts
+      .join(broadcast(left), Seq("w1"))
+      .join(broadcast(right), Seq("w2"))
+      .crossJoin(broadcast(total))
+      .select(col("w1"), col("w2"), col("c2"),
+        ((lit(2L) * col("c2") - 1L) * col("bt")
+          + col("dr") * col("cont")).as("p_num"),
+        (lit(2L) * col("c1") * col("bt")).as("p_den"))
+  }
 }

@@ -1,0 +1,42 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.pipeline.Batching
+
+class BatchingSpec extends AnyFunSuite with SparkTestBase {
+  import spark.implicits._
+
+  private def doc(id: Long, toks: Int) = (id, Seq.fill(toks)("w").mkString(" "))
+
+  test("fixed-width buckets, batches capped at batchSize, exact waste") {
+    // bucket 0 (toks < 4): 3,3,2,1 tokens; batchSize 2 →
+    //   batch 0 = [3,3] (waste 0), batch 1 = [2,1] (waste 1)
+    // bucket 1 (4 ≤ toks < 8): 7,4 → one batch, waste 3
+    val docs = Seq(doc(1, 3), doc(2, 3), doc(3, 2), doc(4, 1),
+      doc(5, 7), doc(6, 4)).toDF("doc_id", "text")
+    val out = Batching.lengthBucketBatches(docs, bucketWidth = 4, batchSize = 2)
+      .as[(Long, Long, Long, Long, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> r).toMap
+    assert(out((0L, 0L)) == ((0L, 0L, 2L, 3L, 6L, 0L)))
+    assert(out((0L, 1L)) == ((0L, 1L, 2L, 2L, 3L, 1L)))
+    assert(out((1L, 0L)) == ((1L, 0L, 2L, 7L, 11L, 3L)))
+    assert(out.size == 3)
+  }
+
+  test("token conservation: Σ sum_toks over batches = Σ doc tokens") {
+    val docs = (1 to 100).map(i => doc(i.toLong, 1 + i % 37)).toDF("doc_id", "text")
+    val out = Batching.lengthBucketBatches(docs, bucketWidth = 8, batchSize = 4)
+      .as[(Long, Long, Long, Long, Long, Long)].collect()
+    assert(out.map(_._5).sum == (1 to 100).map(i => 1 + i % 37).sum.toLong)
+    assert(out.forall(_._3 <= 4))
+    assert(out.forall(r => r._6 == r._4 * r._3 - r._5 && r._6 >= 0))
+  }
+
+  test("batching within a narrower bucket never wastes more than " +
+    "bucketWidth − 1 per doc") {
+    val docs = (1 to 64).map(i => doc(i.toLong, 16 + i % 8)).toDF("doc_id", "text")
+    val out = Batching.lengthBucketBatches(docs, bucketWidth = 8, batchSize = 8)
+      .as[(Long, Long, Long, Long, Long, Long)].collect()
+    out.foreach { r => assert(r._6 <= (8 - 1) * r._3) }
+  }
+}

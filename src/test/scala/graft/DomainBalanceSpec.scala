@@ -1,0 +1,48 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.pipeline.DomainBalance
+
+class DomainBalanceSpec extends AnyFunSuite with SparkTestBase {
+  import spark.implicits._
+
+  // srcA: docs of 5/3/2 tokens (priority = n_chars desc), srcB: one doc
+  private lazy val docs = Seq(
+    (1L, "a a a a a", "srcA", 9L),
+    (2L, "b b b", "srcA", 5L),
+    (3L, "c c", "srcA", 3L),
+    (4L, "d d d d", "srcB", 7L)
+  ).toDF("doc_id", "text", "source", "n_chars")
+
+  test("budget boundary: cum == budget kept, first crossing dropped") {
+    // priority order in srcA: doc1 (5 toks, cum 5), doc2 (cum 8), doc3 (cum 10)
+    val kept = DomainBalance.capByTokenBudget(docs, budgetTokens = 8)
+      .as[(Long, String, Long, Long)].collect().map(r => r._1 -> r).toMap
+    assert(kept(1L) == ((1L, "srcA", 5L, 5L)))
+    assert(kept(2L) == ((2L, "srcA", 3L, 8L))) // cum == budget stays
+    assert(!kept.contains(3L)) // cum 10 > 8 cut
+    assert(kept(4L) == ((4L, "srcB", 4L, 4L))) // independent budget
+  }
+
+  test("a doc larger than the whole budget blocks nothing downstream " +
+    "only within its own source") {
+    val kept = DomainBalance.capByTokenBudget(docs, budgetTokens = 4)
+      .as[(Long, String, Long, Long)].collect().map(_._1).toSet
+    // srcA's first doc (5 toks) already exceeds 4 → srcA keeps nothing
+    // (running sum is blocked at 5 from row one)
+    assert(kept == Set(4L))
+  }
+
+  test("accounting: totals independent of cap, kept matches cap output") {
+    val acc = DomainBalance.capAccounting(docs, budgetTokens = 8)
+      .as[(String, Long, Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+    assert(acc("srcA") == (("srcA", 3L, 10L, 2L, 8L)))
+    assert(acc("srcB") == (("srcB", 1L, 4L, 1L, 4L)))
+  }
+
+  test("zero-survivor sources still appear in accounting with 0s") {
+    val acc = DomainBalance.capAccounting(docs, budgetTokens = 4)
+      .as[(String, Long, Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+    assert(acc("srcA") == (("srcA", 3L, 10L, 0L, 0L)))
+  }
+}

@@ -1,0 +1,69 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.text.LanguageModel
+
+class KneserNeySpec extends AnyFunSuite with SparkTestBase {
+  import spark.implicits._
+
+  // bigrams: doc1 → (a,b),(b,a),(a,c); doc2 → (b,a)
+  // model: c(a,b)=1, c(b,a)=2, c(a,c)=1; B=3 types
+  // c1(a)=2, dr(a)=2; c1(b)=2, dr(b)=1; cont(a)=1, cont(b)=1, cont(c)=1
+  private lazy val docs = Seq(
+    (1L, "a b a c"),
+    (2L, "b a")
+  ).toDF("doc_id", "text")
+
+  private lazy val model =
+    LanguageModel.kneserNeyBigrams(docs)
+      .as[(String, String, Long, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> r).toMap
+
+  test("hand-computed golden: exact integer rationals, D = 1/2") {
+    // P(b|a) = ((2·1−1)·3 + 2·1)/(2·2·3) = 5/12
+    assert(model(("a", "b"))._4 == 5L && model(("a", "b"))._5 == 12L)
+    // P(c|a) = 5/12
+    assert(model(("a", "c"))._4 == 5L && model(("a", "c"))._5 == 12L)
+    // P(a|b) = ((2·2−1)·3 + 1·1)/(2·2·3) = 10/12
+    assert(model(("b", "a"))._4 == 10L && model(("b", "a"))._5 == 12L)
+    assert(model.size == 3)
+  }
+
+  test("higher count ⇒ higher probability within a context") {
+    // within w1 = a both pairs have c = 1 and equal cont → equal P;
+    // P(a|b) with c = 2 exceeds both (10/12 > 5/12)
+    val pAB = BigInt(model(("a", "b"))._4) * model(("b", "a"))._5
+    val pBA = BigInt(model(("b", "a"))._4) * model(("a", "b"))._5
+    assert(pBA > pAB)
+  }
+
+  test("exact normalization: seen mass + backoff mass = 1 per context") {
+    // reconstruct the per-w1 statistics from the model itself
+    val byW1 = model.values.groupBy(_._1)
+    val bTypes = model.size.toLong
+    val contOf = model.values.groupBy(_._2).map { case (w2, rs) =>
+      w2 -> rs.size.toLong
+    }
+    byW1.foreach { case (w1, rows) =>
+      val c1 = rows.map(_._3).sum
+      val dr = rows.size.toLong
+      // seen mass as a BigInt rational over the common denominator
+      val den = BigInt(2L * c1 * bTypes)
+      val seenNum = rows.map(r => BigInt(r._4) * (den / r._5)).sum
+      // unseen continuation mass: λ(w1)·Σ_unseen cont(w2)/B with
+      // λ = dr/(2·c1)  (D = 1/2)
+      val seenCont = rows.map(r => contOf(r._2)).sum
+      val unseenNum = BigInt(dr) * (bTypes - seenCont)
+      assert(seenNum + unseenNum == den,
+        s"context $w1: ${seenNum}+${unseenNum} != $den")
+    }
+  }
+
+  test("model agrees with bigramCounts support") {
+    val counts = LanguageModel.bigramCounts(docs)
+      .as[(String, String, Long)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    assert(model.keySet == counts.keySet)
+    model.foreach { case (k, r) => assert(r._3 == counts(k)) }
+  }
+}

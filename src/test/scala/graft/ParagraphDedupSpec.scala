@@ -1,0 +1,56 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.execution.joins.{BroadcastNestedLoopJoinExec, CartesianProductExec}
+import graft.dedup.ParagraphDedup
+
+class ParagraphDedupSpec extends AnyFunSuite with SparkTestBase {
+  import spark.implicits._
+
+  // w = 2 segments: doc1 = [a b][c d], doc2 = [c d][e f], doc3 = [a b]
+  private lazy val docs = Seq(
+    (1L, "a b c d"),
+    (2L, "c d e f"),
+    (3L, "a b")
+  ).toDF("doc_id", "text")
+
+  test("segments: aligned windows in order, short tail kept") {
+    val s = ParagraphDedup.segments(Seq((7L, "x y z")).toDF("doc_id", "text"), w = 2)
+      .select("seg_idx", "seg").as[(Int, String)].collect().sortBy(_._1)
+    assert(s.toSeq == Seq((0, "x y"), (1, "z")))
+  }
+
+  test("keep-first drops repeated segments corpus-wide and reassembles") {
+    val out = ParagraphDedup.dedupSegments(docs, w = 2)
+      .as[(Long, String, Long, Long)].collect().map(r => r._1 -> r).toMap
+    // doc1 first sees both its segments
+    assert(out(1L) == ((1L, "a b c d", 2L, 2L)))
+    // doc2 loses [c d] (doc1 owns it), keeps [e f] in position
+    assert(out(2L) == ((2L, "e f", 1L, 2L)))
+    // doc3 is pure boilerplate ([a b] owned by doc1) → drops entirely
+    assert(!out.contains(3L))
+  }
+
+  test("within-doc repetition also deduplicates (first position wins)") {
+    val rep = Seq((5L, "p q p q r s")).toDF("doc_id", "text")
+    val out = ParagraphDedup.dedupSegments(rep, w = 2)
+      .as[(Long, String, Long, Long)].collect()
+    assert(out.toSeq == Seq((5L, "p q r s", 2L, 3L)))
+  }
+
+  test("plan is linear: no pairwise join operator anywhere") {
+    val plan = ParagraphDedup.dedupSegments(docs, w = 2)
+      .queryExecution.executedPlan
+    val bad = plan.collect {
+      case c: CartesianProductExec => c
+      case b: BroadcastNestedLoopJoinExec => b
+    }
+    assert(bad.isEmpty, s"pairwise join in plan:\n$plan")
+  }
+
+  test("deterministic: two runs byte-identical") {
+    val a = ParagraphDedup.dedupSegments(docs, w = 2).collect().toSet
+    val b = ParagraphDedup.dedupSegments(docs, w = 2).collect().toSet
+    assert(a == b)
+  }
+}

@@ -1,0 +1,88 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.sim.Pca
+
+class PcaSpec extends AnyFunSuite with SparkTestBase {
+  import spark.implicits._
+
+  // 4 vectors in 3 dims with variance concentrated on dim 0
+  private lazy val emb = Seq(
+    (0L, Seq(1.0f, 0.1f, 0.0f)),
+    (1L, Seq(-1.0f, -0.1f, 0.0f)),
+    (2L, Seq(0.5f, 0.05f, 0.01f)),
+    (3L, Seq(-0.5f, -0.05f, -0.01f))
+  ).toDF("vec_id", "embedding")
+
+  test("moments match a direct driver computation exactly") {
+    val rows = Pca.momentsInt(emb, dims = 3, scaleBits = 10)
+      .as[(Long, Long, Long)].collect().map(r => (r._1, r._2) -> r._3).toMap
+    val vecs = Seq(
+      Seq(1.0f, 0.1f, 0.0f), Seq(-1.0f, -0.1f, 0.0f),
+      Seq(0.5f, 0.05f, 0.01f), Seq(-0.5f, -0.05f, -0.01f))
+    val q = vecs.map(_.map(x => math.floor(x * 1024.0).toLong))
+    assert(rows((-1L, -1L)) == 4L)
+    for (d <- 0 until 3)
+      assert(rows((d.toLong, -1L)) == q.map(_(d)).sum, s"sum dim $d")
+    for (i <- 0 until 3; j <- i until 3)
+      assert(rows((i.toLong, j.toLong)) == q.map(v => v(i) * v(j)).sum,
+        s"prod ($i,$j)")
+    assert(rows.size == 1 + 3 + 6)
+  }
+
+  test("jacobi eigen: residual, orthonormality, descending order") {
+    val m = Pca.collectMoments(emb, dims = 3, scaleBits = 10)
+    val c = Pca.covarianceFromMoments(m, dims = 3, scaleBits = 10)
+    val (vals, vecs) = Pca.jacobiEigen(c)
+    assert(vals.sliding(2).forall(p => p(0) >= p(1)))
+    // residual ‖Cv − λv‖∞ per eigenpair
+    for (k <- 0 until 3) {
+      val cv = (0 until 3).map(i =>
+        (0 until 3).map(j => c(i)(j) * vecs(k)(j)).sum)
+      val res = (0 until 3).map(i => math.abs(cv(i) - vals(k) * vecs(k)(i))).max
+      assert(res < 1e-9, s"eigenpair $k residual $res")
+    }
+    // orthonormal rows
+    for (a <- 0 until 3; b <- a until 3) {
+      val dot = (0 until 3).map(i => vecs(a)(i) * vecs(b)(i)).sum
+      assert(math.abs(dot - (if (a == b) 1.0 else 0.0)) < 1e-10)
+    }
+    // trace is preserved: Σλ = Σ diag(C)
+    assert(math.abs(vals.sum - (0 until 3).map(i => c(i)(i)).sum) < 1e-10)
+  }
+
+  test("projection: first component carries the dominant variance " +
+    "direction and output is deterministic") {
+    val out = Pca.pcaProject(emb, k = 2, dims = 3, scaleBits = 10)
+      .as[(Long, Long, Double)].collect()
+    assert(out.length == 8)
+    val pc0 = out.filter(_._2 == 0L).sortBy(_._1).map(_._3)
+    // dominant direction is ±dim0: projections track vec[0] up to sign
+    val raw = Seq(1.0, -1.0, 0.5, -0.5)
+    val sign = math.signum(pc0(0) / raw(0))
+    (pc0, raw).zipped.foreach { (p, r) =>
+      assert(math.abs(p * sign - r) < 0.08, s"pc0 $p vs raw $r")
+    }
+    // variance along pc0 >> pc1
+    def variance(xs: Seq[Double]): Double = {
+      val mu = xs.sum / xs.size
+      xs.map(x => (x - mu) * (x - mu)).sum / (xs.size - 1)
+    }
+    val pc1 = out.filter(_._2 == 1L).sortBy(_._1).map(_._3)
+    assert(variance(pc0.toSeq) > 50 * variance(pc1.toSeq))
+    // bit-identical across runs (fixed sweep order, literal vectors)
+    val again = Pca.pcaProject(emb, k = 2, dims = 3, scaleBits = 10)
+      .as[(Long, Long, Double)].collect()
+    assert(out.sortBy(r => (r._1, r._2)).toSeq ==
+      again.sortBy(r => (r._1, r._2)).toSeq)
+  }
+
+  test("projected components are mean-centered") {
+    val out = Pca.pcaProject(emb, k = 3, dims = 3, scaleBits = 10)
+      .as[(Long, Long, Double)].collect()
+    for (p <- 0 until 3) {
+      val xs = out.filter(_._2 == p.toLong).map(_._3)
+      assert(math.abs(xs.sum / xs.length) < 1e-3, s"pc $p not centered")
+    }
+  }
+}

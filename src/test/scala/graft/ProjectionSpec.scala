@@ -1,0 +1,57 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.execution.exchange.Exchange
+import org.apache.spark.sql.execution.SparkPlan
+import graft.sim.Projection
+
+class ProjectionSpec extends AnyFunSuite with SparkTestBase {
+  import spark.implicits._
+
+  private lazy val emb = Seq(
+    (0L, Seq(0.5f, -0.25f, 0.125f)),
+    (1L, Seq(-0.5f, 0.5f, 0.0f))
+  ).toDF("vec_id", "embedding")
+
+  test("sign matrix is ±1, deterministic, and md5-derived") {
+    val m1 = Projection.signMatrix(4, 8)
+    val m2 = Projection.signMatrix(4, 8)
+    assert(m1.flatten.forall(s => s == 1L || s == -1L))
+    assert(m1.map(_.toSeq).toSeq == m2.map(_.toSeq).toSeq)
+    // not degenerate: both signs occur
+    assert(m1.flatten.toSet == Set(1L, -1L))
+  }
+
+  test("projection equals the driver-side integer computation exactly") {
+    val signs = Projection.signMatrix(2, 3)
+    val out = Projection.projectInt(emb, outDims = 2, inDims = 3, scaleBits = 4)
+      .as[(Long, Long, Long)].collect().map(r => (r._1, r._2) -> r._3).toMap
+    val vecs = Map(
+      0L -> Seq(0.5f, -0.25f, 0.125f),
+      1L -> Seq(-0.5f, 0.5f, 0.0f))
+    for ((id, v) <- vecs; j <- 0 until 2) {
+      val expect = v.indices.map { d =>
+        signs(j)(d) * math.floor(v(d) * 16.0).toLong
+      }.sum
+      assert(out((id, j.toLong)) == expect, s"vec $id dim $j")
+    }
+  }
+
+  test("no shuffle: the plan is a pure per-row map") {
+    val plan: SparkPlan = Projection.projectInt(emb, outDims = 4, inDims = 3)
+      .queryExecution.executedPlan
+    assert(plan.collect { case e: Exchange => e }.isEmpty,
+      s"unexpected exchange:\n$plan")
+  }
+
+  test("power-of-two quantization is exact: scaleBits round-trips " +
+    "representable values") {
+    // 0.5·2^4 = 8 exactly, -0.25·2^4 = -4 exactly: projections over a
+    // single dimension reproduce the quantized values themselves
+    val one = Seq((0L, Seq(0.5f))).toDF("vec_id", "embedding")
+    val sign = Projection.signMatrix(1, 1)(0)(0)
+    val out = Projection.projectInt(one, outDims = 1, inDims = 1, scaleBits = 4)
+      .as[(Long, Long, Long)].collect().head
+    assert(out._3 == sign * 8L)
+  }
+}
