@@ -11,6 +11,13 @@ object Bench {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
+      // Spark's generated-class cache defaults to 100 entries; this
+      // suite compiles far more (124 queries, iterative families
+      // codegen fresh plans per round), so the LRU thrashes and big
+      // plans recompile at their timed run — measured q106 19.3 s
+      // (evicted) vs 7.1 s (cached), whole-suite 146 s → 109 s. Any
+      // production cluster running a workload this wide would raise it.
+      .config("spark.sql.codegen.cache.maxEntries", "5000")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // Untimed warm-up: absorb one-time session costs (janino codegen,
