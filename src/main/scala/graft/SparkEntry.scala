@@ -1735,6 +1735,24 @@ object SparkEntry {
   def q124_pca_project(s: SparkSession, d: String): DataFrame =
     graft.sim.Pca.pcaProject(Tables.embeddings(s, d), k = 4)
 
+  /** T5-style span corruption (20% hash-derived mask): numbered
+    * sentinels in the input, sentinel-prefixed spans as the target —
+    * one row-local fold, no shuffle. */
+  def q125_span_corruption(s: SparkSession, d: String): DataFrame =
+    graft.pipeline.SpanCorruption.spanCorrupt(Tables.documents(s, d))
+
+  /** Curriculum schedule: easy→hard within source (distinct-token
+    * difficulty), arithmetic round-robin interleave across sources. */
+  def q126_curriculum(s: SparkSession, d: String): DataFrame =
+    graft.pipeline.Curriculum.schedule(Tables.documents(s, d))
+
+  /** Heaps-law vocabulary-growth curve over TRIGRAM types (the unigram
+    * vocabulary of the synthetic corpus saturates in the first bucket):
+    * new types charged to the 50-doc bucket of first appearance. */
+  def q127_vocab_growth(s: SparkSession, d: String): DataFrame =
+    graft.text.Vocab.growthCurve(Tables.documents(s, d), bucketSize = 50,
+      n = 3)
+
   // ---------------------------------------------------------------- registry
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1862,6 +1880,9 @@ object SparkEntry {
     "q122_random_projection" -> (q122_random_projection _),
     "q123_gram_moments" -> (q123_gram_moments _),
     "q124_pca_project" -> (q124_pca_project _),
+    "q125_span_corruption" -> (q125_span_corruption _),
+    "q126_curriculum" -> (q126_curriculum _),
+    "q127_vocab_growth" -> (q127_vocab_growth _),
   )
 
   // DuckDB twins of the Scala normalization / hashing expressions
@@ -3808,5 +3829,79 @@ object SparkEntry {
         |SELECT a.d AS i, b.d AS j, CAST(SUM(a.q * b.q) AS BIGINT)
         |FROM q a JOIN q b ON a.vec_id = b.vec_id AND a.d <= b.d
         |GROUP BY a.d, b.d""".stripMargin,
+    "q125_span_corruption" ->
+      s"""WITH w AS (
+         |  SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+         |tok AS (
+         |  SELECT doc_id, i, ws[i + 1] AS w,
+         |    (${hash60Sql("CAST(doc_id AS VARCHAR) || '_' || CAST(i AS VARCHAR)")}
+         |      % 5 < 1) AS m
+         |  FROM w, unnest(range(len(ws))) AS t(i)),
+         |s AS (
+         |  SELECT *, CASE WHEN m AND NOT coalesce(lag(m) OVER (
+         |    PARTITION BY doc_id ORDER BY i), false) THEN 1 ELSE 0 END
+         |    AS is_start
+         |  FROM tok),
+         |s2 AS (
+         |  SELECT *, SUM(is_start) OVER (PARTITION BY doc_id ORDER BY i
+         |    ROWS UNBOUNDED PRECEDING) AS k1
+         |  FROM s),
+         |p AS (
+         |  SELECT doc_id, i, m, k1,
+         |    CASE WHEN NOT m THEN w
+         |         WHEN is_start = 1
+         |           THEN '<X_' || CAST(k1 - 1 AS VARCHAR) || '>'
+         |         ELSE '' END AS inp_piece,
+         |    CASE WHEN m AND is_start = 1
+         |           THEN '<X_' || CAST(k1 - 1 AS VARCHAR) || '> ' || w
+         |         WHEN m THEN w ELSE '' END AS tgt_piece
+         |  FROM s2)
+         |SELECT doc_id,
+         |  coalesce(string_agg(inp_piece, ' ' ORDER BY i)
+         |    FILTER (WHERE inp_piece <> ''), '') AS input_text,
+         |  coalesce(string_agg(tgt_piece, ' ' ORDER BY i)
+         |    FILTER (WHERE tgt_piece <> ''), '') AS target_text,
+         |  CAST(count(*) AS BIGINT) AS n_tokens,
+         |  CAST(sum(CASE WHEN m THEN 1 ELSE 0 END) AS BIGINT) AS n_masked,
+         |  CAST(max(k1) AS BIGINT) AS n_spans
+         |FROM p GROUP BY doc_id""".stripMargin,
+    "q126_curriculum" ->
+      """WITH s AS (
+        |  SELECT doc_id, source,
+        |    CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT)
+        |      AS difficulty
+        |  FROM documents),
+        |ix AS (
+        |  SELECT source, row_number() OVER (ORDER BY source) - 1
+        |    AS src_idx
+        |  FROM (SELECT DISTINCT source FROM s)),
+        |n AS (SELECT count(*) AS ns FROM ix),
+        |r AS (
+        |  SELECT doc_id, source, difficulty, row_number() OVER (
+        |    PARTITION BY source ORDER BY difficulty ASC, doc_id ASC)
+        |    AS rn
+        |  FROM s)
+        |SELECT doc_id, r.source, difficulty, CAST(rn AS BIGINT) AS rn,
+        |  CAST((rn - 1) * ns + src_idx AS BIGINT) AS global_pos
+        |FROM r JOIN ix ON r.source = ix.source CROSS JOIN n""".stripMargin,
+    "q127_vocab_growth" ->
+      s"""WITH w AS (
+         |  SELECT doc_id, string_split($NormSql, ' ') AS ws
+         |  FROM documents),
+         |tk AS (
+         |  SELECT doc_id,
+         |    array_to_string(ws[(i + 1):(i + 3)], ' ') AS term
+         |  FROM w, unnest(range(len(ws) - 2)) AS t(i)
+         |  WHERE len(ws) >= 3),
+         |f AS (
+         |  SELECT term, min(doc_id) AS first_doc FROM tk
+         |  WHERE term <> '' GROUP BY term),
+         |b AS (
+         |  SELECT first_doc // 50 AS bucket, count(*) AS new_types
+         |  FROM f GROUP BY 1)
+         |SELECT bucket, new_types,
+         |  CAST(SUM(new_types) OVER (ORDER BY bucket
+         |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_types
+         |FROM b""".stripMargin,
   )
 }

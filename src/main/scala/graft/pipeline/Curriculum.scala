@@ -1,0 +1,50 @@
+package graft.pipeline
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Curriculum schedule builder: order training examples easy→hard
+  * WITHIN each source while round-robin interleaving ACROSS sources —
+  * the standard shape of curriculum training mixes (easy-first
+  * progression without letting any single source monopolize a phase of
+  * training).
+  *
+  * Difficulty here is the per-doc distinct-token count (lexical
+  * richness — deterministic, integer, and oracle-able); callers with a
+  * model-based score swap the column in.
+  *
+  * The GLOBAL position is arithmetic, not a global sort:
+  * global_pos = (rn−1)·S + source_index, with rn the per-source
+  * easy→hard rank and S the number of sources. That is exactly a
+  * round-robin merge of the per-source curricula, computed with ONE
+  * shuffle (the per-source window) plus a broadcast of the tiny
+  * source-index table — no single-partition row_number over the corpus
+  * (the naive global window would funnel 100 TB through one sort
+  * task). Positions are unique by construction: (rn, src_idx) pairs
+  * are distinct and the map is injective for src_idx < S.
+  */
+object Curriculum {
+
+  /** (doc_id, source, difficulty, rn, global_pos): rn = 1-based
+    * easy→hard rank within source; global_pos = 0-based round-robin
+    * interleave position. */
+  def schedule(docs: DataFrame): DataFrame = {
+    val scored = docs.select(col("doc_id"), col("source"),
+      size(array_distinct(split(col("text"), " "))).cast("long")
+        .as("difficulty"))
+    val srcIdx = scored.select(col("source")).distinct()
+      .withColumn("src_idx",
+        row_number().over(Window.orderBy(col("source"))) - 1)
+    val nSrc = srcIdx.count()
+    val w = Window.partitionBy(col("source"))
+      .orderBy(col("difficulty").asc, col("doc_id").asc)
+    scored
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .join(broadcast(srcIdx), Seq("source"))
+      .withColumn("global_pos",
+        (col("rn") - 1) * lit(nSrc) + col("src_idx"))
+      .select(col("doc_id"), col("source"), col("difficulty"),
+        col("rn"), col("global_pos"))
+  }
+}

@@ -1,0 +1,81 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.dedup.Dedup
+
+/** T5-style span-corruption example builder (Raffel et al. 2020): mask
+  * a deterministic subset of tokens, collapse each CONSECUTIVE masked
+  * run into one numbered sentinel in the input, and emit the masked
+  * spans (sentinel-prefixed) as the target — the denoising-objective
+  * pair every encoder-decoder pretraining run materializes.
+  *
+  * Mask decisions are hash-derived (md5 over "doc_id_tokenIndex", the
+  * repo-wide determinism convention): token i is masked iff
+  * hash60(doc_id ∥ '_' ∥ i) % den < num — no RNG state, stable under
+  * re-runs and shard re-orders, and reproducible in the DuckDB oracle
+  * (q125) down to the exact sentinel numbering.
+  *
+  * Scale: the whole example builder is ONE row-local fold — a single
+  * `aggregate` higher-order function walks the token array carrying
+  * (input, target, span count, prev-masked) state, so there is NO
+  * shuffle, no token explode, no per-doc window sort; the op runs at
+  * parquet scan speed on any corpus size. (The oracle SQL reconstructs
+  * the same strings with windows + string_agg — the declarative
+  * reference, quadratic nowhere but oracle-only.)
+  */
+object SpanCorruption {
+
+  /** (doc_id, input_text, target_text, n_tokens, n_masked, n_spans)
+    * with mask rate num/den (default 1/5 = 20%). Sentinels are
+    * `<X_k>`, k numbered per doc in span order from 0. */
+  def spanCorrupt(docs: DataFrame, num: Int = 1, den: Int = 5): DataFrame = {
+    require(num >= 0 && den >= 1, "mask rate must be a valid fraction")
+    val ws = split(col("text"), " ")
+
+    def maskedAt(i: Column): Column =
+      Dedup.hash60(concat(col("doc_id").cast("string"), lit("_"),
+        i.cast("string"))) % den < num
+
+    // append piece `p` to accumulated string `s` with a single space
+    def sep(s: Column, p: Column): Column =
+      when(s === "", p).otherwise(concat(s, lit(" "), p))
+
+    def sentinel(k: Column): Column =
+      concat(lit("<X_"), k.cast("string"), lit(">"))
+
+    val init = struct(lit("").as("inp"), lit("").as("tgt"),
+      lit(0).as("k"), lit(false).as("prev"))
+    val folded = aggregate(
+      sequence(lit(0), size(ws) - 1),
+      init,
+      (acc, i) => {
+        val w = element_at(ws, i + 1)
+        val m = maskedAt(i)
+        val isStart = m && !acc.getField("prev")
+        struct(
+          when(!m, sep(acc.getField("inp"), w))
+            .when(isStart, sep(acc.getField("inp"),
+              sentinel(acc.getField("k"))))
+            .otherwise(acc.getField("inp")).as("inp"),
+          when(isStart, sep(acc.getField("tgt"),
+            concat(sentinel(acc.getField("k")), lit(" "), w)))
+            .when(m, concat(acc.getField("tgt"), lit(" "), w))
+            .otherwise(acc.getField("tgt")).as("tgt"),
+          (acc.getField("k") + when(isStart, 1).otherwise(0)).as("k"),
+          m.as("prev"))
+      })
+    val nMasked = aggregate(
+      sequence(lit(0), size(ws) - 1), lit(0L),
+      (acc, i) => acc + when(maskedAt(i), 1L).otherwise(0L))
+
+    docs.select(
+      col("doc_id"),
+      folded.getField("inp").as("input_text"),
+      folded.getField("tgt").as("target_text"),
+      size(ws).cast("long").as("n_tokens"),
+      nMasked.as("n_masked"),
+      folded.getField("k").cast("long").as("n_spans"))
+  }
+}

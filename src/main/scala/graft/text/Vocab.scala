@@ -103,4 +103,42 @@ object Vocab {
       .select(col("doc_id"),
         coalesce(col("token_ids"), expr("array()")).as("token_ids"))
   }
+
+  /** Vocabulary-growth (Heaps-law) curve: how many NEW n-gram types
+    * each slice of the corpus contributes, and the running type total —
+    * the curve every corpus audit plots to judge whether more data
+    * still buys vocabulary (and to spot template/duplicated slices,
+    * which contribute near-zero new types). `n` sets the type
+    * granularity (1 = unigram; higher n tracks phrase novelty, the
+    * usual choice when the unigram vocabulary saturates early).
+    *
+    * Each type is charged to the bucket of the FIRST document it
+    * appears in (buckets = doc_id / bucketSize, the deterministic
+    * corpus order). Scale: one n-gram-key shuffle for the min-doc
+    * aggregate, then a BUCKET-granular rollup — the running sum runs
+    * over the tiny bucket table (corpus_docs / bucketSize rows), never
+    * over the corpus, so the global-order window costs nothing.
+    * Output: (bucket, new_types, cum_types). */
+  def growthCurve(docs: DataFrame, bucketSize: Long = 50,
+                  n: Int = 1): DataFrame = {
+    require(bucketSize >= 1 && n >= 1, "bucketSize and n must be positive")
+    val ws = split(Dedup.normalize(col("text")), " ")
+    val firstDoc = docs
+      .select(col("doc_id"),
+        explode(when(size(ws) >= n, transform(
+          sequence(lit(0), size(ws) - n),
+          i => concat_ws(" ", slice(ws, i + 1, lit(n)))))
+          .otherwise(array())).as("term"))
+      .filter(col("term") =!= "")
+      .groupBy(col("term"))
+      .agg(min(col("doc_id")).as("first_doc"))
+    val buckets = firstDoc
+      .groupBy(floor(col("first_doc") / bucketSize).as("bucket"))
+      .agg(count(lit(1)).as("new_types"))
+    buckets.withColumn("cum_types",
+      sum(col("new_types")).over(
+        org.apache.spark.sql.expressions.Window.orderBy(col("bucket"))
+          .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
+      .select(col("bucket"), col("new_types"), col("cum_types"))
+  }
 }

@@ -1,0 +1,53 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.pipeline.Curriculum
+
+class CurriculumSpec extends AnyFunSuite with SparkTestBase {
+  import spark.implicits._
+
+  private lazy val docs = Seq(
+    (1L, "a a a", "s1"),      // difficulty 1
+    (2L, "a b c d", "s1"),    // difficulty 4
+    (3L, "a b", "s1"),        // difficulty 2
+    (4L, "z", "s2"),          // difficulty 1
+    (5L, "z y x w v u", "s2") // difficulty 6
+  ).toDF("doc_id", "text", "source")
+
+  private lazy val out = Curriculum.schedule(docs)
+    .as[(Long, String, Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+
+  test("within-source order is easy→hard with doc_id tiebreak") {
+    assert(out(1L)._4 == 1L && out(3L)._4 == 2L && out(2L)._4 == 3L)
+    assert(out(4L)._4 == 1L && out(5L)._4 == 2L)
+  }
+
+  test("global positions round-robin across sources: " +
+    "(rn−1)·S + src_idx, unique, starting at 0") {
+    // src order: s1 → 0, s2 → 1; S = 2
+    assert(out(1L)._5 == 0L) // rn 1, s1
+    assert(out(4L)._5 == 1L) // rn 1, s2
+    assert(out(3L)._5 == 2L) // rn 2, s1
+    assert(out(5L)._5 == 3L) // rn 2, s2
+    assert(out(2L)._5 == 4L) // rn 3, s1
+    assert(out.values.map(_._5).toSet.size == 5)
+  }
+
+  test("difficulty is the distinct-token count") {
+    assert(out(1L)._3 == 1L && out(2L)._3 == 4L && out(3L)._3 == 2L)
+    assert(out(4L)._3 == 1L && out(5L)._3 == 6L)
+  }
+
+  test("interleave property holds on a wider corpus: any prefix of the " +
+    "schedule contains balanced source counts (within 1 per source)") {
+    val wide = (1 to 90).map { i =>
+      (i.toLong, (0 to i % 7).map(j => s"t$j").mkString(" "), s"src${i % 3}")
+    }.toDF("doc_id", "text", "source")
+    val sched = Curriculum.schedule(wide)
+      .as[(Long, String, Long, Long, Long)].collect().sortBy(_._5)
+    // positions may be sparse (unequal source sizes) but every prefix
+    // of the emitted order stays balanced within one round
+    val prefix = sched.take(30).groupBy(_._2).view.mapValues(_.length)
+    assert(prefix.values.max - prefix.values.min <= 1, prefix.toMap)
+  }
+}

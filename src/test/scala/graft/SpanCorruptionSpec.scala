@@ -1,0 +1,77 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.execution.exchange.Exchange
+import graft.pipeline.SpanCorruption
+
+class SpanCorruptionSpec extends AnyFunSuite with SparkTestBase {
+  import spark.implicits._
+
+  private lazy val docs = Seq(
+    (1L, "a b c d e f g h"),
+    (2L, "x y"),
+    (3L, "solo")
+  ).toDF("doc_id", "text")
+
+  private def run(num: Int, den: Int) =
+    SpanCorruption.spanCorrupt(docs, num, den)
+      .as[(Long, String, String, Long, Long, Long)]
+      .collect().map(r => r._1 -> r).toMap
+
+  test("mask nothing: input = text, empty target, zero spans") {
+    val out = run(0, 5)
+    assert(out(1L) == ((1L, "a b c d e f g h", "", 8L, 0L, 0L)))
+    assert(out(3L) == ((3L, "solo", "", 1L, 0L, 0L)))
+  }
+
+  test("mask everything: one span, input is a single sentinel, " +
+    "target carries all tokens") {
+    val out = run(5, 5)
+    assert(out(2L) == ((2L, "<X_0>", "<X_0> x y", 2L, 2L, 1L)))
+    assert(out(1L)._2 == "<X_0>")
+    assert(out(1L)._3 == "<X_0> a b c d e f g h")
+    assert(out(1L)._6 == 1L)
+  }
+
+  test("structural invariants at 20%: consecutive masks collapse, " +
+    "sentinels number in order, token counts conserve") {
+    val wide = (1 to 200)
+      .map(i => (i.toLong, (0 until 30).map(j => s"w$j").mkString(" ")))
+      .toDF("doc_id", "text")
+    val out = SpanCorruption.spanCorrupt(wide)
+      .as[(Long, String, String, Long, Long, Long)].collect()
+    assert(out.length == 200)
+    out.foreach { case (_, inp, tgt, nTok, nMask, nSpan) =>
+      assert(nTok == 30L && nMask >= 0L && nSpan <= nMask)
+      val sentinelsIn = "<X_(\\d+)>".r.findAllMatchIn(inp)
+        .map(_.group(1).toInt).toSeq
+      val sentinelsTgt = "<X_(\\d+)>".r.findAllMatchIn(tgt)
+        .map(_.group(1).toInt).toSeq
+      // numbered 0..n_spans-1, in order, identically in input and target
+      assert(sentinelsIn == (0 until nSpan.toInt))
+      assert(sentinelsTgt == (0 until nSpan.toInt))
+      // token conservation: unmasked words in input + masked words in
+      // target = original token count
+      val inpWords = inp.split(" ").count(w => !w.startsWith("<X_"))
+      val tgtWords = tgt.split(" ").filter(_.nonEmpty)
+        .count(w => !w.startsWith("<X_"))
+      assert(inpWords + tgtWords == nTok, s"$inp / $tgt")
+      assert(tgtWords == nMask)
+    }
+    // ~20% global mask rate (hash-uniform; 6000 tokens, ±4σ bound)
+    val rate = out.map(_._5).sum.toDouble / out.map(_._4).sum
+    assert(rate > 0.15 && rate < 0.25, s"rate $rate")
+  }
+
+  test("no shuffle: one row-local fold, no Exchange in the plan") {
+    val plan = SpanCorruption.spanCorrupt(docs).queryExecution.executedPlan
+    assert(plan.collect { case e: Exchange => e }.isEmpty,
+      s"unexpected exchange:\n$plan")
+  }
+
+  test("deterministic across runs") {
+    val a = SpanCorruption.spanCorrupt(docs).collect().toSet
+    val b = SpanCorruption.spanCorrupt(docs).collect().toSet
+    assert(a == b)
+  }
+}

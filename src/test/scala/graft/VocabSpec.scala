@@ -77,4 +77,34 @@ class VocabSpec extends AnyFunSuite with SparkTestBase {
     // the→0, unknown→-1, cat→2
     assert(enc == ((9L, Seq(0L, -1L, 2L))))
   }
+
+  test("growthCurve: types charged to first-appearance bucket, " +
+    "running total closes to the distinct-type count") {
+    // bucket size 2: docs 0-1 → bucket 0 (types a,b), docs 2-3 →
+    // bucket 1 (c new; a,b seen), doc 4 → bucket 2 (d new)
+    val g = Seq((0L, "a b"), (1L, "b a"), (2L, "c a"), (3L, "b c"),
+      (4L, "d")).toDF("doc_id", "text")
+    val out = Vocab.growthCurve(g, bucketSize = 2)
+      .as[(Long, Long, Long)].collect().sortBy(_._1)
+    assert(out.toSeq == Seq((0L, 2L, 2L), (1L, 1L, 3L), (2L, 1L, 4L)))
+  }
+
+  test("growthCurve: n-gram granularity — trigram types, docs shorter " +
+    "than n contribute nothing") {
+    val g = Seq((0L, "a b c d"), (1L, "a b c"), (2L, "x y"))
+      .toDF("doc_id", "text")
+    val out = Vocab.growthCurve(g, bucketSize = 1, n = 3)
+      .as[(Long, Long, Long)].collect().sortBy(_._1)
+    // doc0: "a b c", "b c d" (2 new); doc1: "a b c" seen (0 new, no
+    // row); doc2: shorter than 3 → nothing
+    assert(out.toSeq == Seq((0L, 2L, 2L)))
+  }
+
+  test("growthCurve: a duplicated slice contributes zero new types") {
+    val base = (0 until 20).map(i => (i.toLong, s"w${i % 5} w${(i + 1) % 5}"))
+    val dup = (20 until 40).map(i => (i.toLong, s"w${i % 5} w${(i + 1) % 5}"))
+    val out = Vocab.growthCurve((base ++ dup).toDF("doc_id", "text"),
+      bucketSize = 20).as[(Long, Long, Long)].collect().sortBy(_._1)
+    assert(out.length == 1 && out.head._1 == 0L)
+  }
 }
