@@ -1753,6 +1753,21 @@ object SparkEntry {
     graft.text.Vocab.growthCurve(Tables.documents(s, d), bucketSize = 50,
       n = 3)
 
+  /** q106's deterministic funnel extended with the round-7 stages:
+    * segment-level dedup (w = 20) after the substring scrub and a
+    * per-source 2000-token budget as the final gate — the full curated
+    * corpus, still hash-stable end to end. */
+  def q128_corpus_curated(s: SparkSession, d: String): DataFrame = {
+    val all = Tables.documents(s, d)
+    val p = graft.pipeline.CorpusPipeline.prepare(
+      all.filter(col("doc_id") % 50 =!= 0),
+      all.filter(col("doc_id") % 50 === 0),
+      langs = Seq("en", "und"), minQualityPercentile = 0.2,
+      nearDupThreshold = 0.0, scrubK = 8,
+      segmentDedupW = 20, domainBudget = 2000)
+    p.docs.select(col("doc_id"), col("text"), col("source"))
+  }
+
   // ---------------------------------------------------------------- registry
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1883,6 +1898,7 @@ object SparkEntry {
     "q125_span_corruption" -> (q125_span_corruption _),
     "q126_curriculum" -> (q126_curriculum _),
     "q127_vocab_growth" -> (q127_vocab_growth _),
+    "q128_corpus_curated" -> (q128_corpus_curated _),
   )
 
   // DuckDB twins of the Scala normalization / hashing expressions
@@ -3903,5 +3919,47 @@ object SparkEntry {
          |  CAST(SUM(new_types) OVER (ORDER BY bucket
          |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_types
          |FROM b""".stripMargin,
+    "q128_corpus_curated" ->
+      s"""$funnelSqlThroughScrub,
+         |sw AS (SELECT doc_id, string_split(text, ' ') AS ws
+         |       FROM scrubbed),
+         |sg AS (
+         |  SELECT doc_id, i AS seg_idx,
+         |    array_to_string(ws[(i * 20 + 1):(i * 20 + 20)], ' ') AS seg
+         |  FROM sw, unnest(range((len(ws) + 19) // 20)) AS t(i)),
+         |sgh AS (SELECT *, ${hash60Sql("seg")} AS hh FROM sg),
+         |sgk AS (
+         |  SELECT * FROM sgh QUALIFY row_number() OVER (
+         |    PARTITION BY hh ORDER BY doc_id, seg_idx) = 1),
+         |segd0 AS (
+         |  SELECT doc_id, string_agg(seg, ' ' ORDER BY seg_idx) AS text
+         |  FROM sgk GROUP BY doc_id),
+         |segd AS (
+         |  SELECT s0.doc_id, s0.text, sc.source
+         |  FROM segd0 s0 JOIN scrubbed sc USING (doc_id)),
+         |csh AS (
+         |  SELECT DISTINCT doc_id,
+         |    unnest([array_to_string(ws[i:i+4], ' ')
+         |            for i in range(1, greatest(len(ws) - 5, 0) + 2)]) AS s
+         |  FROM (SELECT doc_id, string_split($NormSql, ' ') AS ws
+         |        FROM segd)),
+         |bsh AS (
+         |  SELECT DISTINCT
+         |    unnest([array_to_string(ws[i:i+4], ' ')
+         |            for i in range(1, greatest(len(ws) - 5, 0) + 2)]) AS s
+         |  FROM (SELECT string_split($NormSql, ' ') AS ws FROM bench0)),
+         |contaminated AS (
+         |  SELECT DISTINCT c.doc_id FROM csh c JOIN bsh b ON c.s = b.s),
+         |clean AS (
+         |  SELECT s.doc_id, s.text, s.source FROM segd s
+         |  WHERE s.doc_id NOT IN (SELECT doc_id FROM contaminated)),
+         |capd AS (
+         |  SELECT c.doc_id, c.text, c.source,
+         |    SUM(CAST(len(string_split(c.text, ' ')) AS BIGINT)) OVER (
+         |      PARTITION BY c.source ORDER BY d.n_chars DESC, c.doc_id ASC
+         |      ROWS UNBOUNDED PRECEDING) AS cum
+         |  FROM clean c JOIN documents d ON c.doc_id = d.doc_id)
+         |SELECT doc_id, text, source FROM capd WHERE cum <= 2000"""
+        .stripMargin,
   )
 }

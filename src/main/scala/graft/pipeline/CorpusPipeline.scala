@@ -81,7 +81,8 @@ object CorpusPipeline {
               scrubK: Int = 8, embeddings: Option[DataFrame] = None,
               semanticClusters: Int = 8, semanticThreshold: Double = 0.95,
               bpeMerges: Int = 0,
-              classifier: Option[(DataFrame, Seq[String])] = None)
+              classifier: Option[(DataFrame, Seq[String])] = None,
+              segmentDedupW: Int = 0, domainBudget: Long = 0)
       : Prepared = {
     import org.apache.spark.sql.Observation
     import org.apache.spark.sql.expressions.Window
@@ -163,21 +164,45 @@ object CorpusPipeline {
     // superseded full-corpus copies don't pin executor storage
     exactKept.unpersist()
 
+    // segment-level dedup (C4/CCNet paragraph shape): aligned w-word
+    // windows deduplicated corpus-wide keep-first, documents rebuilt
+    // from their surviving segments; fully-boilerplate docs leave.
+    // Complementary to the scrub above: the scrub removes ANY-alignment
+    // duplicated k-gram spans, this collapses whole repeated segments
+    // and re-emits a text corpus for the later text-reading stages.
+    val afterSeg =
+      if (segmentDedupW <= 0) scrubKept
+      else {
+        val oSeg = Observation()
+        val segd = graft.dedup.ParagraphDedup
+          .dedupSegments(scrubKept, segmentDedupW)
+          .select(col("doc_id"),
+            col("text_dedup").as("text"))
+        val kept = scrubKept.drop("text")
+          .join(segd, Seq("doc_id"))
+          .select(cols: _*)
+          .observe(oSeg, cnt, tok)
+          .localCheckpoint(true)
+        stageOf("segment_dedup", oSeg)
+        scrubKept.unpersist()
+        kept
+      }
+
     // model-based gate on the text that ships: docs whose argmax class
     // is outside the keep set leave the corpus. One classify pass
     // (tf → model join → regroup); the semi join back is on doc_id.
     val afterClf = classifier match {
-      case None => scrubKept
+      case None => afterSeg
       case Some((model, keep)) =>
         val oClf = Observation()
-        val passing = NaiveBayes.classify(scrubKept, model)
+        val passing = NaiveBayes.classify(afterSeg, model)
           .filter(col("pred_label").isin(keep: _*))
           .select(col("doc_id"))
-        val kept = scrubKept.join(passing, Seq("doc_id"), "left_semi")
+        val kept = afterSeg.join(passing, Seq("doc_id"), "left_semi")
           .observe(oClf, cnt, tok)
           .localCheckpoint(true)
         stageOf("classifier_gate", oClf)
-        scrubKept.unpersist()
+        afterSeg.unpersist()
         kept
     }
 
@@ -229,12 +254,31 @@ object CorpusPipeline {
     stageOf("decontaminate", oClean)
     afterSemantic.unpersist()
 
+    // per-source token budget (RefinedWeb-style balancing) as the LAST
+    // gate: budgets are spent on exactly the text that ships, with the
+    // original n_chars as the keep priority (longest first)
+    val afterCap =
+      if (domainBudget <= 0) cleanKept
+      else {
+        val oCap = Observation()
+        val keepIds = DomainBalance
+          .capByTokenBudget(cleanKept, domainBudget)
+          .select(col("doc_id"))
+        val kept = cleanKept.join(keepIds, Seq("doc_id"), "left_semi")
+          .observe(oCap, cnt, tok)
+          .persist()
+        kept.count()
+        stageOf("domain_cap", oCap)
+        cleanKept.unpersist()
+        kept
+      }
+
     // tokenizer training on exactly the corpus that ships
     val model =
       if (bpeMerges <= 0) None
       else Some(Bpe.learnMergesBatched(
-        cleanKept.select(col("text")), bpeMerges))
+        afterCap.select(col("text")), bpeMerges))
 
-    Prepared(cleanKept, funnel.toSeq, model)
+    Prepared(afterCap, funnel.toSeq, model)
   }
 }

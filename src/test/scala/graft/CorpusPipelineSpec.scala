@@ -195,4 +195,49 @@ class CorpusPipelineSpec extends AnyFunSuite with SparkTestBase {
     assert(rowsAt("classifier_gate") >= onlyIds.size &&
       rowsAt("classifier_gate") <= rowsAt("substring_scrub"))
   }
+
+  test("segment dedup + domain cap stages: accounting closes and the " +
+    "composition equals the standalone operators") {
+    import org.apache.spark.sql.functions.{col, length}
+    // w = 2 segments; docs 1/2 share [p q] → doc 2 keeps only "t u";
+    // budget 4 tokens/source → each source keeps exactly its
+    // highest-priority doc (n_chars tie → doc_id asc)
+    val docs2 = Seq(
+      (1L, "p q r s", "web"),
+      (2L, "p q t u", "web"),
+      (3L, "v w x y", "books"),
+      (4L, "a b c d", "books")
+    ).toDF("doc_id", "text", "source")
+      .withColumn("n_chars", length(col("text")).cast("long"))
+    val emptyBench = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    val p = CorpusPipeline.prepare(
+      docs2, emptyBench, langs = Seq("en", "und"),
+      minQualityPercentile = 0.0, nearDupThreshold = 0.0, scrubK = 8,
+      segmentDedupW = 2, domainBudget = 4)
+    assert(p.funnel.map(_.stage) == Seq("input", "lang_filter",
+      "quality_gate", "exact_dedup", "substring_scrub", "segment_dedup",
+      "decontaminate", "domain_cap"))
+    val tok = p.funnel.map(f => f.stage -> f.tokens).toMap
+    // segment dedup removed exactly doc 2's shared [p q] segment
+    assert(tok("substring_scrub") == 16L && tok("segment_dedup") == 14L)
+    // the removal equals the standalone operator's accounting
+    val segd = graft.dedup.ParagraphDedup.dedupSegments(docs2, 2)
+    val keptToks = segd.agg(org.apache.spark.sql.functions
+      .sum(org.apache.spark.sql.functions
+        .size(org.apache.spark.sql.functions.split(col("text_dedup"), " "))))
+      .as[Long].head()
+    assert(keptToks == 14L)
+    // domain cap: budget 4 keeps one 4-token doc per source
+    assert(tok("domain_cap") == 8L)
+    val ids = p.docs.select("doc_id").as[Long].collect().toSet
+    assert(ids == Set(1L, 3L), s"survivors: $ids")
+    // and equals the standalone cap over the pre-cap corpus
+    val preCap = docs2
+      .withColumn("text", org.apache.spark.sql.functions
+        .when(col("doc_id") === 2L, "t u").otherwise(col("text")))
+    val capIds = graft.pipeline.DomainBalance
+      .capByTokenBudget(preCap, 4).select("doc_id").as[Long]
+      .collect().toSet
+    assert(capIds == ids)
+  }
 }
