@@ -1,0 +1,145 @@
+package graft.jobs
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+import graft.dedup.{Dedup, ParagraphDedup}
+
+/** Incremental segment-level ("paragraph") dedup at ingest — the
+  * streaming form of [[ParagraphDedup.dedupSegments]]: each arriving
+  * micro-batch is deduplicated against (1) the persisted segment-hash
+  * store (every segment any EARLIER batch kept or saw) and (2) itself
+  * (within-batch keep-first by doc_id, then position), WITHOUT
+  * recomputing over the corpus. With doc ids increasing across batches
+  * (the append-only ingest contract), the accumulated output is
+  * row-identical to running `dedupSegments` over the concatenated
+  * corpus in one batch — pinned in SegmentIngestSpec.
+  *
+  * Persisted structures under `outDir` (the family layout shared with
+  * DedupIngest / NearDupIngest / SubstringIngest):
+  *  - `segs`: (h) — one row per DISTINCT 60-bit segment hash ever
+  *    seen, bucketed on h so the per-batch anti-join shuffles only the
+  *    incoming batch; the store is never re-shuffled. Unlike the
+  *    substring store no owner column is needed: ANY history occurrence
+  *    predates the whole batch, which is all keep-first asks.
+  *  - `seen`: ingested doc_ids (replay guard, bucketed on doc_id).
+  *  - `documents`: the deduplicated corpus in `dedupSegments`'s exact
+  *    schema (doc_id, text_dedup, segs_kept, segs_total).
+  *
+  * Exactly-once: a replayed batch's doc_ids are already in `seen`, so
+  * nothing appends and the segment store gains nothing — idempotent
+  * under source replay, like the other ingest jobs.
+  */
+object SegmentIngestJob {
+
+  private def storeBuckets(spark: SparkSession): Int =
+    spark.conf.get("spark.graft.segment.storeBuckets", "64").toInt
+
+  private def tableName(outDir: String, kind: String): String = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+      .digest(outDir.getBytes("UTF-8"))
+    s"graft_seg_${kind}_" + md.take(8).map("%02x".format(_)).mkString
+  }
+
+  private def pathExists(spark: SparkSession, path: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    p.getFileSystem(spark.sessionState.newHadoopConf()).exists(p)
+  }
+
+  private def storeView(spark: SparkSession, outDir: String,
+                        kind: String): Option[DataFrame] = {
+    val path = s"$outDir/$kind"
+    if (spark.catalog.tableExists(tableName(outDir, kind)))
+      Some(spark.table(tableName(outDir, kind)))
+    else if (pathExists(spark, path)) Some(spark.read.parquet(path))
+    else None
+  }
+
+  private def appendBucketed(df: DataFrame, outDir: String, kind: String,
+                             bucketCol: String): Unit = {
+    val spark = df.sparkSession
+    val table = tableName(outDir, kind)
+    val w = df.write.format("parquet")
+      .bucketBy(storeBuckets(spark), bucketCol)
+      .sortBy(bucketCol)
+      .mode("append")
+    (if (spark.catalog.tableExists(table)) w
+     else w.option("path", s"$outDir/$kind")).saveAsTable(table)
+  }
+
+  /** Batch core, shared by streaming foreachBatch and tests.
+    * @param docs (doc_id, text) micro-batch; ids must be fresh and
+    *   larger than every previously ingested id for batch-equality
+    * @return number of docs appended (0 for a fully-replayed batch) */
+  def writeBatch(docs: DataFrame, outDir: String, w: Int = 20): Long = {
+    val spark = docs.sparkSession
+    val fresh0 = storeView(spark, outDir, "seen") match {
+      case Some(seen) =>
+        docs.join(seen.select(col("doc_id")), Seq("doc_id"), "left_anti")
+      case None => docs
+    }
+    val fresh = fresh0.localCheckpoint(true)
+    try {
+      val seg = ParagraphDedup.segments(fresh, w)
+        .withColumn("h", Dedup.hash60(col("seg")))
+        .localCheckpoint(true)
+      try {
+        // history: any stored hash predates the whole batch
+        val vsHistory = storeView(spark, outDir, "segs") match {
+          case Some(st) =>
+            seg.join(st.select(col("h")), Seq("h"), "left_anti")
+          case None => seg
+        }
+        // within-batch keep-first by (doc_id, seg_idx)
+        val keepFirst = Window.partitionBy(col("h"))
+          .orderBy(col("doc_id").asc, col("seg_idx").asc)
+        val kept = vsHistory
+          .withColumn("rn", row_number().over(keepFirst))
+          .filter(col("rn") === 1)
+        val out = kept
+          .groupBy(col("doc_id"))
+          .agg(
+            concat_ws(" ", transform(
+              array_sort(collect_list(struct(col("seg_idx"), col("seg")))),
+              s => s.getField("seg"))).as("text_dedup"),
+            count(lit(1)).as("segs_kept"),
+            any_value(col("segs_total")).as("segs_total"))
+        val n = fresh.count()
+        if (n > 0) {
+          // corpus first, stores second (no-loss ordering): replay
+          // after a crash between the writes can duplicate a batch's
+          // rows; the reverse order would silently lose docs
+          out.write.mode("append").parquet(s"$outDir/documents")
+          val distinctH = seg.select(col("h")).distinct()
+          val newH = storeView(spark, outDir, "segs") match {
+            case Some(st) =>
+              distinctH.join(st.select(col("h")), Seq("h"), "left_anti")
+            case None => distinctH
+          }
+          appendBucketed(newH, outDir, "segs", "h")
+          appendBucketed(fresh.select(col("doc_id")), outDir, "seen",
+            "doc_id")
+        }
+        n
+      } finally seg.unpersist()
+    } finally fresh.unpersist()
+  }
+
+  /** File-drop streaming entry (replayable source + checkpoint →
+    * restart-safe): each dropped file holds JSON lines
+    * {"doc_id": …, "text": …}. AvailableNow drains and stops. */
+  def runFiles(spark: SparkSession, inDir: String, outDir: String,
+               checkpoint: String, w: Int = 20): StreamingQuery = {
+    val schema = "doc_id LONG, text STRING"
+    spark.readStream.schema(schema).json(inDir)
+      .writeStream
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (df: DataFrame, _: Long) =>
+        writeBatch(df, outDir, w); ()
+      }
+      .start()
+  }
+}

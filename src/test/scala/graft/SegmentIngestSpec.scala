@@ -1,0 +1,87 @@
+package graft
+
+import java.nio.file.Files
+import org.scalatest.funsuite.AnyFunSuite
+import graft.dedup.ParagraphDedup
+import graft.jobs.SegmentIngestJob
+
+class SegmentIngestSpec extends AnyFunSuite with SparkTestBase {
+  import spark.implicits._
+
+  private def tmp(): String =
+    Files.createTempDirectory("graft_seg_ingest").toString
+
+  // w = 2 segments; doc 11 repeats doc 1's [a b] within batch 1,
+  // doc 20 repeats [c d] FROM batch 2 (history dedup), doc 21 is pure
+  // boilerplate from history ([a b][c d]) and must vanish entirely
+  private val b1 = Seq(
+    (1L, "a b c d"),
+    (11L, "a b e f")).toDF("doc_id", "text")
+  private val b2 = Seq(
+    (20L, "g h c d i j"),
+    (21L, "a b c d"),
+    (22L, "fresh pair here")).toDF("doc_id", "text")
+
+  test("two-batch ingest equals the batch operator on the concatenated " +
+    "corpus, including a fully-boilerplate doc vanishing") {
+    val out = tmp()
+    assert(SegmentIngestJob.writeBatch(b1, out, w = 2) == 2)
+    assert(SegmentIngestJob.writeBatch(b2, out, w = 2) == 3)
+    val streamed = spark.read.parquet(s"$out/documents")
+      .as[(Long, String, Long, Long)].collect().toSet
+    val batch = ParagraphDedup.dedupSegments(b1.unionByName(b2), w = 2)
+      .as[(Long, String, Long, Long)].collect().toSet
+    assert(streamed == batch)
+    // the history dedup bit: doc 20 lost [c d] to batch-1's doc 1
+    assert(streamed.find(_._1 == 20L).get._2 == "g h i j")
+    // doc 21 was entirely claimed by history → absent from the corpus
+    assert(!streamed.exists(_._1 == 21L))
+  }
+
+  test("replay idempotence: re-running a processed batch appends " +
+    "nothing and leaves the segment store unchanged") {
+    val out = tmp()
+    assert(SegmentIngestJob.writeBatch(b1, out, w = 2) == 2)
+    val segs = spark.read.parquet(s"$out/segs").count()
+    assert(SegmentIngestJob.writeBatch(b1, out, w = 2) == 0)
+    assert(spark.read.parquet(s"$out/documents").count() == 2)
+    assert(spark.read.parquet(s"$out/segs").count() == segs)
+  }
+
+  test("segment store grows by NEW distinct hashes only") {
+    val out = tmp()
+    SegmentIngestJob.writeBatch(b1, out, w = 2)
+    val after1 = spark.read.parquet(s"$out/segs").count()
+    assert(after1 == 3L) // [a b], [c d], [e f]
+    SegmentIngestJob.writeBatch(b2, out, w = 2)
+    val after2 = spark.read.parquet(s"$out/segs").count()
+    // batch 2 adds [g h], [i j], [fresh pair], [here] — [c d]/[a b] known
+    assert(after2 == 7L, s"store rows: $after2")
+  }
+
+  test("streaming file-drop ingest: two drops through one checkpointed " +
+    "query equal the batch operator") {
+    val out = tmp()
+    val in = tmp()
+    val cp = tmp()
+    def drop(name: String, rows: Seq[(Long, String)]): Unit = {
+      val f = new java.io.PrintWriter(s"$in/$name")
+      rows.foreach { case (id, tx) =>
+        f.println(s"""{"doc_id": $id, "text": "$tx"}""")
+      }
+      f.close()
+    }
+    drop("b1.json", Seq(1L -> "a b c d", 11L -> "a b e f"))
+    SegmentIngestJob.runFiles(spark, in, out, cp, w = 2)
+      .awaitTermination()
+    drop("b2.json", Seq(20L -> "g h c d i j", 21L -> "a b c d",
+      22L -> "fresh pair here"))
+    SegmentIngestJob.runFiles(spark, in, out, cp, w = 2)
+      .awaitTermination()
+    val streamed = spark.read.parquet(s"$out/documents")
+      .as[(Long, String, Long, Long)].collect().toSet
+    val batch = ParagraphDedup.dedupSegments(b1.unionByName(b2), w = 2)
+      .as[(Long, String, Long, Long)].collect().toSet
+    assert(streamed == batch)
+  }
+}
