@@ -1753,6 +1753,33 @@ object SparkEntry {
     graft.text.Vocab.growthCurve(Tables.documents(s, d), bucketSize = 50,
       n = 3)
 
+  /** Per-source OOV audit against the top-25 (by count, term tiebreak)
+    * vocabulary — rank-truncation keeps the gate scale-invariant. */
+  def q129_oov_rate(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    graft.text.Vocab.oovBySource(docs,
+      graft.text.Vocab.build(docs, minCount = 1L)
+        .filter(col("token_id") < 25))
+  }
+
+  /** Feature hashing (the hashing trick): sparse 64-dim hashed
+    * bag-of-words counts, vocabulary-free, md5-bucketed. */
+  def q130_feature_hashing(s: SparkSession, d: String): DataFrame =
+    graft.text.FeatureHash.hashedCounts(Tables.documents(s, d), dims = 64)
+
+  /** Per-source token-distribution drift: exact integer-rational L1
+    * distance to the corpus blend (no cross join — absent-token mass
+    * folds into a closed form). */
+  def q131_source_divergence(s: SparkSession, d: String): DataFrame =
+    graft.text.CorpusDrift.l1Divergence(Tables.documents(s, d))
+
+  /** KN-rarity scoring: per doc, bigrams whose interpolated Kneser–Ney
+    * probability is below 1/64 by exact cross-multiplication — the
+    * integer-exact member of the perplexity-filter family. */
+  def q132_kn_rarity(s: SparkSession, d: String): DataFrame =
+    graft.text.LanguageModel.kneserNeyRareCounts(Tables.documents(s, d),
+      k = 64)
+
   /** q106's deterministic funnel extended with the round-7 stages:
     * segment-level dedup (w = 20) after the substring scrub and a
     * per-source 2000-token budget as the final gate — the full curated
@@ -1899,6 +1926,10 @@ object SparkEntry {
     "q126_curriculum" -> (q126_curriculum _),
     "q127_vocab_growth" -> (q127_vocab_growth _),
     "q128_corpus_curated" -> (q128_corpus_curated _),
+    "q129_oov_rate" -> (q129_oov_rate _),
+    "q130_feature_hashing" -> (q130_feature_hashing _),
+    "q131_source_divergence" -> (q131_source_divergence _),
+    "q132_kn_rarity" -> (q132_kn_rarity _),
   )
 
   // DuckDB twins of the Scala normalization / hashing expressions
@@ -3961,5 +3992,83 @@ object SparkEntry {
          |  FROM clean c JOIN documents d ON c.doc_id = d.doc_id)
          |SELECT doc_id, text, source FROM capd WHERE cum <= 2000"""
         .stripMargin,
+    "q129_oov_rate" ->
+      s"""WITH t AS (
+         |  SELECT source, unnest(string_split($NormSql, ' ')) AS term
+         |  FROM documents),
+         |tk AS (SELECT source, term FROM t WHERE term <> ''),
+         |c AS (SELECT term, count(*) AS n FROM tk GROUP BY term),
+         |v AS (
+         |  SELECT term FROM (
+         |    SELECT term, row_number() OVER (ORDER BY n DESC, term) - 1
+         |      AS tid FROM c)
+         |  WHERE tid < 25)
+         |SELECT source, CAST(count(*) AS BIGINT) AS n_tokens,
+         |  CAST(sum(CASE WHEN v.term IS NULL THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS n_oov,
+         |  (CAST(sum(CASE WHEN v.term IS NULL THEN 1 ELSE 0 END)
+         |    AS BIGINT) * 1000000) // CAST(count(*) AS BIGINT)
+         |    AS oov_ppm
+         |FROM tk LEFT JOIN v USING (term)
+         |GROUP BY source""".stripMargin,
+    "q130_feature_hashing" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, unnest(string_split($NormSql, ' ')) AS w
+         |  FROM documents)
+         |SELECT doc_id, ${hash60Sql("w")} % 64 AS dim,
+         |  count(*) AS cnt
+         |FROM t WHERE w <> ''
+         |GROUP BY doc_id, dim""".stripMargin,
+    "q131_source_divergence" ->
+      s"""WITH t AS (
+         |  SELECT source, unnest(string_split($NormSql, ' ')) AS w
+         |  FROM documents),
+         |tk AS (SELECT source, w FROM t WHERE w <> ''),
+         |corpus AS (SELECT w, count(*) AS ct FROM tk GROUP BY w),
+         |bys AS (
+         |  SELECT source, w, count(*) AS cs FROM tk GROUP BY source, w),
+         |st AS (
+         |  SELECT source, CAST(sum(cs) AS BIGINT) AS ts
+         |  FROM bys GROUP BY source),
+         |tot AS (SELECT CAST(sum(ct) AS BIGINT) AS t FROM corpus),
+         |j AS (
+         |  SELECT b.source, st.ts, tot.t,
+         |    CAST(sum(abs(b.cs * tot.t - c.ct * st.ts)) AS BIGINT)
+         |      AS joint_num,
+         |    CAST(sum(c.ct) AS BIGINT) AS covered_ct
+         |  FROM bys b JOIN corpus c USING (w)
+         |  JOIN st ON b.source = st.source CROSS JOIN tot
+         |  GROUP BY b.source, st.ts, tot.t)
+         |SELECT source, ts AS n_tokens,
+         |  joint_num + (t - covered_ct) * ts AS l1_num,
+         |  ts * t AS l1_den,
+         |  (joint_num + (t - covered_ct) * ts) * 1000000 // (ts * t)
+         |    AS l1_ppm
+         |FROM j""".stripMargin,
+    "q132_kn_rarity" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, string_split($NormSql, ' ') AS ws
+         |  FROM documents),
+         |ix AS (
+         |  SELECT doc_id, ws, unnest(range(1, len(ws))) AS i FROM t
+         |  WHERE len(ws) >= 2),
+         |bg AS (
+         |  SELECT doc_id, ws[i] AS w1, ws[i + 1] AS w2 FROM ix),
+         |c AS (SELECT w1, w2, count(*) AS c2 FROM bg GROUP BY w1, w2),
+         |l AS (
+         |  SELECT w1, CAST(sum(c2) AS BIGINT) AS c1, count(*) AS dr
+         |  FROM c GROUP BY w1),
+         |r AS (SELECT w2, count(*) AS cont FROM c GROUP BY w2),
+         |tot AS (SELECT count(*) AS bt FROM c),
+         |model AS (
+         |  SELECT c.w1, c.w2,
+         |    (2 * c.c2 - 1) * bt + dr * cont AS p_num,
+         |    2 * c1 * bt AS p_den
+         |  FROM c JOIN l USING (w1) JOIN r USING (w2) CROSS JOIN tot)
+         |SELECT bg.doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+         |  CAST(sum(CASE WHEN p_num * 64 < p_den THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS n_rare_kn
+         |FROM bg JOIN model USING (w1, w2)
+         |GROUP BY bg.doc_id""".stripMargin,
   )
 }

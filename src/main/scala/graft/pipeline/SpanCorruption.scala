@@ -32,7 +32,11 @@ object SpanCorruption {
     * `<X_k>`, k numbered per doc in span order from 0. */
   def spanCorrupt(docs: DataFrame, num: Int = 1, den: Int = 5): DataFrame = {
     require(num >= 0 && den >= 1, "mask rate must be a valid fraction")
-    val ws = split(col("text"), " ")
+    // bind the token array before the fold lambdas read it — an inline
+    // split() free-referenced inside `aggregate` would re-split the
+    // text once per token (O(n²) per doc); see Vocab.growthCurve
+    val ws = col("__ws")
+    val bound = docs.withColumn("__ws", split(col("text"), " "))
 
     def maskedAt(i: Column): Column =
       Dedup.hash60(concat(col("doc_id").cast("string"), lit("_"),
@@ -70,7 +74,7 @@ object SpanCorruption {
       sequence(lit(0), size(ws) - 1), lit(0L),
       (acc, i) => acc + when(maskedAt(i), 1L).otherwise(0L))
 
-    docs.select(
+    bound.select(
       col("doc_id"),
       folded.getField("inp").as("input_text"),
       folded.getField("tgt").as("target_text"),

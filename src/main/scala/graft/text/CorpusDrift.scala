@@ -1,0 +1,75 @@
+package graft.text
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.dedup.Dedup
+
+/** Per-source token-distribution drift — the corpus-mix diagnostic that
+  * flags a source whose unigram distribution has wandered from the
+  * corpus blend (scraper regressions, template floods, language drift)
+  * before it poisons a training mix.
+  *
+  * The statistic is unnormalized L1 distance between the source's token
+  * distribution p_s and the corpus distribution p, kept EXACT as one
+  * integer rational per source:
+  *
+  *   L1(s) = Σ_t |c_s(t)/T_s − c(t)/T|
+  *         = [ Σ_{t∈s} |c_s(t)·T − c(t)·T_s| + (T − Σ_{t∈s} c(t))·T_s ]
+  *           / (T_s · T)
+  *
+  * The second numerator term folds every token ABSENT from the source
+  * (|0·T − c(t)·T_s| summed over t ∉ s) into one closed form, so the
+  * computation never builds the sources × vocabulary cross product —
+  * it is one corpus token count, one per-source count, and one join on
+  * the tokens each source actually has. Range [0, 2]: 0 = identical
+  * distribution, 2 = disjoint support.
+  *
+  * Scale: two hash-shuffles (corpus token counts; per-source token
+  * counts) plus a broadcast of the corpus-total scalar. Overflow bound:
+  * numerator terms are ≤ c(t)·T_s ≤ T·T_s — int64-safe while
+  * T·T_s < 2⁶³ (≈3×10⁹ corpus tokens × 3×10⁹ source tokens); past
+  * that, compute the same formula over per-mille-scaled counts or
+  * DECIMAL(38,0) — the STRUCTURE (no cross join, exact integers) is
+  * the part that carries to 100 TB.
+  */
+object CorpusDrift {
+
+  /** (source, n_tokens, l1_num, l1_den, l1_ppm): exact rational
+    * l1_num/l1_den plus a floor-ppm rendering for human eyes (integer
+    * division — still exact, still oracle-able). */
+  def l1Divergence(docs: DataFrame): DataFrame = {
+    val toks = docs
+      .select(col("source"),
+        explode(split(Dedup.normalize(col("text")), " ")).as("w"))
+      .filter(col("w") =!= "")
+    val corpus = toks.groupBy(col("w")).agg(count(lit(1)).as("ct"))
+    val bySrc = toks.groupBy(col("source"), col("w"))
+      .agg(count(lit(1)).as("cs"))
+    val srcTotals = bySrc.groupBy(col("source"))
+      .agg(sum(col("cs")).as("ts"))
+    val corpusTotal = corpus.agg(sum(col("ct")).as("t"))
+    val joint = bySrc
+      .join(corpus, Seq("w"))
+      .join(broadcast(srcTotals), Seq("source"))
+      .crossJoin(broadcast(corpusTotal))
+      .groupBy(col("source"))
+      .agg(
+        first(col("ts")).as("ts"),
+        first(col("t")).as("t"),
+        sum(abs(col("cs") * col("t") - col("ct") * col("ts")))
+          .as("joint_num"),
+        sum(col("ct")).as("covered_ct"))
+    joint.select(
+      col("source"),
+      col("ts").as("n_tokens"),
+      (col("joint_num") + (col("t") - col("covered_ct")) * col("ts"))
+        .as("l1_num"),
+      (col("ts") * col("t")).as("l1_den"))
+      // `div` (not `/`): Spark's `/` on longs is DOUBLE division, and
+      // the 8×10¹⁷-scale product exceeds double's 2⁵³ exact-integer
+      // range — floor-of-double would be off-by-one near boundaries
+      .withColumn("l1_ppm",
+        expr("l1_num * CAST(1000000 AS BIGINT) div l1_den"))
+  }
+}

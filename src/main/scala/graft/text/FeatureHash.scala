@@ -1,0 +1,61 @@
+package graft.text
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.dedup.Dedup
+
+/** Feature hashing ("the hashing trick", Weinberger et al. 2009): map
+  * every token to a fixed-width bucket by hash and count occurrences —
+  * the vocabulary-free vectorizer that turns a text corpus into the
+  * fixed-dimension count vectors the sim/ family (k-NN, quantization,
+  * projection, PCA) consumes. No dictionary build, no OOV concept, and
+  * the dimension is chosen up front, so the operator is a pure
+  * streaming map: ideal at 100 TB where a vocabulary pass is its own
+  * job.
+  *
+  * Hashing is md5-derived (Dedup.hash60, the repo-wide cross-engine
+  * hash), so bucket assignments — and therefore the whole sparse
+  * output — are bit-identical in the DuckDB oracle (q130). Collisions
+  * are the technique's documented trade (two tokens sharing a bucket
+  * add their counts); at dims ≫ vocabulary they vanish, below that
+  * they are benign noise for similarity work.
+  *
+  * Scale: token explode → ONE hash-shuffle on (doc_id, dim) with
+  * map-side combine. Output is sparse (nonzero dims only), bounded by
+  * min(doc_tokens, dims) rows per doc.
+  */
+object FeatureHash {
+
+  /** Sparse hashed bag-of-words: (doc_id, dim, cnt), nonzero dims only,
+    * dim = hash60(token) mod dims over normalized tokens. */
+  def hashedCounts(docs: DataFrame, dims: Int = 64): DataFrame = {
+    require(dims >= 1, "dims must be positive")
+    docs
+      .select(col("doc_id"),
+        explode(split(Dedup.normalize(col("text")), " ")).as("w"))
+      .filter(col("w") =!= "")
+      .select(col("doc_id"), (Dedup.hash60(col("w")) % dims).as("dim"))
+      .groupBy(col("doc_id"), col("dim"))
+      .agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Dense float form for the vector operators: (vec_id, embedding)
+    * with embedding[d] = raw count — feed to Projection/Pca/KnnGraph.
+    * Dense materialization multiplies storage by dims/avg_nnz; prefer
+    * the sparse form until a consumer needs arrays. */
+  def hashedVectors(docs: DataFrame, dims: Int = 64): DataFrame = {
+    val sparse = hashedCounts(docs, dims)
+      .groupBy(col("doc_id"))
+      .agg(collect_list(struct(col("dim"), col("cnt"))).as("nz"))
+    sparse.select(col("doc_id").as("vec_id"),
+      transform(sequence(lit(0), lit(dims - 1)), d =>
+        coalesce(
+          // nz is small (≤ dims); a per-row linear probe keeps this a
+          // pure map instead of a second shuffle (try_: absent dim →
+          // null → 0, where ANSI element_at would throw on empty)
+          try_element_at(filter(col("nz"), p => p.getField("dim") === d),
+            lit(1)).getField("cnt").cast("float"),
+          lit(0.0f))).as("embedding"))
+  }
+}

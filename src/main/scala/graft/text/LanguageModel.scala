@@ -80,6 +80,25 @@ object LanguageModel {
     * (map-side combined); the three statistics tables are aggregates OF
     * THE MODEL (vocabulary-sized, not corpus-sized) and broadcast back —
     * no corpus-sized join, no window over an unpartitioned frame. */
+  /** KN-based document rarity scoring — the integer-exact member of the
+    * perplexity-filter family: instead of a float mean-log-prob (whose
+    * partial-aggregation reassociation is not bit-reproducible), count
+    * each doc's bigrams whose Kneser–Ney probability falls below 1/K by
+    * EXACT cross-multiplication (p_num·K < p_den). High rare-share docs
+    * are the same low-LM-support outliers perplexity flags, and the
+    * whole query hash-matches the oracle (q132). Inner join is lossless:
+    * every doc bigram is in the model it trained. One broadcast of the
+    * vocabulary²-bounded model; one doc-key shuffle. */
+  def kneserNeyRareCounts(docs: DataFrame, k: Int = 64): DataFrame = {
+    require(k >= 1, "k must be positive")
+    docBigrams(docs)
+      .join(broadcast(kneserNeyBigrams(docs)), Seq("w1", "w2"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(when(col("p_num") * k < col("p_den"), 1L).otherwise(0L))
+          .as("n_rare_kn"))
+  }
+
   def kneserNeyBigrams(docs: DataFrame): DataFrame = {
     val counts = bigramCounts(docs)
     val left = counts.groupBy(col("w1"))

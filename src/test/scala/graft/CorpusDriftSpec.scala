@@ -1,0 +1,49 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.text.CorpusDrift
+
+class CorpusDriftSpec extends AnyFunSuite with SparkTestBase {
+  import spark.implicits._
+
+  test("hand-computed exact rationals: Σ|p_s − p| including " +
+    "absent-token mass") {
+    // srcA = "x x y" (T_A = 3), srcB = "y z" (T_B = 2); corpus
+    // x:2 y:2 z:1, T = 5.
+    // L1(A) = |2/3−2/5| + |1/3−2/5| + |0−1/5| = 8/15
+    // L1(B) = |0−2/5| + |1/2−2/5| + |1/2−1/5| = 8/10
+    val docs = Seq((1L, "x x y", "srcA"), (2L, "y z", "srcB"))
+      .toDF("doc_id", "text", "source")
+    val out = CorpusDrift.l1Divergence(docs)
+      .as[(String, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(out("srcA") == (("srcA", 3L, 8L, 15L, 533333L)))
+    assert(out("srcB") == (("srcB", 2L, 8L, 10L, 800000L)))
+  }
+
+  test("a source matching the corpus distribution scores zero") {
+    // both sources have identical token distributions ⇒ each equals
+    // the corpus blend exactly
+    val docs = Seq((1L, "a a b", "s1"), (2L, "a a b", "s2"))
+      .toDF("doc_id", "text", "source")
+    val out = CorpusDrift.l1Divergence(docs)
+      .as[(String, Long, Long, Long, Long)].collect()
+    assert(out.forall(r => r._3 == 0L && r._5 == 0L), out.toSeq.toString)
+  }
+
+  test("disjoint vocabulary approaches the max: L1 = 2·(1 − T_s/T)") {
+    // srcA and srcB share nothing; for srcA: Σ|p_A − p| =
+    // Σ_{t∈A} p_A·(1 − T_A/T)·... — verify against the closed form
+    // numerically instead: L1 = Σ_{t∈A}(p_A(t) − p(t)) + Σ_{t∉A} p(t)
+    // = (1 − T_A/T) + (1 − T_A/T) = 2(T_B/T) for the two-source case
+    val docs = Seq((1L, "a a a", "srcA"), (2L, "b", "srcB"))
+      .toDF("doc_id", "text", "source")
+    val out = CorpusDrift.l1Divergence(docs)
+      .as[(String, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    // srcA: T_A=3, T=4 → 2·(1/4) = 1/2 → num/den = 6/12
+    val a = out("srcA"); assert(a._3 * 2 == a._4, a.toString)
+    // srcB: T_B=1 → 2·(3/4) = 3/2 → 6/4
+    val b = out("srcB"); assert(b._3 * 2 == b._4 * 3, b.toString)
+  }
+}

@@ -1,0 +1,50 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.text.FeatureHash
+
+class FeatureHashSpec extends AnyFunSuite with SparkTestBase {
+  import spark.implicits._
+
+  private lazy val docs = Seq(
+    (1L, "cat dog cat bird"),
+    (2L, "dog dog"),
+    (3L, "!!!") // normalizes to empty → no rows
+  ).toDF("doc_id", "text")
+
+  test("counts conserve tokens and bucket deterministically") {
+    val out = FeatureHash.hashedCounts(docs, dims = 16)
+      .as[(Long, Long, Long)].collect()
+    assert(out.filter(_._1 == 1L).map(_._3).sum == 4L)
+    assert(out.filter(_._1 == 2L).map(_._3).sum == 2L)
+    assert(!out.exists(_._1 == 3L))
+    assert(out.forall(r => r._2 >= 0 && r._2 < 16))
+    // same token hashes to the same dim across docs: 'dog' bucket in
+    // doc 1 must appear in doc 2 with count 2
+    val dogDim1 = FeatureHash.hashedCounts(
+      Seq((9L, "dog")).toDF("doc_id", "text"), dims = 16)
+      .as[(Long, Long, Long)].collect().head._2
+    assert(out.find(r => r._1 == 2L && r._2 == dogDim1).get._3 == 2L)
+  }
+
+  test("dense vectors agree with sparse counts, zeros elsewhere") {
+    val sparse = FeatureHash.hashedCounts(docs, dims = 8)
+      .as[(Long, Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(r => r._2 -> r._3).toMap).toMap
+    val dense = FeatureHash.hashedVectors(docs, dims = 8)
+      .as[(Long, Seq[Float])].collect().toMap
+    for ((id, vec) <- dense) {
+      assert(vec.length == 8)
+      for (d <- 0 until 8)
+        assert(vec(d) == sparse(id).getOrElse(d.toLong, 0L).toFloat,
+          s"doc $id dim $d")
+    }
+  }
+
+  test("collision behavior is additive: two tokens in one bucket sum") {
+    // dims = 1 forces every token into bucket 0
+    val out = FeatureHash.hashedCounts(docs, dims = 1)
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> r._3).toMap
+    assert(out == Map(1L -> 4L, 2L -> 2L))
+  }
+}

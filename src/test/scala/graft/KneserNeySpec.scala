@@ -66,4 +66,21 @@ class KneserNeySpec extends AnyFunSuite with SparkTestBase {
     assert(model.keySet == counts.keySet)
     model.foreach { case (k, r) => assert(r._3 == counts(k)) }
   }
+
+  test("rare counts: exact cross-multiplied threshold, K = 2") {
+    // P(b|a) = P(c|a) = 5/12 < 1/2 → rare; P(a|b) = 10/12 ≥ 1/2 → not
+    val out = LanguageModel.kneserNeyRareCounts(docs, k = 2)
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+    assert(out(1L) == ((1L, 3L, 2L))) // (a,b),(b,a),(a,c) → 2 rare
+    assert(out(2L) == ((2L, 1L, 0L))) // (b,a) → not rare
+  }
+
+  test("rare counts: K = 1 marks nothing (P < 1 is not the test — " +
+    "P < 1/1 means strictly below certainty, and p_num < p_den holds " +
+    "for every model row with more than one continuation)") {
+    val out = LanguageModel.kneserNeyRareCounts(docs, k = 1)
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+    // all probabilities here are < 1, so every bigram counts as rare
+    assert(out(1L)._3 == 3L && out(2L)._3 == 1L)
+  }
 }

@@ -100,6 +100,21 @@ class VocabSpec extends AnyFunSuite with SparkTestBase {
     assert(out.toSeq == Seq((0L, 2L, 2L)))
   }
 
+  test("oovBySource: exact counts and floor-ppm against a truncated " +
+    "vocabulary") {
+    val d = Seq(
+      (1L, "the cat the cat the", "a"), // the×3 cat×2
+      (2L, "cat unknownword", "b")      // cat, OOV
+    ).toDF("doc_id", "text", "source")
+    // vocab = top-2 by count: the(4? no: the×3, cat×3, unknownword×1)
+    // ranks: cat/the tie at 3 → term asc: cat id 0, the id 1
+    val v = Vocab.build(d, 1L).filter($"token_id" < 2)
+    val out = Vocab.oovBySource(d, v)
+      .as[(String, Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+    assert(out("a") == (("a", 5L, 0L, 0L)))
+    assert(out("b") == (("b", 2L, 1L, 500000L)))
+  }
+
   test("growthCurve: a duplicated slice contributes zero new types") {
     val base = (0 until 20).map(i => (i.toLong, s"w${i % 5} w${(i + 1) % 5}"))
     val dup = (20 until 40).map(i => (i.toLong, s"w${i % 5} w${(i + 1) % 5}"))
