@@ -48,9 +48,11 @@ object Bench {
                   "q33_pipeline_transfers", "q87_bfs_hops", "q95_ppr",
                   "q90_kcore", "q30_media_features",
                   // driver-looped BPE rounds (per-round fold codegen)
-                  // and the composed corpus funnel (window gate +
-                  // scrub + contamination chain compile together)
-                  "q105_bpe_merges", "q106_corpus_pipeline"))
+                  // and the composed corpus funnels (window gate +
+                  // scrub + classifier + segment/cap chains each
+                  // compile their own multi-stage plan families)
+                  "q105_bpe_merges", "q106_corpus_pipeline",
+                  "q112_corpus_classified", "q128_corpus_curated"))
       try SparkEntry.queries(w)(spark, sfDir).count()
       catch { case _: Throwable => }
     // drop the warm-up queries' checkpoint blocks so the first timed
