@@ -1780,6 +1780,23 @@ object SparkEntry {
     graft.text.LanguageModel.kneserNeyRareCounts(Tables.documents(s, d),
       k = 64)
 
+  /** Memorization-risk audit: per doc, share of distinct 8-gram
+    * shingles that appear in ≥2 documents (exact ints + floor-ppm). */
+  def q133_dup_gram_rate(s: SparkSession, d: String): DataFrame =
+    graft.dedup.Dedup.dupGramRates(Tables.documents(s, d), n = 8)
+
+  /** Fuzzy benchmark decontamination: MinHash/LSH near-dup pairs
+    * between the training corpus and the held-out benchmark slice
+    * (doc_id % 50 = 0) — approximate, rows-only; DupRateSpec pins the
+    * planted-paraphrase recall and the exact-operator agreement. */
+  def q134_fuzzy_decontamination(s: SparkSession, d: String): DataFrame = {
+    val all = Tables.documents(s, d)
+    graft.dedup.Dedup.crossCorpusNearDups(
+      all.filter(col("doc_id") % 50 =!= 0),
+      all.filter(col("doc_id") % 50 === 0),
+      threshold = 0.5)
+  }
+
   /** q106's deterministic funnel extended with the round-7 stages:
     * segment-level dedup (w = 20) after the substring scrub and a
     * per-source 2000-token budget as the final gate — the full curated
@@ -1930,6 +1947,8 @@ object SparkEntry {
     "q130_feature_hashing" -> (q130_feature_hashing _),
     "q131_source_divergence" -> (q131_source_divergence _),
     "q132_kn_rarity" -> (q132_kn_rarity _),
+    "q133_dup_gram_rate" -> (q133_dup_gram_rate _),
+    "q134_fuzzy_decontamination" -> (q134_fuzzy_decontamination _),
   )
 
   // DuckDB twins of the Scala normalization / hashing expressions
@@ -4070,5 +4089,21 @@ object SparkEntry {
          |    AS BIGINT) AS n_rare_kn
          |FROM bg JOIN model USING (w1, w2)
          |GROUP BY bg.doc_id""".stripMargin,
+    "q133_dup_gram_rate" ->
+      s"""WITH w AS (
+         |  SELECT doc_id, string_split($NormSql, ' ') AS ws
+         |  FROM documents),
+         |sh AS (
+         |  SELECT DISTINCT doc_id,
+         |    array_to_string(ws[(i + 1):(i + 8)], ' ') AS g
+         |  FROM w, unnest(range(greatest(len(ws) - 8, 0) + 1)) AS t(i)),
+         |df AS (SELECT g, count(*) AS df FROM sh GROUP BY g)
+         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+         |  CAST(sum(CASE WHEN df >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_dup_grams,
+         |  (CAST(sum(CASE WHEN df >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+         |    * 1000000) // CAST(count(*) AS BIGINT) AS dup_ppm
+         |FROM sh JOIN df USING (g)
+         |GROUP BY doc_id""".stripMargin,
   )
 }

@@ -412,6 +412,58 @@ object Dedup {
       .select(col("id1"), col("id2"), col("hamming"))
   }
 
+  /** Memorization-risk audit (the framing of Lee et al. 2022,
+    * "Deduplicating Training Data Makes Language Models Better"): per
+    * document, the share of its DISTINCT n-gram shingles that also
+    * occur in at least one OTHER document — a verbatim-overlap exposure
+    * score ("how much of this doc could a model have memorized from
+    * elsewhere"), reported as exact integers plus a floor-ppm rate.
+    *
+    * Scale: one shingle explode, one document-frequency aggregate on
+    * the shingle key (map-side combined), one hash join back — linear
+    * in shingle occurrences, never pairwise (the same inverted shape as
+    * the contamination and substring-scrub operators). */
+  def dupGramRates(docs: DataFrame, n: Int = 8): DataFrame = {
+    val sh = shingles(docs, n)
+    val df = sh.groupBy(col("shingle"))
+      .agg(count(lit(1)).as("df")) // shingles() is distinct per doc
+    sh.join(df, Seq("shingle"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("df") >= 2, 1L).otherwise(0L)).as("n_dup_grams"))
+      .withColumn("dup_ppm",
+        expr("n_dup_grams * CAST(1000000 AS BIGINT) div n_grams"))
+  }
+
+  /** Fuzzy benchmark decontamination: MinHash/LSH near-dup pairs
+    * BETWEEN two corpora — the probabilistic extension of the exact
+    * shared-n-gram contamination check (q51), catching eval documents
+    * that were paraphrased or lightly edited into the training set.
+    * Benchmark ids ride through the shared pipeline under a reversible
+    * negative tag (-1 − id), so id spaces may overlap freely; only
+    * cross-corpus pairs return. Output: (doc_id, bench_id, jaccard).
+    *
+    * Scale: identical to [[minhashDuplicatePairs]] (banded buckets,
+    * never all-pairs); the benchmark side is typically tiny, so its
+    * signatures add negligible bucket mass. */
+  def crossCorpusNearDups(corpus: DataFrame, bench: DataFrame,
+                          threshold: Double, n: Int = 3,
+                          numHashes: Int = 16, bands: Int = 4): DataFrame = {
+    val tagged = bench.select((lit(-1L) - col("doc_id")).as("doc_id"),
+      col("text"))
+    val pairs = minhashDuplicatePairs(
+      corpus.select(col("doc_id"), col("text")).unionByName(tagged),
+      threshold, n, numHashes, bands)
+    pairs
+      .filter((col("id1") < 0) =!= (col("id2") < 0))
+      .select(
+        when(col("id1") >= 0, col("id1")).otherwise(col("id2"))
+          .as("doc_id"),
+        (lit(-1L) - when(col("id1") < 0, col("id1")).otherwise(col("id2")))
+          .as("bench_id"),
+        col("jaccard"))
+  }
+
   /** Embedding near-dup: exact cosine within coarse blocks (here the
     * precomputed `label` cluster — the blocking key that keeps the pair
     * count sub-quadratic), pairs with cosine ≥ threshold. */

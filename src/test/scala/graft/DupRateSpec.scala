@@ -1,0 +1,80 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.dedup.Dedup
+
+class DupRateSpec extends AnyFunSuite with SparkTestBase {
+  import spark.implicits._
+
+  test("dupGramRates: exact counts on a hand-built overlap, ppm floor") {
+    // n = 2 shingles: doc1 {a b, b c}, doc2 {b c, c d}, doc3 {x y}
+    // df: "b c" = 2 → duplicated; everything else unique
+    val docs = Seq(
+      (1L, "a b c"),
+      (2L, "b c d"),
+      (3L, "x y")
+    ).toDF("doc_id", "text")
+    val out = Dedup.dupGramRates(docs, n = 2)
+      .as[(Long, Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+    assert(out(1L) == ((1L, 2L, 1L, 500000L)))
+    assert(out(2L) == ((2L, 2L, 1L, 500000L)))
+    assert(out(3L) == ((3L, 1L, 0L, 0L)))
+  }
+
+  test("dupGramRates: within-doc repetition does not count as " +
+    "cross-doc duplication (shingles are distinct per doc)") {
+    val docs = Seq((1L, "p q p q p q"), (2L, "unrelated text here"))
+      .toDF("doc_id", "text")
+    val out = Dedup.dupGramRates(docs, n = 2)
+      .as[(Long, Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+    // doc1's distinct 2-grams: {p q, q p} — none shared with doc2
+    assert(out(1L)._3 == 0L)
+  }
+
+  test("crossCorpusNearDups: catches a light paraphrase across corpora, " +
+    "ignores within-corpus duplicates, and survives id collisions") {
+    val base = "the quick brown fox jumps over the lazy dog near the river bank today"
+    val paraphrase = base.replace("today", "now") // high Jaccard
+    val corpus = Seq(
+      (1L, base),
+      (2L, base), // within-corpus dup: must NOT appear in output
+      (3L, "completely different content about spark plans and shuffles ok")
+    ).toDF("doc_id", "text")
+    // bench id 1 collides with corpus id 1 on purpose
+    val bench = Seq((1L, paraphrase)).toDF("doc_id", "text")
+    val out = Dedup.crossCorpusNearDups(corpus, bench, threshold = 0.5,
+      n = 3, numHashes = 16, bands = 8)
+      .as[(Long, Long, Double)].collect()
+    val hits = out.map(r => (r._1, r._2)).toSet
+    assert(hits.contains((1L, 1L)) && hits.contains((2L, 1L)),
+      s"paraphrase missed: $hits")
+    assert(out.forall(r => r._3 >= 0.5))
+    assert(!hits.exists(p => p._1 == 3L))
+  }
+
+  test("crossCorpusNearDups agrees with the exact jaccard operator on " +
+    "the tagged union (LSH recall at 16 hashes / 8 bands, J ≥ 0.7)") {
+    val t = "alpha beta gamma delta epsilon zeta eta theta iota kappa " +
+      "lambda mu nu xi omicron pi"
+    val corpus = Seq((10L, t), (11L, "totally distinct words appear " +
+      "in this sentence about nothing shared"))
+      .toDF("doc_id", "text")
+    val bench = Seq((20L, t + " extra")).toDF("doc_id", "text")
+    val fuzzy = Dedup.crossCorpusNearDups(corpus, bench, 0.7)
+      .as[(Long, Long, Double)].collect().map(r => (r._1, r._2)).toSet
+    // exact path: same tagging, exact jaccard pairs
+    val tagged = bench.select((org.apache.spark.sql.functions.lit(-1L) -
+      $"doc_id").as("doc_id"), $"text")
+    val exact = Dedup.jaccardPairs(
+      Dedup.shingleKeys(corpus.unionByName(tagged), 3), 0.7)
+      .as[(Long, Long, Double)].collect()
+      .filter(r => (r._1 < 0) != (r._2 < 0))
+      .map { r =>
+        val c = if (r._1 >= 0) r._1 else r._2
+        val b = -1L - math.min(r._1, r._2)
+        (c, b)
+      }.toSet
+    assert(exact == Set((10L, 20L)))
+    assert(fuzzy == exact, s"fuzzy $fuzzy vs exact $exact")
+  }
+}
