@@ -1797,6 +1797,11 @@ object SparkEntry {
       threshold = 0.5)
   }
 
+  /** Interpolated absolute-discount trigram model chaining into the
+    * bigram KN backoff — exact integer rationals at both orders. */
+  def q135_kn_trigram(s: SparkSession, d: String): DataFrame =
+    graft.text.LanguageModel.kneserNeyTrigrams(Tables.documents(s, d))
+
   /** q106's deterministic funnel extended with the round-7 stages:
     * segment-level dedup (w = 20) after the substring scrub and a
     * per-source 2000-token budget as the final gate — the full curated
@@ -1949,6 +1954,7 @@ object SparkEntry {
     "q132_kn_rarity" -> (q132_kn_rarity _),
     "q133_dup_gram_rate" -> (q133_dup_gram_rate _),
     "q134_fuzzy_decontamination" -> (q134_fuzzy_decontamination _),
+    "q135_kn_trigram" -> (q135_kn_trigram _),
   )
 
   // DuckDB twins of the Scala normalization / hashing expressions
@@ -4105,5 +4111,43 @@ object SparkEntry {
          |    * 1000000) // CAST(count(*) AS BIGINT) AS dup_ppm
          |FROM sh JOIN df USING (g)
          |GROUP BY doc_id""".stripMargin,
+    "q135_kn_trigram" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, string_split($NormSql, ' ') AS ws
+         |  FROM documents),
+         |ix AS (
+         |  SELECT doc_id, ws, unnest(range(1, len(ws))) AS i FROM t
+         |  WHERE len(ws) >= 2),
+         |bg AS (SELECT ws[i] AS w1, ws[i + 1] AS w2 FROM ix),
+         |c AS (SELECT w1, w2, count(*) AS c2 FROM bg GROUP BY w1, w2),
+         |l AS (
+         |  SELECT w1, CAST(sum(c2) AS BIGINT) AS c1, count(*) AS dr
+         |  FROM c GROUP BY w1),
+         |r AS (SELECT w2, count(*) AS cont FROM c GROUP BY w2),
+         |tot AS (SELECT count(*) AS bt FROM c),
+         |model AS (
+         |  SELECT c.w1, c.w2,
+         |    (2 * c.c2 - 1) * bt + dr * cont AS num2,
+         |    2 * c1 * bt AS den2
+         |  FROM c JOIN l USING (w1) JOIN r USING (w2) CROSS JOIN tot),
+         |ix3 AS (
+         |  SELECT doc_id, ws, unnest(range(1, len(ws) - 1)) AS i FROM t
+         |  WHERE len(ws) >= 3),
+         |tg AS (
+         |  SELECT ws[i] AS w1, ws[i + 1] AS w2, ws[i + 2] AS w3
+         |  FROM ix3),
+         |tri AS (
+         |  SELECT w1, w2, w3, count(*) AS c3 FROM tg
+         |  GROUP BY w1, w2, w3),
+         |pre AS (
+         |  SELECT w1, w2, CAST(sum(c3) AS BIGINT) AS c12,
+         |    count(*) AS dr12
+         |  FROM tri GROUP BY w1, w2)
+         |SELECT tri.w1, tri.w2, tri.w3, tri.c3,
+         |  (2 * tri.c3 - 1) * m.den2 + pre.dr12 * m.num2 AS p_num,
+         |  2 * pre.c12 * m.den2 AS p_den
+         |FROM tri
+         |JOIN pre ON tri.w1 = pre.w1 AND tri.w2 = pre.w2
+         |JOIN model m ON m.w1 = tri.w2 AND m.w2 = tri.w3""".stripMargin,
   )
 }

@@ -80,6 +80,58 @@ object LanguageModel {
     * (map-side combined); the three statistics tables are aggregates OF
     * THE MODEL (vocabulary-sized, not corpus-sized) and broadcast back —
     * no corpus-sized join, no window over an unpartitioned frame. */
+  private def docTrigrams(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), split(normalize(col("text")), " ").as("w"))
+      .filter(size(col("w")) >= 3)
+      .select(col("doc_id"),
+        explode(expr("transform(sequence(0, size(w) - 3), " +
+          "i -> struct(w[i] AS w1, w[i + 1] AS w2, w[i + 2] AS w3))"))
+          .as("tg"))
+      .select(col("doc_id"), col("tg.w1").as("w1"), col("tg.w2").as("w2"),
+        col("tg.w3").as("w3"))
+
+  /** Interpolated absolute-discount TRIGRAM model chaining into the
+    * bigram Kneser–Ney backoff (the Chen & Goodman 1998 interpolated
+    * recursion, with the same D = 1/2 at both orders):
+    *
+    *   P(w3|w1,w2) = (c(w1w2w3) − D)/c(w1w2)
+    *               + D·N1+(w1w2,•)/c(w1w2) · P_KN(w3|w2)
+    *
+    * where P_KN(w3|w2) = num2/den2 is [[kneserNeyBigrams]]'s exact
+    * rational. Substituting and clearing denominators:
+    *
+    *   p3 = ((2c₃−1)·den2 + dr12·num2) / (2·c12·den2)
+    *
+    * — still ALL-integer (den2 ≤ 2·corpus_bigrams·B bounds the product
+    * well inside int64 for corpora up to ~10⁹ tokens; past that,
+    * normalize den2 by gcd or move to DECIMAL(38,0) — the structure is
+    * what matters). Honesty note: canonical KN would use CONTINUATION
+    * counts for the middle order's c; this is the interpolated
+    * absolute-discounting variant (Chen & Goodman's IKN-lite), the
+    * common production simplification — named as such here, exact
+    * normalization pinned in KneserNeySpec via the rational identity
+    *   Σ_seen P3 = (c12 − D·dr12)/c12 + λ12·Σ_seen P2.
+    *
+    * Scale: trigram counts are one hash-shuffle (map-side combined);
+    * the bigram model and the per-(w1,w2) statistics are model-sized
+    * aggregates broadcast back — same shape as the bigram build. */
+  def kneserNeyTrigrams(docs: DataFrame): DataFrame = {
+    val tri = docTrigrams(docs).groupBy(col("w1"), col("w2"), col("w3"))
+      .agg(count(lit(1)).as("c3"))
+    val prefix = tri.groupBy(col("w1"), col("w2"))
+      .agg(sum(col("c3")).as("c12"), count(lit(1)).as("dr12"))
+    val bigram = kneserNeyBigrams(docs)
+      .select(col("w1").as("w2"), col("w2").as("w3"),
+        col("p_num").as("num2"), col("p_den").as("den2"))
+    tri
+      .join(broadcast(prefix), Seq("w1", "w2"))
+      .join(broadcast(bigram), Seq("w2", "w3"))
+      .select(col("w1"), col("w2"), col("w3"), col("c3"),
+        ((lit(2L) * col("c3") - 1L) * col("den2")
+          + col("dr12") * col("num2")).as("p_num"),
+        (lit(2L) * col("c12") * col("den2")).as("p_den"))
+  }
+
   /** KN-based document rarity scoring — the integer-exact member of the
     * perplexity-filter family: instead of a float mean-log-prob (whose
     * partial-aggregation reassociation is not bit-reproducible), count

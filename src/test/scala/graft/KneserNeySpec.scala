@@ -83,4 +83,40 @@ class KneserNeySpec extends AnyFunSuite with SparkTestBase {
     // all probabilities here are < 1, so every bigram counts as rare
     assert(out(1L)._3 == 3L && out(2L)._3 == 1L)
   }
+
+  test("trigram golden: chained backoff rationals, hand-computed") {
+    // trigrams: (a,b,a) and (b,a,c), each c3 = 1, c12 = 1, dr12 = 1
+    // backoff: P2(a|b) = 10/12, P2(c|a) = 5/12
+    // P3(a|a,b) = (1·12 + 1·10)/(2·1·12) = 22/24
+    // P3(c|b,a) = (1·12 + 1·5)/(2·1·12) = 17/24
+    val tri = LanguageModel.kneserNeyTrigrams(docs)
+      .as[(String, String, String, Long, Long, Long)].collect()
+      .map(r => (r._1, r._2, r._3) -> r).toMap
+    assert(tri.size == 2)
+    assert(tri(("a", "b", "a"))._5 == 22L && tri(("a", "b", "a"))._6 == 24L)
+    assert(tri(("b", "a", "c"))._5 == 17L && tri(("b", "a", "c"))._6 == 24L)
+  }
+
+  test("trigram normalization identity: Σ_seen P3 = " +
+    "(c12 − D·dr12)/c12 + λ12·Σ_seen P2, exactly") {
+    val tri = LanguageModel.kneserNeyTrigrams(docs)
+      .as[(String, String, String, Long, Long, Long)].collect()
+    val bg = model // (w1,w2) -> (.., c2, num, den)
+    tri.groupBy(r => (r._1, r._2)).foreach { case ((w1, w2), rows) =>
+      val c12 = rows.map(_._4).sum
+      val dr12 = rows.size.toLong
+      // Σ_seen P3 over the common denominator p_den (identical per ctx)
+      val den3 = BigInt(rows.head._6)
+      assert(rows.forall(_._6 == rows.head._6))
+      val lhs = rows.map(r => BigInt(r._5)).sum
+      // the backoff rows all condition on the same w2 → same den2
+      val den2 = BigInt(bg((w2, rows.head._3))._5)
+      assert(rows.forall(r => BigInt(bg((w2, r._3))._5) == den2))
+      assert(den3 == BigInt(2 * c12) * den2)
+      // identity × den3: Σ p3_num = (2c12 − dr12)·den2 + dr12·Σ num2
+      val sumP2 = rows.map(r => BigInt(bg((w2, r._3))._4)).sum
+      val rhs = BigInt(2 * c12 - dr12) * den2 + BigInt(dr12) * sumP2
+      assert(lhs == rhs, s"ctx ($w1,$w2): $lhs vs $rhs")
+    }
+  }
 }
