@@ -14,7 +14,7 @@ object Verify {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
-      // match Bench: 124 queries overflow the default 100-entry
+      // match Bench: 135 queries overflow the default 100-entry
       // codegen class cache (see Bench.scala)
       .config("spark.sql.codegen.cache.maxEntries", "5000")
       .getOrCreate()

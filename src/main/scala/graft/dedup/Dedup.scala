@@ -449,10 +449,20 @@ object Dedup {
   def crossCorpusNearDups(corpus: DataFrame, bench: DataFrame,
                           threshold: Double, n: Int = 3,
                           numHashes: Int = 16, bands: Int = 4): DataFrame = {
-    val tagged = bench.select((lit(-1L) - col("doc_id")).as("doc_id"),
+    // the sign encoding below requires non-negative ids on BOTH sides;
+    // a negative input id would be silently misclassified as the other
+    // corpus, so fail loudly instead (raise_error is codegen'd, the
+    // comparison costs nothing on the happy path)
+    def nonNeg(df: DataFrame, side: String): DataFrame = df.select(
+      when(col("doc_id") >= 0, col("doc_id"))
+        .otherwise(raise_error(concat(
+          lit(s"crossCorpusNearDups: negative $side doc_id "),
+          col("doc_id").cast("string")))).as("doc_id"),
       col("text"))
+    val tagged = nonNeg(bench, "bench")
+      .select((lit(-1L) - col("doc_id")).as("doc_id"), col("text"))
     val pairs = minhashDuplicatePairs(
-      corpus.select(col("doc_id"), col("text")).unionByName(tagged),
+      nonNeg(corpus, "corpus").unionByName(tagged),
       threshold, n, numHashes, bands)
     pairs
       .filter((col("id1") < 0) =!= (col("id2") < 0))

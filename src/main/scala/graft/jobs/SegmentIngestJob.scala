@@ -72,7 +72,9 @@ object SegmentIngestJob {
   /** Batch core, shared by streaming foreachBatch and tests.
     * @param docs (doc_id, text) micro-batch; ids must be fresh and
     *   larger than every previously ingested id for batch-equality
-    * @return number of docs appended (0 for a fully-replayed batch) */
+    * @return number of fresh (non-replayed) docs processed this batch
+    *   (0 for a fully-replayed batch; docs whose content is dropped
+    *   entirely by the dedup gate still count as processed) */
   def writeBatch(docs: DataFrame, outDir: String, w: Int = 20): Long = {
     val spark = docs.sparkSession
     val fresh0 = storeView(spark, outDir, "seen") match {

@@ -137,7 +137,9 @@ object SubstringIngestJob {
   /** Batch core, shared by streaming foreachBatch and tests.
     * @param docs (doc_id, text) micro-batch; ids must be fresh and
     *   larger than every previously ingested id for batch-equality
-    * @return number of docs appended (0 for a fully-replayed batch) */
+    * @return number of fresh (non-replayed) docs processed this batch
+    *   (0 for a fully-replayed batch; docs whose content is dropped
+    *   entirely by the dedup gate still count as processed) */
   def writeBatch(docs: DataFrame, outDir: String, k: Int = 8): Long = {
     val spark = docs.sparkSession
     // replay guard first: a doc already ingested contributes nothing

@@ -58,14 +58,19 @@ object SpanCorruption {
         val w = element_at(ws, i + 1)
         val m = maskedAt(i)
         val isStart = m && !acc.getField("prev")
+        // empty tokens (runs of whitespace in the source text) are
+        // mask-eligible and counted, but never APPENDED as pieces —
+        // mirrors the oracle's FILTER (WHERE piece <> ''); a masked
+        // START still emits its sentinel (the sentinel piece is
+        // non-empty on both sides regardless of the word)
         struct(
-          when(!m, sep(acc.getField("inp"), w))
+          when(!m && w =!= "", sep(acc.getField("inp"), w))
             .when(isStart, sep(acc.getField("inp"),
               sentinel(acc.getField("k"))))
             .otherwise(acc.getField("inp")).as("inp"),
           when(isStart, sep(acc.getField("tgt"),
             concat(sentinel(acc.getField("k")), lit(" "), w)))
-            .when(m, concat(acc.getField("tgt"), lit(" "), w))
+            .when(m && w =!= "", concat(acc.getField("tgt"), lit(" "), w))
             .otherwise(acc.getField("tgt")).as("tgt"),
           (acc.getField("k") + when(isStart, 1).otherwise(0)).as("k"),
           m.as("prev"))

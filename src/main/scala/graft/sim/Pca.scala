@@ -82,12 +82,18 @@ object Pca {
       .select(agg.toColumn)
       .flatMap { m =>
         val head = Iterator.single((-1L, -1L, m.n))
-        val sums = Iterator.tabulate(dims)(d => (d.toLong, -1L, m.s(d)))
-        val prods = for {
-          i <- Iterator.range(0, dims)
-          j <- Iterator.range(i, dims)
-        } yield (i.toLong, j.toLong, m.p(triIndex(dims, i, j)))
-        head ++ sums ++ prods
+        // empty input: the oracle's GROUP BY yields no sum/product rows
+        // (only the ungrouped count row), so the zero buffer must not
+        // fabricate D + D(D+1)/2 zero rows here either
+        if (m.n == 0L) head
+        else {
+          val sums = Iterator.tabulate(dims)(d => (d.toLong, -1L, m.s(d)))
+          val prods = for {
+            i <- Iterator.range(0, dims)
+            j <- Iterator.range(i, dims)
+          } yield (i.toLong, j.toLong, m.p(triIndex(dims, i, j)))
+          head ++ sums ++ prods
+        }
       }
       .toDF("i", "j", "sprod")
   }

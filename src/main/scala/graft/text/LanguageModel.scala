@@ -113,8 +113,9 @@ object LanguageModel {
     *   Σ_seen P3 = (c12 − D·dr12)/c12 + λ12·Σ_seen P2.
     *
     * Scale: trigram counts are one hash-shuffle (map-side combined);
-    * the bigram model and the per-(w1,w2) statistics are model-sized
-    * aggregates broadcast back — same shape as the bigram build. */
+    * the bigram model and the per-(w1,w2) statistics are bigram-type
+    * sized, so both attach via hash joins on their own keys (AQE picks
+    * broadcast when they fit) — no forced driver materialization. */
   def kneserNeyTrigrams(docs: DataFrame): DataFrame = {
     val tri = docTrigrams(docs).groupBy(col("w1"), col("w2"), col("w3"))
       .agg(count(lit(1)).as("c3"))
@@ -123,9 +124,13 @@ object LanguageModel {
     val bigram = kneserNeyBigrams(docs)
       .select(col("w1").as("w2"), col("w2").as("w3"),
         col("p_num").as("num2"), col("p_den").as("den2"))
+    // prefix and the bigram model are corpus-bigram-TYPE sized (can be
+    // billions of rows on a real corpus) — shuffle-join on their keys
+    // and let AQE downgrade to broadcast when they happen to be small;
+    // only genuinely vocabulary-sized aggregates get a broadcast hint
     tri
-      .join(broadcast(prefix), Seq("w1", "w2"))
-      .join(broadcast(bigram), Seq("w2", "w3"))
+      .join(prefix, Seq("w1", "w2"))
+      .join(bigram, Seq("w2", "w3"))
       .select(col("w1"), col("w2"), col("w3"), col("c3"),
         ((lit(2L) * col("c3") - 1L) * col("den2")
           + col("dr12") * col("num2")).as("p_num"),
@@ -139,12 +144,14 @@ object LanguageModel {
     * EXACT cross-multiplication (p_num·K < p_den). High rare-share docs
     * are the same low-LM-support outliers perplexity flags, and the
     * whole query hash-matches the oracle (q132). Inner join is lossless:
-    * every doc bigram is in the model it trained. One broadcast of the
-    * vocabulary²-bounded model; one doc-key shuffle. */
+    * every doc bigram is in the model it trained. The model is
+    * bigram-TYPE sized (not vocabulary-bounded on real corpora), so the
+    * probe is a hash join on (w1,w2) — AQE broadcasts it when small;
+    * one doc-key shuffle after. */
   def kneserNeyRareCounts(docs: DataFrame, k: Int = 64): DataFrame = {
     require(k >= 1, "k must be positive")
     docBigrams(docs)
-      .join(broadcast(kneserNeyBigrams(docs)), Seq("w1", "w2"))
+      .join(kneserNeyBigrams(docs), Seq("w1", "w2"))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_bigrams"),
         sum(when(col("p_num") * k < col("p_den"), 1L).otherwise(0L))

@@ -30,6 +30,14 @@ class PcaSpec extends AnyFunSuite with SparkTestBase {
     assert(rows.size == 1 + 3 + 6)
   }
 
+  test("moments on an empty table emit only the count row " +
+    "(oracle GROUP-BY-over-nothing parity)") {
+    val empty = emb.filter($"vec_id" < 0)
+    val rows = Pca.momentsInt(empty, dims = 3, scaleBits = 10)
+      .as[(Long, Long, Long)].collect()
+    assert(rows.toSeq == Seq((-1L, -1L, 0L)))
+  }
+
   test("jacobi eigen: residual, orthonormality, descending order") {
     val m = Pca.collectMoments(emb, dims = 3, scaleBits = 10)
     val c = Pca.covarianceFromMoments(m, dims = 3, scaleBits = 10)

@@ -63,6 +63,26 @@ class SpanCorruptionSpec extends AnyFunSuite with SparkTestBase {
     assert(rate > 0.15 && rate < 0.25, s"rate $rate")
   }
 
+  test("consecutive spaces: empty tokens count toward n_tokens/n_masked " +
+    "but never emit pieces (oracle FILTER parity)") {
+    val dd = Seq((1L, "a  b c"), (2L, "  x")).toDF("doc_id", "text")
+    def go(num: Int, den: Int) =
+      SpanCorruption.spanCorrupt(dd, num, den)
+        .as[(Long, String, String, Long, Long, Long)]
+        .collect().map(r => r._1 -> r).toMap
+    val none = go(0, 5)
+    // "a  b c" splits to [a, "", b, c]: 4 tokens, but the empty token
+    // contributes no piece and no separator space
+    assert(none(1L) == ((1L, "a b c", "", 4L, 0L, 0L)))
+    assert(none(2L) == ((2L, "x", "", 3L, 0L, 0L)))
+    val all = go(5, 5)
+    assert(all(1L) == ((1L, "<X_0>", "<X_0> a b c", 4L, 4L, 1L)))
+    // span STARTING on an empty token still emits its sentinel; the
+    // start piece is "<X_0> " (sentinel + space + empty word) on both
+    // engine and oracle sides, hence the double space before x
+    assert(all(2L) == ((2L, "<X_0>", "<X_0>  x", 3L, 3L, 1L)))
+  }
+
   test("no shuffle: one row-local fold, no Exchange in the plan") {
     val plan = SpanCorruption.spanCorrupt(docs).queryExecution.executedPlan
     assert(plan.collect { case e: Exchange => e }.isEmpty,
