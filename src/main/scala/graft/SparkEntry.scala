@@ -1537,9 +1537,11 @@ object SparkEntry {
     * over the document corpus — BATCHED rounds (each round counts
     * pairs once and applies the longest non-conflicting ranked prefix
     * in one fold pass), so driver rounds track merges/batch instead of
-    * merges; result verified identical to sequential learning at
-    * sf0.01 and sf0.1, and pinned equal in BpeSpec. Cost tracks
-    * VOCABULARY size, not corpus size. Driver-looped → rows-only. */
+    * merges; result pinned equal to sequential learning in BpeSpec.
+    * Cost tracks VOCABULARY size, not corpus size. Oracled: the DuckDB
+    * twin unrolls 10 sequential rounds (pair-count argmax with the
+    * (count desc, l, r) tie-break + a recursive-CTE merge walk, the
+    * q107 fold technique) — hash-exact despite the driver loop. */
   def q105_bpe_merges(s: SparkSession, d: String): DataFrame =
     graft.text.Bpe.learnMergesBatched(Tables.documents(s, d), merges = 10)
 
@@ -1729,11 +1731,26 @@ object SparkEntry {
   def q123_gram_moments(s: SparkSession, d: String): DataFrame =
     graft.sim.Pca.momentsInt(Tables.embeddings(s, d))
 
-  /** PCA phase 2: top-4 principal-component projection (driver-side
-    * Jacobi eigen on the model-sized covariance; float output →
-    * rows-only check, pinned by PcaSpec). */
+  /** The fixed top-4 eigenbasis q124 projects with: the actual
+    * sf0.01-corpus covariance eigenvectors, sign-canonicalized (first
+    * nonzero entry positive) and snapped to integers at 2^12 — a
+    * realistic PCA model shared verbatim with the DuckDB oracle's
+    * VALUES list, the FixedBpeMerges convention. */
+  private val FixedPcaBasis: Seq[Seq[Long]] = Seq(
+    Seq(859L, 494L, -150L, -48L, -310L, -54L, -371L, -1174L, -203L, -1696L, -267L, -746L, -267L, 150L, -701L, 759L, -365L, 643L, 123L, -132L, -251L, 453L, 342L, 227L, -80L, -816L, 154L, -612L, 708L, 25L, 240L, -254L, -1215L, -435L, 131L, -427L, -182L, -252L, -53L, -89L, 478L, -23L, 986L, -392L, 116L, 922L, -36L, 324L, 343L, 485L, -493L, -297L, 70L, -334L, 62L, 273L, 228L, 210L, -247L, 373L, -500L, -207L, 894L, 418L),
+    Seq(16L, 223L, 51L, 361L, -716L, -103L, -307L, 287L, -317L, -126L, -433L, 73L, -53L, -548L, -60L, -170L, -608L, -1476L, 222L, 208L, -133L, -145L, -268L, 1266L, 1055L, 979L, 85L, 1L, 353L, 715L, 99L, 891L, -121L, -252L, -138L, -324L, -244L, -149L, -746L, -191L, 0L, -192L, 257L, 734L, -707L, 773L, 192L, -597L, -463L, 464L, 645L, 336L, -53L, 66L, -975L, -96L, 1240L, -67L, -555L, 498L, 343L, -347L, 2L, 322L),
+    Seq(606L, 349L, 262L, 2L, 837L, 179L, -482L, 1165L, -182L, -97L, 210L, -146L, 246L, 142L, -39L, 961L, -702L, 348L, -475L, -317L, -54L, -718L, 412L, -219L, -379L, -410L, -371L, 549L, -42L, 432L, 503L, -372L, -198L, 740L, 122L, 418L, -570L, 871L, 260L, 426L, -776L, -779L, 516L, 856L, -679L, -216L, -175L, -74L, 280L, 210L, 530L, 436L, -933L, 628L, 734L, 8L, 22L, -449L, -749L, 216L, 285L, -1181L, 369L, 309L),
+    Seq(279L, 257L, 36L, 707L, -1057L, 439L, -95L, 727L, -472L, 558L, 31L, 827L, -249L, -574L, -381L, 202L, 397L, 293L, -38L, -832L, -924L, 646L, -49L, 300L, 113L, -488L, 477L, -16L, 528L, -428L, 623L, 822L, -333L, -72L, -477L, 1295L, -478L, -608L, -42L, -198L, -59L, -1L, -351L, -71L, -310L, -170L, -56L, 1513L, -444L, -629L, 272L, -81L, 38L, 22L, -90L, 416L, -700L, 381L, -699L, -303L, -787L, -394L, -344L, 108L))
+
+  /** PCA phase 2: top-4 principal-component projection through the
+    * fixed snapped integer eigenbasis — mean-centering from the DATA
+    * (n, per-dim sums), basis as literals, all-integer output
+    * n·2^(21+12)·(centered projection), hash-oracled. The LEARNED
+    * float path (driver Jacobi on the q123 moments) stays in
+    * [[graft.sim.Pca.pcaProject]], pinned by PcaSpec's residual /
+    * orthonormality / variance-diagonality asserts. */
   def q124_pca_project(s: SparkSession, d: String): DataFrame =
-    graft.sim.Pca.pcaProject(Tables.embeddings(s, d), k = 4)
+    graft.sim.Pca.pcaProjectSnapped(Tables.embeddings(s, d), FixedPcaBasis)
 
   /** T5-style span corruption (20% hash-derived mask): numbered
     * sentinels in the input, sentinel-prefixed spans as the target —
@@ -1801,6 +1818,19 @@ object SparkEntry {
     * bigram KN backoff — exact integer rationals at both orders. */
   def q135_kn_trigram(s: SparkSession, d: String): DataFrame =
     graft.text.LanguageModel.kneserNeyTrigrams(Tables.documents(s, d))
+
+  /** EXACT benchmark decontamination — the deterministic companion of
+    * q134's MinHash variant on the same corpus/bench split: cross-corpus
+    * word-3-gram Jaccard via the inverted shingle join (only co-shingled
+    * cross pairs materialize). q134 stays the scale path (banded
+    * buckets); this is the verify path and it hash-oracles. */
+  def q136_exact_decontamination(s: SparkSession, d: String): DataFrame = {
+    val all = Tables.documents(s, d)
+    graft.dedup.Dedup.crossCorpusExactOverlap(
+      all.filter(col("doc_id") % 50 =!= 0),
+      all.filter(col("doc_id") % 50 === 0),
+      threshold = 0.5)
+  }
 
   /** q106's deterministic funnel extended with the round-7 stages:
     * segment-level dedup (w = 20) after the substring scrub and a
@@ -1955,7 +1985,73 @@ object SparkEntry {
     "q133_dup_gram_rate" -> (q133_dup_gram_rate _),
     "q134_fuzzy_decontamination" -> (q134_fuzzy_decontamination _),
     "q135_kn_trigram" -> (q135_kn_trigram _),
+    "q136_exact_decontamination" -> (q136_exact_decontamination _),
   )
+
+  /** Oracle twin of q105: SEQUENTIAL BPE merge learning unrolled round
+    * by round. Each round r is (a) a pair-count aggregate over the
+    * current per-word symbol tables, (b) the argmax with the engine's
+    * (count desc, l, r) tie-break, and (c) the same greedy
+    * left-to-right non-overlapping merge fold as the q107 encode
+    * oracle, walked by a per-round recursive CTE whose merge pair
+    * comes from (b) instead of a literal. The engine's batched learner
+    * is pinned equal to sequential learning by BpeSpec, so the
+    * sequential definition is the oracle. */
+  private def bpeLearnOracleSql(merges: Int): String = {
+    val rounds = (0 until merges).map { k =>
+      s"""pairs$k AS MATERIALIZED (
+         |  SELECT l, r, CAST(sum(n) AS BIGINT) AS cnt FROM (
+         |    SELECT n, syms[i + 1] AS l, syms[i + 2] AS r
+         |    FROM words$k, unnest(range(len(syms) - 1)) AS t(i))
+         |  GROUP BY l, r),
+         |m$k AS MATERIALIZED (SELECT l, r, cnt FROM pairs$k
+         |        ORDER BY cnt DESC, l, r LIMIT 1),
+         |walk$k(word, n, pos, syms, out, prev) AS (
+         |  SELECT word, n, 1, syms, CAST([] AS VARCHAR[]),
+         |         CAST(NULL AS VARCHAR)
+         |  FROM words$k
+         |  UNION ALL
+         |  SELECT word, n, pos + 1, syms,
+         |    CASE WHEN prev = m.l AND syms[pos] = m.r
+         |           THEN list_append(out, m.l || m.r)
+         |         WHEN prev IS NULL THEN out
+         |         ELSE list_append(out, prev) END,
+         |    CASE WHEN prev = m.l AND syms[pos] = m.r THEN NULL
+         |         ELSE syms[pos] END
+         |  FROM walk$k, m$k m
+         |  WHERE pos <= len(syms)),
+         |words${k + 1} AS MATERIALIZED (
+         |  SELECT word, n,
+         |    CASE WHEN prev IS NULL THEN out
+         |         ELSE list_append(out, prev) END AS syms
+         |  FROM walk$k WHERE pos = len(syms) + 1)""".stripMargin
+    }.mkString(",\n")
+    val sels = (0 until merges).map(k =>
+      s"""SELECT $k AS "rank", l AS "left", r AS "right",
+         |  cnt AS pair_count FROM m$k""".stripMargin)
+      .mkString("\nUNION ALL\n")
+    s"""WITH RECURSIVE w0 AS (
+       |  SELECT word, count(*) AS n FROM (
+       |    SELECT unnest(string_split(text, ' ')) AS word
+       |    FROM documents)
+       |  WHERE word <> '' GROUP BY word),
+       |words0 AS MATERIALIZED (
+       |  SELECT word, n,
+       |    list_transform(range(1, length(word) + 1), i -> word[i:i])
+       |      AS syms
+       |  FROM w0),
+       |$rounds
+       |SELECT CAST("rank" AS INTEGER) AS "rank", "left", "right",
+       |  pair_count
+       |FROM ($sels)""".stripMargin
+  }
+
+  /** The q124 oracle's VALUES list — generated from [[FixedPcaBasis]]
+    * so the two can never drift. */
+  private def pcaBasisValuesSql: String =
+    FixedPcaBasis.zipWithIndex.flatMap { case (e, p) =>
+      e.zipWithIndex.map { case (v, d) => s"($p,$d,$v)" }
+    }.mkString(",")
 
   // DuckDB twins of the Scala normalization / hashing expressions
   private val NormSql =
@@ -4149,5 +4245,50 @@ object SparkEntry {
          |FROM tri
          |JOIN pre ON tri.w1 = pre.w1 AND tri.w2 = pre.w2
          |JOIN model m ON m.w1 = tri.w2 AND m.w2 = tri.w3""".stripMargin,
+    "q105_bpe_merges" -> bpeLearnOracleSql(10),
+    "q124_pca_project" ->
+      // fixed snapped eigenbasis (shared verbatim with FixedPcaBasis);
+      // centering from the data: value = Σ_d (n·q_d − S_d)·e_{p,d}
+      s"""WITH e(pc, d, v) AS (VALUES $pcaBasisValuesSql),
+         |q AS (
+         |  SELECT vec_id, d,
+         |    CAST(floor(CAST(embedding[d + 1] AS DOUBLE) * 2097152.0)
+         |      AS BIGINT) AS qd
+         |  FROM embeddings, unnest(range(len(embedding))) AS t(d)),
+         |st AS (SELECT d, CAST(sum(qd) AS BIGINT) AS sd FROM q GROUP BY d),
+         |n AS (SELECT count(*) AS n FROM embeddings)
+         |SELECT q.vec_id, CAST(e.pc AS BIGINT) AS pc,
+         |  CAST(sum((n.n * q.qd - st.sd) * e.v) AS BIGINT) AS value
+         |FROM q JOIN st USING (d) JOIN e USING (d) CROSS JOIN n
+         |GROUP BY q.vec_id, e.pc""".stripMargin,
+    "q136_exact_decontamination" ->
+      s"""WITH corpus AS (
+         |  SELECT doc_id, string_split($NormSql, ' ') AS ws
+         |  FROM documents WHERE doc_id % 50 <> 0),
+         |bench AS (
+         |  SELECT doc_id, string_split($NormSql, ' ') AS ws
+         |  FROM documents WHERE doc_id % 50 = 0),
+         |cs AS (
+         |  SELECT DISTINCT doc_id,
+         |    unnest([array_to_string(ws[i:i+2], ' ')
+         |            for i in range(1, greatest(len(ws)-3, 0)+2)]) AS s
+         |  FROM corpus),
+         |bs AS (
+         |  SELECT DISTINCT doc_id AS bench_id,
+         |    unnest([array_to_string(ws[i:i+2], ' ')
+         |            for i in range(1, greatest(len(ws)-3, 0)+2)]) AS s
+         |  FROM bench),
+         |inter AS (
+         |  SELECT cs.doc_id, bs.bench_id, count(*) AS i
+         |  FROM cs JOIN bs ON cs.s = bs.s
+         |  GROUP BY 1, 2),
+         |csz AS (SELECT doc_id, count(*) AS sz1 FROM cs GROUP BY doc_id),
+         |bsz AS (SELECT bench_id, count(*) AS sz2 FROM bs
+         |        GROUP BY bench_id)
+         |SELECT doc_id, bench_id,
+         |  CAST(i AS DOUBLE) / CAST(sz1 + sz2 - i AS DOUBLE) AS jaccard
+         |FROM inter JOIN csz USING (doc_id) JOIN bsz USING (bench_id)
+         |WHERE CAST(i AS DOUBLE) / CAST(sz1 + sz2 - i AS DOUBLE)
+         |  >= 0.5""".stripMargin,
   )
 }

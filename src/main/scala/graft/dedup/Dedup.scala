@@ -474,6 +474,35 @@ object Dedup {
         col("jaccard"))
   }
 
+  /** EXACT companion of [[crossCorpusNearDups]]: cross-corpus n-gram
+    * Jaccard via the inverted shingle join — only (corpus, bench) pairs
+    * sharing ≥1 shingle materialize, never a cross product, and the
+    * answer is deterministic (DuckDB-oracled, q136). This is the VERIFY
+    * path for decontamination: on a big corpus the MinHash/LSH variant
+    * bounds candidates, while this one is linear in the co-shingled
+    * pair count (the bench side is typically tiny, so postings stay
+    * short). Output (doc_id, bench_id, jaccard). */
+  def crossCorpusExactOverlap(corpus: DataFrame, bench: DataFrame,
+                              threshold: Double, n: Int = 3): DataFrame = {
+    val cs = shingleKeys(corpus, n)
+    val bs = shingleKeys(bench, n)
+      .withColumnRenamed("doc_id", "bench_id")
+    val inter = cs.join(bs, Seq("shingle"))
+      .groupBy(col("doc_id"), col("bench_id"))
+      .agg(count(lit(1)).as("inter"))
+    val csz = shingleSizes(cs)
+      .withColumnRenamed("sz", "sz1")
+    val bsz = bs.groupBy(col("bench_id")).agg(count(lit(1)).as("sz2"))
+    inter
+      .join(csz, Seq("doc_id"))
+      .join(bsz, Seq("bench_id"))
+      .withColumn("jaccard",
+        col("inter").cast("double") /
+          (col("sz1") + col("sz2") - col("inter")).cast("double"))
+      .filter(col("jaccard") >= threshold)
+      .select(col("doc_id"), col("bench_id"), col("jaccard"))
+  }
+
   /** Embedding near-dup: exact cosine within coarse blocks (here the
     * precomputed `label` cluster — the blocking key that keeps the pair
     * count sub-quadratic), pairs with cosine ≥ threshold. */

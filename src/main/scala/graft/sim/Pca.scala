@@ -203,6 +203,53 @@ object Pca {
       .select(agg.toColumn).head()
   }
 
+  /** PCA projection through a FIXED snapped integer eigenbasis — the
+    * deterministic, cross-engine-exact half of the projection surface
+    * (the learned float path is [[pcaProject]], pinned by PcaSpec).
+    * `basis` rows are sign-canonicalized eigenvectors snapped to
+    * integers (entries ≈ e·2^snapBits); with q_d = floor(x_d·2^scaleBits)
+    * and S_d = Σ q_d over n rows, the output per (row, component p) is
+    *
+    *   value = Σ_d (n·q_d − S_d)·e_{p,d}
+    *
+    * = n·2^(scaleBits+snapBits)·(mean-centered projection) — ALL
+    * integer, so the query (q124) hash-matches the DuckDB oracle
+    * bit-for-bit. Bound: |n·q_d − S_d| ≤ 2n·2^scaleBits, so with 2^12
+    * snap entries and 64 dims the sum stays inside int64 for corpora to
+    * ~2^24 rows; larger corpora lower scaleBits.
+    *
+    * Scale: one model-sized stats pass (count + per-dim sums — the
+    * k-means-centroid sanction), then a shuffle-free per-row fold with
+    * the basis and sums riding the plan as literals. */
+  def pcaProjectSnapped(emb: DataFrame, basis: Seq[Seq[Long]],
+                        dims: Int = 64, scaleBits: Int = 21): DataFrame = {
+    require(basis.nonEmpty && basis.forall(_.length == dims),
+      s"basis rows must have $dims entries")
+    val scale = (1L << scaleBits).toDouble
+    val q = transform(col("embedding"),
+      x => floor(x.cast("double") * scale).cast("long"))
+    val qdf = emb.select(col("vec_id"), q.as("q"))
+    val statRow = qdf.agg(
+      count(lit(1)).as("n"),
+      array((0 until dims).map(d =>
+        sum(element_at(col("q"), d + 1))): _*).as("s")).head()
+    val n = statRow.getLong(0)
+    if (n == 0L)
+      return qdf.select(col("vec_id"), lit(0L).as("pc"),
+        lit(0L).as("value"))
+    val sums = statRow.getSeq[Long](1)
+    val centered = zip_with(col("q"), typedlit(sums),
+      (qd, sd) => qd * lit(n) - sd)
+    val pcCols = basis.map { e =>
+      aggregate(zip_with(centered, typedlit(e), (a, b) => a * b),
+        lit(0L), (acc, x) => acc + x)
+    }
+    qdf
+      .select(col("vec_id"),
+        posexplode(array(pcCols: _*)).as(Seq("pc", "value")))
+      .select(col("vec_id"), col("pc").cast("long").as("pc"), col("value"))
+  }
+
   /** Project the corpus onto the top-k principal components:
     * (vec_id, pc, value) — mean-centered dot with the k-th eigenvector,
     * evaluated as a per-row fold in fixed index order (deterministic

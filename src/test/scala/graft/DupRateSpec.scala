@@ -52,6 +52,38 @@ class DupRateSpec extends AnyFunSuite with SparkTestBase {
     assert(!hits.exists(p => p._1 == 3L))
   }
 
+  test("crossCorpusExactOverlap: deterministic cross-pairs only, " +
+    "jaccard matches a hand computation") {
+    val base = "the quick brown fox jumps over the lazy dog near the river"
+    val corpus = Seq(
+      (1L, base),
+      (2L, base), // within-corpus dup: both must pair with the bench doc
+      (3L, "unrelated text about spark catalyst plans and exchanges ok")
+    ).toDF("doc_id", "text")
+    val bench = Seq((50L, base)).toDF("doc_id", "text")
+    val out = Dedup.crossCorpusExactOverlap(corpus, bench, threshold = 0.5)
+      .as[(Long, Long, Double)].collect()
+    assert(out.map(r => (r._1, r._2)).toSet == Set((1L, 50L), (2L, 50L)))
+    // identical docs → identical shingle sets → jaccard exactly 1.0
+    assert(out.forall(_._3 == 1.0), out.mkString(","))
+  }
+
+  test("crossCorpusExactOverlap is a superset-verifier for the fuzzy " +
+    "path: every crossCorpusNearDups pair at 0.5 appears exactly") {
+    val t = "alpha beta gamma delta epsilon zeta eta theta iota kappa " +
+      "lambda mu nu xi omicron pi"
+    val corpus = Seq((10L, t),
+      (11L, "totally distinct words appear here about nothing shared"))
+      .toDF("doc_id", "text")
+    val bench = Seq((20L, t + " extra")).toDF("doc_id", "text")
+    val exact = Dedup.crossCorpusExactOverlap(corpus, bench, 0.5)
+      .as[(Long, Long, Double)].collect().map(r => (r._1, r._2)).toSet
+    val fuzzy = Dedup.crossCorpusNearDups(corpus, bench, 0.5)
+      .as[(Long, Long, Double)].collect().map(r => (r._1, r._2)).toSet
+    assert(exact == Set((10L, 20L)))
+    assert(fuzzy.subsetOf(exact), s"fuzzy $fuzzy not within exact $exact")
+  }
+
   test("crossCorpusNearDups agrees with the exact jaccard operator on " +
     "the tagged union (LSH recall at 16 hashes / 8 bands, J ≥ 0.7)") {
     val t = "alpha beta gamma delta epsilon zeta eta theta iota kappa " +

@@ -85,6 +85,28 @@ class PcaSpec extends AnyFunSuite with SparkTestBase {
       again.sortBy(r => (r._1, r._2)).toSeq)
   }
 
+  test("snapped-basis projection matches a driver-side integer " +
+    "computation exactly, and empty input yields no rows") {
+    val basis = Seq(Seq(3L, -1L, 2L), Seq(0L, 5L, -4L))
+    val out = Pca.pcaProjectSnapped(emb, basis, dims = 3, scaleBits = 10)
+      .as[(Long, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    val vecs = Seq(
+      Seq(1.0f, 0.1f, 0.0f), Seq(-1.0f, -0.1f, 0.0f),
+      Seq(0.5f, 0.05f, 0.01f), Seq(-0.5f, -0.05f, -0.01f))
+    val q = vecs.map(_.map(x => math.floor(x * 1024.0).toLong))
+    val n = q.length.toLong
+    val s = (0 until 3).map(d => q.map(_(d)).sum)
+    for (v <- 0 until 4; p <- 0 until 2) {
+      val want = (0 until 3).map(d => (n * q(v)(d) - s(d)) * basis(p)(d)).sum
+      assert(out((v.toLong, p.toLong)) == want, s"vec $v pc $p")
+    }
+    assert(out.size == 8)
+    val none = Pca.pcaProjectSnapped(emb.filter($"vec_id" < 0), basis,
+      dims = 3, scaleBits = 10)
+    assert(none.count() == 0L)
+  }
+
   test("projected components are mean-centered") {
     val out = Pca.pcaProject(emb, k = 3, dims = 3, scaleBits = 10)
       .as[(Long, Long, Double)].collect()
