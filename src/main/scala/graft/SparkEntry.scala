@@ -1682,10 +1682,11 @@ object SparkEntry {
       Tables.documents(s, d), col("lang") === "en", buckets = 512)
 
   /** Sparse count-vector cosine pairs via df-capped inverted index:
-    * cosine ≥ 3/5 by integer cross-multiplication. */
+    * cosine ≥ 3/5 by integer cross-multiplication. Absolute df cap
+    * (scale default): candidate work ≤ maxDf²·|vocab| at any N. */
   def q115_sparse_cosine(s: SparkSession, d: String): DataFrame =
     graft.text.SparseSim.countCosinePairs(
-      Tables.documents(s, d), maxDfPermille = 200, num = 3, den = 5)
+      Tables.documents(s, d), maxDf = 256, num = 3, den = 5)
 
   /** Per-dimension uint8 scalar quantization of the embedding corpus,
     * exploded (vec_id, dim, code) for the hash compare. */
@@ -3856,12 +3857,11 @@ object SparkEntry {
          |    SELECT doc_id, unnest(string_split($NormSql, ' ')) AS term
          |    FROM documents)
          |  GROUP BY 1, 2),
-         |nd AS (SELECT count(*) AS n_docs FROM documents),
          |dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
          |kept AS (
          |  SELECT tf.doc_id, tf.term, tf.c
-         |  FROM tf JOIN dfreq USING (term) CROSS JOIN nd
-         |  WHERE df * 1000 <= n_docs * 200),
+         |  FROM tf JOIN dfreq USING (term)
+         |  WHERE df <= 256),
          |norms AS (
          |  SELECT doc_id, CAST(sum(c * c) AS BIGINT) AS n2
          |  FROM kept GROUP BY 1),

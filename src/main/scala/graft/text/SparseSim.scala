@@ -31,15 +31,26 @@ import graft.dedup.Dedup
 object SparseSim {
 
   /** Pairs (id1, id2, dot, n1, n2) with cosine ≥ num/den over df-capped
-    * term counts; id1 < id2. `maxDfPermille`: keep terms whose document
-    * frequency ≤ maxDfPermille/1000 of the corpus (integer-exact cap). */
-  def countCosinePairs(docs: DataFrame, maxDfPermille: Int = 200,
-                       num: Int = 3, den: Int = 5): DataFrame = {
-    val tf = docs
-      .select(col("doc_id"),
-        explode(split(Dedup.normalize(col("text")), " ")).as("term"))
-      .groupBy(col("doc_id"), col("term"))
-      .agg(count(lit(1)).as("c"))
+    * term counts; id1 < id2. `maxDf` is an ABSOLUTE document-frequency
+    * cap: keep terms appearing in ≤ maxDf documents. This is the scale
+    * default — candidate pairs are bounded by Σ_kept df² ≤ maxDf²·|vocab|
+    * regardless of corpus size, so the self-join cost does not grow with
+    * N the way a relative (fraction-of-corpus) cap lets it (df ∝ N ⇒
+    * Σdf² ∝ N², measured 55× wall for 10× data under the relative cap).
+    * A term in more than a few hundred documents is a stopword for
+    * pair-retrieval purposes at any corpus size. */
+  def countCosinePairs(docs: DataFrame, maxDf: Int = 256,
+                       num: Int = 3, den: Int = 5): DataFrame =
+    pairsFromKept(keptAbsolute(termCounts(docs), maxDf), num, den)
+
+  /** Relative-cap variant: keep terms whose document frequency is
+    * ≤ maxDfPermille/1000 of the corpus (integer-exact). Appropriate for
+    * small/bounded corpora where "common" is best defined relative to N;
+    * NOT the 100 TB default — df ∝ N terms stay kept forever and the
+    * posting-list self-join grows super-linearly. */
+  def countCosinePairsRelative(docs: DataFrame, maxDfPermille: Int = 200,
+                               num: Int = 3, den: Int = 5): DataFrame = {
+    val tf = termCounts(docs)
     val nDocs = docs.agg(count(lit(1)).as("n_docs"))
     val kept = tf
       .withColumn("df", count(lit(1)).over(
@@ -47,6 +58,26 @@ object SparseSim {
       .crossJoin(broadcast(nDocs))
       .filter(col("df") * 1000 <= col("n_docs") * maxDfPermille)
       .select(col("doc_id"), col("term"), col("c"))
+    pairsFromKept(kept, num, den)
+  }
+
+  /** Per-(doc, term) integer counts over normalized text. */
+  private def termCounts(docs: DataFrame): DataFrame = docs
+    .select(col("doc_id"),
+      explode(split(Dedup.normalize(col("text")), " ")).as("term"))
+    .groupBy(col("doc_id"), col("term"))
+    .agg(count(lit(1)).as("c"))
+
+  /** Drop postings whose term df exceeds the absolute cap. The df count
+    * is a window over the term hash partition — one shuffle, reused by
+    * the posting self-join on the same key. */
+  private def keptAbsolute(tf: DataFrame, maxDf: Int): DataFrame = tf
+    .withColumn("df", count(lit(1)).over(
+      org.apache.spark.sql.expressions.Window.partitionBy(col("term"))))
+    .filter(col("df") <= maxDf)
+    .select(col("doc_id"), col("term"), col("c"))
+
+  private def pairsFromKept(kept: DataFrame, num: Int, den: Int): DataFrame = {
     val norms = kept.groupBy(col("doc_id")).agg(sum(col("c") * col("c")).as("n2"))
     val pairs = kept.as("x")
       .join(kept.select(col("doc_id").as("doc2"), col("term"),

@@ -15,7 +15,7 @@ class SparseSimSpec extends AnyFunSuite with SparkTestBase {
 
   test("hand-computed pair: integer dot and norms, cosine gate at 3/5") {
     val got = SparseSim
-      .countCosinePairs(docs, maxDfPermille = 1000, num = 3, den = 5)
+      .countCosinePairs(docs, maxDf = 3, num = 3, den = 5)
       .as[(Long, Long, Long, Long, Long)].collect().toSeq
     // d1 = {apple:2, banana:1}, d2 = {apple:1, banana:1}:
     // dot = 3, n1 = 5, n2 = 2, cos = 3/√10 ≈ 0.949 ≥ 0.6; zebra doc
@@ -27,10 +27,21 @@ class SparseSimSpec extends AnyFunSuite with SparkTestBase {
     val stop = Seq(
       (1L, "the apple"), (2L, "the apple"), (3L, "the zebra"))
       .toDF("doc_id", "text")
-    // 'the' has df 3/3 → pruned at 500‰; 'apple' (df 2/3) survives and
-    // still pairs docs 1-2 with cosine 1
+    // 'the' has df 3 → pruned at absolute cap 2; 'apple' (df 2) survives
+    // and still pairs docs 1-2 with cosine 1
     val got = SparseSim
-      .countCosinePairs(stop, maxDfPermille = 667, num = 3, den = 5)
+      .countCosinePairs(stop, maxDf = 2, num = 3, den = 5)
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    assert(got == Seq((1L, 2L, 1L, 1L, 1L)))
+  }
+
+  test("relative-cap variant prunes by fraction of corpus") {
+    val stop = Seq(
+      (1L, "the apple"), (2L, "the apple"), (3L, "the zebra"))
+      .toDF("doc_id", "text")
+    // 'the' has df 3/3 → pruned at 667‰; 'apple' (df 2/3) survives
+    val got = SparseSim
+      .countCosinePairsRelative(stop, maxDfPermille = 667, num = 3, den = 5)
       .as[(Long, Long, Long, Long, Long)].collect().toSeq
     assert(got == Seq((1L, 2L, 1L, 1L, 1L)))
   }
@@ -42,8 +53,8 @@ class SparseSimSpec extends AnyFunSuite with SparkTestBase {
       .toDF("doc_id", "text")
     // dot = 1, n1 = n2 = 2 → cos = 0.5: passes num/den 1/2 exactly,
     // fails 3/5
-    val pass = SparseSim.countCosinePairs(near, 1000, num = 1, den = 2)
-    val fail = SparseSim.countCosinePairs(near, 1000, num = 3, den = 5)
+    val pass = SparseSim.countCosinePairs(near, maxDf = 2, num = 1, den = 2)
+    val fail = SparseSim.countCosinePairs(near, maxDf = 2, num = 3, den = 5)
     assert(pass.count() == 1L && fail.count() == 0L)
   }
 }
