@@ -1833,6 +1833,14 @@ object SparkEntry {
       threshold = 0.5)
   }
 
+  /** Approximate k-NN graph via within-block sign-LSH co-bucketing —
+    * q113's scale sibling (Σ|bucket|² candidate work vs the exact
+    * graph's Σ|block|²). Approximate by construction → rows-only check;
+    * recall ≥ 0.9 vs the exact graph is pinned in KnnGraphSpec on the
+    * same real corpus. */
+  def q137_knn_graph_approx(s: SparkSession, d: String): DataFrame =
+    graft.sim.KnnGraph.knnGraphApprox(Tables.embeddings(s, d), k = 5)
+
   /** q106's deterministic funnel extended with the round-7 stages:
     * segment-level dedup (w = 20) after the substring scrub and a
     * per-source 2000-token budget as the final gate — the full curated
@@ -1987,6 +1995,7 @@ object SparkEntry {
     "q134_fuzzy_decontamination" -> (q134_fuzzy_decontamination _),
     "q135_kn_trigram" -> (q135_kn_trigram _),
     "q136_exact_decontamination" -> (q136_exact_decontamination _),
+    "q137_knn_graph_approx" -> (q137_knn_graph_approx _),
   )
 
   /** Oracle twin of q105: SEQUENTIAL BPE merge learning unrolled round

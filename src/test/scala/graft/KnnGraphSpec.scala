@@ -45,6 +45,37 @@ class KnnGraphSpec extends AnyFunSuite with SparkTestBase {
     assert(counts == Map(1L -> 2L, 2L -> 2L, 3L -> 2L, 4L -> 2L))
   }
 
+  test("knnGraphApprox: recall >= 0.9 vs exact graph on real embeddings " +
+    "(sf0.1)") {
+    // deterministic, not flaky: md5-derived LSH planes + a fixed corpus
+    // give one reproducible recall number
+    val e = Tables.embeddings(spark, "/root/testdata/sf0.1")
+    val exact = KnnGraph.knnGraph(e, k = 5)
+      .select("vec_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val approx = KnnGraph.knnGraphApprox(e, k = 5)
+      .select("vec_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = (exact intersect approx).size.toDouble / exact.size
+    info(f"approx kNN-graph edge recall@5 on sf0.1: $recall%.4f")
+    assert(recall >= 0.9, s"approx kNN-graph edge recall@5: $recall")
+    // candidate pruning only ever removes edges a vector would rank
+    // below its bucket-mates; per-vector degree stays capped at k
+    assert(approx.size <= exact.size ||
+      approx.groupBy(_._1).forall(_._2.size <= 5))
+  }
+
+  test("knnGraphApprox: same output contract as exact on a block whose " +
+    "vectors all co-bucket") {
+    // two near-identical pairs: LSH puts identical directions in the
+    // same bucket in every table, so the approx graph equals the exact
+    val g = KnnGraph.knnGraphApprox(emb, k = 1, dims = 2)
+      .select("vec_id", "neighbor_id", "mutual")
+      .as[(Long, Long, Long)].collect().toSet
+    val exact = KnnGraph.knnGraph(emb, k = 1)
+      .select("vec_id", "neighbor_id", "mutual")
+      .as[(Long, Long, Long)].collect().toSet
+    assert((g intersect exact) == g && g.nonEmpty)
+  }
+
   test("hardNegatives: nearest other-label vectors only, anchors excluded" +
     " from own results by label") {
     val anchors = emb.filter($"vec_id" === 1L)
