@@ -71,6 +71,16 @@ object NaiveBayes {
     * last-ulp noise should not leak into downstream equality checks.
     */
   def classify(docs: DataFrame, model: DataFrame): DataFrame = {
+    // materialize the model ONCE: it feeds four branches below (term
+    // join, class stats, vocab size, doc total), and when `model` is the
+    // un-materialized train() plan each branch re-inlines the whole
+    // training subquery — a 23-shuffle / 14-scan plan that only AQE
+    // exchange-reuse rescues at runtime. The model is vocab × classes
+    // rows (bounded sufficient statistics, never corpus-sized), so one
+    // eager localCheckpoint is the sanctioned model-sized
+    // materialization and the audited plan drops to the three data
+    // shuffles the scaladoc promises.
+    val m = model.localCheckpoint()
     val tf = docs
       .select(col("doc_id"),
         explode(split(Dedup.normalize(col("text")), " ")).as("term"))
@@ -81,15 +91,15 @@ object NaiveBayes {
       .agg(sum(col("tf")).as("doc_len"))
 
     // classes-sized and scalar model summaries — all broadcast.
-    val classStats = model
+    val classStats = m
       .select(col("label"), col("class_tokens"), col("class_docs"))
       .distinct()
-    val vocabSize = model.select(col("term")).distinct()
+    val vocabSize = m.select(col("term")).distinct()
       .agg(count(lit(1)).as("v"))
     val nDocs = classStats.agg(sum(col("class_docs")).as("n_docs"))
 
     val contrib = tf
-      .join(model.select(col("term"), col("label"), col("cnt")),
+      .join(m.select(col("term"), col("label"), col("cnt")),
         Seq("term"))
       .groupBy(col("doc_id"), col("label"))
       .agg(sum(col("tf").cast("double") *
