@@ -34,8 +34,9 @@ final class ParquetSink(baseDir: String,
 /** JDBC sink — parity with the reference's Postgres writes
   * (/root/reference/src/etl_blockchain/main.py:22-29). numPartitions
   * defaults to the frame's parallelism rather than the reference's 1.
-  * Untestable in this container (no database); the code path is the
-  * straight DataFrameWriter API. */
+  * Integration-tested against embedded Derby (JdbcSinkSpec: append /
+  * overwrite / checkpointed streaming foreachBatch, plus an A/B of
+  * Volume.upsert vs the engine's own MERGE). */
 final class JdbcSink(url: String, props: Properties,
                      numPartitions: Option[Int] = None) extends Sink {
   private def writer(df: DataFrame, table: String, mode: String): Unit = {

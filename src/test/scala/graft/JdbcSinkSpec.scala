@@ -1,0 +1,151 @@
+package graft
+
+import java.sql.DriverManager
+import java.util.Properties
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.io.{JdbcSink, ParquetSink}
+import graft.ops.Volume
+
+/** Live-JDBC integration: drive the K1/K2 JdbcSink and the K4 upsert
+  * against a REAL SQL engine — embedded Derby (in /opt/spark/jars, the
+  * same engine Spark bundles for its Hive metastore), in-memory URL so
+  * nothing touches disk. The reference's primary sink is Postgres
+  * (/root/reference/src/etl_blockchain/main.py:22-29, upsert
+  * airflow/archive/dags/etl_vol_dag.py:24-39); Derby stands in as the
+  * JDBC-protocol twin: same DataFrameWriter path, and its MERGE INTO is
+  * the ANSI form of Postgres's INSERT … ON CONFLICT DO UPDATE, giving a
+  * real-engine A/B for Volume.upsert's anti-join+union semantics.
+  */
+class JdbcSinkSpec extends AnyFunSuite with SparkTestBase {
+  import spark.implicits._
+
+  private val url = "jdbc:derby:memory:graftdb;create=true"
+  private def props: Properties = {
+    val p = new Properties()
+    p.setProperty("driver", "org.apache.derby.iapi.jdbc.AutoloadedDriver")
+    p
+  }
+
+  /** DDL/DML on the embedded engine, outside Spark. */
+  private def exec(sql: String*): Unit = {
+    val c = DriverManager.getConnection(url)
+    try sql.foreach { s => val st = c.createStatement()
+      try st.execute(s) finally st.close() }
+    finally c.close()
+  }
+
+  private def readTable(table: String): DataFrame =
+    spark.read.jdbc(url, table, props)
+
+  private def volRows(rows: Seq[(String, Long, Double)]): DataFrame =
+    rows.toDF("unit", "height", "value_adj")
+
+  test("JdbcSink: two appended micro-batches read back equal to the " +
+    "ParquetSink's contents") {
+    // VARCHAR key up front: Spark's Derby dialect maps StringType to
+    // CLOB, which Derby cannot compare/group — the production pattern
+    // is DDL-first, writer appends
+    exec("""CREATE TABLE vol_raw
+           |(unit VARCHAR(32), height BIGINT, value_adj DOUBLE)"""
+      .stripMargin)
+    val b1 = volRows(Seq(("lovelace", 100L, 2.5), ("tokenA", 100L, 1.0)))
+    val b2 = volRows(Seq(("lovelace", 101L, 4.0)))
+    val jdbc = new JdbcSink(url, props)
+    val dir = java.nio.file.Files.createTempDirectory("jdbc_ab").toString
+    val parquet = new ParquetSink(dir)
+    Seq(b1, b2).foreach { b =>
+      jdbc.append(b, "vol_raw"); parquet.append(b, "vol_raw")
+    }
+    val got = readTable("vol_raw")
+      .as[(String, Long, Double)].collect().toSeq.sorted
+    val exp = spark.read.parquet(s"$dir/vol_raw")
+      .as[(String, Long, Double)].collect().toSeq.sorted
+    assert(got == exp && got.size == 3)
+  }
+
+  test("JdbcSink.overwrite replaces table contents") {
+    exec("""CREATE TABLE vol_ow
+           |(unit VARCHAR(32), height BIGINT, value_adj DOUBLE)"""
+      .stripMargin)
+    val sink = new JdbcSink(url, props, numPartitions = Some(1))
+    sink.append(volRows(Seq(("x", 1L, 1.0), ("y", 2L, 2.0))), "vol_ow")
+    sink.overwrite(volRows(Seq(("z", 3L, 3.0))), "vol_ow")
+    val got = readTable("vol_ow").as[(String, Long, Double)].collect().toSeq
+    assert(got == Seq(("z", 3L, 3.0)))
+  }
+
+  test("K4 upsert A/B: Volume.upsert equals a real SQL MERGE " +
+    "(ON CONFLICT DO UPDATE) run by the database engine") {
+    exec("""CREATE TABLE vol_latest
+           |(unit VARCHAR(32), height BIGINT, value_adj DOUBLE,
+           | PRIMARY KEY (unit, height))""".stripMargin)
+    val existing = volRows(Seq(
+      ("lovelace", 100L, 2.5), ("tokenA", 100L, 1.0),
+      ("tokenB", 99L, 7.0)))
+    val updates = volRows(Seq(
+      ("lovelace", 100L, 9.9),   // conflict → update
+      ("tokenC", 101L, 3.3)))    // fresh → insert
+    exec("""CREATE TABLE vol_updates
+           |(unit VARCHAR(32), height BIGINT, value_adj DOUBLE)"""
+      .stripMargin)
+    val jdbc = new JdbcSink(url, props)
+    jdbc.append(existing, "vol_latest")
+    jdbc.append(updates, "vol_updates")
+    // the reference upsert, executed by the ENGINE
+    // (etl_vol_dag.py:24-39's ON CONFLICT, in its ANSI MERGE form;
+    // Derby requires a base-table source — the stage-then-merge shape
+    // every warehouse upsert uses)
+    exec("""MERGE INTO vol_latest t
+           |USING vol_updates u
+           |ON t.unit = u.unit AND t.height = u.height
+           |WHEN MATCHED THEN UPDATE SET value_adj = u.value_adj
+           |WHEN NOT MATCHED THEN
+           |  INSERT (unit, height, value_adj)
+           |  VALUES (u.unit, u.height, u.value_adj)""".stripMargin)
+    val engine = readTable("vol_latest")
+      .as[(String, Long, Double)].collect().toSeq.sorted
+    val spark_ = Volume.upsert(existing, updates, Seq("unit", "height"))
+      .as[(String, Long, Double)].collect().toSeq.sorted
+    assert(spark_ == engine)
+    assert(engine.contains(("lovelace", 100L, 9.9)) &&
+      engine.contains(("tokenC", 101L, 3.3)) && engine.size == 4)
+  }
+
+  test("checkpointed streaming foreachBatch into the JdbcSink: two " +
+    "micro-batches land exactly once") {
+    exec("""CREATE TABLE vol_stream
+           |(unit VARCHAR(32), height BIGINT, value_adj DOUBLE)"""
+      .stripMargin)
+    val in = java.nio.file.Files.createTempDirectory("jdbc_in").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("jdbc_ck").toString
+    val sink = new JdbcSink(url, props)
+    def drain(): Unit = {
+      val q = spark.readStream
+        .schema("unit STRING, height LONG, value_adj DOUBLE")
+        .json(in)
+        .writeStream
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .option("checkpointLocation", ckpt)
+        .foreachBatch { (df: DataFrame, _: Long) =>
+          sink.append(df, "vol_stream")
+        }
+        .start()
+      q.awaitTermination()
+    }
+    volRows(Seq(("lovelace", 1L, 1.0))).coalesce(1).write.mode("append")
+      .json(in)
+    drain()
+    volRows(Seq(("tokenA", 2L, 2.0))).coalesce(1).write.mode("append")
+      .json(in)
+    drain()
+    // replay with nothing new: checkpoint must prevent re-appends
+    drain()
+    val got = readTable("vol_stream")
+      .as[(String, Long, Double)].collect().toSeq.sorted
+    assert(got == Seq(("lovelace", 1L, 1.0), ("tokenA", 2L, 2.0)))
+  }
+}
