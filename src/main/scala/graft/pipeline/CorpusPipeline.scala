@@ -96,11 +96,14 @@ object CorpusPipeline {
     def stageOf(name: String, o: Observation): Unit =
       funnel += StageCount(name, o.get("n").asInstanceOf[Long],
         o.get("tok").asInstanceOf[Long])
-    // a lazy localCheckpoint: the caller's frame (and its cache state)
-    // is untouched, yet a possibly-expensive input lineage materializes
-    // once even though both the main chain and the quality-boundary
-    // subplan read it
-    val input = docs.localCheckpoint(false)
+    // the input is NOT copied aside: its lineage (normally a pruned
+    // parquet scan) is read by both the main chain and the
+    // quality-boundary subplan — two column-pruned scans are cheaper
+    // than replicating the corpus into executor storage, at sf0.1 and
+    // at 100 TB alike (measured: the lazy-localCheckpoint copy cost
+    // more than the re-scan it saved). Callers whose input lineage is
+    // itself expensive should pass a checkpointed frame.
+    val input = docs
     val cols = docs.columns.map(col).toSeq
     val (predLang, _) = TextAnalysis.langIdCols(col("text"))
 

@@ -1,0 +1,54 @@
+package graft.tools
+
+import org.apache.spark.scheduler.{SparkListener, SparkListenerJobEnd, SparkListenerJobStart}
+import org.apache.spark.sql.SparkSession
+
+/** Per-job wall breakdown of the corpus-funnel queries: attaches a
+  * listener that prints every Spark job's duration and first stage
+  * name, then runs the named query once warm — tells WHICH funnel
+  * barrier the seconds go to, not just the query total.
+  *
+  * Usage: runMain graft.tools.FunnelProfile q106_corpus_pipeline
+  */
+object FunnelProfile {
+  def main(args: Array[String]): Unit = {
+    val name = if (args.nonEmpty) args(0) else "q106_corpus_pipeline"
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.codegen.cache.maxEntries", "5000")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val starts = scala.collection.concurrent.TrieMap.empty[Int, (Long, String)]
+    @volatile var record = false
+    spark.sparkContext.addSparkListener(new SparkListener {
+      override def onJobStart(j: SparkListenerJobStart): Unit =
+        starts(j.jobId) = (System.nanoTime(),
+          j.stageInfos.headOption.map(_.name.takeWhile(_ != '\n')).getOrElse("?"))
+      override def onJobEnd(j: SparkListenerJobEnd): Unit =
+        starts.remove(j.jobId).foreach { case (t0, st) =>
+          if (record)
+            println(f"  job ${j.jobId}%4d  ${(System.nanoTime() - t0) / 1e9}%7.2f s  $st")
+        }
+    })
+    val fn = graft.SparkEntry.queries(name)
+    // warm-up run
+    fn(spark, sfDir).count()
+    spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
+    System.gc()
+    println(s"==== $name (warm) ====")
+    record = true
+    val t0 = System.nanoTime()
+    fn(spark, sfDir).count()
+    // listener events drain asynchronously
+    Thread.sleep(500)
+    println(f"TOTAL ${(System.nanoTime() - t0) / 1e9}%.2f s")
+    spark.stop()
+  }
+}
