@@ -5,8 +5,13 @@ at sf0.1 and sf1, and emit per-query decade ratios as JSON plus a
 markdown table for SCALE_AUDIT's manual section. Pass a prior round's
 JSON to get a side-by-side ratio comparison column.
 
+--organic uses gen_sf.py --organic (new-content growth: stable dup
+factor, distinct p_names, orthogonally-shifted embeddings) into
+localdata/sf1_organic — the readable decade ratio for the dup-bound
+operators, alongside the default dup-stress sweep.
+
 Usage:
-  python3 tools/decade_sweep.py out.json [prior.json]
+  python3 tools/decade_sweep.py out.json [prior.json] [--organic]
 
 Prereq: sbt -batch compile (runs from target/scala-2.13/classes).
 """
@@ -17,7 +22,9 @@ import sys
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 SF01 = "/root/testdata/sf0.1"
-SF1 = os.path.join(REPO, "localdata", "sf1")
+ORGANIC = "--organic" in sys.argv
+sys.argv = [a for a in sys.argv if a != "--organic"]
+SF1 = os.path.join(REPO, "localdata", "sf1_organic" if ORGANIC else "sf1")
 
 ADD_OPENS = [
     "--add-opens=java.base/java.lang=ALL-UNNAMED",
@@ -37,7 +44,8 @@ def ensure_sf1():
         print(f"generating {SF1} = 10x {SF01} ...", flush=True)
         subprocess.run([sys.executable,
                         os.path.join(REPO, "tools", "gen_sf.py"),
-                        SF01, SF1, "10"], check=True)
+                        SF01, SF1, "10"]
+                       + (["--organic"] if ORGANIC else []), check=True)
 
 
 def run_bench(sf_dir):

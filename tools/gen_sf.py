@@ -9,7 +9,19 @@ get a tiny per-copy first-component perturbation for the same reason.
 Timestamps keep their physical type (ns) so Spark's nanosAsLong path
 and DuckDB's TIMESTAMP_NS reads behave exactly as with driver data.
 
-Usage: gen_sf.py <src_dir> <dst_dir> <copies>
+Default (replicated) growth keeps each copy's text a near-duplicate of
+copy 0 (same words + a short suffix), so near-dup/fuzzy operators see a
+dup factor proportional to <copies> — useful for stress-testing the
+dup-bound operators, but it makes their decade ratios output-bound and
+hard to read. --organic instead grows the corpus the way a real corpus
+grows: every copy gets NEW content (per-copy word marking for text, a
+per-copy p_name suffix so fuzzy-join blocks don't deepen, a circular
+component shift for embeddings — an orthogonal map, so intra-copy cosine
+geometry is exact while cross-copy near-dups vanish). Intra-copy dup
+structure (the planted duplicates inside the source sf) is preserved
+identically in both modes.
+
+Usage: gen_sf.py <src_dir> <dst_dir> <copies> [--organic]
 """
 import sys
 
@@ -61,6 +73,32 @@ def mutate_documents(part, k):
     return part
 
 
+def mutate_documents_organic(part, k):
+    """New text per copy: mark every word-boundary with a copy tag, so
+    copy k's shingles/tokens share (almost) nothing with copy 0's and
+    the corpus vocabulary grows ~linearly — while duplicates WITHIN the
+    copy stay duplicates of each other (same deterministic transform)."""
+    if k == 0:
+        return part
+    text = pc.replace_substring(part["text"], " ", f" k{k}")
+    n_chars = pc.utf8_length(text)
+    part = part.set_column(part.schema.get_field_index("text"), "text", text)
+    part = part.set_column(part.schema.get_field_index("n_chars"), "n_chars",
+                           n_chars.cast(pa.int64()))
+    return part
+
+
+def mutate_part_organic(part, k):
+    """Distinct p_name per copy so name-blocked fuzzy joins keep a stable
+    block depth instead of deepening by <copies>."""
+    if k == 0:
+        return part
+    name = pc.binary_join_element_wise(part["p_name"], pa.scalar(f" r{k}"),
+                                       pa.scalar(""))
+    return part.set_column(part.schema.get_field_index("p_name"), "p_name",
+                           name)
+
+
 def mutate_embeddings(part, k):
     if k == 0:
         return part
@@ -76,8 +114,29 @@ def mutate_embeddings(part, k):
                            "embedding", new.cast(part["embedding"].type))
 
 
+def mutate_embeddings_organic(part, k):
+    """Circular component shift by k: an orthogonal transform, so norms
+    and intra-copy dot products are bit-identical, but a vector and its
+    shifted twin in another copy are no longer near neighbours."""
+    if k == 0:
+        return part
+    import numpy as np
+    col = part["embedding"].combine_chunks()
+    dim = len(col[0])
+    values = col.values.to_numpy(zero_copy_only=False).copy()
+    mat = values.reshape(-1, dim)
+    mat = np.roll(mat, k % dim, axis=1)
+    new = pa.ListArray.from_arrays(col.offsets,
+                                   pa.array(mat.reshape(-1),
+                                            type=pa.float32()))
+    return part.set_column(part.schema.get_field_index("embedding"),
+                           "embedding", new.cast(part["embedding"].type))
+
+
 def main():
-    src, dst, copies = sys.argv[1], sys.argv[2], int(sys.argv[3])
+    organic = "--organic" in sys.argv
+    argv = [a for a in sys.argv if a != "--organic"]
+    src, dst, copies = argv[1], argv[2], int(argv[3])
     import os
     os.makedirs(dst, exist_ok=True)
     for name in ("region", "nation"):  # dims stay as-is
@@ -102,15 +161,18 @@ def main():
     }
     replicate(src, dst, "customer", copies, ["c_custkey"], offsets)
     replicate(src, dst, "supplier", copies, ["s_suppkey"], offsets)
-    replicate(src, dst, "part", copies, ["p_partkey"], offsets)
+    replicate(src, dst, "part", copies, ["p_partkey"], offsets,
+              mutate=mutate_part_organic if organic else None)
     replicate(src, dst, "orders", copies, ["o_orderkey", "o_custkey"], offsets)
     replicate(src, dst, "lineitem", copies,
               ["l_orderkey", "l_partkey", "l_suppkey"], offsets)
     replicate(src, dst, "events", copies, ["event_id", "user_id"], offsets)
     replicate(src, dst, "documents", copies, ["doc_id"], offsets,
-              mutate=mutate_documents)
+              mutate=mutate_documents_organic if organic
+              else mutate_documents)
     replicate(src, dst, "embeddings", copies, ["vec_id"], offsets,
-              mutate=mutate_embeddings)
+              mutate=mutate_embeddings_organic if organic
+              else mutate_embeddings)
 
 
 if __name__ == "__main__":
