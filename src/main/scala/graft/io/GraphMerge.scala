@@ -1,0 +1,50 @@
+package graft.io
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.ops.{Analytics, Volume}
+
+/** Keyed graph merge — the Neo4j Spark connector's `Overwrite` +
+  * `relationship.save.strategy=keys` semantics (K3,
+  * /root/reference/src/etl_vol_transfers/main.py:190-209) re-expressed
+  * as a native keyed store:
+  *
+  *   - nodes (`:Wallet`) are MERGEd by their `address` key — an existing
+  *     node is reused, a new one created; the node set is therefore the
+  *     distinct union of addresses ever written,
+  *   - the relationship (`SENT_TO`) is MERGEd per (source, target)
+  *     endpoint pair — the reference config passes NO `relationship.keys`,
+  *     so the connector's Cypher is `MERGE (s)-[r:SENT_TO]->(t)
+  *     SET r += props`: ONE edge per wallet pair, properties (tx_hash,
+  *     unit, value, value_ada) overwritten by the latest write.
+  *
+  * In-batch collisions (two transfers between the same wallet pair in a
+  * single write) resolve nondeterministically in the connector (partition
+  * order); here the caller names an explicit ordering (`ordCols`, e.g.
+  * height/hash) and the LAST row per key under that order wins — a
+  * deterministic refinement of the connector contract, same invariant the
+  * D1 dedup takes (SURVEY.md §7.4 risk 5).
+  *
+  * Both merges are one key-shuffle each: dedup-keep-last partitions the
+  * update delta by the endpoint pair, the upsert anti-joins the store on
+  * the same key. At 100 TB the store side pairs with
+  * [[graft.ops.Volume.upsertPartitioned]] (pbucket the endpoint-pair
+  * hash) so a tick rewrites only touched partitions, never the table.
+  */
+object GraphMerge {
+
+  val edgeKeys: Seq[String] = Seq("send_addr", "rx_addr")
+
+  /** Merge an edge delta into the store: last-write-wins per endpoint
+    * pair, deterministic under `ordCols`. `existing` may be empty with
+    * the same schema. */
+  def mergeEdges(existing: DataFrame, updates: DataFrame,
+                 ordCols: Seq[String]): DataFrame =
+    Volume.upsert(existing,
+      Analytics.dedupKeepLast(updates, edgeKeys, ordCols), edgeKeys)
+
+  /** Merge node deltas by address key: distinct union — MERGE with no
+    * non-key properties never rewrites an existing node. */
+  def mergeNodes(existing: DataFrame, updates: DataFrame): DataFrame =
+    existing.unionByName(updates).select(col("address")).distinct()
+}

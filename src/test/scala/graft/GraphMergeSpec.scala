@@ -1,0 +1,83 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.io.GraphMerge
+
+/** A/B of GraphMerge against a row-by-row Cypher-MERGE reference model —
+  * the connector semantics the reference job relies on
+  * (/root/reference/src/etl_vol_transfers/main.py:190-209: Overwrite mode,
+  * `relationship.save.strategy=keys`, node key = address, NO relationship
+  * keys → one SENT_TO edge per wallet pair, `SET r += props` last-wins).
+  */
+class GraphMergeSpec extends AnyFunSuite with SparkTestBase {
+  import spark.implicits._
+
+  private type Edge = (String, String, String, String, Long, Double)
+  private val cols = Seq("send_addr", "rx_addr", "tx_hash", "unit",
+    "height", "value_adj")
+
+  /** Reference model: apply rows one by one in (height, tx_hash) order —
+    * `MERGE (s)-[r]->(t) SET r += props` keyed by the endpoint pair. */
+  private def cypherMergeModel(batches: Seq[Seq[Edge]])
+      : (Set[Edge], Set[String]) = {
+    val edges = scala.collection.mutable.LinkedHashMap.empty[(String, String), Edge]
+    val nodes = scala.collection.mutable.Set.empty[String]
+    for (b <- batches; e <- b.sortBy(r => (r._5, r._3))) {
+      edges((e._1, e._2)) = e
+      nodes += e._1; nodes += e._2
+    }
+    (edges.values.toSet, nodes.toSet)
+  }
+
+  private def applyGraphMerge(batches: Seq[Seq[Edge]])
+      : (Set[Edge], Set[String]) = {
+    val empty = Seq.empty[Edge].toDF(cols: _*)
+    var store = empty
+    var nodeStore = Seq.empty[String].toDF("address")
+    for (b <- batches) {
+      val delta = b.toDF(cols: _*)
+      store = GraphMerge.mergeEdges(store, delta, Seq("height", "tx_hash"))
+      val addrs = delta.select($"send_addr".as("address"))
+        .unionByName(delta.select($"rx_addr".as("address")))
+      nodeStore = GraphMerge.mergeNodes(nodeStore, addrs)
+    }
+    (store.as[Edge].collect().toSet,
+      nodeStore.as[String].collect().toSet)
+  }
+
+  private val batch1: Seq[Edge] = Seq(
+    ("A", "B", "t1", "lovelace", 10L, 1.5),
+    ("A", "C", "t2", "pol1a", 10L, 2.0),
+    // in-batch collision on (A,B): higher (height, hash) must win
+    ("A", "B", "t3", "pol1a", 11L, 9.0),
+    ("D", "B", "t3", "lovelace", 11L, 4.0))
+
+  private val batch2: Seq[Edge] = Seq(
+    // cross-batch overwrite of (A,C)
+    ("A", "C", "t9", "lovelace", 20L, 7.25),
+    // brand-new pair, one endpoint already a node
+    ("C", "E", "t9", "pol1a", 20L, 0.5))
+
+  test("two overlapping batch writes match the Cypher MERGE model") {
+    val batches = Seq(batch1, batch2)
+    val (gotEdges, gotNodes) = applyGraphMerge(batches)
+    val (wantEdges, wantNodes) = cypherMergeModel(batches)
+    assert(gotEdges == wantEdges)
+    assert(gotNodes == wantNodes)
+    // one edge per endpoint pair — the connector's keyless-MERGE shape
+    assert(gotEdges.map(e => (e._1, e._2)).size == gotEdges.size)
+    assert(gotNodes == Set("A", "B", "C", "D", "E"))
+  }
+
+  test("replaying a batch is a no-op (idempotent last-wins merge)") {
+    val once = applyGraphMerge(Seq(batch1, batch2))
+    val replayed = applyGraphMerge(Seq(batch1, batch2, batch2))
+    assert(replayed == once)
+  }
+
+  test("empty delta is the identity") {
+    val (edges, nodes) = applyGraphMerge(Seq(batch1, Seq.empty))
+    val (wantE, wantN) = cypherMergeModel(Seq(batch1))
+    assert(edges == wantE && nodes == wantN)
+  }
+}
