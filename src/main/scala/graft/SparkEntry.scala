@@ -406,15 +406,18 @@ object SparkEntry {
   }
 
   /** Event-time tumbling-window rollup (streaming-capable aggregation,
-    * here in batch): hourly volume per event type. */
+    * here in batch): hourly volume per event type. Tumbling windows over
+    * an epoch long ARE integer bucketing — `(ts div 1h) * 3600` is
+    * `window(...).start` without materializing the window struct or
+    * round-tripping ns→µs→timestamp, one codegen'd projection instead of
+    * three (the streaming EventTimeRollup keeps the real `window()` form,
+    * which watermarking requires). */
   def q31_windowed_rollup(s: SparkSession, d: String): DataFrame = noDec {
     Tables.events(s, d)
-      .select(window(timestamp_micros(expr("ts div 1000")), "1 hour")
-        .as("w"), col("event_type"), col("value"))
-      .groupBy(col("w"), col("event_type"))
+      .select((expr("ts div 3600000000000") * 3600L).as("hour_start"),
+        col("event_type"), col("value"))
+      .groupBy(col("hour_start"), col("event_type"))
       .agg(sum(dec(col("value"))).as("total"), count(lit(1)).as("n"))
-      .select(col("w.start").cast(LongType).as("hour_start"),
-        col("event_type"), col("total"), col("n"))
   }
 
   /** As-of join via the custom LogicalPlan + SparkStrategy + SparkPlan

@@ -10,7 +10,9 @@ import java.net.ServerSocket
   * Pure JDK, out-of-engine producer; the engine consumes it with
   * `spark.readStream.format("socket")`.
   */
-final class ReplayServer(lines: Seq[String]) {
+final class ReplayServer(lines: Seq[String],
+                         chunkSize: Int = Int.MaxValue,
+                         pauseMs: Long = 0) {
   private val server = new ServerSocket(0)
   val port: Int = server.getLocalPort
 
@@ -18,7 +20,14 @@ final class ReplayServer(lines: Seq[String]) {
     try {
       val client = server.accept()
       val out = new PrintWriter(client.getOutputStream, true)
-      lines.foreach(out.println)
+      // optional pacing (chunkSize lines per pauseMs) — a continuous
+      // producer like the live chain-sync client, instead of one burst
+      // the socket source swallows into a single micro-batch
+      lines.grouped(chunkSize).foreach { chunk =>
+        chunk.foreach(out.println)
+        out.flush()
+        if (pauseMs > 0) Thread.sleep(pauseMs)
+      }
       out.flush()
       // leave the socket open briefly so the receiver drains the buffer
       Thread.sleep(2000)

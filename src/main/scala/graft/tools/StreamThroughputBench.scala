@@ -57,7 +57,11 @@ object StreamThroughputBench {
           e: StreamingQueryListener.QueryTerminatedEvent): Unit = ()
     })
 
-    val server = new ReplayServer(lines).start()
+    // pace the producer at ~40k lines/s — above the engine's measured
+    // rate, so micro-batches form and the number is the engine's
+    // sustained multi-batch throughput, not one burst batch
+    val server = new ReplayServer(lines, chunkSize = 4000, pauseMs = 100)
+      .start()
     val t0 = System.nanoTime()
     val q = RawPersistJob.run(spark, "localhost", server.port, out)
     val deadline = System.currentTimeMillis() + 600000
