@@ -75,19 +75,35 @@ object KnnGraph {
     * LshIndex probe-plan discipline). */
   def knnGraphApprox(embeddings: DataFrame, k: Int,
                      blockCol: String = "label", tables: Int = 24,
-                     planes: Int = 6, dims: Int = 64,
+                     planes: Int = 0, dims: Int = 64,
                      probeBits: Int = 1): DataFrame = {
     require(probeBits == 0 || probeBits == 1,
       "probeBits: only Hamming radius 0 or 1 is supported")
     import graft.functions.VectorFunctions.lsh_signatures
     val e = embeddings.select(col("vec_id"), col(blockCol).as("blk"),
       col("embedding").cast("array<double>").as("v"))
+    // planes = 0 → derive from measured block density so per-bucket
+    // population stays ~constant as the corpus grows (the knob the
+    // scaladoc above says to raise — turned automatically): 2^planes ≈
+    // avg block / target depth 4. One tiny agg job (two longs to the
+    // driver); at sf0.1 this resolves to the historical planes = 6, so
+    // the pinned recall spec measures the auto path. Doubling the data
+    // adds one plane → candidate work stays ~linear where a fixed plane
+    // count would let Σ|bucket|² grow quadratically.
+    val nPlanes = if (planes > 0) planes else {
+      val r = e.agg(count(lit(1)),
+        approx_count_distinct(col("blk"))).head()
+      val avg = math.max(
+        r.getLong(0).toDouble / math.max(r.getLong(1), 1L), 1.0)
+      math.min(16, math.max(4,
+        math.ceil(math.log(avg / 4.0) / math.log(2.0)).toInt))
+    }
     val sigs = e
       .select(col("blk"), col("vec_id"),
-        posexplode(lsh_signatures(col("v"), tables, planes, dims))
+        posexplode(lsh_signatures(col("v"), tables, nPlanes, dims))
           .as(Seq("table", "bucket")))
     def tb(bucket: Column): Column =
-      col("table").cast("long") * (1L << planes) + bucket
+      col("table").cast("long") * (1L << nPlanes) + bucket
     // posting side: the exact bucket; probe side: exact + each 1-bit
     // flip — a pair collides iff its signatures differ by ≤ probeBits
     // bits in some table (asymmetric expansion, so fan-out is
@@ -95,7 +111,7 @@ object KnnGraph {
     val postings = sigs.select(col("blk"), tb(col("bucket")).as("tb"),
       col("vec_id"))
     val probeBuckets = if (probeBits == 0) Seq(col("bucket")) else
-      col("bucket") +: (0 until planes).map(p =>
+      col("bucket") +: (0 until nPlanes).map(p =>
         col("bucket").bitwiseXOR(lit(1L << p)))
     val probes = sigs
       .select(col("blk"), col("table"), col("vec_id"),

@@ -89,12 +89,15 @@ def mutate_documents_organic(part, k):
 
 
 def mutate_part_organic(part, k):
-    """Distinct p_name per copy so name-blocked fuzzy joins keep a stable
-    block depth instead of deepening by <copies>."""
+    """Distinct p_name HEAD per copy: fuzzy joins block on the name's
+    leading words, so the copy marker must go in FRONT to give each copy
+    its own shallow blocks (a trailing suffix would leave all copies in
+    one 10x-deep block AND make cross-copy names edit-distance-1 near
+    matches — the opposite of organic growth)."""
     if k == 0:
         return part
-    name = pc.binary_join_element_wise(part["p_name"], pa.scalar(f" r{k}"),
-                                       pa.scalar(""))
+    name = pc.binary_join_element_wise(pa.scalar(f"cp{k}velvet"),
+                                       part["p_name"], pa.scalar(" "))
     return part.set_column(part.schema.get_field_index("p_name"), "p_name",
                            name)
 
