@@ -12,7 +12,7 @@ object Bench {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       // Spark's generated-class cache defaults to 100 entries; this
-      // suite compiles far more (136 queries, iterative families
+      // suite compiles far more (137 queries, iterative families
       // codegen fresh plans per round), so the LRU thrashes and big
       // plans recompile at their timed run — measured q106 19.3 s
       // (evicted) vs 7.1 s (cached), whole-suite 146 s → 109 s. Any

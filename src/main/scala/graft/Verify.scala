@@ -19,7 +19,7 @@ object Verify {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
-      // match Bench: 136 queries overflow the default 100-entry
+      // match Bench: 137 queries overflow the default 100-entry
       // codegen class cache (see Bench.scala)
       .config("spark.sql.codegen.cache.maxEntries", "5000")
       .getOrCreate()
