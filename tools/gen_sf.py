@@ -90,14 +90,17 @@ def mutate_documents_organic(part, k):
 
 def mutate_part_organic(part, k):
     """Distinct p_name HEAD per copy: fuzzy joins block on the name's
-    leading words, so the copy marker must go in FRONT to give each copy
-    its own shallow blocks (a trailing suffix would leave all copies in
-    one 10x-deep block AND make cross-copy names edit-distance-1 near
-    matches — the opposite of organic growth)."""
+    leading words, so the copy marker must change the FIRST word to give
+    each copy its own blocks of UNCHANGED depth (a trailing suffix would
+    leave all copies in one 10x-deep block AND make cross-copy names
+    edit-distance-1 near matches; a marker as a separate new word would
+    shift the 2-word block window onto (marker, word1) — ~15 blocks of
+    10x the depth, as bad). Fusing "cp{k}" onto the first word keeps the
+    per-copy block structure identical to the source's."""
     if k == 0:
         return part
-    name = pc.binary_join_element_wise(pa.scalar(f"cp{k}velvet"),
-                                       part["p_name"], pa.scalar(" "))
+    name = pc.binary_join_element_wise(pa.scalar(f"cp{k}"),
+                                       part["p_name"], pa.scalar(""))
     return part.set_column(part.schema.get_field_index("p_name"), "p_name",
                            name)
 
