@@ -25,19 +25,52 @@ import org.apache.spark.sql.functions._
   *
   * Scale design: this is the inverted-OCCURRENCE pattern, one row per
   * k-gram occurrence end to end — group k-grams, attach each group's
-  * min doc_id back to occurrences, aggregate covered starts per doc.
+  * min doc_id back to occurrences, aggregate covered positions per doc.
   * Cost is LINEAR in total occurrences regardless of how duplicated
   * the corpus is (a k-times-duplicated corpus costs k×, not k²×) —
   * strictly better asymptotics than any pair-producing dedup (q18/q88)
   * and the reason this is the transform you run at 100 TB while pair
-  * detection is the audit tool. Three shuffles: k-gram group, starts
-  * re-group, final doc join; the k-gram join key is the raw token run
-  * (exact, zero collision risk) — swap in a 64/128-bit hash of it to
-  * shrink shuffle width when token runs are long.
-  *
-  * The per-doc coverage expansion is higher-order array functions over
-  * the doc's own token axis — no generator join, no driver work. */
+  * detection is the audit tool. Three shuffles: k-gram group, covered
+  * re-group, final doc join. Two width/asymptotics choices that matter
+  * at scale:
+  *  - the k-gram shuffles/joins on a 96-bit double hash (xxhash64 +
+  *    murmur3) of the token run, not the run itself — ~8× narrower
+  *    rows for k = 8 prose; a false cover needs BOTH hashes to collide
+  *    between two of a doc's grams' groups (≈ n²/2⁹⁷ — negligible even
+  *    at 10¹² grams);
+  *  - covered positions are produced by exploding each duplicated
+  *    start's k-span (k small int rows per duplicated occurrence,
+  *    set-deduped per doc) and removed with one hash-based
+  *    `array_except` per doc — O(tokens). The tempting higher-order
+  *    form (`filter(idx, t -> exists(starts, …))`) is O(tokens·starts)
+  *    per doc, quadratic exactly when the corpus is duplication-heavy,
+  *    i.e. exactly when this operator runs. */
 object SubstringDedup {
+
+  /** Covered token positions per doc, from a (doc_id, w) token frame:
+    * each occurrence whose k-gram a smaller doc_id already holds covers
+    * its k-span — k small int rows per duplicated occurrence (never per
+    * pair), set-deduped per doc. One row per doc that has any cover. */
+  private def coveredPositions(tokens: DataFrame, k: Int): DataFrame = {
+    // one row per k-gram OCCURRENCE, keyed by the 96-bit double hash of
+    // the token run (see class doc) with its start position
+    val sh = tokens.filter(size(col("w")) >= k)
+      .select(col("doc_id"), explode(expr(
+        s"transform(sequence(0, size(w) - $k), i -> " +
+          s"struct(i AS s, array_join(slice(w, i + 1, $k), ' ') AS g))"))
+        .as("e"))
+      .select(col("doc_id"), col("e.s").as("s"),
+        xxhash64(col("e.g")).as("g1"), hash(col("e.g")).as("g2"))
+    val minDoc = sh.groupBy(col("g1"), col("g2"))
+      .agg(min(col("doc_id")).as("min_doc"))
+    sh.join(minDoc, Seq("g1", "g2"))
+      .filter(col("doc_id") > col("min_doc"))
+      .select(col("doc_id"),
+        explode(expr(s"sequence(s, s + ${k - 1})")).as("t"))
+      .groupBy(col("doc_id")).agg(collect_set(col("t")).as("cov"))
+  }
+
+  private val emptyIntArray = "CAST(array() AS array<int>)"
 
   /** Deduplicated corpus: `(doc_id, kept_text, n_tokens, n_removed)`
     * with covered spans (see class doc) removed from `kept_text`.
@@ -45,30 +78,41 @@ object SubstringDedup {
   def dedupCorpus(docs: DataFrame, k: Int): DataFrame = {
     require(k >= 1, "k-gram length must be positive")
     val base = docs.select(col("doc_id"), split(col("text"), " ").as("w"))
-    // one row per k-gram OCCURRENCE, keeping its start position
-    val sh = base.filter(size(col("w")) >= k)
-      .select(col("doc_id"), explode(expr(
-        s"transform(sequence(0, size(w) - $k), i -> " +
-          s"struct(i AS s, array_join(slice(w, i + 1, $k), ' ') AS g))"))
-        .as("e"))
-      .select(col("doc_id"), col("e.s").as("s"), col("e.g").as("g"))
-    val minDoc = sh.groupBy(col("g")).agg(min(col("doc_id")).as("min_doc"))
-    // duplicated starts per doc: occurrences whose k-gram a smaller
-    // doc_id already holds (one row per occurrence — never per pair)
-    val starts = sh.join(minDoc, Seq("g"))
-      .filter(col("doc_id") > col("min_doc"))
-      .groupBy(col("doc_id")).agg(collect_set(col("s")).as("starts"))
-    base.join(starts, Seq("doc_id"), "left")
-      .withColumn("idx", expr("sequence(0, size(w) - 1)"))
-      .withColumn("cov",
-        when(col("starts").isNull, expr("CAST(array() AS array<int>)"))
-          .otherwise(expr(s"filter(idx, t -> " +
-            s"exists(starts, st -> st <= t AND t < st + $k))")))
+    base.join(coveredPositions(base, k), Seq("doc_id"), "left")
+      .withColumn("cov", coalesce(col("cov"), expr(emptyIntArray)))
+      // hash-based set difference keeps token order — O(tokens) per doc
+      .withColumn("keep",
+        expr("array_except(sequence(0, size(w) - 1), cov)"))
       .select(col("doc_id"),
-        expr("array_join(transform(" +
-          "filter(idx, t -> NOT array_contains(cov, t)), " +
-          "t -> element_at(w, t + 1)), ' ')").as("kept_text"),
+        expr("array_join(transform(keep, t -> element_at(w, t + 1)), ' ')")
+          .as("kept_text"),
         size(col("w")).cast("long").as("n_tokens"),
         size(col("cov")).cast("long").as("n_removed"))
+  }
+
+  /** [[dedupCorpus]] carrying the doc's OTHER columns through the
+    * rebuild: output = the input's columns with `text` replaced by the
+    * scrubbed text (empty = fully boilerplate; callers drop those rows
+    * if the doc should leave the corpus). Exists so a pipeline stage
+    * consumes the scrub in ONE pass — the (doc_id, kept_text)-then-
+    * join-back shape costs an extra corpus-wide shuffle join per stage
+    * that this variant's internal rebuild join already pays. */
+  def scrubDocs(docs: DataFrame, k: Int): DataFrame = {
+    require(k >= 1, "k-gram length must be positive")
+    require(docs.columns.contains("text") && docs.columns.contains("doc_id"),
+      "scrubDocs input needs doc_id and text columns")
+    val base = docs.withColumn("w", split(col("text"), " "))
+    val rebuilt = base
+      .join(coveredPositions(base.select(col("doc_id"), col("w")), k),
+        Seq("doc_id"), "left")
+      .withColumn("cov", coalesce(col("cov"), expr(emptyIntArray)))
+      .withColumn("keep",
+        expr("array_except(sequence(0, size(w) - 1), cov)"))
+    rebuilt.select(docs.columns.toSeq.map {
+      case "text" =>
+        expr("array_join(transform(keep, t -> element_at(w, t + 1)), ' ')")
+          .as("text")
+      case c => col(c)
+    }: _*)
   }
 }

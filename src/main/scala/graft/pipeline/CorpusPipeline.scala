@@ -150,15 +150,13 @@ object CorpusPipeline {
     stageOf("input", oIn); stageOf("lang_filter", oLang)
     stageOf("quality_gate", oQual); stageOf("exact_dedup", oExact)
 
-    // duplicated k-gram spans removed keep-first; the doc's remaining
-    // columns ride along with `text` replaced by the scrubbed text, and
-    // fully-covered (now empty) docs leave the corpus
+    // duplicated k-gram spans removed keep-first; scrubDocs carries the
+    // doc's remaining columns through its internal rebuild join, so the
+    // stage is ONE pass — no second corpus-wide join-back on doc_id.
+    // Fully-covered (now empty) docs leave the corpus
     val oScrub = Observation()
-    val scrubbed = SubstringDedup.dedupCorpus(exactKept, scrubK)
-      .select(col("doc_id"), col("kept_text"))
-    val scrubKept = exactKept.drop("text")
-      .join(scrubbed.filter(col("kept_text") =!= "")
-        .withColumnRenamed("kept_text", "text"), Seq("doc_id"))
+    val scrubKept = SubstringDedup.scrubDocs(exactKept, scrubK)
+      .filter(col("text") =!= "")
       .select(cols: _*)
       .observe(oScrub, cnt, tok)
       .localCheckpoint(true)
