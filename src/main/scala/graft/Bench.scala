@@ -68,7 +68,13 @@ object Bench {
     val gcBetween = sys.env.get("SPARK_GRAFT_GC_BETWEEN").contains("1")
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      // queryExecution.toRdd.count() materializes the query's ACTUAL
+      // output rows. A plain df.count() lets Catalyst prune everything
+      // count doesn't need — for 1:1 transform queries that is the
+      // whole operator (q103's scrub benched as a bare parquet count
+      // until round 8). Rows are produced but not collected.
+      try { fn(spark, sfDir).queryExecution.toRdd.count() }
+      catch { case _: Throwable => -1L }
       val dt = (System.nanoTime() - t0) / 1e9
       // queries are independent and sequential here: drop this query's
       // persisted/locally-checkpointed blocks so they don't pile up into

@@ -11,7 +11,8 @@ object TimeQ {
     spark.sparkContext.setLogLevel("ERROR")
     for (name <- args.drop(1); rep <- 1 to 2) {
       val t0 = System.nanoTime()
-      SparkEntry.queries(name)(spark, sfDir).count()
+      // toRdd.count(): materialize the real output (see Bench.scala)
+      SparkEntry.queries(name)(spark, sfDir).queryExecution.toRdd.count()
       println(f"[timeq] $name rep$rep ${(System.nanoTime()-t0)/1e9}%.2f s")
     }
     spark.stop()
