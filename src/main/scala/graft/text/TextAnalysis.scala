@@ -144,19 +144,28 @@ object TextAnalysis {
     * counter, linear at any corpus size. The bigram array is built
     * positionally (`transform` over indices), no self-join. */
   def repetition(docs: DataFrame): DataFrame = {
-    val words = split(Dedup.normalize(col("text")), " ")
+    // materialize the token array in its own projection BEFORE the
+    // bigram lambda reads it (the Vocab.growthCurve rule): a free
+    // column reference inside a higher-order function re-evaluates its
+    // whole expression tree per element, so the inline form re-ran
+    // split(normalize(text)) for every element_at — O(tokens²) regex
+    // work per doc (measured 24 s → ~2 s on the sf0.1 table; hidden
+    // pre-round-8 by count()-pruning of the bigram branch)
+    val ws = col("ws")
+    val toks = docs.select(col("doc_id"),
+      split(Dedup.normalize(col("text")), " ").as("ws"))
     val bigrams = transform(
-      sequence(lit(0), size(words) - 2),
-      i => concat_ws(" ", element_at(words, i + 1), element_at(words, i + 2)))
-    val wordStats = docs
-      .select(col("doc_id"), explode(words).as("w"))
+      sequence(lit(0), size(ws) - 2),
+      i => concat_ws(" ", element_at(ws, i + 1), element_at(ws, i + 2)))
+    val wordStats = toks
+      .select(col("doc_id"), explode(ws).as("w"))
       .groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("c"))
       .groupBy(col("doc_id"))
       .agg(sum(col("c")).as("n_words"),
         count(lit(1)).as("n_distinct_words"),
         max(col("c")).as("top_word_n"))
-    val bigramStats = docs
-      .filter(size(words) >= 2)
+    val bigramStats = toks
+      .filter(size(ws) >= 2)
       .select(col("doc_id"), explode(bigrams).as("b"))
       .groupBy(col("doc_id"), col("b")).agg(count(lit(1)).as("c"))
       .groupBy(col("doc_id"))
