@@ -37,7 +37,25 @@ object SemanticDedup {
   def semanticDedup(embeddings: DataFrame, clusters: Int,
                     threshold: Double, iters: Int = 8): DataFrame =
     semanticDedupWithModel(embeddings,
-      Similarity.kmeansCentroids(embeddings, clusters, iters), threshold)
+      Similarity.kmeansCentroids(embeddings,
+        autoClusters(embeddings, clusters), iters), threshold)
+
+  /** clusters = 0 → k = ⌈√n⌉ (clamped to [4, 4096]), the asymptotic
+    * balance point of the two k-dependent costs (assignment k·n·d vs
+    * within-cell pairs (n²/k)·d). MEASURED caveat (round 8): at 20k
+    * vectors the training/assignment constant (8 Lloyd iterations ×
+    * n × k literal-centroid evaluations) dominates, so k = 8 beats
+    * both n/250 (k=80: q104 7.7→11.0 s) and √n (k=142: 19.4 s) at
+    * sf1 — the quadratic cell-pair term this mode exists for only
+    * binds at corpora orders of magnitude past the sweep. Auto-k is
+    * therefore OPT-IN (pass 0), with the spec-pinned defaults staying
+    * explicit; the multiprobe form recovers recall at any k, and the
+    * frozen-model ingest path is untouched. */
+  private[graft] def autoClusters(embeddings: DataFrame,
+                                  clusters: Int): Int =
+    if (clusters > 0) clusters
+    else math.min(4096,
+      math.max(4, math.ceil(math.sqrt(embeddings.count().toDouble)).toInt))
 
   /** [[semanticDedup]] against a FIXED centroid model — the form the
     * incremental ingest job ([[graft.jobs.SemanticIngestJob]]) and its
@@ -97,7 +115,8 @@ object SemanticDedup {
   def semanticDedupMultiProbe(embeddings: DataFrame, clusters: Int,
                               threshold: Double,
                               iters: Int = 8): DataFrame = {
-    val model = Similarity.kmeansCentroids(embeddings, clusters, iters)
+    val model = Similarity.kmeansCentroids(embeddings,
+      autoClusters(embeddings, clusters), iters)
     val e = embeddings
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
       .withColumn("cells", nearest2Cells(col("v"), model))
