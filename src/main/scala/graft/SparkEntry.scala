@@ -411,10 +411,15 @@ object SparkEntry {
     * `window(...).start` without materializing the window struct or
     * round-tripping ns→µs→timestamp, one codegen'd projection instead of
     * three (the streaming EventTimeRollup keeps the real `window()` form,
-    * which watermarking requires). */
+    * which watermarking requires). Bucketing is a true FLOOR division
+    * (subtract the non-negative pmod remainder first): `div` alone
+    * truncates toward zero, which would shift pre-1970 (negative ns)
+    * timestamps one bucket late vs window()/DuckDB time_bucket — exact
+    * integer math, no double round-trip. */
   def q31_windowed_rollup(s: SparkSession, d: String): DataFrame = noDec {
     Tables.events(s, d)
-      .select((expr("ts div 3600000000000") * 3600L).as("hour_start"),
+      .select((expr("(ts - pmod(ts, 3600000000000)) div 3600000000000")
+        * 3600L).as("hour_start"),
         col("event_type"), col("value"))
       .groupBy(col("hour_start"), col("event_type"))
       .agg(sum(dec(col("value"))).as("total"), count(lit(1)).as("n"))
@@ -795,30 +800,34 @@ object SparkEntry {
     * ONE depth×width buffer per (here: global) group — built with
     * map-side partial folds and element-wise merges, never a shuffle of
     * the key space — then per-item estimates are plain array lookups
-    * (min over depth of the addressed cell). Positions use md5-hash60,
-    * so the estimates (collision over-counts included) are bit-exact
-    * cross-engine → real DuckDB hash oracle, rare for a frequency
-    * sketch. */
+    * (min over depth of the addressed cell). Positions are per-row
+    * Carter–Wegman hashes over the Mersenne prime 2³¹−1 — pure 64-bit
+    * integer math (every product stays < 2⁶², so neither engine
+    * overflows), identical in DuckDB → the estimates (collision
+    * over-counts included) stay bit-exact cross-engine, with no md5
+    * digest / hex string / concat alloc per (row × depth) in the
+    * sketch inner loop (the round-8 profile cost of the
+    * hash60-on-string form). */
   def q64_countmin(s: SparkSession, d: String): DataFrame = {
     val depth = 4
     val width = 1024
-    def positions(item: Column): Column =
+    val P = 2147483647L
+    def positions(item: Column): Column = {
+      val k31 = pmod(item, lit(P))
       transform(sequence(lit(0), lit(depth - 1)),
-        r => pmod(graft.dedup.Dedup.hash60(
-          concat(r.cast(StringType), lit("|"), item)),
-          lit(width.toLong)))
+        r => pmod(pmod(lit(1103515245L) * (r + 1), lit(P)) * k31 +
+          pmod(lit(12345L) * (r + 1) + 7L, lit(P)), lit(P)) % width)
+    }
     val sketch = Tables.lineitem(s, d)
       .agg(graft.functions.CountMinAgg.countmin_agg(
-        positions(col("l_suppkey").cast(StringType)), depth, width)
+        positions(col("l_suppkey").cast(LongType)), depth, width)
         .as("sk"))
     s.range(1, 21).toDF("suppkey")
       .crossJoin(broadcast(sketch)) // 1-row sketch
       .select(col("suppkey"),
         array_min(transform(sequence(lit(0), lit(depth - 1)),
           r => element_at(col("sk"),
-            (r * width + pmod(graft.dedup.Dedup.hash60(
-              concat(r.cast(StringType), lit("|"),
-                col("suppkey").cast(StringType))), lit(width.toLong)))
+            (r * width + element_at(positions(col("suppkey")), r + 1))
               .cast("int") + 1))).as("est"))
   }
 
@@ -1842,7 +1851,10 @@ object SparkEntry {
     * recall ≥ 0.9 vs the exact graph is pinned in KnnGraphSpec on the
     * same real corpus. */
   def q137_knn_graph_approx(s: SparkSession, d: String): DataFrame =
-    graft.sim.KnnGraph.knnGraphApprox(Tables.embeddings(s, d), k = 5)
+    // planes = 0 opts into auto plane sizing (the at-scale mode; at
+    // sf0.1 it resolves to the fixed default 6)
+    graft.sim.KnnGraph.knnGraphApprox(Tables.embeddings(s, d), k = 5,
+      planes = 0)
 
   /** q106's deterministic funnel extended with the round-7 stages:
     * segment-level dedup (w = 20) after the substring scrub and a
@@ -2918,16 +2930,19 @@ object SparkEntry {
     // relational restatement of the Count-Min build + lookup: counts
     // per (row, cell), estimate = min over rows of the item's cell
     "q64_countmin" -> {
-      def pos(item: String) = hash60Sql(
-        s"CAST(r AS VARCHAR) || '|' || $item") + " % 1024"
+      // Carter–Wegman over 2^31-1, mirroring q64's integer positions
+      // term for term (all operands non-negative, so % == pmod)
+      def pos(item: String) =
+        s"((1103515245 * (r + 1)) % 2147483647 * ($item % 2147483647)" +
+          s" + (12345 * (r + 1) + 7) % 2147483647) % 2147483647 % 1024"
       s"""WITH rs AS (SELECT unnest(generate_series(0, 3)) AS r),
          |counts AS (
-         |  SELECT r, ${pos("CAST(l_suppkey AS VARCHAR)")} AS p,
+         |  SELECT r, ${pos("l_suppkey")} AS p,
          |    count(*) AS c
          |  FROM lineitem, rs GROUP BY 1, 2),
          |items AS (SELECT unnest(generate_series(1, 20)) AS suppkey),
          |ipos AS (
-         |  SELECT suppkey, r, ${pos("CAST(suppkey AS VARCHAR)")} AS p
+         |  SELECT suppkey, r, ${pos("suppkey")} AS p
          |  FROM items, rs)
          |SELECT suppkey, CAST(min(coalesce(c, 0)) AS BIGINT) AS est
          |FROM ipos LEFT JOIN counts USING (r, p)

@@ -101,17 +101,23 @@ object SubstringDedup {
     require(k >= 1, "k-gram length must be positive")
     require(docs.columns.contains("text") && docs.columns.contains("doc_id"),
       "scrubDocs input needs doc_id and text columns")
-    val base = docs.withColumn("w", split(col("text"), " "))
+    // internal working columns use reserved __graft_ names so a caller
+    // column named w/cov/keep is never clobbered by withColumn or
+    // leaked out under the caller's name by the final select
+    val base = docs.withColumn("__graft_w", split(col("text"), " "))
     val rebuilt = base
-      .join(coveredPositions(base.select(col("doc_id"), col("w")), k),
+      .join(coveredPositions(
+        base.select(col("doc_id"), col("__graft_w").as("w")), k)
+        .withColumnRenamed("cov", "__graft_cov"),
         Seq("doc_id"), "left")
-      .withColumn("cov", coalesce(col("cov"), expr(emptyIntArray)))
-      .withColumn("keep",
-        expr("array_except(sequence(0, size(w) - 1), cov)"))
+      .withColumn("__graft_cov",
+        coalesce(col("__graft_cov"), expr(emptyIntArray)))
+      .withColumn("__graft_keep",
+        expr("array_except(sequence(0, size(__graft_w) - 1), __graft_cov)"))
     rebuilt.select(docs.columns.toSeq.map {
       case "text" =>
-        expr("array_join(transform(keep, t -> element_at(w, t + 1)), ' ')")
-          .as("text")
+        expr("array_join(transform(__graft_keep, " +
+          "t -> element_at(__graft_w, t + 1)), ' ')").as("text")
       case c => col(c)
     }: _*)
   }

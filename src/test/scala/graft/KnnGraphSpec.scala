@@ -52,7 +52,9 @@ class KnnGraphSpec extends AnyFunSuite with SparkTestBase {
     val e = Tables.embeddings(spark, "/root/testdata/sf0.1")
     val exact = KnnGraph.knnGraph(e, k = 5)
       .select("vec_id", "neighbor_id").as[(Long, Long)].collect().toSet
-    val approx = KnnGraph.knnGraphApprox(e, k = 5)
+    // planes = 0: the auto-sizing mode q137 ships with (resolves to the
+    // fixed default 6 at this corpus size, so both modes are covered)
+    val approx = KnnGraph.knnGraphApprox(e, k = 5, planes = 0)
       .select("vec_id", "neighbor_id").as[(Long, Long)].collect().toSet
     val recall = (exact intersect approx).size.toDouble / exact.size
     info(f"approx kNN-graph edge recall@5 on sf0.1: $recall%.4f")

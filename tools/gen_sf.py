@@ -121,9 +121,13 @@ def mutate_embeddings(part, k):
 
 
 def mutate_embeddings_organic(part, k):
-    """Circular component shift by k: an orthogonal transform, so norms
-    and intra-copy dot products are bit-identical, but a vector and its
-    shifted twin in another copy are no longer near neighbours."""
+    """Seeded signed permutation of the components (an orthogonal
+    transform): norms and intra-copy dot products are bit-identical, but
+    a vector and its transformed twin in another copy are no longer near
+    neighbours. Seeding by the copy index makes every k produce a
+    DISTINCT transform — the previous circular shift by k % dim was the
+    identity whenever k was a multiple of dim, silently reintroducing
+    exact cross-copy duplicates once copies >= dim."""
     if k == 0:
         return part
     import numpy as np
@@ -131,7 +135,10 @@ def mutate_embeddings_organic(part, k):
     dim = len(col[0])
     values = col.values.to_numpy(zero_copy_only=False).copy()
     mat = values.reshape(-1, dim)
-    mat = np.roll(mat, k % dim, axis=1)
+    rng = np.random.default_rng(k)
+    perm = rng.permutation(dim)
+    signs = rng.choice(np.array([-1.0, 1.0], dtype=np.float32), size=dim)
+    mat = mat[:, perm] * signs
     new = pa.ListArray.from_arrays(col.offsets,
                                    pa.array(mat.reshape(-1),
                                             type=pa.float32()))
