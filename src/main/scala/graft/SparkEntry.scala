@@ -302,11 +302,17 @@ object SparkEntry {
         .localCheckpoint(true), 0.5)
 
   /** MinHash + LSH banding near-dup pipeline (candidates → exact-Jaccard
-    * verify). Approximate by construction — banding recall < 1 for pairs
-    * near the threshold (observed: 254/256 at sf0.1) — so rows-only;
-    * recall against the exact q18 answer is pinned in DedupSpec. */
+    * verify), in the md5/Carter–Wegman ORACLE hash family: banding is
+    * approximate as a channel (recall < 1 for pairs near the
+    * threshold, pinned vs the exact q18 answer in DedupSpec) but
+    * DETERMINISTIC given the hash family, so the pair output
+    * hash-matches a DuckDB replica of the same algorithm — a real
+    * oracle for an LSH pipeline. The xxhash64 family
+    * ([[graft.dedup.Dedup.minhashDuplicatePairs]]) stays the pipeline
+    * default. */
   def q19_minhash_lsh(s: SparkSession, d: String): DataFrame =
-    graft.dedup.Dedup.minhashDuplicatePairs(Tables.documents(s, d), 0.5)
+    graft.dedup.Dedup.minhashDuplicatePairsOracle(Tables.documents(s, d),
+      0.5)
 
   /** SimHash (60-bit, md5-based — bit-identical oracle in DuckDB), via the
     * custom TypedImperativeAggregate (one buffer per doc crosses the
@@ -2361,6 +2367,52 @@ object SparkEntry {
          |JOIN sz s1 ON s1.doc_id = id1 JOIN sz s2 ON s2.doc_id = id2
          |WHERE CAST(i AS DOUBLE) / CAST(s1.sz + s2.sz - i AS DOUBLE)
          |  >= 0.5""".stripMargin,
+    // full MinHash/LSH replica in the oracle hash family: md5-hash60
+    // shingle keys, Carter–Wegman per-seed minhashes over 2^31-1,
+    // md5-hash60 band buckets, exact-Jaccard verify over the banded
+    // candidates — term-for-term the Dedup.minhashDuplicatePairsOracle
+    // algorithm (banding recall loss and all, so outputs hash-match)
+    "q19_minhash_lsh" -> {
+      def uh(seed: String, x: String) =
+        s"((1103515245 * ($seed + 1)) % 2147483647 * (($x) % 2147483647)" +
+          s" + (12345 * ($seed + 1) + 7) % 2147483647) % 2147483647"
+      s"""WITH w AS (
+         |  SELECT doc_id, string_split($NormSql, ' ') AS ws FROM documents),
+         |sh AS (
+         |  SELECT DISTINCT doc_id, ${hash60Sql("s")} AS shingle
+         |  FROM (
+         |    SELECT doc_id,
+         |      unnest([array_to_string(ws[i:i+2], ' ')
+         |              for i in range(1, greatest(len(ws)-3, 0)+2)]) AS s
+         |    FROM w)),
+         |seeds AS (SELECT unnest(generate_series(0, 15)) AS seed),
+         |sig AS (
+         |  SELECT doc_id, seed, min(${uh("seed", "shingle")}) AS minhash
+         |  FROM sh, seeds GROUP BY doc_id, seed),
+         |bk AS (
+         |  SELECT doc_id, ${hash60Sql("CAST(band AS VARCHAR) || ':' || " +
+          "string_agg(CAST(minhash AS VARCHAR), ',' ORDER BY seed)")}
+         |    AS bucket
+         |  FROM (SELECT doc_id, seed // 4 AS band, seed, minhash FROM sig)
+         |  GROUP BY doc_id, band),
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+         |  FROM bk a JOIN bk b ON a.bucket = b.bucket
+         |    AND a.doc_id < b.doc_id),
+         |inter AS (
+         |  SELECT c.id1, c.id2, count(*) AS i
+         |  FROM cand c
+         |  JOIN sh x ON x.doc_id = c.id1
+         |  JOIN sh y ON y.doc_id = c.id2 AND y.shingle = x.shingle
+         |  GROUP BY 1, 2),
+         |sz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id)
+         |SELECT id1, id2,
+         |  CAST(i AS DOUBLE) / CAST(s1.sz + s2.sz - i AS DOUBLE) AS jaccard
+         |FROM inter
+         |JOIN sz s1 ON s1.doc_id = id1 JOIN sz s2 ON s2.doc_id = id2
+         |WHERE CAST(i AS DOUBLE) / CAST(s1.sz + s2.sz - i AS DOUBLE)
+         |  >= 0.5""".stripMargin
+    },
     "q20_simhash" ->
       s"""WITH toks AS (
          |  SELECT doc_id, unnest(string_split($NormSql, ' ')) AS tok

@@ -328,6 +328,88 @@ object Dedup {
     jaccardFromCounts(inter, shingleSizes(candSh), threshold)
   }
 
+  // ---- DuckDB-oracle-able MinHash family ---------------------------
+  // Same pipeline shape as the xxhash64 operators above, with every
+  // hash replaced by something ANSI-SQL-replicable: shingle keys are
+  // md5-hash60 of the shingle string, the per-seed minhash functions
+  // are Carter–Wegman universal hashes over the Mersenne prime 2³¹−1
+  // (pure 64-bit integer math, products < 2⁶² — neither engine
+  // overflows; the q64 Count-Min discipline), and band buckets are
+  // md5-hash60 of the canonical "band:minhash,minhash,…" string. The
+  // banded candidate set — approximate AS A CHANNEL (recall < 1 near
+  // the threshold) — is then a DETERMINISTIC function of the corpus,
+  // so the end-to-end pair output hash-matches a DuckDB twin exactly:
+  // the q19 oracle. The xxhash64 family stays the default for pipeline
+  // use (no md5 digest per (shingle × seed): one digest per shingle,
+  // then integer transforms).
+
+  private val MersenneP = 2147483647L
+
+  /** h_seed(x) = (a·(x mod p) + b) mod p with (a, b) derived from the
+    * seed — identical integer arithmetic in Spark and DuckDB. */
+  private def universalHash(seed: Column, x: Column): Column =
+    pmod(pmod(lit(1103515245L) * (seed + 1), lit(MersenneP)) *
+      pmod(x, lit(MersenneP)) +
+      pmod(lit(12345L) * (seed + 1) + 7L, lit(MersenneP)), lit(MersenneP))
+
+  /** [[shingleKeys]] with md5-hash60 keys (one digest per shingle
+    * occurrence) instead of xxhash64 — the oracle-able currency. */
+  def shingleKeysOracle(docs: DataFrame, n: Int = 3): DataFrame =
+    shingleExplode(docs, n)
+      .select(col("doc_id"), hash60(col("shingle")).as("shingle"))
+      .distinct()
+
+  /** [[minhashSignatures]] over the universal-hash family: min over the
+    * doc's (already md5-hashed) shingle keys of h_seed(key). */
+  def minhashSignaturesOracle(shingleDf: DataFrame,
+                              numHashes: Int = 16): DataFrame =
+    shingleDf
+      .select(col("doc_id"), col("shingle"),
+        explode(sequence(lit(0), lit(numHashes - 1))).as("seed"))
+      .select(col("doc_id"), col("seed"),
+        universalHash(col("seed"), col("shingle")).as("h"))
+      .groupBy(col("doc_id"), col("seed"))
+      .agg(min(col("h")).as("minhash"))
+
+  /** [[lshCandidatePairs]] with the bucket = md5-hash60 of the
+    * canonical band string — cross-engine-identical banding. */
+  def lshCandidatePairsOracle(signatures: DataFrame, numHashes: Int = 16,
+                              bands: Int = 4): DataFrame = {
+    val rowsPerBand = numHashes / bands
+    val buckets = signatures
+      .withColumn("band", (col("seed") / rowsPerBand).cast("int"))
+      .groupBy(col("doc_id"), col("band"))
+      .agg(sort_array(collect_list(struct(col("seed"), col("minhash"))))
+        .as("sig"))
+      .select(col("doc_id"),
+        hash60(concat(col("band").cast("string"), lit(":"),
+          array_join(
+            expr("transform(sig, x -> cast(x.minhash as string))"), ",")))
+          .as("bucket"))
+    val a = buckets.select(col("doc_id").as("id1"), col("bucket"))
+    val b = buckets.select(col("doc_id").as("id2"), col("bucket"))
+    a.join(b, Seq("bucket"))
+      .filter(col("id1") < col("id2"))
+      .select(col("id1"), col("id2")).distinct()
+  }
+
+  /** [[minhashDuplicatePairs]] in the oracle family end to end —
+    * deterministic banded candidates + exact-Jaccard verification, so
+    * the output is hash-comparable against a DuckDB replica of the
+    * same algorithm (the q19 oracle). Same scale shape as the default
+    * family: verification cost tracks the candidate set only. */
+  def minhashDuplicatePairsOracle(docs: DataFrame, threshold: Double,
+                                  n: Int = 3, numHashes: Int = 16,
+                                  bands: Int = 4): DataFrame = {
+    val sh = shingleKeysOracle(docs, n).localCheckpoint(true)
+    val candidates = lshCandidatePairsOracle(
+      minhashSignaturesOracle(sh, numHashes), numHashes, bands)
+      .localCheckpoint(true)
+    val (inter, candSh) = candidateIntersections(candidates, sh,
+      materialize = true)
+    jaccardFromCounts(inter, shingleSizes(candSh), threshold)
+  }
+
   /** SimHash (60-bit): per token-hash bit b, sum ±1 across the doc's
     * tokens; bit set where the sum is positive. Emitted as the packed
     * 60-bit value. The bit explode (tokens × 60) is shuffle-bounded with

@@ -17,11 +17,16 @@ import graft.sim.Similarity
   * driver fold — the one sanctioned driver action), assignment is a
   * per-row broadcast argmax (no shuffle, no lookup join), and the pair
   * join is blocked by cell — Σ|cell|² work, never corpus², with hot
-  * cells being ordinary join skew (AQE-splittable). The keep/drop
-  * verdict is a per-vector aggregate (min dominating id), not a
-  * connected-components pass: one extra shuffle, deterministic, and no
-  * iterative loop. At 100 TB you raise `clusters` so cells stay
-  * executor-sized — cost is linear in corpus size for fixed cell width.
+  * cells being ordinary join skew (AQE-splittable) AND bounded by
+  * construction: any cell past `cellCap` is sub-split by sign-LSH
+  * with single-bit multiprobe (see [[dominatedWithin]]), so per-cell
+  * pair work is ~|cell|·cellCap·log instead of |cell|² no matter how
+  * the clustering degenerates. The keep/drop verdict is a per-vector
+  * aggregate (min dominating id), not a connected-components pass: one
+  * extra shuffle, deterministic, and no iterative loop. At 100 TB you
+  * still raise `clusters` so cells stay executor-sized — the cap is
+  * the safety net that keeps a degenerate clustering linearithmic, not
+  * a license to under-cluster.
   *
   * Determinism: hash-seeded k-means + fixed iterations makes the model
   * a pure function of the data (up to float summation order in the
@@ -35,10 +40,11 @@ object SemanticDedup {
     * `dup_of` is the smallest same-cluster vec_id at cosine ≥
     * `threshold` (null ⇒ kept = true). */
   def semanticDedup(embeddings: DataFrame, clusters: Int,
-                    threshold: Double, iters: Int = 8): DataFrame =
+                    threshold: Double, iters: Int = 8,
+                    cellCap: Int = 4096): DataFrame =
     semanticDedupWithModel(embeddings,
       Similarity.kmeansCentroids(embeddings,
-        autoClusters(embeddings, clusters), iters), threshold)
+        autoClusters(embeddings, clusters), iters), threshold, cellCap)
 
   /** clusters = 0 → k = ⌈√n⌉ (clamped to [4, 4096]), the asymptotic
     * balance point of the two k-dependent costs (assignment k·n·d vs
@@ -61,25 +67,94 @@ object SemanticDedup {
     * incremental ingest job ([[graft.jobs.SemanticIngestJob]]) and its
     * two-batch-equals-batch spec share: with the blocking cells frozen,
     * the verdict is a pure function of (corpus, model, threshold), so
-    * batch and incremental runs are row-identical. */
+    * batch and incremental runs are row-identical while every cell
+    * stays within `cellCap` (beyond it the cap sub-splits cells — see
+    * [[dominatedWithin]] — and the incremental job, whose per-batch
+    * work is already bounded by batch × cell width, keeps the exact
+    * within-cell contract; pass `cellCap = Int.MaxValue` to compare
+    * the two beyond the cap). */
   def semanticDedupWithModel(embeddings: DataFrame,
                              model: Seq[Seq[Double]],
-                             threshold: Double): DataFrame = {
+                             threshold: Double,
+                             cellCap: Int = 4096): DataFrame = {
+    // materialize the assigned frame once: the population count, both
+    // pair-join sides, and the verdict join all read it (without the
+    // cut each reference re-runs the k·n·d assignment argmax)
     val e = embeddings
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
       .withColumn("cell", Similarity.nearestCell(col("v"), model))
-    val a = e.select(col("cell"), col("vec_id").as("id_small"),
-      col("v").as("v1"))
-    val b = e.select(col("cell"), col("vec_id"), col("v").as("v2"))
-    val dominated = a.join(b, Seq("cell"))
+      .localCheckpoint(true)
+    e.select(col("vec_id"), col("cell").as("cluster"))
+      .join(dominatedWithin(e, threshold, cellCap), Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cluster"), col("dup_of"),
+        col("dup_of").isNull.as("kept"))
+  }
+
+  /** Smallest dominating same-cell id per vector (the keep-first
+    * verdict core shared by the single- and multi-probe forms), with
+    * within-cell pair work BOUNDED BY CONSTRUCTION: any cell whose
+    * population exceeds `cellCap` is sub-split by a sign-LSH signature
+    * (the q137 machinery turned inward), and a pair inside such a cell
+    * is compared iff its signatures agree on the cell's plane prefix
+    * within Hamming distance 1 — single-bit multiprobe, applied
+    * asymmetrically (posting side exact, probe side expands s+1
+    * buckets) so a qualifying pair is scored exactly once.
+    *
+    * Scale contract: cells at or under the cap keep the EXACT
+    * within-cell semantics (identical plan — `sub = 0` rows join on
+    * (cell, 0) exactly as before); an oversized cell of population p
+    * gets s = ⌈log₂(p/cellCap)⌉ planes (≤ 12), turning its p² pair
+    * term into ~p·cellCap·(s+1) — linearithmic, the same per-bucket-
+    * population-constant argument as [[graft.sim.KnnGraph
+    * .knnGraphApprox]]'s auto planes. Recall inside a sub-split cell is
+    * the standard sign-LSH bound (per-plane collision 1 − θ/π; at
+    * threshold 0.95 and s = 4, P[Hamming ≤ 1] ≈ 0.95) and is pinned
+    * against the exact verdict on the real corpus in SemanticDedupSpec.
+    * The per-cell populations are one model-sized aggregate (≤ #cells
+    * rows to the driver); when nothing exceeds the cap — every spec and
+    * oracle scale — the plan is bit-identical to the uncapped form. */
+  private def dominatedWithin(e: DataFrame, threshold: Double,
+                              cellCap: Int,
+                              dims: Int = 64): DataFrame = {
+    require(cellCap > 0, "cellCap must be positive")
+    val oversized: Map[Int, Int] = e.groupBy(col("cell"))
+      .agg(count(lit(1)).as("n")).collect()
+      .map(r => r.getInt(0) ->
+        (math.log(r.getLong(1).toDouble / cellCap) / math.log(2.0)))
+      .filter(_._2 > 0.0)
+      .map { case (c, s) => c -> math.min(12, math.ceil(s).toInt) }
+      .toMap
+    val keyed =
+      if (oversized.isEmpty) e.withColumn("subcell", lit(0L))
+      else {
+        import graft.functions.VectorFunctions.lsh_signatures
+        val maxP = oversized.values.max
+        e.withColumn("__sub",
+          coalesce(element_at(typedLit(oversized),
+            col("cell").cast("int")), lit(0)))
+          .withColumn("__sig",
+            element_at(lsh_signatures(col("v"), 1, maxP, dims), 1))
+          // low __sub bits of the signature; 0 for cells under the cap
+          .withColumn("subcell",
+            expr("__sig & ((CAST(1 AS BIGINT) << __sub) - 1)"))
+      }
+    val a = keyed.select(col("cell"), col("subcell"),
+      col("vec_id").as("id_small"), col("v").as("v1"))
+    val b =
+      if (oversized.isEmpty)
+        keyed.select(col("cell"), col("subcell"), col("vec_id"),
+          col("v").as("v2"))
+      else keyed
+        .select(col("cell"), col("vec_id"), col("v").as("v2"),
+          explode(expr("CASE WHEN __sub = 0 THEN array(subcell) " +
+            "ELSE concat(array(subcell), transform(sequence(0, __sub - 1), " +
+            "p -> subcell ^ (CAST(1 AS BIGINT) << p))) END"))
+            .as("subcell"))
+    a.join(b, Seq("cell", "subcell"))
       .filter(col("id_small") < col("vec_id"))
       .withColumn("cosine", Similarity.cosine(col("v1"), col("v2")))
       .filter(col("cosine") >= threshold)
       .groupBy(col("vec_id")).agg(min(col("id_small")).as("dup_of"))
-    e.select(col("vec_id"), col("cell").as("cluster"))
-      .join(dominated, Seq("vec_id"), "left")
-      .select(col("vec_id"), col("cluster"), col("dup_of"),
-        col("dup_of").isNull.as("kept"))
   }
 
   /** The two cells with the highest centroid cosine, ties to the lower
@@ -113,25 +188,19 @@ object SemanticDedup {
     * a primary cell, which both members still carry), so `kept` only
     * flips true→false — pinned in the spec. */
   def semanticDedupMultiProbe(embeddings: DataFrame, clusters: Int,
-                              threshold: Double,
-                              iters: Int = 8): DataFrame = {
+                              threshold: Double, iters: Int = 8,
+                              cellCap: Int = 4096): DataFrame = {
     val model = Similarity.kmeansCentroids(embeddings,
       autoClusters(embeddings, clusters), iters)
     val e = embeddings
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
       .withColumn("cells", nearest2Cells(col("v"), model))
+      .localCheckpoint(true)
     val blocked = e.select(col("vec_id"), col("v"),
       explode(col("cells")).as("cell"))
-    val a = blocked.select(col("cell"), col("vec_id").as("id_small"),
-      col("v").as("v1"))
-    val b = blocked.select(col("cell"), col("vec_id"), col("v").as("v2"))
-    val dominated = a.join(b, Seq("cell"))
-      .filter(col("id_small") < col("vec_id"))
-      .withColumn("cosine", Similarity.cosine(col("v1"), col("v2")))
-      .filter(col("cosine") >= threshold)
-      .groupBy(col("vec_id")).agg(min(col("id_small")).as("dup_of"))
     e.select(col("vec_id"), col("cells").getItem(0).as("cluster"))
-      .join(dominated, Seq("vec_id"), "left")
+      .join(dominatedWithin(blocked, threshold, cellCap),
+        Seq("vec_id"), "left")
       .select(col("vec_id"), col("cluster"), col("dup_of"),
         col("dup_of").isNull.as("kept"))
   }

@@ -26,7 +26,10 @@ object QueryProfile {
       val fn = graft.SparkEntry.queries(name)
       val times = (1 to reps).map { _ =>
         val t0 = System.nanoTime()
-        fn(spark, sfDir).count()
+        // toRdd.count(): materialize the real output (see Bench.scala —
+        // plain count() lets Catalyst prune 1:1 transforms and even
+        // whole row-preserving left joins out of the measured plan)
+        fn(spark, sfDir).queryExecution.toRdd.count()
         val dt = (System.nanoTime() - t0) / 1e9
         spark.sparkContext.getPersistentRDDs.values
           .foreach(_.unpersist(blocking = false))

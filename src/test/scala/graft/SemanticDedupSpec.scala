@@ -136,6 +136,30 @@ class SemanticDedupSpec extends AnyFunSuite with SparkTestBase {
     assert(single == multi)
   }
 
+  test("cellCap: forced sub-split keeps precision 1, drops a subset of " +
+    "the exact verdict, and recall stays high") {
+    val df = goldenCorpus.toDF("vec_id", "embedding")
+    // cap 16 against ~50-vector cells forces the sign-LSH sub-split
+    // (s = 2 planes) on every cell — the degenerate-clustering regime
+    // the cap exists for, exercised on the golden corpus
+    val (rExact, dExact) = recallOf(
+      SemanticDedup.semanticDedup(df, 4, goldenThreshold,
+        cellCap = Int.MaxValue))
+    val capped = SemanticDedup.semanticDedup(df, 4, goldenThreshold,
+      cellCap = 16)
+    val (rCapped, dCapped) = recallOf(capped)
+    assert(dCapped.subsetOf(dExact),
+      "sub-split only prunes comparisons: kept flips false→true only")
+    info(f"cap=16: capped recall=$rCapped%.3f vs exact=$rExact%.3f")
+    assert(rCapped >= 0.9 && rCapped >= rExact - 0.05,
+      f"capped recall $rCapped%.3f (exact $rExact%.3f)")
+    // deterministic with the cap engaged, across input partitioning
+    val again = SemanticDedup.semanticDedup(df.repartition(7), 4,
+      goldenThreshold, cellCap = 16)
+      .filter(!$"kept").select($"vec_id").as[Long].collect().toSet
+    assert(again == dCapped)
+  }
+
   test("plan: pair join is blocked by cell — no global cross product") {
     val df = SemanticDedup.semanticDedup(corpus, clusters = 3,
       threshold = 0.99)
