@@ -1841,8 +1841,11 @@ object SparkEntry {
   /** EXACT benchmark decontamination — the deterministic companion of
     * q134's MinHash variant on the same corpus/bench split: cross-corpus
     * word-3-gram Jaccard via the inverted shingle join (only co-shingled
-    * cross pairs materialize). q134 stays the scale path (banded
-    * buckets); this is the verify path and it hash-oracles. */
+    * cross pairs materialize), with the absolute corpus-side df cap
+    * (256) bounding every posting's join fan-out — a stop-shingle
+    * shared corpus-wide carries no decontamination signal. q134 stays
+    * the scale path (banded buckets); this is the verify path and it
+    * hash-oracles (cap mirrored in the DuckDB twin). */
   def q136_exact_decontamination(s: SparkSession, d: String): DataFrame = {
     val all = Tables.documents(s, d)
     graft.dedup.Dedup.crossCorpusExactOverlap(
@@ -4347,16 +4350,19 @@ object SparkEntry {
          |bench AS (
          |  SELECT doc_id, string_split($NormSql, ' ') AS ws
          |  FROM documents WHERE doc_id % 50 = 0),
-         |cs AS (
+         |cs0 AS (
          |  SELECT DISTINCT doc_id,
          |    unnest([array_to_string(ws[i:i+2], ' ')
          |            for i in range(1, greatest(len(ws)-3, 0)+2)]) AS s
          |  FROM corpus),
-         |bs AS (
+         |bs0 AS (
          |  SELECT DISTINCT doc_id AS bench_id,
          |    unnest([array_to_string(ws[i:i+2], ' ')
          |            for i in range(1, greatest(len(ws)-3, 0)+2)]) AS s
          |  FROM bench),
+         |kept AS (SELECT s FROM cs0 GROUP BY s HAVING count(*) <= 256),
+         |cs AS (SELECT cs0.* FROM cs0 JOIN kept USING (s)),
+         |bs AS (SELECT bs0.* FROM bs0 JOIN kept USING (s)),
          |inter AS (
          |  SELECT cs.doc_id, bs.bench_id, count(*) AS i
          |  FROM cs JOIN bs ON cs.s = bs.s

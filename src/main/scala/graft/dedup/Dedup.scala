@@ -562,13 +562,33 @@ object Dedup {
     * answer is deterministic (DuckDB-oracled, q136). This is the VERIFY
     * path for decontamination: on a big corpus the MinHash/LSH variant
     * bounds candidates, while this one is linear in the co-shingled
-    * pair count (the bench side is typically tiny, so postings stay
-    * short). Output (doc_id, bench_id, jaccard). */
+    * pair count. Output (doc_id, bench_id, jaccard).
+    *
+    * `maxDf` is the ABSOLUTE corpus-side document-frequency cap (the
+    * [[graft.text.SparseSim.countCosinePairs]] discipline): shingles
+    * held by more than `maxDf` corpus documents are dropped from BOTH
+    * sides, and Jaccard is computed over the kept shingle space. A
+    * stop-shingle in millions of corpus docs would otherwise turn one
+    * bench posting into a millions-row join fan-out — exactly the
+    * df ∝ N blow-up q115's relative cap had — while carrying no
+    * decontamination signal (everyone shares "the quick brown"); an
+    * absolute cap bounds every posting's fan-out at maxDf regardless
+    * of corpus size. Deterministic given the cap → still hash-oracled. */
   def crossCorpusExactOverlap(corpus: DataFrame, bench: DataFrame,
-                              threshold: Double, n: Int = 3): DataFrame = {
-    val cs = shingleKeys(corpus, n)
+                              threshold: Double, n: Int = 3,
+                              maxDf: Int = 256): DataFrame = {
+    val cs0 = shingleKeys(corpus, n)
+    // df over the corpus side only (the side that explodes); the kept
+    // set is a semi-join filter on both sides — one extra map-side-
+    // combined aggregate on the shingle key, linear in occurrences
+    val kept = cs0.groupBy(col("shingle"))
+      .agg(count(lit(1)).as("__df"))
+      .filter(col("__df") <= maxDf)
+      .select(col("shingle"))
+    val cs = cs0.join(kept, Seq("shingle"), "left_semi")
     val bs = shingleKeys(bench, n)
       .withColumnRenamed("doc_id", "bench_id")
+      .join(kept, Seq("shingle"), "left_semi")
     val inter = cs.join(bs, Seq("shingle"))
       .groupBy(col("doc_id"), col("bench_id"))
       .agg(count(lit(1)).as("inter"))
@@ -587,7 +607,17 @@ object Dedup {
 
   /** Embedding near-dup: exact cosine within coarse blocks (here the
     * precomputed `label` cluster — the blocking key that keeps the pair
-    * count sub-quadratic), pairs with cosine ≥ threshold. */
+    * count sub-quadratic), pairs with cosine ≥ threshold.
+    *
+    * SANCTIONED EXACT/VERIFY PATH (the q113/q18 discipline): within a
+    * block this is Σ|block|², which a decade of growth in a hot block
+    * turns quadratic. Its implemented, measured scale siblings are
+    * [[SemanticDedup.semanticDedupWithModel]] (same keep/drop problem,
+    * cellCap-bounded by construction — sub-splits any oversized block
+    * into sign-LSH tables) and [[graft.sim.KnnGraph.knnGraphApprox]]
+    * (same pair mining as a bounded k-NN graph). Use this form to
+    * audit a bounded slice or verify the approximate paths' recall,
+    * not as the 100 TB transform. */
   def embeddingNearDups(embeddings: DataFrame,
                         threshold: Double): DataFrame = {
     val e = embeddings.select(col("vec_id"), col("label"),

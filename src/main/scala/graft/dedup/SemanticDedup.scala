@@ -18,10 +18,10 @@ import graft.sim.Similarity
   * per-row broadcast argmax (no shuffle, no lookup join), and the pair
   * join is blocked by cell — Σ|cell|² work, never corpus², with hot
   * cells being ordinary join skew (AQE-splittable) AND bounded by
-  * construction: any cell past `cellCap` is sub-split by sign-LSH
-  * with single-bit multiprobe (see [[dominatedWithin]]), so per-cell
-  * pair work is ~|cell|·cellCap·log instead of |cell|² no matter how
-  * the clustering degenerates. The keep/drop verdict is a per-vector
+  * construction: any cell past `cellCap` is sub-split into independent
+  * sign-LSH tables (see [[dominatedWithin]]), so per-cell pair work is
+  * ~|cell|·cellCap instead of |cell|² no matter how the clustering
+  * degenerates. The keep/drop verdict is a per-vector
   * aggregate (min dominating id), not a connected-components pass: one
   * extra shuffle, deterministic, and no iterative loop. At 100 TB you
   * still raise `clusters` so cells stay executor-sized — the cap is
@@ -41,7 +41,7 @@ object SemanticDedup {
     * `threshold` (null ⇒ kept = true). */
   def semanticDedup(embeddings: DataFrame, clusters: Int,
                     threshold: Double, iters: Int = 8,
-                    cellCap: Int = 4096): DataFrame =
+                    cellCap: Int = 512): DataFrame =
     semanticDedupWithModel(embeddings,
       Similarity.kmeansCentroids(embeddings,
         autoClusters(embeddings, clusters), iters), threshold, cellCap)
@@ -76,7 +76,7 @@ object SemanticDedup {
   def semanticDedupWithModel(embeddings: DataFrame,
                              model: Seq[Seq[Double]],
                              threshold: Double,
-                             cellCap: Int = 4096): DataFrame = {
+                             cellCap: Int = 512): DataFrame = {
     // materialize the assigned frame once: the population count, both
     // pair-join sides, and the verdict join all read it (without the
     // cut each reference re-runs the k·n·d assignment argmax)
@@ -90,26 +90,31 @@ object SemanticDedup {
         col("dup_of").isNull.as("kept"))
   }
 
+  /** How many independent sign-LSH tables an oversized cell is
+    * sub-split into (the [[graft.sim.KnnGraph.knnGraphApprox]]
+    * machinery turned inward, with exact bucket match per table). */
+  private val SubTables = 4
+
   /** Smallest dominating same-cell id per vector (the keep-first
     * verdict core shared by the single- and multi-probe forms), with
     * within-cell pair work BOUNDED BY CONSTRUCTION: any cell whose
-    * population exceeds `cellCap` is sub-split by a sign-LSH signature
-    * (the q137 machinery turned inward), and a pair inside such a cell
-    * is compared iff its signatures agree on the cell's plane prefix
-    * within Hamming distance 1 — single-bit multiprobe, applied
-    * asymmetrically (posting side exact, probe side expands s+1
-    * buckets) so a qualifying pair is scored exactly once.
+    * population exceeds `cellCap` is sub-split into [[SubTables]]
+    * independent sign-LSH tables of s = ⌈log₂(p/cellCap)⌉ planes each
+    * (s ≤ 12), and a pair inside such a cell is compared iff its
+    * signatures match exactly in at least one table.
     *
     * Scale contract: cells at or under the cap keep the EXACT
-    * within-cell semantics (identical plan — `sub = 0` rows join on
-    * (cell, 0) exactly as before); an oversized cell of population p
-    * gets s = ⌈log₂(p/cellCap)⌉ planes (≤ 12), turning its p² pair
-    * term into ~p·cellCap·(s+1) — linearithmic, the same per-bucket-
-    * population-constant argument as [[graft.sim.KnnGraph
-    * .knnGraphApprox]]'s auto planes. Recall inside a sub-split cell is
-    * the standard sign-LSH bound (per-plane collision 1 − θ/π; at
-    * threshold 0.95 and s = 4, P[Hamming ≤ 1] ≈ 0.95) and is pinned
-    * against the exact verdict on the real corpus in SemanticDedupSpec.
+    * within-cell semantics (their rows carry the single constant
+    * subkey 0, exactly the pre-cap join); an oversized cell of
+    * population p costs T·p²/2ˢ ≈ T·p·cellCap pair work — LINEAR in p
+    * for a fixed cap, so a decade of growth in a degenerate cell costs
+    * a decade of work, never a hundredfold. Multi-table exact match
+    * beats single-table Hamming-1 multiprobe on both axes here
+    * (measured on q108 at sf1: probe fan-out (s+1)/2ˢ barely dents the
+    * pair term at s ≤ 2 while tripling the probe-side shuffle): recall
+    * inside a sub-split cell is 1 − (1 − p_cᔆ)ᵀ with p_c = 1 − θ/π
+    * (threshold 0.95: s = 4 → 0.985, s = 6 → 0.95), pinned against
+    * the exact verdict on the golden corpus in SemanticDedupSpec.
     * The per-cell populations are one model-sized aggregate (≤ #cells
     * rows to the driver); when nothing exceeds the cap — every spec and
     * oracle scale — the plan is bit-identical to the uncapped form. */
@@ -129,27 +134,28 @@ object SemanticDedup {
       else {
         import graft.functions.VectorFunctions.lsh_signatures
         val maxP = oversized.values.max
+        // subkey per table t: t·2¹³ + (low s bits of table-t signature)
+        // — 2¹³ > 2^(s ≤ 12) keeps tables' key ranges disjoint; rows of
+        // cells under the cap keep the single subkey 0 (no fan-out, no
+        // behavior change). A qualifying pair may match in up to T
+        // tables; the min-aggregate absorbs the duplicates.
         e.withColumn("__sub",
           coalesce(element_at(typedLit(oversized),
             col("cell").cast("int")), lit(0)))
-          .withColumn("__sig",
-            element_at(lsh_signatures(col("v"), 1, maxP, dims), 1))
-          // low __sub bits of the signature; 0 for cells under the cap
-          .withColumn("subcell",
-            expr("__sig & ((CAST(1 AS BIGINT) << __sub) - 1)"))
+          .withColumn("__sigs", lsh_signatures(col("v"), SubTables,
+            maxP, dims))
+          .select(col("cell"), col("vec_id"), col("v"),
+            explode(expr("CASE WHEN __sub = 0 " +
+              "THEN array(CAST(0 AS BIGINT)) " +
+              s"ELSE transform(sequence(0, ${SubTables - 1}), t -> " +
+              "CAST(t AS BIGINT) * 8192 + " +
+              "(__sigs[t] & ((CAST(1 AS BIGINT) << __sub) - 1))) END"))
+              .as("subcell"))
       }
     val a = keyed.select(col("cell"), col("subcell"),
       col("vec_id").as("id_small"), col("v").as("v1"))
-    val b =
-      if (oversized.isEmpty)
-        keyed.select(col("cell"), col("subcell"), col("vec_id"),
-          col("v").as("v2"))
-      else keyed
-        .select(col("cell"), col("vec_id"), col("v").as("v2"),
-          explode(expr("CASE WHEN __sub = 0 THEN array(subcell) " +
-            "ELSE concat(array(subcell), transform(sequence(0, __sub - 1), " +
-            "p -> subcell ^ (CAST(1 AS BIGINT) << p))) END"))
-            .as("subcell"))
+    val b = keyed.select(col("cell"), col("subcell"), col("vec_id"),
+      col("v").as("v2"))
     a.join(b, Seq("cell", "subcell"))
       .filter(col("id_small") < col("vec_id"))
       .withColumn("cosine", Similarity.cosine(col("v1"), col("v2")))
@@ -189,7 +195,7 @@ object SemanticDedup {
     * flips true→false — pinned in the spec. */
   def semanticDedupMultiProbe(embeddings: DataFrame, clusters: Int,
                               threshold: Double, iters: Int = 8,
-                              cellCap: Int = 4096): DataFrame = {
+                              cellCap: Int = 512): DataFrame = {
     val model = Similarity.kmeansCentroids(embeddings,
       autoClusters(embeddings, clusters), iters)
     val e = embeddings

@@ -1,11 +1,17 @@
 package graft.tools
 
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
 
-/** Proves the SparkSessionExtensions injection path end-to-end: builds a
-  * session with GraftExtensions and calls the injected functions from SQL
-  * (must run in a fresh JVM — getOrCreate reuses an active session and
-  * ignores late extensions).
+/** Proves the library's DEPLOYMENT shape end-to-end: a fresh session
+  * configured with nothing but the string conf
+  * `spark.sql.extensions=graft.functions.GraftExtensions` — exactly
+  * what a cluster user puts in spark-defaults.conf / spark-submit,
+  * with no graft code called first — resolves every injected function
+  * from SQL, fires the RangeJoinRewrite optimizer rule, and plans
+  * as-of joins without the per-session register() call. (Must run in a
+  * fresh JVM — getOrCreate reuses an active session and ignores late
+  * extensions; ExtensionInjectionSpec forks one.)
   *
   * Usage: runMain graft.tools.ExtensionsDemo
   */
@@ -13,7 +19,9 @@ object ExtensionsDemo {
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder()
       .master("local[2]")
-      .withExtensions(new graft.functions.GraftExtensions)
+      // the whole point: injection by CONF STRING only (class resolved
+      // by name at session build), never .withExtensions(...)
+      .config("spark.sql.extensions", "graft.functions.GraftExtensions")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
@@ -33,7 +41,39 @@ object ExtensionsDemo {
       "SELECT graft_topk(s, id, 1) FROM VALUES (1.0d, 5L), (2.0d, 6L) " +
         "AS t(s, id)").head().getSeq[Long](0)
     assert(agg == Seq(6L))
-    println("[extdemo] extensions injection OK (6 functions + rule)")
+    // injected optimizer rule: a pure range join (no equi conjunct)
+    // must leave no BroadcastNestedLoopJoin spanning the big sides —
+    // the rewrite's binned equi-join form plans instead
+    import spark.implicits._
+    val points = (1L to 1000L).map(i => (i, i * 3)).toDF("pid", "p")
+    val ranges = (1L to 200L).map(i => (i, i * 10, i * 10 + 25))
+      .toDF("rid", "lo", "hi")
+    val rj = points.join(ranges, $"p" >= $"lo" && $"p" <= $"hi")
+    val rjPlan = rj.queryExecution.executedPlan.toString
+    assert(!rjPlan.contains("BroadcastNestedLoopJoin"),
+      "RangeJoinRewrite did not fire via conf-injected extensions:\n" +
+        rjPlan.take(2000))
+    val rjExpected = (1L to 200L).map(r =>
+      (10 * r to 10 * r + 25).count(p => p % 3 == 0 && p / 3 <= 1000)).sum
+    assert(rj.count() == rjExpected,
+      s"range join rows: ${rj.count()} != $rjExpected")
+    // injected planner strategy: an AsOfJoinPlan node constructed
+    // DIRECTLY (bypassing the asof() wrapper, which registers the
+    // strategy itself) plans and runs purely via the conf injection
+    import org.apache.spark.sql.graftbridge.Bridge
+    import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+    val quotes = Seq((1L, 10L, "a"), (1L, 20L, "b"))
+      .toDF("k", "ts", "v")
+    val trades = Seq((1L, 15L), (1L, 25L)).toDF("k", "ts")
+    val lp = Bridge.analyzedPlan(trades)
+    val rp = Bridge.analyzedPlan(quotes)
+    def attr(p: LogicalPlan, n: String) = p.output.find(_.name == n).get
+    val asof = Bridge.ofRows(spark, graft.plans.AsOfJoinPlan(lp, rp,
+      Seq(attr(lp, "k")), Seq(attr(rp, "k")), attr(lp, "ts"),
+      attr(rp, "ts"), "backward", Long.MaxValue))
+    val vs = asof.select(col("v")).as[String].collect().toSeq.sorted
+    assert(vs == Seq("a", "b"), s"asof picked $vs")
+    println("[extdemo] extensions injection OK (functions + rule + strategy)")
     spark.stop()
   }
 }

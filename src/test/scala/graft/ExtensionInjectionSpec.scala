@@ -1,0 +1,42 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Pins the library's DEPLOYMENT shape — the first thing a real
+  * cluster user hits: a FRESH JVM whose session is built with nothing
+  * but the string conf
+  * `spark.sql.extensions=graft.functions.GraftExtensions` (no graft
+  * code touched beforehand) must resolve every injected SQL function,
+  * fire RangeJoinRewrite, and plan AsOfJoinPlan nodes. Runs
+  * [[graft.tools.ExtensionsDemo]] in a forked JVM because getOrCreate
+  * in THIS JVM would reuse the suite session and silently skip the
+  * extension path — exactly the failure mode this spec exists to
+  * catch. */
+class ExtensionInjectionSpec extends AnyFunSuite {
+
+  test("spark.sql.extensions conf alone wires functions + optimizer " +
+    "rule + planner strategy in a fresh JVM") {
+    val javaBin = new _root_.java.io.File(new _root_.java.io.File(
+      sys.props("java.home"), "bin"), "java").getAbsolutePath
+    // same module opens the build gives every forked Spark JVM
+    val addOpens = Seq(
+      "java.base/java.lang", "java.base/java.lang.invoke",
+      "java.base/java.lang.reflect", "java.base/java.io",
+      "java.base/java.net", "java.base/java.nio",
+      "java.base/java.util", "java.base/java.util.concurrent",
+      "java.base/java.util.concurrent.atomic",
+      "java.base/sun.nio.ch", "java.base/sun.nio.cs",
+      "java.base/sun.security.action", "java.base/sun.util.calendar")
+      .flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
+    val cmd = Seq(javaBin) ++ addOpens ++ Seq("-Xmx2g", "-cp",
+      sys.props("java.class.path"), "graft.tools.ExtensionsDemo")
+    val out = new StringBuilder
+    val logger = scala.sys.process.ProcessLogger(
+      l => out.synchronized { out.append(l).append('\n') },
+      l => out.synchronized { out.append(l).append('\n') })
+    val code = scala.sys.process.Process(cmd).run(logger).exitValue()
+    assert(code == 0 &&
+      out.toString.contains("extensions injection OK"),
+      s"exit=$code\n${out.toString.takeRight(3000)}")
+  }
+}
