@@ -53,7 +53,11 @@ object Bench {
                   // compile their own multi-stage plan families)
                   "q105_bpe_merges", "q106_corpus_pipeline",
                   "q112_corpus_classified", "q128_corpus_curated"))
-      try SparkEntry.queries(w)(spark, sfDir).count()
+      // warm the plan that actually gets TIMED: toRdd materializes the
+      // full unpruned output, which codegens different stages than the
+      // count()-pruned plan (the r8 honesty rule applies to warm-up
+      // too — a count() warm-up leaves the first timed full plan cold)
+      try SparkEntry.queries(w)(spark, sfDir).queryExecution.toRdd.count()
       catch { case _: Throwable => }
     // drop the warm-up queries' checkpoint blocks so the first timed
     // query doesn't run under their GC pressure

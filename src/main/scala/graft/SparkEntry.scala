@@ -48,15 +48,26 @@ object SparkEntry {
     * agg. Partial (map-side) aggregation is free via Catalyst; at 100 TB the
     * only shuffle is on the (low-cardinality) group keys. */
   def q01_agg_sums(s: SparkSession, d: String): DataFrame = noDec {
-    Tables.lineitem(s, d)
+    // sums and the distinct count are SPLIT on purpose: fusing them
+    // makes Spark's distinct-agg rewrite carry all four 128-bit
+    // decimal partials through the (group, l_orderkey) distinct phase
+    // — every distinct-shuffle row widens by 4 decimals (measured
+    // 1.59 s fused vs 0.89 s split at sf0.1, graft.tools.Q01Probe;
+    // the round-9 adjudication of q01's bench wall). The rejoin is a
+    // broadcast of one row per group.
+    val li = Tables.lineitem(s, d)
+    val sums = li
       .groupBy(col("l_returnflag"), col("l_linestatus"))
       .agg(
         sum(dec(col("l_quantity"))).as("sum_qty"),
         sum(dec(col("l_extendedprice"))).as("sum_price"),
         min(dec(col("l_quantity"))).as("min_qty"),
         max(dec(col("l_quantity"))).as("max_qty"),
-        count(lit(1)).as("n_rows"),
-        countDistinct(col("l_orderkey")).as("n_orders"))
+        count(lit(1)).as("n_rows"))
+    val orders = li
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(countDistinct(col("l_orderkey")).as("n_orders"))
+    sums.join(broadcast(orders), Seq("l_returnflag", "l_linestatus"))
   }
 
   // ------------------------------------------- §2.3/§2.4 projection + filters

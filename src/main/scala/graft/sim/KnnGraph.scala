@@ -22,6 +22,12 @@ import org.apache.spark.sql.functions._
   */
 object KnnGraph {
 
+  /** Scoring sub-partitions per block in [[knnGraphApprox]]: bounds the
+    * parallelism floor at #blocks × SubSplit when blocks are few and
+    * deep, at the price of replicating each block's vector map this
+    * many times. */
+  private val SubSplit = 8
+
   /** Exact within-block k-NN graph: for every vector, its `k` nearest
     * same-block neighbors by cosine (ties → lower vec_id), plus a
     * `mutual` flag marking edges whose reverse edge is also a k-NN edge
@@ -40,6 +46,12 @@ object KnnGraph {
     val edges = a.join(b, Seq("blk"))
       .filter(col("vec_id") =!= col("neighbor_id"))
       .withColumn("cosine", Similarity.cosine(col("v"), col("nv")))
+      // project the vectors AWAY before the ranking window: the window
+      // sort buffers whole rows, and rows carrying two d-dim vectors
+      // are ~40× wider than (id, id, cosine) — at scale that 40× is
+      // the difference between an in-memory sort and a disk-filling
+      // spill (measured: sf10 probe died on spill before this cut)
+      .select(col("vec_id"), col("neighbor_id"), col("cosine"))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("vec_id"), col("neighbor_id"),
@@ -70,9 +82,21 @@ object KnnGraph {
     * pinned in KnnGraphSpec on the real sf0.1 corpus.
     *
     * Plan: postings (blk, tb, vec_id) are id-only — vectors never ride
-    * the bucket self-join; candidates dedup on a neighbor_id-aligned
-    * partitioning that the neighbor-vector join then reuses (the
-    * LshIndex probe-plan discipline). */
+    * the bucket self-join; candidates dedup on a narrow
+    * (vec_id, neighbor_id) shuffle; and SCORING is block-local via
+    * cogroup-by-block. The join-then-window alternative was measured
+    * to death at sf10 organic (200k vectors, 20k-deep blocks, ~214M
+    * distinct candidates — the multi-table union is the operator's
+    * real candidate budget): attaching two 64-dim vectors to every
+    * candidate row made the scoring joins shuffle >100 GB and fill the
+    * disk. Cogroup keeps EVERY shuffle id-only (candidates ~24 B/row,
+    * vectors shipped once per block) and the only wide state is one
+    * block's id→vector map (|block|·d doubles — the same
+    * block-fits-in-executor premise the exact operator's Σ|block|²
+    * already assumes), with the per-vector top-k folded in the same
+    * pass (bounded heap, ties (cosine desc, neighbor_id asc) —
+    * bit-identical ranking to the window form, cosine loop identical
+    * to [[graft.functions.VectorExpressions]] CosineSimilarity). */
   def knnGraphApprox(embeddings: DataFrame, k: Int,
                      blockCol: String = "label", tables: Int = 24,
                      planes: Int = 6, dims: Int = 64,
@@ -119,33 +143,91 @@ object KnnGraph {
       .select(col("blk"), col("table"), col("vec_id"),
         explode(array(probeBuckets: _*)).as("bucket"))
       .select(col("blk"), tb(col("bucket")).as("tb"), col("vec_id"))
-    // dedup clustering on neighbor_id alone satisfies the pair-distinct
-    // distribution AND pre-aligns the neighbor-vector join — one
-    // exchange serves both
+    // NO global pair dedup: a pair found by several tables reaches the
+    // scorer more than once, and the top-k TreeSet absorbs it for free
+    // (identical (cosine, neighbor) key — cosine is deterministic).
+    // The dropDuplicates alternative was measured at sf1: a 21M-row
+    // hash-agg shuffle costing ~15 s to save ~1.3× of (cheap) repeat
+    // cosines — strictly worse at every scale probed.
+    val spark = embeddings.sparkSession
+    import spark.implicits._
     val cands = probes
       .join(postings.select(col("blk"), col("tb"),
         col("vec_id").as("neighbor_id")), Seq("blk", "tb"))
       .filter(col("vec_id") =!= col("neighbor_id"))
-      .select(col("vec_id"), col("neighbor_id"))
-      .repartition(col("neighbor_id"))
-      .dropDuplicates("vec_id", "neighbor_id")
-    val vecs = e.select(col("vec_id"), col("v"))
-    val w = Window.partitionBy(col("vec_id"))
-      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+      .select(col("blk").cast("long").as("blk"), col("vec_id"),
+        col("neighbor_id"))
+      .as[(Long, Long, Long)]
+    val vecs = e.select(col("blk").cast("long").as("blk"), col("vec_id"),
+      col("v")).as[(Long, Long, Array[Double])]
+    // block-local scoring + fused top-k (see class doc): both shuffles
+    // here move id-only rows; the vectors travel SubSplit× per block.
+    // The scoring key is (blk, vec_id mod SubSplit), not blk alone — a
+    // corpus with few deep blocks would otherwise collapse to
+    // #blocks-way parallelism exactly where the candidate volume peaks
+    // (measured: 10-block sf10, 214M candidates → 10 busy cores). A
+    // vector's candidates all share its subkey, so every top-k stays
+    // complete; only the id→vector map is replicated.
     val edges = cands
-      .join(vecs.select(col("vec_id").as("neighbor_id"),
-        col("v").as("nv")), Seq("neighbor_id"))
-      .join(vecs, Seq("vec_id"))
-      .withColumn("cosine", Similarity.cosine(col("v"), col("nv")))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("vec_id"), col("neighbor_id"),
-        col("rank").cast("long").as("rank"))
+      .groupByKey(t => (t._1, (t._2 % SubSplit).toInt))
+      .cogroup(vecs.flatMap(t => (0 until SubSplit)
+          .map(p => (t._1, p, t._2, t._3)))
+        .groupByKey(t => (t._1, t._2))) {
+        (_, cs, vs) => scoreBlock(cs, vs.map(t => (t._1, t._3, t._4)), k)
+      }.toDF("vec_id", "neighbor_id", "rank")
     val rev = edges.select(col("neighbor_id").as("vec_id"),
       col("vec_id").as("neighbor_id"), lit(1L).as("m"))
     edges.join(rev, Seq("vec_id", "neighbor_id"), "left")
       .select(col("vec_id"), col("neighbor_id"), col("rank"),
         coalesce(col("m"), lit(0L)).as("mutual"))
+  }
+
+  /** One block's candidate scoring: build the id→vector map (the only
+    * wide state, |block|·d doubles), stream deduped candidate pairs
+    * through the CosineSimilarity loop (same element order → bit-equal
+    * doubles), folding each vector's bounded top-k heap in place.
+    * Ranking ties are (cosine desc, neighbor_id asc) — exactly the
+    * window form this replaces. */
+  private def scoreBlock(cs: Iterator[(Long, Long, Long)],
+                         vs: Iterator[(Long, Long, Array[Double])],
+                         k: Int): Iterator[(Long, Long, Long)] = {
+    val vmap = new java.util.HashMap[Long, Array[Double]]()
+    vs.foreach(t => vmap.put(t._2, t._3))
+    val ord = new Ordering[(Double, Long)] {
+      def compare(a: (Double, Long), b: (Double, Long)): Int = {
+        val c = java.lang.Double.compare(b._1, a._1) // cosine desc
+        if (c != 0) c else java.lang.Long.compare(a._2, b._2) // id asc
+      }
+    }
+    val best =
+      new java.util.HashMap[Long, java.util.TreeSet[(Double, Long)]]()
+    cs.foreach { case (_, vid, nid) =>
+      val v = vmap.get(vid)
+      val nv = vmap.get(nid)
+      if (v != null && nv != null) {
+        val n = math.min(v.length, nv.length)
+        var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+        while (i < n) {
+          val xv = v(i); val yv = nv(i)
+          dot += xv * yv; na += xv * xv; nb += yv * yv
+          i += 1
+        }
+        val cos = dot / (math.sqrt(na) * math.sqrt(nb))
+        var ts = best.get(vid)
+        if (ts == null) {
+          ts = new java.util.TreeSet[(Double, Long)](ord)
+          best.put(vid, ts)
+        }
+        ts.add((cos, nid))
+        if (ts.size > k) ts.pollLast()
+      }
+    }
+    import scala.jdk.CollectionConverters._
+    best.entrySet().iterator().asScala.flatMap { en =>
+      en.getValue.iterator().asScala.zipWithIndex.map {
+        case ((_, nid), idx) => (en.getKey.toLong, nid, (idx + 1).toLong)
+      }
+    }
   }
 
   /** Hard-negative mining: for each anchor, the `k` nearest vectors with
@@ -167,6 +249,9 @@ object KnnGraph {
       .orderBy(col("cosine").desc, col("negative_id").asc)
     e.join(broadcast(q), col("neg_label") =!= col("q_label"))
       .withColumn("cosine", Similarity.cosine(col("qv"), col("v")))
+      // vectors out before the per-anchor top-k window (see knnGraph)
+      .select(col("query_id"), col("negative_id"), col("neg_label"),
+        col("cosine"))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("negative_id"),

@@ -167,6 +167,9 @@ object LshIndex {
       .join(graft.io.Layout.read(spark, s"${table}_vec"), Seq("vec_id"))
       .join(qv, Seq("query_id"))
       .withColumn("cosine", cosine_sim(col("qv"), col("v")))
+      // vectors out before the top-k window (Similarity.bruteForceTopK
+      // discipline: the window sort buffers whole rows)
+      .select(col("query_id"), col("vec_id"), col("cosine"))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("vec_id").as("neighbor_id"), col("rank"))

@@ -147,6 +147,9 @@ object ProductQuantizer {
         .join(broadcast(qe), Seq("query_id"))
         .withColumn("cosine", graft.functions.VectorFunctions
           .cosine_sim(col("qv2"), col("v")))
+        // vectors out before the rerank window (Similarity
+        // .bruteForceTopK discipline)
+        .select(col("query_id"), col("vec_id"), col("cosine"))
         .withColumn("rank", row_number().over(wx))
         .filter(col("rank") <= k)
         .select(col("query_id"), col("vec_id").as("neighbor_id"),

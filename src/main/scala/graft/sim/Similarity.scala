@@ -44,6 +44,10 @@ object Similarity {
       .orderBy(col("cosine").desc, col("vec_id").asc)
     e.join(broadcast(q), col("vec_id") =!= col("query_id"))
       .withColumn("cosine", cosine(col("qv"), col("v")))
+      // vectors out before the top-k window: the window sort buffers
+      // whole rows, and (id, id, cosine) is ~40× narrower than rows
+      // still dragging two d-dim arrays (the KnnGraph sf10 lesson)
+      .select(col("query_id"), col("vec_id"), col("cosine"))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("vec_id").as("neighbor_id"), col("rank"))
@@ -88,6 +92,8 @@ object Similarity {
     e.join(probed, Seq("cell"))
       .filter(col("vec_id") =!= col("query_id"))
       .withColumn("cosine", cosine(col("qv"), col("v")))
+      // vectors out before the top-k window (see bruteForceTopK)
+      .select(col("query_id"), col("vec_id"), col("cosine"))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("vec_id").as("neighbor_id"), col("rank"))
@@ -224,6 +230,8 @@ object Similarity {
     e.join(broadcast(q), Seq("bucket"))
       .filter(col("vec_id") =!= col("query_id"))
       .withColumn("cosine", cosine(col("v_query_id"), col("v_vec_id")))
+      // vectors out before the top-k window (see bruteForceTopK)
+      .select(col("query_id"), col("vec_id"), col("cosine"))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("vec_id").as("neighbor_id"), col("rank"))
@@ -297,6 +305,8 @@ object Similarity {
       .filter(col("vec_id") =!= col("query_id"))
       .dropDuplicates("query_id", "vec_id") // union over tables & probes
       .withColumn("cosine", cosine(col("qv"), col("v")))
+      // vectors out before the top-k window (see bruteForceTopK)
+      .select(col("query_id"), col("vec_id"), col("cosine"))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("vec_id").as("neighbor_id"), col("rank"))

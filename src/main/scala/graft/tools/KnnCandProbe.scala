@@ -1,0 +1,62 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Counts the intermediate cardinalities of knnGraphApprox's candidate
+  * pipeline at a given SF dir — the sf10 disk-fill diagnosis tool. */
+object KnnCandProbe {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR",
+      "/root/testdata/sf0.1")
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import graft.functions.VectorFunctions.lsh_signatures
+    val e = graft.Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("label").as("blk"),
+        col("embedding").cast("array<double>").as("v"))
+    val r = e.agg(count(lit(1)), approx_count_distinct(col("blk"))).head()
+    val n = r.getLong(0); val blks = r.getLong(1)
+    val avgBlk = n.toDouble / math.max(blks, 1L)
+    val nPlanes = math.min(16, math.max(4,
+      math.ceil(math.log(avgBlk / 4.0) / math.log(2.0)).toInt))
+    println(s"[knncand] n=$n blocks=$blks avg=$avgBlk planes=$nPlanes")
+    val tables = 24
+    val sigs = e.select(col("blk"), col("vec_id"),
+      posexplode(lsh_signatures(col("v"), tables, nPlanes, 64))
+        .as(Seq("table", "bucket"))).localCheckpoint(true)
+    def tb(b: org.apache.spark.sql.Column) =
+      col("table").cast("long") * (1L << nPlanes) + b
+    val postings = sigs.select(col("blk"), tb(col("bucket")).as("tb"),
+      col("vec_id"))
+    val probes = sigs
+      .select(col("blk"), col("table"), col("vec_id"),
+        explode(array(col("bucket") +: (0 until nPlanes).map(p =>
+          col("bucket").bitwiseXOR(lit(1L << p))): _*)).as("bucket"))
+      .select(col("blk"), tb(col("bucket")).as("tb"), col("vec_id"))
+    def timed[T](name: String)(f: => T): T = {
+      val t0 = System.nanoTime(); val r = f
+      println(f"[knncand] $name took ${(System.nanoTime()-t0)/1e9}%.1f s"); r
+    }
+    println(s"[knncand] postings=${timed("postings")(postings.count())} probes=${timed("probes")(probes.count())}")
+    // bucket-depth histogram: top bucket populations
+    val depths = postings.groupBy(col("blk"), col("tb"))
+      .agg(count(lit(1)).as("d"))
+    depths.agg(max(col("d")), avg(col("d")), expr("percentile(d, 0.99)"))
+      .show(false)
+    val candPre = probes
+      .join(postings.select(col("blk"), col("tb"),
+        col("vec_id").as("neighbor_id")), Seq("blk", "tb"))
+      .filter(col("vec_id") =!= col("neighbor_id"))
+    println(s"[knncand] cand_pre_dedup=${timed("cand_pre")(candPre.count())}")
+    val candPost = candPre.select(col("vec_id"), col("neighbor_id"))
+      .dropDuplicates("vec_id", "neighbor_id")
+    println(s"[knncand] cand_post_dedup=${timed("cand_post")(candPost.count())}")
+    spark.stop()
+  }
+}

@@ -1,0 +1,78 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** One-off attribution probe for q01's isolated wall (round-9 task:
+  * "warm-up or regression?"): times the full query against variants
+  * with the suspect plan features removed, same harness conditions as
+  * QueryProfile (toRdd, warm reps). */
+object Q01Probe {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR",
+      "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    def dec(c: org.apache.spark.sql.Column) = c.cast(DecimalType(18, 2))
+    val li = graft.Tables.lineitem(spark, sfDir)
+    def t(name: String)(df: => DataFrame): Unit = {
+      val times = (1 to 3).map { _ =>
+        val t0 = System.nanoTime()
+        df.queryExecution.toRdd.count()
+        (System.nanoTime() - t0) / 1e9
+      }
+      println(f"Q01PROBE $name%-28s " +
+        times.map(x => f"$x%6.2f").mkString(" ") +
+        f"  min=${times.min}%6.2f")
+    }
+    t("full_q01") {
+      graft.SparkEntry.queries("q01_agg_sums")(spark, sfDir)
+    }
+    t("no_count_distinct") {
+      li.groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(sum(dec(col("l_quantity"))).as("sum_qty"),
+          sum(dec(col("l_extendedprice"))).as("sum_price"),
+          min(dec(col("l_quantity"))).as("min_qty"),
+          max(dec(col("l_quantity"))).as("max_qty"),
+          count(lit(1)).as("n_rows"))
+    }
+    t("no_decimal") {
+      li.groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(sum(col("l_quantity")).as("sum_qty"),
+          sum(col("l_extendedprice")).as("sum_price"),
+          min(col("l_quantity")).as("min_qty"),
+          max(col("l_quantity")).as("max_qty"),
+          count(lit(1)).as("n_rows"),
+          countDistinct(col("l_orderkey")).as("n_orders"))
+    }
+    t("count_distinct_only") {
+      li.groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(countDistinct(col("l_orderkey")).as("n_orders"))
+    }
+    t("bare_scan_agg") {
+      li.groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n_rows"))
+    }
+    t("split_agg_join") {
+      val sums = li.groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(sum(dec(col("l_quantity"))).as("sum_qty"),
+          sum(dec(col("l_extendedprice"))).as("sum_price"),
+          min(dec(col("l_quantity"))).as("min_qty"),
+          max(dec(col("l_quantity"))).as("max_qty"),
+          count(lit(1)).as("n_rows"))
+      val dist = li.groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(countDistinct(col("l_orderkey")).as("n_orders"))
+      sums.join(broadcast(dist),
+        Seq("l_returnflag", "l_linestatus"))
+    }
+    spark.stop()
+  }
+}
