@@ -15,13 +15,15 @@ import graft.sim.Similarity
   *
   * Scale design: k-means is [[Similarity.kmeansCentroids]] (model-sized
   * driver fold — the one sanctioned driver action), assignment is a
-  * per-row broadcast argmax (no shuffle, no lookup join), and the pair
-  * join is blocked by cell — Σ|cell|² work, never corpus², with hot
-  * cells being ordinary join skew (AQE-splittable) AND bounded by
-  * construction: any cell past `cellCap` is sub-split into independent
-  * sign-LSH tables (see [[dominatedWithin]]), so per-cell pair work is
-  * ~|cell|·cellCap instead of |cell|² no matter how the clustering
-  * degenerates. The keep/drop verdict is a per-vector
+  * per-row broadcast argmax (no shuffle, no lookup join), and pair
+  * scoring is blocked by cell — Σ|cell|² work, never corpus², bounded
+  * by construction: any cell past `cellCap` is sub-split into
+  * independent sign-LSH tables and every bucket's pairs are enumerated
+  * in memory with an early-exit min-dominator scan (see
+  * [[dominatedWithin]]), so per-cell pair work is ~|cell|·cellCap
+  * instead of |cell|² no matter how the clustering degenerates, and no
+  * pair-sized row set is ever shuffled. The keep/drop verdict is a
+  * per-vector
   * aggregate (min dominating id), not a connected-components pass: one
   * extra shuffle, deterministic, and no iterative loop. At 100 TB you
   * still raise `clusters` so cells stay executor-sized — the cap is
@@ -117,7 +119,9 @@ object SemanticDedup {
     * the exact verdict on the golden corpus in SemanticDedupSpec.
     * The per-cell populations are one model-sized aggregate (≤ #cells
     * rows to the driver); when nothing exceeds the cap — every spec and
-    * oracle scale — the plan is bit-identical to the uncapped form. */
+    * oracle scale — every row keeps the single subkey 0 and the result
+    * is row-identical to the uncapped form (scoring below is
+    * bucket-local either way). */
   private def dominatedWithin(e: DataFrame, threshold: Double,
                               cellCap: Int,
                               dims: Int = 64): DataFrame = {
@@ -152,15 +156,59 @@ object SemanticDedup {
               "(__sigs[t] & ((CAST(1 AS BIGINT) << __sub) - 1))) END"))
               .as("subcell"))
       }
-    val a = keyed.select(col("cell"), col("subcell"),
-      col("vec_id").as("id_small"), col("v").as("v1"))
-    val b = keyed.select(col("cell"), col("subcell"), col("vec_id"),
-      col("v").as("v2"))
-    a.join(b, Seq("cell", "subcell"))
-      .filter(col("id_small") < col("vec_id"))
-      .withColumn("cosine", Similarity.cosine(col("v1"), col("v2")))
-      .filter(col("cosine") >= threshold)
-      .groupBy(col("vec_id")).agg(min(col("id_small")).as("dup_of"))
+    // Bucket-local scoring (the knnGraphApprox cogroup discipline
+    // turned inward): the former (cell, subcell) self-join attached two
+    // d-dim arrays to every candidate pair row — at sweep scale the
+    // single pair-join job was ~17 of q108's ~18 s, almost all of it
+    // shuffling/materializing ~0.5 KB pair rows. Instead, group the
+    // bucket's members (vector attached ONCE per posting) and
+    // enumerate ordered pairs in memory: ids ascending, so the FIRST
+    // dominator found per member is the bucket minimum — early exit.
+    // A degenerate all-duplicates bucket is therefore O(p), not O(p²)
+    // (every member exits at its first comparison); the cap keeps
+    // non-degenerate buckets ~cellCap deep. Only n·tables id+vector
+    // rows ever shuffle; the final min-merge across tables/cells is a
+    // shuffle of at most one row per (member, table-hit). Cosine is
+    // the same index-order loop as CosineSimilarity (bit-equal
+    // doubles) with Spark's NaN-is-largest compare semantics.
+    val spark = e.sparkSession
+    import spark.implicits._
+    val parts = keyed
+      .select(col("cell").cast("long"), col("subcell"), col("vec_id"),
+        col("v"))
+      .as[(Long, Long, Long, Array[Double])]
+      .groupByKey(t => (t._1, t._2))
+      .flatMapGroups { (_, it) =>
+        val ms = it.map(t => (t._3, t._4)).toArray
+        ms.sortInPlaceBy(_._1)
+        val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+        var j = 1
+        while (j < ms.length) {
+          val vB = ms(j)._2
+          var i = 0
+          var found = false
+          while (i < j && !found) {
+            val vA = ms(i)._2
+            val n = math.min(vA.length, vB.length)
+            var dot = 0.0; var na = 0.0; var nb = 0.0; var x = 0
+            while (x < n) {
+              val a = vA(x); val b = vB(x)
+              dot += a * b; na += a * a; nb += b * b
+              x += 1
+            }
+            val cos = dot / (math.sqrt(na) * math.sqrt(nb))
+            if (java.lang.Double.compare(cos, threshold) >= 0) {
+              out += ((ms(j)._1, ms(i)._1))
+              found = true
+            }
+            i += 1
+          }
+          j += 1
+        }
+        out.iterator
+      }
+    parts.toDF("vec_id", "d")
+      .groupBy(col("vec_id")).agg(min(col("d")).as("dup_of"))
   }
 
   /** The two cells with the highest centroid cosine, ties to the lower

@@ -149,17 +149,24 @@ object Similarity {
       .orderBy(col("hk"), col("vec_id")).limit(k)
       .select(col("v")).collect()
       .map(_.getSeq[Double](0)).toSeq
+    // per-iteration update: ONE map-side-combinable hash aggregate of
+    // `dims` componentwise sums + a count (k rows to the driver), not a
+    // posexplode into n·dims (cell, i, x) rows + two shuffles — the
+    // Lloyd constant was the dominant flat cost of every kmeans caller
+    // at sweep scale (q108 sf1: the training loop, not the pair join)
+    val dims = cents.headOption.map(_.length).getOrElse(0)
     for (_ <- 1 to maxIter) {
+      val sums = (0 until dims).map(i => sum(col("v").getItem(i)))
       val updated = e
         .withColumn("cell",
           if (l2) nearestCellL2(col("v"), cents)
           else nearestCell(col("v"), cents))
-        .select(col("cell"), posexplode(col("v")).as(Seq("i", "x")))
-        .groupBy(col("cell"), col("i")).agg(avg(col("x")).as("m"))
         .groupBy(col("cell"))
-        .agg(array_sort(collect_list(struct(col("i"), col("m")))).as("im"))
-        .select(col("cell"), expr("transform(im, s -> s.m)").as("c"))
-        .collect().map(r => r.getInt(0) -> r.getSeq[Double](1)).toMap
+        .agg(count(lit(1)).as("n"), sums: _*)
+        .collect().map { r =>
+          val n = r.getLong(1).toDouble
+          r.getInt(0) -> (0 until dims).map(i => r.getDouble(i + 2) / n)
+        }.toMap
       cents = cents.indices.map(i => updated.getOrElse(i, cents(i)))
     }
     // the model is extracted — the training frame's checkpoint blocks

@@ -39,13 +39,13 @@ object FunnelProfile {
     })
     val fn = graft.SparkEntry.queries(name)
     // warm-up run
-    fn(spark, sfDir).count()
+    fn(spark, sfDir).queryExecution.toRdd.count()
     spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
     System.gc()
     println(s"==== $name (warm) ====")
     record = true
     val t0 = System.nanoTime()
-    fn(spark, sfDir).count()
+    fn(spark, sfDir).queryExecution.toRdd.count()
     // listener events drain asynchronously
     Thread.sleep(500)
     println(f"TOTAL ${(System.nanoTime() - t0) / 1e9}%.2f s")

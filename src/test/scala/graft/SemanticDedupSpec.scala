@@ -160,13 +160,17 @@ class SemanticDedupSpec extends AnyFunSuite with SparkTestBase {
     assert(again == dCapped)
   }
 
-  test("plan: pair join is blocked by cell — no global cross product") {
+  test("plan: pair scoring is bucket-local — no global cross product, " +
+    "no pair-sized join") {
     val df = SemanticDedup.semanticDedup(corpus, clusters = 3,
       threshold = 0.99)
     val plan = df.queryExecution.optimizedPlan.toString
     assert(!plan.contains("Cartesian"), plan.take(2000))
-    // the within-cell join and the final left join back
-    assert("Join (Inner|LeftOuter)".r.findAllIn(plan).size == 2,
-      plan.take(2000))
+    // only the final verdict left-join remains: the within-cell pair
+    // work happens inside a bucket-grouped flatMapGroups, so NO inner
+    // join (the old vector-carrying pair join) appears anywhere
+    assert("Join Inner".r.findAllIn(plan).isEmpty, plan.take(2000))
+    assert("Join LeftOuter".r.findAllIn(plan).size == 1, plan.take(2000))
+    assert(plan.contains("MapGroups"), plan.take(2000))
   }
 }
