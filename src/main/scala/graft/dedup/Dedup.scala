@@ -578,21 +578,28 @@ object Dedup {
                               threshold: Double, n: Int = 3,
                               maxDf: Int = 256): DataFrame = {
     val cs0 = shingleKeys(corpus, n)
-    // df over the corpus side only (the side that explodes); the kept
-    // set is a semi-join filter on both sides — one extra map-side-
-    // combined aggregate on the shingle key, linear in occurrences
+    // df over the corpus side only (the side that explodes) — one
+    // map-side-combined aggregate on the shingle key, linear in
+    // occurrences
     val kept = cs0.groupBy(col("shingle"))
       .agg(count(lit(1)).as("__df"))
       .filter(col("__df") <= maxDf)
       .select(col("shingle"))
-    val cs = cs0.join(kept, Seq("shingle"), "left_semi")
     val bs = shingleKeys(bench, n)
       .withColumnRenamed("doc_id", "bench_id")
       .join(kept, Seq("shingle"), "left_semi")
-    val inter = cs.join(bs, Seq("shingle"))
+    // the intersection join takes the corpus postings UNFILTERED: the
+    // inner join against the df-capped bench side already drops every
+    // over-cap shingle, and per-shingle fan-out stays ≤ maxDf × its
+    // bench df — filtering cs0 again would only add a second
+    // corpus-wide semi-join for rows the join eliminates anyway
+    val inter = cs0.join(bs, Seq("shingle"))
       .groupBy(col("doc_id"), col("bench_id"))
       .agg(count(lit(1)).as("inter"))
-    val csz = shingleSizes(cs)
+    // the kept filter IS load-bearing here: sz1 counts each corpus
+    // doc's shingles within the capped shingle space (the Jaccard
+    // denominator the oracle mirrors)
+    val csz = shingleSizes(cs0.join(kept, Seq("shingle"), "left_semi"))
       .withColumnRenamed("sz", "sz1")
     val bsz = bs.groupBy(col("bench_id")).agg(count(lit(1)).as("sz2"))
     inter
