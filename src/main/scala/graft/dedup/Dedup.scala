@@ -83,26 +83,34 @@ object Dedup {
 
   /** MinHash signatures: for each of `numHashes` seeded hash functions,
     * the min over the doc's shingles of hash(seed, shingle).
-    * Output (doc_id, seed, minhash). The explode over seeds multiplies
-    * rows ×numHashes before a single (doc_id, seed) shuffle — map-side
-    * partial min keeps the exchange small at scale.
+    * Output (doc_id, seed, minhash).
     *
     * Hashing is xxhash64, not md5-hash60: minhash is approximate by
     * construction (never oracled cross-engine), and xxhash64 is codegen'd
     * native long math — no md5 digest + hex string + base conversion per
     * (shingle × seed) row, which dominated the round-1 q19 profile.
-    * At 100 TB prefer [[graft.functions.MinHashAgg]]: the same
-    * signatures' SHAPE from one fixed-size buffer per doc — no
-    * ×numHashes row explode, no second aggregation to pack the array. */
+    * [[graft.functions.MinHashAgg]] computes the same signatures from
+    * one TypedImperative buffer per doc (its splitmix64 family — the
+    * SQL-surface form registered as graft_minhash); this one stays on
+    * plain codegen'd aggregates. */
   def minhashSignatures(shingleDf: DataFrame,
-                        numHashes: Int = 16): DataFrame =
-    shingleDf
-      .select(col("doc_id"), col("shingle"),
-        explode(sequence(lit(0), lit(numHashes - 1))).as("seed"))
-      .select(col("doc_id"), col("seed"),
-        xxhash64(col("seed"), col("shingle")).as("h"))
-      .groupBy(col("doc_id"), col("seed"))
-      .agg(min(col("h")).as("minhash"))
+                        numHashes: Int = 16): DataFrame = {
+    // one min-aggregate column per seed instead of exploding every
+    // shingle row numHashes× before aggregating: the map-side partial
+    // computes all N mins in one pass over the un-inflated rows and
+    // the shuffle carries ONE row per (doc, partition) — the same
+    // single-buffer idea as MinHashAgg, expressed in vanilla codegen'd
+    // aggregates. Hash values are identical (xxhash64 over the same
+    // (int seed, shingle) pair), so signatures, buckets, and pair
+    // outputs are bit-unchanged.
+    val mins = (0 until numHashes).map(sd =>
+      min(xxhash64(lit(sd), col("shingle"))).as(s"m$sd"))
+    shingleDf.groupBy(col("doc_id"))
+      .agg(mins.head, mins.tail: _*)
+      .select(col("doc_id"),
+        posexplode(array((0 until numHashes).map(sd => col(s"m$sd")): _*))
+          .as(Seq("seed", "minhash")))
+  }
 
   /** LSH banding: group the signature's seeds into `bands` bands, bucket =
     * hash of the band's minhash vector; docs sharing any bucket become
@@ -362,14 +370,18 @@ object Dedup {
   /** [[minhashSignatures]] over the universal-hash family: min over the
     * doc's (already md5-hashed) shingle keys of h_seed(key). */
   def minhashSignaturesOracle(shingleDf: DataFrame,
-                              numHashes: Int = 16): DataFrame =
-    shingleDf
-      .select(col("doc_id"), col("shingle"),
-        explode(sequence(lit(0), lit(numHashes - 1))).as("seed"))
-      .select(col("doc_id"), col("seed"),
-        universalHash(col("seed"), col("shingle")).as("h"))
-      .groupBy(col("doc_id"), col("seed"))
-      .agg(min(col("h")).as("minhash"))
+                              numHashes: Int = 16): DataFrame = {
+    // same one-pass multi-min aggregation as [[minhashSignatures]];
+    // with a literal seed the Carter–Wegman (a, b) coefficients
+    // constant-fold at plan time
+    val mins = (0 until numHashes).map(sd =>
+      min(universalHash(lit(sd), col("shingle"))).as(s"m$sd"))
+    shingleDf.groupBy(col("doc_id"))
+      .agg(mins.head, mins.tail: _*)
+      .select(col("doc_id"),
+        posexplode(array((0 until numHashes).map(sd => col(s"m$sd")): _*))
+          .as(Seq("seed", "minhash")))
+  }
 
   /** [[lshCandidatePairs]] with the bucket = md5-hash60 of the
     * canonical band string — cross-engine-identical banding. */
