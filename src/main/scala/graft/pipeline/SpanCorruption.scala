@@ -36,27 +36,40 @@ object SpanCorruption {
     // split() free-referenced inside `aggregate` would re-split the
     // text once per token (O(n²) per doc); see Vocab.growthCurve
     val ws = col("__ws")
-    val bound = docs.withColumn("__ws", split(col("text"), " "))
+    val ms = col("__mask")
 
     def maskedAt(i: Column): Column =
       Dedup.hash60(concat(col("doc_id").cast("string"), lit("_"),
         i.cast("string"))) % den < num
 
-    // append piece `p` to accumulated string `s` with a single space
-    def sep(s: Column, p: Column): Column =
-      when(s === "", p).otherwise(concat(s, lit(" "), p))
+    // the mask decision is an md5 per token, and expression trees give
+    // HOF lambdas no common-subexpression elimination — referencing
+    // maskedAt(i) at each of its ~5 use sites inside the fold would
+    // digest the same key five times per token (and the n_masked
+    // second pass a sixth). Materialize the whole mask ARRAY once per
+    // doc; the fold then does O(1) lookups
+    val bound = docs.withColumn("__ws", split(col("text"), " "))
+      .withColumn("__mask",
+        transform(sequence(lit(0), size(ws) - 1), i => maskedAt(i)))
 
     def sentinel(k: Column): Column =
       concat(lit("<X_"), k.cast("string"), lit(">"))
 
-    val init = struct(lit("").as("inp"), lit("").as("tgt"),
-      lit(0).as("k"), lit(false).as("prev"))
+    // accumulate PIECE ARRAYS, not strings: appending to a growing
+    // string copies the whole accumulator every token (O(chars²) per
+    // doc); array appends copy references, and one array_join at the
+    // end lays the bytes down once. Join-with-" " is exactly the old
+    // sep() semantics (pieces with internal/trailing spaces — the
+    // sentinel+word target pieces — keep them verbatim)
+    val empty = array().cast("array<string>")
+    val init = struct(empty.as("inp"), empty.as("tgt"),
+      lit(0).as("k"), lit(false).as("prev"), lit(0L).as("nm"))
     val folded = aggregate(
       sequence(lit(0), size(ws) - 1),
       init,
       (acc, i) => {
         val w = element_at(ws, i + 1)
-        val m = maskedAt(i)
+        val m = element_at(ms, i + 1)
         val isStart = m && !acc.getField("prev")
         // empty tokens (runs of whitespace in the source text) are
         // mask-eligible and counted, but never APPENDED as pieces —
@@ -64,27 +77,25 @@ object SpanCorruption {
         // START still emits its sentinel (the sentinel piece is
         // non-empty on both sides regardless of the word)
         struct(
-          when(!m && w =!= "", sep(acc.getField("inp"), w))
-            .when(isStart, sep(acc.getField("inp"),
-              sentinel(acc.getField("k"))))
+          when(!m && w =!= "", concat(acc.getField("inp"), array(w)))
+            .when(isStart, concat(acc.getField("inp"),
+              array(sentinel(acc.getField("k")))))
             .otherwise(acc.getField("inp")).as("inp"),
-          when(isStart, sep(acc.getField("tgt"),
-            concat(sentinel(acc.getField("k")), lit(" "), w)))
-            .when(m && w =!= "", concat(acc.getField("tgt"), lit(" "), w))
+          when(isStart, concat(acc.getField("tgt"),
+            array(concat(sentinel(acc.getField("k")), lit(" "), w))))
+            .when(m && w =!= "", concat(acc.getField("tgt"), array(w)))
             .otherwise(acc.getField("tgt")).as("tgt"),
           (acc.getField("k") + when(isStart, 1).otherwise(0)).as("k"),
-          m.as("prev"))
+          m.as("prev"),
+          (acc.getField("nm") + when(m, 1L).otherwise(0L)).as("nm"))
       })
-    val nMasked = aggregate(
-      sequence(lit(0), size(ws) - 1), lit(0L),
-      (acc, i) => acc + when(maskedAt(i), 1L).otherwise(0L))
 
     bound.select(
       col("doc_id"),
-      folded.getField("inp").as("input_text"),
-      folded.getField("tgt").as("target_text"),
+      array_join(folded.getField("inp"), " ").as("input_text"),
+      array_join(folded.getField("tgt"), " ").as("target_text"),
       size(ws).cast("long").as("n_tokens"),
-      nMasked.as("n_masked"),
+      folded.getField("nm").as("n_masked"),
       folded.getField("k").cast("long").as("n_spans"))
   }
 }
