@@ -1876,6 +1876,46 @@ object SparkEntry {
     graft.sim.KnnGraph.knnGraphApprox(Tables.embeddings(s, d), k = 5,
       planes = 0)
 
+  /** q61's mergeable-distinct-sketch pattern re-expressed in an
+    * engine-neutral hash family (md5-hash60, p = 8 → 256 registers) so
+    * the sketch STATE itself is oracle-able: per-day register maxima
+    * are built first, then register-max-merged per event type — the
+    * same build-tiny/merge-cheap rollup shape as q61, but the merged
+    * register table is a pure integer function of the data (rho from
+    * the bit length of the low 52 hash bits; max-merge is associative
+    * and day-bucketing-invariant). The Datasketches family (q61) stays
+    * the pipeline default — one xxhash-quality digest per row vs md5 —
+    * exactly as q19's md5 family oracles the xxhash64 MinHash default. */
+  def q138_hll_registers(s: SparkSession, d: String): DataFrame = {
+    val h = graft.dedup.Dedup.hash60(
+      concat(lit("hll|"), col("user_id").cast("string")))
+    val rest = h.bitwiseAND(lit((1L << 52) - 1))
+    val rho = when(rest === 0L, lit(53L))
+      .otherwise(lit(53L) - length(bin(rest)))
+    Tables.events(s, d)
+      .select(col("event_type"), expr("ts div 86400000000000").as("day"),
+        shiftright(h, 52).as("reg"), rho.as("rho"))
+      .groupBy(col("event_type"), col("day"), col("reg"))
+      .agg(max(col("rho")).as("rho")) // per-day sketch (the persisted unit)
+      .groupBy(col("event_type"), col("reg"))
+      .agg(max(col("rho")).as("rho")) // register-max merge = hll_union
+  }
+
+  /** q35's companion: content-derived surrogate keys in UUID shape
+    * (md5 of a namespaced natural key, formatted 8-4-4-4-12) — the
+    * idempotent-assignment property a 100 TB backfill needs (re-runs
+    * and late-arriving partitions mint the SAME id, so downstream
+    * joins never see key churn), and exactly DuckDB-replicable where
+    * uuid() is nondeterministic by design. */
+  def q139_uuid_deterministic(s: SparkSession, d: String): DataFrame = {
+    val hx = md5(concat(lit("ok|"), col("o_orderkey").cast("string")))
+    Tables.orders(s, d).select(
+      concat_ws("-", substring(hx, 1, 8), substring(hx, 9, 4),
+        substring(hx, 13, 4), substring(hx, 17, 4),
+        substring(hx, 21, 12)).as("id"),
+      col("o_orderkey").as("hash"))
+  }
+
   /** q106's deterministic funnel extended with the round-7 stages:
     * segment-level dedup (w = 20) after the substring scrub and a
     * per-source 2000-token budget as the final gate — the full curated
@@ -2031,6 +2071,8 @@ object SparkEntry {
     "q135_kn_trigram" -> (q135_kn_trigram _),
     "q136_exact_decontamination" -> (q136_exact_decontamination _),
     "q137_knn_graph_approx" -> (q137_knn_graph_approx _),
+    "q138_hll_registers" -> (q138_hll_registers _),
+    "q139_uuid_deterministic" -> (q139_uuid_deterministic _),
   )
 
   /** Oracle twin of q105: SEQUENTIAL BPE merge learning unrolled round
@@ -4386,5 +4428,29 @@ object SparkEntry {
          |FROM inter JOIN csz USING (doc_id) JOIN bsz USING (bench_id)
          |WHERE CAST(i AS DOUBLE) / CAST(sz1 + sz2 - i AS DOUBLE)
          |  >= 0.5""".stripMargin,
+    "q138_hll_registers" ->
+      s"""WITH h AS (
+         |  SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+         |    ${hash60Sql("'hll|' || CAST(user_id AS VARCHAR)")} AS h
+         |  FROM events),
+         |r AS (
+         |  SELECT event_type, day, h >> 52 AS reg,
+         |    h & ((1::BIGINT << 52) - 1) AS rest FROM h),
+         |rho AS (
+         |  SELECT event_type, day, reg,
+         |    CASE WHEN rest = 0 THEN 53
+         |         ELSE 53 - length(bin(rest)) END AS rho
+         |  FROM r),
+         |daysk AS (
+         |  SELECT event_type, day, reg, max(rho) AS rho
+         |  FROM rho GROUP BY 1, 2, 3)
+         |SELECT event_type, reg, max(rho) AS rho
+         |FROM daysk GROUP BY 1, 2""".stripMargin,
+    "q139_uuid_deterministic" ->
+      """SELECT concat_ws('-', substr(h, 1, 8), substr(h, 9, 4),
+        |    substr(h, 13, 4), substr(h, 17, 4), substr(h, 21, 12)) AS id,
+        |  o_orderkey AS hash
+        |FROM (SELECT md5('ok|' || CAST(o_orderkey AS VARCHAR)) AS h,
+        |        o_orderkey FROM orders)""".stripMargin,
   )
 }

@@ -36,4 +36,48 @@ class HllMergeSpec extends AnyFunSuite with SparkTestBase {
         s"$k: est ${est(k)} vs exact $n")
     }
   }
+
+  test("q138 deterministic registers: day-merge equals direct build") {
+    val direct = {
+      import org.apache.spark.sql.functions._
+      val h = graft.dedup.Dedup.hash60(
+        concat(lit("hll|"), $"user_id".cast("string")))
+      val rest = h.bitwiseAND(lit((1L << 52) - 1))
+      val rho = when(rest === 0L, lit(53L))
+        .otherwise(lit(53L) - length(bin(rest)))
+      Tables.events(spark, d)
+        .select($"event_type", shiftright(h, 52).as("reg"), rho.as("rho"))
+        .groupBy($"event_type", $"reg").agg(max($"rho").as("rho"))
+        .as[(String, Long, Long)].collect().toSet
+    }
+    val merged = SparkEntry.q138_hll_registers(spark, d)
+      .as[(String, Long, Long)].collect().toSet
+    assert(merged == direct)
+  }
+
+  test("q138 registers estimate within HLL bounds of exact counts") {
+    val m = 256
+    val alpha = 0.7213 / (1 + 1.079 / m)
+    val regs = SparkEntry.q138_hll_registers(spark, d)
+      .as[(String, Long, Long)].collect()
+      .groupBy(_._1).map { case (t, rs) =>
+        t -> rs.map(r => (r._2, r._3)).toMap
+      }
+    val exact = Tables.events(spark, d).groupBy($"event_type")
+      .agg(countDistinct($"user_id").as("n")).as[(String, Long)]
+      .collect().toMap
+    assert(regs.keySet == exact.keySet)
+    exact.foreach { case (t, n) =>
+      val rhos = regs(t)
+      val zeros = m - rhos.size
+      val denom = zeros.toDouble +
+        rhos.valuesIterator.map(r => math.pow(2.0, -r.toDouble)).sum
+      val raw = alpha * m * m / denom
+      val est = // small-range (linear counting) correction
+        if (raw <= 2.5 * m && zeros > 0) m * math.log(m.toDouble / zeros)
+        else raw
+      assert(math.abs(est - n) <= math.max(3.0, 0.2 * n),
+        s"$t: est $est vs exact $n")
+    }
+  }
 }

@@ -1,0 +1,32 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** q139's deterministic UUID-shaped surrogate keys: format, uniqueness,
+  * and the idempotence re-runs rely on (q35's uuid() is the
+  * nondeterministic reference-parity path; q139 is the backfill-safe
+  * companion that mints the same id for the same natural key). */
+class UuidSpec extends AnyFunSuite with SparkTestBase {
+  import spark.implicits._
+
+  private val d = "/root/testdata/sf0.001"
+
+  test("ids are UUID-shaped, unique, and idempotent across runs") {
+    val a = SparkEntry.q139_uuid_deterministic(spark, d)
+      .as[(String, Long)].collect()
+    val b = SparkEntry.q139_uuid_deterministic(spark, d)
+      .as[(String, Long)].collect()
+    assert(a.sortBy(_._2).sameElements(b.sortBy(_._2)))
+    val re = "^[0-9a-f]{8}-[0-9a-f]{4}-[0-9a-f]{4}-[0-9a-f]{4}-[0-9a-f]{12}$".r
+    a.foreach { case (id, _) => assert(re.matches(id), id) }
+    assert(a.map(_._1).distinct.length == a.length)
+  }
+
+  test("q35's nondeterministic path still yields unique well-formed ids") {
+    val rows = SparkEntry.q35_uuid_surrogate(spark, d)
+      .as[(String, Long)].collect()
+    assert(rows.map(_._1).distinct.length == rows.length)
+    val re = "^[0-9a-f]{8}-[0-9a-f]{4}-[0-9a-f]{4}-[0-9a-f]{4}-[0-9a-f]{12}$".r
+    rows.foreach { case (id, _) => assert(re.matches(id), id) }
+  }
+}
