@@ -54,7 +54,11 @@ object SparkEntry {
     // — every distinct-shuffle row widens by 4 decimals (measured
     // 1.59 s fused vs 0.89 s split at sf0.1, graft.tools.Q01Probe;
     // the round-9 adjudication of q01's bench wall). The rejoin is a
-    // broadcast of one row per group.
+    // broadcast of one row per group. NB: the inner equi-join assumes
+    // NON-NULL group keys (true for l_returnflag/l_linestatus); a
+    // fused aggregate would keep NULL-key groups that this join drops
+    // — use null-safe equality (<=>) if copying the pattern to
+    // nullable keys.
     val li = Tables.lineitem(s, d)
     val sums = li
       .groupBy(col("l_returnflag"), col("l_linestatus"))

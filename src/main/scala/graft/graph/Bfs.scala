@@ -40,9 +40,9 @@ object Bfs {
     // re-run it — frontier_h feeds both the next expansion and the
     // final union, so re-evaluations compound with depth
     val e = edges.select(col("src").cast("long"), col("dst").cast("long"))
-      .localCheckpoint(true)
+      .transform(Snapshots.cut)
     var dist = seeds.select(col("node").cast("long"))
-      .distinct().withColumn("dist", lit(0)).localCheckpoint(true)
+      .distinct().withColumn("dist", lit(0)).transform(Snapshots.cut)
     var frontier = dist.select(col("node"))
     var hop = 1
     while (hop <= maxHops && !frontier.isEmpty) {
@@ -51,7 +51,7 @@ object Bfs {
         .select(col("dst").as("node")).distinct()
       val fresh = reached.join(dist.select(col("node")), Seq("node"), "left_anti")
         .withColumn("dist", lit(hop))
-        .localCheckpoint(true) // cut per-round lineage (as q34/q44 do)
+        .transform(Snapshots.cut) // cut per-round lineage (as q34/q44 do)
       dist = dist.unionByName(fresh)
       frontier = fresh.select(col("node"))
       hop += 1

@@ -20,10 +20,10 @@ object ConnectedComponents {
   def run(edges: DataFrame, maxIterations: Int = 20): DataFrame = {
     val und = edges.select(col("src").as("a"), col("dst").as("b"))
       .union(edges.select(col("dst").as("a"), col("src").as("b")))
-      .distinct().localCheckpoint(true)
+      .distinct().transform(Snapshots.cut)
     var labels = und.select(col("a").as("id")).distinct()
       .withColumn("component", col("id"))
-      .localCheckpoint(true)
+      .transform(Snapshots.cut)
     // the frame holding the current round's materialized blocks: each
     // new checkpoint retires the previous one (without the unpersist,
     // block-manager storage grows linearly with the round count)
@@ -58,7 +58,7 @@ object ConnectedComponents {
         // one job per round, not materialize + a second count job
         .observe(obs,
           count(when(col("component") =!= col("prev"), 1)).as("changed"))
-        .localCheckpoint(true)
+        .transform(Snapshots.cut)
       changed = obs.get("changed").asInstanceOf[Long]
       materialized.unpersist()
       materialized = next

@@ -32,7 +32,7 @@ object KCore {
       val d = edges.select(col("src").cast("long"), col("dst").cast("long"))
         .filter(col("src") =!= col("dst"))
       d.unionByName(d.select(col("dst").as("src"), col("src").as("dst")))
-        .distinct().localCheckpoint(true)
+        .distinct().transform(Snapshots.cut)
     }
     var size = e.count()
     var r = 0
@@ -49,7 +49,7 @@ object KCore {
         .join(keep, Seq("src"), "left_semi")
         .join(keep.withColumnRenamed("src", "dst"), Seq("dst"), "left_semi")
         .observe(obs, count(lit(1)).as("n"))
-        .localCheckpoint(true)
+        .transform(Snapshots.cut)
       val newSize = obs.get("n").asInstanceOf[Long]
       e.unpersist()
       fixed = newSize == size

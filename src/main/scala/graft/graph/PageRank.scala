@@ -57,7 +57,7 @@ object PageRank {
                    tolerance: Option[Double] = None)
       : DataFrame = {
     val e = edges.select(col("src"), col("dst")).distinct()
-      .localCheckpoint(true)
+      .transform(Snapshots.cut)
     // teleport set: uniform PageRank IS the personalized recurrence with
     // every node a seed, so one loop serves both — is_seed ∈ {0,1} and
     // S = |seeds| parameterize init and update
@@ -71,7 +71,7 @@ object PageRank {
           .select(col("address"),
             coalesce(col("is_seed"), lit(0)).as("is_seed"))
       case None => nodes0.withColumn("is_seed", lit(1))
-    }).localCheckpoint(true)
+    }).transform(Snapshots.cut)
     val n = nodes.count()
     if (n == 0) // empty graph → empty result, for both variants
       return nodes.select(col("address")).withColumn("score", zero)
@@ -80,10 +80,10 @@ object PageRank {
       "personalization seeds must intersect the graph")
     val eDeg = e.join(
       e.groupBy(col("src")).agg(count(lit(1)).as("out_deg")), Seq("src"))
-      .localCheckpoint(true)
+      .transform(Snapshots.cut)
     val danglingNodes = nodes.join(eDeg,
       nodes("address") === eDeg("src"), "left_anti")
-      .select(col("address")).localCheckpoint(true)
+      .select(col("address")).transform(Snapshots.cut)
     val hasDangling = danglingNodes.limit(1).count() > 0
 
     var ranks = nodes.select(col("address"),
@@ -114,7 +114,7 @@ object PageRank {
           joined.select(col("address"),
             update(n, s, col("contrib"), None).as("score"))
       if (i % checkpointEvery == 0 && i < iterations) {
-        ranks = ranks.localCheckpoint(true)
+        ranks = ranks.transform(Snapshots.cut)
         onIter(i, (System.nanoTime() - t0) / 1e9)
         tolerance.foreach { tol =>
           val delta = ranks

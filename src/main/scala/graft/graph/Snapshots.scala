@@ -1,0 +1,59 @@
+package graft.graph
+
+import org.apache.spark.sql.Dataset
+import org.apache.spark.storage.StorageLevel
+
+/** Per-round snapshot policy for the iterative graph family (PageRank /
+  * ConnectedComponents / Bfs / KCore). Every round of an iterative
+  * DataFrame algorithm must cut lineage (or the plan grows exponentially,
+  * SURVEY.md §7.3); the cut is an eager `localCheckpoint`, and the
+  * storage level of those checkpoint blocks is the algorithm's entire
+  * memory footprint beyond the shuffle.
+  *
+  * Default DISK_ONLY — bounded heap BY CONSTRUCTION. Measured matrix
+  * (q90 k-core, 30M symmetrized sf10 edges; SCALE_AUDIT "iterative
+  * snapshot storage"):
+  *
+  *   - MEMORY_AND_DISK (deserialized, the old default): fastest when
+  *     memory is ample (87.3 s at 64g) but OOMs an 8g driver — row
+  *     objects cost several× their serialized bytes.
+  *   - MEMORY_AND_DISK_SER: REJECTED — it still OOMs at 8g, and faster:
+  *     when a spilled block is read back, `BlockManager
+  *     .maybeCacheDiskBytesInMemory` re-caches it as ONE contiguous
+  *     partition-sized ByteBuffer, and 32 concurrent tasks × full
+  *     partitions of edge bytes blow the heap before the storage
+  *     accounting can refuse (observed: heap-space OOM inside
+  *     `DiskBlockData.toChunkedByteBuffer`). Worst of both regimes —
+  *     it also pays ser/deser at small scale.
+  *   - DISK_ONLY: streams blocks from disk on every read (no
+  *     re-cache-as-bytes path, no storage-memory competition with the
+  *     shuffle); q90's sf10 probe completes in an 8g heap at 109.3 s —
+  *     1.25× the 64g deserialized time for 8× less memory — and at
+  *     sf0.1 the whole 5-query graph family pays ~8% (min-of-2-runs
+  *     10.76 → 11.64 s; snapshots there are page-cache-resident, so
+  *     "disk" is effectively memory speed).
+  *
+  * A 100 TB peel holds corpus-sized snapshots per round; an engine
+  * default that needs 8× the memory exactly where the data is biggest
+  * is the wrong posture, so the latency-optimal deserialized level is
+  * the opt-in: set `spark.graft.graph.snapshotLevel=MEMORY_AND_DISK`
+  * (any `StorageLevel.fromString` name) when the graph is known small
+  * relative to executor memory.
+  */
+object Snapshots {
+  val ConfKey = "spark.graft.graph.snapshotLevel"
+  val DefaultLevel = "DISK_ONLY"
+
+  def level(ds: Dataset[_]): StorageLevel =
+    StorageLevel.fromString(
+      ds.sparkSession.conf.get(ConfKey,
+        // env fallback so single-purpose probe mains (QueryProfile,
+        // GraphScaleProbe) can A/B levels without a conf flag of
+        // their own; session conf always wins
+        sys.env.getOrElse("SPARK_GRAFT_SNAPSHOT_LEVEL", DefaultLevel)))
+
+  /** Eager lineage cut at the configured storage level — drop-in for
+    * `localCheckpoint(true)` at every per-round snapshot site. */
+  def cut[T](ds: Dataset[T]): Dataset[T] =
+    ds.localCheckpoint(true, level(ds))
+}

@@ -168,8 +168,12 @@ object KnnGraph {
     // (measured: 10-block sf10, 214M candidates → 10 busy cores). A
     // vector's candidates all share its subkey, so every top-k stays
     // complete; only the id→vector map is replicated.
+    // floorMod, not %: a negative vec_id under % would land on a
+    // negative subkey while vectors replicate only to 0..SubSplit-1 —
+    // those candidates would cogroup with an empty vector map and be
+    // silently dropped (missing edges, no error).
     val edges = cands
-      .groupByKey(t => (t._1, (t._2 % SubSplit).toInt))
+      .groupByKey(t => (t._1, Math.floorMod(t._2, SubSplit.toLong).toInt))
       .cogroup(vecs.flatMap(t => (0 until SubSplit)
           .map(p => (t._1, p, t._2, t._3)))
         .groupByKey(t => (t._1, t._2))) {

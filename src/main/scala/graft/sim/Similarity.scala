@@ -138,6 +138,14 @@ object Similarity {
     * Empty cells keep their previous centroid. Assignment maximizes
     * cosine (matching the IVF probe metric), so means are computed over
     * cosine-coherent cells.
+    *
+    * CONTRACT: embeddings are non-null, fixed-dimension arrays (every
+    * vector has the seed vectors' length). `sum(v[i])` over a cell is
+    * null only when EVERY member lacks component i — out of contract;
+    * the read below coalesces that to 0 so a contract violation yields
+    * a degenerate centroid component instead of a driver NPE. Mixed
+    * dimensions also bias the mean (divided by cell count, not
+    * per-component presence) — callers must normalize dims upstream.
     * @return the trained model: k centroid vectors, index = cell id */
   def kmeansCentroids(embeddings: DataFrame, k: Int,
                       maxIter: Int = 8, l2: Boolean = false): Seq[Seq[Double]] = {
@@ -165,7 +173,8 @@ object Similarity {
         .agg(count(lit(1)).as("n"), sums: _*)
         .collect().map { r =>
           val n = r.getLong(1).toDouble
-          r.getInt(0) -> (0 until dims).map(i => r.getDouble(i + 2) / n)
+          r.getInt(0) -> (0 until dims).map(i =>
+            if (r.isNullAt(i + 2)) 0.0 else r.getDouble(i + 2) / n)
         }.toMap
       cents = cents.indices.map(i => updated.getOrElse(i, cents(i)))
     }

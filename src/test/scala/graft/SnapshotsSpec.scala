@@ -1,0 +1,37 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.storage.StorageLevel
+import graft.graph.{KCore, Snapshots}
+
+/** Pins the iterative-family snapshot storage policy (SCALE_AUDIT
+  * "iterative snapshot storage"): DISK_ONLY by default — the level
+  * measured to hold sf10 inside an 8g heap — and overridable per
+  * session via spark.graft.graph.snapshotLevel. Results must not
+  * depend on the level (it is a storage policy, not a semantic). */
+class SnapshotsSpec extends AnyFunSuite with SparkTestBase {
+  import spark.implicits._
+
+  private lazy val edges = Seq(
+    (1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L),
+    (4L, 5L), (5L, 6L)
+  ).toDF("src", "dst")
+
+  test("default snapshot level is DISK_ONLY") {
+    assert(spark.conf.getOption(Snapshots.ConfKey).isEmpty)
+    assert(Snapshots.level(edges) == StorageLevel.DISK_ONLY)
+  }
+
+  test("session conf overrides the level, and results are level-independent") {
+    val base = KCore.peel(edges, k = 3, rounds = 10)
+      .as[(Long, Long)].collect().toMap
+    spark.conf.set(Snapshots.ConfKey, "MEMORY_AND_DISK")
+    try {
+      assert(Snapshots.level(edges) == StorageLevel.MEMORY_AND_DISK)
+      val overridden = KCore.peel(edges, k = 3, rounds = 10)
+        .as[(Long, Long)].collect().toMap
+      assert(overridden == base)
+      assert(base == Map(1L -> 3, 2L -> 3, 3L -> 3, 4L -> 3))
+    } finally spark.conf.unset(Snapshots.ConfKey)
+  }
+}
