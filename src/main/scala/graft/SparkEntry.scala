@@ -1920,6 +1920,19 @@ object SparkEntry {
       col("o_orderkey").as("hash"))
   }
 
+  /** Integer-exact IVF ANN (IVF-SQ8: coarse cells over uint8 scalar
+    * quantization, squared-L2 metric) — the retrieval family's ORACLED
+    * row: quantize → md5-seeded integer Lloyd round → argmin assignment
+    * → nprobe probe → top-k, every step exact integer math replicated
+    * in the DuckDB oracle. q27/q28/q65 stay the float pipeline
+    * defaults; this is their green-correctness companion (the
+    * q19/q138/q139 recipe applied to ANN). */
+  def q140_ivf_int_ann(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.embeddings(s, d)
+    graft.sim.IvfInt.ivfIntTopK(e, e.filter(col("vec_id") < 10), k = 5,
+      cells = 8, nprobe = 2)
+  }
+
   /** q106's deterministic funnel extended with the round-7 stages:
     * segment-level dedup (w = 20) after the substring scrub and a
     * per-source 2000-token budget as the final gate — the full curated
@@ -2077,6 +2090,7 @@ object SparkEntry {
     "q137_knn_graph_approx" -> (q137_knn_graph_approx _),
     "q138_hll_registers" -> (q138_hll_registers _),
     "q139_uuid_deterministic" -> (q139_uuid_deterministic _),
+    "q140_ivf_int_ann" -> (q140_ivf_int_ann _),
   )
 
   /** Oracle twin of q105: SEQUENTIAL BPE merge learning unrolled round
@@ -4456,5 +4470,71 @@ object SparkEntry {
         |  o_orderkey AS hash
         |FROM (SELECT md5('ok|' || CAST(o_orderkey AS VARCHAR)) AS h,
         |        o_orderkey FROM orders)""".stripMargin,
+    // IVF-SQ8 retrieval, integer-exact end to end: the q116 quantizer,
+    // md5-hash60 seeding, one integer Lloyd round (sum // count), argmin
+    // assignment, nprobe=2 probe, squared-L2 top-5 — step-for-step the
+    // graft.sim.IvfInt pipeline
+    "q140_ivf_int_ann" ->
+      s"""WITH d AS (
+         |  SELECT vec_id, unnest(generate_series(1, len(embedding))) AS i,
+         |    unnest(list_transform(embedding, x -> CAST(x AS DOUBLE))) AS x
+         |  FROM embeddings),
+         |stats AS (SELECT i, min(x) AS mn, max(x) AS mx FROM d GROUP BY i),
+         |codes AS (
+         |  SELECT vec_id, i,
+         |    CAST(CASE WHEN mx = mn THEN 0
+         |         ELSE round((x - mn) / (mx - mn) * 255) END AS BIGINT)
+         |      AS code
+         |  FROM d JOIN stats USING (i)),
+         |seed AS (
+         |  SELECT vec_id, row_number() OVER (
+         |      ORDER BY ${hash60Sql("CAST(vec_id AS VARCHAR)")}, vec_id) - 1
+         |    AS cell
+         |  FROM (SELECT DISTINCT vec_id FROM codes)
+         |  QUALIFY cell <= 7),
+         |seedc AS (
+         |  SELECT s.cell, c.i, c.code FROM seed s JOIN codes c USING (vec_id)),
+         |a0 AS (
+         |  SELECT vec_id, cell FROM (
+         |    SELECT c.vec_id, s.cell,
+         |      CAST(sum((c.code - s.code)*(c.code - s.code)) AS BIGINT) AS dist
+         |    FROM codes c JOIN seedc s USING (i) GROUP BY 1, 2)
+         |  QUALIFY row_number() OVER (
+         |    PARTITION BY vec_id ORDER BY dist, cell) = 1),
+         |upd AS (
+         |  SELECT a0.cell, c.i, CAST(sum(c.code) // count(*) AS BIGINT) AS code
+         |  FROM codes c JOIN a0 USING (vec_id) GROUP BY 1, 2),
+         |cent AS (
+         |  SELECT s.cell, s.i, coalesce(u.code, s.code) AS code
+         |  FROM seedc s LEFT JOIN upd u ON u.cell = s.cell AND u.i = s.i),
+         |a1 AS (
+         |  SELECT vec_id, cell FROM (
+         |    SELECT c.vec_id, t.cell,
+         |      CAST(sum((c.code - t.code)*(c.code - t.code)) AS BIGINT) AS dist
+         |    FROM codes c JOIN cent t USING (i) GROUP BY 1, 2)
+         |  QUALIFY row_number() OVER (
+         |    PARTITION BY vec_id ORDER BY dist, cell) = 1),
+         |probed AS (
+         |  SELECT query_id, cell FROM (
+         |    SELECT c.vec_id AS query_id, t.cell,
+         |      CAST(sum((c.code - t.code)*(c.code - t.code)) AS BIGINT) AS cdist
+         |    FROM codes c JOIN cent t USING (i) WHERE c.vec_id < 10
+         |    GROUP BY 1, 2)
+         |  QUALIFY row_number() OVER (
+         |    PARTITION BY query_id ORDER BY cdist, cell) <= 2),
+         |sc AS (
+         |  SELECT p.query_id, a1.vec_id,
+         |    CAST(sum((qc.code - c.code)*(qc.code - c.code)) AS BIGINT) AS dist
+         |  FROM probed p
+         |  JOIN a1 ON a1.cell = p.cell
+         |  JOIN codes c ON c.vec_id = a1.vec_id
+         |  JOIN codes qc ON qc.vec_id = p.query_id AND qc.i = c.i
+         |  WHERE a1.vec_id <> p.query_id
+         |  GROUP BY 1, 2)
+         |SELECT query_id, vec_id AS neighbor_id, dist,
+         |  CAST(row_number() OVER (
+         |    PARTITION BY query_id ORDER BY dist, vec_id) AS BIGINT) AS rank
+         |FROM sc
+         |QUALIFY rank <= 5""".stripMargin,
   )
 }

@@ -1,0 +1,127 @@
+package graft.sim
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Integer-exact IVF ANN over uint8-quantized codes — the ORACLE-able
+  * member of the retrieval family (the q19/q138 recipe applied to ANN):
+  * every arithmetic step is integer math with a defined cross-engine
+  * result, so the full pipeline — quantize → deterministic seeding →
+  * one integer Lloyd round → assignment → nprobe probe → top-k — is
+  * hash-replicable in ANSI SQL (DuckDB oracle, q140). The float
+  * IVF/LSH/PQ paths (q27/q28/q65) remain the pipeline defaults exactly
+  * as xxhash64 does for q19's MinHash; this variant exists so the
+  * retrieval machinery has a green correctness row, and doubles as the
+  * FAISS-style IVF-SQ8 configuration (coarse cells over scalar-quantized
+  * codes, squared-L2 metric) — a legitimate production path in its own
+  * right, not a test-only contrivance.
+  *
+  * Determinism, step by step:
+  *  - codes: [[Quantize]]'s affine uint8 map (bit-identical across
+  *    engines, q116 ⊕);
+  *  - seeding: the `cells` vectors with the smallest
+  *    (md5-hash60(vec_id), vec_id) — no RNG, same tuple order in SQL;
+  *  - Lloyd update: per-cell per-dim `sum(code) div count` — integer
+  *    truncating division of non-negatives == floor == DuckDB `//`;
+  *    empty cells keep their seed codes;
+  *  - assignment + scoring: squared L2 over int codes (argmin, ties →
+  *    lower cell / lower vec_id) — bounded by 255²·dims ≪ Long.Max.
+  *
+  * Scale shape (the [[Similarity.kmeansCentroids]] discipline): the
+  * model is cells×dims longs collected once per round (sufficient
+  * statistics, not data); assignment ships the model to the data as an
+  * array literal → per-row codegen'd argmin, zero shuffle; the update
+  * is ONE map-side-combinable aggregate of `dims` integer sums; the
+  * probe's only corpus shuffle is the cell-key join, and candidate rows
+  * drop their code arrays before the top-k window (the KnnGraph sf10
+  * rule: never sort rows carrying vectors).
+  */
+object IvfInt {
+
+  /** Squared L2 distance between two array<long> code columns —
+    * sequential fold, codegen'd, exact. */
+  def l2sq(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
+      lit(0L), (acc, x) => acc + x)
+
+  /** Index of the centroid (array-of-long-arrays literal) with the
+    * smallest squared L2 to `codes`; ties → lowest index. Pure per-row
+    * expression — the integer twin of [[Similarity.nearestCell]]. */
+  private[graft] def nearestCellInt(codes: Column,
+                                    cents: Seq[Seq[Long]]): Column = {
+    val scored = transform(typedLit(cents),
+      (c, i) => struct(l2sq(codes, c).as("d"), i.as("i")))
+    array_min(scored).getField("i").cast("int")
+  }
+
+  /** The end-to-end retrieval: quantize the corpus, train the coarse
+    * model (one integer Lloyd round from md5-seeded codes), assign,
+    * probe the `nprobe` nearest cells per query, exact-integer top-k.
+    *
+    * @param queries rows of `embeddings` to retrieve for (must be a
+    *                subset: codes are computed once, corpus-wide)
+    * @return (query_id, neighbor_id, dist, rank) — dist = squared L2
+    *         between uint8 code vectors, all BIGINT */
+  def ivfIntTopK(embeddings: DataFrame, queries: DataFrame, k: Int,
+                 cells: Int = 8, nprobe: Int = 2): DataFrame = {
+    val codes = Quantize
+      .quantize(embeddings, Quantize.dimStats(embeddings))
+      .localCheckpoint(true) // read 4× below; 4× smaller than the floats
+    val dims = codes.select(size(col("codes"))).head().getInt(0)
+
+    // deterministic seed model: smallest (md5-hash60(vec_id), vec_id)
+    val seedModel: Seq[Seq[Long]] = codes
+      .withColumn("hk", graft.dedup.Dedup.hash60(col("vec_id").cast("string")))
+      .orderBy(col("hk"), col("vec_id")).limit(cells)
+      .select(col("codes")).collect()
+      .map(_.getSeq[Long](0).toIndexedSeq).toIndexedSeq
+
+    // one integer Lloyd round: argmin-assign to seeds, then per-cell
+    // per-dim integer mean — one map-side-combinable aggregate of
+    // `dims` sums + a count (≤ cells rows to the driver)
+    val sums = (0 until dims).map(i => sum(col("codes").getItem(i)))
+    val updated = codes
+      .withColumn("cell", nearestCellInt(col("codes"), seedModel))
+      .groupBy(col("cell"))
+      .agg(count(lit(1)).as("n"), sums: _*)
+      .collect().map { r =>
+        val n = r.getLong(1)
+        r.getInt(0) -> (0 until dims).map(i => r.getLong(i + 2) / n)
+      }.toMap
+    val model: Seq[Seq[Long]] =
+      seedModel.indices.map(i => updated.getOrElse(i, seedModel(i)))
+
+    // final assignment: per-row argmin against the literal model
+    val assigned = codes
+      .withColumn("cell", nearestCellInt(col("codes"), model))
+
+    // probe: rank cells per query by centroid distance, keep nprobe
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val centroids = model.zipWithIndex
+      .map { case (c, i) => (i, c) }.toDF("cell", "centroid")
+    val qcodes = queries.select(col("vec_id").as("query_id"))
+      .join(codes, col("query_id") === codes("vec_id"))
+      .select(col("query_id"), col("codes").as("qcodes"))
+    val wCell = Window.partitionBy(col("query_id"))
+      .orderBy(col("cdist").asc, col("cell").asc)
+    val probed = qcodes.crossJoin(broadcast(centroids))
+      .withColumn("cdist", l2sq(col("qcodes"), col("centroid")))
+      .withColumn("cr", row_number().over(wCell))
+      .filter(col("cr") <= nprobe)
+      .select(col("query_id"), col("qcodes"), col("cell"))
+
+    // score only probed cells; code arrays dropped before the window
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("dist").asc, col("vec_id").asc)
+    assigned.join(probed, Seq("cell"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("dist", l2sq(col("qcodes"), col("codes")))
+      .select(col("query_id"), col("vec_id"), col("dist"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        col("dist"), col("rank").cast("long").as("rank"))
+  }
+}

@@ -1,0 +1,49 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.sim.IvfInt
+
+/** Pins graft.sim.IvfInt (q140) — the integer-exact IVF-SQ8 retrieval
+  * path. Cross-engine value correctness is the DuckDB oracle's job
+  * (CORRECTNESS q140); here we pin the retrieval semantics on a corpus
+  * whose right answer is known by construction, plus determinism. */
+class IvfIntSpec extends AnyFunSuite with SparkTestBase {
+  import spark.implicits._
+
+  // three well-separated clusters of 8 vectors each (dims=4): base
+  // levels 0 / 100 / 200 with small per-vector jitter — any sane
+  // retrieval returns same-cluster neighbors
+  private lazy val embeddings = (0 until 24).map { id =>
+    val base = (id / 8) * 100.0
+    val v = Array.tabulate(4)(d => (base + (id % 8) * 0.5 + d * 0.1).toFloat)
+    (id.toLong, v, id / 8)
+  }.toDF("vec_id", "embedding", "label")
+
+  test("neighbors come from the query's own cluster, ranked by integer L2") {
+    val got = IvfInt
+      .ivfIntTopK(embeddings, embeddings.filter(col("vec_id").isin(0L, 9L, 17L)),
+        k = 3, cells = 3, nprobe = 1)
+      .as[(Long, Long, Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.sortBy(_._4)).toMap
+    assert(got.keySet == Set(0L, 9L, 17L))
+    got.foreach { case (q, rows) =>
+      assert(rows.map(_._4).toSeq == Seq(1L, 2L, 3L), s"ranks for $q")
+      // dist non-decreasing with rank, self excluded
+      assert(rows.map(_._3).toSeq == rows.map(_._3).sorted.toSeq)
+      assert(!rows.map(_._2).contains(q))
+      // same-cluster neighbors only (clusters are 100 units apart;
+      // within-cluster code distance is tiny by construction)
+      assert(rows.forall(r => r._2 / 8 == q / 8),
+        s"query $q got cross-cluster neighbors: ${rows.mkString(",")}")
+    }
+  }
+
+  test("deterministic across runs") {
+    def run() = IvfInt
+      .ivfIntTopK(embeddings, embeddings.filter(col("vec_id") < 2), k = 4,
+        cells = 3, nprobe = 2)
+      .as[(Long, Long, Long, Long)].collect().sortBy(r => (r._1, r._4)).toSeq
+    assert(run() == run())
+  }
+}
