@@ -589,30 +589,42 @@ object Dedup {
   def crossCorpusExactOverlap(corpus: DataFrame, bench: DataFrame,
                               threshold: Double, n: Int = 3,
                               maxDf: Int = 256): DataFrame = {
-    val cs0 = shingleKeys(corpus, n)
-    // df over the corpus side only (the side that explodes) — one
-    // map-side-combined aggregate on the shingle key, linear in
-    // occurrences
-    val kept = cs0.groupBy(col("shingle"))
-      .agg(count(lit(1)).as("__df"))
+    // ONE corpus shingle build, ONE occurrence shuffle: df rides a
+    // count-over-shingle window on the same exchange the intersection
+    // join needs anyway, and the capped postings materialize
+    // shingle-partitioned (localCheckpoint preserves partitioning), so
+    // every downstream shingle-keyed consumer — the intersection join,
+    // the kept-set distinct, the bsz semi-join — re-reads them without
+    // re-exchanging. The previous form re-derived the shingle explode
+    // three times (df agg, intersection join, sz1 semi-join): 7 scans /
+    // 13 shuffles, the one r9 bench regression (1.31 → 2.11 s at
+    // sf0.1). A stop-shingle's window group is df-sized pre-filter —
+    // WindowExec buffers it via its spilling sorter, the same cost
+    // class the old sort-merge join paid on that key.
+    val capped = shingleKeys(corpus, n)
+      .withColumn("__df", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("shingle"))))
       .filter(col("__df") <= maxDf)
-      .select(col("shingle"))
+      .drop("__df")
+      .localCheckpoint(true)
     val bs = shingleKeys(bench, n)
       .withColumnRenamed("doc_id", "bench_id")
-      .join(kept, Seq("shingle"), "left_semi")
-    // the intersection join takes the corpus postings UNFILTERED: the
-    // inner join against the df-capped bench side already drops every
-    // over-cap shingle, and per-shingle fan-out stays ≤ maxDf × its
-    // bench df — filtering cs0 again would only add a second
-    // corpus-wide semi-join for rows the join eliminates anyway
-    val inter = cs0.join(bs, Seq("shingle"))
+      // the semi-join keeps ONLY bench shingles in the capped corpus
+      // space — sz2's denominator contract (the oracle mirrors it);
+      // the corpus side is already shingle-partitioned, the (tiny)
+      // bench side is the only exchange
+      .join(capped.select(col("shingle")).distinct(),
+        Seq("shingle"), "left_semi")
+    // the intersection join's corpus side is the capped postings as-is:
+    // over-cap shingles are simply absent, per-shingle fan-out ≤ maxDf ×
+    // its bench df
+    val inter = capped.join(bs, Seq("shingle"))
       .groupBy(col("doc_id"), col("bench_id"))
       .agg(count(lit(1)).as("inter"))
-    // the kept filter IS load-bearing here: sz1 counts each corpus
-    // doc's shingles within the capped shingle space (the Jaccard
-    // denominator the oracle mirrors)
-    val csz = shingleSizes(cs0.join(kept, Seq("shingle"), "left_semi"))
-      .withColumnRenamed("sz", "sz1")
+    // sz1 counts each corpus doc's shingles within the capped shingle
+    // space (the Jaccard denominator the oracle mirrors) — a direct
+    // map-side-combined aggregate of the capped postings, no semi-join
+    val csz = shingleSizes(capped).withColumnRenamed("sz", "sz1")
     val bsz = bs.groupBy(col("bench_id")).agg(count(lit(1)).as("sz2"))
     inter
       .join(csz, Seq("doc_id"))
