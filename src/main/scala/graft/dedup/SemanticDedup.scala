@@ -102,8 +102,11 @@ object SemanticDedup {
     * within-cell pair work BOUNDED BY CONSTRUCTION: any cell whose
     * population exceeds `cellCap` is sub-split into [[SubTables]]
     * independent sign-LSH tables of s = ⌈log₂(p/cellCap)⌉ planes each
-    * (s ≤ 12), and a pair inside such a cell is compared iff its
-    * signatures match exactly in at least one table.
+    * (s ≤ 40 — a bit-budget bound ≈ 2⁴⁰·cellCap members, beyond any
+    * physical cell; recall per table decays as p_cˢ, so extreme s
+    * degrades gracefully toward keep-everything rather than blowing
+    * up), and a pair inside such a cell is compared iff its signatures
+    * match exactly in at least one table.
     *
     * Scale contract: cells at or under the cap keep the EXACT
     * within-cell semantics (their rows carry the single constant
@@ -126,20 +129,33 @@ object SemanticDedup {
                               cellCap: Int,
                               dims: Int = 64): DataFrame = {
     require(cellCap > 0, "cellCap must be positive")
+    // s grows without an artificial ceiling (s ≤ 40 is a bit-budget
+    // bound, ~2⁴⁰·cellCap members — beyond any physical cell): a cell
+    // needing s > 12 just keeps splitting, at the documented recall
+    // cost p_cˢ per table. The IRREDUCIBLE residue is the set of
+    // members sharing an identical signature (identical or
+    // sign-identical vectors): no LSH, at any s, separates vectors it
+    // cannot distinguish — an information boundary, not an
+    // implementation choice. Such a bucket is definitionally
+    // all-duplicates, so the ascending-id early-exit scan below does
+    // O(p) COMPARE work on it; what remains bounded only by executor
+    // memory is its p·d member buffer, measured to its breaking point
+    // in tools/DegenerateCellProbe (SCALE_AUDIT "degenerate-cell
+    // ceiling") — the q113 Σ|block|² style contract for this operator.
     val oversized: Map[Int, Int] = e.groupBy(col("cell"))
       .agg(count(lit(1)).as("n")).collect()
       .map(r => r.getInt(0) ->
         (math.log(r.getLong(1).toDouble / cellCap) / math.log(2.0)))
       .filter(_._2 > 0.0)
-      .map { case (c, s) => c -> math.min(12, math.ceil(s).toInt) }
+      .map { case (c, s) => c -> math.min(40, math.ceil(s).toInt) }
       .toMap
     val keyed =
       if (oversized.isEmpty) e.withColumn("subcell", lit(0L))
       else {
         import graft.functions.VectorFunctions.lsh_signatures
         val maxP = oversized.values.max
-        // subkey per table t: t·2¹³ + (low s bits of table-t signature)
-        // — 2¹³ > 2^(s ≤ 12) keeps tables' key ranges disjoint; rows of
+        // subkey per table t: t·2⁴¹ + (low s bits of table-t signature)
+        // — 2⁴¹ > 2^(s ≤ 40) keeps tables' key ranges disjoint; rows of
         // cells under the cap keep the single subkey 0 (no fan-out, no
         // behavior change). A qualifying pair may match in up to T
         // tables; the min-aggregate absorbs the duplicates.
@@ -152,7 +168,7 @@ object SemanticDedup {
             explode(expr("CASE WHEN __sub = 0 " +
               "THEN array(CAST(0 AS BIGINT)) " +
               s"ELSE transform(sequence(0, ${SubTables - 1}), t -> " +
-              "CAST(t AS BIGINT) * 8192 + " +
+              "(CAST(t AS BIGINT) << 41) + " +
               "(__sigs[t] & ((CAST(1 AS BIGINT) << __sub) - 1))) END"))
               .as("subcell"))
       }
@@ -179,7 +195,23 @@ object SemanticDedup {
       .as[(Long, Long, Long, Array[Double])]
       .groupByKey(t => (t._1, t._2))
       .flatMapGroups { (_, it) =>
-        val ms = it.map(t => (t._3, t._4)).toArray
+        // content-intern the vectors as they stream in: members with
+        // equal embeddings share ONE array (DoubleBuffer wraps compare
+        // by content), so the irreducible identical-signature bucket —
+        // the one no LSH s can split — buffers p ids + refs plus ONE
+        // vector instead of p·d doubles. Measured (DegenerateCellProbe,
+        // 8g heap): the 90%-identical cell broke at 3.6M members
+        // un-interned; interned it passes 7.2M and breaks at 14.4M
+        // (SCALE_AUDIT "degenerate-cell ceiling"). Distinct-heavy
+        // buckets pay one O(d) hash per member and keep their
+        // (sub-split-bounded) size.
+        val intern = new java.util.HashMap[java.nio.DoubleBuffer,
+          Array[Double]]()
+        val ms = it.map { t =>
+          val prev = intern.putIfAbsent(java.nio.DoubleBuffer.wrap(t._4),
+            t._4)
+          (t._3, if (prev == null) t._4 else prev)
+        }.toArray
         ms.sortInPlaceBy(_._1)
         val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
         var j = 1

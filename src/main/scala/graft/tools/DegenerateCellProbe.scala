@@ -1,0 +1,74 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Measures SemanticDedup's IRREDUCIBLE degenerate case to its breaking
+  * point: p vectors whose majority are EXACT copies, all landing in one
+  * k-means cell. The sign-LSH sub-split can bound any bucket of
+  * distinguishable vectors (s grows with log₂(p/cellCap), ceiling 40),
+  * but identical vectors share every signature at any s — that bucket
+  * is definitionally all-duplicates, so compare work is O(p) via the
+  * ascending-id early-exit scan, and the only unbounded resource is
+  * the bucket's p·d member buffer inside flatMapGroups. This probe
+  * pins WHERE that buffer breaks a fixed heap (run under the 8g sbt
+  * default; SPARK_DRIVER_MEM to vary), the q113 Σ|block|² style
+  * contract measurement.
+  *
+  * Corpus: `dupFrac` of p vectors are one exact 64-dim copy; the rest
+  * are distinct directions (deterministic per-id components) that the
+  * sub-split CAN separate. A frozen 1-centroid model forces the
+  * single-cell worst case.
+  *
+  * Usage: runMain graft.tools.DegenerateCellProbe [p1,p2,...] [dupFrac]
+  */
+object DegenerateCellProbe {
+  def main(args: Array[String]): Unit = {
+    val ps = args.headOption.getOrElse("250000,1000000,2000000")
+      .split(",").map(_.trim.toInt).toSeq
+    val dupFrac = if (args.length > 1) args(1).toDouble else 0.9
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val dims = 64
+    println("| p | dup rows (one identical bucket) | dropped | seconds |")
+    println("|---|---|---|---|")
+    for (p <- ps) {
+      val cut = (p * dupFrac).toLong
+      // copies: e(0)=1, rest 0.001 (one exact vector, `cut` times);
+      // spread: deterministic per-id direction the LSH can split
+      val e = spark.range(0, p.toLong).toDF("vec_id")
+        .select(col("vec_id"), expr(
+          s"""CASE WHEN vec_id < $cut
+             |  THEN transform(sequence(0, ${dims - 1}),
+             |    d -> CASE WHEN d = 0 THEN 1.0D ELSE 0.001D END)
+             |  ELSE transform(sequence(0, ${dims - 1}),
+             |    d -> CASE WHEN d = 0 THEN 0.001D
+             |      ELSE cast(pmod(hash(vec_id * 64 + d), 1000) as double)
+             |        / 500.0D - 1.0D END)
+             |END""".stripMargin).as("embedding"))
+      val t0 = System.nanoTime()
+      try {
+        val out = graft.dedup.SemanticDedup.semanticDedupWithModel(
+          e, model = Seq(Seq.tabulate(dims)(d => if (d == 0) 1.0 else 0.0)),
+          threshold = 0.95, cellCap = 512)
+        val dropped = out.filter(!col("kept")).count()
+        val sec = (System.nanoTime() - t0) / 1e9
+        println(f"| $p | $cut | $dropped | $sec%.1f |")
+      } catch {
+        case t: Throwable =>
+          val sec = (System.nanoTime() - t0) / 1e9
+          println(f"| $p | $cut | FAILED ${t.getClass.getSimpleName} " +
+            f"| $sec%.1f |")
+      }
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = true))
+    }
+    spark.stop()
+  }
+}

@@ -160,6 +160,36 @@ class SemanticDedupSpec extends AnyFunSuite with SparkTestBase {
     assert(again == dCapped)
   }
 
+  test("deep sub-split (s > 12, the old key ceiling): identical-signature " +
+    "duplicates still collapse to the min id") {
+    // 8015 vectors in ONE cell with cellCap = 1 ⇒ s = ⌈log₂ 8015⌉ = 13
+    // planes — past the former 12-plane ceiling, exercising the wide
+    // (t << 41) subkey encoding end to end. 8000 members are EXACT
+    // copies (ids 0..7999): identical vectors share every signature at
+    // any s (the documented irreducible bucket), so all must drop to
+    // dup_of = 0; the 15 spread vectors (ids 10000+) sit on mutually
+    // orthogonal axes (pairwise cosine ≈ 0) and must all survive.
+    val dup = Array.tabulate(16)(d => if (d == 0) 1.0 else 0.001)
+    val rows =
+      (0 until 8000).map(i => (i.toLong, dup)) ++
+        (0 until 15).map { i =>
+          val a = Array.fill(16)(0.0)
+          a(1 + i) = 1.0
+          a(0) = 0.0001
+          (10000L + i, a)
+        }
+    val out = SemanticDedup.semanticDedupWithModel(
+      rows.toDF("vec_id", "embedding"),
+      model = Seq(Seq.tabulate(16)(d => if (d == 0) 1.0 else 0.0)),
+      threshold = 0.999, cellCap = 1)
+      .as[(Long, Int, Option[Long], Boolean)].collect()
+    val dups = out.filter(!_._4).map(r => r._1 -> r._3).toMap
+    assert(out.length == 8015)
+    assert(dups.keySet == (1L until 8000L).toSet,
+      s"exactly the 7999 copies drop (got ${dups.size} drops)")
+    assert(dups.values.forall(_.contains(0L)), "all collapse to min id 0")
+  }
+
   test("plan: pair scoring is bucket-local — no global cross product, " +
     "no pair-sized join") {
     val df = SemanticDedup.semanticDedup(corpus, clusters = 3,
