@@ -58,7 +58,15 @@ object SemanticDedup {
     * binds at corpora orders of magnitude past the sweep. Auto-k is
     * therefore OPT-IN (pass 0), with the spec-pinned defaults staying
     * explicit; the multiprobe form recovers recall at any k, and the
-    * frozen-model ingest path is untouched. */
+    * frozen-model ingest path is untouched. RE-MEASURED round 10 as
+    * the paired default decision with knnGraphApprox's planes knob
+    * (AutoKnobProbe, SCALE_AUDIT "auto-knob decision"): sf1 organic
+    * auto 12.65 s vs fixed-8 6.53 s, sf10 auto 197.2 s vs fixed-8
+    * 12.33 s — the k·n·d Lloyd/assignment constant dominates through
+    * BOTH measured decades (cellCap already bounds the pair term at
+    * any k), so √n stays opt-in. The two knobs get opposite defaults
+    * for the same reason: each default is what the two-decade
+    * measurement says is safe. */
   private[graft] def autoClusters(embeddings: DataFrame,
                                   clusters: Int): Int =
     if (clusters > 0) clusters

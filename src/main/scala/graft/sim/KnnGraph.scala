@@ -99,23 +99,26 @@ object KnnGraph {
     * to [[graft.functions.VectorExpressions]] CosineSimilarity). */
   def knnGraphApprox(embeddings: DataFrame, k: Int,
                      blockCol: String = "label", tables: Int = 24,
-                     planes: Int = 6, dims: Int = 64,
+                     planes: Int = 0, dims: Int = 64,
                      probeBits: Int = 1): DataFrame = {
     require(probeBits == 0 || probeBits == 1,
       "probeBits: only Hamming radius 0 or 1 is supported")
     import graft.functions.VectorFunctions.lsh_signatures
     val e = embeddings.select(col("vec_id"), col(blockCol).as("blk"),
       col("embedding").cast("array<double>").as("v"))
-    // planes = 0 → OPT-IN auto mode (mirroring SemanticDedup
-    // .autoClusters: the fixed default never silently changes an
-    // existing caller's plan): derive from measured block density so
-    // per-bucket population stays ~constant as the corpus grows (the
-    // knob the scaladoc above says to raise — turned automatically):
-    // 2^planes ≈ avg block / target depth 4. One tiny agg job (two
-    // longs to the driver); at sf0.1 this resolves to the fixed default
-    // 6, so the pinned recall spec covers both modes there. Doubling
-    // the data adds one plane → candidate work stays ~linear where a
-    // fixed plane count would let Σ|bucket|² grow quadratically.
+    // planes = 0 (the DEFAULT) → auto mode: derive from measured block
+    // density so per-bucket population stays ~constant as the corpus
+    // grows: 2^planes ≈ avg block / target depth 4. One tiny agg job
+    // (two longs to the driver); at sf0.1 auto resolves to 6, so the
+    // pinned recall spec covers both modes there. Auto-vs-fixed was
+    // MEASURED as the r10 default decision (AutoKnobProbe, SCALE_AUDIT
+    // "auto-knob decision"): sf1 organic auto 15.2 s vs fixed-6
+    // 66.0 s; sf10 auto 62.4 s vs fixed-6 DNF (Σ|bucket|² spill fills
+    // the disk) — a fixed plane count is only safe where you already
+    // know the density, which is exactly when you'd pass it
+    // explicitly. (This restores the pre-r9 auto default; r9 had
+    // flipped it to 6 on no-silent-plan-change grounds without a
+    // measurement — the measurement says auto.)
     val nPlanes = if (planes > 0) planes else {
       val r = e.agg(count(lit(1)),
         approx_count_distinct(col("blk"))).head()

@@ -1,0 +1,56 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+
+/** Auto-vs-fixed measurement for the two opt-in auto-sizing knobs
+  * (verdict-r9 task 5): KnnGraph.knnGraphApprox `planes` (0 = density-
+  * derived plane count) and SemanticDedup `clusters` (0 = √n k-means
+  * cells). Runs both settings of one knob on the corpus at
+  * SPARK_GRAFT_SF_DIR and prints wall seconds — evidence for which
+  * value deserves to be the DEFAULT, recorded in SCALE_AUDIT
+  * "auto-knob decision".
+  *
+  * Usage: runMain graft.tools.AutoKnobProbe <knn|sem> <setting> [reps]
+  *   knn 0 → auto planes; knn 6 → fixed 6
+  *   sem 0 → auto √n clusters; sem 8 → fixed 8
+  * One knob+setting per JVM (the isolated-measurement protocol).
+  */
+object AutoKnobProbe {
+  def main(args: Array[String]): Unit = {
+    val knob = args(0)
+    val setting = args(1).toInt
+    val reps = if (args.length > 2) args(2).toInt else 2
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.codegen.cache.maxEntries", "5000")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val e = graft.Tables.embeddings(spark, sfDir)
+    val times = (1 to reps).map { _ =>
+      val t0 = System.nanoTime()
+      val df = knob match {
+        case "knn" =>
+          graft.sim.KnnGraph.knnGraphApprox(e, k = 5, planes = setting)
+        case "sem" =>
+          graft.dedup.SemanticDedup.semanticDedup(e, clusters = setting,
+            threshold = 0.95)
+        case other => sys.error(s"unknown knob $other")
+      }
+      df.queryExecution.toRdd.count()
+      val dt = (System.nanoTime() - t0) / 1e9
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = false))
+      dt
+    }
+    println(f"AUTOKNOB $knob setting=$setting " +
+      times.map(t => f"$t%7.2f").mkString(" ") + f"  min=${times.min}%7.2f")
+    spark.stop()
+  }
+}
