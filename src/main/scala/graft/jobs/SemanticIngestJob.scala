@@ -65,8 +65,9 @@ object SemanticIngestJob {
                                outDir: String): Option[DataFrame] = {
     val path = s"$outDir/vectors"
     if (spark.catalog.tableExists(tableName(outDir)))
-      Some(spark.table(tableName(outDir)))
-    else if (pathExists(spark, path)) Some(spark.read.parquet(path))
+      Some(spark.table(tableName(outDir)).hint("merge"))
+    else if (pathExists(spark, path))
+      Some(spark.read.parquet(path).hint("merge"))
     else None
   }
 

@@ -53,8 +53,9 @@ object SubstringIngestJob {
                         kind: String): Option[DataFrame] = {
     val path = s"$outDir/$kind"
     if (spark.catalog.tableExists(tableName(outDir, kind)))
-      Some(spark.table(tableName(outDir, kind)))
-    else if (pathExists(spark, path)) Some(spark.read.parquet(path))
+      Some(spark.table(tableName(outDir, kind)).hint("merge"))
+    else if (pathExists(spark, path))
+      Some(spark.read.parquet(path).hint("merge"))
     else None
   }
 

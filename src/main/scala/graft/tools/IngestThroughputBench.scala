@@ -1,0 +1,84 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Incremental-ingest throughput: drives the batch cores of
+  * [[graft.jobs.DedupIngestJob]] (exact content-hash dedup against a
+  * bucketed hash store) and [[graft.jobs.SegmentIngestJob]] (w-word
+  * segment dedup against bucketed seg/seen stores) for B successive
+  * micro-batches of N synthetic docs each, printing per-batch wall and
+  * overall docs/s. This is the regression line for the 100 TB
+  * continuous-curation story (the streaming RawPersistJob line covers
+  * the socket/parse path; this covers the dedup-at-ingest path), and
+  * the per-batch column is the evidence the bucketed stores keep batch
+  * cost ~flat as the store grows — with the documented caveat that
+  * plain-parquet appends add one file per bucket per batch, so the
+  * store-read constant creeps with batch COUNT (a real deployment
+  * compacts; see DedupIngestJob scaladoc).
+  *
+  * Docs: ~40 words each; `dupFrac` of each batch duplicates content
+  * from batch 0 (cross-batch dups the store must catch), the rest are
+  * unique. doc_ids are globally increasing (the SegmentIngestJob
+  * contract).
+  *
+  * Usage: runMain graft.tools.IngestThroughputBench [batches] [docsPerBatch] [dupFrac]
+  */
+object IngestThroughputBench {
+  def main(args: Array[String]): Unit = {
+    val batches = args.headOption.map(_.toInt).getOrElse(8)
+    val perBatch = args.drop(1).headOption.map(_.toInt).getOrElse(25000)
+    val dupFrac = args.drop(2).headOption.map(_.toDouble).getOrElse(0.3)
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      // diagnosis knob: SPARK_GRAFT_ABJT=-1 disables broadcast joins,
+      // isolating "store gets re-broadcast per batch" growth from
+      // file-count / scan growth
+      .config("spark.sql.autoBroadcastJoinThreshold",
+        sys.env.getOrElse("SPARK_GRAFT_ABJT", "10485760"))
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    // ~40-word docs; duplicate rows re-derive batch-0 content exactly
+    def batchDf(b: Int) = {
+      val lo = b.toLong * perBatch
+      val dupCut = (perBatch * dupFrac).toLong
+      spark.range(lo, lo + perBatch).toDF("doc_id")
+        .withColumn("seed",
+          when(col("doc_id") - lo < dupCut && lit(b) > 0,
+            col("doc_id") - lo) // batch-0 content ⇒ cross-batch dup
+            .otherwise(col("doc_id")))
+        .select(col("doc_id"), concat_ws(" ",
+          transform(sequence(lit(0), lit(39)),
+            i => concat(lit("w"), pmod(col("seed") * 40 + i, lit(99991)),
+              lit("x"), col("seed")))).as("text"))
+    }
+
+    for (job <- Seq("dedup", "segment")) {
+      val out = java.nio.file.Files
+        .createTempDirectory(s"graft_ingest_$job").toString
+      var total = 0L
+      var totalSec = 0.0
+      val perBatchSec = (0 until batches).map { b =>
+        val df = batchDf(b)
+        val t0 = System.nanoTime()
+        val n = job match {
+          case "dedup" => graft.jobs.DedupIngestJob.writeBatch(df, out)
+          case _ => graft.jobs.SegmentIngestJob.writeBatch(df, out)
+        }
+        val dt = (System.nanoTime() - t0) / 1e9
+        total += n; totalSec += dt
+        dt
+      }
+      println(f"[ingest] $job%-8s batches=$batches perBatch=$perBatch " +
+        f"dupFrac=$dupFrac fresh=$total " +
+        f"docs/s=${batches.toLong * perBatch / totalSec}%.0f " +
+        "perBatchSec=" + perBatchSec.map(t => f"$t%.1f").mkString(","))
+    }
+    spark.stop()
+  }
+}

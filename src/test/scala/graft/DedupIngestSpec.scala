@@ -79,6 +79,32 @@ class DedupIngestSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("store side is never broadcast, even under the default threshold") {
+    // left-anti can only broadcast its right side — the STORE, the side
+    // that grows without bound. The storeView merge hint pins the
+    // sort-merge shape at ANY threshold: without it, every micro-batch
+    // re-collects + re-broadcasts the whole store while it sits under
+    // 10 MB, and per-batch cost climbs with store size (measured
+    // 5.9 → 21 s/batch over 12 batches in IngestThroughputBench).
+    val out = tmp()
+    assert(DedupIngestJob.writeBatch(
+      Seq((1L, "aa bb"), (2L, "cc dd")).toDF("doc_id", "text"), out) == 2)
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val store = DedupIngestJob.storeView(spark, out).get
+      val probe = Seq((99L, "zz yy")).toDF("doc_id", "text")
+        .withColumn("content_hash",
+          graft.dedup.Dedup.hash60(graft.dedup.Dedup.normalize(col("text"))))
+      val joined = probe.join(store.select("content_hash"),
+        Seq("content_hash"), "left_anti")
+      import org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
+      assert(joined.queryExecution.executedPlan.collect {
+        case b: BroadcastHashJoinExec => b
+      }.isEmpty, joined.queryExecution.executedPlan.toString)
+      assert(joined.count() == 1)
+    } finally spark.conf.unset("spark.sql.adaptive.enabled")
+  }
+
   test("streaming file-drop: drains available files through foreachBatch") {
     val out = tmp()
     val in = tmp()
