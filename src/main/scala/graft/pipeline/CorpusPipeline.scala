@@ -96,6 +96,16 @@ object CorpusPipeline {
     def stageOf(name: String, o: Observation): Unit =
       funnel += StageCount(name, o.get("n").asInstanceOf[Long],
         o.get("tok").asInstanceOf[Long])
+    // every stage's materialization runs under a job description
+    // ("funnel:<stage>") so a listener (tools/FunnelProfile) can
+    // attribute wall time to stages without guessing from job ids —
+    // zero-cost observability, the per-stage twin of the Observation
+    // row/token accounting above
+    def describing[T](name: String)(body: => T): T = {
+      val sc = docs.sparkSession.sparkContext
+      sc.setJobDescription(s"funnel:$name")
+      try body finally sc.setJobDescription(null)
+    }
     // the input is NOT copied aside: its lineage (normally a pruned
     // parquet scan) is read by both the main chain and the
     // quality-boundary subplan — two column-pruned scans are cheaper
@@ -146,7 +156,8 @@ object CorpusPipeline {
       .filter(col("doc_id") === col("__keep"))
       .select(cols: _*)
       .observe(oExact, cnt, tok)
-      .localCheckpoint(true) // ONE job materializes all four gates
+      .transform(d => describing("gates")(
+        d.localCheckpoint(true))) // ONE job materializes all four gates
     stageOf("input", oIn); stageOf("lang_filter", oLang)
     stageOf("quality_gate", oQual); stageOf("exact_dedup", oExact)
 
@@ -159,7 +170,7 @@ object CorpusPipeline {
       .filter(col("text") =!= "")
       .select(cols: _*)
       .observe(oScrub, cnt, tok)
-      .localCheckpoint(true)
+      .transform(d => describing("substring_scrub")(d.localCheckpoint(true)))
     stageOf("substring_scrub", oScrub)
     // each new checkpoint retires its predecessor's blocks so
     // superseded full-corpus copies don't pin executor storage
@@ -183,7 +194,7 @@ object CorpusPipeline {
           .join(segd, Seq("doc_id"))
           .select(cols: _*)
           .observe(oSeg, cnt, tok)
-          .localCheckpoint(true)
+          .transform(d => describing("segment_dedup")(d.localCheckpoint(true)))
         stageOf("segment_dedup", oSeg)
         scrubKept.unpersist()
         kept
@@ -201,7 +212,7 @@ object CorpusPipeline {
           .select(col("doc_id"))
         val kept = afterSeg.join(passing, Seq("doc_id"), "left_semi")
           .observe(oClf, cnt, tok)
-          .localCheckpoint(true)
+          .transform(d => describing("classifier_gate")(d.localCheckpoint(true)))
         stageOf("classifier_gate", oClf)
         afterSeg.unpersist()
         kept
@@ -219,7 +230,7 @@ object CorpusPipeline {
           .select(col("id").as("doc_id"))
         val kept = afterClf.join(dropNear, Seq("doc_id"), "left_anti")
           .observe(oNear, cnt, tok)
-          .localCheckpoint(true)
+          .transform(d => describing("near_dedup")(d.localCheckpoint(true)))
         stageOf("near_dedup", oNear)
         afterClf.unpersist()
         kept
@@ -238,7 +249,7 @@ object CorpusPipeline {
           .select(col("vec_id").as("doc_id"))
         val kept = afterNear.join(drop, Seq("doc_id"), "left_anti")
           .observe(oSem, cnt, tok)
-          .localCheckpoint(true)
+          .transform(d => describing("semantic_dedup")(d.localCheckpoint(true)))
         stageOf("semantic_dedup", oSem)
         afterNear.unpersist()
         kept
@@ -251,7 +262,7 @@ object CorpusPipeline {
       .join(contaminated, Seq("doc_id"), "left_anti")
       .observe(oClean, cnt, tok)
       .persist()
-    cleanKept.count() // materialize the cache; fires the observation
+    describing("decontaminate")(cleanKept.count()) // materialize; fires the observation
     stageOf("decontaminate", oClean)
     afterSemantic.unpersist()
 
@@ -268,7 +279,7 @@ object CorpusPipeline {
         val kept = cleanKept.join(keepIds, Seq("doc_id"), "left_semi")
           .observe(oCap, cnt, tok)
           .persist()
-        kept.count()
+        describing("domain_cap")(kept.count())
         stageOf("domain_cap", oCap)
         cleanKept.unpersist()
         kept
@@ -277,8 +288,8 @@ object CorpusPipeline {
     // tokenizer training on exactly the corpus that ships
     val model =
       if (bpeMerges <= 0) None
-      else Some(Bpe.learnMergesBatched(
-        afterCap.select(col("text")), bpeMerges))
+      else Some(describing("bpe_train")(Bpe.learnMergesBatched(
+        afterCap.select(col("text")), bpeMerges)))
 
     Prepared(afterCap, funnel.toSeq, model)
   }

@@ -30,7 +30,12 @@ object FunnelProfile {
     spark.sparkContext.addSparkListener(new SparkListener {
       override def onJobStart(j: SparkListenerJobStart): Unit =
         starts(j.jobId) = (System.nanoTime(),
-          j.stageInfos.headOption.map(_.name.takeWhile(_ != '\n')).getOrElse("?"))
+          // the funnel stages set a job description ("funnel:<stage>",
+          // CorpusPipeline.describing); fall back to the stage name
+          Option(j.properties)
+            .flatMap(p => Option(p.getProperty("spark.job.description")))
+            .getOrElse(j.stageInfos.headOption
+              .map(_.name.takeWhile(_ != '\n')).getOrElse("?")))
       override def onJobEnd(j: SparkListenerJobEnd): Unit =
         starts.remove(j.jobId).foreach { case (t0, st) =>
           if (record)
