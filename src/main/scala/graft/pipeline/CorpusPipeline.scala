@@ -33,20 +33,27 @@ import graft.text.{Bpe, NaiveBayes, TextAnalysis}
   *      > 0) — the tokenizer model trains on exactly the text that
   *      ships, not on what dedup later removes
   *
-  * Plan shape (the part that matters at 100 TB): the four gate stages
-  * (lang, quality, exact dedup — and the input accounting) are FUSED
-  * into one plan and materialized by a single job. Language-ID is a
-  * row-local projection ([[TextAnalysis.langIdCols]]); the quality
-  * gate derives a per-source boundary struct on a narrow
-  * (doc_id, source, quality) frame and broadcasts it back, so the full
-  * corpus is never shuffled by source (few strata would funnel the
-  * whole corpus into #sources sort partitions) and is never semi-joined
-  * on doc_id; exact dedup is one window over the content hash (one
-  * well-distributed full shuffle — cheaper than groupBy + join-back,
-  * which pays the same shuffle AND a join). Funnel accounting rides the
-  * same jobs as `observe` (CollectMetrics) nodes — zero extra passes.
-  * Only the inherently pair-based stages (substring scrub, near-dup,
-  * semantic, decontaminate) join, each fed from an eagerly
+  * Plan shape (the part that matters at 100 TB): the CPU-heavy
+  * per-row text features (language-ID, quality) are computed in ONE
+  * pass and materialized NARROW — (doc_id, source, lang, q, ntok),
+  * ~40 B/doc; every gate decision (per-source quality boundary +
+  * filters) and the lang/quality funnel receipts derive from that
+  * frame, the boundary broadcasting back per source so the corpus is
+  * never shuffled by source (few strata would funnel the whole corpus
+  * into #sources sort partitions). Survivors rejoin the corpus as a
+  * doc_id semi-join (8 B keep-ids — broadcast until the keep set
+  * outgrows the threshold, then one corpus shuffle). Exact dedup is
+  * one window over the content hash (one well-distributed full
+  * shuffle — cheaper than groupBy + join-back, which pays the same
+  * shuffle AND a join). The r8 shape instead recomputed the feature
+  * lambdas twice (boundary subplan + main gate) to keep the corpus
+  * un-joined — measured cheaper at sf0.1, but the duplicated feature
+  * pass carried 77% of the funnel at sf10 (SCALE_AUDIT "funnel
+  * per-stage attribution": 173.8 → 100.8 s from this change, results
+  * hash-identical). Later-stage accounting rides each stage's own
+  * materialization as `observe` (CollectMetrics) nodes — zero extra
+  * passes. Only the inherently pair-based stages (substring scrub,
+  * near-dup, semantic, decontaminate) join, each fed from an eagerly
   * checkpointed predecessor so shared lineage materializes once.
   */
 object CorpusPipeline {
@@ -117,38 +124,64 @@ object CorpusPipeline {
     val cols = docs.columns.map(col).toSeq
     val (predLang, _) = TextAnalysis.langIdCols(col("text"))
 
-    // Per-source keep boundary for the quality gate, derived on a
-    // NARROW (doc_id, source, quality) frame: the smallest kept
-    // (quality, doc_id) struct per source — one row per source —
-    // broadcasts back so the gate is a row-local filter and the full
-    // corpus is never shuffled by source nor semi-joined on doc_id.
-    // Keep-set equality with TrainingData.qualityGate: its kept rows
-    // are exactly the ordered suffix per stratum from the boundary up
-    // (single-row strata keep their only — also best — row).
+    // ONE text-feature pass (the r10 fix for the sf10 finding that the
+    // gate stage carried 77% of the funnel): langId + quality are the
+    // CPU-heavy per-row lambdas, and the r8 shape computed them TWICE —
+    // once in the boundary subplan, once in the main gate filter ("two
+    // pruned scans beat caching the corpus", measured at sf0.1 where
+    // the lambdas are cheap; at sf10 the duplicated pass dominated,
+    // SCALE_AUDIT "funnel per-stage attribution"). Now the features
+    // materialize NARROW — (doc_id, source, lang, q, ntok) ≈ 40 B/doc,
+    // model-ish-sized, NOT the corpus — and every gate decision plus
+    // the lang/quality funnel receipts derive from that frame; the
+    // corpus is touched exactly twice (feature pass, final gate+dedup
+    // pass) with zero per-row lambda recompute. The survivors rejoin
+    // as a doc_id semi-join: keep-ids are 8 B/doc and broadcast until
+    // the keep set outgrows the threshold, after which Spark falls
+    // back to shuffling the corpus once by doc_id — the honest trade
+    // against the old zero-shuffle-double-compute form, which the
+    // sf10 measurement decided (173.8 → see SCALE_AUDIT).
     val qw = Window.partitionBy(col("source"))
       .orderBy(col("__q"), col("doc_id"))
     val cw = Window.partitionBy(col("source"))
-    val thresholds = input.filter(predLang.isin(langs: _*))
-      .select(col("doc_id"), col("source"),
-        TextAnalysis.qualityCol(col("text")).as("__q"))
+    val feat = describing("gates_features")(input.select(
+        col("doc_id"), col("source"), predLang.as("__lang"),
+        TextAnalysis.qualityCol(col("text")).as("__q"),
+        when(col("text") === "", 0)
+          .otherwise(size(split(col("text"), " ")))
+          .cast("long").as("__ntok"))
+      .localCheckpoint(true))
+    val langOk = feat.filter(col("__lang").isin(langs: _*))
+    // same boundary semantics as before: smallest kept (quality,
+    // doc_id) struct per source; single-row strata keep their row
+    val thresholds = langOk
+      .select(col("doc_id"), col("source"), col("__q"))
       .withColumn("__pr", percent_rank().over(qw))
       .withColumn("__n", count(lit(1)).over(cw))
       .filter(col("__pr") >= minQualityPercentile || col("__n") === 1)
       .groupBy(col("source"))
       .agg(min(struct(col("__q"), col("doc_id"))).as("__thr"))
+    val keepIds = describing("gates_boundary")(langOk
+      .join(broadcast(thresholds), Seq("source"))
+      .filter(struct(col("__q"), col("doc_id")) >= col("__thr"))
+      .select(col("doc_id"), col("__ntok"))
+      .localCheckpoint(true))
+    // funnel receipts for input/lang/quality: aggregates over the
+    // narrow frames — same values the in-plan observations produced,
+    // at the cost of two sub-second narrow jobs
+    def narrowStage(name: String, df: DataFrame): Unit = {
+      val r = df.agg(count(lit(1)).as("n"),
+        coalesce(sum(col("__ntok")), lit(0L)).as("tok")).head()
+      funnel += StageCount(name, r.getLong(0), r.getLong(1))
+    }
+    narrowStage("input", feat)
+    narrowStage("lang_filter", langOk)
+    narrowStage("quality_gate", keepIds)
 
-    val oIn = Observation(); val oLang = Observation()
-    val oQual = Observation(); val oExact = Observation()
+    val oExact = Observation()
     val hw = Window.partitionBy(col("__ch"))
     val exactKept = input
-      .observe(oIn, cnt, tok)
-      .filter(predLang.isin(langs: _*))
-      .observe(oLang, cnt, tok)
-      .join(broadcast(thresholds), Seq("source"))
-      .filter(struct(TextAnalysis.qualityCol(col("text")).as("__q"),
-        col("doc_id")) >= col("__thr"))
-      .drop("__thr")
-      .observe(oQual, cnt, tok)
+      .join(keepIds.select(col("doc_id")), Seq("doc_id"), "left_semi")
       // exact dedup: keep each content-hash group's min doc_id — one
       // window over one well-distributed shuffle, no join-back
       .withColumn("__ch", Dedup.hash60(Dedup.normalize(col("text"))))
@@ -156,10 +189,9 @@ object CorpusPipeline {
       .filter(col("doc_id") === col("__keep"))
       .select(cols: _*)
       .observe(oExact, cnt, tok)
-      .transform(d => describing("gates")(
-        d.localCheckpoint(true))) // ONE job materializes all four gates
-    stageOf("input", oIn); stageOf("lang_filter", oLang)
-    stageOf("quality_gate", oQual); stageOf("exact_dedup", oExact)
+      .transform(d => describing("gates")(d.localCheckpoint(true)))
+    stageOf("exact_dedup", oExact)
+    feat.unpersist(); keepIds.unpersist()
 
     // duplicated k-gram spans removed keep-first; scrubDocs carries the
     // doc's remaining columns through its internal rebuild join, so the
