@@ -2888,14 +2888,16 @@ object SparkEntry {
         |    AS n_phones
         |FROM c""".stripMargin,
     "q51_contamination" ->
+      // counts distinct raw shingle STRINGS — the Spark side's xxhash64
+      // currency is internal (only equality crosses to the counts), so
+      // the oracle needs no hash at all
       s"""WITH w AS (
          |  SELECT doc_id, string_split($NormSql, ' ') AS ws FROM documents),
          |sh AS (
-         |  SELECT doc_id, ${hash60Sql("s")} AS s FROM (
-         |    SELECT DISTINCT doc_id,
-         |      unnest([array_to_string(ws[i:i+4], ' ')
-         |              for i in range(1, greatest(len(ws)-5, 0)+2)]) AS s
-         |    FROM w) t),
+         |  SELECT DISTINCT doc_id,
+         |    unnest([array_to_string(ws[i:i+4], ' ')
+         |            for i in range(1, greatest(len(ws)-5, 0)+2)]) AS s
+         |  FROM w),
          |bench AS (
          |  SELECT doc_id AS bench_id, s FROM sh WHERE doc_id % 50 = 0)
          |SELECT sh.doc_id,

@@ -47,15 +47,24 @@ object TrainingData {
   /** Benchmark-contamination check: for each corpus doc, how many
     * distinct word n-gram shingles it shares with any benchmark doc
     * (eval-set leakage detection). The inverted shingle join — shingles
-    * hashed to 60-bit longs — keeps this sub-quadratic: cost scales with
-    * shingle overlap, never |corpus| × |benchmark|. The benchmark side of
-    * the join is small by construction → broadcast.
+    * hashed via [[graft.dedup.Dedup.shingleKeys]] to 64-bit xxhash64
+    * longs BEFORE the per-doc distinct — keeps this sub-quadratic: cost
+    * scales with shingle overlap, never |corpus| × |benchmark|, the
+    * distinct exchanges 8-byte longs instead of ~25-byte strings, and
+    * the corpus pass does native long hashing (the earlier md5-hash60
+    * currency paid a digest + hex + base conversion per corpus shingle —
+    * the dominant cost of the funnel's decontaminate stage at sf10).
+    * Only shingle EQUALITY crosses to the output (counts), so the
+    * oracle counts distinct raw shingle strings; an xxhash64 collision
+    * (~overlap²/2⁶⁵) could perturb one count — the same accepted
+    * trade as the q18 jaccard path. The benchmark side of the join is
+    * small by construction → broadcast.
     * @return (doc_id, n_shared, n_bench_docs) for contaminated docs */
   def contamination(corpus: DataFrame, benchmark: DataFrame,
                     n: Int = 5): DataFrame = {
     val sh = (df: DataFrame, idAs: String) =>
-      graft.dedup.Dedup.shingles(df, n)
-        .select(col("doc_id").as(idAs), hash60(col("shingle")).as("s"))
+      graft.dedup.Dedup.shingleKeys(df, n)
+        .select(col("doc_id").as(idAs), col("shingle").as("s"))
     sh(corpus, "doc_id")
       .join(broadcast(sh(benchmark, "bench_id")), Seq("s"))
       .filter(col("doc_id") =!= col("bench_id"))

@@ -1,0 +1,68 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Decomposes the contamination/decontaminate cost at a given SF:
+  * times (a) the corpus shingle-key pass alone, (b) the benchmark
+  * shingle-key pass alone, (c) the broadcast join + per-doc distinct
+  * count, and (d) a word-hash shingle variant that never builds the
+  * shingle string (hash words once, xxhash64 over the n-long slice) —
+  * candidate replacement currency if string construction dominates.
+  *
+  * Usage: SPARK_GRAFT_SF_DIR=... runMain graft.tools.ShingleProbe
+  */
+object ShingleProbe {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.codegen.cache.maxEntries", "5000")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val docs = graft.Tables.documents(spark, sfDir)
+    val bench = docs.filter(col("doc_id") % 50 === 0)
+    def time(name: String)(body: => Long): Unit = {
+      val ts = (1 to 2).map { _ =>
+        val t0 = System.nanoTime(); val n = body
+        ((System.nanoTime() - t0) / 1e9, n)
+      }
+      println(f"SHPROBE $name%-28s " +
+        ts.map { case (t, _) => f"$t%7.2f" }.mkString(" ") +
+        f"  min=${ts.map(_._1).min}%7.2f  rows=${ts.head._2}")
+    }
+    // the current currency: explode -> array_join string -> xxhash64
+    def cur(df: DataFrame) = graft.dedup.Dedup.shingleKeys(df, 5)
+    // word-hash variant: words hashed once, shingle key = xxhash64 of
+    // the n-long slice (no string ever built)
+    def wordHash(df: DataFrame) = df
+      .select(col("doc_id"),
+        expr("transform(split(trim(regexp_replace(regexp_replace(" +
+          "lower(text), '[^a-z0-9 ]', ''), ' +', ' ')), ' '), " +
+          "x -> xxhash64(x))").as("wh"))
+      .select(col("doc_id"),
+        explode(expr(
+          "transform(sequence(0, greatest(size(wh) - 5, 0)), " +
+            "i -> xxhash64(slice(wh, i + 1, 5)))")).as("shingle"))
+      .distinct()
+    time("corpus_shingleKeys_cur") { cur(docs).queryExecution.toRdd.count() }
+    time("corpus_shingleKeys_wordhash") { wordHash(docs).queryExecution.toRdd.count() }
+    time("bench_shingleKeys_cur") { cur(bench).queryExecution.toRdd.count() }
+    def joined(sh: DataFrame => DataFrame) = sh(docs)
+      .join(broadcast(sh(bench).select(col("doc_id").as("bench_id"),
+        col("shingle"))), Seq("shingle"))
+      .filter(col("doc_id") =!= col("bench_id"))
+      .groupBy(col("doc_id"))
+      .agg(countDistinct(col("shingle")).as("n_shared"),
+        countDistinct(col("bench_id")).as("n_bench_docs"))
+    time("contamination_cur") { joined(cur).queryExecution.toRdd.count() }
+    time("contamination_wordhash") { joined(wordHash).queryExecution.toRdd.count() }
+    spark.stop()
+  }
+}
