@@ -69,16 +69,33 @@ object Dedup {
   def shingles(docs: DataFrame, n: Int = 3): DataFrame =
     shingleExplode(docs, n).distinct()
 
-  /** Shingle set with each shingle reduced to its 64-bit xxhash — the
+  /** Shingle set with each shingle reduced to a 64-bit xxhash — the
     * join/shuffle currency for the jaccard/minhash paths: hashing before
     * the distinct shrinks every downstream exchange (distinct, inverted
     * join, minhash) from ~25-byte strings to 8-byte longs. A collision
     * (~n²/2⁶⁵ over the corpus shingle vocabulary) could merge two
     * shingles and perturb one intersection count — negligible against
-    * the near-dup thresholding these feed. */
+    * the near-dup thresholding these feed.
+    *
+    * The key is computed WITHOUT ever materializing the shingle string:
+    * each word is hashed once, and the shingle key is xxhash64 over the
+    * n-long slice of word hashes. The old form (array_join the slice,
+    * then hash the string) re-copied every word's bytes into n shingle
+    * strings before hashing them — measured at sf0.1 (ShingleProbe,
+    * n=5) the word-hash pass is 0.75 s vs 1.02 s and the q51
+    * contamination consumer 0.81 s vs 1.26 s, with identical distinct
+    * counts. Key VALUES differ from the string form, but every caller
+    * treats the key as opaque equality currency (counts and
+    * thresholded overlaps cross to outputs, never the hash itself) and
+    * the md5-hash60 Oracle family ([[shingleKeysOracle]]) is the
+    * cross-engine-replicable sibling, so the swap is plan-internal. */
   def shingleKeys(docs: DataFrame, n: Int = 3): DataFrame =
-    shingleExplode(docs, n)
-      .select(col("doc_id"), xxhash64(col("shingle")).as("shingle"))
+    docs.select(col("doc_id"),
+        transform(split(normalize(col("text")), " "), xxhash64(_)).as("wh"))
+      .select(col("doc_id"),
+        explode(expr(
+          s"transform(sequence(0, greatest(size(wh) - $n, 0)), " +
+            s"i -> xxhash64(slice(wh, i + 1, $n)))")).as("shingle"))
       .distinct()
 
   /** MinHash signatures: for each of `numHashes` seeded hash functions,
