@@ -90,13 +90,21 @@ object Dedup {
     * the md5-hash60 Oracle family ([[shingleKeysOracle]]) is the
     * cross-engine-replicable sibling, so the swap is plan-internal. */
   def shingleKeys(docs: DataFrame, n: Int = 3): DataFrame =
+    shingleKeyStream(docs, n).distinct()
+
+  /** [[shingleKeys]] WITHOUT the per-doc distinct — (doc_id, shingle)
+    * with in-doc repeats preserved. The distinct is a full shuffle of
+    * the entire corpus shingle set; consumers whose outputs are
+    * invariant under in-doc repeats (countDistinct aggregates,
+    * broadcast-probe filters that drop non-matches map-side) should
+    * take this stream and skip that shuffle entirely. */
+  def shingleKeyStream(docs: DataFrame, n: Int = 3): DataFrame =
     docs.select(col("doc_id"),
         transform(split(normalize(col("text")), " "), xxhash64(_)).as("wh"))
       .select(col("doc_id"),
         explode(expr(
           s"transform(sequence(0, greatest(size(wh) - $n, 0)), " +
             s"i -> xxhash64(slice(wh, i + 1, $n)))")).as("shingle"))
-      .distinct()
 
   /** MinHash signatures: for each of `numHashes` seeded hash functions,
     * the min over the doc's shingles of hash(seed, shingle).

@@ -46,14 +46,16 @@ object TrainingData {
 
   /** Benchmark-contamination check: for each corpus doc, how many
     * distinct word n-gram shingles it shares with any benchmark doc
-    * (eval-set leakage detection). The inverted shingle join — shingles
-    * hashed via [[graft.dedup.Dedup.shingleKeys]] to 64-bit xxhash64
-    * longs BEFORE the per-doc distinct — keeps this sub-quadratic: cost
-    * scales with shingle overlap, never |corpus| × |benchmark|, the
-    * distinct exchanges 8-byte longs instead of ~25-byte strings, and
-    * the corpus pass does native long hashing (the earlier md5-hash60
-    * currency paid a digest + hex + base conversion per corpus shingle —
-    * the dominant cost of the funnel's decontaminate stage at sf10).
+    * (eval-set leakage detection). The inverted shingle join — word-hash
+    * shingle keys ([[graft.dedup.Dedup.shingleKeyStream]]) probed
+    * against a broadcast of the benchmark's distinct keys — keeps this
+    * sub-quadratic: cost scales with shingle overlap, never
+    * |corpus| × |benchmark|, and the corpus side is SHUFFLE-FREE up to
+    * the overlap-sized aggregate (no per-doc distinct: both outputs are
+    * countDistinct, invariant under in-doc repeats; non-matching rows
+    * die map-side in the broadcast probe — the earlier form paid a
+    * full-corpus distinct shuffle plus an md5 digest per shingle, which
+    * together dominated the funnel's decontaminate stage at sf10).
     * Only shingle EQUALITY crosses to the output (counts), so the
     * oracle counts distinct raw shingle strings; an xxhash64 collision
     * (~overlap²/2⁶⁵) could perturb one count — the same accepted
@@ -62,11 +64,16 @@ object TrainingData {
     * @return (doc_id, n_shared, n_bench_docs) for contaminated docs */
   def contamination(corpus: DataFrame, benchmark: DataFrame,
                     n: Int = 5): DataFrame = {
-    val sh = (df: DataFrame, idAs: String) =>
-      graft.dedup.Dedup.shingleKeys(df, n)
-        .select(col("doc_id").as(idAs), col("shingle").as("s"))
-    sh(corpus, "doc_id")
-      .join(broadcast(sh(benchmark, "bench_id")), Seq("s"))
+    // corpus side: NO per-doc distinct — both outputs are countDistinct,
+    // so in-doc shingle repeats cannot change them, and the distinct is
+    // the only full-corpus shuffle in the plan (everything after the
+    // broadcast probe is overlap-sized). Benchmark side keeps the
+    // distinct: it shrinks the broadcast.
+    graft.dedup.Dedup.shingleKeyStream(corpus, n)
+      .select(col("doc_id"), col("shingle").as("s"))
+      .join(broadcast(graft.dedup.Dedup.shingleKeys(benchmark, n)
+        .select(col("doc_id").as("bench_id"), col("shingle").as("s"))),
+        Seq("s"))
       .filter(col("doc_id") =!= col("bench_id"))
       .groupBy(col("doc_id"))
       .agg(countDistinct(col("s")).as("n_shared"),
