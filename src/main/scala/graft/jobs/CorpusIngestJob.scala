@@ -68,10 +68,12 @@ object CorpusIngestJob {
                  classifier: Option[(DataFrame, Seq[String])] = None)
       : Long = {
     val cols = docs.columns.map(col).toSeq
-    val (predLang, _) = TextAnalysis.langIdCols(col("text"))
-    val gated = docs
-      .filter(predLang.isin(langs: _*))
-      .filter(TextAnalysis.qualityCol(col("text")) >= qualityFloor)
+    // one-pass fused features (one split + one fold, values identical
+    // to the separate langIdCols/qualityCol trees — see
+    // TextAnalysis.gateFeatures)
+    val gated = TextAnalysis.gateFeatures(docs)
+      .filter(col("__lang").isin(langs: _*) && col("__q") >= qualityFloor)
+      .select(cols: _*)
     val hashStage = DedupIngestJob.hashCore(gated, s"$outDir/hash")
     val exact = hashStage.out // checkpointed survivors + content_hash
     try {

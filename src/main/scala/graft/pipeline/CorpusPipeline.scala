@@ -122,7 +122,6 @@ object CorpusPipeline {
     // itself expensive should pass a checkpointed frame.
     val input = docs
     val cols = docs.columns.map(col).toSeq
-    val (predLang, _) = TextAnalysis.langIdCols(col("text"))
 
     // ONE text-feature pass (the r10 fix for the sf10 finding that the
     // gate stage carried 77% of the funnel): langId + quality are the
@@ -144,9 +143,12 @@ object CorpusPipeline {
     val qw = Window.partitionBy(col("source"))
       .orderBy(col("__q"), col("doc_id"))
     val cw = Window.partitionBy(col("source"))
-    val feat = describing("gates_features")(input.select(
-        col("doc_id"), col("source"), predLang.as("__lang"),
-        TextAnalysis.qualityCol(col("text")).as("__q"),
+    // one split + one fold for lang AND quality (TextAnalysis
+    // .gateFeatures — FeatureProbe: 50.4 → 29.9 s at sf10, values
+    // bit-identical to the separate langIdCols/qualityCol trees)
+    val feat = describing("gates_features")(TextAnalysis
+      .gateFeatures(input)
+      .select(col("doc_id"), col("source"), col("__lang"), col("__q"),
         when(col("text") === "", 0)
           .otherwise(size(split(col("text"), " ")))
           .cast("long").as("__ntok"))

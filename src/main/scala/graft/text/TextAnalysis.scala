@@ -41,6 +41,57 @@ object TextAnalysis {
         / 2.0)
   }
 
+  /** One-pass gate features for the corpus funnel: appends `__lang`
+    * (the [[langIdCols]] prediction) and `__q` (the [[qualityCol]]
+    * blend) with ONE text split and ONE aggregate fold computing all
+    * marker counts, instead of five separate higher-order filters that
+    * each re-split the text (HOFs are CodegenFallback — no codegen, no
+    * common-subexpression elimination across them — so the separate
+    * form re-splits per filter), and `translate` instead of
+    * `regexp_replace` for the alpha count (same integer, no regex
+    * machinery over the full text). Values are IDENTICAL to the
+    * separate columns: counts are exact integers and the quality blend
+    * applies the same double ops in the same order (FeatureProbe pins
+    * 0 mismatches at sf0.1).
+    *
+    * Structured as chained projections ON PURPOSE: the fold lands in
+    * its own column that later projections reference several times —
+    * CollapseProject refuses to merge a projection whose non-cheap
+    * expressions would duplicate, so the fold is computed once per row
+    * no matter how many features read it. */
+  private[graft] def gateFeatures(df: DataFrame): DataFrame = {
+    val langs = LangProfiles.groupBy(_._1).view
+      .mapValues(_.map(_._2)).toSeq.sortBy(_._1)
+    val nSlots = langs.size + 1 // one per language + stopword slot
+    val hit = (markers: Seq[String], w: Column) =>
+      when(markers.map(m => w === m).reduce(_ || _), 1L).otherwise(0L)
+    val counts = aggregate(col("__gf_w"),
+      array(Seq.fill(nSlots)(lit(0L)): _*),
+      (acc, w) => array(
+        (langs.zipWithIndex.map { case ((_, markers), i) =>
+          element_at(acc, i + 1) + hit(markers, w)
+        } :+ (element_at(acc, nSlots) + hit(Stopwords, w))): _*))
+    val entries = langs.zipWithIndex.map { case ((lang, _), i) =>
+      struct((lit(0L) - element_at(col("__gf_c"), i + 1)).as("neg"),
+        lit(lang).as("lang"))
+    }
+    val best = array_min(array(entries: _*))
+    val stopHits = element_at(col("__gf_c"), nSlots).cast("double")
+    val nWords = size(col("__gf_w")).cast("double")
+    val alpha = (length(col("text")) - length(translate(col("text"),
+      "abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ", "")))
+      .cast("double")
+    df.withColumn("__gf_w", split(trim(lower(col("text"))), "\\s+"))
+      .withColumn("__gf_c", counts)
+      .withColumn("__lang",
+        when(best.getField("neg") === 0L, lit("und"))
+          .otherwise(best.getField("lang")))
+      .withColumn("__q", least(lit(1.0),
+        ((stopHits / nWords) * 2.0
+          + alpha / length(col("text")).cast("double")) / 2.0))
+      .drop("__gf_w", "__gf_c")
+  }
+
   /** Quality heuristics: mean word length, stopword ratio, alpha ratio,
     * and a blended [0,1] score. Division is IEEE-deterministic; the
     * oracle replicates the exact expression tree (and [[qualityCol]]

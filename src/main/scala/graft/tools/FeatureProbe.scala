@@ -1,0 +1,75 @@
+package graft.tools
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Decomposes the funnel's gates_features cost: times the current
+  * feature projection (langIdCols + qualityCol: five separate
+  * higher-order filters, each re-splitting the text, plus a
+  * regexp_replace alpha count) against a fused one-pass variant (one
+  * split, one aggregate fold computing all marker counts, translate
+  * instead of regex for the alpha count), and checks the two produce
+  * IDENTICAL values (the quality blend must stay bit-identical for the
+  * oracle lockstep).
+  *
+  * Usage: SPARK_GRAFT_SF_DIR=... runMain graft.tools.FeatureProbe
+  */
+object FeatureProbe {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val docs = graft.Tables.documents(spark, sfDir)
+
+    def time(name: String)(body: => Long): Unit = {
+      val ts = (1 to 3).map { _ =>
+        val t0 = System.nanoTime(); val n = body
+        ((System.nanoTime() - t0) / 1e9, n)
+      }
+      println(f"FPROBE $name%-22s " +
+        ts.map { case (t, _) => f"$t%7.2f" }.mkString(" ") +
+        f"  min=${ts.map(_._1).min}%7.2f  rows=${ts.head._2}")
+    }
+
+    // --- current tree ---
+    val (predLang, _) = graft.text.TextAnalysis.langIdCols(col("text"))
+    def cur(d: DataFrame) = d.select(
+      col("doc_id"), col("source"), predLang.as("__lang"),
+      graft.text.TextAnalysis.qualityCol(col("text")).as("__q"),
+      when(col("text") === "", 0)
+        .otherwise(size(split(col("text"), " ")))
+        .cast("long").as("__ntok"))
+
+    // --- fused one-pass variant ---
+    def fused(d: DataFrame) =
+      graft.text.TextAnalysis.gateFeatures(d)
+        .select(col("doc_id"), col("source"), col("__lang"), col("__q"),
+          when(col("text") === "", 0)
+            .otherwise(size(split(col("text"), " ")))
+            .cast("long").as("__ntok"))
+
+    time("features_cur")   { cur(docs).queryExecution.toRdd.count() }
+    time("features_fused") { fused(docs).queryExecution.toRdd.count() }
+
+    // value identity: every row must agree exactly (bit-identical __q)
+    val a = cur(docs).withColumnRenamed("__lang", "l1")
+      .withColumnRenamed("__q", "q1").drop("__ntok", "source")
+    val b = fused(docs).withColumnRenamed("__lang", "l2")
+      .withColumnRenamed("__q", "q2").drop("__ntok", "source")
+    val diff = a.join(b, Seq("doc_id"))
+      .filter(col("l1") =!= col("l2") ||
+        col("q1") =!= col("q2") ||
+        col("q1").isNull =!= col("q2").isNull)
+      .count()
+    println(s"FPROBE value_mismatches $diff")
+    spark.stop()
+  }
+}
