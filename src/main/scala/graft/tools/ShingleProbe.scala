@@ -37,23 +37,23 @@ object ShingleProbe {
         ts.map { case (t, _) => f"$t%7.2f" }.mkString(" ") +
         f"  min=${ts.map(_._1).min}%7.2f  rows=${ts.head._2}")
     }
-    // the current currency: explode -> array_join string -> xxhash64
-    def cur(df: DataFrame) = graft.dedup.Dedup.shingleKeys(df, 5)
-    // word-hash variant: words hashed once, shingle key = xxhash64 of
-    // the n-long slice (no string ever built)
-    def wordHash(df: DataFrame) = df
+    // the pre-r10 string form: explode -> array_join string -> xxhash64
+    // (inlined for comparison; Dedup.shingleKeys is now the word-hash
+    // form this probe decided)
+    def stringForm(df: DataFrame) = df
       .select(col("doc_id"),
-        expr("transform(split(trim(regexp_replace(regexp_replace(" +
-          "lower(text), '[^a-z0-9 ]', ''), ' +', ' ')), ' '), " +
-          "x -> xxhash64(x))").as("wh"))
+        expr("split(trim(regexp_replace(regexp_replace(" +
+          "lower(text), '[^a-z0-9 ]', ''), ' +', ' ')), ' ')").as("w"))
       .select(col("doc_id"),
         explode(expr(
-          "transform(sequence(0, greatest(size(wh) - 5, 0)), " +
-            "i -> xxhash64(slice(wh, i + 1, 5)))")).as("shingle"))
+          "transform(sequence(0, greatest(size(w) - 5, 0)), " +
+            "i -> array_join(slice(w, i + 1, 5), ' '))")).as("sh"))
+      .select(col("doc_id"), xxhash64(col("sh")).as("shingle"))
       .distinct()
-    time("corpus_shingleKeys_cur") { cur(docs).queryExecution.toRdd.count() }
-    time("corpus_shingleKeys_wordhash") { wordHash(docs).queryExecution.toRdd.count() }
-    time("bench_shingleKeys_cur") { cur(bench).queryExecution.toRdd.count() }
+    def cur(df: DataFrame) = graft.dedup.Dedup.shingleKeys(df, 5)
+    time("corpus_keys_stringform") { stringForm(docs).queryExecution.toRdd.count() }
+    time("corpus_keys_wordhash") { cur(docs).queryExecution.toRdd.count() }
+    time("bench_keys_wordhash") { cur(bench).queryExecution.toRdd.count() }
     def joined(sh: DataFrame => DataFrame) = sh(docs)
       .join(broadcast(sh(bench).select(col("doc_id").as("bench_id"),
         col("shingle"))), Seq("shingle"))
@@ -61,8 +61,14 @@ object ShingleProbe {
       .groupBy(col("doc_id"))
       .agg(countDistinct(col("shingle")).as("n_shared"),
         countDistinct(col("bench_id")).as("n_bench_docs"))
-    time("contamination_cur") { joined(cur).queryExecution.toRdd.count() }
-    time("contamination_wordhash") { joined(wordHash).queryExecution.toRdd.count() }
+    time("contamination_stringform") { joined(stringForm).queryExecution.toRdd.count() }
+    time("contamination_wordhash") { joined(cur).queryExecution.toRdd.count() }
+    // the shipped contamination additionally drops the corpus-side
+    // distinct (countDistinct outputs are repeat-invariant)
+    time("contamination_shipped") {
+      graft.pipeline.TrainingData.contamination(docs, bench, 5)
+        .queryExecution.toRdd.count()
+    }
     spark.stop()
   }
 }
