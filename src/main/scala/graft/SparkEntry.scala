@@ -4069,10 +4069,9 @@ object SparkEntry {
          |    i AS seg_idx,
          |    array_to_string(ws[(i * 20 + 1):(i * 20 + 20)], ' ') AS seg
          |  FROM w, unnest(range((len(ws) + 19) // 20)) AS t(i)),
-         |h AS (SELECT *, ${hash60Sql("seg")} AS hh FROM s),
          |k AS (
-         |  SELECT * FROM h QUALIFY row_number() OVER (
-         |    PARTITION BY hh ORDER BY doc_id, seg_idx) = 1)
+         |  SELECT * FROM s QUALIFY row_number() OVER (
+         |    PARTITION BY seg ORDER BY doc_id, seg_idx) = 1)
          |SELECT doc_id,
          |  string_agg(seg, ' ' ORDER BY seg_idx) AS text_dedup,
          |  CAST(count(*) AS BIGINT) AS segs_kept,

@@ -60,8 +60,12 @@ object ParagraphDedup {
     *
     * Output: (doc_id, text_dedup, segs_kept, segs_total). */
   def dedupSegments(docs: DataFrame, w: Int = 20): DataFrame = {
+    // xxhash64, not md5-hash60: the key is pure grouping currency (the
+    // seg STRING is what crosses to the rebuilt text), so the cheaper
+    // native hash applies; the oracle partitions by the raw segment
+    // string and needs no hash at all
     val seg = segments(docs, w)
-      .withColumn("h", Dedup.hash60(col("seg")))
+      .withColumn("h", xxhash64(col("seg")))
     val keepFirst = Window.partitionBy(col("h"))
       .orderBy(col("doc_id").asc, col("seg_idx").asc)
     seg

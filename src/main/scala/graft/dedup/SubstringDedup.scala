@@ -53,7 +53,14 @@ object SubstringDedup {
     * pair), set-deduped per doc. One row per doc that has any cover. */
   private def coveredPositions(tokens: DataFrame, k: Int): DataFrame = {
     // one row per k-gram OCCURRENCE, keyed by the 96-bit double hash of
-    // the token run (see class doc) with its start position
+    // the token run (see class doc) with its start position. The gram
+    // string is built in the transform lambda and hashed AFTER the
+    // explode, where the projection is codegen'd (two measured
+    // rejected alternatives, SCALE_AUDIT r10: word-hash structs — a
+    // generic array<struct> loses the UnsafeArrayData path, 1.6×
+    // slower; two flat word-hash long arrays — ties the string form,
+    // the lambda merely trades string building for interpreted slice
+    // hashing).
     val sh = tokens.filter(size(col("w")) >= k)
       .select(col("doc_id"), explode(expr(
         s"transform(sequence(0, size(w) - $k), i -> " +
@@ -61,9 +68,16 @@ object SubstringDedup {
         .as("e"))
       .select(col("doc_id"), col("e.s").as("s"),
         xxhash64(col("e.g")).as("g1"), hash(col("e.g")).as("g2"))
-    val minDoc = sh.groupBy(col("g1"), col("g2"))
-      .agg(min(col("doc_id")).as("min_doc"))
-    sh.join(minDoc, Seq("g1", "g2"))
+    // min doc per gram via ONE window over ONE shuffle — the previous
+    // groupBy + join-back computed the k-gram explode TWICE (once per
+    // self-join side) and paid a second agg shuffle; the window sorts
+    // the same (g1, g2) exchange the join needed anyway and streams
+    // each gram group (hot boilerplate grams are count-large, not
+    // byte-large; WindowExec's external sorter spills if one ever
+    // isn't)
+    sh.withColumn("min_doc", min(col("doc_id")).over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("g1"), col("g2"))))
       .filter(col("doc_id") > col("min_doc"))
       .select(col("doc_id"),
         explode(expr(s"sequence(s, s + ${k - 1})")).as("t"))

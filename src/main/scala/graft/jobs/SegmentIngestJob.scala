@@ -86,7 +86,7 @@ object SegmentIngestJob {
     val fresh = fresh0.localCheckpoint(true)
     try {
       val seg = ParagraphDedup.segments(fresh, w)
-        .withColumn("h", Dedup.hash60(col("seg")))
+        .withColumn("h", xxhash64(col("seg")))
         .localCheckpoint(true)
       try {
         // history: any stored hash predates the whole batch

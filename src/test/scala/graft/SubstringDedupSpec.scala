@@ -58,10 +58,13 @@ class SubstringDedupSpec extends AnyFunSuite with SparkTestBase {
     val docs = Seq.tabulate(30)(i => (i.toLong, "same text for every doc here"))
     val df = SubstringDedup.dedupCorpus(docs.toDF("doc_id", "text"), 4)
     val plan = df.queryExecution.optimizedPlan.toString
-    // occurrence→group→occurrence shape: exactly one join against the
-    // aggregated min-doc side and one final left join back to the docs
+    // occurrence→window-min→occurrence shape: the min-doc attach is a
+    // WINDOW over the single k-gram exchange (the old groupBy +
+    // join-back computed the gram explode twice); the only join left
+    // is the final left join back to the docs
     assert("Join (Inner|LeftOuter|LeftSemi|Cross|FullOuter)".r
-      .findAllIn(plan).size == 2, plan)
+      .findAllIn(plan).size == 1, plan)
+    assert("(?i)window".r.findFirstIn(plan).isDefined, plan)
     val rows = df.as[(Long, String, Long, Long)].collect()
     assert(rows.count(_._4 > 0) == 29, "all but the first fully covered")
   }
