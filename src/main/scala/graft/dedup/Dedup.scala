@@ -538,15 +538,19 @@ object Dedup {
     * score ("how much of this doc could a model have memorized from
     * elsewhere"), reported as exact integers plus a floor-ppm rate.
     *
-    * Scale: one shingle explode, one document-frequency aggregate on
-    * the shingle key (map-side combined), one hash join back — linear
-    * in shingle occurrences, never pairwise (the same inverted shape as
-    * the contamination and substring-scrub operators). */
+    * Scale: one shingle explode on the word-hash key currency (only
+    * COUNTS cross to the output, so [[shingleKeys]] applies — no
+    * shingle string is ever built), one document-frequency WINDOW over
+    * the single shingle exchange — linear in shingle occurrences,
+    * never pairwise (the same inverted shape as the contamination and
+    * substring-scrub operators). The previous groupBy + join-back
+    * computed the shingle explode twice (once per self-join side) and
+    * exchanged ~70-byte gram strings; q133 sf10 114 → see SCALE_AUDIT. */
   def dupGramRates(docs: DataFrame, n: Int = 8): DataFrame = {
-    val sh = shingles(docs, n)
-    val df = sh.groupBy(col("shingle"))
-      .agg(count(lit(1)).as("df")) // shingles() is distinct per doc
-    sh.join(df, Seq("shingle"))
+    val sh = shingleKeys(docs, n) // distinct per doc → count = df
+    sh.withColumn("df", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("shingle"))))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_grams"),
         sum(when(col("df") >= 2, 1L).otherwise(0L)).as("n_dup_grams"))
