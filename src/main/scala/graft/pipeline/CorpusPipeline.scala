@@ -186,7 +186,9 @@ object CorpusPipeline {
       .join(keepIds.select(col("doc_id")), Seq("doc_id"), "left_semi")
       // exact dedup: keep each content-hash group's min doc_id — one
       // window over one well-distributed shuffle, no join-back
-      .withColumn("__ch", Dedup.hash60(Dedup.normalize(col("text"))))
+      // xxhash64, not md5-hash60: pure grouping currency (the oracle
+      // partitions by the raw normalized string, never sees the hash)
+      .withColumn("__ch", xxhash64(Dedup.normalize(col("text"))))
       .withColumn("__keep", min(col("doc_id")).over(hw))
       .filter(col("doc_id") === col("__keep"))
       .select(cols: _*)
