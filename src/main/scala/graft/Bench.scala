@@ -43,7 +43,7 @@ object Bench {
                   "q42_proportions", "q69_triangles", "q70_fuzzy_join",
                   "q71_bigram_novelty", "q44_dup_groups",
                   "q19_minhash_lsh", "q27_ivf_ann", "q28_lsh_ann",
-                  "q65_pq_ann", "q140_ivf_int_ann",
+                  "q65_pq_ann", "q140_ivf_int_ann", "q141_lsh_int_ann",
                   "q63_hist_quantiles", "q48_asof_rates",
                   "q56_range_join", "q82_bloom_prune", "q79_sessionize",
                   "q33_pipeline_transfers", "q87_bfs_hops", "q95_ppr",

@@ -1933,6 +1933,17 @@ object SparkEntry {
       cells = 8, nprobe = 2)
   }
 
+  /** Integer-exact sign-LSH ANN (LSH-SQ8: md5-frozen hyperplanes over
+    * uint8 codes, Hamming-1 multiprobe, squared-L2 scoring) — the
+    * bucketed-retrieval family's ORACLED row, the q140 recipe applied
+    * to the q28/q65 shape. The float LSH paths stay the pipeline
+    * defaults. */
+  def q141_lsh_int_ann(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.embeddings(s, d)
+    graft.sim.LshInt.lshIntTopK(e, e.filter(col("vec_id") < 10), k = 5,
+      planes = 6)
+  }
+
   /** q106's deterministic funnel extended with the round-7 stages:
     * segment-level dedup (w = 20) after the substring scrub and a
     * per-source 2000-token budget as the final gate — the full curated
@@ -2091,6 +2102,7 @@ object SparkEntry {
     "q138_hll_registers" -> (q138_hll_registers _),
     "q139_uuid_deterministic" -> (q139_uuid_deterministic _),
     "q140_ivf_int_ann" -> (q140_ivf_int_ann _),
+    "q141_lsh_int_ann" -> (q141_lsh_int_ann _),
   )
 
   /** Oracle twin of q105: SEQUENTIAL BPE merge learning unrolled round
@@ -4531,6 +4543,57 @@ object SparkEntry {
          |  JOIN codes c ON c.vec_id = a1.vec_id
          |  JOIN codes qc ON qc.vec_id = p.query_id AND qc.i = c.i
          |  WHERE a1.vec_id <> p.query_id
+         |  GROUP BY 1, 2)
+         |SELECT query_id, vec_id AS neighbor_id, dist,
+         |  CAST(row_number() OVER (
+         |    PARTITION BY query_id ORDER BY dist, vec_id) AS BIGINT) AS rank
+         |FROM sc
+         |QUALIFY rank <= 5""".stripMargin,
+    "q141_lsh_int_ann" ->
+      s"""WITH d AS (
+         |  SELECT vec_id, unnest(generate_series(1, len(embedding))) AS i,
+         |    unnest(list_transform(embedding, x -> CAST(x AS DOUBLE))) AS x
+         |  FROM embeddings),
+         |stats AS (SELECT i, min(x) AS mn, max(x) AS mx FROM d GROUP BY i),
+         |codes AS (
+         |  SELECT vec_id, i,
+         |    CAST(CASE WHEN mx = mn THEN 0
+         |         ELSE round((x - mn) / (mx - mn) * 255) END AS BIGINT)
+         |      AS code
+         |  FROM d JOIN stats USING (i)),
+         |pl AS (
+         |  SELECT p, i0,
+         |    (${hash60Sql(
+             "'plane|'||CAST(p AS VARCHAR)||'|'||CAST(i0 AS VARCHAR)")})
+         |      % 2001 - 1000 AS w
+         |  FROM (SELECT unnest(range(6)) AS p) pp
+         |  CROSS JOIN (SELECT DISTINCT i - 1 AS i0 FROM codes) ii),
+         |dots AS (
+         |  SELECT c.vec_id, pl.p,
+         |    CAST(sum((c.code - 128) * pl.w) AS BIGINT) AS dot
+         |  FROM codes c JOIN pl ON pl.i0 = c.i - 1
+         |  GROUP BY 1, 2),
+         |bk AS (
+         |  SELECT vec_id,
+         |    CAST(sum(CASE WHEN dot >= 0
+         |             THEN (CAST(1 AS BIGINT) << p) ELSE 0 END) AS BIGINT)
+         |      AS bucket
+         |  FROM dots GROUP BY 1),
+         |probes AS (
+         |  SELECT b.vec_id AS query_id,
+         |    CASE WHEN t.p = -1 THEN b.bucket
+         |         ELSE xor(b.bucket, CAST(1 AS BIGINT) << t.p) END AS bucket
+         |  FROM bk b, (SELECT unnest(range(-1, 6)) AS p) t
+         |  WHERE b.vec_id < 10),
+         |sc AS (
+         |  SELECT pr.query_id, b2.vec_id,
+         |    CAST(sum((qc.code - c.code)*(qc.code - c.code)) AS BIGINT)
+         |      AS dist
+         |  FROM probes pr
+         |  JOIN bk b2 ON b2.bucket = pr.bucket
+         |  JOIN codes c ON c.vec_id = b2.vec_id
+         |  JOIN codes qc ON qc.vec_id = pr.query_id AND qc.i = c.i
+         |  WHERE b2.vec_id <> pr.query_id
          |  GROUP BY 1, 2)
          |SELECT query_id, vec_id AS neighbor_id, dist,
          |  CAST(row_number() OVER (

@@ -1,0 +1,109 @@
+package graft.sim
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Integer-exact sign-LSH ANN over uint8-quantized codes — the second
+  * ORACLE-able member of the retrieval family (q141), giving the
+  * hash-bucketed retrieval shape (q28/q65's family) a green
+  * correctness row the way [[IvfInt]] (q140) does for the coarse-cell
+  * shape. Reference bucketed-ANN behavior:
+  * Edgxtech/blockchain-data-engineering has no vector ops; this is
+  * part of the mandated LLM-pipeline surface.
+  *
+  * Every step is integer math with a defined cross-engine result:
+  *  - codes: [[Quantize]]'s affine uint8 map (q116 ⊕);
+  *  - hyperplanes: FROZEN integer weights derived per (plane, dim)
+  *    from md5-hash60("plane|p|i") % 2001 − 1000 ∈ [−1000, 1000] — no
+  *    RNG, the same expression DuckDB evaluates (computed IN Spark via
+  *    the same hash60 column expression and collected once: planes ×
+  *    dims rows, model-sized);
+  *  - bucket: bit p = [⟨codes − 128, plane_p⟩ ≥ 0] (centering keeps
+  *    the sign test balanced over non-negative codes), bucket =
+  *    Σ bit_p · 2^p — bounded by 255·1000·dims ≪ Long.Max;
+  *  - probe: the query's own bucket plus all Hamming-1 neighbors
+  *    (bucket XOR 2^p) — `planes`+1 buckets per query, pairwise
+  *    distinct, so candidates need no dedup;
+  *  - scoring: exact squared L2 over int codes, ties → lower vec_id.
+  *
+  * Scale shape: the model is a planes×dims literal shipped to the
+  * data (per-row codegen'd bucket assignment, zero shuffle); the only
+  * corpus shuffle is the bucket-key equi-join (never a cross product);
+  * candidate rows drop their code arrays before the top-k window (the
+  * KnnGraph sf10 rule). The float LSH paths (q28/q65, xxhash64 sign
+  * planes) stay the pipeline defaults; this variant doubles as an
+  * LSH-SQ8 configuration a vector store would genuinely run.
+  */
+object LshInt {
+
+  /** The end-to-end retrieval: quantize, freeze the md5-derived plane
+    * model, bucket corpus + queries, Hamming-1 multiprobe, exact
+    * integer top-k.
+    *
+    * @param queries rows of `embeddings` to retrieve for (a subset:
+    *                codes are computed once, corpus-wide)
+    * @return (query_id, neighbor_id, dist, rank) — dist = squared L2
+    *         between uint8 code vectors, all BIGINT */
+  def lshIntTopK(embeddings: DataFrame, queries: DataFrame, k: Int,
+                 planes: Int = 6): DataFrame = {
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val codes = Quantize
+      .quantize(embeddings, Quantize.dimStats(embeddings))
+      .localCheckpoint(true)
+    val dims = codes.select(size(col("codes"))).head().getInt(0)
+
+    // frozen plane model: weight(p, i) = hash60("plane|p|i") % 2001
+    // − 1000, computed with the SAME hash60 column expression the
+    // oracle replicates, collected once (planes × dims longs)
+    val model: Seq[Seq[Long]] = spark
+      .range(planes.toLong * dims)
+      .select((col("id") / dims).cast("int").as("p"),
+        (col("id") % dims).cast("int").as("i"),
+        (graft.dedup.Dedup.hash60(concat(lit("plane|"),
+          (col("id") / dims).cast("int").cast("string"), lit("|"),
+          (col("id") % dims).cast("int").cast("string"))) % 2001 - 1000)
+          .as("w"))
+      .collect().groupBy(_.getInt(0)).toSeq.sortBy(_._1)
+      .map(_._2.sortBy(_.getInt(1)).map(_.getLong(2)).toIndexedSeq)
+
+    // per-row codegen'd bucket: sign bit per plane over centered codes
+    def bucketOf(c: Column): Column = model.zipWithIndex.map {
+      case (w, p) =>
+        val dot = aggregate(
+          zip_with(c, typedLit(w), (x, ww) => (x - 128L) * ww),
+          lit(0L), (acc, x) => acc + x)
+        when(dot >= 0, lit(1L << p)).otherwise(lit(0L))
+    }.reduce(_ + _)
+
+    val assigned = codes.withColumn("bucket", bucketOf(col("codes")))
+
+    // probe set per query: own bucket + every Hamming-1 neighbor —
+    // planes+1 pairwise-distinct buckets, so the candidate join never
+    // produces a duplicate (query, vec) pair
+    val qcodes = queries.select(col("vec_id").as("query_id"))
+      .join(assigned, col("query_id") === assigned("vec_id"))
+      .select(col("query_id"), col("codes").as("qcodes"),
+        col("bucket").as("qbucket"))
+    val probed = qcodes
+      .select(col("query_id"), col("qcodes"),
+        explode(expr(
+          s"transform(sequence(-1, ${planes - 1}), p -> " +
+            "CASE WHEN p = -1 THEN qbucket " +
+            "ELSE cast(qbucket ^ shiftleft(1L, p) as bigint) END)"))
+          .as("bucket"))
+
+    // score probed buckets; code arrays dropped before the window
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("dist").asc, col("vec_id").asc)
+    assigned.join(probed, Seq("bucket"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("dist", IvfInt.l2sq(col("qcodes"), col("codes")))
+      .select(col("query_id"), col("vec_id"), col("dist"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        col("dist"), col("rank").cast("long").as("rank"))
+  }
+}

@@ -1,0 +1,62 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.sim.LshInt
+
+/** Pins graft.sim.LshInt (q141) — the integer-exact sign-LSH retrieval
+  * path. Cross-engine value correctness is the DuckDB oracle's job
+  * (CORRECTNESS q141); here we pin the retrieval semantics on a corpus
+  * whose right answer is known by construction, plus determinism. */
+class LshIntSpec extends AnyFunSuite with SparkTestBase {
+  import spark.implicits._
+
+  // three well-separated clusters of 8 vectors each (dims=4): base
+  // levels 0 / 100 / 200 with small per-vector jitter — same-cluster
+  // vectors quantize to near-identical codes, so they share (or sit
+  // one bit from) a bucket and dominate the exact-L2 ranking
+  private lazy val embeddings = (0 until 24).map { id =>
+    val base = (id / 8) * 100.0
+    val v = Array.tabulate(4)(d => (base + (id % 8) * 0.5 + d * 0.1).toFloat)
+    (id.toLong, v, id / 8)
+  }.toDF("vec_id", "embedding", "label")
+
+  test("neighbors come from the query's own cluster, ranked by integer L2") {
+    val got = LshInt
+      .lshIntTopK(embeddings, embeddings.filter(col("vec_id").isin(0L, 9L, 17L)),
+        k = 3, planes = 4)
+      .as[(Long, Long, Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.sortBy(_._4)).toMap
+    assert(got.keySet == Set(0L, 9L, 17L))
+    got.foreach { case (q, rows) =>
+      assert(rows.map(_._4).toSeq == Seq(1L, 2L, 3L), s"ranks for $q")
+      assert(rows.map(_._3).toSeq == rows.map(_._3).sorted.toSeq)
+      assert(!rows.map(_._2).contains(q))
+      assert(rows.forall(r => r._2 / 8 == q / 8),
+        s"query $q got cross-cluster neighbors: ${rows.mkString(",")}")
+    }
+  }
+
+  test("deterministic across runs") {
+    def run() = LshInt
+      .lshIntTopK(embeddings, embeddings.filter(col("vec_id") < 2), k = 4,
+        planes = 4)
+      .as[(Long, Long, Long, Long)].collect().sortBy(r => (r._1, r._4)).toSeq
+    assert(run() == run())
+  }
+
+  test("candidates never duplicate: ranks are gapless per query") {
+    // own-bucket + Hamming-1 probes are pairwise distinct buckets, so
+    // no (query, vec) pair can score twice — ranks come out 1..k dense
+    val rows = LshInt
+      .lshIntTopK(embeddings, embeddings.filter(col("vec_id") < 4), k = 6,
+        planes = 4)
+      .as[(Long, Long, Long, Long)].collect()
+    rows.groupBy(_._1).foreach { case (q, rs) =>
+      assert(rs.map(_._4).sorted.toSeq == (1L to rs.length).toSeq,
+        s"ranks for $q not dense")
+      assert(rs.map(_._2).distinct.length == rs.length,
+        s"duplicate neighbor for $q")
+    }
+  }
+}
