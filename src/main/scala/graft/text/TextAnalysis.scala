@@ -158,18 +158,21 @@ object TextAnalysis {
       Dedup.hash60(Dedup.normalize(col("text"))).as("fp60"))
 
   /** Per-(doc, term) term frequencies + corpus document frequencies —
-    * the integer-exact core of TF-IDF (one shuffle on (doc, term), one on
-    * term; df joins back broadcast when the vocabulary is small). */
+    * the integer-exact core of TF-IDF. doc_len and df ride WINDOWS over
+    * the tf frame (partition by doc_id, then by term) instead of
+    * groupBy + join-back: the old shape re-derived the token explode
+    * and the tf aggregate once per join side (three token passes,
+    * ~6 exchanges); the windows reuse one tf computation across three
+    * exchanges total (q45 sf10: 59.2 → see SCALE_AUDIT). */
   def termStats(docs: DataFrame): DataFrame = {
     val tokens = docs.select(col("doc_id"),
       explode(split(Dedup.normalize(col("text")), " ")).as("term"))
-    val tf = tokens.groupBy(col("doc_id"), col("term"))
+    tokens.groupBy(col("doc_id"), col("term"))
       .agg(count(lit(1)).as("tf"))
-    val docLen = tf.groupBy(col("doc_id"))
-      .agg(sum(col("tf")).as("doc_len"))
-    val df = tf.groupBy(col("term"))
-      .agg(count(lit(1)).as("df"))
-    tf.join(docLen, Seq("doc_id")).join(df, Seq("term"))
+      .withColumn("doc_len", sum(col("tf")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("doc_id"))))
+      .withColumn("df", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("term"))))
   }
 
   /** TF-IDF scores: (tf/doc_len) · ln((N+1)/(df+1)). The log makes the
