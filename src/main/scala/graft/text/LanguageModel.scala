@@ -119,17 +119,20 @@ object LanguageModel {
   def kneserNeyTrigrams(docs: DataFrame): DataFrame = {
     val tri = docTrigrams(docs).groupBy(col("w1"), col("w2"), col("w3"))
       .agg(count(lit(1)).as("c3"))
-    val prefix = tri.groupBy(col("w1"), col("w2"))
-      .agg(sum(col("c3")).as("c12"), count(lit(1)).as("dr12"))
     val bigram = kneserNeyBigrams(docs)
       .select(col("w1").as("w2"), col("w2").as("w3"),
         col("p_num").as("num2"), col("p_den").as("den2"))
-    // prefix and the bigram model are corpus-bigram-TYPE sized (can be
-    // billions of rows on a real corpus) — shuffle-join on their keys
-    // and let AQE downgrade to broadcast when they happen to be small;
-    // only genuinely vocabulary-sized aggregates get a broadcast hint
+    // the per-(w1,w2) prefix statistics ride ONE window over the
+    // trigram frame (the old groupBy + join-back recomputed the
+    // trigram explode + agg once per self-join side); the bigram model
+    // is corpus-bigram-TYPE sized (billions of rows on a real corpus)
+    // — shuffle-join on its keys and let AQE downgrade to broadcast
+    // when it happens to be small
+    val w12 = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("w1"), col("w2"))
     tri
-      .join(prefix, Seq("w1", "w2"))
+      .withColumn("c12", sum(col("c3")).over(w12))
+      .withColumn("dr12", count(lit(1)).over(w12))
       .join(bigram, Seq("w2", "w3"))
       .select(col("w1"), col("w2"), col("w3"), col("c3"),
         ((lit(2L) * col("c3") - 1L) * col("den2")
@@ -159,7 +162,14 @@ object LanguageModel {
   }
 
   def kneserNeyBigrams(docs: DataFrame): DataFrame = {
-    val counts = bigramCounts(docs)
+    // ONE bigram aggregation, materialized: the join base plus the
+    // left/right/total statistics all derive from it, and without the
+    // checkpoint each consumer re-runs the doc explode + hash agg
+    // (four token passes; q120 sf1 19.0 → see SCALE_AUDIT). The
+    // derived statistics are w1-/w2-keyed (vocabulary-type sized) →
+    // broadcast; the checkpointed frame itself is bigram-type sized,
+    // executor storage, never driver-collected.
+    val counts = bigramCounts(docs).localCheckpoint(true)
     val left = counts.groupBy(col("w1"))
       .agg(sum(col("c2")).as("c1"), count(lit(1)).as("dr"))
     val right = counts.groupBy(col("w2"))
