@@ -40,14 +40,29 @@ object Importance {
     * itself), so the division is total. */
   def importanceWeights(docs: DataFrame, targetPred: Column,
                         buckets: Int = 4096): DataFrame = {
-    val toks = docs
+    val words = docs
       .select(col("doc_id"), targetPred.as("is_target"),
         explode(split(Dedup.normalize(col("text")), " ")).as("w"))
+    // md5 once per DISTINCT word, not per token occurrence: per-word
+    // occurrence counts are a map-side-combined vocabulary-sized
+    // aggregate, the bucket frequencies roll up from them vocab-side,
+    // and each word carries its bucket's (t, r) back to the token
+    // stream through one vocabulary-sized join (AQE broadcasts it while
+    // the vocabulary fits, shuffle-joins past that). The previous form
+    // hashed every token occurrence TWICE (the token frame fed both the
+    // frequency aggregate and the join base) — two full md5 passes over
+    // the corpus for a 4096-row model.
+    val wc = words.groupBy(col("w"))
+      .agg(count(when(col("is_target"), 1)).as("wt"),
+        count(lit(1)).as("wr"))
       .withColumn("b", Dedup.hash60(col("w")) % buckets)
-    val freq = toks.groupBy(col("b")).agg(
-      count(when(col("is_target"), 1)).as("t"),
-      count(lit(1)).as("r"))
-    toks.join(broadcast(freq), Seq("b"))
+    val wfreq = wc
+      .withColumn("t", sum(col("wt")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("b"))))
+      .withColumn("r", sum(col("wr")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("b"))))
+      .select(col("w"), col("t"), col("r"))
+    words.join(wfreq, Seq("w"))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_tokens"),
         sum(col("t")).as("target_mass"),

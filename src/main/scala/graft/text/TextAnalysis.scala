@@ -208,24 +208,45 @@ object TextAnalysis {
     val ws = col("ws")
     val toks = docs.select(col("doc_id"),
       split(Dedup.normalize(col("text")), " ").as("ws"))
-    val bigrams = transform(
-      sequence(lit(0), size(ws) - 2),
-      i => concat_ws(" ", element_at(ws, i + 1), element_at(ws, i + 2)))
-    val wordStats = toks
-      .select(col("doc_id"), explode(ws).as("w"))
-      .groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("c"))
-      .groupBy(col("doc_id"))
-      .agg(sum(col("c")).as("n_words"),
-        count(lit(1)).as("n_distinct_words"),
-        max(col("c")).as("top_word_n"))
-    val bigramStats = toks
-      .filter(size(ws) >= 2)
-      .select(col("doc_id"), explode(bigrams).as("b"))
-      .groupBy(col("doc_id"), col("b")).agg(count(lit(1)).as("c"))
-      .groupBy(col("doc_id"))
-      .agg(max(col("c")).as("top_bigram_n"))
-    wordStats.join(bigramStats, Seq("doc_id"), "left")
-      .withColumn("top_bigram_n", coalesce(col("top_bigram_n"), lit(0L)))
+    // every statistic is PER-DOC, so none of them needs a shuffle:
+    // sort the doc's tokens (and bigram strings) in-row and fold the
+    // sorted runs — distinct count = run starts, mode count = longest
+    // run. The previous form exploded words AND bigrams through two
+    // (doc_id, gram) exchanges and joined two doc-keyed aggregates
+    // back together: four exchanges + a join for a row-local answer
+    // (q80 sf1 13.7 → see SCALE_AUDIT). Per-row memory is one sorted
+    // copy of the doc's tokens — bounded by doc length, the same class
+    // as the split itself.
+    def runStats(arr: String) = expr(
+      s"""aggregate($arr,
+         |  struct(CAST(NULL AS STRING) AS prev, CAST(0 AS BIGINT) AS run,
+         |         CAST(0 AS BIGINT) AS best, CAST(0 AS BIGINT) AS nd),
+         |  (acc, x) -> struct(
+         |    x,
+         |    CASE WHEN x <=> acc.prev THEN acc.run + 1
+         |         ELSE CAST(1 AS BIGINT) END,
+         |    greatest(acc.best,
+         |      CASE WHEN x <=> acc.prev THEN acc.run + 1
+         |           ELSE CAST(1 AS BIGINT) END),
+         |    acc.nd + CASE WHEN x <=> acc.prev THEN CAST(0 AS BIGINT)
+         |                  ELSE CAST(1 AS BIGINT) END),
+         |  acc -> struct(acc.best AS best, acc.nd AS nd))""".stripMargin)
+    toks
+      .withColumn("__wr", runStats("array_sort(ws)"))
+      // guard: sequence(0, -1) DESCENDS for 1-token docs and would
+      // feed element_at an illegal 0 index — empty array instead
+      .withColumn("__br", runStats(
+        "CASE WHEN size(ws) >= 2 THEN " +
+          "array_sort(transform(sequence(0, size(ws) - 2), " +
+          "i -> concat_ws(' ', element_at(ws, i + 1), " +
+          "element_at(ws, i + 2)))) " +
+          "ELSE CAST(array() AS array<string>) END"))
+      .select(col("doc_id"),
+        size(ws).cast("long").as("n_words"),
+        col("__wr.nd").as("n_distinct_words"),
+        col("__wr.best").as("top_word_n"),
+        when(size(ws) >= 2, col("__br.best")).otherwise(0L)
+          .as("top_bigram_n"))
       .select(col("doc_id"), col("n_words"), col("n_distinct_words"),
         col("top_word_n"), col("top_bigram_n"),
         // `div` (IntegralDivide), not `/` — long-exact in every engine
