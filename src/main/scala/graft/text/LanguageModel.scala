@@ -42,11 +42,16 @@ object LanguageModel {
       .agg(count(lit(1)).as("c2"))
 
   /** Per-doc novelty: n_bigrams, n_rare (corpus support ≤ maxSupport),
-    * rare_pct = n_rare·100/n_bigrams. Inner join is lossless — every doc
-    * bigram is in the model by construction (it contributed to it). */
+    * rare_pct = n_rare·100/n_bigrams. Corpus support rides a count
+    * window over the (w1, w2) exchange the occurrence rows needed
+    * anyway — the old model join re-derived the bigram explode a
+    * second time (inside bigramCounts) and re-exchanged the occurrence
+    * side for the join it replaced (q71 sf1 14.8 → see SCALE_AUDIT). */
   def noveltyScores(docs: DataFrame, maxSupport: Long): DataFrame =
     docBigrams(docs)
-      .join(bigramCounts(docs), Seq("w1", "w2"))
+      .withColumn("c2", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("w1"), col("w2"))))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_bigrams"),
         sum(when(col("c2") <= maxSupport, 1L).otherwise(0L)).as("n_rare"))
