@@ -19,11 +19,17 @@ import graft.dedup.{Dedup, ParagraphDedup}
   *
   * Persisted structures under `outDir` (the family layout shared with
   * DedupIngest / NearDupIngest / SubstringIngest):
-  *  - `segs`: (h) — one row per DISTINCT 60-bit segment hash ever
+  *  - `segs`: (h) — one row per DISTINCT xxhash64 segment hash ever
   *    seen, bucketed on h so the per-batch anti-join shuffles only the
   *    incoming batch; the store is never re-shuffled. Unlike the
   *    substring store no owner column is needed: ANY history occurrence
-  *    predates the whole batch, which is all keep-first asks.
+  *    predates the whole batch, which is all keep-first asks. The store
+  *    carries a `_hash_kind` marker file recording the key function —
+  *    segment keys switched md5-hash60 → xxhash64 in round 10 and the
+  *    two can NEVER collide, so opening a pre-switch store would
+  *    silently stop catching history segments; [[writeBatch]] fails
+  *    fast on a marker mismatch instead (re-ingest into a fresh outDir,
+  *    or rewrite `segs` under the new hash, to migrate).
   *  - `seen`: ingested doc_ids (replay guard, bucketed on doc_id).
   *  - `documents`: the deduplicated corpus in `dedupSegments`'s exact
   *    schema (doc_id, text_dedup, segs_kept, segs_total).
@@ -46,6 +52,48 @@ object SegmentIngestJob {
   private def pathExists(spark: SparkSession, path: String): Boolean = {
     val p = new org.apache.hadoop.fs.Path(path)
     p.getFileSystem(spark.sessionState.newHadoopConf()).exists(p)
+  }
+
+  /** The segment-key hash function this build writes. Bump ONLY with a
+    * store migration story: an old store's keys can never match a new
+    * hash, which silently breaks the history anti-join. */
+  private[jobs] val HashKind = "xxhash64"
+
+  private def hashKindPath(outDir: String) =
+    new org.apache.hadoop.fs.Path(s"$outDir/segs/_hash_kind")
+
+  /** Fail fast when an existing `segs` store was written under a
+    * different key hash (marker absent ⇒ the pre-versioning md5-hash60
+    * era). Underscore-prefixed, so the parquet reader never sees it. */
+  private def ensureHashKind(spark: SparkSession, outDir: String): Unit = {
+    val exists = spark.catalog.tableExists(tableName(outDir, "segs")) ||
+      pathExists(spark, s"$outDir/segs")
+    if (exists) {
+      val p = hashKindPath(outDir)
+      val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+      val found =
+        if (!fs.exists(p)) "md5-hash60 (pre-versioning store)"
+        else {
+          val in = fs.open(p)
+          try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+          finally in.close()
+        }
+      require(found == HashKind,
+        s"segment store $outDir/segs holds '$found' keys but this build " +
+          s"writes '$HashKind' — the history anti-join would silently " +
+          "miss every stored segment; re-ingest into a fresh outDir or " +
+          "rewrite the segs store under the new hash")
+    }
+  }
+
+  private def writeHashKindMarker(spark: SparkSession,
+                                  outDir: String): Unit = {
+    val p = hashKindPath(outDir)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(p)) {
+      val out = fs.create(p, true)
+      try out.write(HashKind.getBytes("UTF-8")) finally out.close()
+    }
   }
 
   private def storeView(spark: SparkSession, outDir: String,
@@ -78,6 +126,7 @@ object SegmentIngestJob {
     *   entirely by the dedup gate still count as processed) */
   def writeBatch(docs: DataFrame, outDir: String, w: Int = 20): Long = {
     val spark = docs.sparkSession
+    ensureHashKind(spark, outDir)
     val fresh0 = storeView(spark, outDir, "seen") match {
       case Some(seen) =>
         docs.join(seen.select(col("doc_id")), Seq("doc_id"), "left_anti")
@@ -122,6 +171,7 @@ object SegmentIngestJob {
             case None => distinctH
           }
           appendBucketed(newH, outDir, "segs", "h")
+          writeHashKindMarker(spark, outDir)
           appendBucketed(fresh.select(col("doc_id")), outDir, "seen",
             "doc_id")
         }

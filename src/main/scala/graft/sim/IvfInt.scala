@@ -55,9 +55,49 @@ object IvfInt {
     array_min(scored).getField("i").cast("int")
   }
 
+  /** The md5-seeded integer coarse model over a quantized `codes`
+    * frame: seeds are the `cells` rows with the smallest
+    * (md5-hash60(vec_id), vec_id), refined by ONE integer Lloyd round
+    * (argmin-assign to seeds, then per-cell per-dim `sum(code) div
+    * count` — one map-side-combinable aggregate of `dims` sums + a
+    * count, ≤ cells rows to the driver; empty cells keep their seed
+    * codes). Deterministic end to end and DuckDB-replicable — shared
+    * by the IVF probe here and the integer semantic-dedup oracle
+    * ([[graft.dedup.SemanticDedupInt]]). */
+  private[graft] def trainModel(codes: DataFrame, dims: Int,
+                                cells: Int): Seq[Seq[Long]] = {
+    val seedModel: Seq[Seq[Long]] = codes
+      .withColumn("hk", graft.dedup.Dedup.hash60(col("vec_id").cast("string")))
+      .orderBy(col("hk"), col("vec_id")).limit(cells)
+      .select(col("codes")).collect()
+      .map(_.getSeq[Long](0).toIndexedSeq).toIndexedSeq
+    val sums = (0 until dims).map(i => sum(col("codes").getItem(i)))
+    val updated = codes
+      .withColumn("cell", nearestCellInt(col("codes"), seedModel))
+      .groupBy(col("cell"))
+      .agg(count(lit(1)).as("n"), sums: _*)
+      .collect().map { r =>
+        val n = r.getLong(1)
+        r.getInt(0) -> (0 until dims).map(i => r.getLong(i + 2) / n)
+      }.toMap
+    seedModel.indices.map(i => updated.getOrElse(i, seedModel(i)))
+  }
+
+  /** The empty-result frame all the integer retrieval entry points
+    * share: (query_id, neighbor_id, dist, rank), all BIGINT. */
+  private[sim] def emptyTopK(codes: DataFrame): DataFrame =
+    codes.limit(0).select(col("vec_id").as("query_id"),
+      col("vec_id").as("neighbor_id"), lit(0L).as("dist"),
+      lit(0L).as("rank"))
+
   /** The end-to-end retrieval: quantize the corpus, train the coarse
     * model (one integer Lloyd round from md5-seeded codes), assign,
     * probe the `nprobe` nearest cells per query, exact-integer top-k.
+    *
+    * Fixed-dimension contract (the [[Similarity.kmeansCentroids]]
+    * convention): every embedding must have the FIRST row's dimension —
+    * shorter arrays would silently score over a truncated prefix. An
+    * empty corpus returns an empty result frame.
     *
     * @param queries rows of `embeddings` to retrieve for (must be a
     *                subset: codes are computed once, corpus-wide)
@@ -68,29 +108,11 @@ object IvfInt {
     val codes = Quantize
       .quantize(embeddings, Quantize.dimStats(embeddings))
       .localCheckpoint(true) // read 4× below; 4× smaller than the floats
-    val dims = codes.select(size(col("codes"))).head().getInt(0)
+    val first = codes.select(size(col("codes"))).take(1)
+    if (first.isEmpty) return emptyTopK(codes)
+    val dims = first(0).getInt(0)
 
-    // deterministic seed model: smallest (md5-hash60(vec_id), vec_id)
-    val seedModel: Seq[Seq[Long]] = codes
-      .withColumn("hk", graft.dedup.Dedup.hash60(col("vec_id").cast("string")))
-      .orderBy(col("hk"), col("vec_id")).limit(cells)
-      .select(col("codes")).collect()
-      .map(_.getSeq[Long](0).toIndexedSeq).toIndexedSeq
-
-    // one integer Lloyd round: argmin-assign to seeds, then per-cell
-    // per-dim integer mean — one map-side-combinable aggregate of
-    // `dims` sums + a count (≤ cells rows to the driver)
-    val sums = (0 until dims).map(i => sum(col("codes").getItem(i)))
-    val updated = codes
-      .withColumn("cell", nearestCellInt(col("codes"), seedModel))
-      .groupBy(col("cell"))
-      .agg(count(lit(1)).as("n"), sums: _*)
-      .collect().map { r =>
-        val n = r.getLong(1)
-        r.getInt(0) -> (0 until dims).map(i => r.getLong(i + 2) / n)
-      }.toMap
-    val model: Seq[Seq[Long]] =
-      seedModel.indices.map(i => updated.getOrElse(i, seedModel(i)))
+    val model: Seq[Seq[Long]] = trainModel(codes, dims, cells)
 
     // final assignment: per-row argmin against the literal model
     val assigned = codes

@@ -96,7 +96,13 @@ object KnnGraph {
     * already assumes), with the per-vector top-k folded in the same
     * pass (bounded heap, ties (cosine desc, neighbor_id asc) —
     * bit-identical ranking to the window form, cosine loop identical
-    * to [[graft.functions.VectorExpressions]] CosineSimilarity). */
+    * to [[graft.functions.VectorExpressions]] CosineSimilarity).
+    *
+    * @since round 10 the `planes` DEFAULT changed 6 → 0 (auto,
+    * density-derived): callers relying on the default get a different
+    * bucketing plan and recall profile after upgrade. The change is
+    * measurement-backed (fixed-6 DNFs at sf10 — see the auto-mode note
+    * below); pass `planes = 6` explicitly to re-pin the old buckets. */
   def knnGraphApprox(embeddings: DataFrame, k: Int,
                      blockCol: String = "label", tables: Int = 24,
                      planes: Int = 0, dims: Int = 64,

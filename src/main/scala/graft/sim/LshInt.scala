@@ -41,6 +41,11 @@ object LshInt {
     * model, bucket corpus + queries, Hamming-1 multiprobe, exact
     * integer top-k.
     *
+    * Fixed-dimension contract (the [[IvfInt.ivfIntTopK]] convention):
+    * every embedding must have the FIRST row's dimension — shorter
+    * arrays would silently hash/score a truncated prefix. An empty
+    * corpus returns an empty result frame.
+    *
     * @param queries rows of `embeddings` to retrieve for (a subset:
     *                codes are computed once, corpus-wide)
     * @return (query_id, neighbor_id, dist, rank) — dist = squared L2
@@ -52,7 +57,9 @@ object LshInt {
     val codes = Quantize
       .quantize(embeddings, Quantize.dimStats(embeddings))
       .localCheckpoint(true)
-    val dims = codes.select(size(col("codes"))).head().getInt(0)
+    val first = codes.select(size(col("codes"))).take(1)
+    if (first.isEmpty) return IvfInt.emptyTopK(codes)
+    val dims = first(0).getInt(0)
 
     // frozen plane model: weight(p, i) = hash60("plane|p|i") % 2001
     // − 1000, computed with the SAME hash60 column expression the

@@ -43,26 +43,25 @@ object Importance {
     val words = docs
       .select(col("doc_id"), targetPred.as("is_target"),
         explode(split(Dedup.normalize(col("text")), " ")).as("w"))
-    // md5 once per DISTINCT word, not per token occurrence: per-word
-    // occurrence counts are a map-side-combined vocabulary-sized
-    // aggregate, the bucket frequencies roll up from them vocab-side,
-    // and each word carries its bucket's (t, r) back to the token
-    // stream through one vocabulary-sized join (AQE broadcasts it while
-    // the vocabulary fits, shuffle-joins past that). The previous form
-    // hashed every token occurrence TWICE (the token frame fed both the
-    // frequency aggregate and the join base) — two full md5 passes over
-    // the corpus for a 4096-row model.
-    val wc = words.groupBy(col("w"))
+    // Model build: per-word occurrence counts are one map-side-combined
+    // vocabulary-sized aggregate (md5 once per DISTINCT word), rolled
+    // up vocab-side to EXACTLY `buckets` rows. Probe: each token hashes
+    // to its bucket ROW-LOCALLY and meets the bucket table in a forced
+    // broadcast join — the corpus token stream NEVER shuffles, at the
+    // price of one md5 per occurrence. The round-10 word-keyed join
+    // paid no per-occurrence hash but put a vocabulary-sized frame on
+    // the join's build side: past the broadcast threshold AQE
+    // shuffle-joins the whole token stream on `w` — a scale cliff the
+    // 4096-row bucket broadcast can never hit. The inner join loses no
+    // rows (every token's bucket holds at least that token's own word).
+    val bfreq = words.groupBy(col("w"))
       .agg(count(when(col("is_target"), 1)).as("wt"),
         count(lit(1)).as("wr"))
+      .groupBy((Dedup.hash60(col("w")) % buckets).as("b"))
+      .agg(sum(col("wt")).as("t"), sum(col("wr")).as("r"))
+    words
       .withColumn("b", Dedup.hash60(col("w")) % buckets)
-    val wfreq = wc
-      .withColumn("t", sum(col("wt")).over(
-        org.apache.spark.sql.expressions.Window.partitionBy(col("b"))))
-      .withColumn("r", sum(col("wr")).over(
-        org.apache.spark.sql.expressions.Window.partitionBy(col("b"))))
-      .select(col("w"), col("t"), col("r"))
-    words.join(wfreq, Seq("w"))
+      .join(broadcast(bfreq), Seq("b"))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_tokens"),
         sum(col("t")).as("target_mass"),

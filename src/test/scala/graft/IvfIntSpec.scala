@@ -2,7 +2,7 @@ package graft
 
 import org.scalatest.funsuite.AnyFunSuite
 import org.apache.spark.sql.functions._
-import graft.sim.IvfInt
+import graft.sim.{IvfInt, LshInt}
 
 /** Pins graft.sim.IvfInt (q140) — the integer-exact IVF-SQ8 retrieval
   * path. Cross-engine value correctness is the DuckDB oracle's job
@@ -45,5 +45,17 @@ class IvfIntSpec extends AnyFunSuite with SparkTestBase {
         cells = 3, nprobe = 2)
       .as[(Long, Long, Long, Long)].collect().sortBy(r => (r._1, r._4)).toSeq
     assert(run() == run())
+  }
+
+  test("empty corpus yields an empty result, not a head() throw") {
+    val none = embeddings.filter(col("vec_id") < 0)
+    val ivf = IvfInt.ivfIntTopK(none, none, k = 3)
+    assert(ivf.columns.toSeq ==
+      Seq("query_id", "neighbor_id", "dist", "rank"))
+    assert(ivf.count() == 0)
+    val lsh = LshInt.lshIntTopK(none, none, k = 3)
+    assert(lsh.columns.toSeq ==
+      Seq("query_id", "neighbor_id", "dist", "rank"))
+    assert(lsh.count() == 0)
   }
 }

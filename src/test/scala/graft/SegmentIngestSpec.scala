@@ -59,6 +59,23 @@ class SegmentIngestSpec extends AnyFunSuite with SparkTestBase {
     assert(after2 == 7L, s"store rows: $after2")
   }
 
+  test("a segs store without a hash-kind marker (pre-xxhash64 era) " +
+    "fails fast instead of silently missing history") {
+    val out = tmp()
+    SegmentIngestJob.writeBatch(b1, out, w = 2)
+    // marker written with the store; a replay against the intact store
+    // is fine
+    assert(new java.io.File(s"$out/segs/_hash_kind").exists())
+    SegmentIngestJob.writeBatch(b1, out, w = 2)
+    // simulate a store persisted before key versioning
+    assert(new java.io.File(s"$out/segs/_hash_kind").delete())
+    val e = intercept[IllegalArgumentException] {
+      SegmentIngestJob.writeBatch(b2, out, w = 2)
+    }
+    assert(e.getMessage.contains("md5-hash60"))
+    assert(e.getMessage.contains("xxhash64"))
+  }
+
   test("streaming file-drop ingest: two drops through one checkpointed " +
     "query equal the batch operator") {
     val out = tmp()
