@@ -1944,6 +1944,20 @@ object SparkEntry {
       planes = 6)
   }
 
+  /** Integer-exact semantic dedup (SemDeDup-over-SQ8) — the semantic
+    * family's ORACLED row (q104/q108's companion, closing the last
+    * family with no hash-green sibling): uint8 codes, the q140 frozen
+    * integer coarse model as the blocking cells, integer squared-L2 ≤
+    * 130000 as the duplicate metric, ascending-id keep-first. The
+    * float SemDeDup (q104) stays the pipeline default. Threshold
+    * picked by measured distance distribution: closest within-cell
+    * pair at sf0.01 is 113617, so 130000 marks the planted near-dup
+    * band (11/500 dominated at sf0.01) without dominating the bulk
+    * (median pair distance 221476). */
+  def q142_semantic_int_dedup(s: SparkSession, d: String): DataFrame =
+    graft.dedup.SemanticDedupInt.semanticDedupInt(
+      Tables.embeddings(s, d), cells = 8, threshold = 130000L)
+
   /** q106's deterministic funnel extended with the round-7 stages:
     * segment-level dedup (w = 20) after the substring scrub and a
     * per-source 2000-token budget as the final gate — the full curated
@@ -2103,6 +2117,7 @@ object SparkEntry {
     "q139_uuid_deterministic" -> (q139_uuid_deterministic _),
     "q140_ivf_int_ann" -> (q140_ivf_int_ann _),
     "q141_lsh_int_ann" -> (q141_lsh_int_ann _),
+    "q142_semantic_int_dedup" -> (q142_semantic_int_dedup _),
   )
 
   /** Oracle twin of q105: SEQUENTIAL BPE merge learning unrolled round
@@ -4600,5 +4615,63 @@ object SparkEntry {
          |    PARTITION BY query_id ORDER BY dist, vec_id) AS BIGINT) AS rank
          |FROM sc
          |QUALIFY rank <= 5""".stripMargin,
+    // Integer-exact semantic dedup: q140's quantize/seed/Lloyd/assign
+    // CTE chain verbatim (same frozen model), then a within-cell pair
+    // scan — dup_of = min smaller same-cell id at squared-L2 <= 130000,
+    // kept = no dominator — step-for-step graft.dedup.SemanticDedupInt
+    "q142_semantic_int_dedup" ->
+      s"""WITH d AS (
+         |  SELECT vec_id, unnest(generate_series(1, len(embedding))) AS i,
+         |    unnest(list_transform(embedding, x -> CAST(x AS DOUBLE))) AS x
+         |  FROM embeddings),
+         |stats AS (SELECT i, min(x) AS mn, max(x) AS mx FROM d GROUP BY i),
+         |codes AS (
+         |  SELECT vec_id, i,
+         |    CAST(CASE WHEN mx = mn THEN 0
+         |         ELSE round((x - mn) / (mx - mn) * 255) END AS BIGINT)
+         |      AS code
+         |  FROM d JOIN stats USING (i)),
+         |seed AS (
+         |  SELECT vec_id, row_number() OVER (
+         |      ORDER BY ${hash60Sql("CAST(vec_id AS VARCHAR)")}, vec_id) - 1
+         |    AS cell
+         |  FROM (SELECT DISTINCT vec_id FROM codes)
+         |  QUALIFY cell <= 7),
+         |seedc AS (
+         |  SELECT s.cell, c.i, c.code FROM seed s JOIN codes c USING (vec_id)),
+         |a0 AS (
+         |  SELECT vec_id, cell FROM (
+         |    SELECT c.vec_id, s.cell,
+         |      CAST(sum((c.code - s.code)*(c.code - s.code)) AS BIGINT) AS dist
+         |    FROM codes c JOIN seedc s USING (i) GROUP BY 1, 2)
+         |  QUALIFY row_number() OVER (
+         |    PARTITION BY vec_id ORDER BY dist, cell) = 1),
+         |upd AS (
+         |  SELECT a0.cell, c.i, CAST(sum(c.code) // count(*) AS BIGINT) AS code
+         |  FROM codes c JOIN a0 USING (vec_id) GROUP BY 1, 2),
+         |cent AS (
+         |  SELECT s.cell, s.i, coalesce(u.code, s.code) AS code
+         |  FROM seedc s LEFT JOIN upd u ON u.cell = s.cell AND u.i = s.i),
+         |a1 AS (
+         |  SELECT vec_id, cell FROM (
+         |    SELECT c.vec_id, t.cell,
+         |      CAST(sum((c.code - t.code)*(c.code - t.code)) AS BIGINT) AS dist
+         |    FROM codes c JOIN cent t USING (i) GROUP BY 1, 2)
+         |  QUALIFY row_number() OVER (
+         |    PARTITION BY vec_id ORDER BY dist, cell) = 1),
+         |sc AS (
+         |  SELECT x.vec_id AS vid, y.vec_id AS other,
+         |    CAST(sum((cx.code - cy.code)*(cx.code - cy.code)) AS BIGINT)
+         |      AS dist
+         |  FROM a1 x JOIN a1 y ON y.cell = x.cell AND y.vec_id < x.vec_id
+         |  JOIN codes cx ON cx.vec_id = x.vec_id
+         |  JOIN codes cy ON cy.vec_id = y.vec_id AND cy.i = cx.i
+         |  GROUP BY 1, 2),
+         |dom AS (
+         |  SELECT vid AS vec_id, min(other) AS dup_of FROM sc
+         |  WHERE dist <= 130000 GROUP BY 1)
+         |SELECT a1.vec_id, CAST(a1.cell AS INT) AS cluster, dom.dup_of,
+         |  dom.dup_of IS NULL AS kept
+         |FROM a1 LEFT JOIN dom USING (vec_id)""".stripMargin,
   )
 }

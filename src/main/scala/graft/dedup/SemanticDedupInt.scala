@@ -1,0 +1,101 @@
+package graft.dedup
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.sim.{IvfInt, Quantize}
+
+/** Integer-exact semantic dedup — the ORACLE-able member of the
+  * semantic-dedup family (the q19/q140/q141 recipe applied to
+  * [[SemanticDedup]]'s contract): uint8 quantization ([[Quantize]],
+  * q116 ⊕), a frozen md5-seeded integer coarse model
+  * ([[IvfInt.trainModel]], the q140 machinery), integer squared-L2 as
+  * the duplicate metric, and ascending-id keep-first inside each cell —
+  * every step integer math with a defined cross-engine result, so the
+  * whole verdict is hash-replicable in ANSI SQL (DuckDB oracle, q142).
+  * The float SemDeDup path ([[SemanticDedup]], cosine over raw doubles)
+  * stays the pipeline default exactly as xxhash64 does for q19's
+  * MinHash; this variant doubles as a SemDeDup-over-SQ8 configuration —
+  * dedup directly on the compressed codes a 100 TB embedding store
+  * would hold anyway, at 1/8 the scan bytes of the float path.
+  *
+  * Output contract (shared with [[SemanticDedup.semanticDedup]]):
+  * `(vec_id, cluster, dup_of, kept)` where `dup_of` is the smallest
+  * same-cell vec_id at squared-L2 ≤ `threshold` (null ⇒ kept).
+  *
+  * Scale shape: the model is cells×dims longs of sufficient statistics
+  * (two driver collects, the sanctioned k-means contract); assignment
+  * is a per-row argmin against the literal model — zero shuffle; the
+  * verdict is bucket-local ([[SemanticDedup]]'s groupByKey discipline:
+  * members buffer once per cell, pairs enumerate in memory with the
+  * ascending-id early exit, no pair-sized row set ever shuffles). Cell
+  * population is bounded by the clustering, not by a sub-split cap —
+  * raise `cells` as the corpus grows (the oracle replicates any cell
+  * count); the capped/sub-split machinery lives in the float default,
+  * which remains the recommended path where buckets can degenerate.
+  */
+object SemanticDedupInt {
+
+  /** Per-vector verdict against a freshly trained `cells`-cell integer
+    * model. Empty input yields an empty frame (fixed-dimension
+    * contract: the first row defines dims, as in [[IvfInt.ivfIntTopK]]). */
+  def semanticDedupInt(embeddings: DataFrame, cells: Int = 8,
+                       threshold: Long = 130000L): DataFrame = {
+    val codes = Quantize
+      .quantize(embeddings, Quantize.dimStats(embeddings))
+      .localCheckpoint(true) // model train + assignment + verdict read it
+    val first = codes.select(size(col("codes"))).take(1)
+    if (first.isEmpty)
+      return codes.limit(0).select(col("vec_id"),
+        lit(0).as("cluster"), lit(0L).as("dup_of"), lit(true).as("kept"))
+    val dims = first(0).getInt(0)
+    val model = IvfInt.trainModel(codes, dims, cells)
+    val assigned = codes
+      .withColumn("cell", IvfInt.nearestCellInt(col("codes"), model))
+
+    // bucket-local keep-first (the SemanticDedup.dominatedWithin
+    // discipline with integer L2): members sort ascending by id, and
+    // the FIRST dominator found per member is the cell minimum — a
+    // degenerate all-duplicates cell costs O(p) compares, not O(p²).
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val dom = assigned
+      .select(col("cell"), col("vec_id"), col("codes"))
+      .as[(Int, Long, Array[Long])]
+      .groupByKey(_._1)
+      .flatMapGroups { (_, it) =>
+        val ms = it.map(t => (t._2, t._3)).toArray
+        ms.sortInPlaceBy(_._1)
+        val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+        var j = 1
+        while (j < ms.length) {
+          val vB = ms(j)._2
+          var i = 0
+          var found = false
+          while (i < j && !found) {
+            val vA = ms(i)._2
+            val n = math.min(vA.length, vB.length)
+            var d = 0L
+            var x = 0
+            while (x < n) {
+              val diff = vA(x) - vB(x)
+              d += diff * diff
+              x += 1
+            }
+            if (d <= threshold) {
+              out += ((ms(j)._1, ms(i)._1))
+              found = true
+            }
+            i += 1
+          }
+          j += 1
+        }
+        out.iterator
+      }.toDF("vec_id", "dup_of")
+
+    assigned.select(col("vec_id"), col("cell").as("cluster"))
+      .join(dom, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cluster"), col("dup_of"),
+        col("dup_of").isNull.as("kept"))
+  }
+}

@@ -1,0 +1,72 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.dedup.SemanticDedupInt
+
+/** Pins graft.dedup.SemanticDedupInt (q142) — the integer-exact
+  * SemDeDup-over-SQ8 oracle member of the semantic family.
+  * Cross-engine value correctness is the DuckDB oracle's job
+  * (CORRECTNESS q142); here we pin the keep-first contract on a
+  * corpus whose right answer is known by construction, plus
+  * determinism and the empty/degenerate edges. */
+class SemanticDedupIntSpec extends AnyFunSuite with SparkTestBase {
+  import spark.implicits._
+
+  // two well-separated groups; inside group A, vectors 0/1/2 are
+  // byte-identical after quantization (same floats) and 3 is far from
+  // them within the same half-space
+  private lazy val embeddings = Seq(
+    (0L, Array(0f, 0f, 0f, 0f)),
+    (1L, Array(0f, 0f, 0f, 0f)),
+    (2L, Array(0f, 0f, 0f, 0f)),
+    (3L, Array(30f, 30f, 30f, 30f)),
+    (10L, Array(100f, 100f, 100f, 100f)),
+    (11L, Array(100f, 100f, 100f, 101f)),
+  ).toDF("vec_id", "embedding")
+
+  test("keep-first: the smallest same-cell id survives, later " +
+    "duplicates point at it") {
+    val got = SemanticDedupInt
+      .semanticDedupInt(embeddings, cells = 2, threshold = 100L)
+      .as[(Long, Int, Option[Long], Boolean)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(got.size == 6)
+    // identical trio: 0 kept, 1 and 2 both dominated by 0 (min id,
+    // not chain predecessor)
+    assert(got(0L)._4 && got(0L)._3.isEmpty)
+    assert(!got(1L)._4 && got(1L)._3.contains(0L))
+    assert(!got(2L)._4 && got(2L)._3.contains(0L))
+    // 3 shares their cell region but is far beyond the threshold
+    assert(got(3L)._4)
+    // near-pair in the other group: 10 kept, 11 dominated iff the
+    // quantized distance clears the threshold (1 unit of 101-float
+    // range ≈ 2-3 code steps per dim → tiny distance)
+    assert(got(10L)._4)
+    assert(!got(11L)._4 && got(11L)._3.contains(10L))
+  }
+
+  test("kept is exactly dup_of IS NULL, and dup_of < vec_id always") {
+    val rows = SemanticDedupInt
+      .semanticDedupInt(embeddings, cells = 2, threshold = 100L)
+      .as[(Long, Int, Option[Long], Boolean)].collect()
+    rows.foreach { r =>
+      assert(r._4 == r._3.isEmpty)
+      r._3.foreach(d => assert(d < r._1))
+    }
+  }
+
+  test("deterministic across runs") {
+    def run() = SemanticDedupInt
+      .semanticDedupInt(embeddings, cells = 2, threshold = 100L)
+      .as[(Long, Int, Option[Long], Boolean)].collect().sortBy(_._1).toSeq
+    assert(run() == run())
+  }
+
+  test("empty corpus yields an empty verdict frame") {
+    val out = SemanticDedupInt
+      .semanticDedupInt(embeddings.filter(col("vec_id") < 0))
+    assert(out.columns.toSeq == Seq("vec_id", "cluster", "dup_of", "kept"))
+    assert(out.count() == 0)
+  }
+}
