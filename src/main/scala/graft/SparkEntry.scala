@@ -1944,6 +1944,18 @@ object SparkEntry {
       planes = 6)
   }
 
+  /** Integer-exact product quantization (PQ-over-SQ8) — the PQ path's
+    * ORACLED row (q65's companion, the last ANN variant that rested on
+    * a recall spec alone): md5-seeded per-subspace integer Lloyd,
+    * integer ADC tables, exact integer rerank — every step replicated
+    * in the DuckDB oracle. The float PQ (q65) stays the pipeline
+    * default. */
+  def q143_pq_int_ann(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.embeddings(s, d)
+    graft.sim.PqInt.pqIntTopK(e, e.filter(col("vec_id") < 10), k = 5,
+      subspaces = 8, cents = 8, rerank = 20)
+  }
+
   /** Integer-exact semantic dedup (SemDeDup-over-SQ8) — the semantic
     * family's ORACLED row (q104/q108's companion, closing the last
     * family with no hash-green sibling): uint8 codes, the q140 frozen
@@ -2118,6 +2130,7 @@ object SparkEntry {
     "q140_ivf_int_ann" -> (q140_ivf_int_ann _),
     "q141_lsh_int_ann" -> (q141_lsh_int_ann _),
     "q142_semantic_int_dedup" -> (q142_semantic_int_dedup _),
+    "q143_pq_int_ann" -> (q143_pq_int_ann _),
   )
 
   /** Oracle twin of q105: SEQUENTIAL BPE merge learning unrolled round
@@ -4673,5 +4686,88 @@ object SparkEntry {
          |SELECT a1.vec_id, CAST(a1.cell AS INT) AS cluster, dom.dup_of,
          |  dom.dup_of IS NULL AS kept
          |FROM a1 LEFT JOIN dom USING (vec_id)""".stripMargin,
+    // PQ-over-SQ8, integer-exact end to end: the q116 quantizer,
+    // md5-hash60 global seed rows sliced per 8-dim subspace, one fused
+    // integer Lloyd round (sum // count per subspace/cell/dim), argmin
+    // encode, per-query integer ADC tables, top-20 ADC candidates
+    // reranked by exact integer L2, top-5 — step-for-step the
+    // graft.sim.PqInt pipeline
+    "q143_pq_int_ann" ->
+      s"""WITH d AS (
+         |  SELECT vec_id, unnest(generate_series(1, len(embedding))) AS i,
+         |    unnest(list_transform(embedding, x -> CAST(x AS DOUBLE))) AS x
+         |  FROM embeddings),
+         |stats AS (SELECT i, min(x) AS mn, max(x) AS mx FROM d GROUP BY i),
+         |codes AS (
+         |  SELECT vec_id, i,
+         |    CAST(CASE WHEN mx = mn THEN 0
+         |         ELSE round((x - mn) / (mx - mn) * 255) END AS BIGINT)
+         |      AS code
+         |  FROM d JOIN stats USING (i)),
+         |sub AS (
+         |  SELECT vec_id, code, CAST((i - 1) // 8 AS INT) AS m,
+         |    CAST((i - 1) % 8 AS INT) AS dd
+         |  FROM codes),
+         |seed AS (
+         |  SELECT vec_id, row_number() OVER (
+         |      ORDER BY ${hash60Sql("CAST(vec_id AS VARCHAR)")}, vec_id) - 1
+         |    AS j
+         |  FROM (SELECT DISTINCT vec_id FROM codes)
+         |  QUALIFY j <= 7),
+         |seedb AS (
+         |  SELECT s.j, c.m, c.dd, c.code FROM seed s JOIN sub c USING (vec_id)),
+         |a0 AS (
+         |  SELECT vec_id, m, j FROM (
+         |    SELECT c.vec_id, c.m, s.j,
+         |      CAST(sum((c.code - s.code)*(c.code - s.code)) AS BIGINT) AS dist
+         |    FROM sub c JOIN seedb s ON s.m = c.m AND s.dd = c.dd
+         |    GROUP BY 1, 2, 3)
+         |  QUALIFY row_number() OVER (
+         |    PARTITION BY vec_id, m ORDER BY dist, j) = 1),
+         |upd AS (
+         |  SELECT a0.m, a0.j, c.dd, CAST(sum(c.code) // count(*) AS BIGINT)
+         |    AS code
+         |  FROM sub c JOIN a0 ON a0.vec_id = c.vec_id AND a0.m = c.m
+         |  GROUP BY 1, 2, 3),
+         |book AS (
+         |  SELECT s.m, s.j, s.dd, coalesce(u.code, s.code) AS code
+         |  FROM seedb s
+         |  LEFT JOIN upd u ON u.m = s.m AND u.j = s.j AND u.dd = s.dd),
+         |enc AS (
+         |  SELECT vec_id, m, j FROM (
+         |    SELECT c.vec_id, c.m, b.j,
+         |      CAST(sum((c.code - b.code)*(c.code - b.code)) AS BIGINT) AS dist
+         |    FROM sub c JOIN book b ON b.m = c.m AND b.dd = c.dd
+         |    GROUP BY 1, 2, 3)
+         |  QUALIFY row_number() OVER (
+         |    PARTITION BY vec_id, m ORDER BY dist, j) = 1),
+         |lut AS (
+         |  SELECT qc.vec_id AS query_id, b.m, b.j,
+         |    CAST(sum((qc.code - b.code)*(qc.code - b.code)) AS BIGINT)
+         |      AS adist
+         |  FROM sub qc JOIN book b ON b.m = qc.m AND b.dd = qc.dd
+         |  WHERE qc.vec_id < 10
+         |  GROUP BY 1, 2, 3),
+         |cand AS (
+         |  SELECT query_id, vec_id FROM (
+         |    SELECT l.query_id, e.vec_id, sum(l.adist) AS adc
+         |    FROM enc e JOIN lut l ON l.m = e.m AND l.j = e.j
+         |    WHERE e.vec_id <> l.query_id
+         |    GROUP BY 1, 2)
+         |  QUALIFY row_number() OVER (
+         |    PARTITION BY query_id ORDER BY adc, vec_id) <= 20),
+         |rr AS (
+         |  SELECT cand.query_id, cand.vec_id,
+         |    CAST(sum((qc.code - c.code)*(qc.code - c.code)) AS BIGINT)
+         |      AS dist
+         |  FROM cand
+         |  JOIN codes c ON c.vec_id = cand.vec_id
+         |  JOIN codes qc ON qc.vec_id = cand.query_id AND qc.i = c.i
+         |  GROUP BY 1, 2)
+         |SELECT query_id, vec_id AS neighbor_id, dist,
+         |  CAST(row_number() OVER (
+         |    PARTITION BY query_id ORDER BY dist, vec_id) AS BIGINT) AS rank
+         |FROM rr
+         |QUALIFY rank <= 5""".stripMargin,
   )
 }

@@ -1,0 +1,145 @@
+package graft.sim
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Integer-exact product quantization — the ORACLE-able member of the
+  * PQ path (q143), closing the last ANN variant that rested on a
+  * recall spec alone: [[ProductQuantizer]]'s float subspace-codebook +
+  * ADC scan shape re-run entirely in integer math (the q140/q141/q142
+  * recipe), so train → encode → ADC scan → exact rerank is
+  * hash-replicable in ANSI SQL. The float PQ (q65) stays the pipeline
+  * default; this variant doubles as a PQ-over-SQ8 configuration
+  * (codebooks learned on uint8 codes — what a disk-resident 100 TB
+  * index quantizes anyway).
+  *
+  * Determinism, step by step:
+  *  - codes: [[Quantize]]'s affine uint8 map (q116 ⊕);
+  *  - seeds: the `cents` rows with the smallest
+  *    (md5-hash60(vec_id), vec_id) — [[IvfInt.trainModel]]'s seeding —
+  *    sliced per subspace (one global seed draw, the
+  *    [[ProductQuantizer.train]] convention);
+  *  - Lloyd update: per (subspace, cell, dim) `sum(code) div count` —
+  *    truncating non-negative division == floor == DuckDB `//`; empty
+  *    cells keep their seed slices; ONE pass over the corpus computes
+  *    every subspace's update (the fused-train discipline);
+  *  - encode: per-subspace argmin squared-L2, ties → lower cell;
+  *  - ADC: per query, an integer lookup table of squared-L2 between
+  *    the query's slice and every centroid — scoring a corpus vector
+  *    is `subspaces` array lookups over its codes;
+  *  - rerank: the top `rerank` ADC candidates per query re-scored by
+  *    EXACT integer squared-L2 over full codes, top-k of that.
+  *
+  * Scale shape: the model is subspaces×cents×subDim longs (two driver
+  * collects of sufficient statistics); encode and ADC are per-row
+  * expressions against literal models — zero shuffle; the candidate
+  * cut drops code arrays before both ranking windows (the KnnGraph
+  * rule), and only `rerank` ids per query rejoin the corpus codes.
+  */
+object PqInt {
+
+  /** The end-to-end retrieval. Fixed-dimension contract: the first
+    * row defines dims ([[IvfInt.ivfIntTopK]] convention); an empty
+    * corpus returns an empty frame.
+    *
+    * @param queries rows of `embeddings` to retrieve for (a subset)
+    * @return (query_id, neighbor_id, dist, rank) — dist = EXACT
+    *         squared L2 between uint8 code vectors (the reranked
+    *         metric), all BIGINT */
+  def pqIntTopK(embeddings: DataFrame, queries: DataFrame, k: Int,
+                subspaces: Int = 8, cents: Int = 8,
+                rerank: Int = 20): DataFrame = {
+    require(rerank >= k, "rerank candidate set must be at least k deep")
+    val codes = Quantize
+      .quantize(embeddings, Quantize.dimStats(embeddings))
+      .localCheckpoint(true) // train + encode + rerank read it
+    val first = codes.select(size(col("codes"))).take(1)
+    if (first.isEmpty) return IvfInt.emptyTopK(codes)
+    val dims = first(0).getInt(0)
+    require(dims % subspaces == 0, s"$subspaces subspaces must tile $dims")
+    val subDim = dims / subspaces
+
+    // global seed rows (IvfInt.trainModel's draw), sliced per subspace
+    val seedRows: Seq[Seq[Long]] = codes
+      .withColumn("hk", graft.dedup.Dedup.hash60(col("vec_id").cast("string")))
+      .orderBy(col("hk"), col("vec_id")).limit(cents)
+      .select(col("codes")).collect()
+      .map(_.getSeq[Long](0).toIndexedSeq).toIndexedSeq
+    val seedBooks: Seq[Seq[Seq[Long]]] = (0 until subspaces).map(m =>
+      seedRows.map(_.slice(m * subDim, (m + 1) * subDim)))
+
+    def sliceM(c: Column, m: Int): Column =
+      slice(c, m * subDim + 1, subDim)
+    def encodeWith(c: Column, books: Seq[Seq[Seq[Long]]]): Column =
+      array((0 until subspaces).map(m =>
+        IvfInt.nearestCellInt(sliceM(c, m), books(m))): _*)
+
+    // one fused integer Lloyd round: every subspace's (cell, dim) sums
+    // come back in a single subspaces·cents·subDim-row aggregate
+    val updated = codes
+      .withColumn("cells", encodeWith(col("codes"), seedBooks))
+      .select(posexplode(col("codes")).as(Seq("i", "code")), col("cells"))
+      .select((col("i") / subDim).cast("int").as("m"),
+        pmod(col("i"), lit(subDim)).cast("int").as("d"),
+        element_at(col("cells"), (col("i") / subDim).cast("int") + 1)
+          .as("cell"),
+        col("code"))
+      .groupBy(col("m"), col("cell"), col("d"))
+      .agg(sum(col("code")).as("s"), count(lit(1)).as("n"))
+      .collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getInt(2)) ->
+        r.getLong(3) / r.getLong(4))
+      .toMap
+    val books: Seq[Seq[Seq[Long]]] = seedBooks.zipWithIndex.map {
+      case (book, m) => book.zipWithIndex.map { case (c, j) =>
+        c.indices.map(d => updated.getOrElse((m, j, d), c(d)))
+      }
+    }
+
+    // encode the corpus against the trained books; codes ride along
+    // only into the rerank join, never a window
+    val enc = codes.withColumn("enc", encodeWith(col("codes"), books))
+      .select(col("vec_id"), col("enc"))
+
+    // per-query integer ADC tables: lut[m·cents + j] = ||q_m − c_mj||²
+    val lut = flatten(array((0 until subspaces).map { m =>
+      transform(typedLit(books(m)),
+        c => IvfInt.l2sq(sliceM(col("qcodes"), m), c))
+    }: _*))
+    val q = queries.select(col("vec_id").as("query_id"))
+      .join(codes, col("query_id") === codes("vec_id"))
+      .select(col("query_id"), col("codes").as("qcodes"))
+      .withColumn("lut", lut)
+      .select(col("query_id"), col("lut"))
+    val adc = (0 until subspaces).map(m =>
+      element_at(col("lut"),
+        lit(m * cents) + element_at(col("enc"), m + 1) + 1))
+      .reduce(_ + _)
+
+    // ADC scan → top `rerank` candidate ids (enc/lut dropped first)
+    val w0 = Window.partitionBy(col("query_id"))
+      .orderBy(col("adc").asc, col("vec_id").asc)
+    val cand = enc.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"), adc.as("adc"))
+      .withColumn("r0", row_number().over(w0))
+      .filter(col("r0") <= rerank)
+      .select(col("query_id"), col("vec_id"))
+
+    // exact integer rerank of the candidate set
+    val qc = queries.select(col("vec_id").as("query_id"))
+      .join(codes, col("query_id") === codes("vec_id"))
+      .select(col("query_id"), col("codes").as("qcodes"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("dist").asc, col("vec_id").asc)
+    cand.join(codes, Seq("vec_id"))
+      .join(broadcast(qc), Seq("query_id"))
+      .withColumn("dist", IvfInt.l2sq(col("qcodes"), col("codes")))
+      .select(col("query_id"), col("vec_id"), col("dist"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        col("dist"), col("rank").cast("long").as("rank"))
+  }
+}

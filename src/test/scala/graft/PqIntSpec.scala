@@ -1,0 +1,93 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.sim.PqInt
+
+/** Pins graft.sim.PqInt (q143) — the integer-exact PQ-over-SQ8
+  * retrieval path. Cross-engine value correctness is the DuckDB
+  * oracle's job (CORRECTNESS q143); here we pin retrieval semantics on
+  * a corpus whose right answer is known by construction, the exactness
+  * of the reranked metric, determinism, and the empty edge. */
+class PqIntSpec extends AnyFunSuite with SparkTestBase {
+  import spark.implicits._
+
+  // three well-separated clusters of 8 vectors each (dims = 8 → one
+  // 4-dim subspace pair), jitter small enough that ADC can never rank
+  // a cross-cluster vector into the candidate set
+  private lazy val embeddings = (0 until 24).map { id =>
+    val base = (id / 8) * 100.0
+    val v = Array.tabulate(8)(d => (base + (id % 8) * 0.5 + d * 0.1).toFloat)
+    (id.toLong, v, id / 8)
+  }.toDF("vec_id", "embedding", "label")
+
+  /** Brute-force exact integer top-k over the replicated uint8 codes —
+    * what pqIntTopK must return whenever the ADC candidate set is deep
+    * enough to contain the true neighbors. */
+  private def exactTopK(queries: Seq[Long], k: Int): Seq[(Long, Long, Long, Long)] = {
+    val raw = (0 until 24).map { id =>
+      Array.tabulate(8)(d =>
+        ((id / 8) * 100.0 + (id % 8) * 0.5 + d * 0.1).toFloat.toDouble)
+    }
+    val mn = Array.tabulate(8)(d => raw.map(_(d)).min)
+    val mx = Array.tabulate(8)(d => raw.map(_(d)).max)
+    val codes = raw.map(v => Array.tabulate(8) { d =>
+      if (mx(d) == mn(d)) 0L
+      else java.math.BigDecimal.valueOf((v(d) - mn(d)) / (mx(d) - mn(d)) * 255.0)
+        .setScale(0, java.math.RoundingMode.HALF_UP).longValue()
+    })
+    def l2(a: Array[Long], b: Array[Long]): Long =
+      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    queries.flatMap { q =>
+      (0 until 24).filter(_ != q).map(v =>
+        (v.toLong, l2(codes(q.toInt), codes(v))))
+        .sortBy { case (id, d) => (d, id) }.take(k).zipWithIndex
+        .map { case ((id, d), r) => (q, id, d, (r + 1).toLong) }
+    }
+  }
+
+  test("with a full-depth candidate set the result IS the brute-force " +
+    "exact integer top-k (rerank metric is exact, ties to lower id)") {
+    val got = PqInt
+      .pqIntTopK(embeddings, embeddings.filter(col("vec_id").isin(0L, 9L)),
+        k = 3, subspaces = 2, cents = 3, rerank = 23)
+      .as[(Long, Long, Long, Long)].collect().sortBy(r => (r._1, r._4)).toSeq
+    assert(got == exactTopK(Seq(0L, 9L), 3))
+  }
+
+  test("a trained codebook keeps well-separated clusters apart: " +
+    "shallow-rerank neighbors stay same-cluster") {
+    // cents = 8 gives the fused Lloyd round enough cells that ADC
+    // distances separate the three 100-apart clusters even before the
+    // exact rerank
+    val got = PqInt
+      .pqIntTopK(embeddings, embeddings.filter(col("vec_id").isin(0L, 9L)),
+        k = 3, subspaces = 2, cents = 8, rerank = 6)
+      .as[(Long, Long, Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.sortBy(_._4)).toMap
+    assert(got.keySet == Set(0L, 9L))
+    got.foreach { case (q, rows) =>
+      assert(rows.map(_._4).toSeq == Seq(1L, 2L, 3L), s"ranks for $q")
+      assert(rows.map(_._3).toSeq == rows.map(_._3).sorted.toSeq)
+      assert(!rows.map(_._2).contains(q))
+      assert(rows.forall(r => r._2 / 8 == q / 8),
+        s"query $q got cross-cluster neighbors: ${rows.mkString(",")}")
+    }
+  }
+
+  test("deterministic across runs") {
+    def run() = PqInt
+      .pqIntTopK(embeddings, embeddings.filter(col("vec_id") < 2), k = 4,
+        subspaces = 2, cents = 3, rerank = 8)
+      .as[(Long, Long, Long, Long)].collect().sortBy(r => (r._1, r._4)).toSeq
+    assert(run() == run())
+  }
+
+  test("empty corpus yields an empty result frame") {
+    val none = embeddings.filter(col("vec_id") < 0)
+    val out = PqInt.pqIntTopK(none, none, k = 3, subspaces = 2)
+    assert(out.columns.toSeq ==
+      Seq("query_id", "neighbor_id", "dist", "rank"))
+    assert(out.count() == 0)
+  }
+}
