@@ -1,0 +1,116 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.graftbridge.Bridge
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** All gate features of a document in ONE straight-line scan — the
+  * corpus funnel's hottest expression (graft.text.TextAnalysis
+  * .gateFeatures): element s of the result is the number of tokens
+  * matching slot s's marker list (languages + the stopword slot), then
+  * the token count, then the [A-Za-z] character count.
+  *
+  * Why an expression and not the fused `aggregate` fold: higher-order
+  * functions are CodegenFallback — the fold evaluated interpreted, one
+  * lambda frame per token, and round-10 measurement left it at 40% of
+  * the sf10 funnel (35.3 s of 87.0) even after fusing five HOF filters
+  * into one. This is the [[SignLshSignatures]] treatment applied to
+  * text: the marker table enters codegen as one `addReferenceObj`
+  * String[][] and the whole scan is a static-method call inside
+  * whole-stage codegen.
+  *
+  * Value identity with the built-in tree it replaces (pinned to 0
+  * mismatches by tools/FeatureProbe): tokenization is literally
+  * `lower → trim → Java-regex split "\\s+" limit −1` — the same
+  * UTF8String.toLowerCase / .trim methods Lower/StringTrim call and
+  * the same Pattern.split semantics StringSplit delegates to; a token
+  * counts once per slot if it equals ANY marker in that slot; the
+  * alpha count walks raw UTF-8 bytes ([A-Za-z] bytes only ever encode
+  * those ASCII letters — continuation/lead bytes are ≥ 0x80), exactly
+  * `length(text) − length(translate(text, letters, ''))`. */
+case class GateCounts(child: Expression, slots: Seq[Seq[String]])
+    extends UnaryExpression {
+  require(slots.nonEmpty && slots.forall(_.nonEmpty),
+    "marker slots must be non-empty")
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_gate_counts"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case _: StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a string argument, got ${t.simpleString}")
+  }
+
+  @transient private lazy val slotsArr: Array[Array[String]] =
+    slots.map(_.toArray).toArray
+
+  override def nullSafeEval(input: Any): Any =
+    new GenericArrayData(
+      GateCounts.scan(input.asInstanceOf[UTF8String], slotsArr))
+
+  override protected def doGenCode(ctx: CodegenContext,
+                                   ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, t => {
+      val sl = ctx.addReferenceObj("gateSlots", slotsArr,
+        "java.lang.String[][]")
+      s"""
+         |${ev.value} =
+         |  new org.apache.spark.sql.catalyst.util.GenericArrayData(
+         |    graft.functions.GateCounts.scan($t, $sl));
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(
+      newChild: Expression): GateCounts = copy(child = newChild)
+}
+
+object GateCounts {
+  /** The exact whitespace class `split(_, "\\s+")` uses. */
+  private val Ws = java.util.regex.Pattern.compile("\\s+")
+
+  /** One pass over the document: per-slot marker hits, token count,
+    * alpha count — layout [hits_0 … hits_{s−1}, n_tokens, n_alpha]. */
+  def scan(text: UTF8String, slots: Array[Array[String]]): Array[Long] = {
+    val out = new Array[Long](slots.length + 2)
+    val toks = Ws.split(text.toLowerCase().trim().toString, -1)
+    var t = 0
+    while (t < toks.length) {
+      val tok = toks(t)
+      var s = 0
+      while (s < slots.length) {
+        val ms = slots(s)
+        var m = 0
+        var hit = false
+        while (m < ms.length && !hit) {
+          if (tok.equals(ms(m))) { out(s) += 1L; hit = true }
+          m += 1
+        }
+        s += 1
+      }
+      t += 1
+    }
+    out(slots.length) = toks.length.toLong
+    var alpha = 0L
+    var i = 0
+    val nb = text.numBytes()
+    while (i < nb) {
+      val b = text.getByte(i)
+      if ((b >= 'A' && b <= 'Z') || (b >= 'a' && b <= 'z')) alpha += 1L
+      i += 1
+    }
+    out(slots.length + 1) = alpha
+    out
+  }
+}
+
+/** Column-API wrappers for the text expressions. */
+object TextFunctions {
+  def gate_counts(text: Column, slots: Seq[Seq[String]]): Column =
+    Bridge.column(GateCounts(Bridge.expression(text), slots))
+}

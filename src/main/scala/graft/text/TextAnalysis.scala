@@ -43,53 +43,48 @@ object TextAnalysis {
 
   /** One-pass gate features for the corpus funnel: appends `__lang`
     * (the [[langIdCols]] prediction) and `__q` (the [[qualityCol]]
-    * blend) with ONE text split and ONE aggregate fold computing all
-    * marker counts, instead of five separate higher-order filters that
-    * each re-split the text (HOFs are CodegenFallback — no codegen, no
-    * common-subexpression elimination across them — so the separate
-    * form re-splits per filter), and `translate` instead of
-    * `regexp_replace` for the alpha count (same integer, no regex
-    * machinery over the full text). Values are IDENTICAL to the
-    * separate columns: counts are exact integers and the quality blend
-    * applies the same double ops in the same order (FeatureProbe pins
-    * 0 mismatches at sf0.1).
+    * blend) from ONE [[graft.functions.GateCounts]] scan per document —
+    * a codegen'd Catalyst expression computing every marker count, the
+    * token count, and the alpha count in a single straight-line pass.
+    * Round-10's fused `aggregate` fold already computed one split
+    * instead of five, but higher-order functions are CodegenFallback
+    * (interpreted, one lambda frame per token) and the fold was still
+    * 40% of the sf10 funnel; the expression is the
+    * [[graft.functions.VectorExpressions]] treatment applied to text.
+    * Values are IDENTICAL to the separate columns: counts are exact
+    * integers from the same tokenization (the expression calls the
+    * same UTF8String lower/trim and Java-regex split the built-ins
+    * delegate to) and the quality blend applies the same double ops in
+    * the same order (FeatureProbe pins 0 mismatches at sf0.1/sf10).
     *
-    * Structured as chained projections ON PURPOSE: the fold lands in
+    * Structured as chained projections ON PURPOSE: the scan lands in
     * its own column that later projections reference several times —
     * CollapseProject refuses to merge a projection whose non-cheap
-    * expressions would duplicate, so the fold is computed once per row
-    * no matter how many features read it. */
+    * expressions would duplicate, so the scan runs once per row no
+    * matter how many features read it. */
   private[graft] def gateFeatures(df: DataFrame): DataFrame = {
     val langs = LangProfiles.groupBy(_._1).view
       .mapValues(_.map(_._2)).toSeq.sortBy(_._1)
     val nSlots = langs.size + 1 // one per language + stopword slot
-    val hit = (markers: Seq[String], w: Column) =>
-      when(markers.map(m => w === m).reduce(_ || _), 1L).otherwise(0L)
-    val counts = aggregate(col("__gf_w"),
-      array(Seq.fill(nSlots)(lit(0L)): _*),
-      (acc, w) => array(
-        (langs.zipWithIndex.map { case ((_, markers), i) =>
-          element_at(acc, i + 1) + hit(markers, w)
-        } :+ (element_at(acc, nSlots) + hit(Stopwords, w))): _*))
+    // counts layout: [lang hits…, stopword hits, n_tokens, n_alpha]
+    val counts = graft.functions.TextFunctions.gate_counts(col("text"),
+      langs.map(_._2) :+ Stopwords)
     val entries = langs.zipWithIndex.map { case ((lang, _), i) =>
       struct((lit(0L) - element_at(col("__gf_c"), i + 1)).as("neg"),
         lit(lang).as("lang"))
     }
     val best = array_min(array(entries: _*))
     val stopHits = element_at(col("__gf_c"), nSlots).cast("double")
-    val nWords = size(col("__gf_w")).cast("double")
-    val alpha = (length(col("text")) - length(translate(col("text"),
-      "abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ", "")))
-      .cast("double")
-    df.withColumn("__gf_w", split(trim(lower(col("text"))), "\\s+"))
-      .withColumn("__gf_c", counts)
+    val nWords = element_at(col("__gf_c"), nSlots + 1).cast("double")
+    val alpha = element_at(col("__gf_c"), nSlots + 2).cast("double")
+    df.withColumn("__gf_c", counts)
       .withColumn("__lang",
         when(best.getField("neg") === 0L, lit("und"))
           .otherwise(best.getField("lang")))
       .withColumn("__q", least(lit(1.0),
         ((stopHits / nWords) * 2.0
           + alpha / length(col("text")).cast("double")) / 2.0))
-      .drop("__gf_w", "__gf_c")
+      .drop("__gf_c")
   }
 
   /** Quality heuristics: mean word length, stopword ratio, alpha ratio,
