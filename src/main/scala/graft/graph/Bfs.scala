@@ -41,6 +41,10 @@ object Bfs {
     // final union, so re-evaluations compound with depth
     val e = edges.select(col("src").cast("long"), col("dst").cast("long"))
       .transform(Snapshots.cut)
+    // one count over the just-materialized edge blocks: every frontier
+    // is a subset of e's dst set, so edgeCount is a sound upper bound
+    // that lets Snapshots pick a memory level for small graphs
+    val edgeCount = e.count()
     var dist = seeds.select(col("node").cast("long"))
       .distinct().withColumn("dist", lit(0)).transform(Snapshots.cut)
     var frontier = dist.select(col("node"))
@@ -51,7 +55,8 @@ object Bfs {
         .select(col("dst").as("node")).distinct()
       val fresh = reached.join(dist.select(col("node")), Seq("node"), "left_anti")
         .withColumn("dist", lit(hop))
-        .transform(Snapshots.cut) // cut per-round lineage (as q34/q44 do)
+        // cut per-round lineage (as q34/q44 do), sized by the bound
+        .transform(ds => Snapshots.cutSized(ds, edgeCount))
       dist = dist.unionByName(fresh)
       frontier = fresh.select(col("node"))
       hop += 1

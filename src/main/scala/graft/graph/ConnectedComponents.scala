@@ -24,6 +24,9 @@ object ConnectedComponents {
     var labels = und.select(col("a").as("id")).distinct()
       .withColumn("component", col("id"))
       .transform(Snapshots.cut)
+    // label frames are node-count-sized every round — one count over
+    // the just-materialized blocks sizes every loop snapshot
+    val nodeCount = labels.count()
     // the frame holding the current round's materialized blocks: each
     // new checkpoint retires the previous one (without the unpersist,
     // block-manager storage grows linearly with the round count)
@@ -58,7 +61,7 @@ object ConnectedComponents {
         // one job per round, not materialize + a second count job
         .observe(obs,
           count(when(col("component") =!= col("prev"), 1)).as("changed"))
-        .transform(Snapshots.cut)
+        .transform(ds => Snapshots.cutSized(ds, nodeCount))
       changed = obs.get("changed").asInstanceOf[Long]
       materialized.unpersist()
       materialized = next

@@ -49,7 +49,10 @@ object KCore {
         .join(keep, Seq("src"), "left_semi")
         .join(keep.withColumnRenamed("src", "dst"), Seq("dst"), "left_semi")
         .observe(obs, count(lit(1)).as("n"))
-        .transform(Snapshots.cut)
+        // previous round's count is a monotone upper bound on this
+        // round's rows (peeling only deletes) — lets Snapshots pick a
+        // memory level for small cores without a pre-count job
+        .transform(ds => Snapshots.cutSized(ds, size))
       val newSize = obs.get("n").asInstanceOf[Long]
       e.unpersist()
       fixed = newSize == size

@@ -58,6 +58,9 @@ object PageRank {
       : DataFrame = {
     val e = edges.select(col("src"), col("dst")).distinct()
       .transform(Snapshots.cut)
+    // one count over the just-materialized edge blocks: sizes the
+    // node/eDeg snapshots below (nodes ≤ 2·edges, eDeg rows == edges)
+    val edgeCount = e.count()
     // teleport set: uniform PageRank IS the personalized recurrence with
     // every node a seed, so one loop serves both — is_seed ∈ {0,1} and
     // S = |seeds| parameterize init and update
@@ -71,19 +74,21 @@ object PageRank {
           .select(col("address"),
             coalesce(col("is_seed"), lit(0)).as("is_seed"))
       case None => nodes0.withColumn("is_seed", lit(1))
-    }).transform(Snapshots.cut)
+    }).transform(ds => Snapshots.cutSized(ds, 2L * edgeCount))
     val n = nodes.count()
     if (n == 0) // empty graph → empty result, for both variants
       return nodes.select(col("address")).withColumn("score", zero)
     val s = nodes.filter(col("is_seed") === 1).count()
     require(seeds.isEmpty || s > 0,
       "personalization seeds must intersect the graph")
+    // eDeg is the per-iteration hot read (every round joins it against
+    // ranks) — exactly edgeCount rows, so small graphs keep it in memory
     val eDeg = e.join(
       e.groupBy(col("src")).agg(count(lit(1)).as("out_deg")), Seq("src"))
-      .transform(Snapshots.cut)
+      .transform(ds => Snapshots.cutSized(ds, edgeCount))
     val danglingNodes = nodes.join(eDeg,
       nodes("address") === eDeg("src"), "left_anti")
-      .select(col("address")).transform(Snapshots.cut)
+      .select(col("address")).transform(ds => Snapshots.cutSized(ds, n))
     val hasDangling = danglingNodes.limit(1).count() > 0
 
     var ranks = nodes.select(col("address"),
@@ -114,7 +119,7 @@ object PageRank {
           joined.select(col("address"),
             update(n, s, col("contrib"), None).as("score"))
       if (i % checkpointEvery == 0 && i < iterations) {
-        ranks = ranks.transform(Snapshots.cut)
+        ranks = ranks.transform(ds => Snapshots.cutSized(ds, n))
         onIter(i, (System.nanoTime() - t0) / 1e9)
         tolerance.foreach { tol =>
           val delta = ranks

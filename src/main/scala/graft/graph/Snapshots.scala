@@ -10,13 +10,31 @@ import org.apache.spark.storage.StorageLevel
   * storage level of those checkpoint blocks is the algorithm's entire
   * memory footprint beyond the shuffle.
   *
-  * Default DISK_ONLY — bounded heap BY CONSTRUCTION. Measured matrix
-  * (q90 k-core, 30M symmetrized sf10 edges; SCALE_AUDIT "iterative
-  * snapshot storage"):
+  * Level policy (round 11, closing the r10 "nothing adapts" defect —
+  * the flat DISK_ONLY default cost the sf0.1 graph family ~18% for
+  * snapshots that were KB-sized):
   *
-  *   - MEMORY_AND_DISK (deserialized, the old default): fastest when
-  *     memory is ample (87.3 s at 64g) but OOMs an 8g driver — row
-  *     objects cost several× their serialized bytes.
+  *  1. an EXPLICIT level always wins — session conf [[ConfKey]], env
+  *     `SPARK_GRAFT_SNAPSHOT_LEVEL` (the probe-main A/B hook);
+  *  2. [[cutSized]] (a caller-known row count: KCore's peel size,
+  *     PageRank's node count, CC's label count) compares against
+  *     [[MemRowsKey]] — small snapshots go MEMORY_AND_DISK,
+  *     large go DISK_ONLY;
+  *  3. [[cut]] (no count in hand) consults the optimizer's
+  *     `stats.sizeInBytes` against [[MemBytesKey]] — free (no job),
+  *     real for scan-rooted plans (the expensive FIRST snapshot of
+  *     every algorithm, built straight off parquet), and
+  *     `defaultSizeInBytes`-huge for plans rooted at prior
+  *     checkpoints — which correctly lands on DISK_ONLY, the safe
+  *     posture for unknown size.
+  *
+  * Why DISK_ONLY for anything big or unknown — measured matrix (q90
+  * k-core, 30M symmetrized sf10 edges; SCALE_AUDIT "iterative snapshot
+  * storage"):
+  *
+  *   - MEMORY_AND_DISK (deserialized): fastest when memory is ample
+  *     (87.3 s at 64g) but OOMs an 8g driver on corpus-sized
+  *     snapshots — row objects cost several× their serialized bytes.
   *   - MEMORY_AND_DISK_SER: REJECTED — it still OOMs at 8g, and faster:
   *     when a spilled block is read back, `BlockManager
   *     .maybeCacheDiskBytesInMemory` re-caches it as ONE contiguous
@@ -28,32 +46,66 @@ import org.apache.spark.storage.StorageLevel
   *   - DISK_ONLY: streams blocks from disk on every read (no
   *     re-cache-as-bytes path, no storage-memory competition with the
   *     shuffle); q90's sf10 probe completes in an 8g heap at 109.3 s —
-  *     1.25× the 64g deserialized time for 8× less memory — and at
-  *     sf0.1 the whole 5-query graph family pays ~8% (min-of-2-runs
-  *     10.76 → 11.64 s; snapshots there are page-cache-resident, so
-  *     "disk" is effectively memory speed).
+  *     1.25× the 64g deserialized time for 8× less memory.
   *
-  * A 100 TB peel holds corpus-sized snapshots per round; an engine
-  * default that needs 8× the memory exactly where the data is biggest
-  * is the wrong posture, so the latency-optimal deserialized level is
-  * the opt-in: set `spark.graft.graph.snapshotLevel=MEMORY_AND_DISK`
-  * (any `StorageLevel.fromString` name) when the graph is known small
-  * relative to executor memory.
+  * The size thresholds are deliberately an order of magnitude below
+  * where the 8g OOM lives: [[DefaultMemRows]] 4M rows ≈ 300 MB of row
+  * objects (the sf10 failure was 30M), [[DefaultMemBytes]] 256 MB of
+  * plan-estimated bytes. A wrong small-side guess costs eviction (the
+  * unified memory manager drops storage blocks under shuffle
+  * pressure — MEMORY_AND_DISK degrades, it does not OOM at these
+  * sizes); a wrong big-side guess costs the measured ~18% small-scale
+  * latency, never correctness.
   */
 object Snapshots {
   val ConfKey = "spark.graft.graph.snapshotLevel"
+  val MemRowsKey = "spark.graft.graph.snapshotMemRows"
+  val MemBytesKey = "spark.graft.graph.snapshotMemBytes"
+
+  /** The unknown-size / big-size posture. */
   val DefaultLevel = "DISK_ONLY"
+  val DefaultMemRows: Long = 4000000L
+  val DefaultMemBytes: Long = 256L << 20
 
+  /** Explicit override: session conf first, env fallback (so
+    * single-purpose probe mains — QueryProfile, GraphScaleProbe — can
+    * A/B levels without a conf flag of their own). */
+  private def explicitLevel(ds: Dataset[_]): Option[StorageLevel] =
+    ds.sparkSession.conf.getOption(ConfKey)
+      .orElse(sys.env.get("SPARK_GRAFT_SNAPSHOT_LEVEL"))
+      .map(StorageLevel.fromString)
+
+  /** The level [[cut]] will use — explicit override, else the
+    * optimizer's size estimate against [[MemBytesKey]]. */
   def level(ds: Dataset[_]): StorageLevel =
-    StorageLevel.fromString(
-      ds.sparkSession.conf.get(ConfKey,
-        // env fallback so single-purpose probe mains (QueryProfile,
-        // GraphScaleProbe) can A/B levels without a conf flag of
-        // their own; session conf always wins
-        sys.env.getOrElse("SPARK_GRAFT_SNAPSHOT_LEVEL", DefaultLevel)))
+    explicitLevel(ds).getOrElse {
+      val memBytes = ds.sparkSession.conf
+        .get(MemBytesKey, DefaultMemBytes.toString).toLong
+      val est = ds.queryExecution.optimizedPlan.stats.sizeInBytes
+      if (est <= memBytes) StorageLevel.MEMORY_AND_DISK
+      else StorageLevel.fromString(DefaultLevel)
+    }
 
-  /** Eager lineage cut at the configured storage level — drop-in for
-    * `localCheckpoint(true)` at every per-round snapshot site. */
+  /** The level [[cutSized]] will use — explicit override, else the
+    * caller's known row count against [[MemRowsKey]]. */
+  def levelFor(ds: Dataset[_], knownRows: Long): StorageLevel =
+    explicitLevel(ds).getOrElse {
+      val memRows = ds.sparkSession.conf
+        .get(MemRowsKey, DefaultMemRows.toString).toLong
+      if (knownRows >= 0 && knownRows <= memRows)
+        StorageLevel.MEMORY_AND_DISK
+      else StorageLevel.fromString(DefaultLevel)
+    }
+
+  /** Eager lineage cut at the stats-estimated storage level — drop-in
+    * for `localCheckpoint(true)` at snapshot sites with no row count
+    * in hand. */
   def cut[T](ds: Dataset[T]): Dataset[T] =
     ds.localCheckpoint(true, level(ds))
+
+  /** Eager lineage cut sized by a row count the caller already
+    * computed (an exact count of this frame or a monotone upper bound
+    * from the previous round — peeling/convergence only shrinks). */
+  def cutSized[T](ds: Dataset[T], knownRows: Long): Dataset[T] =
+    ds.localCheckpoint(true, levelFor(ds, knownRows))
 }

@@ -3,32 +3,43 @@ package graft.tools
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
-/** Incremental-ingest throughput: drives the batch cores of
-  * [[graft.jobs.DedupIngestJob]] (exact content-hash dedup against a
-  * bucketed hash store) and [[graft.jobs.SegmentIngestJob]] (w-word
-  * segment dedup against bucketed seg/seen stores) for B successive
-  * micro-batches of N synthetic docs each, printing per-batch wall and
-  * overall docs/s. This is the regression line for the 100 TB
-  * continuous-curation story (the streaming RawPersistJob line covers
-  * the socket/parse path; this covers the dedup-at-ingest path), and
-  * the per-batch column is the evidence the bucketed stores keep batch
-  * cost ~flat as the store grows — with the documented caveat that
-  * plain-parquet appends add one file per bucket per batch, so the
-  * store-read constant creeps with batch COUNT (a real deployment
-  * compacts; see DedupIngestJob scaladoc).
+/** Incremental-ingest throughput: drives the batch cores of ALL SIX
+  * ingest jobs — [[graft.jobs.DedupIngestJob]] (exact content-hash
+  * store), [[graft.jobs.SegmentIngestJob]] (w-word segment store),
+  * [[graft.jobs.NearDupIngestJob]] (MinHash band-bucket store),
+  * [[graft.jobs.SubstringIngestJob]] (k-gram scrub store),
+  * [[graft.jobs.CorpusIngestJob]] (the gated funnel over hash+scrub
+  * stores) and [[graft.jobs.SemanticIngestJob]] (frozen-model cell
+  * store) — for B successive micro-batches of N synthetic docs each,
+  * printing per-batch wall and overall docs/s. This is the regression
+  * line for the 100 TB continuous-curation story (the streaming
+  * RawPersistJob line covers the socket/parse path; this covers the
+  * dedup-at-ingest path), and the per-batch column is the evidence the
+  * bucketed stores keep batch cost ~flat as the store grows — round 10
+  * measured 2 of the 6 and the flat-curve check caught a real
+  * re-broadcast-the-store scale bug; round 11 extends the line to the
+  * other four. Documented caveat: plain-parquet appends add one file
+  * per bucket per batch, so the store-read constant creeps with batch
+  * COUNT (a real deployment compacts; see DedupIngestJob scaladoc).
   *
   * Docs: ~40 words each; `dupFrac` of each batch duplicates content
   * from batch 0 (cross-batch dups the store must catch), the rest are
   * unique. doc_ids are globally increasing (the SegmentIngestJob
-  * contract).
+  * contract). The semantic job ingests 16-dim vectors derived from the
+  * same seeds (duplicate seeds ⇒ identical vectors the frozen-cell
+  * store must catch).
   *
-  * Usage: runMain graft.tools.IngestThroughputBench [batches] [docsPerBatch] [dupFrac]
+  * Usage: runMain graft.tools.IngestThroughputBench
+  *          [batches] [docsPerBatch] [dupFrac] [job1,job2,…]
   */
 object IngestThroughputBench {
   def main(args: Array[String]): Unit = {
     val batches = args.headOption.map(_.toInt).getOrElse(8)
     val perBatch = args.drop(1).headOption.map(_.toInt).getOrElse(25000)
     val dupFrac = args.drop(2).headOption.map(_.toDouble).getOrElse(0.3)
+    val jobs = args.drop(3).headOption.map(_.split(",").toSeq).getOrElse(
+      Seq("dedup", "segment", "neardup", "substring", "corpus",
+        "semantic"))
     val spark = SparkSession.builder()
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
@@ -58,7 +69,22 @@ object IngestThroughputBench {
               lit("x"), col("seed")))).as("text"))
     }
 
-    for (job <- Seq("dedup", "segment")) {
+    // 16-dim vectors from the same seed trick: duplicate seeds derive
+    // byte-identical embeddings, so the frozen-cell store must drop them
+    def vecDf(b: Int) = {
+      val lo = b.toLong * perBatch
+      val dupCut = (perBatch * dupFrac).toLong
+      spark.range(lo, lo + perBatch).toDF("vec_id")
+        .withColumn("seed",
+          when(col("vec_id") - lo < dupCut && lit(b) > 0,
+            col("vec_id") - lo)
+            .otherwise(col("vec_id")))
+        .select(col("vec_id"), transform(sequence(lit(0), lit(15)),
+          i => pmod(col("seed") * 31 + i * 7, lit(1000)).cast("double")
+            / 1000.0).as("embedding"))
+    }
+
+    for (job <- jobs) {
       val out = java.nio.file.Files
         .createTempDirectory(s"graft_ingest_$job").toString
       var total = 0L
@@ -68,6 +94,13 @@ object IngestThroughputBench {
         val t0 = System.nanoTime()
         val n = job match {
           case "dedup" => graft.jobs.DedupIngestJob.writeBatch(df, out)
+          case "neardup" => graft.jobs.NearDupIngestJob.writeBatch(df, out)
+          case "substring" =>
+            graft.jobs.SubstringIngestJob.writeBatch(df, out)
+          case "corpus" => graft.jobs.CorpusIngestJob.writeBatch(df, out,
+            langs = Seq("en", "und"), qualityFloor = 0.0)
+          case "semantic" => graft.jobs.SemanticIngestJob.writeBatch(
+            vecDf(b), out, clusters = 8, threshold = 0.95)
           case _ => graft.jobs.SegmentIngestJob.writeBatch(df, out)
         }
         val dt = (System.nanoTime() - t0) / 1e9

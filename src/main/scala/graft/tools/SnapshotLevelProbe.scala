@@ -1,0 +1,54 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Prints which storage level the size-aware Snapshots policy picks
+  * for each graph query's snapshot frames at the given SF — the
+  * ground truth behind the SCALE_AUDIT "iterative snapshot storage"
+  * matrix (is a delta real level-change or measurement noise?).
+  *
+  * Usage: SPARK_GRAFT_SF_DIR=... runMain graft.tools.SnapshotLevelProbe
+  */
+object SnapshotLevelProbe {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    def show(name: String, df: org.apache.spark.sql.DataFrame): Unit = {
+      val est = df.queryExecution.optimizedPlan.stats.sizeInBytes
+      println(s"LEVEL $name estBytes=$est -> ${graft.graph.Snapshots.level(df)}")
+    }
+
+    // q87's edge build (Bfs initial cut input)
+    val edges87 = graft.Tables.lineitem(spark, sfDir)
+      .select(col("l_orderkey"), col("l_suppkey"))
+      .join(graft.Tables.orders(spark, sfDir)
+        .select(col("o_orderkey"), col("o_custkey")),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(col("l_suppkey").as("supp"),
+        (col("o_custkey") + lit(1000000L)).as("cust"))
+      .distinct()
+    val und87 = edges87.select(col("supp").as("src"), col("cust").as("dst"))
+      .unionByName(edges87.select(col("cust").as("src"),
+        col("supp").as("dst")))
+      .select(col("src").cast("long"), col("dst").cast("long"))
+    show("q87_bfs_edges", und87)
+    println(s"LEVEL q87_bfs_edges actualRows=${und87.count()}")
+
+    // a post-checkpoint round frame (what Bfs loop cuts see)
+    val cp = und87.localCheckpoint(true)
+    show("q87_postcheckpoint", cp.filter(col("src") > 0))
+    cp.unpersist()
+    spark.stop()
+  }
+}

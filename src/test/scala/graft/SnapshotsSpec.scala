@@ -5,10 +5,12 @@ import org.apache.spark.storage.StorageLevel
 import graft.graph.{KCore, Snapshots}
 
 /** Pins the iterative-family snapshot storage policy (SCALE_AUDIT
-  * "iterative snapshot storage"): DISK_ONLY by default — the level
-  * measured to hold sf10 inside an 8g heap — and overridable per
-  * session via spark.graft.graph.snapshotLevel. Results must not
-  * depend on the level (it is a storage policy, not a semantic). */
+  * "iterative snapshot storage"): size-aware since round 11 — small
+  * snapshots (known row count under the threshold, or a small
+  * optimizer size estimate) ride MEMORY_AND_DISK; big or unknown ones
+  * stay DISK_ONLY, the level measured to hold sf10 inside an 8g heap.
+  * An explicit conf always wins. Results must not depend on the level
+  * (it is a storage policy, not a semantic). */
 class SnapshotsSpec extends AnyFunSuite with SparkTestBase {
   import spark.implicits._
 
@@ -17,17 +19,33 @@ class SnapshotsSpec extends AnyFunSuite with SparkTestBase {
     (4L, 5L), (5L, 6L)
   ).toDF("src", "dst")
 
-  test("default snapshot level is DISK_ONLY") {
+  test("small stats estimate -> memory; over the bytes threshold -> " +
+    "DISK_ONLY (the unknown-size posture)") {
     assert(spark.conf.getOption(Snapshots.ConfKey).isEmpty)
-    assert(Snapshots.level(edges) == StorageLevel.DISK_ONLY)
+    // a KB-sized local frame estimates tiny -> memory level
+    assert(Snapshots.level(edges) == StorageLevel.MEMORY_AND_DISK)
+    // force the threshold to zero: everything is "big"
+    spark.conf.set(Snapshots.MemBytesKey, "0")
+    try assert(Snapshots.level(edges) == StorageLevel.DISK_ONLY)
+    finally spark.conf.unset(Snapshots.MemBytesKey)
   }
 
-  test("session conf overrides the level, and results are level-independent") {
+  test("known row count picks the level against the rows threshold") {
+    assert(Snapshots.levelFor(edges, 8L) == StorageLevel.MEMORY_AND_DISK)
+    assert(Snapshots.levelFor(edges, Snapshots.DefaultMemRows + 1)
+      == StorageLevel.DISK_ONLY)
+    // negative = "don't know" -> safe posture
+    assert(Snapshots.levelFor(edges, -1L) == StorageLevel.DISK_ONLY)
+  }
+
+  test("session conf overrides both paths, and results are " +
+    "level-independent") {
     val base = KCore.peel(edges, k = 3, rounds = 10)
       .as[(Long, Long)].collect().toMap
-    spark.conf.set(Snapshots.ConfKey, "MEMORY_AND_DISK")
+    spark.conf.set(Snapshots.ConfKey, "DISK_ONLY")
     try {
-      assert(Snapshots.level(edges) == StorageLevel.MEMORY_AND_DISK)
+      assert(Snapshots.level(edges) == StorageLevel.DISK_ONLY)
+      assert(Snapshots.levelFor(edges, 1L) == StorageLevel.DISK_ONLY)
       val overridden = KCore.peel(edges, k = 3, rounds = 10)
         .as[(Long, Long)].collect().toMap
       assert(overridden == base)

@@ -1,0 +1,23 @@
+#!/bin/bash
+# Isolated per-query A/B of the snapshot storage policy at sf0.1:
+# one query per JVM (the r9 protocol), 3 reps, min counts.
+#   legacy = SPARK_GRAFT_SNAPSHOT_LEVEL=DISK_ONLY (the r10 flat default)
+#   auto   = unset (round-11 size-aware policy)
+# Usage: tools/snapshot_matrix.sh [outfile]
+set -u
+cd /root/repo
+OUT=${1:-localdata/snapshot_matrix_$(date +%s).log}
+mkdir -p localdata
+: > "$OUT"
+for q in q34_pagerank q69_triangles q87_bfs_hops q90_kcore q95_ppr q44_dup_groups; do
+  for mode in legacy auto; do
+    if [ "$mode" = legacy ]; then
+      export SPARK_GRAFT_SNAPSHOT_LEVEL=DISK_ONLY
+    else
+      unset SPARK_GRAFT_SNAPSHOT_LEVEL
+    fi
+    line=$(sbt -batch "runMain graft.tools.QueryProfile $q 3" 2>&1 | grep PROFILE)
+    echo "$mode $line" | tee -a "$OUT"
+  done
+done
+echo "done: $OUT"
