@@ -100,7 +100,13 @@ object IngestThroughputBench {
           case "corpus" => graft.jobs.CorpusIngestJob.writeBatch(df, out,
             langs = Seq("en", "und"), qualityFloor = 0.0)
           case "semantic" => graft.jobs.SemanticIngestJob.writeBatch(
-            vecDf(b), out, clusters = 8, threshold = 0.95)
+            vecDf(b), out,
+            // history scoring is O(batch × same-cell store): the cell
+            // count is THE scale lever (frozen at first batch) — size
+            // it to the expected corpus, not the first batch
+            clusters = sys.env.getOrElse("SPARK_GRAFT_INGEST_CLUSTERS",
+              "8").toInt,
+            threshold = 0.95)
           case _ => graft.jobs.SegmentIngestJob.writeBatch(df, out)
         }
         val dt = (System.nanoTime() - t0) / 1e9

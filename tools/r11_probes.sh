@@ -1,0 +1,56 @@
+#!/bin/bash
+# Round-11 sequential probe battery (run AFTER the snapshot matrix —
+# never concurrently with another timing leg). Each block appends to
+# localdata/r11_probes.log.
+set -u
+cd /root/repo
+OUT=localdata/r11_probes.log
+: > "$OUT"
+log() { echo "=== $1 ($(date +%H:%M:%S) load $(cut -d' ' -f1 /proc/loadavg))" | tee -a "$OUT"; }
+
+# 1. BPE at sf10 organic (verdict task 4): the one driver-sequential loop
+log "bpe sf10"
+SPARK_GRAFT_SF_DIR=localdata/sf10_organic SPARK_DRIVER_MEM=16g \
+  sbt -batch "runMain graft.tools.QueryProfile q105_bpe_merges 2" 2>&1 | grep PROFILE | tee -a "$OUT"
+SPARK_GRAFT_SF_DIR=localdata/sf10_organic SPARK_DRIVER_MEM=16g \
+  sbt -batch "runMain graft.tools.QueryProfile q107_bpe_encode 2" 2>&1 | grep PROFILE | tee -a "$OUT"
+# sf1 rows for the decade ratio
+log "bpe sf1"
+SPARK_GRAFT_SF_DIR=localdata/sf1_organic \
+  sbt -batch "runMain graft.tools.QueryProfile q105_bpe_merges 2" 2>&1 | grep PROFILE | tee -a "$OUT"
+SPARK_GRAFT_SF_DIR=localdata/sf1_organic \
+  sbt -batch "runMain graft.tools.QueryProfile q107_bpe_encode 2" 2>&1 | grep PROFILE | tee -a "$OUT"
+
+# 2. FeatureProbe at sf10 (gate-features expression: 0 mismatches + timing)
+log "featureprobe sf10"
+SPARK_GRAFT_SF_DIR=localdata/sf10_organic SPARK_DRIVER_MEM=16g \
+  sbt -batch "runMain graft.tools.FeatureProbe" 2>&1 | grep FPROBE | tee -a "$OUT"
+
+# 3. q106/q112/q128 at sf10 (funnel totals after the GateCounts expression)
+for q in q106_corpus_pipeline q112_corpus_classified q128_corpus_curated; do
+  log "$q sf10"
+  SPARK_GRAFT_SF_DIR=localdata/sf10_organic SPARK_DRIVER_MEM=16g \
+    sbt -batch "runMain graft.tools.QueryProfile $q 2" 2>&1 | grep PROFILE | tee -a "$OUT"
+done
+
+# 4. q128 per-stage attribution at sf10 (verdict task 7)
+log "funnelprofile q128 sf10"
+SPARK_GRAFT_SF_DIR=localdata/sf10_organic SPARK_DRIVER_MEM=16g \
+  sbt -batch "runMain graft.tools.FunnelProfile q128_corpus_curated" 2>&1 | grep -E "  job |TOTAL|====" | tee -a "$OUT"
+
+# 5. graph family at sf10 in an 8g heap (sized snapshot policy must keep
+#    the r10 bounded-memory rows intact)
+for q in q90_kcore q34_pagerank; do
+  log "$q sf10 8g"
+  SPARK_GRAFT_SF_DIR=localdata/sf10_organic SPARK_DRIVER_MEM=8g \
+    sbt -batch "runMain graft.tools.QueryProfile $q 2" 2>&1 | grep -E "PROFILE|OutOfMemory" | tee -a "$OUT"
+done
+
+# 6. ingest throughput for the four jobs round 10 did not measure
+#    (verdict task 6); smaller batches for the heavier funnels
+log "ingest neardup+substring"
+sbt -batch "runMain graft.tools.IngestThroughputBench 8 25000 0.3 neardup,substring" 2>&1 | grep "\[ingest\]" | tee -a "$OUT"
+log "ingest corpus+semantic"
+sbt -batch "runMain graft.tools.IngestThroughputBench 8 25000 0.3 corpus,semantic" 2>&1 | grep "\[ingest\]" | tee -a "$OUT"
+
+echo "ALL DONE" | tee -a "$OUT"

@@ -16,7 +16,7 @@ for q in q34_pagerank q69_triangles q87_bfs_hops q90_kcore q95_ppr q44_dup_group
     else
       unset SPARK_GRAFT_SNAPSHOT_LEVEL
     fi
-    line=$(sbt -batch "runMain graft.tools.QueryProfile $q 3" 2>&1 | grep PROFILE)
+    line=$(sbt -batch "runMain graft.tools.QueryProfile $q 5" 2>&1 | grep PROFILE)
     echo "$mode $line" | tee -a "$OUT"
   done
 done
