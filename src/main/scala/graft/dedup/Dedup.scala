@@ -22,10 +22,26 @@ object Dedup {
     conv(substring(md5(c), 1, 15), 16, 10).cast("long")
 
   /** Normalize text for hashing: lowercase, strip non-alphanumerics,
-    * collapse whitespace. */
+    * collapse whitespace. One codegen'd byte scan
+    * ([[graft.functions.TextNormalize]]) — byte-identical to the
+    * regex chain it replaced ([[normalizeRegex]], kept for the
+    * NormalizeKernelSpec equivalence pin), which walked every document
+    * through the regex engine twice and was the hottest kernel in the
+    * engine (the classify token pass alone measured 527 CPU-s at
+    * sf10). */
   def normalize(c: Column): Column =
+    graft.functions.TextFunctions.normalize_text(c)
+
+  /** The pre-round-11 regex form of [[normalize]] — the executable
+    * specification the kernel is property-tested against. */
+  private[graft] def normalizeRegex(c: Column): Column =
     trim(regexp_replace(regexp_replace(lower(c), "[^a-z0-9 ]", ""),
       " +", " "))
+
+  /** split([[normalize]](c), " ") in the same single scan — the token
+    * stream every explode-based text operator rides. */
+  def tokens(c: Column): Column =
+    graft.functions.TextFunctions.normalized_tokens(c)
 
   /** Normalization that additionally strips noise/marker tokens
     * (boilerplate, watermarks) before hashing — the usual prelude to
@@ -56,7 +72,7 @@ object Dedup {
   }
 
   private def shingleExplode(docs: DataFrame, n: Int): DataFrame = {
-    val words = split(normalize(col("text")), " ")
+    val words = tokens(col("text"))
     docs.select(col("doc_id"), words.as("w"))
       .select(col("doc_id"),
         explode(expr(
@@ -100,7 +116,7 @@ object Dedup {
     * take this stream and skip that shuffle entirely. */
   def shingleKeyStream(docs: DataFrame, n: Int = 3): DataFrame =
     docs.select(col("doc_id"),
-        transform(split(normalize(col("text")), " "), xxhash64(_)).as("wh"))
+        transform(tokens(col("text")), xxhash64(_)).as("wh"))
       .select(col("doc_id"),
         explode(expr(
           s"transform(sequence(0, greatest(size(wh) - $n, 0)), " +
@@ -453,11 +469,11 @@ object Dedup {
     * map-side partial sums; a TypedImperativeAggregate packing the
     * counters into one buffer is the constant-factor upgrade at 100 TB. */
   def simhash(docs: DataFrame, bits: Int = 60): DataFrame = {
-    val tokens = docs
+    val toks = docs
       .select(col("doc_id"),
-        explode(split(normalize(col("text")), " ")).as("tok"))
+        explode(Dedup.tokens(col("text"))).as("tok"))
       .select(col("doc_id"), hash60(col("tok")).as("h"))
-    tokens
+    toks
       .select(col("doc_id"), col("h"),
         explode(sequence(lit(0), lit(bits - 1))).as("b"))
       .select(col("doc_id"), col("b"),
@@ -492,7 +508,7 @@ object Dedup {
   def simhashFast(docs: DataFrame, bits: Int = 60): DataFrame =
     docs
       .select(col("doc_id"),
-        explode(split(normalize(col("text")), " ")).as("tok"))
+        explode(tokens(col("text"))).as("tok"))
       .select(col("doc_id"), hash60(col("tok")).as("h"))
       .groupBy(col("doc_id"))
       .agg(graft.functions.SimHashAgg.simhash_agg(col("h"), bits)

@@ -109,8 +109,135 @@ object GateCounts {
   }
 }
 
+/** The repo-wide text-normalization kernel — byte-exact twin of
+  * `trim(regexp_replace(regexp_replace(lower(c), "[^a-z0-9 ]", ""),
+  * " +", " "))`, the inner loop of the entire dedup/text family
+  * (hash keys, shingles, token streams — 19 call sites). The regex
+  * chain walks the document three times through the regex engine plus
+  * a lower and a trim; this is ONE straight-line byte scan inside
+  * whole-stage codegen. Measured at sf10: the classify tf tokenize
+  * alone was 527 CPU-s with the regex chain.
+  *
+  * Byte-level equivalence argument: after UTF8String.toLowerCase (the
+  * exact method Lower delegates to), every byte of a multibyte UTF-8
+  * sequence is ≥ 0x80, so "keep [a-z0-9 ] bytes" drops exactly the
+  * characters the regex class drops (the regex works per code point;
+  * dropping all bytes of a code point == dropping the code point, and
+  * kept bytes are single-byte code points). Space collapsing and trim
+  * are then positional on the kept bytes — identical to the " +"
+  * replace plus trim. Pinned against the regex form by
+  * NormalizeKernelSpec (property-based + the real corpus). */
+object TextNormalize {
+  /** Normalized bytes; shared by both expression forms. */
+  def normalize(text: UTF8String): UTF8String = {
+    val b = text.toLowerCase
+    val n = b.numBytes
+    val out = new Array[Byte](n)
+    var o = 0
+    var pendingSpace = false
+    var i = 0
+    while (i < n) {
+      val c = b.getByte(i)
+      if ((c >= 'a' && c <= 'z') || (c >= '0' && c <= '9')) {
+        if (pendingSpace && o > 0) { out(o) = ' '; o += 1 }
+        pendingSpace = false
+        out(o) = c
+        o += 1
+      } else if (c == ' ') pendingSpace = true
+      i += 1
+    }
+    UTF8String.fromBytes(java.util.Arrays.copyOf(out, o))
+  }
+
+  /** split(normalize(text), " ") — token slices of the normalized
+    * bytes (pure ASCII by construction, so byte offsets are exact);
+    * [""] for an empty normalization (Java split semantics). */
+  def tokens(text: UTF8String): Array[UTF8String] = {
+    val bytes = normalize(text).getBytes
+    val n = bytes.length
+    if (n == 0) return Array(UTF8String.EMPTY_UTF8)
+    var count = 1
+    var i = 0
+    while (i < n) { if (bytes(i) == ' ') count += 1; i += 1 }
+    val out = new Array[UTF8String](count)
+    var start = 0
+    var t = 0
+    i = 0
+    while (i <= n) {
+      if (i == n || bytes(i) == ' ') {
+        out(t) = UTF8String.fromBytes(
+          java.util.Arrays.copyOfRange(bytes, start, i))
+        t += 1
+        start = i + 1
+      }
+      i += 1
+    }
+    out
+  }
+}
+
+/** `normalize(text)` as one codegen'd scan — see [[TextNormalize]]. */
+case class NormalizeText(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = StringType
+  override def prettyName: String = "graft_normalize"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case _: StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a string argument, got ${t.simpleString}")
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    TextNormalize.normalize(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext,
+                                   ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, t =>
+      s"${ev.value} = graft.functions.TextNormalize.normalize($t);")
+
+  override protected def withNewChildInternal(
+      newChild: Expression): NormalizeText = copy(child = newChild)
+}
+
+/** `split(normalize(text), " ")` as one codegen'd scan — the token
+  * stream every explode-based text operator rides. */
+case class NormalizedTokens(child: Expression) extends UnaryExpression {
+  override def dataType: DataType =
+    ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "graft_tokens"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case _: StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a string argument, got ${t.simpleString}")
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    new GenericArrayData(
+      TextNormalize.tokens(input.asInstanceOf[UTF8String])
+        .asInstanceOf[Array[Any]])
+
+  override protected def doGenCode(ctx: CodegenContext,
+                                   ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, t =>
+      s"""
+         |${ev.value} =
+         |  new org.apache.spark.sql.catalyst.util.GenericArrayData(
+         |    graft.functions.TextNormalize.tokens($t));
+       """.stripMargin)
+
+  override protected def withNewChildInternal(
+      newChild: Expression): NormalizedTokens = copy(child = newChild)
+}
+
 /** Column-API wrappers for the text expressions. */
 object TextFunctions {
   def gate_counts(text: Column, slots: Seq[Seq[String]]): Column =
     Bridge.column(GateCounts(Bridge.expression(text), slots))
+
+  def normalize_text(text: Column): Column =
+    Bridge.column(NormalizeText(Bridge.expression(text)))
+
+  def normalized_tokens(text: Column): Column =
+    Bridge.column(NormalizedTokens(Bridge.expression(text)))
 }

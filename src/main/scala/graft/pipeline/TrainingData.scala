@@ -86,7 +86,7 @@ object TrainingData {
     * reported. One shuffle on the block hash; map-side partial counts.
     * @return (block_hash, n_docs, n_total) */
   def repeatedBlocks(docs: DataFrame, blockWords: Int = 12): DataFrame =
-    docs.select(col("doc_id"), split(normalize(col("text")), " ").as("w"))
+    docs.select(col("doc_id"), graft.dedup.Dedup.tokens(col("text")).as("w"))
       .filter(size(col("w")) >= blockWords)
       .select(col("doc_id"),
         explode(expr(s"transform(sequence(0, size(w) - $blockWords, " +

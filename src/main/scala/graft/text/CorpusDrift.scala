@@ -41,7 +41,7 @@ object CorpusDrift {
   def l1Divergence(docs: DataFrame): DataFrame = {
     val toks = docs
       .select(col("source"),
-        explode(split(Dedup.normalize(col("text")), " ")).as("w"))
+        explode(Dedup.tokens(col("text"))).as("w"))
       .filter(col("w") =!= "")
     val corpus = toks.groupBy(col("w")).agg(count(lit(1)).as("ct"))
     val bySrc = toks.groupBy(col("source"), col("w"))

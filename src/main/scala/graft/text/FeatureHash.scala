@@ -33,7 +33,7 @@ object FeatureHash {
     require(dims >= 1, "dims must be positive")
     docs
       .select(col("doc_id"),
-        explode(split(Dedup.normalize(col("text")), " ")).as("w"))
+        explode(Dedup.tokens(col("text"))).as("w"))
       .filter(col("w") =!= "")
       .select(col("doc_id"), (Dedup.hash60(col("w")) % dims).as("dim"))
       .groupBy(col("doc_id"), col("dim"))

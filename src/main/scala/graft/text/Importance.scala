@@ -42,7 +42,7 @@ object Importance {
                         buckets: Int = 4096): DataFrame = {
     val words = docs
       .select(col("doc_id"), targetPred.as("is_target"),
-        explode(split(Dedup.normalize(col("text")), " ")).as("w"))
+        explode(Dedup.tokens(col("text"))).as("w"))
     // Model build: per-word occurrence counts are one map-side-combined
     // vocabulary-sized aggregate (md5 once per DISTINCT word), rolled
     // up vocab-side to EXACTLY `buckets` rows. Probe: each token hashes

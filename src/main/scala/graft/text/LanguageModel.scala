@@ -27,7 +27,7 @@ import graft.dedup.Dedup.normalize
 object LanguageModel {
 
   private def tokenized(docs: DataFrame): DataFrame =
-    docs.select(col("doc_id"), split(normalize(col("text")), " ").as("w"))
+    docs.select(col("doc_id"), graft.dedup.Dedup.tokens(col("text")).as("w"))
       .filter(size(col("w")) >= 2)
 
   private def docBigrams(docs: DataFrame): DataFrame =
@@ -86,7 +86,7 @@ object LanguageModel {
     * THE MODEL (vocabulary-sized, not corpus-sized) and broadcast back —
     * no corpus-sized join, no window over an unpartitioned frame. */
   private def docTrigrams(docs: DataFrame): DataFrame =
-    docs.select(col("doc_id"), split(normalize(col("text")), " ").as("w"))
+    docs.select(col("doc_id"), graft.dedup.Dedup.tokens(col("text")).as("w"))
       .filter(size(col("w")) >= 3)
       .select(col("doc_id"),
         explode(expr("transform(sequence(0, size(w) - 3), " +

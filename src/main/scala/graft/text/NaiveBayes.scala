@@ -32,7 +32,7 @@ object NaiveBayes {
   /** One row per token occurrence, normalized like the dedup family. */
   private def tokens(docs: DataFrame, labelCol: String): DataFrame =
     docs.select(col("doc_id"), col(labelCol).as("label"),
-      explode(split(Dedup.normalize(col("text")), " ")).as("term"))
+      explode(Dedup.tokens(col("text"))).as("term"))
 
   /** Train: class-conditional token counts with per-class totals.
     * Output — one row per (label, term) seen in training:
@@ -81,9 +81,18 @@ object NaiveBayes {
     // materialization and the audited plan drops to the three data
     // shuffles the scaladoc promises.
     val m = model.localCheckpoint()
+    // the explicit isNotNull matters: tf feeds BOTH docLen and contrib,
+    // and the contrib join used to push IsNotNull(doc_id) into ITS copy
+    // of the scan only — canonically different subtrees, so neither
+    // static ReuseExchange nor AQE reuse fired and the corpus was
+    // TOKENIZED TWICE (measured: two concurrent full-explode stages at
+    // sf10, ClassifyPlanProbe showed 2 Generate nodes / 0 reuse).
+    // Filtering here puts the same predicate on both branches; the
+    // optimizer then collapses them into one exchange + ReusedExchange.
     val tf = docs
+      .filter(col("doc_id").isNotNull)
       .select(col("doc_id"),
-        explode(split(Dedup.normalize(col("text")), " ")).as("term"))
+        explode(Dedup.tokens(col("text"))).as("term"))
       .groupBy(col("doc_id"), col("term"))
       .agg(count(lit(1)).as("tf"))
 
@@ -98,8 +107,17 @@ object NaiveBayes {
       .agg(count(lit(1)).as("v"))
     val nDocs = classStats.agg(sum(col("class_docs")).as("n_docs"))
 
+    // shuffle_hash on the MODEL side, for two reasons the planner gets
+    // wrong on its own: (a) left to statistics it broadcast TF — the
+    // corpus-sized side (measured at sf10: a 516-CPU-s hashed-relation
+    // build of ~125 MB, the single hottest stage of q112); (b) with tf
+    // on a plain shuffle, its exchange canonicalizes identical to the
+    // docLen branch's, so AQE reuses ONE tokenize for both consumers —
+    // the broadcast variant made the subtrees structurally different
+    // and the corpus was tokenized twice.
     val contrib = tf
-      .join(m.select(col("term"), col("label"), col("cnt")),
+      .join(m.select(col("term"), col("label"), col("cnt"))
+        .hint("shuffle_hash"),
         Seq("term"))
       .groupBy(col("doc_id"), col("label"))
       .agg(sum(col("tf").cast("double") *

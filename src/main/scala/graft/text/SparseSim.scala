@@ -64,7 +64,7 @@ object SparseSim {
   /** Per-(doc, term) integer counts over normalized text. */
   private def termCounts(docs: DataFrame): DataFrame = docs
     .select(col("doc_id"),
-      explode(split(Dedup.normalize(col("text")), " ")).as("term"))
+      explode(Dedup.tokens(col("text"))).as("term"))
     .groupBy(col("doc_id"), col("term"))
     .agg(count(lit(1)).as("c"))
 

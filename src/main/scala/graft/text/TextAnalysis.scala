@@ -161,7 +161,7 @@ object TextAnalysis {
     * exchanges total (q45 sf10: 59.2 → see SCALE_AUDIT). */
   def termStats(docs: DataFrame): DataFrame = {
     val tokens = docs.select(col("doc_id"),
-      explode(split(Dedup.normalize(col("text")), " ")).as("term"))
+      explode(Dedup.tokens(col("text"))).as("term"))
     tokens.groupBy(col("doc_id"), col("term"))
       .agg(count(lit(1)).as("tf"))
       .withColumn("doc_len", sum(col("tf")).over(
@@ -202,7 +202,7 @@ object TextAnalysis {
     // pre-round-8 by count()-pruning of the bigram branch)
     val ws = col("ws")
     val toks = docs.select(col("doc_id"),
-      split(Dedup.normalize(col("text")), " ").as("ws"))
+      Dedup.tokens(col("text")).as("ws"))
     // every statistic is PER-DOC, so none of them needs a shuffle:
     // sort the doc's tokens (and bigram strings) in-row and fold the
     // sorted runs — distinct count = run starts, mode count = longest
@@ -260,7 +260,7 @@ object TextAnalysis {
     * shuffle key (term). */
   def invertedIndex(docs: DataFrame, cap: Int = 1000): DataFrame = {
     val terms = docs.select(col("doc_id"),
-      explode(array_distinct(split(Dedup.normalize(col("text")), " ")))
+      explode(array_distinct(Dedup.tokens(col("text"))))
         .as("term"))
     val dfExact = terms.groupBy(col("term"))
       .agg(count(lit(1)).as("df_docs"))
@@ -279,7 +279,7 @@ object TextAnalysis {
     * sequential, deterministic, no UDF. The modulus keeps every
     * intermediate < 2^36, safe under ANSI overflow checking. */
   def rollingHash(docs: DataFrame): DataFrame = {
-    val words = split(Dedup.normalize(col("text")), " ")
+    val words = Dedup.tokens(col("text"))
     val mod = lit(2147483647L) // 2^31 − 1
     docs.select(col("doc_id"),
       aggregate(words, lit(0L),

@@ -29,7 +29,7 @@ object Vocab {
 
   private def termCounts(docs: DataFrame): DataFrame =
     docs
-      .select(explode(split(Dedup.normalize(col("text")), " ")).as("term"))
+      .select(explode(Dedup.tokens(col("text"))).as("term"))
       .filter(col("term") =!= "")
       .groupBy(col("term")).agg(count(lit(1)).as("n"))
 
@@ -83,7 +83,7 @@ object Vocab {
     * `unkId`. One shuffle (the re-assembly groupBy on doc_id). */
   def encode(docs: DataFrame, vocab: DataFrame, unkId: Long): DataFrame = {
     val toks = docs.select(col("doc_id"),
-      posexplode(split(Dedup.normalize(col("text")), " ")))
+      posexplode(Dedup.tokens(col("text"))))
       .toDF("doc_id", "pos", "term")
       // split("") yields [""] — drop it or an empty doc would encode as
       // one phantom UNK token (normalize never leaves interior empties,
@@ -116,7 +116,7 @@ object Vocab {
     val v = vocab.select(col("term"), lit(1).as("in_v"))
     docs
       .select(col("source"),
-        explode(split(Dedup.normalize(col("text")), " ")).as("term"))
+        explode(Dedup.tokens(col("text"))).as("term"))
       .filter(col("term") =!= "")
       .join(broadcast(v), Seq("term"), "left")
       .groupBy(col("source"))
@@ -153,7 +153,7 @@ object Vocab {
     val ws = col("ws")
     val firstDoc = docs
       .select(col("doc_id"),
-        split(Dedup.normalize(col("text")), " ").as("ws"))
+        Dedup.tokens(col("text")).as("ws"))
       .select(col("doc_id"),
         explode(when(size(ws) >= n, transform(
           sequence(lit(0), size(ws) - n),

@@ -1,0 +1,31 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.exchange.Exchange
+import org.apache.spark.sql.functions._
+
+/** One-off: why don't classify's two tf subtrees reuse one exchange? */
+object ClassifyPlanProbe {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val spark = SparkSession.builder().master("local[8]")
+      .config("spark.sql.shuffle.partitions", 8)
+      .config("spark.sql.adaptive.enabled", "false")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val docs = graft.Tables.documents(spark, sfDir)
+    val model = graft.text.NaiveBayes.train(docs, "lang")
+    val out = graft.text.NaiveBayes.classify(docs, model)
+    val plan = out.queryExecution.executedPlan
+    val exchanges = plan.collect {
+      case e: Exchange if e.treeString.contains("explode") => e
+    }
+    println(s"explode-rooted exchanges: ${exchanges.length}")
+    exchanges.zipWithIndex.foreach { case (e, i) =>
+      println(s"---- exchange $i (${e.getClass.getSimpleName}) canonicalized ----")
+      println(e.canonicalized.treeString)
+    }
+    spark.stop()
+  }
+}

@@ -31,15 +31,37 @@ object FunnelProfile {
       override def onJobStart(j: SparkListenerJobStart): Unit =
         starts(j.jobId) = (System.nanoTime(),
           // the funnel stages set a job description ("funnel:<stage>",
-          // CorpusPipeline.describing); fall back to the stage name
-          Option(j.properties)
+          // CorpusPipeline.describing); fall back to the stage name.
+          // SPARK_GRAFT_FUNNEL_STAGES=1 appends each job's stage-name
+          // list — distinguishes the concurrent AQE leaf stages that
+          // share one description
+          (Option(j.properties)
             .flatMap(p => Option(p.getProperty("spark.job.description")))
             .getOrElse(j.stageInfos.headOption
-              .map(_.name.takeWhile(_ != '\n')).getOrElse("?")))
+              .map(_.name.takeWhile(_ != '\n')).getOrElse("?"))) +
+            (if (sys.env.contains("SPARK_GRAFT_FUNNEL_STAGES"))
+              j.stageInfos.map(s => s.name.takeWhile(_ != '\n') +
+                "[" + s.details.split("\n").find(_.contains("graft."))
+                  .getOrElse("").trim + "]").mkString(" | ", " | ", "")
+            else ""))
       override def onJobEnd(j: SparkListenerJobEnd): Unit =
         starts.remove(j.jobId).foreach { case (t0, st) =>
           if (record)
             println(f"  job ${j.jobId}%4d  ${(System.nanoTime() - t0) / 1e9}%7.2f s  $st")
+        }
+      // stage-level data-flow fingerprint: input vs shuffle bytes tell
+      // a corpus scan/tokenize stage from a shuffle-consuming aggregate
+      // even when every AQE stage shares the same lambda name
+      override def onStageCompleted(
+          s: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit =
+        if (record && sys.env.contains("SPARK_GRAFT_FUNNEL_STAGES")) {
+          val m = s.stageInfo.taskMetrics
+          println(f"    stage ${s.stageInfo.stageId}%4d " +
+            f"in=${m.inputMetrics.bytesRead / 1e6}%8.1fMB " +
+            f"sr=${m.shuffleReadMetrics.totalBytesRead / 1e6}%8.1fMB " +
+            f"sw=${m.shuffleWriteMetrics.bytesWritten / 1e6}%8.1fMB " +
+            f"cpu=${m.executorCpuTime / 1e9}%7.1fs " +
+            s.stageInfo.name.takeWhile(_ != '\n'))
         }
     })
     val fn = graft.SparkEntry.queries(name)
