@@ -1666,14 +1666,21 @@ object SparkEntry {
         graft.dedup.Dedup.shingleKeys(docs, 3).localCheckpoint(true), 0.5))
     val quality = graft.text.TextAnalysis.qualityScore(docs)
       .select(col("doc_id"), col("quality"))
+    // ONE window spec serves both the rank and the size: count() gets
+    // an explicit unbounded frame over the SAME (partition, order) as
+    // row_number, so Catalyst plans a single Window exec over a single
+    // sort — the r11 two-spec form (count over an unordered spec)
+    // planned two Window execs with two sorts after the join, and q111
+    // was the one bench row beyond the contention band (+60%).
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("canonical_id"))
       .orderBy(col("quality").desc, col("doc_id").asc)
     clusters.join(quality, Seq("doc_id"))
       .withColumn("rn", row_number().over(w))
       .withColumn("cluster_sz",
-        count(lit(1)).over(org.apache.spark.sql.expressions.Window
-          .partitionBy(col("canonical_id"))))
+        count(lit(1)).over(w.rowsBetween(
+          org.apache.spark.sql.expressions.Window.unboundedPreceding,
+          org.apache.spark.sql.expressions.Window.unboundedFollowing)))
       .where(col("rn") === 1)
       .select(col("canonical_id").as("cluster_id"),
         col("doc_id").as("rep_doc_id"),

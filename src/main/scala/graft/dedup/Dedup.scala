@@ -45,8 +45,17 @@ object Dedup {
 
   /** Normalization that additionally strips noise/marker tokens
     * (boilerplate, watermarks) before hashing — the usual prelude to
-    * exact dedup in training-data pipelines. */
+    * exact dedup in training-data pipelines. Same one-scan kernel as
+    * [[normalize]] (the r11 round killed 19 regex call sites; this was
+    * the last regexp_replace in the hot dedup family). */
   def normalizeDropTokens(c: Column, noise: Seq[String]): Column =
+    graft.functions.TextFunctions.normalize_drop(c, noise)
+
+  /** The pre-round-12 regex form of [[normalizeDropTokens]] — the
+    * executable specification the kernel is property-tested against
+    * (NormalizeKernelSpec). */
+  private[graft] def normalizeDropTokensRegex(c: Column,
+                                              noise: Seq[String]): Column =
     trim(regexp_replace(
       regexp_replace(normalize(c), "\\b(" + noise.mkString("|") + ")\\b", ""),
       " +", " "))

@@ -149,6 +149,33 @@ object TextNormalize {
     UTF8String.fromBytes(java.util.Arrays.copyOf(out, o))
   }
 
+  /** [[normalize]] with tokens in `skip` dropped, single-space
+    * re-joined — the noise-token prelude to exact dedup, in the same
+    * one scan. Equivalence to the regex form it replaces
+    * (`trim(regexp_replace(regexp_replace(normalize(c),
+    * "\\b(noise)\\b", ""), " +", " "))`, for noise words that are
+    * single normalized tokens `[a-z0-9]+`): the normalized alphabet is
+    * `[a-z0-9 ]`, all of whose non-space members are regex word
+    * characters, so `\b` boundaries fall exactly at token edges and
+    * `\b(noise)\b` deletes whole tokens equal to a noise word and
+    * nothing else; the subsequent space-collapse + trim is precisely a
+    * single-space re-join of the kept tokens. Pinned against the kept
+    * regex form by NormalizeKernelSpec. */
+  def normalizeDrop(text: UTF8String,
+                    skip: java.util.HashSet[UTF8String]): UTF8String = {
+    val ts = tokens(text)
+    val kept = new Array[UTF8String](ts.length)
+    var k = 0
+    var i = 0
+    while (i < ts.length) {
+      if (!skip.contains(ts(i))) { kept(k) = ts(i); k += 1 }
+      i += 1
+    }
+    UTF8String.concatWs(Space, java.util.Arrays.copyOf(kept, k): _*)
+  }
+
+  private val Space = UTF8String.fromString(" ")
+
   /** split(normalize(text), " ") — token slices of the normalized
     * bytes (pure ASCII by construction, so byte offsets are exact);
     * [""] for an empty normalization (Java split semantics). */
@@ -199,6 +226,49 @@ case class NormalizeText(child: Expression) extends UnaryExpression {
       newChild: Expression): NormalizeText = copy(child = newChild)
 }
 
+/** `normalizeDrop(text, noise)` as one codegen'd scan — normalization
+  * plus noise-token stripping (boilerplate, watermarks) for the exact
+  * dedup key; see [[TextNormalize.normalizeDrop]] for the equivalence
+  * argument vs the regex form. Noise words must already be normalized
+  * single tokens — anything else would silently diverge from the
+  * `\b(noise)\b` regex semantics, so it is rejected up front. */
+case class NormalizeDropText(child: Expression, noise: Seq[String])
+    extends UnaryExpression {
+  require(noise.nonEmpty &&
+    noise.forall(n => n.nonEmpty && n.forall(c =>
+      (c >= 'a' && c <= 'z') || (c >= '0' && c <= '9'))),
+    "noise tokens must be non-empty normalized words [a-z0-9]+")
+
+  override def dataType: DataType = StringType
+  override def prettyName: String = "graft_normalize_drop"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case _: StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a string argument, got ${t.simpleString}")
+  }
+
+  @transient private lazy val skipSet: java.util.HashSet[UTF8String] = {
+    val s = new java.util.HashSet[UTF8String](noise.size * 2)
+    noise.foreach(n => s.add(UTF8String.fromString(n)))
+    s
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    TextNormalize.normalizeDrop(input.asInstanceOf[UTF8String], skipSet)
+
+  override protected def doGenCode(ctx: CodegenContext,
+                                   ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, t => {
+      val set = ctx.addReferenceObj("noiseSet", skipSet,
+        "java.util.HashSet")
+      s"${ev.value} = graft.functions.TextNormalize.normalizeDrop($t, $set);"
+    })
+
+  override protected def withNewChildInternal(
+      newChild: Expression): NormalizeDropText = copy(child = newChild)
+}
+
 /** `split(normalize(text), " ")` as one codegen'd scan — the token
   * stream every explode-based text operator rides. */
 case class NormalizedTokens(child: Expression) extends UnaryExpression {
@@ -237,6 +307,9 @@ object TextFunctions {
 
   def normalize_text(text: Column): Column =
     Bridge.column(NormalizeText(Bridge.expression(text)))
+
+  def normalize_drop(text: Column, noise: Seq[String]): Column =
+    Bridge.column(NormalizeDropText(Bridge.expression(text), noise))
 
   def normalized_tokens(text: Column): Column =
     Bridge.column(NormalizedTokens(Bridge.expression(text)))

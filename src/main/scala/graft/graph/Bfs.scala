@@ -43,8 +43,11 @@ object Bfs {
       .transform(Snapshots.cut)
     // one count over the just-materialized edge blocks: every frontier
     // is a subset of e's dst set, so edgeCount is a sound upper bound
-    // that lets Snapshots pick a memory level for small graphs
-    val edgeCount = e.count()
+    // that lets Snapshots pick a memory level for small graphs. Skipped
+    // entirely under an explicit level override — levelFor ignores the
+    // bound there, so the count would be a dead full pass.
+    val edgeCount =
+      if (Snapshots.hasExplicitLevel(e)) -1L else e.count()
     var dist = seeds.select(col("node").cast("long"))
       .distinct().withColumn("dist", lit(0)).transform(Snapshots.cut)
     var frontier = dist.select(col("node"))

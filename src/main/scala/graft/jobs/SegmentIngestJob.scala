@@ -71,8 +71,17 @@ object SegmentIngestJob {
     if (exists) {
       val p = hashKindPath(outDir)
       val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+      // marker-absent is genuinely UNKNOWN, not provably md5: stores
+      // written by post-switch builds that predate the marker are
+      // already xxhash64. Fail-fast stays (a wrong guess silently
+      // breaks the history anti-join), but the message must not assert
+      // a key kind it cannot know — a known-xxhash64 store migrates by
+      // just writing the marker file, no re-ingest needed.
       val found =
-        if (!fs.exists(p)) "md5-hash60 (pre-versioning store)"
+        if (!fs.exists(p))
+          "unknown (no _hash_kind marker; pre-marker store — keys may " +
+            "be md5-hash60 or xxhash64; if known-xxhash64, write " +
+            s"'$HashKind' to ${hashKindPath(outDir)} to migrate)"
         else {
           val in = fs.open(p)
           try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim

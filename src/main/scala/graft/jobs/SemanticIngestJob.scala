@@ -45,8 +45,31 @@ import graft.sim.Similarity
   */
 object SemanticIngestJob {
 
+  @transient private lazy val log =
+    org.slf4j.LoggerFactory.getLogger(getClass)
+
   private def storeBuckets(spark: SparkSession): Int =
     spark.conf.get("spark.graft.semantic.storeBuckets", "64").toInt
+
+  /** Target max store rows per cell when sizing the model at freeze.
+    * Per-batch history cost is O(batch × store/cells) BY CONTRACT (the
+    * per-cell scan), so the cell count — frozen forever at the first
+    * batch — is the one lever that keeps ingest flat: the r11
+    * IngestThroughputBench measured a 27× per-batch slope difference
+    * between 8 and 64 cells over a 200k-vector corpus. 4096 sits well
+    * under that measured knee (200k/64 ≈ 3.1k/cell was flat). */
+  private def cellBudget(spark: SparkSession): Long =
+    spark.conf.get("spark.graft.semantic.cellBudget", "4096").toLong
+
+  /** The cluster count actually frozen: the caller's floor, raised so
+    * the expected corpus stays within [[cellBudget]] rows/cell
+    * (capped at 4096 cells — the centroid model is a driver collect
+    * and must stay model-sized). */
+  private[graft] def sizedClusters(requested: Int, expectedCorpus: Long,
+                                   budget: Long): Int =
+    if (expectedCorpus <= 0) requested
+    else math.max(requested,
+      math.min(4096L, (expectedCorpus + budget - 1) / budget).toInt)
 
   private def tableName(outDir: String): String = {
     val md = java.security.MessageDigest.getInstance("MD5")
@@ -92,12 +115,29 @@ object SemanticIngestJob {
   /** Batch core, shared by streaming foreachBatch and tests.
     * `vectors`: (vec_id, embedding). The first batch trains and
     * freezes the model (`clusters`/`iters` are ignored afterwards).
+    *
+    * SIZE THE MODEL AT FREEZE: pass `expectedCorpus` (how many vectors
+    * this store will ever hold) on the first batch and the cell count
+    * is raised to keep store/cells within the measured flat regime
+    * ([[cellBudget]]); freezing a small fixed cell count for an
+    * unbounded corpus makes every future batch linearly slower — the
+    * measured foot-gun the warnings below name.
     * @return number of new vectors appended */
   def writeBatch(vectors: DataFrame, outDir: String, clusters: Int,
-                 threshold: Double, iters: Int = 8): Long = {
+                 threshold: Double, iters: Int = 8,
+                 expectedCorpus: Long = -1L): Long = {
     val spark = vectors.sparkSession
+    val budget = cellBudget(spark)
     val model = loadModel(spark, outDir).getOrElse {
-      val m = Similarity.kmeansCentroids(vectors, clusters, iters)
+      val k = sizedClusters(clusters, expectedCorpus, budget)
+      if (expectedCorpus <= 0)
+        log.warn(s"semantic ingest model frozen at $clusters cells " +
+          "with no expectedCorpus hint — per-batch history cost is " +
+          "O(batch × store/cells) by contract (measured: 27× slope " +
+          "difference between 8 and 64 cells at 200k vectors); pass " +
+          "expectedCorpus on the first batch or set " +
+          "spark.graft.semantic.cellBudget")
+      val m = Similarity.kmeansCentroids(vectors, k, iters)
       saveModel(spark, outDir, m)
       m
     }
@@ -106,6 +146,19 @@ object SemanticIngestJob {
         col("embedding").cast("array<double>").as("v"))
       .withColumn("cell", Similarity.nearestCell(col("v"), model))
     val store = storeView(spark, outDir)
+    // past-the-knee tripwire: count-star over the bucketed parquet
+    // store is footer-only (noise next to the full-store history join
+    // below), and a store that outgrew its frozen cell count is a
+    // per-batch linear cost the caller must not discover from a graph
+    store.foreach { s =>
+      val perCell = s.count() / math.max(1, model.size)
+      if (perCell > 2 * budget)
+        log.warn(s"semantic store at $outDir holds ~$perCell " +
+          s"vectors/cell over ${model.size} frozen cells — past the " +
+          s"measured flat-ingest knee (budget $budget/cell); history " +
+          "scoring now dominates each batch. Re-freeze into a fresh " +
+          "outDir with more cells (or a larger cellBudget at freeze).")
+    }
     // replay guard: cells are a pure function of the frozen model, so
     // a replayed vector lands in the same cell and the anti-join is
     // bucket-aligned (only the batch side shuffles)
@@ -164,14 +217,16 @@ object SemanticIngestJob {
     * {"vec_id": …, "embedding": [...]}. AvailableNow drains and stops. */
   def runFiles(spark: SparkSession, inDir: String, outDir: String,
                checkpoint: String, clusters: Int,
-               threshold: Double): StreamingQuery = {
+               threshold: Double,
+               expectedCorpus: Long = -1L): StreamingQuery = {
     val schema = "vec_id LONG, embedding ARRAY<DOUBLE>"
     spark.readStream.schema(schema).json(inDir)
       .writeStream
       .trigger(Trigger.AvailableNow())
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (df: DataFrame, _: Long) =>
-        writeBatch(df, outDir, clusters, threshold); ()
+        writeBatch(df, outDir, clusters, threshold,
+          expectedCorpus = expectedCorpus); ()
       }
       .start()
   }

@@ -102,7 +102,12 @@ object PqInt {
     val enc = codes.withColumn("enc", encodeWith(col("codes"), books))
       .select(col("vec_id"), col("enc"))
 
-    // per-query integer ADC tables: lut[m·cents + j] = ||q_m − c_mj||²
+    // per-query integer ADC tables: lut[m·stride + j] = ||q_m − c_mj||².
+    // The stride is the ACTUAL codebook size, not `cents`: a corpus
+    // smaller than `cents` seeds fewer centroids (limit(cents) returns
+    // what exists), and a cents-based stride would misalign every
+    // subspace block after the first — wrong-subspace lookups / nulls.
+    val stride = seedRows.length
     val lut = flatten(array((0 until subspaces).map { m =>
       transform(typedLit(books(m)),
         c => IvfInt.l2sq(sliceM(col("qcodes"), m), c))
@@ -114,7 +119,7 @@ object PqInt {
       .select(col("query_id"), col("lut"))
     val adc = (0 until subspaces).map(m =>
       element_at(col("lut"),
-        lit(m * cents) + element_at(col("enc"), m + 1) + 1))
+        lit(m * stride) + element_at(col("enc"), m + 1) + 1))
       .reduce(_ + _)
 
     // ADC scan → top `rerank` candidate ids (enc/lut dropped first)

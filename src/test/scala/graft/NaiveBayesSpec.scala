@@ -86,4 +86,59 @@ class NaiveBayesSpec extends AnyFunSuite with SparkTestBase {
     val b = NaiveBayes.classify(test, model).collect().toSeq
     assert(a == b)
   }
+
+  // Pin of the round-11 516-CPU-s fix (NaiveBayes.scala classify
+  // scaladoc): the corpus must be TOKENIZED ONCE (docLen and contrib
+  // share one exchange via ReusedExchange) and the term join must be a
+  // shuffled-hash join with the MODEL as build side — left to
+  // statistics the planner broadcast the corpus-sized tf (a 516-CPU-s
+  // hashed-relation build at sf10). A future stats/AQE change that
+  // silently re-broadcasts or re-tokenizes fails here, the
+  // DedupIngestSpec precedent. Pinned with AQE off: the static plan is
+  // deterministic, and the protections asserted (isNotNull on both tf
+  // consumers, the shuffle_hash hint) are exactly what keeps the AQE
+  // plan honest at scale.
+  test("classify plan shape: one tokenize + ReusedExchange + " +
+       "shuffled-hash term join (q110 pin)") {
+    import org.apache.spark.sql.execution.GenerateExec
+    import org.apache.spark.sql.execution.exchange.ReusedExchangeExec
+    import org.apache.spark.sql.execution.joins.{BroadcastHashJoinExec, ShuffledHashJoinExec}
+    val aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val model = NaiveBayes.train(train, "lang")
+      val out = NaiveBayes.classify(train.select("doc_id", "text"), model)
+      val plan = out.queryExecution.executedPlan
+      // ReusedExchangeExec is a leaf, so collect() naturally counts the
+      // tokenize subtree once — exactly one Generate means one explode
+      // over the corpus serves both tf consumers
+      val gens = plan.collect { case g: GenerateExec => g }
+      assert(gens.length == 1,
+        s"corpus tokenized ${gens.length}× — expected exactly 1 " +
+          s"Generate (shared via ReusedExchange):\n$plan")
+      assert(plan.collect { case r: ReusedExchangeExec => r }.nonEmpty,
+        s"no ReusedExchange — docLen and contrib no longer share the " +
+          s"tokenize exchange:\n$plan")
+      val termShj = plan.collect {
+        case j: ShuffledHashJoinExec
+          if j.leftKeys.exists(_.toString.contains("term")) ||
+             j.rightKeys.exists(_.toString.contains("term")) => j
+      }
+      assert(termShj.nonEmpty,
+        s"term join is not a shuffled-hash join — the shuffle_hash " +
+          s"hint stopped taking effect:\n$plan")
+      // and the term join specifically must not be a broadcast join —
+      // the exact corpus-sized-broadcast regression the fix removed
+      // (tf as a hashed-relation build). Scoped to the term keys: the
+      // tiny-scale planner may legitimately broadcast OTHER subtrees
+      // (e.g. contrib into the final left join) at spec scale.
+      val badBroadcast = plan.collect {
+        case j: BroadcastHashJoinExec
+          if j.leftKeys.exists(_.toString.contains("term")) ||
+             j.rightKeys.exists(_.toString.contains("term")) => j
+      }
+      assert(badBroadcast.isEmpty,
+        s"the term join is a broadcast join:\n$plan")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", aqe)
+  }
 }

@@ -83,6 +83,41 @@ class PqIntSpec extends AnyFunSuite with SparkTestBase {
     assert(run() == run())
   }
 
+  test("corpus smaller than cents: codebook blocks stride by ACTUAL " +
+    "size and the result is still the exact top-k") {
+    // 5 vectors, cents = 8 → each subspace codebook has only 5 entries;
+    // a cents-based LUT stride would misalign every block after the
+    // first (wrong-subspace lookups / nulls). Full-depth rerank makes
+    // the right answer the brute-force exact top-k restricted to these
+    // ids.
+    val tiny = embeddings.filter(col("vec_id") < 5)
+    val got = PqInt
+      .pqIntTopK(tiny, tiny.filter(col("vec_id").isin(0L, 4L)),
+        k = 3, subspaces = 2, cents = 8, rerank = 4)
+      .as[(Long, Long, Long, Long)].collect().sortBy(r => (r._1, r._4)).toSeq
+    // local reference over the SAME 5-vector corpus (quantization range
+    // is corpus-dependent, so recompute rather than reuse exactTopK)
+    val raw = (0 until 5).map { id =>
+      Array.tabulate(8)(d => ((id % 8) * 0.5 + d * 0.1).toFloat.toDouble)
+    }
+    val mn = Array.tabulate(8)(d => raw.map(_(d)).min)
+    val mx = Array.tabulate(8)(d => raw.map(_(d)).max)
+    val codes = raw.map(v => Array.tabulate(8) { d =>
+      if (mx(d) == mn(d)) 0L
+      else java.math.BigDecimal.valueOf((v(d) - mn(d)) / (mx(d) - mn(d)) * 255.0)
+        .setScale(0, java.math.RoundingMode.HALF_UP).longValue()
+    })
+    def l2(a: Array[Long], b: Array[Long]): Long =
+      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    val want = Seq(0L, 4L).flatMap { q =>
+      (0 until 5).filter(_ != q).map(v =>
+        (v.toLong, l2(codes(q.toInt), codes(v))))
+        .sortBy { case (id, d) => (d, id) }.take(3).zipWithIndex
+        .map { case ((id, d), r) => (q, id, d, (r + 1).toLong) }
+    }
+    assert(got == want)
+  }
+
   test("empty corpus yields an empty result frame") {
     val none = embeddings.filter(col("vec_id") < 0)
     val out = PqInt.pqIntTopK(none, none, k = 3, subspaces = 2)
