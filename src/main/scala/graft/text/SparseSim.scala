@@ -78,16 +78,31 @@ object SparseSim {
     .select(col("doc_id"), col("term"), col("c"))
 
   private def pairsFromKept(kept: DataFrame, num: Int, den: Int): DataFrame = {
-    val norms = kept.groupBy(col("doc_id")).agg(sum(col("c") * col("c")).as("n2"))
-    val pairs = kept.as("x")
-      .join(kept.select(col("doc_id").as("doc2"), col("term"),
-        col("c").as("c2")).as("y"), Seq("term"))
+    // Each doc's squared norm rides its POSTINGS (a window over the
+    // doc partition) instead of being aggregated separately and joined
+    // back onto the pair results. The join-back form gave the kept
+    // subtree THREE consumers (norms + the two renamed self-join
+    // sides); at bench scale AQE's broadcast choices split them into
+    // FIVE independent corpus scans/tokenizes (PlanShapeProbe, r12) —
+    // and at 100 TB the two post-agg norm joins are full pair-count
+    // shuffles. With the norm on the posting, the self-join's two
+    // branches are the ONLY consumers of kept and share one exchange
+    // (ReusedExchange): the corpus is tokenized once, and the norm
+    // filter needs no further join. The extra 8 bytes/posting through
+    // the candidate shuffle collapse in the pair partial-agg (min of a
+    // per-pair constant).
+    val withNorm = kept.withColumn("nsq",
+      sum(col("c") * col("c")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("doc_id"))))
+    val x = withNorm.select(col("doc_id"), col("term"), col("c"),
+      col("nsq").as("xn"))
+    val y = withNorm.select(col("doc_id").as("doc2"), col("term"),
+      col("c").as("c2"), col("nsq").as("yn"))
+    x.join(y, Seq("term"))
       .filter(col("doc_id") < col("doc2"))
       .groupBy(col("doc_id").as("id1"), col("doc2").as("id2"))
-      .agg(sum(col("c") * col("c2")).as("dot"))
-    pairs
-      .join(norms.select(col("doc_id").as("id1"), col("n2").as("n1")), Seq("id1"))
-      .join(norms.select(col("doc_id").as("id2"), col("n2")), Seq("id2"))
+      .agg(sum(col("c") * col("c2")).as("dot"),
+        min(col("xn")).as("n1"), min(col("yn")).as("n2"))
       .filter(col("dot") * col("dot") * (den.toLong * den)
         >= col("n1") * col("n2") * (num.toLong * num))
       .select(col("id1"), col("id2"), col("dot"), col("n1"), col("n2"))

@@ -102,11 +102,17 @@ object IngestThroughputBench {
           case "semantic" => graft.jobs.SemanticIngestJob.writeBatch(
             vecDf(b), out,
             // history scoring is O(batch × same-cell store): the cell
-            // count is THE scale lever (frozen at first batch) — size
-            // it to the expected corpus, not the first batch
+            // count is THE scale lever (frozen at first batch). The
+            // bench knows its full corpus size, so it exercises the
+            // freeze-time sizing contract (expectedCorpus raises the
+            // cell count to the flat regime); SPARK_GRAFT_INGEST_
+            // EXPECTED=-1 reproduces the unsized foot-gun for A/B.
             clusters = sys.env.getOrElse("SPARK_GRAFT_INGEST_CLUSTERS",
               "8").toInt,
-            threshold = 0.95)
+            threshold = 0.95,
+            expectedCorpus = sys.env.get("SPARK_GRAFT_INGEST_EXPECTED")
+              .map(_.toLong)
+              .getOrElse(batches.toLong * perBatch))
           case _ => graft.jobs.SegmentIngestJob.writeBatch(df, out)
         }
         val dt = (System.nanoTime() - t0) / 1e9

@@ -1,0 +1,51 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+
+/** Node-count fingerprint of a registry query's FINAL physical plan at
+  * an arbitrary scale — PlanAudit runs at sf0.001 where AQE broadcasts
+  * everything, which can hide (or fake) exchange-reuse questions that
+  * only exist at real scale. Executes the query so AQE's final plan is
+  * what gets counted, then reports the scan/tokenize/reuse shape.
+  *
+  * Usage: SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 \
+  *          runMain graft.tools.PlanShapeProbe q115_sparse_cosine
+  */
+object PlanShapeProbe {
+  def main(args: Array[String]): Unit = {
+    val names = args(0).split(",").toSeq
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    def count(hay: String, needle: String): Int =
+      needle.r.findAllMatchIn(hay).size
+    for (n <- names) {
+      val df = graft.SparkEntry.queries(n)(spark, sfDir)
+      df.queryExecution.toRdd.count() // finalize AQE
+      // AdaptiveSparkPlan.toString prints BOTH the final plan and the
+      // initial plan — counting the whole string double-counts every
+      // node. Keep only the final-plan section.
+      val full = df.queryExecution.executedPlan.toString
+      val p = full.indexOf("== Initial Plan ==") match {
+        case -1 => full
+        case i => full.substring(0, i)
+      }
+      println(s"PLANSHAPE $n sf=$sfDir")
+      for (k <- Seq("FileScan parquet", "Generate ", "ReusedExchange",
+        "Exchange hashpartitioning", "BroadcastHashJoin", "SortMergeJoin",
+        "ShuffledHashJoin", "BroadcastNestedLoopJoin", "Window",
+        "HashAggregate", "graft_tokens", "graft_normalize"))
+        println(f"  ${count(p, k)}%3d  $k")
+      if (args.length > 1 && args(1) == "-v") println(p)
+    }
+    spark.stop()
+  }
+}

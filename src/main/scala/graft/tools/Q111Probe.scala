@@ -1,0 +1,93 @@
+package graft.tools
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** One-off A/B for the q111_dedup_reps regression adjudication
+  * (round-12): same QueryProfile methodology (toRdd.count, min of
+  * reps, one variant per JVM invocation), three plan variants:
+  *
+  *  - `fused`  — the current composition: one ordered canonical_id
+  *    window serves row_number AND count (explicit unbounded frame).
+  *  - `twowin` — the r11 form: count over a second, UNORDERED
+  *    canonical_id window spec (two Window execs, two sorts).
+  *  - `regex`  — the fused window but the shingle token stream built
+  *    over Dedup.normalizeRegex instead of the TextNormalize kernel,
+  *    to rule the kernel in/out of the r11 bench delta.
+  *
+  * Usage: `runMain graft.tools.Q111Probe fused 5`
+  */
+object Q111Probe {
+
+  /** Dedup.shingleKeys(docs, 3) with a caller-chosen token column —
+    * byte-for-byte the shingleKeyStream shape. */
+  private def shingleKeys3(docs: DataFrame, toks: Column): DataFrame =
+    docs.select(col("doc_id"), transform(toks, xxhash64(_)).as("wh"))
+      .select(col("doc_id"),
+        explode(expr(
+          "transform(sequence(0, greatest(size(wh) - 3, 0)), " +
+            "i -> xxhash64(slice(wh, i + 1, 3)))")).as("shingle"))
+      .distinct()
+
+  private def variant(s: SparkSession, d: String, which: String): DataFrame = {
+    val docs = graft.Tables.documents(s, d)
+    val toks = which match {
+      case "regex" =>
+        split(graft.dedup.Dedup.normalizeRegex(col("text")), " ")
+      case _ => graft.dedup.Dedup.tokens(col("text"))
+    }
+    val clusters = graft.dedup.Dedup.dupGroups(
+      graft.dedup.Dedup.jaccardPairs(
+        shingleKeys3(docs, toks).localCheckpoint(true), 0.5))
+    val quality = graft.text.TextAnalysis.qualityScore(docs)
+      .select(col("doc_id"), col("quality"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("canonical_id"))
+      .orderBy(col("quality").desc, col("doc_id").asc)
+    val base = clusters.join(quality, Seq("doc_id"))
+      .withColumn("rn", row_number().over(w))
+    val sized = which match {
+      case "twowin" => base.withColumn("cluster_sz",
+        count(lit(1)).over(org.apache.spark.sql.expressions.Window
+          .partitionBy(col("canonical_id"))))
+      case _ => base.withColumn("cluster_sz",
+        count(lit(1)).over(w.rowsBetween(
+          org.apache.spark.sql.expressions.Window.unboundedPreceding,
+          org.apache.spark.sql.expressions.Window.unboundedFollowing)))
+    }
+    sized.where(col("rn") === 1)
+      .select(col("canonical_id").as("cluster_id"),
+        col("doc_id").as("rep_doc_id"),
+        col("cluster_sz"),
+        (col("cluster_sz") - 1).as("n_dropped"))
+  }
+
+  def main(args: Array[String]): Unit = {
+    val which = if (args.nonEmpty) args(0) else "fused"
+    val reps = if (args.length > 1) args(1).toInt else 5
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.codegen.cache.maxEntries", "5000")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val times = (1 to reps).map { _ =>
+      val t0 = System.nanoTime()
+      variant(spark, sfDir, which).queryExecution.toRdd.count()
+      val dt = (System.nanoTime() - t0) / 1e9
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = false))
+      dt
+    }
+    println(f"Q111PROBE $which%-8s " +
+      times.map(t => f"$t%6.2f").mkString(" ") +
+      f"  min=${times.min}%6.2f")
+    spark.stop()
+  }
+}
