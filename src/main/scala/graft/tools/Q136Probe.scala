@@ -1,0 +1,83 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** A/B for q136's capped-postings materialization (round-12): the r9
+  * compute-once sweep added `localCheckpoint(true)` because the plain
+  * form re-derived the shingle explode per consumer (7 scans / 13
+  * shuffles, 1.31 → 2.11 s at sf0.1). But at sf10 the checkpointed
+  * chain is NOT CPU-bound (205 CPU-s under a 56 s wall) — the wall is
+  * the serialized 345 MB shuffle → window → 351 MB checkpoint-write
+  * pipeline, and AQE's exchange reuse may now serve the three
+  * consumers from ONE exchange without paying the checkpoint I/O.
+  * Variants, one per JVM (QueryProfile methodology):
+  *
+  *  - `checkpoint` — the shipped form (localCheckpoint after the cap)
+  *  - `plain`      — identical plan minus the checkpoint
+  *
+  * Usage: runMain graft.tools.Q136Probe plain 3
+  */
+object Q136Probe {
+  private def variant(s: SparkSession, d: String, which: String): DataFrame = {
+    val all = graft.Tables.documents(s, d)
+    val corpus = all.filter(col("doc_id") % 50 =!= 0)
+    val bench = all.filter(col("doc_id") % 50 === 0)
+    val n = 3
+    val maxDf = 256
+    val threshold = 0.5
+    val capped0 = graft.dedup.Dedup.shingleKeys(corpus, n)
+      .withColumn("__df", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("shingle"))))
+      .filter(col("__df") <= maxDf)
+      .drop("__df")
+    val capped =
+      if (which == "plain") capped0 else capped0.localCheckpoint(true)
+    val bs = graft.dedup.Dedup.shingleKeys(bench, n)
+      .withColumnRenamed("doc_id", "bench_id")
+      .join(capped.select(col("shingle")).distinct(), Seq("shingle"),
+        "left_semi")
+    val inter = capped.join(bs, Seq("shingle"))
+      .groupBy(col("doc_id"), col("bench_id"))
+      .agg(count(lit(1)).as("inter"))
+    val csz = capped.groupBy(col("doc_id")).agg(count(lit(1)).as("sz1"))
+    val bsz = bs.groupBy(col("bench_id")).agg(count(lit(1)).as("sz2"))
+    inter
+      .join(csz, Seq("doc_id"))
+      .join(bsz, Seq("bench_id"))
+      .withColumn("jaccard",
+        col("inter").cast("double") /
+          (col("sz1") + col("sz2") - col("inter")).cast("double"))
+      .filter(col("jaccard") >= threshold)
+      .select(col("doc_id"), col("bench_id"), col("jaccard"))
+  }
+
+  def main(args: Array[String]): Unit = {
+    val which = if (args.nonEmpty) args(0) else "checkpoint"
+    val reps = if (args.length > 1) args(1).toInt else 3
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.codegen.cache.maxEntries", "5000")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val times = (1 to reps).map { _ =>
+      val t0 = System.nanoTime()
+      variant(spark, sfDir, which).queryExecution.toRdd.count()
+      val dt = (System.nanoTime() - t0) / 1e9
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = false))
+      dt
+    }
+    println(f"Q136PROBE $which%-10s " +
+      times.map(t => f"$t%6.2f").mkString(" ") +
+      f"  min=${times.min}%6.2f")
+    spark.stop()
+  }
+}
