@@ -124,6 +124,21 @@ object Dedup {
     * broadcast-probe filters that drop non-matches map-side) should
     * take this stream and skip that shuffle entirely. */
   def shingleKeyStream(docs: DataFrame, n: Int = 3): DataFrame =
+    // one codegen'd scan (ShingleHashKeys) — BIT-EXACT with the lambda
+    // form kept below as the executable spec: the HOF chain was
+    // CodegenFallback (one interpreted lambda frame per token and per
+    // window, a boxed slice per shingle), measured 137-181 CPU-s per
+    // corpus pass at sf10 under the dedup family's map sides
+    docs.select(col("doc_id"),
+      explode(graft.functions.ShingleFunctions
+        .shingle_keys(col("text"), n)).as("shingle"))
+
+  /** The pre-round-12 lambda form of [[shingleKeyStream]] — the
+    * executable specification ShingleKernelSpec pins the kernel
+    * against (key VALUES must match exactly: minhash signatures and
+    * every hash-oracled overlap count are functions of them). */
+  private[graft] def shingleKeyStreamHof(docs: DataFrame,
+                                         n: Int = 3): DataFrame =
     docs.select(col("doc_id"),
         transform(tokens(col("text")), xxhash64(_)).as("wh"))
       .select(col("doc_id"),

@@ -1,0 +1,107 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, XXH64}
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.graftbridge.Bridge
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** The word-shingle hash stream — text → array of 64-bit shingle keys
+  * — as ONE codegen'd scan, replacing the lambda chain
+  * `transform(sequence(0, greatest(size(wh) − n, 0)),
+  *   i -> xxhash64(slice(wh, i + 1, n)))` over
+  * `wh = transform(tokens(text), xxhash64(_))`.
+  *
+  * Why: higher-order functions are CodegenFallback (the r10 lesson) —
+  * the transform/sequence/slice chain evaluates interpreted, one
+  * lambda frame per token and per window, allocating a boxed slice
+  * array per shingle. This stream is the map-side inner loop of the
+  * whole shingle family (jaccard q18, minhash q19, dup-groups
+  * q44/q111, contamination q51/q128, containment q88, exact
+  * decontamination q136, near-dup ingest) — its stage CPU measured
+  * 137-181 CPU-s per pass at sf10.
+  *
+  * BIT-EXACT with the lambda form, term by term:
+  *  - tokens: [[TextNormalize.tokens]], the same kernel both forms ride;
+  *  - word hash: `xxhash64(tok)` = XXH64.hashUTF8String(tok, 42) —
+  *    the exact static Spark's XxHash64 codegen calls, same default
+  *    seed 42;
+  *  - shingle key: `xxhash64(slice(wh, i+1, n))` — XxHash64 over an
+  *    ARRAY<BIGINT> folds the elements through hashLong with the
+  *    running result as seed, starting from seed 42 (HashExpression's
+  *    array case); the scan below replays exactly that fold over the
+  *    window, including the truncated window when the doc has fewer
+  *    than n tokens (slice past the end truncates; sequence(0,
+  *    greatest(len − n, 0)) emits max(len − n, 0) + 1 windows).
+  * Pinned to zero mismatches against the lambda form on the real
+  * corpus plus adversarial rows by ShingleKernelSpec — key VALUES must
+  * not move, because minhash signatures (q19) and every downstream
+  * hash-oracled overlap count are functions of them. */
+case class ShingleHashKeys(child: Expression, n: Int)
+    extends UnaryExpression {
+  require(n >= 1, "shingle width must be positive")
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_shingle_keys"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case _: StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a string argument, got ${t.simpleString}")
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    new GenericArrayData(
+      ShingleHashKeys.scan(input.asInstanceOf[UTF8String], n))
+
+  override protected def doGenCode(ctx: CodegenContext,
+                                   ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, t =>
+      s"""
+         |${ev.value} =
+         |  new org.apache.spark.sql.catalyst.util.GenericArrayData(
+         |    graft.functions.ShingleHashKeys.scan($t, $n));
+       """.stripMargin)
+
+  override protected def withNewChildInternal(
+      newChild: Expression): ShingleHashKeys = copy(child = newChild)
+}
+
+object ShingleHashKeys {
+  /** One pass: normalized tokens → per-word xxhash64 → windowed fold.
+    * max(len − n, 0) + 1 windows; the trailing window of a short doc
+    * folds only the words that exist (slice-truncation semantics). */
+  def scan(text: UTF8String, n: Int): Array[Long] = {
+    val toks = TextNormalize.tokens(text)
+    val wh = new Array[Long](toks.length)
+    var i = 0
+    while (i < toks.length) {
+      wh(i) = XXH64.hashUTF8String(toks(i), 42L)
+      i += 1
+    }
+    val windows = math.max(wh.length - n, 0) + 1
+    val out = new Array[Long](windows)
+    var w = 0
+    while (w < windows) {
+      var h = 42L
+      var j = w
+      val end = math.min(w + n, wh.length)
+      while (j < end) {
+        h = XXH64.hashLong(wh(j), h)
+        j += 1
+      }
+      out(w) = h
+      w += 1
+    }
+    out
+  }
+}
+
+/** Column-API wrapper. */
+object ShingleFunctions {
+  def shingle_keys(text: Column, n: Int): Column =
+    Bridge.column(ShingleHashKeys(Bridge.expression(text), n))
+}

@@ -1,0 +1,47 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+
+/** A/B of the round-12 shingle-key kernel (ShingleHashKeys, one
+  * codegen'd scan) vs the lambda form it replaced (CodegenFallback
+  * transform/sequence/slice chain): times the raw key STREAM (explode,
+  * no distinct — the map-side inner loop every shingle consumer pays)
+  * at the given SF, alternating forms within one JVM.
+  *
+  * Usage: SPARK_GRAFT_SF_DIR=... runMain graft.tools.ShingleKernelProbe [n] [reps]
+  */
+object ShingleKernelProbe {
+  def main(args: Array[String]): Unit = {
+    val n = args.headOption.map(_.toInt).getOrElse(3)
+    val reps = args.drop(1).headOption.map(_.toInt).getOrElse(4)
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.codegen.cache.maxEntries", "5000")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val docs = graft.Tables.documents(spark, sfDir)
+    def run(name: String, df: org.apache.spark.sql.DataFrame): Double = {
+      val t0 = System.nanoTime()
+      df.queryExecution.toRdd.count()
+      (System.nanoTime() - t0) / 1e9
+    }
+    val kernel = graft.dedup.Dedup.shingleKeyStream(docs, n)
+    val hof = graft.dedup.Dedup.shingleKeyStreamHof(docs, n)
+    // warm both
+    run("warm", kernel); run("warm", hof)
+    val ks = (1 to reps).map(_ => run("kernel", kernel))
+    val hs = (1 to reps).map(_ => run("hof", hof))
+    println(f"SHKERNEL n=$n kernel " +
+      ks.map(t => f"$t%6.2f").mkString(" ") + f"  min=${ks.min}%6.2f")
+    println(f"SHKERNEL n=$n hof    " +
+      hs.map(t => f"$t%6.2f").mkString(" ") + f"  min=${hs.min}%6.2f")
+    spark.stop()
+  }
+}

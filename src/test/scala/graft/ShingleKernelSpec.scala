@@ -1,0 +1,62 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+import graft.dedup.Dedup
+
+/** Pins graft.functions.ShingleHashKeys — the one-scan shingle-key
+  * kernel behind Dedup.shingleKeyStream — BIT-EXACT against the lambda
+  * form it replaced (Dedup.shingleKeyStreamHof, kept as the executable
+  * specification). Unlike the normalize kernel, near enough is not an
+  * option here: minhash signatures (q19) and every hash-oracled
+  * overlap count are functions of the key VALUES, so a single moved
+  * bit silently changes q19/q44/q111/q134 outputs. */
+class ShingleKernelSpec extends AnyFunSuite with SparkTestBase {
+  import spark.implicits._
+
+  private def mismatches(docs: org.apache.spark.sql.DataFrame,
+                         n: Int): Long = {
+    // full multiset equality per doc: collect both streams to sorted
+    // lists and compare — catches value drift, window-count drift,
+    // and ordering-insensitive duplicates alike
+    val a = Dedup.shingleKeyStream(docs, n)
+      .groupBy(col("doc_id")).agg(sort_array(collect_list(col("shingle")))
+        .as("ka"))
+    val b = Dedup.shingleKeyStreamHof(docs, n)
+      .groupBy(col("doc_id")).agg(sort_array(collect_list(col("shingle")))
+        .as("kb"))
+    a.join(b, Seq("doc_id"), "full_outer")
+      .filter(col("ka").isNull || col("kb").isNull ||
+        col("ka") =!= col("kb"))
+      .count()
+  }
+
+  test("kernel == lambda form on the real corpus, n = 3 and 5") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.01")
+    assert(mismatches(docs, 3) == 0)
+    assert(mismatches(docs, 5) == 0)
+  }
+
+  test("kernel == lambda form on adversarial rows (short docs, empty, " +
+    "unicode, repeated words)") {
+    val rows = Seq(
+      (1L, ""), (2L, " "), (3L, "one"), (4L, "one two"),
+      (5L, "one two three"), (6L, "one two three four"),
+      (7L, "a a a a a a"), (8L, "Ünï ço de 日本 text"),
+      (9L, "  spaced   out   words  "), (10L, "1 2 3 4 5 6 7 8 9"),
+      (11L, "!!! ... ---"), (12L, "x"), (13L, "MIXED Case WORDS here")
+    ).toDF("doc_id", "text")
+    assert(mismatches(rows, 1) == 0)
+    assert(mismatches(rows, 3) == 0)
+    assert(mismatches(rows, 7) == 0)
+  }
+
+  test("window-count contract: max(len - n, 0) + 1 windows per doc") {
+    val rows = Seq((1L, "a b c d e"), (2L, "a b"), (3L, "")).toDF("doc_id", "text")
+    val got = Dedup.shingleKeyStream(rows, 3)
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("c"))
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 3L, 2L -> 1L, 3L -> 1L))
+  }
+}
