@@ -64,7 +64,13 @@ object Dedup {
     * (doc_id, canonical_id, content_hash) for every doc in a group of ≥2,
     * canonical = min doc_id. One shuffle on the 60-bit content hash — at
     * 100 TB this is the cheapest possible exact dedup (hash partitioning,
-    * map-side distinct of (hash, id) first if ids repeat). */
+    * map-side distinct of (hash, id) first if ids repeat).
+    *
+    * `noiseTokens` forwards to [[normalizeDropTokens]], whose kernel
+    * requires each entry to be a single already-normalized word
+    * `[a-z0-9]+` (IllegalArgumentException otherwise) — multi-word
+    * phrases or unnormalized spellings that the old regex form silently
+    * accepted must be normalized/split by the caller first. */
   def exactDuplicates(docs: DataFrame,
                       noiseTokens: Seq[String] = Seq.empty): DataFrame = {
     val key = if (noiseTokens.isEmpty) normalize(col("text"))

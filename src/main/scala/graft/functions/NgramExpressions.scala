@@ -1,0 +1,203 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{Expression, GenericInternalRow, UnaryExpression}
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.graftbridge.Bridge
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** The word n-gram stream — text → array of adjacent-token structs —
+  * as ONE codegen'd scan, replacing the lambda chain
+  * `transform(sequence(0, size(w) − n), i -> struct(w[i], …,
+  * w[i + n − 1]))` over `w = tokens(text)` with a `size(w) ≥ n`
+  * prefilter.
+  *
+  * Why: higher-order functions are CodegenFallback (the r10 lesson,
+  * re-measured at 3.2× on the r12 shingle kernel) — the
+  * transform/sequence chain evaluates interpreted, one lambda frame
+  * per position, boxing an index and allocating a struct through the
+  * interpreted path per n-gram. This stream is the map side of the
+  * whole Kneser–Ney family (bigram novelty q71, KN model q120, KN
+  * rarity q132, KN trigrams q135).
+  *
+  * VALUE-EXACT with the lambda form: tokens come from the same
+  * [[TextNormalize.tokens]] kernel both forms ride; the gram count is
+  * max(len − n, 0) + 1 when len ≥ n and the lambda's prefilter drops
+  * len < n, which here emits an empty array that explode() drops —
+  * identical row sets. (A doc whose normalization is empty tokenizes
+  * as [""], length 1, so for n ≥ 2 it emits nothing under both
+  * forms.) Pinned per doc against the kept lambda form on the real
+  * corpus plus adversarial rows by NgramKernelSpec — the struct
+  * VALUES feed groupBy keys whose counts are hash-oracled (q120's
+  * model rows are output verbatim), so zero drift is the contract. */
+case class NgramStructs(child: Expression, n: Int)
+    extends UnaryExpression {
+  require(n >= 1, "n-gram width must be positive")
+
+  override def dataType: DataType = ArrayType(
+    StructType((1 to n).map(i =>
+      StructField(s"w$i", StringType, nullable = false))),
+    containsNull = false)
+  override def prettyName: String = "graft_ngram_structs"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case _: StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a string argument, got ${t.simpleString}")
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    new GenericArrayData(
+      NgramStructs.scan(input.asInstanceOf[UTF8String], n))
+
+  override protected def doGenCode(ctx: CodegenContext,
+                                   ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, t =>
+      s"""
+         |${ev.value} =
+         |  new org.apache.spark.sql.catalyst.util.GenericArrayData(
+         |    graft.functions.NgramStructs.scan($t, $n));
+       """.stripMargin)
+
+  override protected def withNewChildInternal(
+      newChild: Expression): NgramStructs = copy(child = newChild)
+}
+
+object NgramStructs {
+  /** One pass: normalized tokens → adjacent n-token structs. Empty
+    * when the doc has fewer than n tokens (the lambda form's
+    * prefilter). Token UTF8Strings are fresh copies
+    * ([[TextNormalize.tokens]] copies bytes), so rows may be consumed
+    * lazily without buffer-reuse hazards. */
+  def scan(text: UTF8String, n: Int): Array[Any] = {
+    val toks = TextNormalize.tokens(text)
+    val m = toks.length - n + 1
+    if (m <= 0) return Array.empty[Any]
+    val out = new Array[Any](m)
+    var i = 0
+    while (i < m) {
+      val fields = new Array[Any](n)
+      var j = 0
+      while (j < n) { fields(j) = toks(i + j); j += 1 }
+      out(i) = new GenericInternalRow(fields)
+      i += 1
+    }
+    out
+  }
+}
+
+/** The strided-block hash stream — text → array of hash60 keys of
+  * non-overlapping blockWords-token blocks — as ONE codegen'd scan,
+  * replacing `transform(sequence(0, size(w) − b, b),
+  * i -> array_join(slice(w, i + 1, b), ' '))` + `hash60(block)` over
+  * `w = tokens(text)` with a `size(w) ≥ b` prefilter (the
+  * memorization-audit block key of TrainingData.repeatedBlocks, q52).
+  *
+  * BIT-EXACT with the lambda + hash60 form, term by term:
+  *  - block string: tokens are space-separated maximal runs of the
+  *    normalized byte stream ([[TextNormalize.normalize]] emits pure
+  *    ASCII `[a-z0-9 ]` with single interior spaces, no leading or
+  *    trailing space), so `array_join(slice(w, i+1, b), ' ')` is
+  *    EXACTLY the contiguous normalized bytes from the start of token
+  *    i to the end of token i+b−1 — no join buffer is ever needed;
+  *  - hash60: `conv(substring(md5(s), 1, 15), 16, 10) :: long` = the
+  *    top 60 bits of the MD5 digest of the string's UTF-8 bytes read
+  *    big-endian (15 hex nibbles = 7 full bytes + the high nibble of
+  *    byte 7; 60 bits always fit positive in an int64, so the conv →
+  *    decimal-string → cast round-trip is the identity on that
+  *    value);
+  *  - block count/stride: sequence(0, len−b, b) emits
+  *    ⌊(len−b)/b⌋ + 1 starts for len ≥ b; len < b emits an empty
+  *    array here, which explode() drops exactly like the prefilter.
+  * Pinned per doc against the kept lambda form on the real corpus
+  * plus adversarial rows by NgramKernelSpec — q52's groupBy key is
+  * hash-oracled, so key values must not move. */
+case class BlockHash60(child: Expression, blockWords: Int)
+    extends UnaryExpression {
+  require(blockWords >= 1, "block width must be positive")
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_block_hash60"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case _: StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a string argument, got ${t.simpleString}")
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    new GenericArrayData(
+      BlockHash60.scan(input.asInstanceOf[UTF8String], blockWords))
+
+  override protected def doGenCode(ctx: CodegenContext,
+                                   ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, t =>
+      s"""
+         |${ev.value} =
+         |  new org.apache.spark.sql.catalyst.util.GenericArrayData(
+         |    graft.functions.BlockHash60.scan($t, $blockWords));
+       """.stripMargin)
+
+  override protected def withNewChildInternal(
+      newChild: Expression): BlockHash60 = copy(child = newChild)
+}
+
+object BlockHash60 {
+  private val digest = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
+  /** One pass: normalize → token boundaries → per-block MD5 over the
+    * contiguous normalized byte range → top 60 bits. */
+  def scan(text: UTF8String, blockWords: Int): Array[Long] = {
+    val bytes = TextNormalize.normalize(text).getBytes
+    val nb = bytes.length
+    // split semantics: an empty normalization is ONE empty token
+    var ntok = 1
+    var i = 0
+    while (i < nb) { if (bytes(i) == ' ') ntok += 1; i += 1 }
+    if (ntok < blockWords) return Array.emptyLongArray
+    val starts = new Array[Int](ntok)
+    val ends = new Array[Int](ntok)
+    var t = 0
+    i = 0
+    while (i <= nb) {
+      if (i == nb || bytes(i) == ' ') {
+        ends(t) = i
+        t += 1
+        if (t < ntok) starts(t) = i + 1
+      }
+      i += 1
+    }
+    val blocks = (ntok - blockWords) / blockWords + 1
+    val out = new Array[Long](blocks)
+    val md = digest.get()
+    var b = 0
+    while (b < blocks) {
+      val s = starts(b * blockWords)
+      val e = ends(b * blockWords + blockWords - 1)
+      md.reset()
+      md.update(bytes, s, e - s)
+      val d = md.digest()
+      var v = 0L
+      var k = 0
+      while (k < 7) { v = (v << 8) | (d(k) & 0xFFL); k += 1 }
+      out(b) = (v << 4) | ((d(7) >> 4) & 0xFL)
+      b += 1
+    }
+    out
+  }
+}
+
+/** Column-API wrappers for the n-gram expressions. */
+object NgramFunctions {
+  def ngram_structs(text: Column, n: Int): Column =
+    Bridge.column(NgramStructs(Bridge.expression(text), n))
+
+  def block_hash60(text: Column, blockWords: Int): Column =
+    Bridge.column(BlockHash60(Bridge.expression(text), blockWords))
+}

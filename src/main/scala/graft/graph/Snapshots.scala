@@ -50,8 +50,9 @@ import org.apache.spark.storage.StorageLevel
   *
   * The size thresholds are deliberately an order of magnitude below
   * where the 8g OOM lives: [[DefaultMemRows]] 4M rows ≈ 300 MB of row
-  * objects (the sf10 failure was 30M), [[DefaultMemBytes]] 256 MB of
-  * plan-estimated bytes. A wrong small-side guess costs eviction (the
+  * objects (the sf10 failure was 30M), [[DefaultMemBytes]] sized to
+  * match that row budget on compressed scan stats (see the constant's
+  * own scaladoc). A wrong small-side guess costs eviction (the
   * unified memory manager drops storage blocks under shuffle
   * pressure — MEMORY_AND_DISK degrades, it does not OOM at these
   * sizes); a wrong big-side guess costs the measured ~18% small-scale

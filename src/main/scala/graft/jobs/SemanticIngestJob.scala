@@ -137,6 +137,14 @@ object SemanticIngestJob {
           "difference between 8 and 64 cells at 200k vectors); pass " +
           "expectedCorpus on the first batch or set " +
           "spark.graft.semantic.cellBudget")
+      else if (expectedCorpus > 4096L * budget)
+        log.warn(s"semantic ingest model frozen at $k cells: the " +
+          s"4096-cell cap binds for expectedCorpus=$expectedCorpus " +
+          s"(needs ${(expectedCorpus + budget - 1) / budget} cells at " +
+          s"$budget rows/cell) — per-cell row count will exceed the " +
+          "budget as the store fills; raise " +
+          "spark.graft.semantic.cellBudget or shard the store by " +
+          "corpus slice")
       val m = Similarity.kmeansCentroids(vectors, k, iters)
       saveModel(spark, outDir, m)
       m

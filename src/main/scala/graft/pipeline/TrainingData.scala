@@ -84,8 +84,44 @@ object TrainingData {
     * mining): normalized text is cut into aligned `blockWords`-word
     * blocks, blocks hashed, hashes appearing in ≥2 distinct docs
     * reported. One shuffle on the block hash; map-side partial counts.
+    * The block keys ride [[graft.functions.BlockHash60]] — one
+    * codegen'd scan straight to the 60-bit hash (bit-exact with the
+    * HOF slice/join/md5 chain it replaces, kept below as the
+    * executable spec; block strings are never materialized).
     * @return (block_hash, n_docs, n_total) */
   def repeatedBlocks(docs: DataFrame, blockWords: Int = 12): DataFrame =
+    docs.select(col("doc_id"),
+      explode(graft.functions.NgramFunctions
+        .block_hash60(col("text"), blockWords)).as("block_hash"))
+      .groupBy(col("block_hash"))
+      .agg(countDistinct(col("doc_id")).as("n_docs"),
+        count(lit(1)).as("n_total"))
+      .filter(col("n_docs") >= 2)
+
+  /** Per-doc (doc_id, block_hash) stream on the kernel — spec access
+    * for the NgramKernelSpec multiset pin. */
+  private[graft] def repeatedBlocksPerDoc(docs: DataFrame,
+                                          blockWords: Int): DataFrame =
+    docs.select(col("doc_id"),
+      explode(graft.functions.NgramFunctions
+        .block_hash60(col("text"), blockWords)).as("block_hash"))
+
+  /** Per-doc HOF form of [[repeatedBlocksPerDoc]] — the executable
+    * specification the kernel is pinned against (NgramKernelSpec). */
+  private[graft] def repeatedBlocksPerDocLambda(docs: DataFrame,
+                                                blockWords: Int): DataFrame =
+    docs.select(col("doc_id"), graft.dedup.Dedup.tokens(col("text")).as("w"))
+      .filter(size(col("w")) >= blockWords)
+      .select(col("doc_id"),
+        explode(expr(s"transform(sequence(0, size(w) - $blockWords, " +
+          s"$blockWords), i -> array_join(slice(w, i + 1, $blockWords), " +
+          "' '))")).as("block"))
+      .select(col("doc_id"), hash60(col("block")).as("block_hash"))
+
+  /** The pre-round-13 HOF form of [[repeatedBlocks]] — the executable
+    * specification the kernel is pinned against (NgramKernelSpec). */
+  private[graft] def repeatedBlocksLambda(docs: DataFrame,
+                                          blockWords: Int = 12): DataFrame =
     docs.select(col("doc_id"), graft.dedup.Dedup.tokens(col("text")).as("w"))
       .filter(size(col("w")) >= blockWords)
       .select(col("doc_id"),

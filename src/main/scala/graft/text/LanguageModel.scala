@@ -26,14 +26,23 @@ import graft.dedup.Dedup.normalize
   */
 object LanguageModel {
 
-  private def tokenized(docs: DataFrame): DataFrame =
+  /** Per-doc bigram stream on the [[graft.functions.NgramStructs]]
+    * kernel — one codegen'd scan; the HOF lambda form it replaces
+    * (kept below as the executable spec) ran interpreted. */
+  private[graft] def docBigrams(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      explode(graft.functions.NgramFunctions.ngram_structs(col("text"), 2))
+        .as("bg"))
+      .select(col("doc_id"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+
+  /** The pre-round-13 HOF form of [[docBigrams]] — the executable
+    * specification the kernel is pinned against (NgramKernelSpec). */
+  private[graft] def docBigramsLambda(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"), graft.dedup.Dedup.tokens(col("text")).as("w"))
       .filter(size(col("w")) >= 2)
-
-  private def docBigrams(docs: DataFrame): DataFrame =
-    tokenized(docs).select(col("doc_id"),
-      explode(expr("transform(sequence(0, size(w) - 2), " +
-        "i -> struct(w[i] AS w1, w[i + 1] AS w2))")).as("bg"))
+      .select(col("doc_id"),
+        explode(expr("transform(sequence(0, size(w) - 2), " +
+          "i -> struct(w[i] AS w1, w[i + 1] AS w2))")).as("bg"))
       .select(col("doc_id"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
 
   /** The trained model: corpus occurrence count per distinct bigram. */
@@ -85,7 +94,16 @@ object LanguageModel {
     * (map-side combined); the three statistics tables are aggregates OF
     * THE MODEL (vocabulary-sized, not corpus-sized) and broadcast back —
     * no corpus-sized join, no window over an unpartitioned frame. */
-  private def docTrigrams(docs: DataFrame): DataFrame =
+  private[graft] def docTrigrams(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      explode(graft.functions.NgramFunctions.ngram_structs(col("text"), 3))
+        .as("tg"))
+      .select(col("doc_id"), col("tg.w1").as("w1"), col("tg.w2").as("w2"),
+        col("tg.w3").as("w3"))
+
+  /** The pre-round-13 HOF form of [[docTrigrams]] — the executable
+    * specification the kernel is pinned against (NgramKernelSpec). */
+  private[graft] def docTrigramsLambda(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"), graft.dedup.Dedup.tokens(col("text")).as("w"))
       .filter(size(col("w")) >= 3)
       .select(col("doc_id"),

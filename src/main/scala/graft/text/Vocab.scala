@@ -97,7 +97,10 @@ object Vocab {
       .groupBy(col("doc_id"))
       .agg(array_sort(collect_list(struct(col("pos"), col("tid"))))
         .as("toks"))
-      .select(col("doc_id"), expr("transform(toks, t -> t.tid)").as("token_ids"))
+      // field extraction over array<struct> (GetArrayStructFields) is
+      // native codegen; the transform(toks, t -> t.tid) lambda it
+      // replaces was CodegenFallback (r13 HOF-site audit)
+      .select(col("doc_id"), col("toks").getField("tid").as("token_ids"))
     // empty docs grouped away above — restore them with empty sequences
     docs.select(col("doc_id")).join(encoded, Seq("doc_id"), "left")
       .select(col("doc_id"),

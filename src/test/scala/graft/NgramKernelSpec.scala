@@ -1,0 +1,111 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.text.LanguageModel
+import graft.pipeline.TrainingData
+
+/** Pins the round-13 n-gram kernels BIT-EXACT against the HOF lambda
+  * forms they replaced (kept as executable specifications):
+  *
+  *  - graft.functions.NgramStructs (LanguageModel.docBigrams /
+  *    docTrigrams → KN family q71/q120/q132/q135): the struct VALUES
+  *    are groupBy keys whose counts are output verbatim in the
+  *    hash-oracled q120/q135 model rows — zero drift is the contract;
+  *  - graft.functions.BlockHash60 (TrainingData.repeatedBlocks →
+  *    q52): the 60-bit block keys are the hash-oracled groupBy keys.
+  *
+  * Both are compared as per-doc multisets (sorted collect_list) via
+  * the public consumers, so the pin covers the explode plumbing too. */
+class NgramKernelSpec extends AnyFunSuite with SparkTestBase {
+  import spark.implicits._
+
+  private val adversarial = Seq(
+    (1L, ""), (2L, " "), (3L, "one"), (4L, "one two"),
+    (5L, "one two three"), (6L, "one two three four"),
+    (7L, "a a a a a a"), (8L, "Ünï ço de 日本 text"),
+    (9L, "  spaced   out   words  "), (10L, "1 2 3 4 5 6 7 8 9"),
+    (11L, "!!! ... ---"), (12L, "x"), (13L, "MIXED Case WORDS here"),
+    (14L, "exactly twelve little words sit right here in this one " +
+      "test row now"),
+    (15L, "exactly thirteen little words sit right here in this one " +
+      "test row now extra")
+  ).toDF("doc_id", "text")
+
+  /** Multiset-compare two (doc_id, key...) streams keyed per doc. */
+  private def mismatches(a: DataFrame, b: DataFrame,
+                         key: org.apache.spark.sql.Column): Long = {
+    val ka = a.groupBy(col("doc_id"))
+      .agg(sort_array(collect_list(key)).as("ka"))
+    val kb = b.groupBy(col("doc_id"))
+      .agg(sort_array(collect_list(key)).as("kb"))
+    ka.join(kb, Seq("doc_id"), "full_outer")
+      .filter(col("ka").isNull || col("kb").isNull ||
+        col("ka") =!= col("kb"))
+      .count()
+  }
+
+  private def bigramMismatches(docs: DataFrame): Long =
+    mismatches(
+      LanguageModel.docBigrams(docs),
+      LanguageModel.docBigramsLambda(docs),
+      concat_ws(" ", col("w1"), col("w2")))
+
+  private def trigramMismatches(docs: DataFrame): Long =
+    mismatches(
+      LanguageModel.docTrigrams(docs),
+      LanguageModel.docTrigramsLambda(docs),
+      concat_ws(" ", col("w1"), col("w2"), col("w3")))
+
+  test("ngram kernel == lambda form on the real corpus (bi + tri)") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.01")
+    assert(bigramMismatches(docs) == 0)
+    assert(trigramMismatches(docs) == 0)
+  }
+
+  test("ngram kernel == lambda form on adversarial rows") {
+    assert(bigramMismatches(adversarial) == 0)
+    assert(trigramMismatches(adversarial) == 0)
+  }
+
+  test("gram-count contract: max(len - n + 1, 0) grams per doc, " +
+    "empty-normalization doc emits none for n >= 2") {
+    val rows = Seq((1L, "a b c d e"), (2L, "a b"), (3L, ""), (4L, "a"))
+      .toDF("doc_id", "text")
+    val got = rows.select(col("doc_id"),
+      size(graft.functions.NgramFunctions.ngram_structs(col("text"), 2))
+        .as("c")).as[(Long, Int)].collect().toMap
+    assert(got == Map(1L -> 4, 2L -> 1, 3L -> 0, 4L -> 0))
+  }
+
+  test("block-hash kernel == lambda form on the real corpus " +
+    "(block widths 12 and 5)") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.01")
+    assert(mismatches(TrainingData.repeatedBlocksPerDoc(docs, 12),
+      TrainingData.repeatedBlocksPerDocLambda(docs, 12),
+      col("block_hash")) == 0)
+    assert(mismatches(TrainingData.repeatedBlocksPerDoc(docs, 5),
+      TrainingData.repeatedBlocksPerDocLambda(docs, 5),
+      col("block_hash")) == 0)
+  }
+
+  test("block-hash kernel == lambda form on adversarial rows, " +
+    "including width 1 (empty normalization hashes the empty string)") {
+    for (w <- Seq(1, 2, 12)) {
+      assert(mismatches(TrainingData.repeatedBlocksPerDoc(adversarial, w),
+        TrainingData.repeatedBlocksPerDocLambda(adversarial, w),
+        col("block_hash")) == 0, s"width $w")
+    }
+  }
+
+  test("repeatedBlocks aggregate output identical under both forms") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.01")
+    val a = TrainingData.repeatedBlocks(docs, 12)
+      .orderBy("block_hash").collect().toSeq
+    val b = TrainingData.repeatedBlocksLambda(docs, 12)
+      .orderBy("block_hash").collect().toSeq
+    assert(a == b)
+  }
+}
