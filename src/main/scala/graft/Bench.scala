@@ -4,6 +4,27 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // Quiet-host gate (round-13): host contention inflated the recorded
+    // r11 driver bench ~50% and the r12 one ~20% vs the same binary on
+    // a quiet machine — the measured signature is uniform inflation of
+    // untouched queries. Wait (before any JVM warm-up) until both the
+    // 1- and 5-minute load averages are under the gate, up to a cap;
+    // if the cap trips, run anyway and stamp the observed load in the
+    // output JSON so the record carries its own conditions.
+    // SPARK_GRAFT_LOAD_GATE=0 disables.
+    val gateLevel = sys.env.getOrElse("SPARK_GRAFT_LOAD_GATE", "1.0").toDouble
+    val gateMax = sys.env.getOrElse("SPARK_GRAFT_LOAD_GATE_MAX_S", "600").toInt
+    def loadAvg(): (Double, Double) = {
+      val parts = scala.io.Source.fromFile("/proc/loadavg").mkString.split(" ")
+      (parts(0).toDouble, parts(1).toDouble)
+    }
+    var gateWaited = 0
+    var load = loadAvg()
+    while (gateLevel > 0 &&
+           (load._1 >= gateLevel || load._2 >= gateLevel) &&
+           gateWaited < gateMax) {
+      Thread.sleep(15000); gateWaited += 15; load = loadAvg()
+    }
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -83,9 +104,13 @@ object Bench {
       val dt = (System.nanoTime() - t0) / 1e9
       // queries are independent and sequential here: drop this query's
       // persisted/locally-checkpointed blocks so they don't pile up into
-      // GC pressure on later queries
+      // GC pressure on later queries. BLOCKING, outside the timed
+      // region: the r12 async form let checkpoint blocks linger into
+      // the next query's run — the suspected mechanism behind q111's
+      // in-bench-vs-isolated offset (3.69 vs 2.77 s), the registry's
+      // largest.
       spark.sparkContext.getPersistentRDDs.values
-        .foreach(_.unpersist(blocking = false))
+        .foreach(_.unpersist(blocking = true))
       if (gcBetween) System.gc()
       name -> dt
     }
@@ -94,6 +119,8 @@ object Bench {
     val total = if (results.nonEmpty) results.values.sum else 0.0
     val full = s"""{"queries":$qs,"sf":"$sfDir","cpus":$cpus,""" +
       s""""gc_between":$gcBetween,"epoch_s":${System.currentTimeMillis / 1000},""" +
+      s""""load_gate":{"waited_s":$gateWaited,"load1":${load._1},""" +
+      s""""load5":${load._2}},""" +
       s""""metric":"total","value":$total,"unit":"sec"}"""
     // the full per-query map (≈4 KB for 137 queries) overflows the
     // ~2 KB stdout tail the driver archives — BENCH_r7 came back

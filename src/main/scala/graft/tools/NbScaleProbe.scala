@@ -1,0 +1,56 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+
+/** Runs NaiveBayesSpec's q110 plan-shape pin against REAL statistics —
+  * the spec pins with AQE off at spec scale; this executes q110 at an
+  * arbitrary SF with AQE on (driver conditions) and asserts the same
+  * invariants on the FINAL adaptive plan (PlanShapeProbe's
+  * final-section technique):
+  *   1. the corpus is tokenized ONCE (exactly one Generate);
+  *   2. the tokenize exchange is shared (a ReusedExchange exists);
+  *   3. the term join is shuffled-hash, NOT a broadcast of the
+  *      corpus-sized tf (the 516-CPU-s r11 regression shape).
+  *
+  * Usage: SPARK_GRAFT_SF_DIR=... runMain graft.tools.NbScaleProbe
+  */
+object NbScaleProbe {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.codegen.cache.maxEntries", "5000")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val df = graft.SparkEntry.queries("q110_nb_classify")(spark, sfDir)
+    val t0 = System.nanoTime()
+    df.queryExecution.toRdd.count() // finalize AQE
+    val dt = (System.nanoTime() - t0) / 1e9
+    val full = df.queryExecution.executedPlan.toString
+    val p = full.indexOf("== Initial Plan ==") match {
+      case -1 => full
+      case i => full.substring(0, i)
+    }
+    val lines = p.linesIterator.toSeq
+    val gens = lines.count(_.contains("Generate explode"))
+    val reused = lines.count(_.contains("ReusedExchange"))
+    val termShj = lines.count(l =>
+      l.contains("ShuffledHashJoin") && l.contains("term"))
+    val termBroadcast = lines.count(l =>
+      l.contains("BroadcastHashJoin") && l.contains("term"))
+    println(f"NBSCALE sf=$sfDir q110 run=$dt%.2fs generate=$gens " +
+      s"reusedExchange=$reused termShuffledHash=$termShj " +
+      s"termBroadcast=$termBroadcast")
+    val ok = gens == 1 && reused >= 1 && termShj >= 1 && termBroadcast == 0
+    println(s"NBSCALE pin ${if (ok) "HOLDS" else "VIOLATED"} at $sfDir")
+    if (!ok) println(p)
+    spark.stop()
+    if (!ok) sys.exit(1)
+  }
+}

@@ -1,0 +1,68 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+
+/** A/B of the round-13 n-gram kernels (NgramStructs, BlockHash60 —
+  * one codegen'd scan each) vs the lambda forms they replaced
+  * (CodegenFallback transform/sequence chains): times the raw
+  * per-doc STREAMS (explode, no agg — the map-side inner loop the
+  * KN family q71/q120/q132/q135 and q52 pay) at the given SF,
+  * alternating forms within one JVM.
+  *
+  * Usage: SPARK_GRAFT_SF_DIR=... runMain graft.tools.NgramKernelProbe [reps]
+  */
+object NgramKernelProbe {
+  def main(args: Array[String]): Unit = {
+    val reps = args.headOption.filter(_.forall(_.isDigit))
+      .map(_.toInt).getOrElse(4)
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.codegen.cache.maxEntries", "5000")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val docs = graft.Tables.documents(spark, sfDir)
+    def time(df: org.apache.spark.sql.DataFrame): Double = {
+      val t0 = System.nanoTime()
+      df.queryExecution.toRdd.count()
+      (System.nanoTime() - t0) / 1e9
+    }
+    // arg "q52hof" / "q52kernel": time ONE full repeatedBlocks
+    // aggregate (one variant per JVM, the isolated-A/B protocol) —
+    // the only query whose pre-kernel form is kept whole
+    if (args.headOption.exists(_.startsWith("q52"))) {
+      // rebuild per rep: re-counting one DataFrame's toRdd reuses its
+      // shuffle map outputs, timing only the final stage
+      def df() = if (args(0) == "q52hof")
+        graft.pipeline.TrainingData.repeatedBlocksLambda(docs, 12)
+      else graft.pipeline.TrainingData.repeatedBlocks(docs, 12)
+      time(df())
+      val ts = (1 to 3).map(_ => time(df()))
+      println(f"NGKERNEL ${args(0)} " +
+        ts.map(t => f"$t%6.2f").mkString(" ") + f"  min=${ts.min}%6.2f")
+      spark.stop()
+      return
+    }
+    val variants = Seq(
+      "bigram  kernel" -> graft.text.LanguageModel.docBigrams(docs),
+      "bigram  hof   " -> graft.text.LanguageModel.docBigramsLambda(docs),
+      "trigram kernel" -> graft.text.LanguageModel.docTrigrams(docs),
+      "trigram hof   " -> graft.text.LanguageModel.docTrigramsLambda(docs),
+      "block12 kernel" -> graft.pipeline.TrainingData.repeatedBlocksPerDoc(docs, 12),
+      "block12 hof   " -> graft.pipeline.TrainingData.repeatedBlocksPerDocLambda(docs, 12)
+    )
+    variants.foreach { case (_, df) => time(df) } // warm all
+    variants.foreach { case (name, df) =>
+      val ts = (1 to reps).map(_ => time(df))
+      println(f"NGKERNEL $name " +
+        ts.map(t => f"$t%6.2f").mkString(" ") + f"  min=${ts.min}%6.2f")
+    }
+    spark.stop()
+  }
+}

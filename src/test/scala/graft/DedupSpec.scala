@@ -169,4 +169,73 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
       assert(rep == best, s"cluster $cluster kept $rep, expected $best")
     }
   }
+
+  // ---- fuzzy (q134) vs exact (q136) decontamination fidelity -------
+  // The fuzzy path's banded candidates are approximate AS A CHANNEL but
+  // DETERMINISTIC (hash-derived, no RNG), so its agreement with the
+  // exact inverted-join path is a reproducible number to pin, not a
+  // distribution to hope about. Two invariants:
+  //  - PRECISION is exactly 1: candidates are verified with exact
+  //    Jaccard over the raw shingle space, so every reported pair is a
+  //    true pair — the fuzzy set must be a SUBSET of the uncapped exact
+  //    set at the same threshold;
+  //  - RECALL ≥ floor on a seeded golden set spanning the useful range
+  //    (identical docs, ~0.8, ~0.65 — banding recall decays toward the
+  //    threshold by design: P(hit) = 1 − (1 − j^r)^b).
+
+  private def pairSet(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+    df.select(col("doc_id"), col("bench_id"))
+      .as[(Long, Long)].collect().toSet
+
+  test("fuzzy decontamination == exact overlap on the real corpus " +
+    "(q134/q136 split): subset always, and the seeded pair is found") {
+    val all = Tables.documents(spark, "/root/testdata/sf0.01")
+    val corpus = all.filter(col("doc_id") % 50 =!= 0)
+    val bench = all.filter(col("doc_id") % 50 === 0)
+    val exact = pairSet(
+      Dedup.crossCorpusExactOverlap(corpus, bench, 0.5, maxDf = Int.MaxValue))
+    val fuzzy = pairSet(Dedup.crossCorpusNearDups(corpus, bench, 0.5))
+    assert(exact.nonEmpty, "real corpus should carry seeded contamination")
+    assert(fuzzy.subsetOf(exact), "fuzzy reported a non-true pair: " +
+      (fuzzy -- exact))
+    assert(fuzzy == exact,
+      s"fuzzy missed seeded contamination: ${exact -- fuzzy}")
+  }
+
+  test("fuzzy decontamination recall floor on a seeded golden set " +
+    "spanning jaccard levels") {
+    // 12 bench docs, each a mutation of corpus doc i (0 / 1 / 2 tokens
+    // replaced → trigram jaccard 1.0 / ~0.8 / ~0.65), plus disjoint
+    // corpus noise. Vocabularies are disjoint across pairs, so the
+    // exact golden set is exactly the 12 seeded pairs.
+    val corpusDocs = (0 until 12).map { i =>
+      (i.toLong, (0 until 30).map(t => s"w${i * 100 + t}").mkString(" "))
+    } ++ (100 until 120).map { i =>
+      (i.toLong, (0 until 30).map(t => s"n${i * 100 + t}").mkString(" "))
+    }
+    val benchDocs = (0 until 12).map { i =>
+      val toks = (0 until 30).map(t => s"w${i * 100 + t}").toArray
+      (i % 3) match {
+        case 1 => toks(14) = s"x${i}a"
+        case 2 => toks(9) = s"x${i}a"; toks(21) = s"x${i}b"
+        case _ =>
+      }
+      (i.toLong, toks.mkString(" "))
+    }
+    val corpus = corpusDocs.toDF("doc_id", "text")
+    val bench = benchDocs.toDF("doc_id", "text")
+    val exact = pairSet(
+      Dedup.crossCorpusExactOverlap(corpus, bench, 0.5, maxDf = Int.MaxValue))
+    assert(exact == (0 until 12).map(i => (i.toLong, i.toLong)).toSet)
+    val fuzzy = pairSet(Dedup.crossCorpusNearDups(corpus, bench, 0.5))
+    assert(fuzzy.subsetOf(exact), "fuzzy reported a non-true pair")
+    val recall = fuzzy.size.toDouble / exact.size
+    info(f"fuzzy decontamination recall on the golden set: $recall%.3f " +
+      s"(${fuzzy.size}/${exact.size})")
+    // deterministic channel: the identical third is always found;
+    // measured whole-set recall pinned with headroom for nothing —
+    // this number moves ONLY if the banding scheme changes
+    assert(recall >= 0.75, f"fuzzy recall $recall%.3f < 0.75 " +
+      s"(missed ${exact -- fuzzy})")
+  }
 }
