@@ -145,4 +145,91 @@ class SemanticIngestSpec extends AnyFunSuite with SparkTestBase {
     assert(store.filter(col("kept")).select("vec_id").as[Long]
       .collect().toSet == Set(1L, 3L))
   }
+
+  // ---- freeze-time sizing contract (r12 guard + r13 cap warning) ---
+
+  test("sizedClusters: raises to expectedCorpus/budget, never lowers, " +
+    "caps at 4096 exactly when the warning condition binds") {
+    assert(SemanticIngestJob.sizedClusters(8, -1L, 4096L) == 8)
+    assert(SemanticIngestJob.sizedClusters(8, 0L, 4096L) == 8)
+    // 2M at 4096/cell → 489 cells (the decade-bench default)
+    assert(SemanticIngestJob.sizedClusters(8, 2000000L, 4096L) == 489)
+    // caller's floor wins when larger
+    assert(SemanticIngestJob.sizedClusters(600, 2000000L, 4096L) == 600)
+    // the 4096 cap binds iff expectedCorpus > 4096·budget — the exact
+    // guard the freeze-time warning tests
+    assert(SemanticIngestJob.sizedClusters(8, 4096L * 4096L, 4096L) == 4096)
+    assert(SemanticIngestJob.sizedClusters(8, 4096L * 4096L + 1, 4096L)
+      == 4096)
+    assert(SemanticIngestJob.sizedClusters(8, 20000000L, 4096L) == 4096)
+  }
+
+  test("freeze + knee warnings actually fire: unsized freeze warns, " +
+    "and a store past 2x budget/cell trips the per-batch warning") {
+    import org.apache.logging.log4j.{Level, LogManager}
+    import org.apache.logging.log4j.core.LoggerContext
+    import org.apache.logging.log4j.core.appender.AbstractAppender
+    import org.apache.logging.log4j.core.config.Property
+    val events = collection.mutable.Buffer[String]()
+    val app = new AbstractAppender("graft-capture", null, null, true,
+      Property.EMPTY_ARRAY) {
+      override def append(e: org.apache.logging.log4j.core.LogEvent): Unit =
+        events.synchronized { events += e.getMessage.getFormattedMessage }
+    }
+    app.start()
+    // capture at the ROOT LoggerConfig: the job's slf4j logger was
+    // created (and its LoggerConfig resolved) long before this test
+    // runs, so a per-name LoggerConfig added now is not consulted by
+    // the cached instance — the root config demonstrably receives its
+    // events via additivity, and the message-content filters below
+    // keep the assertions precise
+    val ctx = LogManager.getContext(
+      SemanticIngestJob.getClass.getClassLoader, false)
+      .asInstanceOf[LoggerContext]
+    val logName = SemanticIngestJob.getClass.getName // trailing '$'
+    val cfg = ctx.getConfiguration
+    cfg.getRootLogger.addAppender(app, Level.WARN, null)
+    ctx.updateLoggers()
+    try {
+      // harness self-check: a direct warn through the same logger name
+      // must be captured, or every later assertion is meaningless
+      org.slf4j.LoggerFactory.getLogger(logName).warn("capture-selfcheck")
+      assert(events.exists(_.contains("capture-selfcheck")),
+        "log-capture harness is not wired — appender never received " +
+          "the self-check event")
+      // tiny budget so the knee is reachable with toy batches:
+      // 2 frozen cells x budget 4 → tripwire once store > 16 (2x)
+      spark.conf.set("spark.graft.semantic.cellBudget", "4")
+      val out = tmp()
+      def batch(lo: Long) = (lo until lo + 12)
+        .map(i => (i, vec(i.toDouble / 100.0, 1.0, 0.0, 0.0)))
+        .toDF("vec_id", "embedding")
+      // unsized freeze (expectedCorpus unset) → the no-hint warning
+      SemanticIngestJob.writeBatch(batch(0), out, clusters = 2,
+        threshold = 0.9999)
+      assert(events.exists(_.contains("no expectedCorpus hint")),
+        s"unsized freeze did not warn; captured: $events")
+      // store 12/2 cells = 6 ≤ 8 — no tripwire yet
+      SemanticIngestJob.writeBatch(batch(100), out, clusters = 2,
+        threshold = 0.9999)
+      assert(!events.exists(_.contains("past the measured")),
+        "tripwire fired below the knee")
+      // store 24/2 = 12 > 8 — next batch must trip
+      SemanticIngestJob.writeBatch(batch(200), out, clusters = 2,
+        threshold = 0.9999)
+      assert(events.exists(_.contains("past the measured")),
+        s"knee tripwire did not fire; captured: $events")
+      // sized freeze past the cap → the r13 cap-binding warning
+      events.clear()
+      SemanticIngestJob.writeBatch(batch(0), tmp(), clusters = 2,
+        threshold = 0.9999, expectedCorpus = 4096L * 4L + 1)
+      assert(events.exists(_.contains("4096-cell cap binds")),
+        s"cap warning did not fire; captured: $events")
+    } finally {
+      spark.conf.unset("spark.graft.semantic.cellBudget")
+      cfg.getRootLogger.removeAppender(app.getName)
+      ctx.updateLoggers()
+      app.stop()
+    }
+  }
 }
