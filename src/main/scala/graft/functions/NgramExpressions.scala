@@ -151,16 +151,16 @@ object BlockHash60 {
       java.security.MessageDigest.getInstance("MD5")
   }
 
-  /** One pass: normalize → token boundaries → per-block MD5 over the
-    * contiguous normalized byte range → top 60 bits. */
-  def scan(text: UTF8String, blockWords: Int): Array[Long] = {
+  /** Token boundaries of the normalized byte stream: (bytes, starts,
+    * ends) with split semantics (an empty normalization is ONE empty
+    * token). Shared by the byte-range n-gram kernels. */
+  private[functions] def boundaries(
+      text: UTF8String): (Array[Byte], Array[Int], Array[Int]) = {
     val bytes = TextNormalize.normalize(text).getBytes
     val nb = bytes.length
-    // split semantics: an empty normalization is ONE empty token
     var ntok = 1
     var i = 0
     while (i < nb) { if (bytes(i) == ' ') ntok += 1; i += 1 }
-    if (ntok < blockWords) return Array.emptyLongArray
     val starts = new Array[Int](ntok)
     val ends = new Array[Int](ntok)
     var t = 0
@@ -173,6 +173,15 @@ object BlockHash60 {
       }
       i += 1
     }
+    (bytes, starts, ends)
+  }
+
+  /** One pass: normalize → token boundaries → per-block MD5 over the
+    * contiguous normalized byte range → top 60 bits. */
+  def scan(text: UTF8String, blockWords: Int): Array[Long] = {
+    val (bytes, starts, ends) = boundaries(text)
+    val ntok = starts.length
+    if (ntok < blockWords) return Array.emptyLongArray
     val blocks = (ntok - blockWords) / blockWords + 1
     val out = new Array[Long](blocks)
     val md = digest.get()
@@ -193,6 +202,67 @@ object BlockHash60 {
   }
 }
 
+/** The space-joined n-gram string stream — text → array of
+  * `concat_ws(" ", slice(tokens, i+1, n))` strings — as ONE codegen'd
+  * scan (Vocab.growthCurve's type keys, q127). Same byte-range insight
+  * as [[BlockHash60]]: a space-joined run of adjacent tokens IS a
+  * contiguous slice of the normalized byte stream, so each gram is one
+  * array copy, no join buffer, no lambda frames.
+  *
+  * VALUE-EXACT with the lambda form it replaces (`when(size(ws) ≥ n,
+  * transform(sequence(0, size(ws) − n), i -> concat_ws(' ',
+  * slice(ws, i + 1, n)))).otherwise(array())`): stride 1, gram count
+  * max(len − n + 1, 0); an empty normalization tokenizes as [""] so
+  * n = 1 emits one empty string — callers keep their `=!= ""` filter,
+  * exactly as before. Pinned by NgramKernelSpec. */
+case class NgramJoined(child: Expression, n: Int)
+    extends UnaryExpression {
+  require(n >= 1, "n-gram width must be positive")
+
+  override def dataType: DataType =
+    ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "graft_ngram_joined"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case _: StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a string argument, got ${t.simpleString}")
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    new GenericArrayData(
+      NgramJoined.scan(input.asInstanceOf[UTF8String], n))
+
+  override protected def doGenCode(ctx: CodegenContext,
+                                   ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, t =>
+      s"""
+         |${ev.value} =
+         |  new org.apache.spark.sql.catalyst.util.GenericArrayData(
+         |    graft.functions.NgramJoined.scan($t, $n));
+       """.stripMargin)
+
+  override protected def withNewChildInternal(
+      newChild: Expression): NgramJoined = copy(child = newChild)
+}
+
+object NgramJoined {
+  /** One pass: boundaries → per-gram byte-range copy. */
+  def scan(text: UTF8String, n: Int): Array[Any] = {
+    val (bytes, starts, ends) = BlockHash60.boundaries(text)
+    val m = starts.length - n + 1
+    if (m <= 0) return Array.empty[Any]
+    val out = new Array[Any](m)
+    var i = 0
+    while (i < m) {
+      out(i) = UTF8String.fromBytes(
+        java.util.Arrays.copyOfRange(bytes, starts(i), ends(i + n - 1)))
+      i += 1
+    }
+    out
+  }
+}
+
 /** Column-API wrappers for the n-gram expressions. */
 object NgramFunctions {
   def ngram_structs(text: Column, n: Int): Column =
@@ -200,4 +270,7 @@ object NgramFunctions {
 
   def block_hash60(text: Column, blockWords: Int): Column =
     Bridge.column(BlockHash60(Bridge.expression(text), blockWords))
+
+  def ngram_joined(text: Column, n: Int): Column =
+    Bridge.column(NgramJoined(Bridge.expression(text), n))
 }

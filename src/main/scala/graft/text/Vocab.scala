@@ -147,21 +147,14 @@ object Vocab {
   def growthCurve(docs: DataFrame, bucketSize: Long = 50,
                   n: Int = 1): DataFrame = {
     require(bucketSize >= 1 && n >= 1, "bucketSize and n must be positive")
-    // materialize the token array in its own projection BEFORE the
-    // lambda reads it: a free column reference inside a higher-order
-    // function re-evaluates its whole expression tree per element, so
-    // an inline split(normalize(..)) here would re-run the regex
-    // normalize O(tokens) times per document (measured 13 s → 1.5 s on
-    // the sf0.1 trigram curve)
-    val ws = col("ws")
+    // n-gram type keys ride the graft.functions.NgramJoined kernel —
+    // one codegen'd byte scan per doc (each gram is a contiguous slice
+    // of the normalized byte stream); the HOF lambda it replaces (kept
+    // below for the NgramKernelSpec pin) ran interpreted
     val firstDoc = docs
       .select(col("doc_id"),
-        Dedup.tokens(col("text")).as("ws"))
-      .select(col("doc_id"),
-        explode(when(size(ws) >= n, transform(
-          sequence(lit(0), size(ws) - n),
-          i => concat_ws(" ", slice(ws, i + 1, lit(n)))))
-          .otherwise(array())).as("term"))
+        explode(graft.functions.NgramFunctions.ngram_joined(col("text"), n))
+          .as("term"))
       .filter(col("term") =!= "")
       .groupBy(col("term"))
       .agg(min(col("doc_id")).as("first_doc"))
@@ -173,5 +166,23 @@ object Vocab {
         org.apache.spark.sql.expressions.Window.orderBy(col("bucket"))
           .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
       .select(col("bucket"), col("new_types"), col("cum_types"))
+  }
+
+  /** The pre-round-13 HOF form of [[growthCurve]]'s per-doc n-gram
+    * stream — the executable specification the NgramJoined kernel is
+    * pinned against (NgramKernelSpec). The bound-`ws` projection is
+    * itself load-bearing: a free column reference inside a
+    * higher-order function re-evaluates its whole expression tree per
+    * element (the r8 q80 lesson). */
+  private[graft] def ngramJoinedLambda(docs: org.apache.spark.sql.DataFrame,
+                                       n: Int): org.apache.spark.sql.DataFrame = {
+    val ws = col("ws")
+    docs
+      .select(col("doc_id"), Dedup.tokens(col("text")).as("ws"))
+      .select(col("doc_id"),
+        explode(when(size(ws) >= n, transform(
+          sequence(lit(0), size(ws) - n),
+          i => concat_ws(" ", slice(ws, i + 1, lit(n)))))
+          .otherwise(array())).as("term"))
   }
 }

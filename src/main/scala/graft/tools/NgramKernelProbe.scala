@@ -55,7 +55,12 @@ object NgramKernelProbe {
       "trigram kernel" -> graft.text.LanguageModel.docTrigrams(docs),
       "trigram hof   " -> graft.text.LanguageModel.docTrigramsLambda(docs),
       "block12 kernel" -> graft.pipeline.TrainingData.repeatedBlocksPerDoc(docs, 12),
-      "block12 hof   " -> graft.pipeline.TrainingData.repeatedBlocksPerDocLambda(docs, 12)
+      "block12 hof   " -> graft.pipeline.TrainingData.repeatedBlocksPerDocLambda(docs, 12),
+      "joined3 kernel" -> docs.select(org.apache.spark.sql.functions.col("doc_id"),
+        org.apache.spark.sql.functions.explode(
+          graft.functions.NgramFunctions.ngram_joined(
+            org.apache.spark.sql.functions.col("text"), 3)).as("term")),
+      "joined3 hof   " -> graft.text.Vocab.ngramJoinedLambda(docs, 3)
     )
     variants.foreach { case (_, df) => time(df) } // warm all
     variants.foreach { case (name, df) =>

@@ -100,6 +100,23 @@ class NgramKernelSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  private def joinedMismatches(docs: DataFrame, n: Int): Long = {
+    val kernel = docs.select(col("doc_id"),
+      explode(graft.functions.NgramFunctions.ngram_joined(col("text"), n))
+        .as("term"))
+    mismatches(kernel, graft.text.Vocab.ngramJoinedLambda(docs, n),
+      col("term"))
+  }
+
+  test("joined-gram kernel == lambda form on the real corpus " +
+    "(n = 1, 3) and adversarial rows (n = 1, 2, 5)") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.01")
+    assert(joinedMismatches(docs, 1) == 0)
+    assert(joinedMismatches(docs, 3) == 0)
+    for (n <- Seq(1, 2, 5))
+      assert(joinedMismatches(adversarial, n) == 0, s"n=$n")
+  }
+
   test("repeatedBlocks aggregate output identical under both forms") {
     val docs = Tables.documents(spark, "/root/testdata/sf0.01")
     val a = TrainingData.repeatedBlocks(docs, 12)
