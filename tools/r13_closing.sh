@@ -1,0 +1,35 @@
+#!/bin/bash
+# Round-13 closing bench: GC-between record + driver-conditions run,
+# each behind graft.Bench's own quiet-host gate (default on).
+cd /root/repo
+CP="target/scala-2.13/classes:/opt/spark/jars/*"
+OPENS="--add-opens=java.base/java.lang=ALL-UNNAMED \
+--add-opens=java.base/java.lang.invoke=ALL-UNNAMED \
+--add-opens=java.base/java.nio=ALL-UNNAMED \
+--add-opens=java.base/java.util=ALL-UNNAMED \
+--add-opens=java.base/sun.nio.ch=ALL-UNNAMED \
+--add-opens=java.base/sun.util.calendar=ALL-UNNAMED \
+--add-opens=java.base/sun.security.action=ALL-UNNAMED"
+export SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1
+export SPARK_GRAFT_CPUS=32
+
+# uncapped pre-wait: the in-Bench gate caps at 600 s, which a freshly
+# probe-loaded host can outlast — the closing protocol wants a truly
+# quiet start (1- AND 5-minute averages < 1)
+while true; do
+  L1=$(cut -d' ' -f1 /proc/loadavg); L5=$(cut -d' ' -f2 /proc/loadavg)
+  ok=$(python3 -c "print(1 if float('$L1')<1.0 and float('$L5')<1.0 else 0)")
+  [ "$ok" = "1" ] && break
+  sleep 20
+done
+
+echo "closing start $(date) load $(cat /proc/loadavg)" > tools/r13_closing_status.txt
+SPARK_GRAFT_GC_BETWEEN=1 SPARK_GRAFT_BENCH_OUT=localdata/bench_r13_closing.json \
+  java -XX:+IgnoreUnrecognizedVMOptions -Xmx96g $OPENS -cp "$CP" graft.Bench \
+  > tools/r13_closing_gc.log 2>&1
+echo "gc-between done $(date) load $(cat /proc/loadavg)" >> tools/r13_closing_status.txt
+sleep 90
+SPARK_GRAFT_BENCH_OUT=localdata/bench_r13_driverconditions.json \
+  java -XX:+IgnoreUnrecognizedVMOptions -Xmx96g $OPENS -cp "$CP" graft.Bench \
+  > tools/r13_closing_dc.log 2>&1
+echo "driver-conditions done $(date) load $(cat /proc/loadavg)" >> tools/r13_closing_status.txt

@@ -1,0 +1,20 @@
+#!/bin/bash
+# Round-13 decade sweeps on the final (n-gram-kernel) binary.
+# Waits for a quiet host, then runs both regimes sequentially.
+cd /root/repo
+while true; do
+  L1=$(cut -d' ' -f1 /proc/loadavg); L5=$(cut -d' ' -f2 /proc/loadavg)
+  ok=$(python3 -c "print(1 if float('$L1')<1.0 and float('$L5')<1.0 else 0)")
+  [ "$ok" = "1" ] && break
+  sleep 20
+done
+echo "quiet at $(cat /proc/loadavg) $(date)" > tools/r13_sweeps_status.txt
+SPARK_GRAFT_LOAD_GATE=0 python3 tools/decade_sweep.py \
+  localdata/sweep_r13_organic.json localdata/sweep_r12_organic.json \
+  --organic > tools/r13_sweep_org.log 2>&1
+echo "organic done $(date)" >> tools/r13_sweeps_status.txt
+sleep 60
+SPARK_GRAFT_LOAD_GATE=0 python3 tools/decade_sweep.py \
+  localdata/sweep_r13_dupstress.json localdata/sweep_r12_dupstress.json \
+  > tools/r13_sweep_dup.log 2>&1
+echo "dupstress done $(date)" >> tools/r13_sweeps_status.txt
