@@ -1,0 +1,45 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+
+/** Runs a comma-list of registry queries ONCE each, in order, in one
+  * JVM with graft.Bench's exact inter-query hygiene (blocking
+  * unpersist + GC) — the minimal reproducer harness for in-bench-vs-
+  * isolated offsets: feed it a suspect query's bench predecessors and
+  * watch whether the offset reappears.
+  *
+  * Usage: SPARK_GRAFT_SF_DIR=... runMain graft.tools.SeqProbe q1,q2,...
+  */
+object SeqProbe {
+  def main(args: Array[String]): Unit = {
+    val names = args(0).split(",").toSeq
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.codegen.cache.maxEntries", "5000")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    // same one-family warm-up Bench gives the first timed query
+    try graft.SparkEntry.queries("q01_agg_sums")(spark, sfDir)
+      .queryExecution.toRdd.count()
+    catch { case _: Throwable => }
+    for (n <- names) {
+      val t0 = System.nanoTime()
+      try graft.SparkEntry.queries(n)(spark, sfDir)
+        .queryExecution.toRdd.count()
+      catch { case t: Throwable => println(s"SEQPROBE $n FAILED: $t") }
+      val dt = (System.nanoTime() - t0) / 1e9
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = true))
+      System.gc()
+      println(f"SEQPROBE $n%-28s $dt%7.2f")
+    }
+    spark.stop()
+  }
+}

@@ -1,0 +1,46 @@
+#!/bin/bash
+# Binary A/B on the SAME host: r12 closing binary (worktree at ea746b3)
+# vs the final r13 binary, alternating GC-between benches, quiet-gated
+# before each leg. Attributes today's closing-total delta to host vs
+# binary.
+cd /root/repo
+OPENS="--add-opens=java.base/java.lang=ALL-UNNAMED \
+--add-opens=java.base/java.lang.invoke=ALL-UNNAMED \
+--add-opens=java.base/java.nio=ALL-UNNAMED \
+--add-opens=java.base/java.util=ALL-UNNAMED \
+--add-opens=java.base/sun.nio.ch=ALL-UNNAMED \
+--add-opens=java.base/sun.util.calendar=ALL-UNNAMED \
+--add-opens=java.base/sun.security.action=ALL-UNNAMED"
+export SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1
+export SPARK_GRAFT_CPUS=32
+export SPARK_GRAFT_GC_BETWEEN=1
+export SPARK_GRAFT_LOAD_GATE=0
+
+waitq() {
+  while true; do
+    L1=$(cut -d' ' -f1 /proc/loadavg); L5=$(cut -d' ' -f2 /proc/loadavg)
+    ok=$(python3 -c "print(1 if float('$L1')<1.0 and float('$L5')<1.0 else 0)")
+    [ "$ok" = "1" ] && break
+    sleep 20
+  done
+}
+
+run() { # $1=classes dir  $2=out json
+  SPARK_GRAFT_BENCH_OUT="$2" java -XX:+IgnoreUnrecognizedVMOptions -Xmx96g \
+    $OPENS -cp "$1:/opt/spark/jars/*" graft.Bench \
+    >> tools/r13_binab.log 2>&1
+}
+
+R12=/tmp/r12bin/target/scala-2.13/classes
+R13=/root/repo/target/scala-2.13/classes
+: > tools/r13_binab.log
+echo "binab start $(date)" > tools/r13_binab_status.txt
+for i in 1 2; do
+  waitq
+  echo "leg r12-$i start load $(cat /proc/loadavg) $(date)" >> tools/r13_binab_status.txt
+  run $R12 localdata/binab_r12_$i.json
+  waitq
+  echo "leg r13-$i start load $(cat /proc/loadavg) $(date)" >> tools/r13_binab_status.txt
+  run $R13 localdata/binab_r13_$i.json
+done
+echo "binab done $(date)" >> tools/r13_binab_status.txt

@@ -1,0 +1,42 @@
+#!/bin/bash
+# Flag A/B: identical r13 binaries except the in-loop unpersist's
+# blocking flag (true = shipped, false = r12 behavior). Interleaved
+# legs, quiet-gated, GC-between.
+cd /root/repo
+OPENS="--add-opens=java.base/java.lang=ALL-UNNAMED \
+--add-opens=java.base/java.lang.invoke=ALL-UNNAMED \
+--add-opens=java.base/java.nio=ALL-UNNAMED \
+--add-opens=java.base/java.util=ALL-UNNAMED \
+--add-opens=java.base/sun.nio.ch=ALL-UNNAMED \
+--add-opens=java.base/sun.util.calendar=ALL-UNNAMED \
+--add-opens=java.base/sun.security.action=ALL-UNNAMED"
+export SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1
+export SPARK_GRAFT_CPUS=32
+export SPARK_GRAFT_GC_BETWEEN=1
+export SPARK_GRAFT_LOAD_GATE=0
+
+waitq() {
+  while true; do
+    L1=$(cut -d' ' -f1 /proc/loadavg); L5=$(cut -d' ' -f2 /proc/loadavg)
+    ok=$(python3 -c "print(1 if float('$L1')<1.0 and float('$L5')<1.0 else 0)")
+    [ "$ok" = "1" ] && break
+    sleep 20
+  done
+}
+run() {
+  SPARK_GRAFT_BENCH_OUT="$2" java -XX:+IgnoreUnrecognizedVMOptions -Xmx96g \
+    $OPENS -cp "$1:/opt/spark/jars/*" graft.Bench >> tools/r13_flagab.log 2>&1
+}
+NB=/tmp/r13nb/target/scala-2.13/classes
+TB=/root/repo/target/scala-2.13/classes
+: > tools/r13_flagab.log
+echo "flagab start $(date)" > tools/r13_flagab_status.txt
+for i in 1 2; do
+  waitq
+  echo "leg nb-$i start load $(cat /proc/loadavg) $(date)" >> tools/r13_flagab_status.txt
+  run $NB localdata/flagab_nb_$i.json
+  waitq
+  echo "leg tb-$i start load $(cat /proc/loadavg) $(date)" >> tools/r13_flagab_status.txt
+  run $TB localdata/flagab_tb_$i.json
+done
+echo "flagab done $(date)" >> tools/r13_flagab_status.txt
