@@ -1,0 +1,25 @@
+#!/bin/bash
+cd /root/repo
+OPENS="--add-opens=java.base/java.lang=ALL-UNNAMED \
+--add-opens=java.base/java.lang.invoke=ALL-UNNAMED \
+--add-opens=java.base/java.nio=ALL-UNNAMED \
+--add-opens=java.base/java.util=ALL-UNNAMED \
+--add-opens=java.base/sun.nio.ch=ALL-UNNAMED \
+--add-opens=java.base/sun.util.calendar=ALL-UNNAMED \
+--add-opens=java.base/sun.security.action=ALL-UNNAMED"
+export SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1
+export SPARK_GRAFT_CPUS=32
+while true; do
+  L1=$(cut -d' ' -f1 /proc/loadavg); L5=$(cut -d' ' -f2 /proc/loadavg)
+  L15=$(cut -d' ' -f3 /proc/loadavg)
+  ok=$(python3 -c "print(1 if float('$L1')<0.5 and float('$L5')<0.8 and float('$L15')<1.2 else 0)")
+  [ "$ok" = "1" ] && break
+  sleep 30
+done
+echo "closing2 start $(date) load $(cat /proc/loadavg)" > tools/r13_closing2_status.txt
+SPARK_GRAFT_GC_BETWEEN=1 SPARK_GRAFT_LOAD_GATE=0 \
+  SPARK_GRAFT_BENCH_OUT=localdata/bench_r13_closing2.json \
+  java -XX:+IgnoreUnrecognizedVMOptions -Xmx96g $OPENS \
+  -cp "target/scala-2.13/classes:/opt/spark/jars/*" graft.Bench \
+  > tools/r13_closing2.log 2>&1
+echo "closing2 done $(date) load $(cat /proc/loadavg)" >> tools/r13_closing2_status.txt
