@@ -1,0 +1,49 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+
+/** Attributes a query's one-shot execution cost between JANINO
+  * COMPILATION (distinct generated sources, measurable and in
+  * principle reducible) and JVM/JIT warmth (inherent to first
+  * execution): runs the query twice in one JVM and reports the
+  * codegen-compile count, mean compile ms, and wall per run. A second
+  * run with ~zero new compilations whose wall still exceeds the warm
+  * minimum isolates the JIT share.
+  *
+  * Usage: SPARK_GRAFT_SF_DIR=... runMain graft.tools.CodegenProbe <query> [runs]
+  */
+object CodegenProbe {
+  def main(args: Array[String]): Unit = {
+    val name = args(0)
+    val runs = args.drop(1).headOption.map(_.toInt).getOrElse(3)
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.codegen.cache.maxEntries", "5000")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val hist = org.apache.spark.metrics.source.CodegenMetrics
+      .METRIC_COMPILATION_TIME
+    for (r <- 1 to runs) {
+      val c0 = hist.getCount
+      val t0 = System.nanoTime()
+      graft.SparkEntry.queries(name)(spark, sfDir)
+        .queryExecution.toRdd.count()
+      val dt = (System.nanoTime() - t0) / 1e9
+      val dc = hist.getCount - c0
+      val mean = hist.getSnapshot.getMean
+      println(f"CODEGEN $name run$r wall=$dt%6.2fs newCompiles=$dc " +
+        f"meanCompileMs=$mean%.1f estCompileS=${dc * mean / 1000}%.2f")
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = true))
+      System.gc()
+    }
+    spark.stop()
+  }
+}
