@@ -125,4 +125,25 @@ class NgramKernelSpec extends AnyFunSuite with SparkTestBase {
       .orderBy("block_hash").collect().toSeq
     assert(a == b)
   }
+
+  // The point of the kernels, pinned as an invariant (the
+  // NaiveBayesSpec precedent): the kernel'd queries' plans must carry
+  // ZERO CodegenFallback expressions — a refactor that reintroduces a
+  // higher-order function (or any other interpreted expression) on
+  // these hot paths fails here, not in a future round's sf10 profile.
+  test("kernel'd query plans carry no CodegenFallback expressions") {
+    import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+    val dir = "/root/testdata/sf0.001"
+    for (q <- Seq("q52_repeated_blocks", "q71_bigram_novelty",
+      "q120_kn_bigram", "q132_kn_rarity", "q135_kn_trigram",
+      "q127_vocab_growth")) {
+      val plan = SparkEntry.queries(q)(spark, dir)
+        .queryExecution.executedPlan
+      val falls = plan.flatMap(_.expressions.flatMap(_.collect {
+        case e: CodegenFallback => e.getClass.getSimpleName
+      })).distinct
+      assert(falls.isEmpty,
+        s"$q plans interpreted expressions: $falls")
+    }
+  }
 }
