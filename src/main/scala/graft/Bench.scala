@@ -12,14 +12,18 @@ object Bench {
     // if the cap trips, run anyway and stamp the observed load in the
     // output JSON so the record carries its own conditions.
     // SPARK_GRAFT_LOAD_GATE=0 disables.
-    val gateLevel = sys.env.getOrElse("SPARK_GRAFT_LOAD_GATE", "1.0").toDouble
-    val gateMax = sys.env.getOrElse("SPARK_GRAFT_LOAD_GATE_MAX_S", "600").toInt
-    def loadAvg(): (Double, Double) = {
+    // malformed gate value or a host without /proc/loadavg must not
+    // crash the bench — fall back to gate-off / load (0,0)
+    val gateLevel = scala.util.Try(
+      sys.env.getOrElse("SPARK_GRAFT_LOAD_GATE", "1.0").toDouble).getOrElse(0.0)
+    val gateMax = scala.util.Try(
+      sys.env.getOrElse("SPARK_GRAFT_LOAD_GATE_MAX_S", "600").toInt).getOrElse(600)
+    def loadAvg(): (Double, Double) = scala.util.Try {
       val parts = scala.io.Source.fromFile("/proc/loadavg").mkString.split(" ")
       (parts(0).toDouble, parts(1).toDouble)
-    }
+    }.getOrElse((0.0, 0.0))
     var gateWaited = 0
-    var load = loadAvg()
+    var load = if (gateLevel > 0) loadAvg() else (0.0, 0.0)
     while (gateLevel > 0 &&
            (load._1 >= gateLevel || load._2 >= gateLevel) &&
            gateWaited < gateMax) {
@@ -69,6 +73,11 @@ object Bench {
                   "q56_range_join", "q82_bloom_prune", "q79_sessionize",
                   "q33_pipeline_transfers", "q87_bfs_hops", "q95_ppr",
                   "q90_kcore", "q30_media_features",
+                  // dupGroups/medoid representatives (q111): its CC
+                  // loop + medoid scoring codegen 89 classes that
+                  // otherwise JIT inside the timed run (~2 s measured
+                  // by CodegenProbe r13)
+                  "q111_dedup_reps",
                   // driver-looped BPE rounds (per-round fold codegen)
                   // and the composed corpus funnels (window gate +
                   // scrub + classifier + segment/cap chains each
@@ -117,10 +126,15 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
+    // stamp the load at BOTH ends of the run: the gate-exit reading
+    // alone can overstate how quiet the run was if contention arrives
+    // mid-bench (the r13 host-band lesson)
+    val loadPost = loadAvg()
     val full = s"""{"queries":$qs,"sf":"$sfDir","cpus":$cpus,""" +
       s""""gc_between":$gcBetween,"epoch_s":${System.currentTimeMillis / 1000},""" +
       s""""load_gate":{"waited_s":$gateWaited,"load1":${load._1},""" +
-      s""""load5":${load._2}},""" +
+      s""""load5":${load._2},"post_load1":${loadPost._1},""" +
+      s""""post_load5":${loadPost._2}},""" +
       s""""metric":"total","value":$total,"unit":"sec"}"""
     // the full per-query map (≈4 KB for 137 queries) overflows the
     // ~2 KB stdout tail the driver archives — BENCH_r7 came back

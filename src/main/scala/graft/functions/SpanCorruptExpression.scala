@@ -1,0 +1,218 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, GenericInternalRow}
+import org.apache.spark.sql.graftbridge.Bridge
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** The whole T5 span-corruption example builder — (doc_id string,
+  * text) → struct(input_text, target_text, n_tokens, n_masked,
+  * n_spans) — as ONE codegen'd scan, replacing the interpreted
+  * per-token chain in [[graft.pipeline.SpanCorruption]]: a
+  * `transform(sequence(0, size(ws)−1), i -> md5 mask)` building the
+  * mask array plus an `aggregate` fold carrying
+  * (input pieces, target pieces, span k, prev, n_masked) state — both
+  * CodegenFallback higher-order functions, one lambda frame per token
+  * per pass, the last such chain on a top-15 registry row (q125).
+  *
+  * BIT-EXACT with the HOF form it replaces (kept as
+  * `SpanCorruption.spanCorruptHof`, the executable specification),
+  * term by term:
+  *
+  *  - '''tokens''': `split(text, " ")` splits on the literal space
+  *    character with trailing empties kept (Spark passes limit −1);
+  *    0x20 never occurs inside a UTF-8 multi-byte sequence
+  *    (continuation bytes are ≥ 0x80), so splitting the RAW BYTES on
+  *    the space byte yields exactly the same token byte ranges — and
+  *    an empty string splits to one empty token, matching `ntok =
+  *    spaces + 1` by construction;
+  *  - '''mask''': token i is masked iff `hash60(doc_id ∥ '_' ∥ i)
+  *    % den < num` where hash60 = `conv(substring(md5(s),1,15),16,10)
+  *    ::long` = the top 60 bits of the MD5 digest read big-endian
+  *    (15 hex nibbles = 7 bytes + the high nibble of byte 7; 60 bits
+  *    always fit positive in an int64, so Java's `%` equals Spark's
+  *    Remainder on it). The key bytes are the doc_id string's UTF-8
+  *    bytes, '_', then the ASCII decimal digits of i — exactly what
+  *    `concat(doc_id.cast("string"), "_", i.cast("string"))` feeds
+  *    md5;
+  *  - '''fold''': per token, with isStart = masked ∧ ¬prev —
+  *    input appends the word iff unmasked ∧ non-empty, else the
+  *    sentinel `<X_k>` iff isStart; target appends `<X_k> ∥ ' ' ∥
+  *    word` on isStart (even for an empty word — the piece keeps its
+  *    trailing space) else the word iff masked ∧ non-empty; k
+  *    increments after an isStart used it; n_masked counts every
+  *    masked token, empty or not;
+  *  - '''join''': `array_join(pieces, " ")` = pieces separated by
+  *    single spaces; every piece is non-empty (words are appended
+  *    only when non-empty; sentinel pieces always carry the sentinel
+  *    text), so writing a separator space whenever the buffer is
+  *    non-empty is the same string.
+  *
+  * Pinned full-row-equal against the HOF form on the real corpus plus
+  * adversarial rows (unicode, consecutive/leading/trailing spaces,
+  * empty text, num/den edge rates) by SpanCorruptKernelSpec; q125's
+  * oracle row reconstructs the same strings in DuckDB, so zero drift
+  * is the contract.
+  *
+  * Scale: row-local, no shuffle, no token explode; one MD5 per token
+  * (the determinism contract's irreducible work) and one byte copy
+  * per emitted piece. Null doc_id/text → null (the corpus contract:
+  * documents.text is non-null; the HOF form had no meaningful null
+  * output either — size(null) sentinels, null strings).
+  */
+case class SpanCorrupt(left: Expression, right: Expression,
+                       num: Int, den: Int)
+    extends BinaryExpression {
+  require(num >= 0 && den >= 1, "mask rate must be a valid fraction")
+
+  override def dataType: DataType = SpanCorrupt.schema
+  override def prettyName: String = "graft_span_corrupt"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (_: StringType, _: StringType) => TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires (string doc_id, string text), got " +
+          s"(${l.simpleString}, ${r.simpleString})")
+    }
+
+  override def nullSafeEval(docId: Any, text: Any): Any =
+    SpanCorrupt.scan(docId.asInstanceOf[UTF8String],
+      text.asInstanceOf[UTF8String], num, den)
+
+  override protected def doGenCode(ctx: CodegenContext,
+                                   ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (d, t) =>
+      s"""
+         |${ev.value} = graft.functions.SpanCorrupt.scan($d, $t, $num, $den);
+       """.stripMargin)
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): SpanCorrupt =
+    copy(left = newLeft, right = newRight)
+}
+
+object SpanCorrupt {
+  val schema: StructType = StructType(Seq(
+    StructField("input_text", StringType, nullable = false),
+    StructField("target_text", StringType, nullable = false),
+    StructField("n_tokens", LongType, nullable = false),
+    StructField("n_masked", LongType, nullable = false),
+    StructField("n_spans", LongType, nullable = false)))
+
+  private val digest = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
+  /** Growable byte buffer for the piece streams — array_join("...", " ")
+    * semantics: a separator space before every piece but the first
+    * (pieces are never empty, so buffer-non-empty ⇔ not-first). */
+  private final class Buf {
+    private var a = new Array[Byte](64)
+    private var n = 0
+    private def ensure(m: Int): Unit = if (n + m > a.length) {
+      var c = a.length << 1
+      while (c < n + m) c <<= 1
+      a = java.util.Arrays.copyOf(a, c)
+    }
+    def sep(): Unit = { ensure(1); if (n > 0) { a(n) = ' '; n += 1 } }
+    def add(src: Array[Byte], off: Int, len: Int): Unit = {
+      ensure(len); System.arraycopy(src, off, a, n, len); n += len
+    }
+    def addSpace(): Unit = { ensure(1); a(n) = ' '; n += 1 }
+    /** `<X_k>` for non-negative k. */
+    def addSentinel(k: Int): Unit = {
+      ensure(16)
+      a(n) = '<'; a(n + 1) = 'X'; a(n + 2) = '_'; n += 3
+      n = writeDigits(a, n, k)
+      a(n) = '>'; n += 1
+    }
+    def result(): UTF8String =
+      UTF8String.fromBytes(java.util.Arrays.copyOf(a, n))
+  }
+
+  /** ASCII decimal digits of non-negative v at off; returns new end. */
+  private def writeDigits(a: Array[Byte], off: Int, v: Int): Int = {
+    if (v == 0) { a(off) = '0'; return off + 1 }
+    var x = v
+    var d = 0
+    while (x > 0) { x /= 10; d += 1 }
+    x = v
+    var i = off + d
+    while (x > 0) { i -= 1; a(i) = ('0' + x % 10).toByte; x /= 10 }
+    off + d
+  }
+
+  /** One pass: byte-split on 0x20 → per-token MD5 mask → piece fold. */
+  def scan(docId: UTF8String, text: UTF8String,
+           num: Int, den: Int): InternalRow = {
+    val bytes = text.getBytes
+    val nb = bytes.length
+    var ntok = 1
+    var i = 0
+    while (i < nb) { if (bytes(i) == ' ') ntok += 1; i += 1 }
+    val starts = new Array[Int](ntok)
+    val ends = new Array[Int](ntok)
+    var t = 0
+    i = 0
+    while (i <= nb) {
+      if (i == nb || bytes(i) == ' ') {
+        ends(t) = i
+        t += 1
+        if (t < ntok) starts(t) = i + 1
+      }
+      i += 1
+    }
+    // mask key = docIdBytes ∥ '_' ∥ digits(i); token index ≤ 10 digits
+    val idBytes = docId.getBytes
+    val key = new Array[Byte](idBytes.length + 12)
+    System.arraycopy(idBytes, 0, key, 0, idBytes.length)
+    key(idBytes.length) = '_'
+    val md = digest.get()
+
+    val inp = new Buf
+    val tgt = new Buf
+    var k = 0
+    var prev = false
+    var nm = 0L
+    t = 0
+    while (t < ntok) {
+      val klen = writeDigits(key, idBytes.length + 1, t)
+      md.reset()
+      md.update(key, 0, klen)
+      val d = md.digest()
+      var v = 0L
+      var j = 0
+      while (j < 7) { v = (v << 8) | (d(j) & 0xFFL); j += 1 }
+      v = (v << 4) | ((d(7) >> 4) & 0xFL)
+      val m = v % den < num
+      val ws = starts(t)
+      val wl = ends(t) - ws
+      val isStart = m && !prev
+      if (!m && wl > 0) { inp.sep(); inp.add(bytes, ws, wl) }
+      else if (isStart) { inp.sep(); inp.addSentinel(k) }
+      if (isStart) {
+        tgt.sep(); tgt.addSentinel(k); tgt.addSpace(); tgt.add(bytes, ws, wl)
+        k += 1
+      } else if (m && wl > 0) { tgt.sep(); tgt.add(bytes, ws, wl) }
+      prev = m
+      if (m) nm += 1
+      t += 1
+    }
+    new GenericInternalRow(Array[Any](
+      inp.result(), tgt.result(), ntok.toLong, nm, k.toLong))
+  }
+}
+
+/** Column-API wrapper. */
+object SpanCorruptFunctions {
+  def span_corrupt(docId: Column, text: Column,
+                   num: Int, den: Int): Column =
+    Bridge.column(SpanCorrupt(
+      Bridge.expression(docId), Bridge.expression(text), num, den))
+}

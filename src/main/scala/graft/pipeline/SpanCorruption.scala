@@ -17,20 +17,51 @@ import graft.dedup.Dedup
   * re-runs and shard re-orders, and reproducible in the DuckDB oracle
   * (q125) down to the exact sentinel numbering.
   *
-  * Scale: the whole example builder is ONE row-local fold — a single
-  * `aggregate` higher-order function walks the token array carrying
-  * (input, target, span count, prev-masked) state, so there is NO
-  * shuffle, no token explode, no per-doc window sort; the op runs at
-  * parquet scan speed on any corpus size. (The oracle SQL reconstructs
-  * the same strings with windows + string_agg — the declarative
-  * reference, quadratic nowhere but oracle-only.)
+  * Scale: the whole example builder is ONE row-local scan — a native
+  * codegen expression ([[graft.functions.SpanCorrupt]]) walks the raw
+  * text bytes once carrying (input, target, span count, prev-masked)
+  * state, so there is NO shuffle, no token explode, no per-doc window
+  * sort, and no interpreted lambda frames; the op runs at parquet
+  * scan speed on any corpus size. (The oracle SQL reconstructs the
+  * same strings with windows + string_agg — the declarative
+  * reference, quadratic nowhere but oracle-only. The pre-kernel HOF
+  * fold is kept as [[spanCorruptHof]], the pinned specification.)
   */
 object SpanCorruption {
 
   /** (doc_id, input_text, target_text, n_tokens, n_masked, n_spans)
     * with mask rate num/den (default 1/5 = 20%). Sentinels are
-    * `<X_k>`, k numbered per doc in span order from 0. */
+    * `<X_k>`, k numbered per doc in span order from 0.
+    *
+    * Round-14: the whole builder is ONE codegen'd scan
+    * ([[graft.functions.SpanCorrupt]]) — the interpreted
+    * `transform(sequence(...))` mask array + `aggregate` piece fold
+    * (CodegenFallback lambda frames per token per pass, the last such
+    * chain on a top-15 registry row) moved into a native Catalyst
+    * expression, pinned full-row-equal against the kept HOF form
+    * ([[spanCorruptHof]]) by SpanCorruptKernelSpec. The five output
+    * columns extract from one struct; the kernel expression is
+    * multi-referenced and non-cheap, so CollapseProject leaves it in
+    * its own projection — computed once per row. */
   def spanCorrupt(docs: DataFrame, num: Int = 1, den: Int = 5): DataFrame = {
+    require(num >= 0 && den >= 1, "mask rate must be a valid fraction")
+    val sc = graft.functions.SpanCorruptFunctions.span_corrupt(
+      col("doc_id").cast("string"), col("text"), num, den)
+    docs.select(col("doc_id"), sc.as("__sc"))
+      .select(
+        col("doc_id"),
+        col("__sc").getField("input_text").as("input_text"),
+        col("__sc").getField("target_text").as("target_text"),
+        col("__sc").getField("n_tokens").as("n_tokens"),
+        col("__sc").getField("n_masked").as("n_masked"),
+        col("__sc").getField("n_spans").as("n_spans"))
+  }
+
+  /** The pre-kernel higher-order-function form — KEPT as the
+    * executable specification the kernel is pinned against
+    * (SpanCorruptKernelSpec, full-row equality on the real corpus and
+    * adversarial rows), exactly the NgramKernelSpec precedent. */
+  def spanCorruptHof(docs: DataFrame, num: Int = 1, den: Int = 5): DataFrame = {
     require(num >= 0 && den >= 1, "mask rate must be a valid fraction")
     // bind the token array before the fold lambdas read it — an inline
     // split() free-referenced inside `aggregate` would re-split the

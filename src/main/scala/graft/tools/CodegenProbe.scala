@@ -30,16 +30,23 @@ object CodegenProbe {
     spark.sparkContext.setLogLevel("ERROR")
     val hist = org.apache.spark.metrics.source.CodegenMetrics
       .METRIC_COMPILATION_TIME
+    // estimate each run's compile seconds from the histogram's TOTAL
+    // compile-time delta (count × mean snapshotted before and after),
+    // not this run's count × lifetime mean — the lifetime mean mixes
+    // earlier runs' compile times into later runs' estimates
+    def totalMs(): Double = hist.getCount * hist.getSnapshot.getMean
     for (r <- 1 to runs) {
       val c0 = hist.getCount
+      val ms0 = totalMs()
       val t0 = System.nanoTime()
       graft.SparkEntry.queries(name)(spark, sfDir)
         .queryExecution.toRdd.count()
       val dt = (System.nanoTime() - t0) / 1e9
       val dc = hist.getCount - c0
-      val mean = hist.getSnapshot.getMean
+      val dMs = totalMs() - ms0
       println(f"CODEGEN $name run$r wall=$dt%6.2fs newCompiles=$dc " +
-        f"meanCompileMs=$mean%.1f estCompileS=${dc * mean / 1000}%.2f")
+        f"meanCompileMs=${if (dc > 0) dMs / dc else 0.0}%.1f " +
+        f"estCompileS=${dMs / 1000}%.2f")
       spark.sparkContext.getPersistentRDDs.values
         .foreach(_.unpersist(blocking = true))
       System.gc()

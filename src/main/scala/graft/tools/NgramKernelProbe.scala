@@ -42,8 +42,11 @@ object NgramKernelProbe {
       def df() = if (args(0) == "q52hof")
         graft.pipeline.TrainingData.repeatedBlocksLambda(docs, 12)
       else graft.pipeline.TrainingData.repeatedBlocks(docs, 12)
+      // honor the optional [reps] argument here too (1 warm + reps timed)
+      val q52Reps = args.drop(1).headOption.filter(_.forall(_.isDigit))
+        .map(_.toInt).getOrElse(3)
       time(df())
-      val ts = (1 to 3).map(_ => time(df()))
+      val ts = (1 to q52Reps).map(_ => time(df()))
       println(f"NGKERNEL ${args(0)} " +
         ts.map(t => f"$t%6.2f").mkString(" ") + f"  min=${ts.min}%6.2f")
       spark.stop()

@@ -1,0 +1,72 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.pipeline.SpanCorruption
+
+/** Pins the round-14 span-corruption kernel
+  * (graft.functions.SpanCorrupt — one codegen'd byte scan) BIT-EXACT
+  * against the HOF form it replaced (SpanCorruption.spanCorruptHof, an
+  * interpreted transform(sequence(...)) mask array + aggregate piece
+  * fold, kept as the executable specification). Full-ROW equality on
+  * all six output columns — input/target strings byte-for-byte,
+  * counts exact — on the real corpus and adversarial rows, so q125's
+  * hash oracle proves the swap for the whole surface. */
+class SpanCorruptKernelSpec extends AnyFunSuite with SparkTestBase {
+  import spark.implicits._
+
+  private val adversarial = Seq(
+    (1L, ""), (2L, " "), (3L, "  "), (4L, "one"), (5L, "one two"),
+    (6L, "a  b c"), (7L, "  leading"), (8L, "trailing  "),
+    (9L, "Ünï ço de 日本 text mixed in"), (10L, "a a a a a a a a a a"),
+    (11L, (0 until 80).map(i => s"tok$i").mkString(" ")),
+    (12L, "x"), (13L, "!!! ... --- ??? ,,,"),
+    (14L, ("word " * 40).trim), (15L, "singleverylongtokenwithoutspaces")
+  ).toDF("doc_id", "text")
+
+  private def mismatches(docs: DataFrame, num: Int, den: Int): Long = {
+    val a = SpanCorruption.spanCorrupt(docs, num, den)
+    val b = SpanCorruption.spanCorruptHof(docs, num, den)
+    a.exceptAll(b).union(b.exceptAll(a)).count()
+  }
+
+  test("kernel == HOF form on the real corpus (default 1/5 rate)") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.01")
+    assert(mismatches(docs, 1, 5) == 0)
+  }
+
+  test("kernel == HOF form on adversarial rows across mask rates " +
+    "(0, 1/5, 1/2, 4/5, 1)") {
+    for ((num, den) <- Seq((0, 5), (1, 5), (1, 2), (4, 5), (5, 5)))
+      assert(mismatches(adversarial, num, den) == 0, s"rate $num/$den")
+  }
+
+  test("kernel == HOF on a real-corpus slice at a high rate " +
+    "(1/2 — span merging stressed)") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    assert(mismatches(docs, 1, 2) == 0)
+  }
+
+  test("q125 plan carries no CodegenFallback expressions") {
+    import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+    val plan = SparkEntry.queries("q125_span_corruption")(
+      spark, "/root/testdata/sf0.001").queryExecution.executedPlan
+    val falls = plan.flatMap(_.expressions.flatMap(_.collect {
+      case e: CodegenFallback => e.getClass.getSimpleName
+    })).distinct
+    assert(falls.isEmpty, s"q125 plans interpreted expressions: $falls")
+  }
+
+  test("the kernel expression is evaluated once per row: one " +
+    "graft_span_corrupt in the executed plan (CollapseProject must " +
+    "not duplicate it into the five field extractions)") {
+    val plan = SpanCorruption.spanCorrupt(
+      Tables.documents(spark, "/root/testdata/sf0.001"))
+      .queryExecution.executedPlan
+    val n = "graft_span_corrupt".r
+      .findAllMatchIn(plan.toString).size
+    assert(n == 1, s"expected exactly 1 kernel call in plan, got $n:\n$plan")
+  }
+}
