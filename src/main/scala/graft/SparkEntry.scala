@@ -1977,6 +1977,18 @@ object SparkEntry {
     graft.dedup.SemanticDedupInt.semanticDedupInt(
       Tables.embeddings(s, d), cells = 8, threshold = 130000L)
 
+  /** Integer-exact MULTIPROBE semantic dedup — q108's oracled sibling
+    * (q142 extended with 2-nearest-cell multi-assignment): the
+    * recall-recovery variant of SemDeDup-over-SQ8, where every vector
+    * blocks into its two nearest integer cells so boundary-split
+    * near-pairs are still compared. Same frozen md5-seeded model and
+    * threshold as q142; the dominated set is a superset of q142's by
+    * construction (pinned in SemanticDedupIntSpec), and every step is
+    * integer math replicated in the DuckDB oracle. */
+  def q144_semantic_int_multiprobe(s: SparkSession, d: String): DataFrame =
+    graft.dedup.SemanticDedupInt.semanticDedupIntMultiProbe(
+      Tables.embeddings(s, d), cells = 8, threshold = 130000L)
+
   /** q106's deterministic funnel extended with the round-7 stages:
     * segment-level dedup (w = 20) after the substring scrub and a
     * per-source 2000-token budget as the final gate — the full curated
@@ -2137,6 +2149,7 @@ object SparkEntry {
     "q140_ivf_int_ann" -> (q140_ivf_int_ann _),
     "q141_lsh_int_ann" -> (q141_lsh_int_ann _),
     "q142_semantic_int_dedup" -> (q142_semantic_int_dedup _),
+    "q144_semantic_int_multiprobe" -> (q144_semantic_int_multiprobe _),
     "q143_pq_int_ann" -> (q143_pq_int_ann _),
   )
 
@@ -4693,6 +4706,73 @@ object SparkEntry {
          |SELECT a1.vec_id, CAST(a1.cell AS INT) AS cluster, dom.dup_of,
          |  dom.dup_of IS NULL AS kept
          |FROM a1 LEFT JOIN dom USING (vec_id)""".stripMargin,
+    // Integer-exact MULTIPROBE semantic dedup: q142's quantize/seed/
+    // Lloyd/cent chain verbatim (same frozen model), but each vector
+    // keeps its TWO nearest cells (rn <= 2, ties -> lower cell); the
+    // pair scan runs over the DISTINCT union of shared-cell pairs
+    // (a pair sharing both cells must not double its distance sum),
+    // dup_of = min smaller id sharing >= 1 cell at squared-L2 <=
+    // 130000, cluster = the rn=1 primary cell (== q142's assignment)
+    "q144_semantic_int_multiprobe" ->
+      s"""WITH d AS (
+         |  SELECT vec_id, unnest(generate_series(1, len(embedding))) AS i,
+         |    unnest(list_transform(embedding, x -> CAST(x AS DOUBLE))) AS x
+         |  FROM embeddings),
+         |stats AS (SELECT i, min(x) AS mn, max(x) AS mx FROM d GROUP BY i),
+         |codes AS (
+         |  SELECT vec_id, i,
+         |    CAST(CASE WHEN mx = mn THEN 0
+         |         ELSE round((x - mn) / (mx - mn) * 255) END AS BIGINT)
+         |      AS code
+         |  FROM d JOIN stats USING (i)),
+         |seed AS (
+         |  SELECT vec_id, row_number() OVER (
+         |      ORDER BY ${hash60Sql("CAST(vec_id AS VARCHAR)")}, vec_id) - 1
+         |    AS cell
+         |  FROM (SELECT DISTINCT vec_id FROM codes)
+         |  QUALIFY cell <= 7),
+         |seedc AS (
+         |  SELECT s.cell, c.i, c.code FROM seed s JOIN codes c USING (vec_id)),
+         |a0 AS (
+         |  SELECT vec_id, cell FROM (
+         |    SELECT c.vec_id, s.cell,
+         |      CAST(sum((c.code - s.code)*(c.code - s.code)) AS BIGINT) AS dist
+         |    FROM codes c JOIN seedc s USING (i) GROUP BY 1, 2)
+         |  QUALIFY row_number() OVER (
+         |    PARTITION BY vec_id ORDER BY dist, cell) = 1),
+         |upd AS (
+         |  SELECT a0.cell, c.i, CAST(sum(c.code) // count(*) AS BIGINT) AS code
+         |  FROM codes c JOIN a0 USING (vec_id) GROUP BY 1, 2),
+         |cent AS (
+         |  SELECT s.cell, s.i, coalesce(u.code, s.code) AS code
+         |  FROM seedc s LEFT JOIN upd u ON u.cell = s.cell AND u.i = s.i),
+         |a2 AS (
+         |  SELECT vec_id, cell,
+         |    row_number() OVER (
+         |      PARTITION BY vec_id ORDER BY dist, cell) AS rn
+         |  FROM (
+         |    SELECT c.vec_id, t.cell,
+         |      CAST(sum((c.code - t.code)*(c.code - t.code)) AS BIGINT) AS dist
+         |    FROM codes c JOIN cent t USING (i) GROUP BY 1, 2)
+         |  QUALIFY rn <= 2),
+         |cand AS (
+         |  SELECT DISTINCT x.vec_id AS vid, y.vec_id AS other
+         |  FROM a2 x JOIN a2 y ON y.cell = x.cell AND y.vec_id < x.vec_id),
+         |sc AS (
+         |  SELECT cand.vid, cand.other,
+         |    CAST(sum((cx.code - cy.code)*(cx.code - cy.code)) AS BIGINT)
+         |      AS dist
+         |  FROM cand
+         |  JOIN codes cx ON cx.vec_id = cand.vid
+         |  JOIN codes cy ON cy.vec_id = cand.other AND cy.i = cx.i
+         |  GROUP BY 1, 2),
+         |dom AS (
+         |  SELECT vid AS vec_id, min(other) AS dup_of FROM sc
+         |  WHERE dist <= 130000 GROUP BY 1)
+         |SELECT p.vec_id, CAST(p.cell AS INT) AS cluster, dom.dup_of,
+         |  dom.dup_of IS NULL AS kept
+         |FROM (SELECT vec_id, cell FROM a2 WHERE rn = 1) p
+         |LEFT JOIN dom USING (vec_id)""".stripMargin,
     // PQ-over-SQ8, integer-exact end to end: the q116 quantizer,
     // md5-hash60 global seed rows sliced per 8-dim subspace, one fused
     // integer Lloyd round (sum // count per subspace/cell/dim), argmin

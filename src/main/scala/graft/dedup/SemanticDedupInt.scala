@@ -53,13 +53,67 @@ object SemanticDedupInt {
     val assigned = codes
       .withColumn("cell", IvfInt.nearestCellInt(col("codes"), model))
 
-    // bucket-local keep-first (the SemanticDedup.dominatedWithin
-    // discipline with integer L2): members sort ascending by id, and
-    // the FIRST dominator found per member is the cell minimum — a
-    // degenerate all-duplicates cell costs O(p) compares, not O(p²).
-    val spark = embeddings.sparkSession
+    assigned.select(col("vec_id"), col("cell").as("cluster"))
+      .join(domWithinCells(assigned, threshold), Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cluster"), col("dup_of"),
+        col("dup_of").isNull.as("kept"))
+  }
+
+  /** [[semanticDedupInt]] with 2-nearest-cell multi-assignment — the
+    * integer-exact twin of [[SemanticDedup.semanticDedupMultiProbe]]
+    * (q108), giving the recall-recovery variant its own hash-green
+    * oracle row (q144): every vector blocks into its TWO nearest cells
+    * (ties → lower cell; element 1 is bit-identical to the
+    * single-probe assignment), so a near-pair split across a cell
+    * boundary is still compared whenever either member ranks the
+    * other's cell second. `dup_of` = the smallest vec_id sharing ≥1 of
+    * the two cells at squared-L2 ≤ threshold; `cluster` stays the
+    * primary cell. The dominated set is a SUPERSET of the single-probe
+    * one under the same model (a single-probe pair shares a primary
+    * cell both members still carry), so `kept` only flips true→false —
+    * pinned by SemanticDedupIntSpec.
+    *
+    * Scale: each vector appears in exactly 2 blocks (Σ|cell|² at most
+    * doubles); a pair sharing both cells is scored twice and the
+    * min-aggregate absorbs it. Everything else — literal model, zero
+    * assignment shuffle, bucket-local scan — is the single-probe
+    * shape. */
+  def semanticDedupIntMultiProbe(embeddings: DataFrame, cells: Int = 8,
+                                 threshold: Long = 130000L): DataFrame = {
+    val codes = Quantize
+      .quantize(embeddings, Quantize.dimStats(embeddings))
+      .localCheckpoint(true)
+    val first = codes.select(size(col("codes"))).take(1)
+    if (first.isEmpty)
+      return codes.limit(0).select(col("vec_id"),
+        lit(0).as("cluster"), lit(0L).as("dup_of"), lit(true).as("kept"))
+    val dims = first(0).getInt(0)
+    val model = IvfInt.trainModel(codes, dims, cells)
+    val assigned = codes
+      .withColumn("cells2", IvfInt.nearest2CellsInt(col("codes"), model))
+    val blocked = assigned.select(
+      explode(col("cells2")).as("cell"), col("vec_id"), col("codes"))
+    // per-block minima → global min across the ≤2 blocks each pair can
+    // surface in (per-block scans early-exit at the block's min-id
+    // dominator, so min-of-blocks = min over the union candidate set)
+    val dom = domWithinCells(blocked, threshold)
+      .groupBy(col("vec_id")).agg(min(col("dup_of")).as("dup_of"))
+    assigned.select(col("vec_id"), col("cells2").getItem(0).as("cluster"))
+      .join(dom, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cluster"), col("dup_of"),
+        col("dup_of").isNull.as("kept"))
+  }
+
+  /** Bucket-local keep-first scan (the SemanticDedup.dominatedWithin
+    * discipline with integer L2): members sort ascending by id, and
+    * the FIRST dominator found per member is the block's min-id
+    * dominator — a degenerate all-duplicates cell costs O(p) compares,
+    * not O(p²). `frame` must carry (cell, vec_id, codes); one
+    * (vec_id, dup_of) row per dominated member per block. */
+  private def domWithinCells(frame: DataFrame, threshold: Long): DataFrame = {
+    val spark = frame.sparkSession
     import spark.implicits._
-    val dom = assigned
+    frame
       .select(col("cell"), col("vec_id"), col("codes"))
       .as[(Int, Long, Array[Long])]
       .groupByKey(_._1)
@@ -92,10 +146,5 @@ object SemanticDedupInt {
         }
         out.iterator
       }.toDF("vec_id", "dup_of")
-
-    assigned.select(col("vec_id"), col("cell").as("cluster"))
-      .join(dom, Seq("vec_id"), "left")
-      .select(col("vec_id"), col("cluster"), col("dup_of"),
-        col("dup_of").isNull.as("kept"))
   }
 }

@@ -1,0 +1,95 @@
+package graft.plans
+
+/** The adjudicated CodegenFallback allowlist — exactly what each
+  * registry query is permitted to evaluate interpreted, from the
+  * round-14 FallbackInventoryProbe run (sf0.001, the spec session's
+  * plan shapes). FallbackInventorySpec asserts BOTH directions: no
+  * unlisted fallback (a regression — kernel it or adjudicate it here,
+  * with its reasoning) and no stale entry (a kernel landed — remove
+  * the entry so the list states exactly what runs interpreted).
+  *
+  * Adjudication classes (every entry belongs to one):
+  *
+  *  1. '''Bounded per-row folds''' — HOFs whose lambda count per row
+  *     is a small constant (fixed embedding dims, sketch width, BPE
+  *     merge count, spans/paragraphs per doc), NOT per corpus token.
+  *     The per-token chains that class excluded are all kernel'd
+  *     (NgramStructs/BlockHash60/NgramJoined r13, SpanCorrupt r14) and
+  *     their absence here is the point of the spec. The r8/r10 audits
+  *     measured the bounded folds immaterial on their rows.
+  *  2. '''Typed/sketch aggregates''' — custom TypedImperativeAggregates
+  *     (SimHash, top-k, Count-Min, histogram-quantile, HLL-register)
+  *     and Spark's own (HLL++, collect_list/set, pivot, datasketches
+  *     HLL). Aggregate buffers run on the aggregation iterator path —
+  *     whole-stage codegen generates the surrounding consume/produce
+  *     loop either way, and each of these holds per-group state no
+  *     scalar expression could carry. The inputs they fold are already
+  *     kernel'd columns where hot (e.g. q20/q62's shingle stream).
+  *  3. '''Inherent parse/model nodes''' — from_json (the work IS the
+  *     interpretation), and the integer-oracle ANN/dedup family's
+  *     literal-model scoring (fixed dims × a handful of cells,
+  *     deliberately declarative so the DuckDB oracle replicates it
+  *     term for term; their verdict hot paths are JVM flatMapGroups,
+  *     not these expressions).
+  *
+  * `LambdaFunction`/`NamedLambdaVariable` are the structural nodes
+  * every HOF carries — grouped with their HOF, never alone.
+  */
+object FallbackAllowlist {
+
+  private val core = Set("LambdaFunction", "NamedLambdaVariable")
+  /** Fixed-dims vector math (class 3/1): aggregate+zip_with dot/L2
+    * products and transform-over-cells scoring, lambda count = dims ×
+    * cells per row, dims fixed at the embedding width. */
+  private val vecHof = core ++ Set("ArrayAggregate", "ZipWith",
+    "ArrayTransform")
+
+  val entries: Map[String, Set[String]] = Map(
+    // class 1 — bounded per-row folds
+    "q103_substring_dedup" -> (core ++ Set("ArrayTransform",
+      "CollectSet")), // transform over the per-doc affected-span list
+    "q107_bpe_encode" -> (core ++ Set("ArrayAggregate", "ArrayFilter")),
+    // fold bounded by the trained merge count (10)
+    "q111_dedup_reps" -> (core + "ArrayFilter"), // medoid band filter
+    "q118_paragraph_dedup" -> (core ++ Set("CollectList",
+      "ArrayTransform", "ArraySort")), // per-doc paragraph reassembly
+    "q21_text_quality" -> (core + "ArrayFilter"), // stopword-ratio gate
+    "q23_langid" -> (core + "ArrayFilter"),
+    "q57_quality_gate" -> (core + "ArrayFilter"),
+    "q78_seq_export" -> (core ++ Set("CollectList", "ArrayTransform")),
+    "q80_repetition" -> (core ++ Set("ArrayAggregate", "ArraySort",
+      "ArrayTransform")), // per-doc gram-count fold (r8 adjudication)
+    "q64_countmin" -> (core ++ Set("ArrayTransform", "CountMinAgg")),
+    // transform over sketch width (fixed) + the sketch aggregate
+
+    // class 2 — typed/sketch aggregates
+    "q20_simhash" -> Set("SimHashAgg"),
+    "q62_simhash_pairs" -> Set("SimHashAgg"),
+    "q40_approx_distinct" -> Set("HyperLogLogPlusPlus"),
+    "q59_topk_agg" -> Set("TopKAgg"),
+    "q61_hll_merge" -> Set("HllUnionAgg", "HllSketchEstimate",
+      "HllSketchAgg"),
+    "q63_hist_quantiles" -> Set("HistogramQuantileAgg"),
+    "q68_hist_rollup" -> Set("HistogramQuantileAgg"),
+    "q81_inverted_index" -> Set("CollectList"),
+    "q85_pivot" -> Set("PivotFirst"),
+    "q123_gram_moments" -> Set("ComplexTypedAggregateExpression"),
+    // the typed single-pass moments Aggregator (NetFlowAgg sibling)
+
+    // class 3 — inherent parse nodes and the integer-oracle family
+    "q13_explode_map" -> Set("JsonToStructs"),
+    "q32_pipeline_vol" -> Set("JsonToStructs"),
+    "q33_pipeline_transfers" -> Set("JsonToStructs"),
+    "q27_ivf_ann" -> (core + "ArrayTransform"), // cell scoring only;
+    // the cosine itself is the codegen'd VectorExpressions kernel
+    "q65_pq_ann" -> vecHof,
+    "q122_random_projection" -> vecHof,
+    "q124_pca_project" -> vecHof,
+    "q140_ivf_int_ann" -> vecHof,
+    "q141_lsh_int_ann" -> vecHof,
+    "q142_semantic_int_dedup" -> vecHof,
+    "q143_pq_int_ann" -> vecHof,
+    "q144_semantic_int_multiprobe" -> (vecHof + "ArraySort"),
+    // nearest-2-cells keeps the ascending (dist, cell) sort
+  )
+}

@@ -1,0 +1,70 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.expressions.{Expression, PlanExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+
+/** Registry-wide CodegenFallback inventory — the round-14 widening of
+  * NgramKernelSpec's per-query no-fallback pin into a REGISTRY
+  * invariant: walk every `SparkEntry.queries` executed plan, list every
+  * interpreted (CodegenFallback) expression it evaluates, and diff
+  * against the adjudicated [[allowlist]] below. A future refactor that
+  * reintroduces an interpreted per-row lambda chain on a hot path —
+  * the shape that cost 3–6× on the shingle/n-gram/span kernels before
+  * rounds 12–14 kernel'd them — fails FallbackInventorySpec instead of
+  * surfacing in a future sf10 profile.
+  *
+  * What "allowed" means: an entry here is an ADJUDICATED fallback — a
+  * bounded fold whose lambda count is a small constant per row (not
+  * per token), a driver-side literal-model construction, or a
+  * sketch/aggregate whose interpreted share was measured immaterial.
+  * Each entry carries its adjudication in the comment next to it; an
+  * unlisted (query, expression) pair is a regression by definition.
+  */
+object FallbackInventory {
+
+  /** Distinct CodegenFallback expression class simple names reachable
+    * from `plan` — descends AQE wrappers, children, and subquery
+    * plans inside expressions. */
+  def fallbacks(plan: SparkPlan): Seq[String] = {
+    val seen = scala.collection.mutable.LinkedHashSet.empty[String]
+    def walkExpr(e: Expression): Unit = {
+      e.foreach {
+        case f: CodegenFallback => seen += f.getClass.getSimpleName
+        case _ =>
+      }
+      e.foreach {
+        case pe: PlanExpression[_] => pe.plan match {
+          case sp: SparkPlan => walkPlan(sp)
+          case _ =>
+        }
+        case _ =>
+      }
+    }
+    def walkPlan(p: SparkPlan): Unit = p match {
+      case a: AdaptiveSparkPlanExec => walkPlan(a.executedPlan)
+      case _ =>
+        p.expressions.foreach(walkExpr)
+        p.children.foreach(walkPlan)
+    }
+    walkPlan(plan)
+    seen.toSeq
+  }
+
+  /** (query name → its fallback inventory) over the given registry
+    * names; building a query's DataFrame runs any driver-side model
+    * loops it has, so prefer sf0.001. */
+  def scan(spark: SparkSession, sfDir: String,
+           names: Seq[String]): Map[String, Seq[String]] =
+    names.map { n =>
+      n -> fallbacks(graft.SparkEntry.queries(n)(spark, sfDir)
+        .queryExecution.executedPlan)
+    }.toMap
+
+  /** The adjudicated registry allowlist: query name → fallback class
+    * names it is PERMITTED to evaluate. Populated from the round-14
+    * FallbackInventoryProbe run; see each group's adjudication. */
+  val allowlist: Map[String, Set[String]] = FallbackAllowlist.entries
+}

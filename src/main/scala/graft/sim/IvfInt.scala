@@ -55,6 +55,25 @@ object IvfInt {
     array_min(scored).getField("i").cast("int")
   }
 
+  /** The TWO cells with the smallest squared L2 to `codes`, ascending
+    * (distance, cell) — element 1 is exactly [[nearestCellInt]]'s pick
+    * (same argmin, same lower-cell tie-break), so a multiprobe caller's
+    * primary cell matches the single-probe assignment bit for bit. The
+    * integer twin of [[graft.dedup.SemanticDedup]]'s nearest2Cells;
+    * ascending struct sort needs no negation trick because the metric
+    * is a distance, not a similarity. */
+  private[graft] def nearest2CellsInt(codes: Column,
+                                      cents: Seq[Seq[Long]]): Column = {
+    val scored = transform(typedLit(cents),
+      (c, i) => struct(l2sq(codes, c).as("d"), i.as("i")))
+    val sorted = array_sort(scored)
+    if (cents.size < 2)
+      array(element_at(sorted, 1).getField("i").cast("int"))
+    else array(
+      element_at(sorted, 1).getField("i").cast("int"),
+      element_at(sorted, 2).getField("i").cast("int"))
+  }
+
   /** The md5-seeded integer coarse model over a quantized `codes`
     * frame: seeds are the `cells` rows with the smallest
     * (md5-hash60(vec_id), vec_id), refined by ONE integer Lloyd round

@@ -1,0 +1,51 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+
+/** One-shot registry CodegenFallback inventory: walk every
+  * `SparkEntry.queries` executed plan at sf0.001 (building a query runs
+  * its driver-side model loops, so the smallest SF), print one line per
+  * query with its interpreted expressions, then the diff against
+  * [[graft.plans.FallbackInventory.allowlist]] — the same diff
+  * FallbackInventorySpec asserts empty.
+  *
+  * Usage: runMain graft.tools.FallbackInventoryProbe [sfDir]
+  */
+object FallbackInventoryProbe {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
+    val spark = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val names = graft.SparkEntry.queries.keys.toSeq.sorted
+    var bad = List.empty[String]
+    for (n <- names) {
+      val fb =
+        try graft.plans.FallbackInventory.fallbacks(
+          graft.SparkEntry.queries(n)(spark, sfDir)
+            .queryExecution.executedPlan)
+        catch { case e: Throwable => Seq(s"ERR:${e.getClass.getSimpleName}") }
+      val allowed = graft.plans.FallbackInventory.allowlist
+        .getOrElse(n, Set.empty)
+      val extra = fb.filterNot(allowed)
+      val stale = allowed -- fb.toSet
+      println(s"$n: ${if (fb.isEmpty) "-" else fb.mkString(",")}" +
+        (if (extra.nonEmpty) s"  UNADJUDICATED: ${extra.mkString(",")}"
+         else "") +
+        (if (stale.nonEmpty) s"  stale-allow: ${stale.mkString(",")}"
+         else ""))
+      if (extra.nonEmpty) bad ::= n
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = false))
+    }
+    println(if (bad.isEmpty) "DIFF CLEAN: every fallback is adjudicated"
+            else s"UNADJUDICATED fallbacks in: ${bad.reverse.mkString(", ")}")
+    spark.stop()
+    if (bad.nonEmpty) sys.exit(1)
+  }
+}

@@ -1,0 +1,49 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+
+/** A/B of the round-14 span-corruption kernel
+  * (graft.functions.SpanCorrupt — the whole T5 example builder as one
+  * codegen'd byte scan) vs the HOF form it replaced
+  * (SpanCorruption.spanCorruptHof — interpreted transform(sequence(...))
+  * mask array + aggregate piece fold, per-token lambda frames): times
+  * the FULL q125 transform (the query is 1:1 per doc — there is no
+  * separate stream/agg split to probe) at the given SF, alternating
+  * forms within one JVM after warming both.
+  *
+  * Usage: SPARK_GRAFT_SF_DIR=... runMain graft.tools.SpanKernelProbe [reps]
+  */
+object SpanKernelProbe {
+  def main(args: Array[String]): Unit = {
+    val reps = args.headOption.filter(_.forall(_.isDigit))
+      .map(_.toInt).getOrElse(4)
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.codegen.cache.maxEntries", "5000")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val docs = graft.Tables.documents(spark, sfDir)
+    def time(df: org.apache.spark.sql.DataFrame): Double = {
+      val t0 = System.nanoTime()
+      df.queryExecution.toRdd.count()
+      (System.nanoTime() - t0) / 1e9
+    }
+    val variants = Seq(
+      "span kernel" -> graft.pipeline.SpanCorruption.spanCorrupt(docs),
+      "span hof   " -> graft.pipeline.SpanCorruption.spanCorruptHof(docs))
+    variants.foreach { case (_, df) => time(df) } // warm both
+    variants.foreach { case (name, df) =>
+      val ts = (1 to reps).map(_ => time(df))
+      println(f"SPANKERNEL $name " +
+        ts.map(t => f"$t%6.2f").mkString(" ") + f"  min=${ts.min}%6.2f")
+    }
+    spark.stop()
+  }
+}

@@ -1,0 +1,43 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.plans.FallbackInventory
+
+/** The registry-wide no-unadjudicated-CodegenFallback invariant
+  * (round 14, widening NgramKernelSpec's six per-query pins): every
+  * interpreted expression evaluated by ANY registry query's executed
+  * plan must be listed — with its adjudication — in
+  * [[graft.plans.FallbackAllowlist]]. A refactor that reintroduces an
+  * interpreted per-token lambda chain (the shape the shingle/n-gram/
+  * span kernels measured at 3.1–6.5×) fails HERE, not in a future
+  * sf10 profile. The stale check keeps the allowlist honest in the
+  * other direction: an entry whose fallback no longer appears (a
+  * kernel landed) must be removed, so the list always states exactly
+  * what the registry evaluates interpreted. */
+class FallbackInventorySpec extends AnyFunSuite with SparkTestBase {
+
+  test("every CodegenFallback in every registry plan is adjudicated, " +
+    "and no allowlist entry is stale") {
+    val d = "/root/testdata/sf0.001"
+    val extras = scala.collection.mutable.ArrayBuffer.empty[String]
+    val stales = scala.collection.mutable.ArrayBuffer.empty[String]
+    for (n <- SparkEntry.queries.keys.toSeq.sorted) {
+      val fb = FallbackInventory.fallbacks(
+        SparkEntry.queries(n)(spark, d).queryExecution.executedPlan).toSet
+      val allowed = FallbackInventory.allowlist.getOrElse(n, Set.empty)
+      val extra = fb -- allowed
+      val stale = allowed -- fb
+      if (extra.nonEmpty) extras += s"$n: ${extra.mkString(",")}"
+      if (stale.nonEmpty) stales += s"$n: ${stale.mkString(",")}"
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = false))
+    }
+    assert(extras.isEmpty,
+      s"UNADJUDICATED interpreted expressions (kernel or adjudicate " +
+        s"them in FallbackAllowlist):\n  ${extras.mkString("\n  ")}")
+    assert(stales.isEmpty,
+      s"stale allowlist entries (fallback no longer in the plan — " +
+        s"remove them):\n  ${stales.mkString("\n  ")}")
+  }
+}

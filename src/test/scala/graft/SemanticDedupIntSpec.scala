@@ -69,4 +69,52 @@ class SemanticDedupIntSpec extends AnyFunSuite with SparkTestBase {
     assert(out.columns.toSeq == Seq("vec_id", "cluster", "dup_of", "kept"))
     assert(out.count() == 0)
   }
+
+  // --- multiprobe (q144, q108's integer-exact sibling) ---
+
+  test("multiprobe keeps are a subset of single-probe keeps, clusters " +
+    "identical, dominators never worsen (real corpus, q142/q144 params)") {
+    val e = Tables.embeddings(spark, "/root/testdata/sf0.01")
+    val single = SemanticDedupInt
+      .semanticDedupInt(e, cells = 8, threshold = 130000L)
+      .as[(Long, Int, Option[Long], Boolean)].collect()
+      .map(r => r._1 -> r).toMap
+    val multi = SemanticDedupInt
+      .semanticDedupIntMultiProbe(e, cells = 8, threshold = 130000L)
+      .as[(Long, Int, Option[Long], Boolean)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(single.keySet == multi.keySet)
+    single.foreach { case (id, s) =>
+      val m = multi(id)
+      // same frozen model => the primary cell is bit-identical
+      assert(m._2 == s._2, s"cluster drifted for $id")
+      // every single-probe dominated member stays dominated (the
+      // multiprobe candidate set is a superset), and the min-id
+      // dominator can only get smaller
+      s._3.foreach { sd =>
+        assert(m._3.nonEmpty, s"$id lost its dominator under multiprobe")
+        assert(m._3.get <= sd, s"$id dominator worsened: $sd -> ${m._3.get}")
+      }
+      assert(m._4 == m._3.isEmpty)
+    }
+  }
+
+  test("multiprobe on the planted groups: same verdicts as single " +
+    "probe when no pair straddles a cell boundary") {
+    val got = SemanticDedupInt
+      .semanticDedupIntMultiProbe(embeddings, cells = 2, threshold = 100L)
+      .as[(Long, Int, Option[Long], Boolean)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(got.size == 6)
+    assert(got(0L)._4 && got(1L)._3.contains(0L) && got(2L)._3.contains(0L))
+    assert(got(3L)._4)
+    assert(got(10L)._4 && !got(11L)._4 && got(11L)._3.contains(10L))
+  }
+
+  test("multiprobe empty corpus yields an empty verdict frame") {
+    val out = SemanticDedupInt
+      .semanticDedupIntMultiProbe(embeddings.filter(col("vec_id") < 0))
+    assert(out.columns.toSeq == Seq("vec_id", "cluster", "dup_of", "kept"))
+    assert(out.count() == 0)
+  }
 }

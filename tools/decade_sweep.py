@@ -10,8 +10,19 @@ factor, distinct p_names, orthogonally-shifted embeddings) into
 localdata/sf1_organic — the readable decade ratio for the dup-bound
 operators, alongside the default dup-stress sweep.
 
+Known-debt tail queries (the big allocators whose in-sweep numbers
+have been GC-contaminated by their predecessors in every sweep since
+r9 — q88 189 s in-sweep vs 41 s isolated was the chronic case) run
+ONE-PER-JVM via graft.tools.QueryProfile and their isolated min
+replaces the in-sweep figure in `queries`/`ratios`, so the artifact
+the >2x-ratio gate reads is right by construction. The raw in-sweep
+numbers are preserved under `insweep_queries`; the spliced names are
+listed under `isolated`. Override the default debt list with
+--isolate q88_containment,q19_minhash_lsh (--isolate= none disables).
+
 Usage:
   python3 tools/decade_sweep.py out.json [prior.json] [--organic]
+      [--isolate q1,q2|none]
 
 Prereq: sbt -batch compile (runs from target/scala-2.13/classes).
 """
@@ -24,6 +35,19 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 SF01 = "/root/testdata/sf0.1"
 ORGANIC = "--organic" in sys.argv
 sys.argv = [a for a in sys.argv if a != "--organic"]
+# the chronic debt tail: q88's containment pair scan (GC-contaminated
+# in-sweep every round since r9), q19's minhash banding (organic-sweep
+# creep, adjudicated run debt in r13), q40's HLL distinct (flagged in
+# the r13 dup-stress sweep at 9.83 in-sweep vs 1.57 isolated)
+ISOLATE = ["q88_containment", "q19_minhash_lsh", "q40_approx_distinct"]
+for a in list(sys.argv):
+    if a.startswith("--isolate"):
+        val = a.split("=", 1)[1] if "=" in a else \
+            sys.argv[sys.argv.index(a) + 1]
+        if "=" not in a:
+            sys.argv.remove(val)
+        sys.argv.remove(a)
+        ISOLATE = [] if val == "none" else val.split(",")
 SF1 = os.path.join(REPO, "localdata", "sf1_organic" if ORGANIC else "sf1")
 
 ADD_OPENS = [
@@ -79,6 +103,30 @@ def run_bench(sf_dir):
     return queries, total
 
 
+def run_isolated(sf_dir, names, reps=3):
+    """One fresh JVM per debt query (graft.tools.QueryProfile): the
+    isolated protocol, min of `reps` warm reps per query."""
+    out = {}
+    env = dict(os.environ, SPARK_GRAFT_SF_DIR=sf_dir,
+               SPARK_GRAFT_CPUS=os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    cp = os.path.join(REPO, "target", "scala-2.13", "classes") \
+        + ":/opt/spark/jars/*"
+    for name in names:
+        r = subprocess.run(
+            ["java", "-XX:+IgnoreUnrecognizedVMOptions", "-Xmx96g",
+             *ADD_OPENS, "-cp", cp, "graft.tools.QueryProfile",
+             name, str(reps)],
+            env=env, cwd=REPO, capture_output=True, text=True, check=True)
+        for line in r.stdout.splitlines():
+            if line.startswith("PROFILE") and name in line:
+                out[name] = float(line.rsplit("min=", 1)[1])
+        if name not in out:
+            sys.exit(f"QueryProfile produced no row for {name}:\n"
+                     + r.stdout[-2000:])
+        print(f"  isolated {name}: {out[name]:.2f} s", flush=True)
+    return out
+
+
 def main():
     out_path = sys.argv[1]
     prior = json.load(open(sys.argv[2])) if len(sys.argv) > 2 else None
@@ -89,10 +137,24 @@ def main():
     print("bench sf1 ...", flush=True)
     q1, t1 = run_bench(SF1)
     print(f"  total {t1:.1f} s", flush=True)
+    # splice the debt tail's isolated numbers over the in-sweep ones
+    # (both SFs, same protocol) so `ratios` is right by construction;
+    # keep the raw in-sweep figures for the record
+    insweep01, insweep1 = dict(q01), dict(q1)
+    isolate = [n for n in ISOLATE if n in q1 and n in q01]
+    if isolate:
+        print("isolated debt tail, sf0.1 ...", flush=True)
+        q01.update(run_isolated(SF01, isolate))
+        print("isolated debt tail, sf1 ...", flush=True)
+        q1.update(run_isolated(SF1, isolate))
+        t01 = sum(q01.values())
+        t1 = sum(q1.values())
     ratios = {k: (q1[k] / q01[k] if q01.get(k) else None)
               for k in sorted(q1) if k in q01}
     result = {"sf01": {"queries": q01, "total": t01},
               "sf1": {"queries": q1, "total": t1},
+              "insweep_queries": {"sf01": insweep01, "sf1": insweep1},
+              "isolated": isolate,
               "ratios": ratios,
               "total_ratio": t1 / t01}
     with open(out_path, "w") as f:

@@ -1,0 +1,158 @@
+#!/usr/bin/env python3
+"""Round-closing bench protocol (round 14, VERDICT r13 task 2): the
+within-day interleaved binary A/B IS the closing artifact, not a
+rescue. Alternates quiet-gated GC-between Bench legs of the CURRENT
+binary (B) and a reference-commit binary (A) on the same host, and
+emits as PRIMARY metrics the per-binary min-of-legs (both the best
+whole leg and the per-query minima summed) plus the median per-query
+B/A ratio — the quantities the r13 host-band episode showed are
+meaningful when single-leg totals swing +-10% between quiet-gated runs.
+
+Usage:
+  python3 tools/interleaved_closing.py out.json [--ref <commit>]
+      [--legs N] [--sf dir] [--skip-build]
+
+Binary A is compiled once into a git worktree under localdata/
+(gitignored). Each leg runs graft.Bench in a fresh JVM with
+SPARK_GRAFT_GC_BETWEEN=1 and Bench's own load gate, so every leg
+stamps its start/end load in its own JSON.
+"""
+import json
+import os
+import statistics
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+ADD_OPENS = [
+    "--add-opens=java.base/java.lang=ALL-UNNAMED",
+    "--add-opens=java.base/java.lang.invoke=ALL-UNNAMED",
+    "--add-opens=java.base/java.nio=ALL-UNNAMED",
+    "--add-opens=java.base/java.util=ALL-UNNAMED",
+    "--add-opens=java.base/sun.nio.ch=ALL-UNNAMED",
+    "--add-opens=java.base/sun.util.calendar=ALL-UNNAMED",
+    "--add-opens=java.base/sun.security.action=ALL-UNNAMED",
+]
+
+
+def arg(flag, default):
+    if flag in sys.argv:
+        i = sys.argv.index(flag)
+        v = sys.argv[i + 1]
+        del sys.argv[i:i + 2]
+        return v
+    return default
+
+
+def ensure_binary_a(ref):
+    wt = os.path.join(REPO, "localdata", f"abin_{ref[:12]}")
+    classes = os.path.join(wt, "target", "scala-2.13", "classes")
+    if os.path.isdir(classes) and os.listdir(classes):
+        return classes
+    if not os.path.isdir(wt):
+        subprocess.run(["git", "worktree", "add", "--detach", wt, ref],
+                       cwd=REPO, check=True)
+    print(f"compiling binary A ({ref}) in {wt} ...", flush=True)
+    subprocess.run(["sbt", "-batch", "compile"], cwd=wt, check=True,
+                   capture_output=True, text=True)
+    return classes
+
+
+def run_leg(classes, out_json, sf_dir):
+    env = dict(os.environ, SPARK_GRAFT_SF_DIR=sf_dir,
+               SPARK_GRAFT_CPUS=os.environ.get("SPARK_GRAFT_CPUS", "32"),
+               SPARK_GRAFT_GC_BETWEEN="1",
+               SPARK_GRAFT_BENCH_OUT=out_json)
+    cp = classes + ":/opt/spark/jars/*"
+    subprocess.run(
+        ["java", "-XX:+IgnoreUnrecognizedVMOptions", "-Xmx96g",
+         *ADD_OPENS, "-cp", cp, "graft.Bench"],
+        env=env, cwd=REPO, check=True, capture_output=True, text=True)
+    with open(out_json) as f:
+        j = json.load(f)
+    return j["queries"], j["value"], j.get("load_gate", {})
+
+
+def summarize(legs):
+    """legs: list of (queries, total, load). Min-of-legs per query and
+    whole-leg, plus every leg total for the record."""
+    per_q = {}
+    for queries, _, _ in legs:
+        for k, v in queries.items():
+            per_q[k] = min(v, per_q.get(k, float("inf")))
+    return {
+        "leg_totals": [t for _, t, _ in legs],
+        "min_leg_total": min(t for _, t, _ in legs),
+        "sum_of_per_query_min": sum(per_q.values()),
+        "per_query_min": per_q,
+        "load_gates": [l for _, _, l in legs],
+    }
+
+
+def main():
+    ref = arg("--ref", None)
+    legs_n = int(arg("--legs", "3"))
+    sf_dir = arg("--sf", "/root/testdata/sf0.1")
+    skip_build = "--skip-build" in sys.argv
+    if skip_build:
+        sys.argv.remove("--skip-build")
+    out_path = sys.argv[1]
+    if ref is None:
+        sys.exit("--ref <commit of binary A> is required")
+
+    classes_b = os.path.join(REPO, "target", "scala-2.13", "classes")
+    if not skip_build:
+        print("compiling binary B (working tree) ...", flush=True)
+        subprocess.run(["sbt", "-batch", "compile"], cwd=REPO, check=True,
+                       capture_output=True, text=True)
+    classes_a = ensure_binary_a(ref)
+
+    tmp = os.path.join(REPO, "localdata")
+    os.makedirs(tmp, exist_ok=True)
+    stamp = int(time.time())
+    legs_a, legs_b = [], []
+    for i in range(legs_n):
+        for tag, classes, acc in (("B", classes_b, legs_b),
+                                  ("A", classes_a, legs_a)):
+            leg_out = os.path.join(tmp, f"closing_{stamp}_{tag}{i}.json")
+            print(f"leg {tag}{i} ...", flush=True)
+            q, t, load = run_leg(classes, leg_out, sf_dir)
+            print(f"  total {t:.1f} s  (gate waited {load.get('waited_s')}s"
+                  f" load1 {load.get('load1')})", flush=True)
+            acc.append((q, t, load))
+
+    sa, sb = summarize(legs_a), summarize(legs_b)
+    shared = sorted(set(sa["per_query_min"]) & set(sb["per_query_min"]))
+    ratios = {k: sb["per_query_min"][k] / sa["per_query_min"][k]
+              for k in shared if sa["per_query_min"][k] > 0}
+    med = statistics.median(ratios.values()) if ratios else None
+    result = {
+        "protocol": "interleaved within-day binary A/B, quiet-gated, "
+                    "GC-between; primary metrics are min-of-legs and "
+                    "median per-query ratio (VERDICT r13 task 2)",
+        "ref_a": ref, "legs_per_binary": legs_n, "sf": sf_dir,
+        "median_per_query_ratio_b_over_a": med,
+        "b": sb, "a": sa,
+        "queries_only_in_b": sorted(set(sb["per_query_min"])
+                                    - set(sa["per_query_min"])),
+        "queries_only_in_a": sorted(set(sa["per_query_min"])
+                                    - set(sb["per_query_min"])),
+        "worst_ratios": dict(sorted(ratios.items(),
+                                    key=lambda kv: -kv[1])[:10]),
+        "best_ratios": dict(sorted(ratios.items(),
+                                   key=lambda kv: kv[1])[:10]),
+    }
+    with open(out_path, "w") as f:
+        json.dump(result, f, indent=1, sort_keys=True)
+    print(f"\nwrote {out_path}")
+    print(f"B min-leg {sb['min_leg_total']:.1f} s / per-query-min sum "
+          f"{sb['sum_of_per_query_min']:.1f} s")
+    print(f"A min-leg {sa['min_leg_total']:.1f} s / per-query-min sum "
+          f"{sa['sum_of_per_query_min']:.1f} s")
+    print(f"median per-query ratio B/A: {med:.3f}")
+
+
+if __name__ == "__main__":
+    main()
