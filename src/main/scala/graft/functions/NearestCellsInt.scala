@@ -1,0 +1,131 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+
+/** Integer nearest-cell assignment against a LITERAL model — the
+  * codegen kernel behind `IvfInt.nearestCellInt` / `nearest2CellsInt`
+  * (round 14), replacing the interpreted
+  * `transform(typedLit(cents), c -> struct(l2sq(codes, c), i))` +
+  * `array_min`/`array_sort` chain: one aggregate+zip_with lambda
+  * evaluation PER CELL PER ROW with per-cell array allocations, the
+  * cost that made RAISING the cell count — the integer semantic-dedup
+  * family's documented scale knob — a net loss (measured sf10, 200k
+  * vectors: cells 8→64 took q142's single-probe body 9.7 → 84 s
+  * because O(cells·dims) interpreted assignment swamped the shrinking
+  * Σ|cell|² verdict scan).
+  *
+  * BIT-EXACT with the HOF forms it replaces (kept as
+  * `IvfInt.nearestCellIntHof` / `nearest2CellsIntHof`, the executable
+  * specifications, pinned by NearestCellKernelSpec):
+  *
+  *  - distance: squared L2 over the long codes, term for term the
+  *    `aggregate(zip_with(a, b, (x,y) -> (x-y)*(x-y)), 0, +)` fold —
+  *    bounded by 255²·dims ≪ Long.Max, no overflow either way;
+  *  - argmin ties: ascending (distance, cell) — iterating cells in
+  *    index order with a STRICT `<` keeps the lower index on equal
+  *    distance, exactly `array_min(struct(d, i))` / ascending
+  *    `array_sort`;
+  *  - take2: elements 1 and 2 of the ascending (d, i) sort; a
+  *    single-cell model yields a 1-element array (the HOF's
+  *    `cents.size < 2` branch).
+  *
+  * Fixed-dimension contract (as everywhere in the integer family):
+  * codes and centroids share the first row's dims; the scan folds
+  * `min(codes.length, cent.length)` terms, which is the full width
+  * under the contract. Null codes → null.
+  *
+  * Scale: O(cells·dims) LONG ops per row, no allocation beyond the
+  * take2 result pair — the assignment stops being the reason a bigger
+  * (= more scalable) cell count loses. Evaluated via a static call so
+  * the literal model rides the codegen references array once per
+  * plan, not once per row.
+  */
+case class NearestCellsInt(child: Expression, cents: Seq[Seq[Long]],
+                           take2: Boolean)
+    extends UnaryExpression {
+  require(cents.nonEmpty, "nearest-cell assignment needs a model")
+
+  @transient private lazy val model: Array[Array[Long]] =
+    cents.map(_.toArray).toArray
+
+  override def dataType: DataType =
+    if (take2) ArrayType(IntegerType, containsNull = false)
+    else IntegerType
+  override def prettyName: String =
+    if (take2) "graft_nearest2_cells_int" else "graft_nearest_cell_int"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<bigint> codes, got ${t.simpleString}")
+  }
+
+  override def nullSafeEval(codes: Any): Any = {
+    val a = codes.asInstanceOf[ArrayData]
+    if (take2) NearestCellsInt.nearest2(a, model)
+    else NearestCellsInt.nearest(a, model)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext,
+                                   ev: ExprCode): ExprCode = {
+    val m = ctx.addReferenceObj("cents", model, "long[][]")
+    val fn = if (take2) "nearest2" else "nearest"
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.NearestCellsInt.$fn($c, $m);")
+  }
+
+  override protected def withNewChildInternal(
+      newChild: Expression): NearestCellsInt = copy(child = newChild)
+}
+
+object NearestCellsInt {
+
+  private def l2sq(codes: ArrayData, cent: Array[Long]): Long = {
+    val n = math.min(codes.numElements(), cent.length)
+    var d = 0L
+    var i = 0
+    while (i < n) {
+      val diff = codes.getLong(i) - cent(i)
+      d += diff * diff
+      i += 1
+    }
+    d
+  }
+
+  /** Index of the nearest centroid; ties → lowest index. */
+  def nearest(codes: ArrayData, cents: Array[Array[Long]]): Int = {
+    var best = 0
+    var bestD = l2sq(codes, cents(0))
+    var j = 1
+    while (j < cents.length) {
+      val d = l2sq(codes, cents(j))
+      if (d < bestD) { bestD = d; best = j }
+      j += 1
+    }
+    best
+  }
+
+  /** The two nearest centroids ascending (distance, index); 1-element
+    * array for a single-cell model. */
+  def nearest2(codes: ArrayData, cents: Array[Array[Long]]): ArrayData = {
+    if (cents.length < 2)
+      return new GenericArrayData(Array[Int](0))
+    var i1 = 0
+    var d1 = l2sq(codes, cents(0))
+    var i2 = 1
+    var d2 = l2sq(codes, cents(1))
+    if (d2 < d1) { val td = d1; d1 = d2; d2 = td; i1 = 1; i2 = 0 }
+    var j = 2
+    while (j < cents.length) {
+      val d = l2sq(codes, cents(j))
+      if (d < d1) { d2 = d1; i2 = i1; d1 = d; i1 = j }
+      else if (d < d2) { d2 = d; i2 = j }
+      j += 1
+    }
+    new GenericArrayData(Array[Int](i1, i2))
+  }
+}

@@ -85,11 +85,14 @@ object FallbackAllowlist {
     "q65_pq_ann" -> vecHof,
     "q122_random_projection" -> vecHof,
     "q124_pca_project" -> vecHof,
-    "q140_ivf_int_ann" -> vecHof,
+    // q140/q141/q143: the remaining HOFs are the per-QUERY scoring
+    // folds (l2sq against joined centroid/candidate columns and the
+    // ADC table builds — a handful of query rows, not the corpus);
+    // the corpus-side literal-model assignment is the NearestCellsInt
+    // codegen kernel since r14. q142/q144 dropped out of this list
+    // entirely with that kernel (zero fallbacks).
+    "q140_ivf_int_ann" -> (core ++ Set("ArrayAggregate", "ZipWith")),
     "q141_lsh_int_ann" -> vecHof,
-    "q142_semantic_int_dedup" -> vecHof,
     "q143_pq_int_ann" -> vecHof,
-    "q144_semantic_int_multiprobe" -> (vecHof + "ArraySort"),
-    // nearest-2-cells keeps the ascending (dist, cell) sort
   )
 }

@@ -47,23 +47,48 @@ object IvfInt {
 
   /** Index of the centroid (array-of-long-arrays literal) with the
     * smallest squared L2 to `codes`; ties → lowest index. Pure per-row
-    * expression — the integer twin of [[Similarity.nearestCell]]. */
+    * expression — the integer twin of [[Similarity.nearestCell]].
+    * Round-14: a codegen kernel ([[graft.functions.NearestCellsInt]]) —
+    * the interpreted transform/struct chain (kept as
+    * [[nearestCellIntHof]], the pinned specification) evaluated one
+    * lambda + allocation per CELL per row, which made raising the cell
+    * count (the family's scale knob) a measured net loss. */
   private[graft] def nearestCellInt(codes: Column,
-                                    cents: Seq[Seq[Long]]): Column = {
-    val scored = transform(typedLit(cents),
-      (c, i) => struct(l2sq(codes, c).as("d"), i.as("i")))
-    array_min(scored).getField("i").cast("int")
-  }
+                                    cents: Seq[Seq[Long]]): Column =
+    org.apache.spark.sql.graftbridge.Bridge.column(
+      graft.functions.NearestCellsInt(
+        org.apache.spark.sql.graftbridge.Bridge.expression(codes),
+        cents.map(_.toIndexedSeq).toIndexedSeq, take2 = false))
 
   /** The TWO cells with the smallest squared L2 to `codes`, ascending
     * (distance, cell) — element 1 is exactly [[nearestCellInt]]'s pick
     * (same argmin, same lower-cell tie-break), so a multiprobe caller's
     * primary cell matches the single-probe assignment bit for bit. The
-    * integer twin of [[graft.dedup.SemanticDedup]]'s nearest2Cells;
-    * ascending struct sort needs no negation trick because the metric
-    * is a distance, not a similarity. */
+    * integer twin of [[graft.dedup.SemanticDedup]]'s nearest2Cells.
+    * Round-14: same kernel, take2 form (HOF spec kept as
+    * [[nearest2CellsIntHof]]). */
   private[graft] def nearest2CellsInt(codes: Column,
-                                      cents: Seq[Seq[Long]]): Column = {
+                                      cents: Seq[Seq[Long]]): Column =
+    org.apache.spark.sql.graftbridge.Bridge.column(
+      graft.functions.NearestCellsInt(
+        org.apache.spark.sql.graftbridge.Bridge.expression(codes),
+        cents.map(_.toIndexedSeq).toIndexedSeq, take2 = true))
+
+  /** The pre-kernel HOF argmin — KEPT as the executable specification
+    * the kernel is pinned against (NearestCellKernelSpec), exactly the
+    * NgramKernelSpec / SpanCorruptKernelSpec precedent. */
+  private[graft] def nearestCellIntHof(codes: Column,
+                                       cents: Seq[Seq[Long]]): Column = {
+    val scored = transform(typedLit(cents),
+      (c, i) => struct(l2sq(codes, c).as("d"), i.as("i")))
+    array_min(scored).getField("i").cast("int")
+  }
+
+  /** The pre-kernel HOF 2-cell form — the pinned specification for
+    * [[nearest2CellsInt]]; ascending struct sort needs no negation
+    * trick because the metric is a distance, not a similarity. */
+  private[graft] def nearest2CellsIntHof(codes: Column,
+                                         cents: Seq[Seq[Long]]): Column = {
     val scored = transform(typedLit(cents),
       (c, i) => struct(l2sq(codes, c).as("d"), i.as("i")))
     val sorted = array_sort(scored)

@@ -1,0 +1,56 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+
+/** Measures the `cells` lever on the integer semantic-dedup family
+  * (q142/q144): the within-cell pair scan is Σ|cell|² by contract, so
+  * at a FIXED cell count its cost grows quadratically in cell depth —
+  * and raising `cells` with the corpus (the documented scale answer;
+  * the DuckDB oracle replicates any cell count) collapses it. One
+  * timed run per (variant, cells) in this JVM, warm rep first.
+  *
+  * Usage: SPARK_GRAFT_SF_DIR=... runMain graft.tools.SemanticIntScaleProbe
+  *          [cellsCsv] [reps]   (default "8,64" 2)
+  */
+object SemanticIntScaleProbe {
+  def main(args: Array[String]): Unit = {
+    val cellsList = args.headOption.getOrElse("8,64")
+      .split(",").toSeq.map(_.trim.toInt)
+    val reps = args.drop(1).headOption.map(_.toInt).getOrElse(2)
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.codegen.cache.maxEntries", "5000")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val e = graft.Tables.embeddings(spark, sfDir)
+    def time(df: org.apache.spark.sql.DataFrame): Double = {
+      val t0 = System.nanoTime()
+      df.queryExecution.toRdd.count()
+      val dt = (System.nanoTime() - t0) / 1e9
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = true))
+      dt
+    }
+    for (cells <- cellsList) {
+      def single() = graft.dedup.SemanticDedupInt
+        .semanticDedupInt(e, cells = cells)
+      def multi() = graft.dedup.SemanticDedupInt
+        .semanticDedupIntMultiProbe(e, cells = cells)
+      time(single()); time(multi()) // warm
+      val ts = (1 to reps).map(_ => time(single()))
+      val tm = (1 to reps).map(_ => time(multi()))
+      println(f"SEMINT cells=$cells%-4d single " +
+        ts.map(t => f"$t%7.2f").mkString(" ") + f"  min=${ts.min}%7.2f")
+      println(f"SEMINT cells=$cells%-4d multi  " +
+        tm.map(t => f"$t%7.2f").mkString(" ") + f"  min=${tm.min}%7.2f")
+    }
+    spark.stop()
+  }
+}

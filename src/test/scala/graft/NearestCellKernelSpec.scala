@@ -1,0 +1,83 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+import graft.sim.{IvfInt, Quantize}
+
+/** Pins the round-14 integer nearest-cell kernel
+  * (graft.functions.NearestCellsInt — one codegen'd argmin against the
+  * literal model) BIT-EXACT against the HOF forms it replaced
+  * (IvfInt.nearestCellIntHof / nearest2CellsIntHof, the interpreted
+  * transform/struct/array_min chains, kept as the executable
+  * specification — the NgramKernelSpec precedent). The kernel carries
+  * q140/q142/q143/q144's assignment step, so the hash oracles prove
+  * the swap end-to-end; here we pin the expression itself on the real
+  * corpus and on tie-heavy adversarial models, plus the plan
+  * invariants. */
+class NearestCellKernelSpec extends AnyFunSuite with SparkTestBase {
+  import spark.implicits._
+
+  private def realCodes = Quantize.quantize(
+    Tables.embeddings(spark, "/root/testdata/sf0.01"),
+    Quantize.dimStats(Tables.embeddings(spark, "/root/testdata/sf0.01")))
+
+  private def realModel(cells: Int): Seq[Seq[Long]] = {
+    // a REAL trained model (the exact literal q142 ships), not a toy
+    val codes = realCodes
+    val dims = codes.select(size(col("codes"))).take(1)(0).getInt(0)
+    IvfInt.trainModel(codes, dims, cells)
+  }
+
+  test("kernel == HOF argmin and 2-cell forms on the real corpus " +
+    "(trained 8-cell model)") {
+    val model = realModel(8)
+    val df = realCodes.select(col("vec_id"),
+      IvfInt.nearestCellInt(col("codes"), model).as("k1"),
+      IvfInt.nearestCellIntHof(col("codes"), model).as("h1"),
+      IvfInt.nearest2CellsInt(col("codes"), model).as("k2"),
+      IvfInt.nearest2CellsIntHof(col("codes"), model).as("h2"))
+    assert(df.filter(col("k1") =!= col("h1") ||
+      col("k2") =!= col("h2")).count() == 0)
+    // element 1 of the 2-cell form IS the single-probe assignment
+    assert(df.filter(col("k2").getItem(0) =!= col("k1")).count() == 0)
+  }
+
+  test("tie-heavy adversarial models: duplicate centroids resolve to " +
+    "the lowest index, in both positions, exactly as the HOF sort") {
+    val codes = Seq(
+      (1L, Seq(0L, 0L)), (2L, Seq(10L, 10L)), (3L, Seq(5L, 5L)),
+      (4L, Seq(7L, 3L)), (5L, Seq(255L, 255L))
+    ).toDF("vec_id", "codes")
+    // cells 1+2 identical, 3 a duplicate of 0: every distance ties twice
+    val model: Seq[Seq[Long]] =
+      Seq(Seq(0L, 0L), Seq(10L, 10L), Seq(10L, 10L), Seq(0L, 0L))
+    val df = codes.select(
+      IvfInt.nearestCellInt(col("codes"), model).as("k1"),
+      IvfInt.nearestCellIntHof(col("codes"), model).as("h1"),
+      IvfInt.nearest2CellsInt(col("codes"), model).as("k2"),
+      IvfInt.nearest2CellsIntHof(col("codes"), model).as("h2"))
+    assert(df.filter(col("k1") =!= col("h1") ||
+      col("k2") =!= col("h2")).count() == 0)
+  }
+
+  test("single-cell model yields a 1-element take2 array (the HOF's " +
+    "size<2 branch)") {
+    val codes = Seq((1L, Seq(3L, 4L))).toDF("vec_id", "codes")
+    val model: Seq[Seq[Long]] = Seq(Seq(0L, 0L))
+    val got = codes.select(
+      IvfInt.nearest2CellsInt(col("codes"), model).as("k"),
+      IvfInt.nearest2CellsIntHof(col("codes"), model).as("h"))
+      .as[(Seq[Int], Seq[Int])].head()
+    assert(got._1 == Seq(0) && got._2 == Seq(0))
+  }
+
+  test("q142's plan carries no interpreted assignment: the only " +
+    "fallbacks left are the quantizer's bounded per-dim transform") {
+    val fb = graft.plans.FallbackInventory.fallbacks(
+      SparkEntry.queries("q142_semantic_int_dedup")(
+        spark, "/root/testdata/sf0.001").queryExecution.executedPlan)
+    assert(!fb.contains("ArrayAggregate") && !fb.contains("ZipWith"),
+      s"interpreted distance fold back in the assignment path: $fb")
+  }
+}
