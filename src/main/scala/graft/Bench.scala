@@ -101,37 +101,62 @@ object Bench {
     // regions isolates each measurement. Off by default so driver runs
     // keep their historical conditions.
     val gcBetween = sys.env.get("SPARK_GRAFT_GC_BETWEEN").contains("1")
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      // queryExecution.toRdd.count() materializes the query's ACTUAL
-      // output rows. A plain df.count() lets Catalyst prune everything
-      // count doesn't need — for 1:1 transform queries that is the
-      // whole operator (q103's scrub benched as a bare parquet count
-      // until round 8). Rows are produced but not collected.
-      try { fn(spark, sfDir).queryExecution.toRdd.count() }
-      catch { case _: Throwable => -1L }
-      val dt = (System.nanoTime() - t0) / 1e9
-      // queries are independent and sequential here: drop this query's
-      // persisted/locally-checkpointed blocks so they don't pile up into
-      // GC pressure on later queries. BLOCKING, outside the timed
-      // region: the r12 async form let checkpoint blocks linger into
-      // the next query's run — the suspected mechanism behind q111's
-      // in-bench-vs-isolated offset (3.69 vs 2.77 s), the registry's
-      // largest.
-      spark.sparkContext.getPersistentRDDs.values
-        .foreach(_.unpersist(blocking = true))
-      if (gcBetween) System.gc()
-      name -> dt
+    // Min-of-N-legs mode (round-15): BENCH_r14.json was mid-run
+    // contaminated (gated start load1 0.02, post_load1 1.74) and read
+    // +9% while the controlled interleaved A/B showed the binary ~9%
+    // FASTER — a single leg cannot defend itself against contention
+    // arriving mid-run. With SPARK_GRAFT_BENCH_LEGS=N (N ≥ 2), the
+    // sweep runs N times in one JVM (one warm-up; GC between legs) and
+    // the record is the PER-QUERY MINIMUM — the closing protocol's
+    // min-of-legs, in-band. Per-leg totals and load stamps ride along
+    // so the artifact carries its own conditions. Default 1 leg keeps
+    // the historical driver-run semantics bit for bit.
+    val legs = math.max(1, scala.util.Try(
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_LEGS", "1").toInt).getOrElse(1))
+    def runLeg(): Seq[(String, Double)] =
+      SparkEntry.queries.toSeq.map { case (name, fn) =>
+        val t0 = System.nanoTime()
+        // queryExecution.toRdd.count() materializes the query's ACTUAL
+        // output rows. A plain df.count() lets Catalyst prune everything
+        // count doesn't need — for 1:1 transform queries that is the
+        // whole operator (q103's scrub benched as a bare parquet count
+        // until round 8). Rows are produced but not collected.
+        try { fn(spark, sfDir).queryExecution.toRdd.count() }
+        catch { case _: Throwable => -1L }
+        val dt = (System.nanoTime() - t0) / 1e9
+        // queries are independent and sequential here: drop this query's
+        // persisted/locally-checkpointed blocks so they don't pile up into
+        // GC pressure on later queries. BLOCKING, outside the timed
+        // region: the r12 async form let checkpoint blocks linger into
+        // the next query's run — the suspected mechanism behind q111's
+        // in-bench-vs-isolated offset (3.69 vs 2.77 s), the registry's
+        // largest.
+        spark.sparkContext.getPersistentRDDs.values
+          .foreach(_.unpersist(blocking = true))
+        if (gcBetween) System.gc()
+        name -> dt
+      }
+    val legRuns = (1 to legs).map { _ =>
+      val r = runLeg()
+      if (legs > 1) System.gc() // isolate legs like the closing protocol
+      (r, loadAvg())
+    }
+    val results: Seq[(String, Double)] = legRuns.head._1.map(_._1).map { n =>
+      n -> legRuns.map(_._1.toMap.apply(n)).min
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    val total = results.map(_._2).sum
+    val legTotals = legRuns.map(_._1.map(_._2).sum)
+    val legLoads = legRuns.map(_._2)
     // stamp the load at BOTH ends of the run: the gate-exit reading
     // alone can overstate how quiet the run was if contention arrives
     // mid-bench (the r13 host-band lesson)
     val loadPost = loadAvg()
     val full = s"""{"queries":$qs,"sf":"$sfDir","cpus":$cpus,""" +
       s""""gc_between":$gcBetween,"epoch_s":${System.currentTimeMillis / 1000},""" +
+      s""""legs":$legs,"leg_totals":[${legTotals.mkString(",")}],""" +
+      s""""leg_loads":[${legLoads.map(l => s"[${l._1},${l._2}]").mkString(",")}],""" +
       s""""load_gate":{"waited_s":$gateWaited,"load1":${load._1},""" +
       s""""load5":${load._2},"post_load1":${loadPost._1},""" +
       s""""post_load5":${loadPost._2}},""" +

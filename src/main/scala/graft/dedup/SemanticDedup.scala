@@ -253,9 +253,23 @@ object SemanticDedup {
 
   /** The two cells with the highest centroid cosine, ties to the lower
     * index; element 1 is exactly [[Similarity.nearestCell]]'s pick, so
-    * the reported `cluster` column matches the single-probe form. */
-  private def nearest2Cells(v: Column,
-                            centroids: Seq[Seq[Double]]): Column = {
+    * the reported `cluster` column matches the single-probe form.
+    * Round-15: the [[graft.functions.NearestCellsFloat]] codegen
+    * kernel, take2 form (HOF spec kept as [[nearest2CellsHof]]) —
+    * this ran interpreted on every multiprobe corpus row. */
+  private[graft] def nearest2Cells(v: Column,
+                                   centroids: Seq[Seq[Double]]): Column =
+    org.apache.spark.sql.graftbridge.Bridge.column(
+      graft.functions.NearestCellsFloat(
+        org.apache.spark.sql.graftbridge.Bridge.expression(v),
+        centroids.map(_.toIndexedSeq).toIndexedSeq,
+        l2 = false, take2 = true))
+
+  /** The pre-kernel HOF 2-cell form — KEPT as the executable
+    * specification [[nearest2Cells]] is pinned against
+    * (NearestCellFloatKernelSpec). */
+  private[graft] def nearest2CellsHof(v: Column,
+                                      centroids: Seq[Seq[Double]]): Column = {
     val scored = transform(typedLit(centroids),
       (c, i) => struct(Similarity.cosine(v, c).as("s"), (-i).as("ni")))
     // ascending struct sort then reverse ⇒ descending (s, ni): ties

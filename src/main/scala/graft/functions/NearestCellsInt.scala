@@ -33,10 +33,15 @@ import org.apache.spark.sql.types._
   *    single-cell model yields a 1-element array (the HOF's
   *    `cents.size < 2` branch).
   *
-  * Fixed-dimension contract (as everywhere in the integer family):
-  * codes and centroids share the first row's dims; the scan folds
-  * `min(codes.length, cent.length)` terms, which is the full width
-  * under the contract. Null codes → null.
+  * Fixed-dimension, NON-NULL-ELEMENT contract (as everywhere in the
+  * integer family): codes and centroids share the first row's dims and
+  * carry no null elements; the scan folds `min(codes.length,
+  * cent.length)` terms, which is the full width under the contract.
+  * The type check admits ArrayType(LongType, containsNull=true)
+  * because the quantizer's CASE expression types its output that way
+  * while never producing a null element — a null element (out of
+  * contract) reads as 0 here where the HOF fold would propagate null.
+  * Null codes ARRAY → null.
   *
   * Scale: O(cells·dims) LONG ops per row, no allocation beyond the
   * take2 result pair — the assignment stops being the reason a bigger
@@ -80,6 +85,136 @@ case class NearestCellsInt(child: Expression, cents: Seq[Seq[Long]],
 
   override protected def withNewChildInternal(
       newChild: Expression): NearestCellsInt = copy(child = newChild)
+}
+
+/** Squared L2 between two array<long> code COLUMNS — the candidate-
+  * scoring twin of [[NearestCellsInt]] (which handles the literal-model
+  * side). `IvfInt.l2sq`'s `aggregate(zip_with(a, b, (x−y)·(x−y)), 0L, +)`
+  * fold runs interpreted on every row of the q140/q141/q143 scoring
+  * joins — |queries| × (corpus/cells probed) candidate rows, a set that
+  * GROWS with the corpus, one lambda frame + zipped-array allocation
+  * per dim per row. This is one tight long loop inside whole-stage
+  * codegen.
+  *
+  * BIT-EXACT with the HOF fold it replaces (kept as `IvfInt.l2sqHof`,
+  * the executable specification, pinned by NearestCellFloatKernelSpec):
+  * integer adds/multiplies term for term in index order, bounded by
+  * 255²·dims ≪ Long.Max. Fixed-dimension, non-null contract as
+  * everywhere in the integer family: the loop folds min(|a|, |b|)
+  * terms — the full width under the contract. Null array → null. */
+case class L2sqLong(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_l2sq_long"
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    def ok(t: DataType) = t match {
+      case ArrayType(LongType, _) => true
+      case _ => false
+    }
+    if (ok(left.dataType) && ok(right.dataType)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires two array<bigint> arguments, got " +
+        s"${left.dataType.simpleString} and ${right.dataType.simpleString}")
+  }
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var d = 0L
+    var i = 0
+    while (i < n) {
+      val diff = x.getLong(i) - y.getLong(i)
+      d += diff * diff
+      i += 1
+    }
+    d
+  }
+
+  override protected def doGenCode(ctx: CodegenContext,
+                                   ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val d = ctx.freshName("d")
+      val diff = ctx.freshName("diff")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |long $d = 0L;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  long $diff = $a.getLong($i) - $b.getLong($i);
+         |  $d += $diff * $diff;
+         |}
+         |${ev.value} = $d;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): L2sqLong =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Centered sign-bit bucket packing against a LITERAL plane model —
+  * the integer-LSH bucket assignment (q141): bit p of the result is
+  * [⟨codes − center, plane_p⟩ ≥ 0], bucket = Σ bit_p·2^p. The HOF form
+  * (kept as `LshInt.bucketOfHof`, the executable specification, pinned
+  * by MatVecKernelSpec) ran `planes` interpreted
+  * aggregate(zip_with(...)) folds — planes·dims lambda frames plus
+  * `planes` zipped-array allocations — per CORPUS row: the same
+  * per-cell-per-row shape as the pre-kernel nearest-cell assignment.
+  *
+  * BIT-EXACT: each dot is (x_i − center)·w_i accumulated left-to-right
+  * in int64 (bounded by 255·1000·dims ≪ Long.Max under the SQ8/plane
+  * contract); the sign test and bit-OR are exact. Fixed-dimension,
+  * non-null contract as in [[NearestCellsInt]]. Null codes → null. */
+case class SignPackLong(child: Expression, planes: Seq[Seq[Long]],
+                        center: Long) extends UnaryExpression {
+  require(planes.nonEmpty && planes.length <= 63,
+    "sign packing needs 1..63 planes")
+
+  @transient private lazy val model: Array[Array[Long]] =
+    planes.map(_.toArray).toArray
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_sign_pack_long"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<bigint> codes, got ${t.simpleString}")
+  }
+
+  override def nullSafeEval(codes: Any): Any =
+    SignPackLong.pack(codes.asInstanceOf[ArrayData], model, center)
+
+  override protected def doGenCode(ctx: CodegenContext,
+                                   ev: ExprCode): ExprCode = {
+    val m = ctx.addReferenceObj("planes", model, "long[][]")
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.SignPackLong.pack($c, $m, ${center}L);")
+  }
+
+  override protected def withNewChildInternal(
+      newChild: Expression): SignPackLong = copy(child = newChild)
+}
+
+object SignPackLong {
+  def pack(codes: ArrayData, planes: Array[Array[Long]],
+           center: Long): Long = {
+    var bucket = 0L
+    var p = 0
+    while (p < planes.length) {
+      val w = planes(p)
+      val n = math.min(codes.numElements(), w.length)
+      var dot = 0L
+      var i = 0
+      while (i < n) { dot += (codes.getLong(i) - center) * w(i); i += 1 }
+      if (dot >= 0) bucket |= 1L << p
+      p += 1
+    }
+    bucket
+  }
 }
 
 object NearestCellsInt {

@@ -45,6 +45,15 @@ object FallbackInventory {
     }
     def walkPlan(p: SparkPlan): Unit = p match {
       case a: AdaptiveSparkPlanExec => walkPlan(a.executedPlan)
+      // an EXECUTED adaptive plan is a tree of QueryStageExec leaves
+      // (children = Nil, the stage plan hangs off `.plan`) — without
+      // this case every build-phase captured plan (the round-15
+      // listener capture) walks zero real nodes and the inventory is
+      // silently empty
+      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+        walkPlan(q.plan)
+      case r: org.apache.spark.sql.execution.exchange.ReusedExchangeExec =>
+        walkPlan(r.child)
       case _ =>
         p.expressions.foreach(walkExpr)
         p.children.foreach(walkPlan)
@@ -53,14 +62,50 @@ object FallbackInventory {
     seen.toSeq
   }
 
-  /** (query name → its fallback inventory) over the given registry
-    * names; building a query's DataFrame runs any driver-side model
-    * loops it has, so prefer sf0.001. */
+  /** The fallback inventory of EVERYTHING a query runs: the final
+    * executed plan PLUS every plan executed while the DataFrame is
+    * being CONSTRUCTED — `localCheckpoint` materializations, Lloyd
+    * iterations, model/seed collects. Round-15: the r14 inventory only
+    * walked final plans, which is exactly the blind spot the last two
+    * scale bugs lived in — q104/q108's interpreted assignment ran
+    * eagerly behind a localCheckpoint and passed the invariant with no
+    * allowlist entry. A QueryExecutionListener registered for the
+    * build phase captures those plans; callbacks are async on the
+    * shared listener bus, so the bus is drained before reading. */
+  def fallbacksWithBuild(spark: SparkSession)
+                        (build: => org.apache.spark.sql.DataFrame): Seq[String] = {
+    val captured =
+      new java.util.concurrent.ConcurrentLinkedQueue[SparkPlan]()
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(funcName: String,
+                             qe: org.apache.spark.sql.execution.QueryExecution,
+                             durationNs: Long): Unit =
+        captured.add(qe.executedPlan)
+      override def onFailure(funcName: String,
+                             qe: org.apache.spark.sql.execution.QueryExecution,
+                             exception: Exception): Unit = ()
+    }
+    spark.listenerManager.register(listener)
+    val finalFb = try {
+      val f = fallbacks(build.queryExecution.executedPlan)
+      org.apache.spark.sql.graftbridge.Bridge.waitListenerBus(spark)
+      f
+    } finally spark.listenerManager.unregister(listener)
+    val buildFb = {
+      import scala.jdk.CollectionConverters._
+      captured.asScala.toSeq.flatMap(fallbacks)
+    }
+    (buildFb ++ finalFb).distinct
+  }
+
+  /** (query name → its build ∪ exec fallback inventory) over the given
+    * registry names; building a query's DataFrame runs any driver-side
+    * model loops it has, so prefer sf0.001. */
   def scan(spark: SparkSession, sfDir: String,
            names: Seq[String]): Map[String, Seq[String]] =
     names.map { n =>
-      n -> fallbacks(graft.SparkEntry.queries(n)(spark, sfDir)
-        .queryExecution.executedPlan)
+      n -> fallbacksWithBuild(spark)(
+        graft.SparkEntry.queries(n)(spark, sfDir))
     }.toMap
 
   /** The adjudicated registry allowlist: query name → fallback class

@@ -39,9 +39,22 @@ import org.apache.spark.sql.functions._
   */
 object IvfInt {
 
-  /** Squared L2 distance between two array<long> code columns —
-    * sequential fold, codegen'd, exact. */
+  /** Squared L2 distance between two array<long> code columns — exact,
+    * one tight codegen loop. Round-15: the [[graft.functions.L2sqLong]]
+    * kernel — the interpreted fold (kept as [[l2sqHof]], the pinned
+    * specification) ran one lambda frame per dim on every CANDIDATE row
+    * of the q140/q141/q143 scoring joins, a row set that grows with the
+    * corpus. */
   def l2sq(a: Column, b: Column): Column =
+    org.apache.spark.sql.graftbridge.Bridge.column(
+      graft.functions.L2sqLong(
+        org.apache.spark.sql.graftbridge.Bridge.expression(a),
+        org.apache.spark.sql.graftbridge.Bridge.expression(b)))
+
+  /** The pre-kernel HOF fold — KEPT as the executable specification
+    * [[l2sq]] is pinned against (NearestCellFloatKernelSpec), and the
+    * distance the HOF argmin specs below compose. */
+  private[graft] def l2sqHof(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
       lit(0L), (acc, x) => acc + x)
 
@@ -80,7 +93,7 @@ object IvfInt {
   private[graft] def nearestCellIntHof(codes: Column,
                                        cents: Seq[Seq[Long]]): Column = {
     val scored = transform(typedLit(cents),
-      (c, i) => struct(l2sq(codes, c).as("d"), i.as("i")))
+      (c, i) => struct(l2sqHof(codes, c).as("d"), i.as("i")))
     array_min(scored).getField("i").cast("int")
   }
 
@@ -90,7 +103,7 @@ object IvfInt {
   private[graft] def nearest2CellsIntHof(codes: Column,
                                          cents: Seq[Seq[Long]]): Column = {
     val scored = transform(typedLit(cents),
-      (c, i) => struct(l2sq(codes, c).as("d"), i.as("i")))
+      (c, i) => struct(l2sqHof(codes, c).as("d"), i.as("i")))
     val sorted = array_sort(scored)
     if (cents.size < 2)
       array(element_at(sorted, 1).getField("i").cast("int"))

@@ -37,6 +37,21 @@ import org.apache.spark.sql.functions._
   */
 object LshInt {
 
+  /** The pre-kernel HOF bucket assignment — KEPT as the executable
+    * specification the [[graft.functions.SignPackLong]] kernel is
+    * pinned against (MatVecKernelSpec): bit p of the bucket is
+    * [⟨codes − 128, plane_p⟩ ≥ 0], each dot an interpreted
+    * aggregate(zip_with(...)) fold. */
+  private[graft] def bucketOfHof(c: Column,
+                                 model: Seq[Seq[Long]]): Column =
+    model.zipWithIndex.map {
+      case (w, p) =>
+        val dot = aggregate(
+          zip_with(c, typedLit(w), (x, ww) => (x - 128L) * ww),
+          lit(0L), (acc, x) => acc + x)
+        when(dot >= 0, lit(1L << p)).otherwise(lit(0L))
+    }.reduce(_ + _)
+
   /** The end-to-end retrieval: quantize, freeze the md5-derived plane
     * model, bucket corpus + queries, Hamming-1 multiprobe, exact
     * integer top-k.
@@ -75,16 +90,16 @@ object LshInt {
       .collect().groupBy(_.getInt(0)).toSeq.sortBy(_._1)
       .map(_._2.sortBy(_.getInt(1)).map(_.getLong(2)).toIndexedSeq)
 
-    // per-row codegen'd bucket: sign bit per plane over centered codes
-    def bucketOf(c: Column): Column = model.zipWithIndex.map {
-      case (w, p) =>
-        val dot = aggregate(
-          zip_with(c, typedLit(w), (x, ww) => (x - 128L) * ww),
-          lit(0L), (acc, x) => acc + x)
-        when(dot >= 0, lit(1L << p)).otherwise(lit(0L))
-    }.reduce(_ + _)
-
-    val assigned = codes.withColumn("bucket", bucketOf(col("codes")))
+    // per-row codegen'd bucket: sign bit per plane over centered codes.
+    // Round-15: the graft.functions.SignPackLong kernel — the composed
+    // HOF form (kept as [[LshInt.bucketOfHof]], the pinned
+    // specification) ran planes·dims interpreted lambda frames per
+    // CORPUS row, the pre-kernel nearest-cell shape.
+    val assigned = codes.withColumn("bucket",
+      org.apache.spark.sql.graftbridge.Bridge.column(
+        graft.functions.SignPackLong(
+          org.apache.spark.sql.graftbridge.Bridge.expression(col("codes")),
+          model, center = 128L)))
 
     // probe set per query: own bucket + every Hamming-1 neighbor —
     // planes+1 pairwise-distinct buckets, so the candidate join never

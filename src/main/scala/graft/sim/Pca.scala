@@ -219,10 +219,46 @@ object Pca {
     * ~2^24 rows; larger corpora lower scaleBits.
     *
     * Scale: one model-sized stats pass (count + per-dim sums — the
-    * k-means-centroid sanction), then a shuffle-free per-row fold with
-    * the basis and sums riding the plan as literals. */
+    * k-means-centroid sanction), then a shuffle-free per-row pass with
+    * the basis and sums riding the plan. Round-15: the projection pass
+    * is the [[graft.functions.QuantizedMatVec]] codegen kernel (HOF
+    * form kept as [[pcaProjectSnappedHof]], the pinned specification —
+    * it ran |basis|·dims interpreted lambda frames per corpus row), and
+    * the stats pass sums `dims` codegen'd
+    * floor(element_at(·)·scale) scalar columns instead of an
+    * interpreted per-row quantize transform. */
   def pcaProjectSnapped(emb: DataFrame, basis: Seq[Seq[Long]],
                         dims: Int = 64, scaleBits: Int = 21): DataFrame = {
+    require(basis.nonEmpty && basis.forall(_.length == dims),
+      s"basis rows must have $dims entries")
+    val scale = (1L << scaleBits).toDouble
+    val v = col("embedding").cast("array<double>")
+    val statRow = emb.agg(
+      count(lit(1)).as("n"),
+      array((0 until dims).map(d =>
+        sum(floor(element_at(v, d + 1) * scale).cast("long"))): _*).as("s"))
+      .head()
+    val n = statRow.getLong(0)
+    if (n == 0L)
+      return emb.select(col("vec_id"), lit(0L).as("pc"),
+        lit(0L).as("value"))
+    val sums = statRow.getSeq[Long](1)
+    val mv = org.apache.spark.sql.graftbridge.Bridge.column(
+      graft.functions.QuantizedMatVec(
+        org.apache.spark.sql.graftbridge.Bridge.expression(v),
+        basis.map(_.toIndexedSeq).toIndexedSeq,
+        scaleBits, mulN = n, shift = sums.toIndexedSeq))
+    emb
+      .select(col("vec_id"), posexplode(mv).as(Seq("pc", "value")))
+      .select(col("vec_id"), col("pc").cast("long").as("pc"), col("value"))
+  }
+
+  /** The pre-kernel HOF form — KEPT as the executable specification
+    * [[pcaProjectSnapped]] is pinned against (MatVecKernelSpec). */
+  private[graft] def pcaProjectSnappedHof(emb: DataFrame,
+                                          basis: Seq[Seq[Long]],
+                                          dims: Int = 64,
+                                          scaleBits: Int = 21): DataFrame = {
     require(basis.nonEmpty && basis.forall(_.length == dims),
       s"basis rows must have $dims entries")
     val scale = (1L << scaleBits).toDouble

@@ -79,8 +79,6 @@ object ProductQuantizer {
     Model(subspaces, subDim, books)
   }
 
-  private def sq(c: Column): Column = c * c
-
   /** (vec_id, codes array<int>, norm double) — the persisted form of
     * the corpus: subspaces bytes of code + 8 B of norm per vector.
     * Codes come from the [[graft.functions.PqCodes]] codegen argmin
@@ -90,8 +88,11 @@ object ProductQuantizer {
     embeddings.select(col("vec_id"),
       graft.functions.VectorFunctions.pq_codes(v, model.codebooks)
         .as("codes"),
-      sqrt(aggregate(transform(v, x => sq(x)),
-        lit(0.0), (acc, x) => acc + x)).as("norm"))
+      // round-15: |v|² as the codegen'd dot(v,v) — identical index-order
+      // accumulation to the aggregate(transform(sq)) fold it replaces
+      // (bit-equal), minus one interpreted lambda frame per dim per
+      // CORPUS row (encode runs corpus-wide)
+      sqrt(graft.functions.VectorFunctions.dot_product(v, v)).as("norm"))
   }
 
   /** ADC cosine top-k: codes-only scan, per-query lookup tables, exact
@@ -113,8 +114,8 @@ object ProductQuantizer {
             (x, y) => x * y), lit(0.0), (acc, v) => acc + v))
     }: _*))
     val q = queries.select(col("vec_id").as("query_id"), lut.as("lut"),
-      sqrt(aggregate(transform(qv, x => sq(x)),
-        lit(0.0), (acc, x) => acc + x)).as("qnorm"))
+      sqrt(graft.functions.VectorFunctions.dot_product(qv, qv))
+        .as("qnorm"))
     val ip = (0 until model.subspaces).map(m =>
       element_at(col("lut"),
         lit(m * bookSize) + col("codes").getItem(m) + 1))

@@ -39,11 +39,33 @@ object Projection {
     }
 
   /** Exploded integer projection: (vec_id, j, proj) with
-    * proj = Σ_d sign(j,d)·floor(embedding[d]·2^scaleBits). */
+    * proj = Σ_d sign(j,d)·floor(embedding[d]·2^scaleBits). Round-15:
+    * the [[graft.functions.QuantizedMatVec]] codegen kernel — the HOF
+    * form (kept as [[projectIntHof]], the pinned specification) ran
+    * outDims·inDims interpreted lambda frames per corpus row, which
+    * made outDims (the projection fidelity knob) a linear interpreted
+    * tax exactly like the pre-kernel cell count. */
   def projectInt(emb: DataFrame, outDims: Int = 16, inDims: Int = 64,
                  scaleBits: Int = 21): DataFrame = {
     require(outDims >= 1 && scaleBits >= 0 && scaleBits <= 30,
       "need 1 <= outDims and 0 <= scaleBits <= 30")
+    val signs = signMatrix(outDims, inDims)
+    val mv = org.apache.spark.sql.graftbridge.Bridge.column(
+      graft.functions.QuantizedMatVec(
+        org.apache.spark.sql.graftbridge.Bridge.expression(
+          col("embedding").cast("array<double>")),
+        signs.map(_.toIndexedSeq).toIndexedSeq,
+        scaleBits, mulN = 1L, shift = Nil))
+    emb
+      .select(col("vec_id"), posexplode(mv).as(Seq("j", "proj")))
+      .select(col("vec_id"), col("j").cast("long").as("j"), col("proj"))
+  }
+
+  /** The pre-kernel HOF form — KEPT as the executable specification
+    * [[projectInt]] is pinned against (MatVecKernelSpec). */
+  private[graft] def projectIntHof(emb: DataFrame, outDims: Int = 16,
+                                   inDims: Int = 64,
+                                   scaleBits: Int = 21): DataFrame = {
     val scale = (1L << scaleBits).toDouble
     val q = transform(col("embedding"),
       x => floor(x.cast("double") * lit(scale)).cast("long"))

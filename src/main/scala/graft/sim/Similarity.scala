@@ -99,20 +99,48 @@ object Similarity {
       .select(col("query_id"), col("vec_id").as("neighbor_id"), col("rank"))
   }
 
-  /** Index of the centroid (array-of-arrays literal) with the highest
-    * cosine to `v`; ties break to the lowest index. Pure per-row
-    * expression — no shuffle, no lookup join. */
-  private[graft] def nearestCell(v: Column, centroids: Seq[Seq[Double]]): Column = {
+  /** Index of the centroid (literal model) with the highest cosine to
+    * `v`; ties break to the lowest index. Pure per-row expression — no
+    * shuffle, no lookup join. Round-15: a codegen kernel
+    * ([[graft.functions.NearestCellsFloat]]) — the interpreted
+    * transform/struct chain (kept as [[nearestCellHof]], the pinned
+    * specification) evaluated one lambda + allocation per CELL per row
+    * on every semantic-dedup corpus row, every IVF corpus row, and
+    * every Lloyd iteration — the exact pattern round 14's
+    * SemanticIntScaleProbe measured at 8.5–60× on the integer twin. */
+  private[graft] def nearestCell(v: Column, centroids: Seq[Seq[Double]]): Column =
+    org.apache.spark.sql.graftbridge.Bridge.column(
+      graft.functions.NearestCellsFloat(
+        org.apache.spark.sql.graftbridge.Bridge.expression(v),
+        centroids.map(_.toIndexedSeq).toIndexedSeq,
+        l2 = false, take2 = false))
+
+  /** L2 twin of [[nearestCell]]: argmin squared distance (as argmax of
+    * its negation), ties to the lowest index. The metric PQ codebook
+    * training needs — subspace slices carry magnitude, which cosine
+    * assignment ignores. Round-15: same kernel, L2 metric (HOF spec
+    * kept as [[nearestCellL2Hof]]). */
+  private[graft] def nearestCellL2(v: Column, centroids: Seq[Seq[Double]]): Column =
+    org.apache.spark.sql.graftbridge.Bridge.column(
+      graft.functions.NearestCellsFloat(
+        org.apache.spark.sql.graftbridge.Bridge.expression(v),
+        centroids.map(_.toIndexedSeq).toIndexedSeq,
+        l2 = true, take2 = false))
+
+  /** The pre-kernel HOF cosine argmax — KEPT as the executable
+    * specification the kernel is pinned against
+    * (NearestCellFloatKernelSpec), the NearestCellKernelSpec precedent. */
+  private[graft] def nearestCellHof(v: Column,
+                                    centroids: Seq[Seq[Double]]): Column = {
     val scored = transform(typedLit(centroids),
       (c, i) => struct(cosine(v, c).as("s"), (-i).as("ni")))
     (-array_max(scored).getField("ni")).cast("int")
   }
 
-  /** L2 twin of [[nearestCell]]: argmin squared distance (as argmax of
-    * its negation), ties to the lowest index. The metric PQ codebook
-    * training needs — subspace slices carry magnitude, which cosine
-    * assignment ignores. */
-  private def nearestCellL2(v: Column, centroids: Seq[Seq[Double]]): Column = {
+  /** The pre-kernel HOF L2 argmin — the pinned specification for the
+    * L2 form of [[nearestCellL2]]. */
+  private[graft] def nearestCellL2Hof(v: Column,
+                                      centroids: Seq[Seq[Double]]): Column = {
     val scored = transform(typedLit(centroids),
       (c, i) => struct(
         aggregate(zip_with(v, c, (x, y) => (x - y) * (x - y)),

@@ -3,9 +3,12 @@ package graft.tools
 import org.apache.spark.sql.SparkSession
 
 /** One-shot registry CodegenFallback inventory: walk every
-  * `SparkEntry.queries` executed plan at sf0.001 (building a query runs
-  * its driver-side model loops, so the smallest SF), print one line per
-  * query with its interpreted expressions, then the diff against
+  * `SparkEntry.queries` BUILD ∪ exec plan set at sf0.001 (the build
+  * phase — checkpoint materializations, Lloyd iterations, model
+  * collects — is captured via a QueryExecutionListener; building a
+  * query runs its driver-side model loops, so the smallest SF), print
+  * one line per query with its interpreted expressions, then the diff
+  * against
   * [[graft.plans.FallbackInventory.allowlist]] — the same diff
   * FallbackInventorySpec asserts empty.
   *
@@ -26,9 +29,8 @@ object FallbackInventoryProbe {
     var bad = List.empty[String]
     for (n <- names) {
       val fb =
-        try graft.plans.FallbackInventory.fallbacks(
-          graft.SparkEntry.queries(n)(spark, sfDir)
-            .queryExecution.executedPlan)
+        try graft.plans.FallbackInventory.fallbacksWithBuild(spark)(
+          graft.SparkEntry.queries(n)(spark, sfDir))
         catch { case e: Throwable => Seq(s"ERR:${e.getClass.getSimpleName}") }
       val allowed = graft.plans.FallbackInventory.allowlist
         .getOrElse(n, Set.empty)

@@ -1,0 +1,86 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** The float twin of [[SemanticIntScaleProbe]] — measures round 15's
+  * NearestCellsFloat kernel against the interpreted HOF assignment it
+  * replaced (kept as Similarity.nearestCellHof, the pinned spec), on
+  * the three axes the r14 verdict named:
+  *
+  *  1. assignment-only A/B over the whole corpus at growing cell
+  *     counts (the shape SemanticIntScaleProbe measured at 8.5–60× on
+  *     the integer twin);
+  *  2. Lloyd training wall (kmeansCentroids — the assignment runs once
+  *     per iteration over the training frame);
+  *  3. whole-query q104/q108 rows, fixed-8 vs auto (√n) cells — the
+  *     r10 AutoKnobProbe decision re-measured on the kernel (task 3).
+  *
+  * Usage: SPARK_GRAFT_SF_DIR=... runMain graft.tools.SemanticFloatScaleProbe
+  *          [cellsCsv] [reps]   (default "8,64" 2)
+  */
+object SemanticFloatScaleProbe {
+  def main(args: Array[String]): Unit = {
+    val cellsList = args.headOption.getOrElse("8,64")
+      .split(",").toSeq.map(_.trim.toInt)
+    val reps = args.drop(1).headOption.map(_.toInt).getOrElse(2)
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.codegen.cache.maxEntries", "5000")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val e = graft.Tables.embeddings(spark, sfDir)
+    val v = e.select(col("vec_id"),
+      col("embedding").cast("array<double>").as("v"))
+      .localCheckpoint(true) // isolate assignment cost from the scan
+    def time(f: => org.apache.spark.sql.DataFrame): Double = {
+      val t0 = System.nanoTime()
+      f.queryExecution.toRdd.count()
+      val dt = (System.nanoTime() - t0) / 1e9
+      spark.sparkContext.getPersistentRDDs.values
+        .filter(_.id != v.rdd.id).foreach(_.unpersist(blocking = true))
+      dt
+    }
+    import graft.sim.Similarity
+    for (cells <- cellsList) {
+      val t0 = System.nanoTime()
+      val model = Similarity.kmeansCentroids(e, cells)
+      val lloyd = (System.nanoTime() - t0) / 1e9
+      def kernel() = v.select(col("vec_id"),
+        Similarity.nearestCell(col("v"), model).as("cell"))
+      def hof() = v.select(col("vec_id"),
+        Similarity.nearestCellHof(col("v"), model).as("cell"))
+      time(kernel()); time(hof()) // warm
+      val tk = (1 to reps).map(_ => time(kernel()))
+      val th = (1 to reps).map(_ => time(hof()))
+      println(f"SEMFLT cells=$cells%-4d lloyd=$lloyd%7.2f  assign-kernel " +
+        tk.map(t => f"$t%7.2f").mkString(" ") + f"  min=${tk.min}%7.2f")
+      println(f"SEMFLT cells=$cells%-4d                 assign-hof    " +
+        th.map(t => f"$t%7.2f").mkString(" ") + f"  min=${th.min}%7.2f")
+    }
+    // whole-query rows on the kernel'd binary: fixed-8, auto (√n), and
+    // the multiprobe operating point
+    def q104(clusters: Int) = graft.dedup.SemanticDedup
+      .semanticDedup(e, clusters, threshold = 0.95)
+    def q108() = graft.dedup.SemanticDedup
+      .semanticDedupMultiProbe(e, clusters = 8, threshold = 0.95)
+    time(q104(8)) // warm
+    val f8 = (1 to reps).map(_ => time(q104(8)))
+    val auto = (1 to reps).map(_ => time(q104(0)))
+    val mp = (1 to reps).map(_ => time(q108()))
+    println(f"SEMFLT q104 fixed-8 " +
+      f8.map(t => f"$t%7.2f").mkString(" ") + f"  min=${f8.min}%7.2f")
+    println(f"SEMFLT q104 auto-√n " +
+      auto.map(t => f"$t%7.2f").mkString(" ") + f"  min=${auto.min}%7.2f")
+    println(f"SEMFLT q108 multi-8 " +
+      mp.map(t => f"$t%7.2f").mkString(" ") + f"  min=${mp.min}%7.2f")
+    spark.stop()
+  }
+}

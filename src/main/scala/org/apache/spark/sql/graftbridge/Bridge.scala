@@ -23,4 +23,11 @@ object Bridge {
   def analyzedPlan(df: org.apache.spark.sql.Dataset[_])
       : org.apache.spark.sql.catalyst.plans.logical.LogicalPlan =
     df.queryExecution.analyzed
+
+  /** Drain the shared listener bus so asynchronously-delivered
+    * QueryExecutionListener callbacks (the build-phase plan capture in
+    * graft.plans.FallbackInventory) have all fired before the caller
+    * reads what they collected. private[spark] API, hence bridged. */
+  def waitListenerBus(spark: org.apache.spark.sql.SparkSession): Unit =
+    spark.sparkContext.listenerBus.waitUntilEmpty()
 }

@@ -14,8 +14,34 @@ import graft.plans.FallbackInventory
   * sf10 profile. The stale check keeps the allowlist honest in the
   * other direction: an entry whose fallback no longer appears (a
   * kernel landed) must be removed, so the list always states exactly
-  * what the registry evaluates interpreted. */
+  * what the registry evaluates interpreted. Round-15: the inventory
+  * covers the BUILD phase too (plans executed during DataFrame
+  * construction — localCheckpoint materializations, Lloyd iterations,
+  * model collects), closing the blind spot the last two scale bugs
+  * lived in: q104/q108's interpreted assignment ran eagerly behind a
+  * localCheckpoint and passed the r14 final-plan-only invariant with
+  * no allowlist entry. */
 class FallbackInventorySpec extends AnyFunSuite with SparkTestBase {
+
+  test("the build-phase capture SEES an interpreted plan that runs " +
+    "only behind an eager localCheckpoint — the exact shape the r14 " +
+    "final-plan inventory was blind to") {
+    import org.apache.spark.sql.functions._
+    val fb = FallbackInventory.fallbacksWithBuild(spark) {
+      // a FILE source, not a local Seq: ConvertToLocalRelation would
+      // evaluate the HOF inside the optimizer and hide it from any plan
+      val base = Tables.embeddings(spark, "/root/testdata/sf0.001")
+        .select(col("vec_id"),
+          col("embedding").cast("array<double>").as("v"))
+        // an interpreted HOF, materialized eagerly at BUILD time and
+        // invisible in the final plan (the checkpoint cuts it off)
+        .withColumn("s", aggregate(col("v"), lit(0.0), (a, x) => a + x))
+        .localCheckpoint(true)
+      base.select(col("vec_id"), col("s") * 2)
+    }
+    assert(fb.contains("ArrayAggregate"),
+      s"build-phase checkpoint plan not captured; saw only: $fb")
+  }
 
   test("every CodegenFallback in every registry plan is adjudicated, " +
     "and no allowlist entry is stale") {
@@ -23,8 +49,8 @@ class FallbackInventorySpec extends AnyFunSuite with SparkTestBase {
     val extras = scala.collection.mutable.ArrayBuffer.empty[String]
     val stales = scala.collection.mutable.ArrayBuffer.empty[String]
     for (n <- SparkEntry.queries.keys.toSeq.sorted) {
-      val fb = FallbackInventory.fallbacks(
-        SparkEntry.queries(n)(spark, d).queryExecution.executedPlan).toSet
+      val fb = FallbackInventory.fallbacksWithBuild(spark)(
+        SparkEntry.queries(n)(spark, d)).toSet
       val allowed = FallbackInventory.allowlist.getOrElse(n, Set.empty)
       val extra = fb -- allowed
       val stale = allowed -- fb

@@ -1,0 +1,119 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+import graft.sim.{Pca, ProductQuantizer, Projection}
+
+/** Pins the round-15 QuantizedMatVec kernel (floor-quantize + integer
+  * matvec against the literal matrix, two codegen loops) BIT-EXACT
+  * against the HOF forms it replaced — Projection.projectIntHof (q122)
+  * and Pca.pcaProjectSnappedHof (q124), kept as the executable
+  * specifications. Both queries are hash-oracled (the swap must keep
+  * CORRECTNESS green), but the oracle only sees sf0.01 defaults; here
+  * the pin also covers floor edge semantics (negatives, NaN → 0, ±∞
+  * saturation — Spark's double→long cast) and a grown outDims.
+  * Also pins the PQ norm swap: sqrt(dot(v,v)) == the
+  * aggregate(transform(x²)) fold it replaced, bit for bit.
+  */
+class MatVecKernelSpec extends AnyFunSuite with SparkTestBase {
+  import spark.implicits._
+
+  private def realEmb = Tables.embeddings(spark, "/root/testdata/sf0.01")
+
+  private def frameEqual(a: org.apache.spark.sql.DataFrame,
+                         b: org.apache.spark.sql.DataFrame): Unit = {
+    assert(a.exceptAll(b).count() == 0 && b.exceptAll(a).count() == 0)
+    assert(a.count() == b.count())
+  }
+
+  test("projectInt kernel == HOF on the real corpus, at the default " +
+    "and at a grown outDims (the fidelity knob the kernel unblocks)") {
+    frameEqual(Projection.projectInt(realEmb),
+      Projection.projectIntHof(realEmb))
+    frameEqual(Projection.projectInt(realEmb, outDims = 48),
+      Projection.projectIntHof(realEmb, outDims = 48))
+  }
+
+  test("pcaProjectSnapped kernel == HOF on the real corpus (snapped " +
+    "eigenbasis from the corpus' own moments)") {
+    val m = Pca.collectMoments(realEmb)
+    val cov = Pca.covarianceFromMoments(m, dims = 64, scaleBits = 21)
+    val (_, vecs) = Pca.jacobiEigen(cov)
+    // snap the top-3 eigenvectors to a 2^12 integer grid (the q124
+    // FixedPcaBasis recipe)
+    val basis: Seq[Seq[Long]] = vecs.take(3).toSeq
+      .map(_.toSeq.map(e => math.round(e * 4096.0)))
+    frameEqual(Pca.pcaProjectSnapped(realEmb, basis),
+      Pca.pcaProjectSnappedHof(realEmb, basis))
+  }
+
+  test("floor edge semantics: negatives, -0.0, NaN → 0 — kernel " +
+    "matches the HOF term for term (±∞ is out of contract on BOTH " +
+    "sides: ANSI mode makes the HOF's long multiply throw where the " +
+    "kernel wraps, so there is no defined behavior to pin)") {
+    val vs = Seq(
+      (1L, Seq(-0.7f, 2.3f, -0.0f, 0.0f)),
+      (2L, Seq(Float.NaN, 1.0f, -1.5f, 0.25f)),
+      (3L, Seq(1e6f, -1e6f, 0.1f, -0.1f))
+    ).toDF("vec_id", "embedding")
+    frameEqual(
+      Projection.projectInt(vs, outDims = 5, inDims = 4, scaleBits = 10),
+      Projection.projectIntHof(vs, outDims = 5, inDims = 4, scaleBits = 10))
+    val basis: Seq[Seq[Long]] = Seq(Seq(3L, -2L, 1L, 7L),
+      Seq(-1L, -1L, 4L, 0L))
+    frameEqual(
+      Pca.pcaProjectSnapped(vs, basis, dims = 4, scaleBits = 10),
+      Pca.pcaProjectSnappedHof(vs, basis, dims = 4, scaleBits = 10))
+  }
+
+  test("PQ encode norm: sqrt(dot(v,v)) == the aggregate(transform) " +
+    "fold it replaced, bit for bit on the real corpus") {
+    val v = col("embedding").cast("array<double>")
+    val hofNorm = sqrt(aggregate(transform(v, x => x * x),
+      lit(0.0), (acc, x) => acc + x))
+    val kNorm = sqrt(graft.functions.VectorFunctions.dot_product(v, v))
+    assert(realEmb.filter(kNorm =!= hofNorm).count() == 0)
+  }
+
+  test("SignPackLong kernel == the HOF bucket fold on real quantized " +
+    "codes, and on a zero-dot boundary (sign test is >= 0)") {
+    import graft.sim.{LshInt, Quantize}
+    val codes = Quantize.quantize(realEmb, Quantize.dimStats(realEmb))
+    // an arbitrary deterministic plane model exercises the same math
+    // as the md5-frozen one — both forms are pure in (codes, model)
+    val model: Seq[Seq[Long]] = (0 until 6).map(p =>
+      (0 until 64).map(i => ((p * 64 + i) * 37 % 2001 - 1000).toLong))
+    val kernel = org.apache.spark.sql.graftbridge.Bridge.column(
+      graft.functions.SignPackLong(
+        org.apache.spark.sql.graftbridge.Bridge.expression(col("codes")),
+        model, center = 128L))
+    assert(codes.filter(kernel =!= LshInt.bucketOfHof(col("codes"), model))
+      .count() == 0)
+    // boundary: codes all 128 → every centered dot is exactly 0, and
+    // the HOF's `dot >= 0` sets EVERY bit — the kernel must too
+    val flat = Seq((1L, Seq.fill(64)(128L))).toDF("vec_id", "codes")
+    val got = flat.select(kernel.as("k"),
+      LshInt.bucketOfHof(col("codes"), model).as("h"))
+      .as[(Long, Long)].head()
+    assert(got._1 == got._2 && got._1 == 63L)
+  }
+
+  test("q122/q124 executed plans carry no interpreted HOFs") {
+    for (q <- Seq("q122_random_projection", "q124_pca_project")) {
+      val fb = graft.plans.FallbackInventory.fallbacks(
+        SparkEntry.queries(q)(spark, "/root/testdata/sf0.001")
+          .queryExecution.executedPlan)
+      assert(fb.isEmpty, s"interpreted expressions back in $q: $fb")
+    }
+  }
+
+  test("model size guard: a PQ encode plan (codes + norm) stays " +
+    "fallback-free") {
+    val e = realEmb
+    val model = ProductQuantizer.train(e, subspaces = 4, k = 4, iters = 1)
+    val fb = graft.plans.FallbackInventory.fallbacks(
+      ProductQuantizer.encode(e, model).queryExecution.executedPlan)
+    assert(fb.isEmpty, s"interpreted expressions in PQ encode: $fb")
+  }
+}

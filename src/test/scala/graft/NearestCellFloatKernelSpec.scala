@@ -1,0 +1,132 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+import graft.dedup.SemanticDedup
+import graft.sim.{IvfInt, Quantize, Similarity}
+
+/** Pins the round-15 FLOAT nearest-cell kernel
+  * (graft.functions.NearestCellsFloat — cosine argmax / L2 argmin /
+  * take2 against the literal model, one codegen loop) BIT-EXACT against
+  * the HOF forms it replaced (Similarity.nearestCellHof /
+  * nearestCellL2Hof, SemanticDedup.nearest2CellsHof — the interpreted
+  * transform/struct/array_max chains, kept as the executable
+  * specifications: the NearestCellKernelSpec precedent applied to
+  * round 14's top finding). The kernel carries q104/q108/q27's corpus
+  * assignment, every Lloyd iteration, and the semantic ingest path.
+  * Also pins the round-15 L2sqLong candidate-scoring kernel against
+  * IvfInt.l2sqHof on real joined code columns.
+  *
+  * Float subtleties pinned here beyond the integer spec: NaN scores
+  * (zero vector / zero centroid make cosine 0/0) must rank GREATEST —
+  * Spark's double ordering — and equal scores must resolve to the
+  * lowest cell index in both take1 and take2 positions.
+  */
+class NearestCellFloatKernelSpec extends AnyFunSuite with SparkTestBase {
+  import spark.implicits._
+
+  private def realEmb = Tables.embeddings(spark, "/root/testdata/sf0.01")
+    .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+
+  private def realModel(cells: Int): Seq[Seq[Double]] =
+    Similarity.kmeansCentroids(
+      Tables.embeddings(spark, "/root/testdata/sf0.01"), cells)
+
+  test("kernel == HOF for cosine argmax, L2 argmin, and take2 on the " +
+    "real corpus (trained 8-cell model)") {
+    val model = realModel(8)
+    val df = realEmb.select(col("vec_id"),
+      Similarity.nearestCell(col("v"), model).as("k1"),
+      Similarity.nearestCellHof(col("v"), model).as("h1"),
+      Similarity.nearestCellL2(col("v"), model).as("kl2"),
+      Similarity.nearestCellL2Hof(col("v"), model).as("hl2"),
+      SemanticDedup.nearest2Cells(col("v"), model).as("k2"),
+      SemanticDedup.nearest2CellsHof(col("v"), model).as("h2"))
+    assert(df.filter(col("k1") =!= col("h1") ||
+      col("kl2") =!= col("hl2") || col("k2") =!= col("h2")).count() == 0)
+    // element 1 of the 2-cell form IS the single-probe assignment
+    assert(df.filter(col("k2").getItem(0) =!= col("k1")).count() == 0)
+  }
+
+  test("tie-heavy adversarial model: duplicate centroids resolve to " +
+    "the lowest index in both take2 positions, exactly as the HOF sort") {
+    val vs = Seq(
+      (1L, Seq(1.0, 0.0)), (2L, Seq(0.0, 1.0)), (3L, Seq(0.6, 0.8)),
+      (4L, Seq(-1.0, -1.0)), (5L, Seq(0.5, 0.5))
+    ).toDF("vec_id", "v")
+    // cells 0+3 identical, 1+2 identical: every cosine/L2 ties twice
+    val model: Seq[Seq[Double]] = Seq(Seq(1.0, 1.0), Seq(2.0, 0.0),
+      Seq(2.0, 0.0), Seq(1.0, 1.0))
+    val df = vs.select(
+      Similarity.nearestCell(col("v"), model).as("k1"),
+      Similarity.nearestCellHof(col("v"), model).as("h1"),
+      Similarity.nearestCellL2(col("v"), model).as("kl2"),
+      Similarity.nearestCellL2Hof(col("v"), model).as("hl2"),
+      SemanticDedup.nearest2Cells(col("v"), model).as("k2"),
+      SemanticDedup.nearest2CellsHof(col("v"), model).as("h2"))
+    assert(df.filter(col("k1") =!= col("h1") ||
+      col("kl2") =!= col("hl2") || col("k2") =!= col("h2")).count() == 0)
+  }
+
+  test("NaN scores (zero vector, zero centroid) rank greatest under " +
+    "Spark's double ordering — kernel matches the HOF on every form") {
+    val vs = Seq(
+      (1L, Seq(0.0, 0.0)),   // zero vector: cosine NaN vs EVERY cell
+      (2L, Seq(1.0, 2.0)),   // nonzero: NaN only vs the zero centroid
+      (3L, Seq(-3.0, 4.0))
+    ).toDF("vec_id", "v")
+    // cell 2 is the zero centroid → its cosine is NaN for every vector
+    val model: Seq[Seq[Double]] = Seq(Seq(1.0, 0.0), Seq(0.0, 1.0),
+      Seq(0.0, 0.0), Seq(0.5, 0.5))
+    val df = vs.select(col("vec_id"),
+      Similarity.nearestCell(col("v"), model).as("k1"),
+      Similarity.nearestCellHof(col("v"), model).as("h1"),
+      SemanticDedup.nearest2Cells(col("v"), model).as("k2"),
+      SemanticDedup.nearest2CellsHof(col("v"), model).as("h2"))
+    assert(df.filter(col("k1") =!= col("h1") ||
+      col("k2") =!= col("h2")).count() == 0)
+    // the NaN cell (2) must WIN for the nonzero vectors — the documented
+    // array_max semantics the kernel must reproduce, not a free choice
+    assert(df.filter(col("vec_id") > 1L).filter(col("k1") =!= lit(2))
+      .count() == 0)
+    // the all-NaN row ties every cell → lowest index
+    assert(df.filter(col("vec_id") === 1L).select(col("k1")).head()
+      .getInt(0) == 0)
+  }
+
+  test("single-cell model yields a 1-element take2 array (the HOF's " +
+    "size<2 branch)") {
+    val vs = Seq((1L, Seq(3.0, 4.0))).toDF("vec_id", "v")
+    val model: Seq[Seq[Double]] = Seq(Seq(1.0, 1.0))
+    val got = vs.select(
+      SemanticDedup.nearest2Cells(col("v"), model).as("k"),
+      SemanticDedup.nearest2CellsHof(col("v"), model).as("h"))
+      .as[(Seq[Int], Seq[Int])].head()
+    assert(got._1 == Seq(0) && got._2 == Seq(0))
+  }
+
+  test("L2sqLong kernel == HOF fold on real joined code columns " +
+    "(the q140/q141/q143 candidate-scoring shape)") {
+    val codes = Quantize.quantize(
+      Tables.embeddings(spark, "/root/testdata/sf0.01"),
+      Quantize.dimStats(Tables.embeddings(spark, "/root/testdata/sf0.01")))
+    // two COLUMN operands (not a literal model): self-join a shifted copy
+    val a = codes.select(col("vec_id"), col("codes").as("a"))
+    val b = codes.select((col("vec_id") + 1L).as("vec_id"),
+      col("codes").as("b"))
+    val joined = a.join(b, Seq("vec_id"))
+    assert(joined.filter(
+      IvfInt.l2sq(col("a"), col("b")) =!=
+        IvfInt.l2sqHof(col("a"), col("b"))).count() == 0)
+    assert(joined.count() > 100)
+  }
+
+  test("q27's executed plan carries no interpreted assignment or " +
+    "scoring: the float IVF path is fallback-free") {
+    val fb = graft.plans.FallbackInventory.fallbacks(
+      SparkEntry.queries("q27_ivf_ann")(
+        spark, "/root/testdata/sf0.001").queryExecution.executedPlan)
+    assert(fb.isEmpty, s"interpreted expressions back in the q27 plan: $fb")
+  }
+}

@@ -42,11 +42,16 @@ sys.argv = [a for a in sys.argv if a != "--organic"]
 ISOLATE = ["q88_containment", "q19_minhash_lsh", "q40_approx_distinct"]
 for a in list(sys.argv):
     if a.startswith("--isolate"):
-        val = a.split("=", 1)[1] if "=" in a else \
-            sys.argv[sys.argv.index(a) + 1]
-        if "=" not in a:
-            sys.argv.remove(val)
-        sys.argv.remove(a)
+        i = sys.argv.index(a)
+        if "=" in a:
+            val = a.split("=", 1)[1]
+            del sys.argv[i]
+        else:
+            # delete by INDEX: .remove(val) would strip the first argv
+            # element EQUAL to the value (e.g. a path that happens to
+            # match), shifting positional args
+            val = sys.argv[i + 1]
+            del sys.argv[i:i + 2]
         ISOLATE = [] if val == "none" else val.split(",")
 SF1 = os.path.join(REPO, "localdata", "sf1_organic" if ORGANIC else "sf1")
 
@@ -132,11 +137,11 @@ def main():
     prior = json.load(open(sys.argv[2])) if len(sys.argv) > 2 else None
     ensure_sf1()
     print("bench sf0.1 ...", flush=True)
-    q01, t01 = run_bench(SF01)
-    print(f"  total {t01:.1f} s", flush=True)
+    q01, bench_t01 = run_bench(SF01)
+    print(f"  total {bench_t01:.1f} s", flush=True)
     print("bench sf1 ...", flush=True)
-    q1, t1 = run_bench(SF1)
-    print(f"  total {t1:.1f} s", flush=True)
+    q1, bench_t1 = run_bench(SF1)
+    print(f"  total {bench_t1:.1f} s", flush=True)
     # splice the debt tail's isolated numbers over the in-sweep ones
     # (both SFs, same protocol) so `ratios` is right by construction;
     # keep the raw in-sweep figures for the record
@@ -147,12 +152,17 @@ def main():
         q01.update(run_isolated(SF01, isolate))
         print("isolated debt tail, sf1 ...", flush=True)
         q1.update(run_isolated(SF1, isolate))
-        t01 = sum(q01.values())
-        t1 = sum(q1.values())
+
     ratios = {k: (q1[k] / q01[k] if q01.get(k) else None)
               for k in sorted(q1) if k in q01}
-    result = {"sf01": {"queries": q01, "total": t01},
-              "sf1": {"queries": q1, "total": t1},
+    # totals derive the SAME way spliced or not (sum of the recorded
+    # per-query values), so total_ratio is comparable round over round;
+    # Bench's own single-leg totals ride along under bench_total
+    t01, t1 = sum(q01.values()), sum(q1.values())
+    result = {"sf01": {"queries": q01, "total": t01,
+                       "bench_total": bench_t01},
+              "sf1": {"queries": q1, "total": t1,
+                      "bench_total": bench_t1},
               "insweep_queries": {"sf01": insweep01, "sf1": insweep1},
               "isolated": isolate,
               "ratios": ratios,

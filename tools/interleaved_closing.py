@@ -49,7 +49,11 @@ def arg(flag, default):
 def ensure_binary_a(ref):
     wt = os.path.join(REPO, "localdata", f"abin_{ref[:12]}")
     classes = os.path.join(wt, "target", "scala-2.13", "classes")
-    if os.path.isdir(classes) and os.listdir(classes):
+    # a non-empty classes dir is NOT proof of a complete build (a killed
+    # sbt leaves a partial tree and the A/B would silently bench a stale
+    # binary): only the sentinel written after sbt exits 0 skips compile
+    ok = os.path.join(wt, ".compiled_ok")
+    if os.path.isfile(ok) and os.path.isdir(classes):
         return classes
     if not os.path.isdir(wt):
         subprocess.run(["git", "worktree", "add", "--detach", wt, ref],
@@ -57,6 +61,7 @@ def ensure_binary_a(ref):
     print(f"compiling binary A ({ref}) in {wt} ...", flush=True)
     subprocess.run(["sbt", "-batch", "compile"], cwd=wt, check=True,
                    capture_output=True, text=True)
+    open(ok, "w").write("sbt compile exit 0\n")
     return classes
 
 
