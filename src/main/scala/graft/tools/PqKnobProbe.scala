@@ -1,0 +1,59 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+
+/** Measures the r14 lesson ("a bounded-fold adjudication can be wrong
+  * once its knob grows") on q65's REMAINING interpreted site: the
+  * per-query ADC lookup-table build (subspaces·k·subDim fold terms per
+  * QUERY row). The allowlist claims that cost is structurally
+  * independent of corpus size — queries are a fixed handful — so
+  * growing k (codebook size, the recall knob) must move wall by the
+  * LUT constant only, not by anything corpus-shaped. One timed
+  * end-to-end q65 run per k in this JVM, warm rep first.
+  *
+  * Usage: SPARK_GRAFT_SF_DIR=... runMain graft.tools.PqKnobProbe
+  *          [kCsv] [reps]   (default "16,256" 2)
+  */
+object PqKnobProbe {
+  def main(args: Array[String]): Unit = {
+    val kList = args.headOption.getOrElse("16,256")
+      .split(",").toSeq.map(_.trim.toInt)
+    val reps = args.drop(1).headOption.map(_.toInt).getOrElse(2)
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.codegen.cache.maxEntries", "5000")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import org.apache.spark.sql.functions._
+    val e = graft.Tables.embeddings(spark, sfDir)
+    val q = e.filter(col("vec_id") < 10)
+    def time(f: => org.apache.spark.sql.DataFrame): Double = {
+      val t0 = System.nanoTime()
+      f.queryExecution.toRdd.count()
+      val dt = (System.nanoTime() - t0) / 1e9
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = true))
+      dt
+    }
+    for (k <- kList) {
+      def run() = {
+        val model = graft.sim.ProductQuantizer.train(e, subspaces = 8,
+          k = k, iters = 2)
+        val codes = graft.sim.ProductQuantizer.encode(e, model)
+        graft.sim.ProductQuantizer.adcTopK(codes, q, k = 5, model)
+      }
+      time(run()) // warm
+      val ts = (1 to reps).map(_ => time(run()))
+      println(f"PQKNOB k=$k%-5d " +
+        ts.map(t => f"$t%7.2f").mkString(" ") + f"  min=${ts.min}%7.2f")
+    }
+    spark.stop()
+  }
+}

@@ -40,12 +40,17 @@ object SemanticFloatScaleProbe {
     val v = e.select(col("vec_id"),
       col("embedding").cast("array<double>").as("v"))
       .localCheckpoint(true) // isolate assignment cost from the scan
+    // protect v's checkpoint blocks from the inter-run unpersist: the
+    // public v.rdd is a NEW deserialized RDD, not the internal
+    // checkpointed one, so filter by the ids persisted BEFORE timing
+    val keep = spark.sparkContext.getPersistentRDDs.keySet
     def time(f: => org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
       f.queryExecution.toRdd.count()
       val dt = (System.nanoTime() - t0) / 1e9
-      spark.sparkContext.getPersistentRDDs.values
-        .filter(_.id != v.rdd.id).foreach(_.unpersist(blocking = true))
+      spark.sparkContext.getPersistentRDDs
+        .filterNot(kv => keep(kv._1)).values
+        .foreach(_.unpersist(blocking = true))
       dt
     }
     import graft.sim.Similarity
