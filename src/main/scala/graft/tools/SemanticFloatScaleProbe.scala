@@ -70,18 +70,22 @@ object SemanticFloatScaleProbe {
       println(f"SEMFLT cells=$cells%-4d                 assign-hof    " +
         th.map(t => f"$t%7.2f").mkString(" ") + f"  min=${th.min}%7.2f")
     }
-    // whole-query rows on the kernel'd binary: fixed-8, auto (√n), and
-    // the multiprobe operating point
+    // whole-query rows on the kernel'd binary: each fixed cell count in
+    // cellsList (the knob the kernel makes affordable — does a bigger k
+    // shrink the Σ|cell|² verdict term net of assignment cost?), auto
+    // (√n), and the multiprobe operating point
     def q104(clusters: Int) = graft.dedup.SemanticDedup
       .semanticDedup(e, clusters, threshold = 0.95)
     def q108() = graft.dedup.SemanticDedup
       .semanticDedupMultiProbe(e, clusters = 8, threshold = 0.95)
-    time(q104(8)) // warm
-    val f8 = (1 to reps).map(_ => time(q104(8)))
+    time(q104(cellsList.head)) // warm
+    for (cells <- cellsList) {
+      val fk = (1 to reps).map(_ => time(q104(cells)))
+      println(f"SEMFLT q104 fixed-$cells%-4d" +
+        fk.map(t => f"$t%7.2f").mkString(" ") + f"  min=${fk.min}%7.2f")
+    }
     val auto = (1 to reps).map(_ => time(q104(0)))
     val mp = (1 to reps).map(_ => time(q108()))
-    println(f"SEMFLT q104 fixed-8 " +
-      f8.map(t => f"$t%7.2f").mkString(" ") + f"  min=${f8.min}%7.2f")
     println(f"SEMFLT q104 auto-√n " +
       auto.map(t => f"$t%7.2f").mkString(" ") + f"  min=${auto.min}%7.2f")
     println(f"SEMFLT q108 multi-8 " +
