@@ -1963,6 +1963,20 @@ object SparkEntry {
       subspaces = 8, cents = 8, rerank = 20)
   }
 
+  /** Integer-exact IVF-PQ (FAISS's IVFADC): coarse inverted cells +
+    * product quantization of the RESIDUAL against the assigned
+    * centroid — the production vector-index shape, composed from the
+    * oracled q140 coarse machinery and the q143 subspace machinery,
+    * and itself fully hash-oracled (every step integer, seed draws
+    * md5-frozen, division truncation identical across engines). The
+    * float IVF/PQ paths (q27/q65) stay the pipeline defaults. */
+  def q145_ivfpq_int_ann(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.embeddings(s, d)
+    graft.sim.IvfPqInt.ivfPqIntTopK(e, e.filter(col("vec_id") < 10),
+      k = 5, cells = 8, nprobe = 2, subspaces = 8, cents = 8,
+      rerank = 20)
+  }
+
   /** Integer-exact semantic dedup (SemDeDup-over-SQ8) — the semantic
     * family's ORACLED row (q104/q108's companion, closing the last
     * family with no hash-green sibling): uint8 codes, the q140 frozen
@@ -2151,6 +2165,7 @@ object SparkEntry {
     "q142_semantic_int_dedup" -> (q142_semantic_int_dedup _),
     "q144_semantic_int_multiprobe" -> (q144_semantic_int_multiprobe _),
     "q143_pq_int_ann" -> (q143_pq_int_ann _),
+    "q145_ivfpq_int_ann" -> (q145_ivfpq_int_ann _),
   )
 
   /** Oracle twin of q105: SEQUENTIAL BPE merge learning unrolled round
@@ -4841,6 +4856,138 @@ object SparkEntry {
          |    FROM enc e JOIN lut l ON l.m = e.m AND l.j = e.j
          |    WHERE e.vec_id <> l.query_id
          |    GROUP BY 1, 2)
+         |  QUALIFY row_number() OVER (
+         |    PARTITION BY query_id ORDER BY adc, vec_id) <= 20),
+         |rr AS (
+         |  SELECT cand.query_id, cand.vec_id,
+         |    CAST(sum((qc.code - c.code)*(qc.code - c.code)) AS BIGINT)
+         |      AS dist
+         |  FROM cand
+         |  JOIN codes c ON c.vec_id = cand.vec_id
+         |  JOIN codes qc ON qc.vec_id = cand.query_id AND qc.i = c.i
+         |  GROUP BY 1, 2)
+         |SELECT query_id, vec_id AS neighbor_id, dist,
+         |  CAST(row_number() OVER (
+         |    PARTITION BY query_id ORDER BY dist, vec_id) AS BIGINT) AS rank
+         |FROM rr
+         |QUALIFY rank <= 5""".stripMargin,
+    // IVF-PQ over SQ8, integer-exact end to end: the q140 coarse model
+    // (md5 seeds + one integer Lloyd round) + per-vector RESIDUAL
+    // against the assigned centroid, then the q143 subspace recipe on
+    // residuals (md5 seed draw, one fused Lloyd round — sum // count
+    // truncates toward zero in BOTH engines, which matters because
+    // residual sums go negative), nprobe=2 coarse probe, per-(query,
+    // probed-cell) residual ADC, top-20 reranked by exact integer L2,
+    // top-5 — step-for-step the graft.sim.IvfPqInt pipeline
+    "q145_ivfpq_int_ann" ->
+      s"""WITH d AS (
+         |  SELECT vec_id, unnest(generate_series(1, len(embedding))) AS i,
+         |    unnest(list_transform(embedding, x -> CAST(x AS DOUBLE))) AS x
+         |  FROM embeddings),
+         |stats AS (SELECT i, min(x) AS mn, max(x) AS mx FROM d GROUP BY i),
+         |codes AS (
+         |  SELECT vec_id, i,
+         |    CAST(CASE WHEN mx = mn THEN 0
+         |         ELSE round((x - mn) / (mx - mn) * 255) END AS BIGINT)
+         |      AS code
+         |  FROM d JOIN stats USING (i)),
+         |seed AS (
+         |  SELECT vec_id, row_number() OVER (
+         |      ORDER BY CAST(('0x'||substr(md5(CAST(vec_id AS VARCHAR)),1,15)) AS BIGINT), vec_id) - 1
+         |    AS cell
+         |  FROM (SELECT DISTINCT vec_id FROM codes)
+         |  QUALIFY cell <= 7),
+         |seedc AS (
+         |  SELECT s.cell, c.i, c.code FROM seed s JOIN codes c USING (vec_id)),
+         |a0 AS (
+         |  SELECT vec_id, cell FROM (
+         |    SELECT c.vec_id, s.cell,
+         |      CAST(sum((c.code - s.code)*(c.code - s.code)) AS BIGINT) AS dist
+         |    FROM codes c JOIN seedc s USING (i) GROUP BY 1, 2)
+         |  QUALIFY row_number() OVER (
+         |    PARTITION BY vec_id ORDER BY dist, cell) = 1),
+         |upd AS (
+         |  SELECT a0.cell, c.i, CAST(sum(c.code) // count(*) AS BIGINT) AS code
+         |  FROM codes c JOIN a0 USING (vec_id) GROUP BY 1, 2),
+         |cent AS (
+         |  SELECT s.cell, s.i, coalesce(u.code, s.code) AS code
+         |  FROM seedc s LEFT JOIN upd u ON u.cell = s.cell AND u.i = s.i),
+         |a1 AS (
+         |  SELECT vec_id, cell FROM (
+         |    SELECT c.vec_id, t.cell,
+         |      CAST(sum((c.code - t.code)*(c.code - t.code)) AS BIGINT) AS dist
+         |    FROM codes c JOIN cent t USING (i) GROUP BY 1, 2)
+         |  QUALIFY row_number() OVER (
+         |    PARTITION BY vec_id ORDER BY dist, cell) = 1),
+         |res AS (
+         |  SELECT c.vec_id, c.i, c.code - t.code AS rcode
+         |  FROM codes c
+         |  JOIN a1 ON a1.vec_id = c.vec_id
+         |  JOIN cent t ON t.cell = a1.cell AND t.i = c.i),
+         |rsub AS (
+         |  SELECT vec_id, rcode, CAST((i - 1) // 8 AS INT) AS m,
+         |    CAST((i - 1) % 8 AS INT) AS dd
+         |  FROM res),
+         |pseed AS (
+         |  SELECT vec_id, row_number() OVER (
+         |      ORDER BY CAST(('0x'||substr(md5(CAST(vec_id AS VARCHAR)),1,15)) AS BIGINT), vec_id) - 1
+         |    AS j
+         |  FROM (SELECT DISTINCT vec_id FROM codes)
+         |  QUALIFY j <= 7),
+         |pseedb AS (
+         |  SELECT s.j, r.m, r.dd, r.rcode FROM pseed s JOIN rsub r USING (vec_id)),
+         |p0 AS (
+         |  SELECT vec_id, m, j FROM (
+         |    SELECT r.vec_id, r.m, s.j,
+         |      CAST(sum((r.rcode - s.rcode)*(r.rcode - s.rcode)) AS BIGINT) AS dist
+         |    FROM rsub r JOIN pseedb s ON s.m = r.m AND s.dd = r.dd
+         |    GROUP BY 1, 2, 3)
+         |  QUALIFY row_number() OVER (
+         |    PARTITION BY vec_id, m ORDER BY dist, j) = 1),
+         |pupd AS (
+         |  SELECT p0.m, p0.j, r.dd, CAST(sum(r.rcode) // count(*) AS BIGINT)
+         |    AS rcode
+         |  FROM rsub r JOIN p0 ON p0.vec_id = r.vec_id AND p0.m = r.m
+         |  GROUP BY 1, 2, 3),
+         |book AS (
+         |  SELECT s.m, s.j, s.dd, coalesce(u.rcode, s.rcode) AS rcode
+         |  FROM pseedb s
+         |  LEFT JOIN pupd u ON u.m = s.m AND u.j = s.j AND u.dd = s.dd),
+         |enc AS (
+         |  SELECT vec_id, m, j FROM (
+         |    SELECT r.vec_id, r.m, b.j,
+         |      CAST(sum((r.rcode - b.rcode)*(r.rcode - b.rcode)) AS BIGINT) AS dist
+         |    FROM rsub r JOIN book b ON b.m = r.m AND b.dd = r.dd
+         |    GROUP BY 1, 2, 3)
+         |  QUALIFY row_number() OVER (
+         |    PARTITION BY vec_id, m ORDER BY dist, j) = 1),
+         |probed AS (
+         |  SELECT query_id, cell FROM (
+         |    SELECT c.vec_id AS query_id, t.cell,
+         |      CAST(sum((c.code - t.code)*(c.code - t.code)) AS BIGINT) AS cdist
+         |    FROM codes c JOIN cent t USING (i) WHERE c.vec_id < 10
+         |    GROUP BY 1, 2)
+         |  QUALIFY row_number() OVER (
+         |    PARTITION BY query_id ORDER BY cdist, cell) <= 2),
+         |qrsub AS (
+         |  SELECT p.query_id, p.cell, CAST((c.i - 1) // 8 AS INT) AS m,
+         |    CAST((c.i - 1) % 8 AS INT) AS dd, c.code - t.code AS rcode
+         |  FROM probed p
+         |  JOIN codes c ON c.vec_id = p.query_id
+         |  JOIN cent t ON t.cell = p.cell AND t.i = c.i),
+         |adcs AS (
+         |  SELECT q.query_id, e0.vec_id,
+         |    CAST(sum((q.rcode - b.rcode)*(q.rcode - b.rcode)) AS BIGINT) AS adc
+         |  FROM probed p
+         |  JOIN a1 e0 ON e0.cell = p.cell
+         |  JOIN enc e ON e.vec_id = e0.vec_id
+         |  JOIN book b ON b.m = e.m AND b.j = e.j
+         |  JOIN qrsub q ON q.query_id = p.query_id AND q.cell = p.cell
+         |    AND q.m = b.m AND q.dd = b.dd
+         |  WHERE e0.vec_id <> p.query_id
+         |  GROUP BY 1, 2),
+         |cand AS (
+         |  SELECT query_id, vec_id FROM adcs
          |  QUALIFY row_number() OVER (
          |    PARTITION BY query_id ORDER BY adc, vec_id) <= 20),
          |rr AS (

@@ -217,6 +217,63 @@ object SignPackLong {
   }
 }
 
+/** Per-row residual against the assigned centroid of a LITERAL model:
+  * out_i = codes_i − model[cell]_i — the IVF-PQ residual step (q145),
+  * evaluated corpus-wide. A `zip_with(codes, centroid, _-_)` over a
+  * joined centroid column would be an interpreted per-dim fold per
+  * corpus row (the class rounds 13–15 eliminated) AND a join the
+  * literal model makes unnecessary. Fixed-dimension, non-null contract
+  * as in [[NearestCellsInt]]; out-of-range cell (out of contract — the
+  * cell column is this family's own argmin) clamps into the model.
+  * Null codes or cell → null. */
+case class CellResidualInt(left: Expression, right: Expression,
+                           cents: Seq[Seq[Long]])
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+  require(cents.nonEmpty, "residual needs a model")
+
+  @transient private lazy val model: Array[Array[Long]] =
+    cents.map(_.toArray).toArray
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_cell_residual_int"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(LongType, _), IntegerType) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires (array<bigint>, int), got " +
+          s"${l.simpleString} and ${r.simpleString}")
+    }
+
+  override def nullSafeEval(codes: Any, cell: Any): Any =
+    CellResidualInt.residual(codes.asInstanceOf[ArrayData],
+      cell.asInstanceOf[Int], model)
+
+  override protected def doGenCode(ctx: CodegenContext,
+                                   ev: ExprCode): ExprCode = {
+    val m = ctx.addReferenceObj("cents", model, "long[][]")
+    nullSafeCodeGen(ctx, ev, (c, cell) =>
+      s"${ev.value} = graft.functions.CellResidualInt.residual($c, $cell, $m);")
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): CellResidualInt =
+    copy(left = newLeft, right = newRight)
+}
+
+object CellResidualInt {
+  def residual(codes: ArrayData, cell: Int,
+               cents: Array[Array[Long]]): ArrayData = {
+    val c = cents(math.max(0, math.min(cents.length - 1, cell)))
+    val n = math.min(codes.numElements(), c.length)
+    val out = new Array[Long](n)
+    var i = 0
+    while (i < n) { out(i) = codes.getLong(i) - c(i); i += 1 }
+    new GenericArrayData(out)
+  }
+}
+
 object NearestCellsInt {
 
   private def l2sq(codes: ArrayData, cent: Array[Long]): Long = {

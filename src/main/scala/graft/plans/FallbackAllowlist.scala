@@ -137,5 +137,11 @@ object FallbackAllowlist {
     // q143's remaining ArrayTransform beyond the quantizer is the
     // per-QUERY ADC table build (class 3, the q65 argument in integer)
     "q144_semantic_int_multiprobe" -> quantizer,
+    "q145_ivfpq_int_ann" -> quantizer,
+    // q145 (IVF-PQ): coarse assignment, residual, residual encode, and
+    // candidate scoring all ride kernels (NearestCellsInt,
+    // CellResidualInt, L2sqLong); the ArrayTransform beyond the
+    // quantizer's is the per-(query, probed-cell) ADC table build —
+    // |queries|·nprobe rows, the q143/q65 class-3 argument
   )
 }

@@ -1,0 +1,182 @@
+package graft.sim
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Integer-exact IVF-PQ — the PRODUCTION vector-index shape (FAISS's
+  * IVFADC: coarse inverted cells + product quantization of the
+  * RESIDUAL against the assigned centroid), composed from the q140
+  * coarse machinery ([[IvfInt.trainModel]]) and the q143 subspace
+  * machinery ([[PqInt]]'s fused Lloyd round) — entirely in integer
+  * math, so the full pipeline is hash-replicable in ANSI SQL (DuckDB
+  * oracle, q145). Residual quantization is what makes IVF-PQ beat
+  * flat PQ at scale: within a cell the residual norm is a fraction of
+  * the vector norm, so the same codebook budget buys a finer grid.
+  * Reference (blockchain-data-engineering) has no vector ops; this is
+  * part of the mandated LLM-pipeline surface, completing the
+  * retrieval family's composition story (IVF q140 + PQ q143 →
+  * IVF-PQ q145).
+  *
+  * Determinism, step by step (every piece already oracled on its own):
+  *  - codes: [[Quantize]]'s affine uint8 map (q116 ⊕);
+  *  - coarse model: md5-seeded, one integer Lloyd round
+  *    ([[IvfInt.trainModel]], q140 ⊕); assignment argmin ties → lower
+  *    cell ([[graft.functions.NearestCellsInt]]);
+  *  - residuals: codes − centroid[cell], one codegen pass
+  *    ([[graft.functions.CellResidualInt]] — values in [−255, 255]);
+  *  - residual codebooks: the q143 recipe on residual slices — same
+  *    md5 seed draw, ONE fused Lloyd round, per-(subspace, cell, dim)
+  *    `sum div count`. Residual sums can be NEGATIVE; Scala's Long
+  *    division and DuckDB's `//` BOTH truncate toward zero (checked:
+  *    −7//2 = −3 in DuckDB), so the update is still engine-exact;
+  *  - probe: the query's `nprobe` nearest coarse cells (q140's probe);
+  *  - ADC: per (query, probed cell), the query's residual AGAINST THAT
+  *    CELL'S centroid is tabled against the codebooks (subspaces·cents
+  *    integer LUT per probed pair — bounded by the query set), and a
+  *    candidate costs `subspaces` array lookups;
+  *  - rerank: exact integer squared-L2 over full codes for the top
+  *    `rerank` ADC candidates, ties → lower vec_id.
+  *
+  * Scale shape: both models are driver-side sufficient statistics
+  * (cells×dims + subspaces×cents×subDim longs); assignment, residual,
+  * and encode are per-row codegen expressions against literal models —
+  * zero shuffle; the only corpus shuffles are the cell-key candidate
+  * join and the rerank id-join; candidate rows carry (id, cell, enc)
+  * — never code arrays — into the ADC window (the KnnGraph rule).
+  * At 100 TB this is the memory-bound path: `subspaces` bytes of
+  * residual code + 1 cell id per vector scanned, full codes touched
+  * only for rerank ids.
+  */
+object IvfPqInt {
+
+  /** The end-to-end retrieval. Fixed-dimension contract: the first row
+    * defines dims ([[IvfInt.ivfIntTopK]] convention); an empty corpus
+    * returns an empty frame.
+    *
+    * @param queries rows of `embeddings` to retrieve for (a subset)
+    * @return (query_id, neighbor_id, dist, rank) — dist = EXACT
+    *         squared L2 between uint8 code vectors (the reranked
+    *         metric), all BIGINT */
+  def ivfPqIntTopK(embeddings: DataFrame, queries: DataFrame, k: Int,
+                   cells: Int = 8, nprobe: Int = 2, subspaces: Int = 8,
+                   cents: Int = 8, rerank: Int = 20): DataFrame = {
+    require(rerank >= k, "rerank candidate set must be at least k deep")
+    val codes = Quantize
+      .quantize(embeddings, Quantize.dimStats(embeddings))
+      .localCheckpoint(true) // coarse train + residual + rerank read it
+    val first = codes.select(size(col("codes"))).take(1)
+    if (first.isEmpty) return IvfInt.emptyTopK(codes)
+    val dims = first(0).getInt(0)
+    require(dims % subspaces == 0, s"$subspaces subspaces must tile $dims")
+    val subDim = dims / subspaces
+
+    // coarse model + per-row assignment and residual (all codegen)
+    val model: Seq[Seq[Long]] = IvfInt.trainModel(codes, dims, cells)
+    def residualOf(c: Column, cell: Column): Column =
+      org.apache.spark.sql.graftbridge.Bridge.column(
+        graft.functions.CellResidualInt(
+          org.apache.spark.sql.graftbridge.Bridge.expression(c),
+          org.apache.spark.sql.graftbridge.Bridge.expression(cell),
+          model.map(_.toIndexedSeq).toIndexedSeq))
+    val assigned = codes
+      .withColumn("cell", IvfInt.nearestCellInt(col("codes"), model))
+      .withColumn("res", residualOf(col("codes"), col("cell")))
+      .localCheckpoint(true) // PQ train + encode read the residuals
+
+    // residual codebooks: md5 seed draw sliced per subspace, one fused
+    // integer Lloyd round (the PqInt recipe, on residuals)
+    val seedRows: Seq[Seq[Long]] = assigned
+      .withColumn("hk", graft.dedup.Dedup.hash60(col("vec_id").cast("string")))
+      .orderBy(col("hk"), col("vec_id")).limit(cents)
+      .select(col("res")).collect()
+      .map(_.getSeq[Long](0).toIndexedSeq).toIndexedSeq
+    val seedBooks: Seq[Seq[Seq[Long]]] = (0 until subspaces).map(m =>
+      seedRows.map(_.slice(m * subDim, (m + 1) * subDim)))
+    def sliceM(c: Column, m: Int): Column =
+      slice(c, m * subDim + 1, subDim)
+    def encodeWith(c: Column, books: Seq[Seq[Seq[Long]]]): Column =
+      array((0 until subspaces).map(m =>
+        IvfInt.nearestCellInt(sliceM(c, m), books(m))): _*)
+    val updated = assigned
+      .withColumn("pcells", encodeWith(col("res"), seedBooks))
+      .select(posexplode(col("res")).as(Seq("i", "rcode")), col("pcells"))
+      .select((col("i") / subDim).cast("int").as("m"),
+        pmod(col("i"), lit(subDim)).cast("int").as("d"),
+        element_at(col("pcells"), (col("i") / subDim).cast("int") + 1)
+          .as("cell"),
+        col("rcode"))
+      .groupBy(col("m"), col("cell"), col("d"))
+      .agg(sum(col("rcode")).as("s"), count(lit(1)).as("n"))
+      .collect()
+      // Long division truncates toward zero — exactly DuckDB's `//`,
+      // including on the negative sums residuals produce
+      .map(r => (r.getInt(0), r.getInt(1), r.getInt(2)) ->
+        r.getLong(3) / r.getLong(4))
+      .toMap
+    val books: Seq[Seq[Seq[Long]]] = seedBooks.zipWithIndex.map {
+      case (book, m) => book.zipWithIndex.map { case (c, j) =>
+        c.indices.map(d => updated.getOrElse((m, j, d), c(d)))
+      }
+    }
+
+    // corpus index rows: (vec_id, cell, enc) — subspaces bytes + a cell
+    val enc = assigned
+      .withColumn("enc", encodeWith(col("res"), books))
+      .select(col("vec_id"), col("cell"), col("enc"))
+
+    // probe: nprobe nearest coarse cells per query (q140's shape)
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val centroids = model.zipWithIndex
+      .map { case (c, i) => (i, c) }.toDF("cell", "centroid")
+    val qcodes = queries.select(col("vec_id").as("query_id"))
+      .join(codes, col("query_id") === codes("vec_id"))
+      .select(col("query_id"), col("codes").as("qcodes"))
+    val wCell = Window.partitionBy(col("query_id"))
+      .orderBy(col("cdist").asc, col("cell").asc)
+    // per probed (query, cell): the query's residual vs THAT centroid,
+    // tabled against the codebooks — subspaces·cents integer LUT per
+    // probed pair (|queries|·nprobe rows, bounded by the query set)
+    val stride = seedRows.length
+    val lut = flatten(array((0 until subspaces).map { m =>
+      transform(typedLit(books(m)),
+        c => IvfInt.l2sq(sliceM(col("qres"), m), c))
+    }: _*))
+    val probed = qcodes.crossJoin(broadcast(centroids))
+      .withColumn("cdist", IvfInt.l2sq(col("qcodes"), col("centroid")))
+      .withColumn("cr", row_number().over(wCell))
+      .filter(col("cr") <= nprobe)
+      .withColumn("qres",
+        residualOf(col("qcodes"), col("cell").cast("int")))
+      .withColumn("lut", lut)
+      .select(col("query_id"), col("cell"), col("lut"))
+
+    // ADC scan over probed cells → top `rerank` ids (lut/enc dropped
+    // before the window)
+    val adc = (0 until subspaces).map(m =>
+      element_at(col("lut"),
+        lit(m * stride) + element_at(col("enc"), m + 1) + 1))
+      .reduce(_ + _)
+    val w0 = Window.partitionBy(col("query_id"))
+      .orderBy(col("adc").asc, col("vec_id").asc)
+    val cand = enc.join(probed, Seq("cell"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"), adc.as("adc"))
+      .withColumn("r0", row_number().over(w0))
+      .filter(col("r0") <= rerank)
+      .select(col("query_id"), col("vec_id"))
+
+    // exact integer rerank of the candidate set (q140/q143 tail)
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("dist").asc, col("vec_id").asc)
+    cand.join(codes, Seq("vec_id"))
+      .join(broadcast(qcodes), Seq("query_id"))
+      .withColumn("dist", IvfInt.l2sq(col("qcodes"), col("codes")))
+      .select(col("query_id"), col("vec_id"), col("dist"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        col("dist"), col("rank").cast("long").as("rank"))
+  }
+}
