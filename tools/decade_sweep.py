@@ -85,7 +85,8 @@ def run_bench(sf_dir):
     # anything
     env = dict(os.environ, SPARK_GRAFT_SF_DIR=sf_dir,
                SPARK_GRAFT_CPUS=os.environ.get("SPARK_GRAFT_CPUS", "32"),
-               SPARK_GRAFT_GC_BETWEEN="1")
+               SPARK_GRAFT_GC_BETWEEN="1",
+               SPARK_GRAFT_BENCH_LEGS="1")
     cp = os.path.join(REPO, "target", "scala-2.13", "classes") \
         + ":/opt/spark/jars/*"
     out = subprocess.run(

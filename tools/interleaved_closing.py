@@ -69,6 +69,7 @@ def run_leg(classes, out_json, sf_dir):
     env = dict(os.environ, SPARK_GRAFT_SF_DIR=sf_dir,
                SPARK_GRAFT_CPUS=os.environ.get("SPARK_GRAFT_CPUS", "32"),
                SPARK_GRAFT_GC_BETWEEN="1",
+               SPARK_GRAFT_BENCH_LEGS="1",
                SPARK_GRAFT_BENCH_OUT=out_json)
     cp = classes + ":/opt/spark/jars/*"
     subprocess.run(
