@@ -1973,8 +1973,8 @@ object SparkEntry {
   def q145_ivfpq_int_ann(s: SparkSession, d: String): DataFrame = {
     val e = Tables.embeddings(s, d)
     graft.sim.IvfPqInt.ivfPqIntTopK(e, e.filter(col("vec_id") < 10),
-      k = 5, cells = 8, nprobe = 2, subspaces = 8, cents = 8,
-      rerank = 20)
+      k = 5, cells = 8, nprobe = 4, subspaces = 8, cents = 8,
+      rerank = 100)
   }
 
   /** Integer-exact semantic dedup (SemDeDup-over-SQ8) — the semantic
@@ -4876,9 +4876,11 @@ object SparkEntry {
     // against the assigned centroid, then the q143 subspace recipe on
     // residuals (md5 seed draw, one fused Lloyd round — sum // count
     // truncates toward zero in BOTH engines, which matters because
-    // residual sums go negative), nprobe=2 coarse probe, per-(query,
-    // probed-cell) residual ADC, top-20 reranked by exact integer L2,
-    // top-5 — step-for-step the graft.sim.IvfPqInt pipeline
+    // residual sums go negative), nprobe=4 coarse probe, per-(query,
+    // probed-cell) residual ADC, top-100 reranked by exact integer L2,
+    // top-5 — step-for-step the graft.sim.IvfPqInt pipeline at the r16
+    // measured defaults (IvfPqDialProbe: recall@5 0.68/0.50 at
+    // sf0.01/sf0.1, vs 0.22 at the r15 floor point)
     "q145_ivfpq_int_ann" ->
       s"""WITH d AS (
          |  SELECT vec_id, unnest(generate_series(1, len(embedding))) AS i,
@@ -4968,7 +4970,7 @@ object SparkEntry {
          |    FROM codes c JOIN cent t USING (i) WHERE c.vec_id < 10
          |    GROUP BY 1, 2)
          |  QUALIFY row_number() OVER (
-         |    PARTITION BY query_id ORDER BY cdist, cell) <= 2),
+         |    PARTITION BY query_id ORDER BY cdist, cell) <= 4),
          |qrsub AS (
          |  SELECT p.query_id, p.cell, CAST((c.i - 1) // 8 AS INT) AS m,
          |    CAST((c.i - 1) % 8 AS INT) AS dd, c.code - t.code AS rcode
@@ -4989,7 +4991,7 @@ object SparkEntry {
          |cand AS (
          |  SELECT query_id, vec_id FROM adcs
          |  QUALIFY row_number() OVER (
-         |    PARTITION BY query_id ORDER BY adc, vec_id) <= 20),
+         |    PARTITION BY query_id ORDER BY adc, vec_id) <= 100),
          |rr AS (
          |  SELECT cand.query_id, cand.vec_id,
          |    CAST(sum((qc.code - c.code)*(qc.code - c.code)) AS BIGINT)

@@ -54,13 +54,31 @@ object IvfPqInt {
     * defines dims ([[IvfInt.ivfIntTopK]] convention); an empty corpus
     * returns an empty frame.
     *
+    * Default dials (nprobe=4, rerank=100) clear recall@5 ≥ 0.5 on the
+    * REAL test corpus at both measured scales — the r16 dial sweep
+    * (IvfPqDialProbe; full table in SCALE_AUDIT "q145 dial table"),
+    * replacing the r15 floor point (nprobe=2, rerank=20 → 0.22):
+    *
+    * {{{
+    * recall@5 (sf0.01 / sf0.1), cells=8, subspaces=8, cents=8:
+    *   nprobe\rerank     20          100          200
+    *        2        0.22 / 0.30  0.46 / 0.46  0.46 / 0.56
+    *        4        0.32 / 0.24  0.68 / 0.50  0.76 / 0.60
+    *        8        0.30 / 0.28  0.64 / 0.58  0.86 / 0.68
+    * }}}
+    *
+    * The synthetic corpus is near-uniform (distances concentrate) — the
+    * hard case for any quantized index; clustered real embedding
+    * corpora sit above these numbers. `rerank` is the cheaper lever
+    * (per-query exact rescores); `nprobe` grows the candidate scan.
+    *
     * @param queries rows of `embeddings` to retrieve for (a subset)
     * @return (query_id, neighbor_id, dist, rank) — dist = EXACT
     *         squared L2 between uint8 code vectors (the reranked
     *         metric), all BIGINT */
   def ivfPqIntTopK(embeddings: DataFrame, queries: DataFrame, k: Int,
-                   cells: Int = 8, nprobe: Int = 2, subspaces: Int = 8,
-                   cents: Int = 8, rerank: Int = 20): DataFrame = {
+                   cells: Int = 8, nprobe: Int = 4, subspaces: Int = 8,
+                   cents: Int = 8, rerank: Int = 100): DataFrame = {
     require(rerank >= k, "rerank candidate set must be at least k deep")
     val codes = Quantize
       .quantize(embeddings, Quantize.dimStats(embeddings))

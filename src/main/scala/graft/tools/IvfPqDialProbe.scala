@@ -1,0 +1,76 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Measures q145's recall@5 (and wall) across the (nprobe, rerank)
+  * dial grid on the REAL corpus — the r15 verdict's task 5: the
+  * published defaults (nprobe=2, rerank=20) were the floor of the dial
+  * range on the spec's hard near-uniform corpus; the defaults should
+  * clear a stated recall target on the corpus users actually run, with
+  * the full table recorded (scaladoc + SCALE_AUDIT), not just one
+  * point.
+  *
+  * Recall base: the exact integer top-5 over the same uint8 codes
+  * (the metric IVF-PQ's rerank is an approximation of).
+  *
+  * Usage: SPARK_GRAFT_SF_DIR=... runMain graft.tools.IvfPqDialProbe
+  *          [nprobeCsv] [rerankCsv]  (default "1,2,4,8" "20,50,100,200")
+  */
+object IvfPqDialProbe {
+  def main(args: Array[String]): Unit = {
+    val nprobes = args.headOption.getOrElse("1,2,4,8")
+      .split(",").toSeq.map(_.trim.toInt)
+    val reranks = args.drop(1).headOption.getOrElse("20,50,100,200")
+      .split(",").toSeq.map(_.trim.toInt)
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.codegen.cache.maxEntries", "5000")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+    val e = graft.Tables.embeddings(spark, sfDir)
+    val q = e.filter(col("vec_id") < 10)
+
+    // exact integer top-5 over the same quantized codes (IvfPqIntSpec's
+    // brute-force base)
+    val codes = graft.sim.Quantize
+      .quantize(e, graft.sim.Quantize.dimStats(e)).localCheckpoint(true)
+    val qc = codes.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("codes").as("qcodes"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("dist").asc, col("vec_id").asc)
+    val exact = codes.crossJoin(broadcast(qc))
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("dist",
+        graft.sim.IvfInt.l2sq(col("qcodes"), col("codes")))
+      .select(col("query_id"), col("vec_id"), col("dist"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 5)
+      .select(col("query_id"), col("vec_id"))
+      .as[(Long, Long)].collect().toSet
+
+    for (np <- nprobes; rr <- reranks) {
+      val t0 = System.nanoTime()
+      val got = graft.sim.IvfPqInt
+        .ivfPqIntTopK(e, q, k = 5, nprobe = np, rerank = rr)
+        .select(col("query_id"), col("neighbor_id"))
+        .as[(Long, Long)].collect().toSet
+      val dt = (System.nanoTime() - t0) / 1e9
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = true))
+      val recall = got.intersect(exact).size.toDouble / exact.size
+      println(f"IVFPQDIAL nprobe=$np%-3d rerank=$rr%-4d " +
+        f"recall@5=$recall%5.3f wall=$dt%6.2f")
+    }
+    spark.stop()
+  }
+}

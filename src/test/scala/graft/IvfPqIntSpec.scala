@@ -95,18 +95,18 @@ class IvfPqIntSpec extends AnyFunSuite with SparkTestBase {
       .select(col("query_id"), col("neighbor_id"))
       .as[(Long, Long)].collect().toSet
     assert(full == exact)
-    // default operating point: recall decomposes multiplicatively into
-    // the coarse-blocking and ADC-ordering losses — measured on this
-    // synthetic near-uniform corpus (the HARD case for any quantized
-    // index: distances concentrate at d=64): q140 coarse-only 0.46,
-    // q143 flat-PQ 0.26, q145 0.22 ≈ 0.46 × the ADC share. The pin is
-    // the floor under that measurement; real embedding corpora cluster
-    // and sit far above it.
+    // default operating point (r16: nprobe=4, rerank=100 — the dial
+    // sweep's ≥0.5-real-corpus-recall pick, IvfPqDialProbe / SCALE_AUDIT
+    // "q145 dial table"): measured 0.68 here at sf0.01 and 0.50 at
+    // sf0.1 on this synthetic near-uniform corpus (the HARD case for
+    // any quantized index: distances concentrate at d=64). The pin is
+    // the stated target the defaults were chosen to clear; real
+    // embedding corpora cluster and sit above it.
     val got = IvfPqInt.ivfPqIntTopK(e, q, k = 5)
       .select(col("query_id"), col("neighbor_id"))
       .as[(Long, Long)].collect().toSet
     val recall = got.intersect(exact).size.toDouble / exact.size
-    assert(recall >= 0.15, s"recall@5 = $recall")
+    assert(recall >= 0.5, s"recall@5 = $recall")
   }
 
   test("corpus smaller than cells AND cents still answers (seed draws " +
