@@ -1977,6 +1977,23 @@ object SparkEntry {
       rerank = 100)
   }
 
+  /** The PERSISTED IVF-PQ index serving path (jobs/IvfPqIndexJob —
+    * build-once into a frozen model + cell-bucketed postings store +
+    * vec_id-bucketed code store, probe as a cell-pruned scan with
+    * driver-built ADC LUTs). The probe is row-identical to q145's
+    * in-job pipeline at the same dials (pinned in IvfPqIndexSpec), so
+    * the SAME DuckDB oracle re-derives this query end to end — the
+    * 100 TB serving shape gets its own hash-green row. */
+  def q146_ivfpq_index_probe(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.embeddings(s, d)
+    val out = s"${System.getProperty("java.io.tmpdir")}/graft_ivfpq_idx_" +
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(d.getBytes("UTF-8")).take(8).map("%02x".format(_)).mkString
+    graft.jobs.IvfPqIndexJob.build(e, out)
+    graft.jobs.IvfPqIndexJob.probe(s, out, e.filter(col("vec_id") < 10),
+      k = 5)
+  }
+
   /** Integer-exact semantic dedup (SemDeDup-over-SQ8) — the semantic
     * family's ORACLED row (q104/q108's companion, closing the last
     * family with no hash-green sibling): uint8 codes, the q140 frozen
@@ -2166,6 +2183,7 @@ object SparkEntry {
     "q144_semantic_int_multiprobe" -> (q144_semantic_int_multiprobe _),
     "q143_pq_int_ann" -> (q143_pq_int_ann _),
     "q145_ivfpq_int_ann" -> (q145_ivfpq_int_ann _),
+    "q146_ivfpq_index_probe" -> (q146_ivfpq_index_probe _),
   )
 
   /** Oracle twin of q105: SEQUENTIAL BPE merge learning unrolled round
@@ -4881,8 +4899,15 @@ object SparkEntry {
     // top-5 — step-for-step the graft.sim.IvfPqInt pipeline at the r16
     // measured defaults (IvfPqDialProbe: recall@5 0.68/0.50 at
     // sf0.01/sf0.1, vs 0.22 at the r15 floor point)
-    "q145_ivfpq_int_ann" ->
-      s"""WITH d AS (
+    "q145_ivfpq_int_ann" -> ivfPqPipelineSql,
+    // q146 probes the persisted index built from the same corpus with
+    // the same frozen-model recipe — row-identical to q145 by the
+    // IvfPqIndexSpec pin, so the same pipeline SQL is its oracle
+    "q146_ivfpq_index_probe" -> ivfPqPipelineSql,
+  )
+
+  private lazy val ivfPqPipelineSql: String =
+    s"""WITH d AS (
          |  SELECT vec_id, unnest(generate_series(1, len(embedding))) AS i,
          |    unnest(list_transform(embedding, x -> CAST(x AS DOUBLE))) AS x
          |  FROM embeddings),
@@ -5004,6 +5029,5 @@ object SparkEntry {
          |  CAST(row_number() OVER (
          |    PARTITION BY query_id ORDER BY dist, vec_id) AS BIGINT) AS rank
          |FROM rr
-         |QUALIFY rank <= 5""".stripMargin,
-  )
+         |QUALIFY rank <= 5""".stripMargin
 }

@@ -1,0 +1,309 @@
+package graft.jobs
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import graft.sim.IvfPqInt
+import graft.sim.IvfPqInt.IvfPqModel
+
+/** Persisted, incremental IVF-PQ index — the build-once / probe-many /
+  * ingest-incrementally serving shape of [[graft.sim.IvfPqInt]]
+  * (q145), completing the retrieval family's production story the way
+  * [[graft.sim.LshIndex]] did for sign-LSH and [[SemanticIngestJob]]
+  * did for semantic dedup: `ivfPqIntTopK` retrains both models and
+  * re-encodes the whole corpus per call — fine inside one job, wrong
+  * at 100 TB where the corpus is static-plus-append and query batches
+  * arrive all day.
+  *
+  * Persisted structures under `outDir`:
+  *  - `model/{stats,coarse,books}`: the frozen [[IvfPqModel]] — the
+  *    quantizer's per-dim (mn, mx), coarse centroids, residual
+  *    codebooks. Written ONCE at build and never retrained: assignment
+  *    must stay stable or the inverted lists silently mix geometries
+  *    (the SemanticIngestJob frozen-model contract). Model-sized
+  *    (cells×dims + subspaces×stride×subDim longs); read via one
+  *    driver collect per session.
+  *  - `postings` (managed bucketed table, path-readable): (cell,
+  *    vec_id, enc) — the inverted lists, `subspaces` small ints + a
+  *    cell per vector. Bucketed AND sorted by cell, so a probe's
+  *    `cell IN (...)` pushes to parquet (row-group stats prune within
+  *    buckets, SelectedBucketsCount prunes across) and the ADC join
+  *    needs no index-side exchange.
+  *  - `vecs` (managed bucketed table): (vec_id, codes) — full uint8
+  *    codes, touched ONLY by the rerank id-join (bucketed on vec_id,
+  *    so just the rerank·|q| candidate ids shuffle). Splitting codes
+  *    from postings is the LshIndex `_vec` lesson: code arrays must
+  *    not ride the candidate shuffle.
+  *
+  * Probe plan: postings scan (pushed In(cell), bucket-pruned) ⋈
+  * broadcast probe frame (query_id, cell, LUT — built DRIVER-SIDE from
+  * the frozen model, |q|·nprobe rows) → ADC top-`rerank` per query →
+  * bucketed vecs join → broadcast qcodes join → exact integer rerank,
+  * top-k. Bit-identical to [[IvfPqInt.topKWithModel]] on the same
+  * frozen model (pinned in IvfPqIndexSpec), which at build time equals
+  * [[IvfPqInt.ivfPqIntTopK]] (the q145 oracle's pipeline) exactly.
+  *
+  * Ingest: each batch rides the frozen model (quantize → assign →
+  * residual-encode, all per-row codegen against literal models — zero
+  * shuffle) and APPENDS to both tables in their bucket layout; a
+  * replayed batch's vec_ids are already in `vecs` (bucket-aligned
+  * anti-join), so nothing re-appends — idempotent under source replay
+  * (the exactly-once contract every ingest job here carries).
+  */
+object IvfPqIndexJob {
+
+  @transient private lazy val log =
+    org.slf4j.LoggerFactory.getLogger(getClass)
+
+  /** File-layout choice for both tables (power of two, io.Layout). */
+  private def storeBuckets(spark: SparkSession): Int =
+    spark.conf.get("spark.graft.ivfpq.storeBuckets", "8").toInt
+
+  private def tableName(outDir: String, which: String): String = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+      .digest(outDir.getBytes("UTF-8"))
+    s"graft_ivfpq_${which}_" + md.take(8).map("%02x".format(_)).mkString
+  }
+
+  private def pathExists(spark: SparkSession, path: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    p.getFileSystem(spark.sessionState.newHadoopConf()).exists(p)
+  }
+
+  /** Bucket-aware store view (catalog table when registered, plain
+    * path fallback for a fresh session over an existing store). */
+  private[graft] def storeView(spark: SparkSession, outDir: String,
+                               which: String): Option[DataFrame] = {
+    val path = s"$outDir/$which"
+    if (spark.catalog.tableExists(tableName(outDir, which)))
+      Some(spark.table(tableName(outDir, which)))
+    else if (pathExists(spark, path))
+      Some(spark.read.parquet(path))
+    else None
+  }
+
+  /** Bucket by `bucketKey` ONLY (a multi-column bucket hash would
+    * defeat the probe's In(cell) bucket pruning); sort by `sortKeys`
+    * within buckets so row-group stats prune too. */
+  private def appendBucketed(df: DataFrame, outDir: String, which: String,
+                             bucketKey: String,
+                             sortKeys: Seq[String]): Unit = {
+    val spark = df.sparkSession
+    val table = tableName(outDir, which)
+    val w = df.write.format("parquet")
+      .bucketBy(storeBuckets(spark), bucketKey)
+      .sortBy(sortKeys.head, sortKeys.tail: _*)
+      .mode("append")
+    (if (spark.catalog.tableExists(table)) w
+     else w.option("path", s"$outDir/$which")).saveAsTable(table)
+  }
+
+  private def dropStore(spark: SparkSession, outDir: String,
+                        which: String): Unit = {
+    spark.sql(s"DROP TABLE IF EXISTS ${tableName(outDir, which)}")
+    val loc = new org.apache.hadoop.fs.Path(s"$outDir/$which")
+    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(loc)) fs.delete(loc, true)
+  }
+
+  /** The frozen model, or None before a build. */
+  def loadModel(spark: SparkSession, outDir: String): Option[IvfPqModel] = {
+    if (!pathExists(spark, s"$outDir/model/stats")) return None
+    val stats = spark.read.parquet(s"$outDir/model/stats")
+      .orderBy(col("dim")).collect()
+      .map(r => (r.getInt(0), r.getDouble(1), r.getDouble(2))).toSeq
+    val coarse = spark.read.parquet(s"$outDir/model/coarse")
+      .orderBy(col("cell")).collect()
+      .map(_.getSeq[Long](1).toIndexedSeq).toIndexedSeq
+    val bookRows = spark.read.parquet(s"$outDir/model/books")
+      .orderBy(col("m"), col("j")).collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Long](2).toIndexedSeq))
+    val subspaces = bookRows.map(_._1).max + 1
+    val books = (0 until subspaces).map(m =>
+      bookRows.filter(_._1 == m).sortBy(_._2).map(_._3).toIndexedSeq)
+    Some(IvfPqModel(stats.size, subspaces, stats, coarse, books))
+  }
+
+  private def saveModel(spark: SparkSession, outDir: String,
+                        model: IvfPqModel): Unit = {
+    import spark.implicits._
+    model.stats.toDF("dim", "mn", "mx")
+      .coalesce(1).write.mode("overwrite").parquet(s"$outDir/model/stats")
+    model.coarse.zipWithIndex.map { case (c, i) => (i, c) }
+      .toDF("cell", "centroid")
+      .coalesce(1).write.mode("overwrite").parquet(s"$outDir/model/coarse")
+    model.books.zipWithIndex.flatMap { case (book, m) =>
+      book.zipWithIndex.map { case (c, j) => (m, j, c) }
+    }.toDF("m", "j", "code")
+      .coalesce(1).write.mode("overwrite").parquet(s"$outDir/model/books")
+  }
+
+  /** Build the index from `embeddings`: train the frozen model on the
+    * build corpus (exactly [[IvfPqInt.ivfPqIntTopK]]'s training path,
+    * so a probe at build state reproduces the q145 pipeline
+    * bit-for-bit), then write model + postings + vecs. Overwrites any
+    * prior index at `outDir`. */
+  def build(embeddings: DataFrame, outDir: String, cells: Int = 8,
+            subspaces: Int = 8, cents: Int = 8): Unit = {
+    val spark = embeddings.sparkSession
+    val statsDf = graft.sim.Quantize.dimStats(embeddings)
+      .localCheckpoint(true) // read by quantize AND the model collect
+    val codes = graft.sim.Quantize.quantize(embeddings, statsDf)
+      .localCheckpoint(true)
+    val first = codes.select(size(col("codes"))).take(1)
+    require(first.nonEmpty, "cannot build an IVF-PQ index from an " +
+      "empty corpus (the model needs at least one vector)")
+    val dims = first(0).getInt(0)
+    require(dims % subspaces == 0, s"$subspaces subspaces must tile $dims")
+    val subDim = dims / subspaces
+    val coarse = graft.sim.IvfInt.trainModel(codes, dims, cells)
+    val assigned = codes
+      .withColumn("cell", graft.sim.IvfInt.nearestCellInt(col("codes"), coarse))
+      .withColumn("res", IvfPqInt.residualOf(col("codes"), col("cell"), coarse))
+      .localCheckpoint(true)
+    val books = IvfPqInt.trainBooks(assigned, subspaces, subDim, cents)
+    val stats = statsDf.orderBy(col("dim")).collect()
+      .map(r => (r.getInt(0), r.getDouble(1), r.getDouble(2))).toSeq
+    val model = IvfPqModel(dims, subspaces, stats, coarse, books)
+    saveModel(spark, outDir, model)
+    // a table location can survive a JVM whose in-memory catalog didn't
+    // (the LshIndex lesson) — purge both stores before the fresh write
+    Seq("postings", "vecs").foreach(dropStore(spark, outDir, _))
+    appendBucketed(assigned
+      .withColumn("enc", IvfPqInt.encodeWith(col("res"), books, subDim))
+      .select(col("cell"), col("vec_id"), col("enc")),
+      outDir, "postings", "cell", Seq("cell", "vec_id"))
+    appendBucketed(codes.select(col("vec_id"), col("codes")),
+      outDir, "vecs", "vec_id", Seq("vec_id"))
+  }
+
+  /** Ingest a batch of (vec_id, embedding) through the FROZEN model:
+    * quantize/assign/encode (per-row codegen, zero shuffle), anti-join
+    * replayed ids, append to both stores in bucket layout.
+    * @return number of new vectors appended */
+  def ingest(batch: DataFrame, outDir: String): Long = {
+    val spark = batch.sparkSession
+    val model = loadModel(spark, outDir).getOrElse(
+      throw new IllegalStateException(
+        s"no IVF-PQ index at $outDir — build(...) first"))
+    val codes = graft.sim.Quantize
+      .quantize(batch, model.statsFrame(spark))
+    // replay guard: ids already ingested never re-append (bucket-aligned
+    // anti-join on the vecs store — idempotent under source replay)
+    val fresh0 = storeView(spark, outDir, "vecs") match {
+      case Some(s) => codes.join(s.select(col("vec_id")), Seq("vec_id"),
+        "left_anti")
+      case None => codes
+    }
+    val fresh = fresh0.localCheckpoint(true)
+    try {
+      val n = fresh.count()
+      if (n > 0) {
+        appendBucketed(fresh
+          .withColumn("cell",
+            graft.sim.IvfInt.nearestCellInt(col("codes"), model.coarse))
+          .withColumn("res",
+            IvfPqInt.residualOf(col("codes"), col("cell"), model.coarse))
+          .withColumn("enc",
+            IvfPqInt.encodeWith(col("res"), model.books, model.subDim))
+          .select(col("cell"), col("vec_id"), col("enc")),
+          outDir, "postings", "cell", Seq("cell", "vec_id"))
+        appendBucketed(fresh.select(col("vec_id"), col("codes")),
+          outDir, "vecs", "vec_id", Seq("vec_id"))
+      } else log.info(s"ivfpq ingest at $outDir: batch fully replayed, " +
+        "nothing appended")
+      n
+    } finally fresh.unpersist()
+  }
+
+  /** Probe the index with a query batch of (vec_id, embedding) —
+    * queries need NOT be indexed vectors (they are quantized through
+    * the frozen stats, the same map an indexed twin got). Probe cells,
+    * residuals, and ADC LUTs are computed DRIVER-SIDE from the frozen
+    * model (|q| rows — the sanctioned query-bounded collect, exactly
+    * LshIndex.probe's shape) and pushed into the postings scan as an
+    * In(cell) filter; self-pairs are excluded by vec_id as in
+    * [[IvfPqInt.ivfPqIntTopK]].
+    * @return (query_id, neighbor_id, dist, rank) — ivfPqIntTopK's shape */
+  def probe(spark: SparkSession, outDir: String, queries: DataFrame,
+            k: Int, nprobe: Int = 4, rerank: Int = 100): DataFrame = {
+    require(rerank >= k, "rerank candidate set must be at least k deep")
+    val model = loadModel(spark, outDir).getOrElse(
+      throw new IllegalStateException(
+        s"no IVF-PQ index at $outDir — build(...) first"))
+    val postings = storeView(spark, outDir, "postings").getOrElse(
+      throw new IllegalStateException(s"missing postings store at $outDir"))
+    val vecs = storeView(spark, outDir, "vecs").getOrElse(
+      throw new IllegalStateException(s"missing vecs store at $outDir"))
+    import spark.implicits._
+    // ONE driver collect of the quantized query batch (|q| rows): it
+    // yields the probe-cell key set, the per-(query, cell) LUTs, AND
+    // the broadcast qcodes side as local frames (the LshIndex.probe
+    // argument: without it every broadcast re-runs the query scan).
+    val qRows = graft.sim.Quantize.quantize(queries, model.statsFrame(spark))
+      .select(col("vec_id").as("query_id"), col("codes"))
+      .as[(Long, Array[Long])].collect()
+    if (qRows.isEmpty)
+      return vecs.limit(0).select(col("vec_id").as("query_id"),
+        col("vec_id").as("neighbor_id"), lit(0L).as("dist"),
+        lit(0L).as("rank"))
+    val subDim = model.subDim
+    // per query: nprobe nearest coarse cells (Long math — identical to
+    // the in-Spark l2sq; ties → lower cell), residual vs THAT centroid,
+    // LUT laid out [m·stride + j] (probedFrame's layout)
+    val probedRows = qRows.toSeq.flatMap { case (qid, qc) =>
+      model.coarse.indices
+        .map { cell =>
+          var d = 0L; var i = 0
+          val cen = model.coarse(cell)
+          while (i < qc.length) {
+            val t = qc(i) - cen(i); d += t * t; i += 1
+          }
+          (cell, d)
+        }
+        .sortBy { case (cell, d) => (d, cell) }
+        .take(nprobe)
+        .map { case (cell, _) =>
+          val cen = model.coarse(cell)
+          val qres = Array.tabulate(qc.length)(i => qc(i) - cen(i))
+          val lut = Array.tabulate(model.subspaces * model.stride) { x =>
+            val m = x / model.stride
+            val j = x % model.stride
+            val book = model.books(m)(j)
+            var d = 0L; var t = 0
+            while (t < subDim) {
+              val diff = qres(m * subDim + t) - book(t); d += diff * diff
+              t += 1
+            }
+            d
+          }
+          (qid, cell, lut.toSeq)
+        }
+    }
+    val probeKeys = probedRows.map(_._2).distinct.sorted
+    val probed = broadcast(probedRows.toDF("query_id", "cell", "lut"))
+    val qcodes = qRows.toSeq.map { case (qid, qc) => (qid, qc.toSeq) }
+      .toDF("query_id", "qcodes")
+    IvfPqInt.adcRerank(
+      postings.filter(col("cell").isin(probeKeys: _*)),
+      vecs.select(col("vec_id"), col("codes")),
+      qcodes, probed, model.stride, model.subspaces, k, rerank)
+  }
+
+  /** File-drop streaming ingest (replayable source + checkpoint →
+    * restart-safe): each dropped file holds JSON lines
+    * {"vec_id": …, "embedding": [...]}. AvailableNow drains and stops.
+    * The index must already be built. */
+  def runFiles(spark: SparkSession, inDir: String, outDir: String,
+               checkpoint: String): StreamingQuery = {
+    val schema = "vec_id LONG, embedding ARRAY<DOUBLE>"
+    spark.readStream.schema(schema).json(inDir)
+      .writeStream
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (df: DataFrame, _: Long) =>
+        ingest(df, outDir); ()
+      }
+      .start()
+  }
+}

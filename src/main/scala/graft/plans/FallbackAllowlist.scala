@@ -143,5 +143,10 @@ object FallbackAllowlist {
     // CellResidualInt, L2sqLong); the ArrayTransform beyond the
     // quantizer's is the per-(query, probed-cell) ADC table build —
     // |queries|·nprobe rows, the q143/q65 class-3 argument
+    "q146_ivfpq_index_probe" -> quantizer,
+    // q146 (persisted IVF-PQ index): the BUILD phase is q145's
+    // training pipeline (same quantizer set); the probe's ADC LUTs are
+    // built DRIVER-SIDE from the frozen model, so the exec plan adds
+    // no fallback at all — everything corpus-shaped rides kernels
   )
 }

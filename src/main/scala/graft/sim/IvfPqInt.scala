@@ -1,6 +1,6 @@
 package graft.sim
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -17,6 +17,13 @@ import org.apache.spark.sql.functions._
   * part of the mandated LLM-pipeline surface, completing the
   * retrieval family's composition story (IVF q140 + PQ q143 →
   * IVF-PQ q145).
+  *
+  * Round 16 splits the pipeline into a frozen [[IvfPqModel]] (train
+  * once), a model-application encode, and the probe/ADC/rerank tail —
+  * the pieces [[graft.jobs.IvfPqIndexJob]] persists and serves
+  * (build-once / probe-many / ingest-incrementally, the LshIndex +
+  * SemanticIngestJob precedents). [[ivfPqIntTopK]] is the same
+  * composition run end-to-end in one job, bit-identical to r15.
   *
   * Determinism, step by step (every piece already oracled on its own):
   *  - codes: [[Quantize]]'s affine uint8 map (q116 ⊕);
@@ -49,6 +56,150 @@ import org.apache.spark.sql.functions._
   * only for rerank ids.
   */
 object IvfPqInt {
+
+  /** The frozen IVF-PQ model — everything retrieval needs beyond the
+    * stored codes, all driver-side sufficient statistics: the
+    * quantizer's per-dim (mn, mx), the coarse centroids (cells×dims
+    * longs), and the residual codebooks (subspaces×stride×subDim
+    * longs). Persisted/loaded by [[graft.jobs.IvfPqIndexJob]]. */
+  final case class IvfPqModel(dims: Int, subspaces: Int,
+                              stats: Seq[(Int, Double, Double)],
+                              coarse: Seq[Seq[Long]],
+                              books: Seq[Seq[Seq[Long]]]) {
+    def subDim: Int = dims / subspaces
+    /** Actual codebook size (`cents` capped by corpus size at train). */
+    def stride: Int = books.head.size
+    /** The [[Quantize.dimStats]]-shaped frame rebuilt from the frozen
+      * stats — quantization with it is bit-identical to train time. */
+    def statsFrame(spark: SparkSession): DataFrame = {
+      import spark.implicits._
+      stats.toDF("dim", "mn", "mx")
+    }
+  }
+
+  private[graft] def residualOf(c: Column, cell: Column,
+                                coarse: Seq[Seq[Long]]): Column =
+    org.apache.spark.sql.graftbridge.Bridge.column(
+      graft.functions.CellResidualInt(
+        org.apache.spark.sql.graftbridge.Bridge.expression(c),
+        org.apache.spark.sql.graftbridge.Bridge.expression(cell),
+        coarse.map(_.toIndexedSeq).toIndexedSeq))
+
+  private def sliceM(c: Column, m: Int, subDim: Int): Column =
+    slice(c, m * subDim + 1, subDim)
+
+  /** Per-subspace nearest-codebook-entry encode: array of `subspaces`
+    * small ints, the `enc` column a vector store persists. */
+  private[graft] def encodeWith(c: Column, books: Seq[Seq[Seq[Long]]],
+                                subDim: Int): Column =
+    array(books.indices.map(m =>
+      IvfInt.nearestCellInt(sliceM(c, m, subDim), books(m))): _*)
+
+  /** Residual codebooks from an assigned frame carrying `res`: the
+    * q143 recipe on residual slices — md5 seed draw, ONE fused integer
+    * Lloyd round, per-(subspace, cell, dim) `sum div count` (truncating
+    * toward zero on the negative sums residuals produce — exactly
+    * DuckDB's `//`). Both collects are model-sized. */
+  private[graft] def trainBooks(assigned: DataFrame, subspaces: Int,
+                                subDim: Int, cents: Int): Seq[Seq[Seq[Long]]] = {
+    val seedRows: Seq[Seq[Long]] = assigned
+      .withColumn("hk", graft.dedup.Dedup.hash60(col("vec_id").cast("string")))
+      .orderBy(col("hk"), col("vec_id")).limit(cents)
+      .select(col("res")).collect()
+      .map(_.getSeq[Long](0).toIndexedSeq).toIndexedSeq
+    val seedBooks: Seq[Seq[Seq[Long]]] = (0 until subspaces).map(m =>
+      seedRows.map(_.slice(m * subDim, (m + 1) * subDim)))
+    val updated = assigned
+      .withColumn("pcells", encodeWith(col("res"), seedBooks, subDim))
+      .select(posexplode(col("res")).as(Seq("i", "rcode")), col("pcells"))
+      .select((col("i") / subDim).cast("int").as("m"),
+        pmod(col("i"), lit(subDim)).cast("int").as("d"),
+        element_at(col("pcells"), (col("i") / subDim).cast("int") + 1)
+          .as("cell"),
+        col("rcode"))
+      .groupBy(col("m"), col("cell"), col("d"))
+      .agg(sum(col("rcode")).as("s"), count(lit(1)).as("n"))
+      .collect()
+      // Long division truncates toward zero — exactly DuckDB's `//`,
+      // including on the negative sums residuals produce
+      .map(r => (r.getInt(0), r.getInt(1), r.getInt(2)) ->
+        r.getLong(3) / r.getLong(4))
+      .toMap
+    seedBooks.zipWithIndex.map { case (book, m) =>
+      book.zipWithIndex.map { case (c, j) =>
+        c.indices.map(d => updated.getOrElse((m, j, d), c(d)))
+      }
+    }
+  }
+
+  /** The per-(query, probed-cell) ADC lookup table as a column over a
+    * frame carrying `qres`: subspaces·stride integer entries, laid out
+    * [m·stride + j]. Bounded by the query set (class-3 fold). */
+  private def lutCol(books: Seq[Seq[Seq[Long]]], subDim: Int): Column =
+    flatten(array(books.indices.map { m =>
+      transform(typedLit(books(m)),
+        c => IvfInt.l2sq(sliceM(col("qres"), m, subDim), c))
+    }: _*))
+
+  /** The probe frame: per query, its `nprobe` nearest coarse cells
+    * (ties → lower cell) with the residual-ADC LUT for each —
+    * |queries|·nprobe rows, each subspaces·stride longs. */
+  private[graft] def probedFrame(qcodes: DataFrame, coarse: Seq[Seq[Long]],
+                                 books: Seq[Seq[Seq[Long]]], subDim: Int,
+                                 nprobe: Int): DataFrame = {
+    val spark = qcodes.sparkSession
+    import spark.implicits._
+    val centroids = coarse.zipWithIndex
+      .map { case (c, i) => (i, c) }.toDF("cell", "centroid")
+    val wCell = Window.partitionBy(col("query_id"))
+      .orderBy(col("cdist").asc, col("cell").asc)
+    qcodes.crossJoin(broadcast(centroids))
+      .withColumn("cdist", IvfInt.l2sq(col("qcodes"), col("centroid")))
+      .withColumn("cr", row_number().over(wCell))
+      .filter(col("cr") <= nprobe)
+      .withColumn("qres",
+        residualOf(col("qcodes"), col("cell").cast("int"), coarse))
+      .withColumn("lut", lutCol(books, subDim))
+      .select(col("query_id"), col("cell"), col("lut"))
+  }
+
+  /** ADC scan + exact rerank, shared by the in-job pipeline and the
+    * persisted index probe: candidates are `enc` rows in probed cells
+    * (self-pairs excluded), ordered per query by ADC distance (ties →
+    * lower vec_id), the top `rerank` reranked by exact integer L2 over
+    * full codes (ties → lower vec_id), top `k` kept.
+    * @param enc (cell, vec_id, enc) corpus rows
+    * @param codes (vec_id, codes) for the rerank id-join
+    * @param qcodes (query_id, qcodes), broadcast-sized
+    * @param probed (query_id, cell, lut) from [[probedFrame]] (or the
+    *               index probe's driver-built twin) */
+  private[graft] def adcRerank(enc: DataFrame, codes: DataFrame,
+                               qcodes: DataFrame, probed: DataFrame,
+                               stride: Int, subspaces: Int, k: Int,
+                               rerank: Int): DataFrame = {
+    val adc = (0 until subspaces).map(m =>
+      element_at(col("lut"),
+        lit(m * stride) + element_at(col("enc"), m + 1) + 1))
+      .reduce(_ + _)
+    val w0 = Window.partitionBy(col("query_id"))
+      .orderBy(col("adc").asc, col("vec_id").asc)
+    val cand = enc.join(probed, Seq("cell"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"), adc.as("adc"))
+      .withColumn("r0", row_number().over(w0))
+      .filter(col("r0") <= rerank)
+      .select(col("query_id"), col("vec_id"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("dist").asc, col("vec_id").asc)
+    cand.join(codes, Seq("vec_id"))
+      .join(broadcast(qcodes), Seq("query_id"))
+      .withColumn("dist", IvfInt.l2sq(col("qcodes"), col("codes")))
+      .select(col("query_id"), col("vec_id"), col("dist"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        col("dist"), col("rank").cast("long").as("rank"))
+  }
 
   /** The end-to-end retrieval. Fixed-dimension contract: the first row
     * defines dims ([[IvfInt.ivfIntTopK]] convention); an empty corpus
@@ -91,110 +242,51 @@ object IvfPqInt {
 
     // coarse model + per-row assignment and residual (all codegen)
     val model: Seq[Seq[Long]] = IvfInt.trainModel(codes, dims, cells)
-    def residualOf(c: Column, cell: Column): Column =
-      org.apache.spark.sql.graftbridge.Bridge.column(
-        graft.functions.CellResidualInt(
-          org.apache.spark.sql.graftbridge.Bridge.expression(c),
-          org.apache.spark.sql.graftbridge.Bridge.expression(cell),
-          model.map(_.toIndexedSeq).toIndexedSeq))
     val assigned = codes
       .withColumn("cell", IvfInt.nearestCellInt(col("codes"), model))
-      .withColumn("res", residualOf(col("codes"), col("cell")))
+      .withColumn("res", residualOf(col("codes"), col("cell"), model))
       .localCheckpoint(true) // PQ train + encode read the residuals
-
-    // residual codebooks: md5 seed draw sliced per subspace, one fused
-    // integer Lloyd round (the PqInt recipe, on residuals)
-    val seedRows: Seq[Seq[Long]] = assigned
-      .withColumn("hk", graft.dedup.Dedup.hash60(col("vec_id").cast("string")))
-      .orderBy(col("hk"), col("vec_id")).limit(cents)
-      .select(col("res")).collect()
-      .map(_.getSeq[Long](0).toIndexedSeq).toIndexedSeq
-    val seedBooks: Seq[Seq[Seq[Long]]] = (0 until subspaces).map(m =>
-      seedRows.map(_.slice(m * subDim, (m + 1) * subDim)))
-    def sliceM(c: Column, m: Int): Column =
-      slice(c, m * subDim + 1, subDim)
-    def encodeWith(c: Column, books: Seq[Seq[Seq[Long]]]): Column =
-      array((0 until subspaces).map(m =>
-        IvfInt.nearestCellInt(sliceM(c, m), books(m))): _*)
-    val updated = assigned
-      .withColumn("pcells", encodeWith(col("res"), seedBooks))
-      .select(posexplode(col("res")).as(Seq("i", "rcode")), col("pcells"))
-      .select((col("i") / subDim).cast("int").as("m"),
-        pmod(col("i"), lit(subDim)).cast("int").as("d"),
-        element_at(col("pcells"), (col("i") / subDim).cast("int") + 1)
-          .as("cell"),
-        col("rcode"))
-      .groupBy(col("m"), col("cell"), col("d"))
-      .agg(sum(col("rcode")).as("s"), count(lit(1)).as("n"))
-      .collect()
-      // Long division truncates toward zero — exactly DuckDB's `//`,
-      // including on the negative sums residuals produce
-      .map(r => (r.getInt(0), r.getInt(1), r.getInt(2)) ->
-        r.getLong(3) / r.getLong(4))
-      .toMap
-    val books: Seq[Seq[Seq[Long]]] = seedBooks.zipWithIndex.map {
-      case (book, m) => book.zipWithIndex.map { case (c, j) =>
-        c.indices.map(d => updated.getOrElse((m, j, d), c(d)))
-      }
-    }
+    val books = trainBooks(assigned, subspaces, subDim, cents)
 
     // corpus index rows: (vec_id, cell, enc) — subspaces bytes + a cell
     val enc = assigned
-      .withColumn("enc", encodeWith(col("res"), books))
+      .withColumn("enc", encodeWith(col("res"), books, subDim))
       .select(col("vec_id"), col("cell"), col("enc"))
 
-    // probe: nprobe nearest coarse cells per query (q140's shape)
-    val spark = embeddings.sparkSession
-    import spark.implicits._
-    val centroids = model.zipWithIndex
-      .map { case (c, i) => (i, c) }.toDF("cell", "centroid")
+    // probe: nprobe nearest coarse cells per query (q140's shape),
+    // LUT per probed pair; then the shared ADC + rerank tail
     val qcodes = queries.select(col("vec_id").as("query_id"))
       .join(codes, col("query_id") === codes("vec_id"))
       .select(col("query_id"), col("codes").as("qcodes"))
-    val wCell = Window.partitionBy(col("query_id"))
-      .orderBy(col("cdist").asc, col("cell").asc)
-    // per probed (query, cell): the query's residual vs THAT centroid,
-    // tabled against the codebooks — subspaces·cents integer LUT per
-    // probed pair (|queries|·nprobe rows, bounded by the query set)
-    val stride = seedRows.length
-    val lut = flatten(array((0 until subspaces).map { m =>
-      transform(typedLit(books(m)),
-        c => IvfInt.l2sq(sliceM(col("qres"), m), c))
-    }: _*))
-    val probed = qcodes.crossJoin(broadcast(centroids))
-      .withColumn("cdist", IvfInt.l2sq(col("qcodes"), col("centroid")))
-      .withColumn("cr", row_number().over(wCell))
-      .filter(col("cr") <= nprobe)
-      .withColumn("qres",
-        residualOf(col("qcodes"), col("cell").cast("int")))
-      .withColumn("lut", lut)
-      .select(col("query_id"), col("cell"), col("lut"))
+    val probed = probedFrame(qcodes, model, books, subDim, nprobe)
+    adcRerank(enc, codes, qcodes, probed, books.head.size, subspaces,
+      k, rerank)
+  }
 
-    // ADC scan over probed cells → top `rerank` ids (lut/enc dropped
-    // before the window)
-    val adc = (0 until subspaces).map(m =>
-      element_at(col("lut"),
-        lit(m * stride) + element_at(col("enc"), m + 1) + 1))
-      .reduce(_ + _)
-    val w0 = Window.partitionBy(col("query_id"))
-      .orderBy(col("adc").asc, col("vec_id").asc)
-    val cand = enc.join(probed, Seq("cell"))
-      .filter(col("vec_id") =!= col("query_id"))
-      .select(col("query_id"), col("vec_id"), adc.as("adc"))
-      .withColumn("r0", row_number().over(w0))
-      .filter(col("r0") <= rerank)
-      .select(col("query_id"), col("vec_id"))
-
-    // exact integer rerank of the candidate set (q140/q143 tail)
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("dist").asc, col("vec_id").asc)
-    cand.join(codes, Seq("vec_id"))
-      .join(broadcast(qcodes), Seq("query_id"))
-      .withColumn("dist", IvfInt.l2sq(col("qcodes"), col("codes")))
-      .select(col("query_id"), col("vec_id"), col("dist"))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("vec_id").as("neighbor_id"),
-        col("dist"), col("rank").cast("long").as("rank"))
+  /** [[ivfPqIntTopK]]'s retrieval semantics with a FROZEN model over an
+    * arbitrary corpus — the reference computation the persisted index
+    * ([[graft.jobs.IvfPqIndexJob]]) is pinned against: quantize/assign/
+    * encode `corpus` through `model` (no retraining), probe, ADC,
+    * rerank. `queries` must be rows of `corpus` (id-join, the
+    * [[ivfPqIntTopK]] convention). */
+  def topKWithModel(corpus: DataFrame, queries: DataFrame,
+                    model: IvfPqModel, k: Int, nprobe: Int = 4,
+                    rerank: Int = 100): DataFrame = {
+    require(rerank >= k, "rerank candidate set must be at least k deep")
+    val spark = corpus.sparkSession
+    val codes = Quantize.quantize(corpus, model.statsFrame(spark))
+      .localCheckpoint(true)
+    val enc = codes
+      .withColumn("cell", IvfInt.nearestCellInt(col("codes"), model.coarse))
+      .withColumn("res", residualOf(col("codes"), col("cell"), model.coarse))
+      .withColumn("enc", encodeWith(col("res"), model.books, model.subDim))
+      .select(col("vec_id"), col("cell"), col("enc"))
+    val qcodes = queries.select(col("vec_id").as("query_id"))
+      .join(codes, col("query_id") === codes("vec_id"))
+      .select(col("query_id"), col("codes").as("qcodes"))
+    val probed = probedFrame(qcodes, model.coarse, model.books,
+      model.subDim, nprobe)
+    adcRerank(enc, codes, qcodes, probed, model.stride, model.subspaces,
+      k, rerank)
   }
 }

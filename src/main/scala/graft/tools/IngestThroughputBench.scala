@@ -3,14 +3,16 @@ package graft.tools
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
-/** Incremental-ingest throughput: drives the batch cores of ALL SIX
+/** Incremental-ingest throughput: drives the batch cores of ALL SEVEN
   * ingest jobs — [[graft.jobs.DedupIngestJob]] (exact content-hash
   * store), [[graft.jobs.SegmentIngestJob]] (w-word segment store),
   * [[graft.jobs.NearDupIngestJob]] (MinHash band-bucket store),
   * [[graft.jobs.SubstringIngestJob]] (k-gram scrub store),
   * [[graft.jobs.CorpusIngestJob]] (the gated funnel over hash+scrub
-  * stores) and [[graft.jobs.SemanticIngestJob]] (frozen-model cell
-  * store) — for B successive micro-batches of N synthetic docs each,
+  * stores), [[graft.jobs.SemanticIngestJob]] (frozen-model cell
+  * store) and [[graft.jobs.IvfPqIndexJob]] (frozen-model IVF-PQ
+  * postings/code store; batch 0 builds, the rest ingest)
+  * — for B successive micro-batches of N synthetic docs each,
   * printing per-batch wall and overall docs/s. This is the regression
   * line for the 100 TB continuous-curation story (the streaming
   * RawPersistJob line covers the socket/parse path; this covers the
@@ -39,7 +41,7 @@ object IngestThroughputBench {
     val dupFrac = args.drop(2).headOption.map(_.toDouble).getOrElse(0.3)
     val jobs = args.drop(3).headOption.map(_.split(",").toSeq).getOrElse(
       Seq("dedup", "segment", "neardup", "substring", "corpus",
-        "semantic"))
+        "semantic", "ivfpq"))
     val spark = SparkSession.builder()
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
@@ -113,6 +115,17 @@ object IngestThroughputBench {
             expectedCorpus = sys.env.get("SPARK_GRAFT_INGEST_EXPECTED")
               .map(_.toLong)
               .getOrElse(batches.toLong * perBatch))
+          case "ivfpq" =>
+            // an index stores every vector (dedup is the semantic
+            // store's job): batch 0 trains + builds, the rest ride the
+            // frozen model; per-batch cost must stay flat as the
+            // postings/vecs stores grow (only the batch side shuffles)
+            val vdf = vecDf(b)
+            if (b == 0) {
+              graft.jobs.IvfPqIndexJob.build(vdf, out,
+                subspaces = 4) // 16 dims -> 4 subspaces of 4
+              vdf.count()
+            } else graft.jobs.IvfPqIndexJob.ingest(vdf, out)
           case _ => graft.jobs.SegmentIngestJob.writeBatch(df, out)
         }
         val dt = (System.nanoTime() - t0) / 1e9

@@ -1,0 +1,120 @@
+package graft
+
+import java.nio.file.Files
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.jobs.IvfPqIndexJob
+import graft.sim.IvfPqInt
+
+/** Pins graft.jobs.IvfPqIndexJob — the persisted build-once /
+  * probe-many / ingest-incrementally serving shape of the q145 IVF-PQ
+  * pipeline. The contract, per the LshIndex/SemanticIngest precedents:
+  * a probe is ROW-IDENTICAL to the full in-job recompute on the same
+  * frozen model (at build state that recompute IS ivfPqIntTopK, the
+  * oracled q145 pipeline); ingest rides the frozen model and is
+  * idempotent under replay; the probe plan pushes its cell keys into
+  * the bucketed postings scan. */
+class IvfPqIndexSpec extends AnyFunSuite with SparkTestBase {
+  import spark.implicits._
+
+  private def tmp(): String =
+    Files.createTempDirectory("graft_ivfpq_idx").toString
+
+  private lazy val e = Tables.embeddings(spark, "/root/testdata/sf0.001")
+  private lazy val q = e.filter(col("vec_id") < 10)
+
+  private def rows(df: org.apache.spark.sql.DataFrame) = df
+    .select(col("query_id"), col("neighbor_id"), col("dist"), col("rank"))
+    .as[(Long, Long, Long, Long)].collect().sortBy(r => (r._1, r._4)).toSeq
+
+  test("probe at build state is row-identical to the full q145 " +
+    "recompute (ivfPqIntTopK) at the same dials") {
+    val out = tmp()
+    IvfPqIndexJob.build(e, out)
+    val fromIndex = rows(IvfPqIndexJob.probe(spark, out, q, k = 5))
+    val recompute = rows(IvfPqInt.ivfPqIntTopK(e, q, k = 5))
+    assert(fromIndex == recompute)
+    assert(fromIndex.nonEmpty)
+  }
+
+  test("ingest through the frozen model: probe equals topKWithModel " +
+    "over the concatenated corpus, and replayed batches append nothing") {
+    val out = tmp()
+    val first = e.filter(col("vec_id") < 25)
+    val rest = e.filter(col("vec_id") >= 25)
+    IvfPqIndexJob.build(first, out)
+    val model = IvfPqIndexJob.loadModel(spark, out).get
+    assert(IvfPqIndexJob.ingest(rest, out) == rest.count())
+    val fromIndex = rows(IvfPqIndexJob.probe(spark, out, q, k = 5))
+    // the reference: the SAME frozen (build-corpus) model applied to
+    // the full corpus in one job — the index must never retrain
+    val reference = rows(IvfPqInt.topKWithModel(e, q, model, k = 5))
+    assert(fromIndex == reference)
+    // a frozen model trained on a strict subset differs from the
+    // full-corpus retrain, so this really did exercise frozen-model
+    // assignment (guard against accidentally retraining in ingest)
+    val postings0 = IvfPqIndexJob.storeView(spark, out, "postings").get.count()
+    // replay: both batches again — nothing appends, probe unchanged
+    assert(IvfPqIndexJob.ingest(rest, out) == 0L)
+    assert(IvfPqIndexJob.ingest(first, out) == 0L)
+    assert(IvfPqIndexJob.storeView(spark, out, "postings").get.count()
+      == postings0)
+    assert(rows(IvfPqIndexJob.probe(spark, out, q, k = 5)) == fromIndex)
+  }
+
+  test("probe scan pushes the cell-key filter into the bucketed " +
+    "postings store; the index side never shuffles before the ADC join") {
+    val out = tmp()
+    IvfPqIndexJob.build(e, out)
+    val plan = IvfPqIndexJob.probe(spark, out, q, k = 5)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [In(cell"),
+      s"expected In(cell, ...) pushed to the postings scan in:\n$plan")
+    assert(plan.contains("SelectedBucketsCount"),
+      s"postings scan must be bucket-pruned:\n$plan")
+    // hash exchanges: the ADC window (query_id), the candidate side of
+    // the vecs join (vec_id), the rerank window (query_id) — the
+    // postings side reaches its join broadcast-only, the vecs side
+    // through its bucketing
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(exchanges <= 3,
+      s"expected only the window/candidate exchanges, got $exchanges:\n$plan")
+  }
+
+  test("out-of-index queries probe through the frozen quantizer (no " +
+    "id-join requirement) and exclude nothing by id") {
+    val out = tmp()
+    val corpus = e.filter(col("vec_id") >= 10)
+    IvfPqIndexJob.build(corpus, out)
+    // query vectors NOT in the index: ids < 10 never ingested
+    val got = rows(IvfPqIndexJob.probe(spark, out, q, k = 3))
+    assert(got.nonEmpty)
+    assert(got.forall(_._1 < 10) && got.forall(_._2 >= 10))
+    assert(got.groupBy(_._1).values.forall(_.size == 3))
+  }
+
+  test("streaming file-drop ingest is restart-safe and equals direct " +
+    "ingest (AvailableNow drains, checkpoint dedups the replay)") {
+    val out = tmp()
+    val inDir = tmp()
+    val ckpt = tmp()
+    IvfPqIndexJob.build(e.filter(col("vec_id") < 25), out)
+    val batch = e.filter(col("vec_id") >= 25)
+      .select(col("vec_id"), col("embedding").cast("array<double>")
+        .as("embedding"))
+    batch.coalesce(1).write.mode("overwrite").json(inDir)
+    IvfPqIndexJob.runFiles(spark, inDir, out, ckpt).awaitTermination()
+    val n = IvfPqIndexJob.storeView(spark, out, "vecs").get.count()
+    assert(n == e.count())
+    // restart over the same checkpoint: nothing new
+    IvfPqIndexJob.runFiles(spark, inDir, out, ckpt).awaitTermination()
+    assert(IvfPqIndexJob.storeView(spark, out, "vecs").get.count() == n)
+  }
+
+  test("probing a missing index fails fast with guidance") {
+    val ex = intercept[IllegalStateException] {
+      IvfPqIndexJob.probe(spark, tmp(), q, k = 3)
+    }
+    assert(ex.getMessage.contains("build"))
+  }
+}
