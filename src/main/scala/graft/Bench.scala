@@ -157,7 +157,14 @@ object Bench {
     // alone can overstate how quiet the run was if contention arrives
     // mid-bench (the r13 host-band lesson)
     val loadPost = loadAvg()
+    // protocol stamp (ADVICE r15): per-query values are MIN OF `legs`
+    // runs when legs > 1 — a different metric from the pre-r15
+    // single-leg totals. Consumers comparing artifacts across rounds
+    // key on this instead of inferring from the legs field: 1 =
+    // single-leg (≤ r14), 2 = min-of-legs (r15+).
+    val protocol = if (legs > 1) 2 else 1
     val full = s"""{"queries":$qs,"sf":"$sfDir","cpus":$cpus,""" +
+      s""""protocol":$protocol,""" +
       s""""gc_between":$gcBetween,"epoch_s":${System.currentTimeMillis / 1000},""" +
       s""""legs":$legs,"leg_totals":[${legTotals.mkString(",")}],""" +
       s""""leg_loads":[${legLoads.map(l => s"[${l._1},${l._2}]").mkString(",")}],""" +

@@ -223,9 +223,11 @@ object SignPackLong {
   * joined centroid column would be an interpreted per-dim fold per
   * corpus row (the class rounds 13–15 eliminated) AND a join the
   * literal model makes unnecessary. Fixed-dimension, non-null contract
-  * as in [[NearestCellsInt]]; out-of-range cell (out of contract — the
-  * cell column is this family's own argmin) clamps into the model.
-  * Null codes or cell → null. */
+  * as in [[NearestCellsInt]]; an out-of-range cell THROWS (round 16,
+  * per ADVICE r15): the cell column is this family's own argmin, so
+  * any out-of-range value is a broken-assignment bug worth surfacing —
+  * clamping produced plausible-but-wrong residuals instead of an
+  * error. Null codes or cell → null. */
 case class CellResidualInt(left: Expression, right: Expression,
                            cents: Seq[Seq[Long]])
     extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
@@ -265,7 +267,13 @@ case class CellResidualInt(left: Expression, right: Expression,
 object CellResidualInt {
   def residual(codes: ArrayData, cell: Int,
                cents: Array[Array[Long]]): ArrayData = {
-    val c = cents(math.max(0, math.min(cents.length - 1, cell)))
+    if (cell < 0 || cell >= cents.length)
+      throw new IllegalArgumentException(
+        s"graft_cell_residual_int: cell $cell outside the " +
+          s"${cents.length}-cell model — the cell column must be this " +
+          "family's own nearest-cell argmin; an out-of-range value " +
+          "means the assignment and the model diverged")
+    val c = cents(cell)
     val n = math.min(codes.numElements(), c.length)
     val out = new Array[Long](n)
     var i = 0

@@ -71,7 +71,17 @@ object FallbackInventory {
     * eagerly behind a localCheckpoint and passed the invariant with no
     * allowlist entry. A QueryExecutionListener registered for the
     * build phase captures those plans; callbacks are async on the
-    * shared listener bus, so the bus is drained before reading. */
+    * shared listener bus, so the bus is drained before reading.
+    *
+    * CONCURRENCY CONTRACT (ADVICE r15): the listener is session-wide,
+    * so any execution another thread runs on this SparkSession during
+    * the build window is attributed to the query under scan — a
+    * spurious "unlisted fallback". Callers must hold the session
+    * exclusively while this runs; FallbackInventorySpec and the probe
+    * tools scan queries strictly sequentially for exactly this
+    * reason. (Tagging captures by thread would miss the point: Spark
+    * materializes localCheckpoints on scheduler threads, not the
+    * caller's.) */
   def fallbacksWithBuild(spark: SparkSession)
                         (build: => org.apache.spark.sql.DataFrame): Seq[String] = {
     val captured =

@@ -33,9 +33,36 @@ object KnnGraph {
     * `mutual` flag marking edges whose reverse edge is also a k-NN edge
     * (the mutual-kNN graph is the usual input to density/cluster-based
     * corpus curation). One equi-join shuffle on the block key, one
-    * window per vector, one self-join of the (tiny) edge list. */
+    * window per vector, one self-join of the (tiny) edge list.
+    *
+    * Quadratic contract, ENFORCED (round 16): within-block work is
+    * Σ|block|² and a block's pair stream lands in ONE join task, so an
+    * oversized block is a silent single-task job-killer at scale (a
+    * 20k-row block ≈ 4·10⁸ pairs ≈ ~30 s of cosine arithmetic — the
+    * measured sf10 shape; 10× that block is 100× that task). A cheap
+    * block-count audit (one column-pruned agg over the block key) runs
+    * first and FAILS FAST above `spark.graft.knn.maxExactBlock`
+    * (default 100 000 rows ≈ 10¹⁰ pairs ≈ tens of single-task
+    * minutes) with guidance to [[knnGraphApprox]] — the block-local
+    * LSH sibling whose per-bucket work is bounded by construction —
+    * rather than letting the cluster discover the quadratic from a
+    * wedged stage. */
   def knnGraph(embeddings: DataFrame, k: Int,
                blockCol: String = "label"): DataFrame = {
+    val maxBlock = embeddings.sparkSession.conf
+      .get("spark.graft.knn.maxExactBlock", "100000").toLong
+    val oversized = embeddings.groupBy(col(blockCol)).count()
+      .filter(col("count") > maxBlock)
+      .orderBy(col("count").desc).limit(1).collect()
+    if (oversized.nonEmpty)
+      throw new IllegalStateException(
+        s"exact kNN graph refused: block '${oversized(0).get(0)}' holds " +
+          s"${oversized(0).getLong(1)} vectors (> " +
+          s"spark.graft.knn.maxExactBlock=$maxBlock) — within-block " +
+          "work is |block|² in one task by contract. Use " +
+          "KnnGraph.knnGraphApprox (block-local LSH, bounded buckets) " +
+          "or raise spark.graft.knn.maxExactBlock if the quadratic is " +
+          "really intended.")
     val e = embeddings.select(col("vec_id"), col(blockCol).as("blk"),
       col("embedding").cast("array<double>").as("v"))
     val a = e.select(col("blk"), col("vec_id"), col("v"))

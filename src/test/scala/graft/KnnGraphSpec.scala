@@ -89,6 +89,29 @@ class KnnGraphSpec extends AnyFunSuite with SparkTestBase {
     assert(hn == Seq((9L, 1L, 1L)))
   }
 
+  test("oversized-block guard: a block past spark.graft.knn.maxExactBlock " +
+    "fails fast naming the block and the approximate sibling; at or " +
+    "under the threshold the exact graph runs") {
+    val prev = spark.conf.getOption("spark.graft.knn.maxExactBlock")
+    try {
+      // emb's largest block has 4 vectors: threshold 3 must refuse,
+      // threshold 4 (== largest) must run
+      spark.conf.set("spark.graft.knn.maxExactBlock", "3")
+      val ex = intercept[IllegalStateException] {
+        KnnGraph.knnGraph(emb, k = 2).collect()
+      }
+      assert(ex.getMessage.contains("knnGraphApprox") &&
+        ex.getMessage.contains("maxExactBlock"))
+      spark.conf.set("spark.graft.knn.maxExactBlock", "4")
+      assert(KnnGraph.knnGraph(emb, k = 2).count() > 0)
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set("spark.graft.knn.maxExactBlock", v)
+        case None => spark.conf.unset("spark.graft.knn.maxExactBlock")
+      }
+    }
+  }
+
   test("hardNegatives: ranking is cross-label cosine, ties by id") {
     val many = Seq(
       (1L, Array(1.0f, 0.0f), 0),

@@ -80,4 +80,32 @@ class NearestCellKernelSpec extends AnyFunSuite with SparkTestBase {
     assert(!fb.contains("ArrayAggregate") && !fb.contains("ZipWith"),
       s"interpreted distance fold back in the assignment path: $fb")
   }
+
+  test("the integer family's non-null-element contract holds at the " +
+    "source: the quantizer never emits a null element (ADVICE r15 — " +
+    "the kernels read a null element as 0 where the HOF propagated " +
+    "null, so a quantizer regression must be caught HERE)") {
+    assert(realCodes.filter(exists(col("codes"), _.isNull)).count() == 0)
+    assert(realCodes.filter(col("codes").isNull).count() == 0)
+  }
+
+  test("CellResidualInt: an out-of-range cell THROWS (broken " +
+    "assignment surfaces instead of clamping into plausible-but-wrong " +
+    "residuals)") {
+    val model = realModel(2)
+    def resid(cell: Int) = realCodes.limit(1).select(
+      org.apache.spark.sql.graftbridge.Bridge.column(
+        graft.functions.CellResidualInt(
+          org.apache.spark.sql.graftbridge.Bridge.expression(col("codes")),
+          org.apache.spark.sql.graftbridge.Bridge.expression(lit(cell)),
+          model.map(_.toIndexedSeq).toIndexedSeq)).as("r"))
+    val ex = intercept[Exception] { resid(2).collect() }
+    def causes(t: Throwable): Seq[Throwable] =
+      if (t == null) Seq.empty else t +: causes(t.getCause)
+    assert(causes(ex).exists(c =>
+      Option(c.getMessage).exists(_.contains("outside the"))),
+      s"expected the out-of-range message, got: $ex")
+    // in-range still answers
+    assert(resid(1).collect().length == 1)
+  }
 }
