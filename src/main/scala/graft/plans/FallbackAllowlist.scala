@@ -53,14 +53,22 @@ object FallbackAllowlist {
     // class 1 — bounded per-row folds
     "q103_substring_dedup" -> (core ++ Set("ArrayTransform",
       "CollectSet")), // transform over the per-doc affected-span list
-    "q105_bpe_merges" -> (core ++ Set("ArrayFilter", "ArrayTransform",
-      "ArrayAggregate")), // BUILD-phase BPE training rounds: per-WORD
-    // char split/pair-enumeration/merge folds over the DISTINCT-word
-    // vocabulary frame (the corpus collapses to (word, n) first — cost
-    // tracks vocabulary, not corpus; rounds checkpoint so round r
-    // never replays rounds 0..r−1), each fold bounded by word length
-    "q107_bpe_encode" -> (core ++ Set("ArrayAggregate", "ArrayFilter")),
-    // fold bounded by the trained merge count (10)
+    "q105_bpe_merges" -> (core ++ Set("ArrayFilter", "ArrayTransform")),
+    // BUILD-phase BPE training rounds over the DISTINCT-word frame:
+    // the merge-pass ArrayAggregate is kernel'd since r16
+    // (functions/BpeMergePass — BpeVocabProbe measured the fold
+    // vocab-linear, and vocabulary is Heaps-soft in the corpus); what
+    // remains is the one-time char split (ArrayFilter) and the
+    // per-round pair enumeration (ArrayTransform), each bounded by
+    // word length per word, measured r16: the kernel cut the 1M-type
+    // train 26.0 → 9.6 s (10-merge, BpeVocabProbe); the residue moves
+    // with the pair-count explode + map-side-combinable aggregate and
+    // the per-round checkpoint write — agg/IO-bound, not
+    // interpreter-bound (see SCALE_AUDIT r16 BPE section)
+    "q107_bpe_encode" -> (core + "ArrayFilter"),
+    // char split only — the rank-order merge chain (one interpreted
+    // ArrayAggregate PER TRAINED MERGE, each copying the output array
+    // per symbol) rides the sequential BpeMergePass kernel since r16
     "q111_dedup_reps" -> (core + "ArrayFilter"), // medoid band filter
     "q118_paragraph_dedup" -> (core ++ Set("CollectList",
       "ArrayTransform", "ArraySort")), // per-doc paragraph reassembly

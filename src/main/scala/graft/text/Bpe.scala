@@ -24,14 +24,37 @@ import org.apache.spark.sql.functions._
   * Determinism: argmax ties break on (count desc, left asc, right asc)
   * — the merge list is a pure function of the corpus. Driver-looped
   * with per-round argmax → no single SQL oracle; pinned by BpeSpec's
-  * hand-computed golden corpus. */
+  * hand-computed golden corpus.
+  *
+  * Round 16: merge application rides the
+  * [[graft.functions.BpeMergePass]] codegen kernel — the interpreted
+  * `aggregate` folds (kept below as `mergePassHof` /
+  * `mergePassMultiHof`, the executable specifications, pinned
+  * bit-exact by BpeKernelSpec) copied the whole output array per
+  * symbol per WORD over the distinct-word frame, and vocabulary grows
+  * with the corpus (Heaps; BpeVocabProbe measured the train
+  * vocab-linear at 2.6 → 5.9 → 26.0 s across 10k → 100k → 1M types
+  * while the corpus axis stayed flat). */
 object Bpe {
 
+  private def kernelPass(s: Column, rules: Seq[(String, String)],
+                         sequential: Boolean): Column =
+    org.apache.spark.sql.graftbridge.Bridge.column(
+      graft.functions.BpeMergePass(
+        org.apache.spark.sql.graftbridge.Bridge.expression(s),
+        rules, sequential))
+
   /** One greedy, left-to-right, non-overlapping merge pass of (l, r)
-    * over a symbol array: a fold whose state is (output, pending
-    * symbol). A freshly merged token never re-merges in the same pass
-    * (pending resets to null), matching reference BPE. */
-  private def mergePass(s: Column, l: String, r: String): Column = {
+    * over a symbol array (the [[graft.functions.BpeMergePass]] kernel;
+    * [[mergePassHof]] is the pinned specification). */
+  private def mergePass(s: Column, l: String, r: String): Column =
+    kernelPass(s, Seq((l, r)), sequential = false)
+
+  /** The pre-kernel fold — KEPT as the executable specification the
+    * kernel is pinned against (BpeKernelSpec): state is (output,
+    * pending symbol); a freshly merged token never re-merges in the
+    * same pass (pending resets to null), matching reference BPE. */
+  private[graft] def mergePassHof(s: Column, l: String, r: String): Column = {
     def flush(acc: Column) =
       when(acc.getField("prev").isNull, acc.getField("out"))
         .otherwise(array_append(acc.getField("out"), acc.getField("prev")))
@@ -100,8 +123,15 @@ object Bpe {
     * symbol-disjoint merges: at each position the (prev, x) pair is
     * tested against every rule — disjointness means at most one can
     * match, so the combined pass is exactly the sequential composition
-    * of the individual [[mergePass]]es. */
+    * of the individual [[mergePass]]es. Kernel'd (r16);
+    * [[mergePassMultiHof]] is the pinned specification. */
   private def mergePassMulti(s: Column,
+                             rules: Seq[(String, String)]): Column =
+    kernelPass(s, rules, sequential = false)
+
+  /** The pre-kernel multi-rule fold — KEPT as the executable
+    * specification (BpeKernelSpec). */
+  private[graft] def mergePassMultiHof(s: Column,
                              rules: Seq[(String, String)]): Column = {
     def flush(acc: Column) =
       when(acc.getField("prev").isNull, acc.getField("out"))
@@ -237,8 +267,23 @@ object Bpe {
       .select(explode(split(col("text"), " ")).as("word"))
       .filter(col("word") =!= "").distinct()
       .withColumn("s", expr("filter(split(word, ''), x -> x <> '')"))
+    // one SEQUENTIAL kernel pass (rule by rule in rank order) replaces
+    // the foldLeft of mergeList.size chained interpreted aggregates —
+    // the composition [[encodeHof]] pins bit-exact (BpeKernelSpec)
+    base.select(col("word"),
+      kernelPass(col("s"), mergeList, sequential = true).as("tokens"))
+  }
+
+  /** The pre-kernel encode composition — KEPT as the executable
+    * specification (BpeKernelSpec). */
+  private[graft] def encodeHof(docs: DataFrame,
+                               mergeList: Seq[(String, String)]): DataFrame = {
+    val base = docs
+      .select(explode(split(col("text"), " ")).as("word"))
+      .filter(col("word") =!= "").distinct()
+      .withColumn("s", expr("filter(split(word, ''), x -> x <> '')"))
     val encoded = mergeList.foldLeft(col("s")) {
-      case (acc, (l, r)) => mergePass(acc, l, r)
+      case (acc, (l, r)) => mergePassHof(acc, l, r)
     }
     base.select(col("word"), encoded.as("tokens"))
   }

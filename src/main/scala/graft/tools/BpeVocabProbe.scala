@@ -1,0 +1,86 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Stresses the q105 BPE-training adjudication at grown vocabulary —
+  * the r15 verdict's task 3: the allowlist says training cost "tracks
+  * vocabulary, not corpus", but the repo's own Heaps curve (q127) says
+  * vocabulary GROWS with the corpus (types ~ n^β), so the per-WORD
+  * interpreted folds (char split, pair enumeration, merge-pass
+  * aggregate) carry a corpus-soft cost. This is the
+  * SemanticIntScaleProbe discipline — the probe shape that twice
+  * proved a bounded-fold adjudication wrong once its knob grew.
+  *
+  * One timed learnMergesBatched(10) per corpus in this JVM (warm rep
+  * first), with the distinct-word vocabulary printed next to the wall
+  * so the scaling column is (vocab ratio → wall ratio).
+  *
+  * THE REAL TEST CORPUS CANNOT GROW VOCABULARY (documents.parquet
+  * draws from a fixed 31-word pool at every sf — measured flat
+  * 1.3–1.4 s across three decades), so the vocab axis is synthetic:
+  * `V:D` specs generate D 40-word docs over V distinct words
+  * (`tokN` surface forms, ~7 chars). Fixing D while growing V
+  * isolates the vocabulary term the adjudication claims is the whole
+  * cost; fixing V while growing D isolates the corpus term it claims
+  * is only the initial map-side-combinable word count.
+  *
+  * Usage: runMain graft.tools.BpeVocabProbe [specCsv] [merges] [reps]
+  *        spec = a /sf dir, or V:D (vocab:docs synthetic)
+  *        (default "1000:25000,10000:25000,100000:25000,10000:250000")
+  */
+object BpeVocabProbe {
+  def main(args: Array[String]): Unit = {
+    val dirs = args.headOption.getOrElse(
+      "1000:25000,10000:25000,100000:25000,10000:250000")
+      .split(",").toSeq
+    val merges = args.drop(1).headOption.map(_.toInt).getOrElse(10)
+    val reps = args.drop(2).headOption.map(_.toInt).getOrElse(2)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.codegen.cache.maxEntries", "5000")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    for (d <- dirs) {
+      val docs =
+        if (d.startsWith("/")) graft.Tables.documents(spark, d)
+        else {
+          val Array(v, n) = d.split(":").map(_.toLong)
+          // parquet round-trip, not a checkpoint: the timing loop's
+          // blanket unpersist must not kill the generated corpus
+          val path = java.nio.file.Files
+            .createTempDirectory("graft_bpe_probe").toString
+          spark.range(n).toDF("doc_id")
+            .select(col("doc_id"), concat_ws(" ",
+              transform(sequence(lit(0), lit(39)),
+                i => concat(lit("tok"),
+                  pmod(col("doc_id") * 40 + i, lit(v))))).as("text"))
+            .write.mode("overwrite").parquet(path)
+          spark.read.parquet(path)
+        }
+      val vocab = docs
+        .select(explode(split(col("text"), " ")).as("word"))
+        .filter(col("word") =!= "").select(col("word")).distinct().count()
+      def time(): Double = {
+        val t0 = System.nanoTime()
+        graft.text.Bpe.learnMergesBatched(docs, merges)
+          .queryExecution.toRdd.count()
+        val dt = (System.nanoTime() - t0) / 1e9
+        spark.sparkContext.getPersistentRDDs.values
+          .foreach(_.unpersist(blocking = true))
+        dt
+      }
+      time() // warm
+      val ts = (1 to reps).map(_ => time())
+      println(f"BPEVOCAB dir=$d%-28s vocab=$vocab%-8d merges=$merges " +
+        ts.map(t => f"$t%7.2f").mkString(" ") + f"  min=${ts.min}%7.2f")
+    }
+    spark.stop()
+  }
+}
