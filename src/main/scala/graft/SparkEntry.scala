@@ -1989,7 +1989,10 @@ object SparkEntry {
     val out = s"${System.getProperty("java.io.tmpdir")}/graft_ivfpq_idx_" +
       java.security.MessageDigest.getInstance("MD5")
         .digest(d.getBytes("UTF-8")).take(8).map("%02x".format(_)).mkString
-    graft.jobs.IvfPqIndexJob.build(e, out)
+    // build-once semantics: a current index (fingerprint-checked
+    // driver metadata) is reused — exactly the serving shape; only a
+    // new/changed corpus pays the train + write
+    graft.jobs.IvfPqIndexJob.ensureBuilt(e, out)
     graft.jobs.IvfPqIndexJob.probe(s, out, e.filter(col("vec_id") < 10),
       k = 5)
   }

@@ -138,11 +138,53 @@ object IvfPqIndexJob {
       .coalesce(1).write.mode("overwrite").parquet(s"$outDir/model/books")
   }
 
+  /** Source-data fingerprint from driver-side file metadata only
+    * (paths + lengths + mtimes — no Spark job): catches the corpus
+    * being rewritten in place under an existing index (the
+    * [[graft.sim.LshIndex.fingerprint]] recipe). */
+  private def fingerprint(df: DataFrame): String = {
+    val conf = df.sparkSession.sparkContext.hadoopConfiguration
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val files = df.inputFiles.sorted
+    files.foreach { f =>
+      val p = new org.apache.hadoop.fs.Path(f)
+      val st = p.getFileSystem(conf).getFileStatus(p)
+      md.update(
+        s"$f|${st.getLen}|${st.getModificationTime};".getBytes("UTF-8"))
+    }
+    files.length + "_" + md.digest().map("%02x".format(_)).mkString
+  }
+
+  /** Build unless a CURRENT index for this corpus exists (presence via
+    * the model dir, currency via the stored [[fingerprint]]) — the
+    * build-once semantics a serving index actually has: repeated jobs
+    * over an unchanged corpus pay a driver metadata check, not a
+    * retrain + full rewrite. A stale or missing index is rebuilt.
+    * NOTE: only for indexes that have NOT taken [[ingest]] batches —
+    * ingest grows the stores past the build fingerprint by design (the
+    * fingerprint records the BUILD corpus only). */
+  def ensureBuilt(embeddings: DataFrame, outDir: String, cells: Int = 8,
+                  subspaces: Int = 8, cents: Int = 8): Unit = {
+    val spark = embeddings.sparkSession
+    val fp = fingerprint(embeddings)
+    val metaPath = s"$outDir/meta"
+    val fresh = pathExists(spark, metaPath) &&
+      pathExists(spark, s"$outDir/model/stats") &&
+      spark.read.parquet(metaPath).head().getString(0) == fp
+    if (!fresh) {
+      build(embeddings, outDir, cells, subspaces, cents)
+      import spark.implicits._
+      Seq(fp).toDF("fingerprint")
+        .coalesce(1).write.mode("overwrite").parquet(metaPath)
+    }
+  }
+
   /** Build the index from `embeddings`: train the frozen model on the
     * build corpus (exactly [[IvfPqInt.ivfPqIntTopK]]'s training path,
     * so a probe at build state reproduces the q145 pipeline
     * bit-for-bit), then write model + postings + vecs. Overwrites any
-    * prior index at `outDir`. */
+    * prior index at `outDir` (and its [[ensureBuilt]] fingerprint —
+    * a direct build invalidates it; ensureBuilt rewrites it after). */
   def build(embeddings: DataFrame, outDir: String, cells: Int = 8,
             subspaces: Int = 8, cents: Int = 8): Unit = {
     val spark = embeddings.sparkSession
@@ -167,8 +209,12 @@ object IvfPqIndexJob {
     val model = IvfPqModel(dims, subspaces, stats, coarse, books)
     saveModel(spark, outDir, model)
     // a table location can survive a JVM whose in-memory catalog didn't
-    // (the LshIndex lesson) — purge both stores before the fresh write
+    // (the LshIndex lesson) — purge both stores before the fresh write;
+    // the ensureBuilt fingerprint goes too (it described the OLD build)
     Seq("postings", "vecs").foreach(dropStore(spark, outDir, _))
+    val metaLoc = new org.apache.hadoop.fs.Path(s"$outDir/meta")
+    val metaFs = metaLoc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (metaFs.exists(metaLoc)) metaFs.delete(metaLoc, true)
     appendBucketed(assigned
       .withColumn("enc", IvfPqInt.encodeWith(col("res"), books, subDim))
       .select(col("cell"), col("vec_id"), col("enc")),
@@ -198,6 +244,15 @@ object IvfPqIndexJob {
     val fresh = fresh0.localCheckpoint(true)
     try {
       val n = fresh.count()
+      // the stores are about to outgrow the build corpus: drop the
+      // ensureBuilt fingerprint so a later ensureBuilt over the build
+      // corpus can never mistake the grown index for "current"
+      if (n > 0) {
+        val metaLoc = new org.apache.hadoop.fs.Path(s"$outDir/meta")
+        val fs = metaLoc
+          .getFileSystem(spark.sparkContext.hadoopConfiguration)
+        if (fs.exists(metaLoc)) fs.delete(metaLoc, true)
+      }
       if (n > 0) {
         appendBucketed(fresh
           .withColumn("cell",

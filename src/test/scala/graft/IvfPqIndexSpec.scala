@@ -111,6 +111,38 @@ class IvfPqIndexSpec extends AnyFunSuite with SparkTestBase {
     assert(IvfPqIndexJob.storeView(spark, out, "vecs").get.count() == n)
   }
 
+  test("ensureBuilt is build-once: an unchanged corpus reuses the " +
+    "index (postings untouched), a rewritten corpus rebuilds, and an " +
+    "ingest invalidates the fingerprint") {
+    val out = tmp()
+    val src = tmp()
+    e.limit(20).write.mode("overwrite").parquet(src)
+    def corpus = spark.read.parquet(src)
+    IvfPqIndexJob.ensureBuilt(corpus, out)
+    def postingsMtime(): Long = {
+      val d = new java.io.File(s"$out/postings")
+      d.listFiles().map(_.lastModified()).max
+    }
+    val t0 = postingsMtime()
+    Thread.sleep(1100) // mtime granularity
+    IvfPqIndexJob.ensureBuilt(corpus, out)
+    assert(postingsMtime() == t0, "unchanged corpus must not rebuild")
+    // corpus rewritten in place -> fingerprint stale -> rebuild
+    e.limit(30).write.mode("overwrite").parquet(src)
+    IvfPqIndexJob.ensureBuilt(corpus, out)
+    assert(postingsMtime() > t0, "rewritten corpus must rebuild")
+    assert(IvfPqIndexJob.storeView(spark, out, "vecs").get.count() == 30)
+    // ingest grows the store past the build corpus: the fingerprint
+    // must go with it, so ensureBuilt rebuilds rather than serving a
+    // grown index as "current for the build corpus"
+    val t1 = postingsMtime()
+    IvfPqIndexJob.ingest(e.filter(col("vec_id") >= 40), out)
+    Thread.sleep(1100)
+    IvfPqIndexJob.ensureBuilt(corpus, out)
+    assert(postingsMtime() > t1, "post-ingest ensureBuilt must rebuild")
+    assert(IvfPqIndexJob.storeView(spark, out, "vecs").get.count() == 30)
+  }
+
   test("probing a missing index fails fast with guidance") {
     val ex = intercept[IllegalStateException] {
       IvfPqIndexJob.probe(spark, tmp(), q, k = 3)
