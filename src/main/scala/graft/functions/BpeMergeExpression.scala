@@ -35,8 +35,16 @@ import org.apache.spark.unsafe.types.UTF8String
   *
   * Greedy semantics per pass, identical to the HOF: a freshly merged
   * token never re-merges in the same pass (pending resets), matching
-  * reference BPE. Null symbol ARRAY → null; elements are non-null by
-  * construction (char split of a non-null word).
+  * reference BPE. Null symbol ARRAY → null. The call sites produce
+  * non-null elements by construction (char split of a non-null word),
+  * but the input TYPE is array<string> with containsNull = true
+  * (split's declared type), so a null ELEMENT is handled the way the
+  * HOF fold handled it rather than NPE'ing: the null-conditioned
+  * `when` falls to the otherwise branch, which flushes any pending
+  * symbol and makes the null the new pending — a pending null never
+  * matches a rule and `flush` treats it as "nothing pending", so the
+  * null is DROPPED and acts as a merge barrier. Output therefore
+  * honors containsNull = false (pinned vs the HOF in BpeKernelSpec).
   */
 case class BpeMergePass(child: Expression, rules: Seq[(String, String)],
                         sequential: Boolean) extends UnaryExpression {
@@ -112,7 +120,7 @@ object BpeMergePass {
     while (i < n) {
       val x = cur(i)
       var merged: UTF8String = null
-      if (pending != null) {
+      if (pending != null && x != null) {
         var k = from
         while (merged == null && k < until) {
           if (pending.equals(ls(k)) && x.equals(rs(k))) merged = lrs(k)

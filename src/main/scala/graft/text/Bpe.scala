@@ -261,17 +261,23 @@ object Bpe {
   /** Encode texts with a learned merge list: per word, character split
     * then every merge applied in rank order (the standard BPE encode).
     * `mergeList` is model-sized (it was a driver value at learn time).
+    * An EMPTY merge list is legitimate — [[learnMerges]] returns one on
+    * a degenerate corpus (all single-character words) — and encodes to
+    * the plain character split, exactly [[encodeHof]]'s empty foldLeft
+    * (the kernel itself requires ≥1 rule, so guard here).
     * @return (word, tokens) per distinct word in `docs`. */
   def encode(docs: DataFrame, mergeList: Seq[(String, String)]): DataFrame = {
     val base = docs
       .select(explode(split(col("text"), " ")).as("word"))
       .filter(col("word") =!= "").distinct()
       .withColumn("s", expr("filter(split(word, ''), x -> x <> '')"))
-    // one SEQUENTIAL kernel pass (rule by rule in rank order) replaces
-    // the foldLeft of mergeList.size chained interpreted aggregates —
-    // the composition [[encodeHof]] pins bit-exact (BpeKernelSpec)
-    base.select(col("word"),
-      kernelPass(col("s"), mergeList, sequential = true).as("tokens"))
+    if (mergeList.isEmpty) base.select(col("word"), col("s").as("tokens"))
+    else
+      // one SEQUENTIAL kernel pass (rule by rule in rank order) replaces
+      // the foldLeft of mergeList.size chained interpreted aggregates —
+      // the composition [[encodeHof]] pins bit-exact (BpeKernelSpec)
+      base.select(col("word"),
+        kernelPass(col("s"), mergeList, sequential = true).as("tokens"))
   }
 
   /** The pre-kernel encode composition — KEPT as the executable

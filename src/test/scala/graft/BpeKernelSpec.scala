@@ -85,6 +85,38 @@ class BpeKernelSpec extends AnyFunSuite with SparkTestBase {
     assert(abc == Seq("abc"))
   }
 
+  test("null ELEMENTS (legal under split's containsNull=true type) " +
+    "match the HOF: dropped, acting as a merge barrier — no NPE, no " +
+    "null in the output") {
+    // a b | null | a b  — the null must flush nothing mid-merge and
+    // block (b, null)/(null, a) from ever matching
+    val withNulls = Seq(0L).toDF("id")
+      .select(col("id"), array(lit("a"), lit("b"), lit(null).cast("string"),
+        lit("a"), lit("b"), lit(null).cast("string")).as("s"))
+    for (seqMode <- Seq(false, true)) {
+      val k = withNulls
+        .select(kernel(col("s"), Seq(("a", "b")), sequential = seqMode))
+        .as[Seq[String]].head()
+      assert(k == Seq("ab", "ab"), s"sequential=$seqMode: $k")
+    }
+    val h = withNulls
+      .select(Bpe.mergePassHof(col("s"), "a", "b"))
+      .as[Seq[String]].head()
+    assert(h == Seq("ab", "ab"), "HOF spec itself must drop nulls")
+  }
+
+  test("encode with an EMPTY merge list (degenerate corpus: learnMerges " +
+    "can return none) is the plain char split == encodeHof") {
+    val docs = Seq((0L, "a b ab")).toDF("doc_id", "text")
+    val k = Bpe.encode(docs, Nil)
+      .as[(String, Seq[String])].collect().sortBy(_._1).toSeq
+    val h = Bpe.encodeHof(docs, Nil)
+      .as[(String, Seq[String])].collect().sortBy(_._1).toSeq
+    assert(k == h)
+    assert(k == Seq(("a", Seq("a")), ("ab", Seq("a", "b")),
+      ("b", Seq("b"))))
+  }
+
   test("encode == encodeHof on the real corpus with a trained merge " +
     "list (the q107 path end to end)") {
     val docs = Tables.documents(spark, "/root/testdata/sf0.001")
