@@ -83,6 +83,26 @@ object Layout {
     }
   }
 
+  /** Files per bucket id for a Spark-bucketed table directory — the
+    * audit that tells an operator (or a scheduled maintenance job)
+    * when a bucketed store needs compaction: appends accrete one file
+    * set per batch per bucket, the scan tax is per-file, and Spark
+    * only trusts a bucketed table's SORTED BY metadata when a bucket
+    * has exactly ONE file. Driver-side over the file listing only
+    * (the bucket id is encoded in the file name by every Spark
+    * bucketed write: `part-…_00003.c000…` → bucket 3). */
+  def bucketFileCounts(spark: SparkSession, dir: String): Map[Int, Int] = {
+    val bucketId = """_(\d{5})(?:\.|$)""".r
+    val p = new Path(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.listStatus(p).toSeq
+      .filter(s => s.isFile && s.getLen > 0 &&
+        s.getPath.getName.startsWith("part-"))
+      .flatMap(s => bucketId.findFirstMatchIn(s.getPath.getName)
+        .map(_.group(1).toInt))
+      .groupBy(identity).map { case (b, fs) => (b, fs.size) }
+  }
+
   /** Per-file min/max statistics manifest for `cols` — the data-skipping
     * index that makes a Z-ordered layout (functions/ZOrderExpression)
     * actually pay off: cluster by the Morton key at write time, collect

@@ -34,13 +34,29 @@ import graft.sim.IvfPqInt.IvfPqModel
   *    so just the rerank·|q| candidate ids shuffle). Splitting codes
   *    from postings is the LshIndex `_vec` lesson: code arrays must
   *    not ride the candidate shuffle.
+  *  - `meta` (one row): the index DESCRIPTOR — build fingerprint (""
+  *    until [[ensureBuilt]] claims currency, cleared again by any
+  *    [[ingest]] growth), the build recipe (cells, subspaces, cents),
+  *    the store BUCKET COUNT, and a format version. The bucket count
+  *    lives here because the catalog entry does NOT survive a new
+  *    SparkSession while the files do: [[storeView]] re-registers the
+  *    table from this descriptor (CREATE TABLE ... CLUSTERED BY ...
+  *    LOCATION) so a fresh serving session keeps the bucket-pruned,
+  *    exchange-free probe plan instead of silently degrading to a
+  *    plain parquet scan whose rerank join re-shuffles the index side
+  *    — exactly the cost the bucketing exists to avoid at 100 TB. The
+  *    recipe + version are part of [[ensureBuilt]]'s freshness check,
+  *    so changed dials (or a format change in a later binary) rebuild
+  *    instead of silently reusing an index trained under other
+  *    parameters.
   *
-  * Probe plan: postings scan (pushed In(cell), bucket-pruned) ⋈
-  * broadcast probe frame (query_id, cell, LUT — built DRIVER-SIDE from
-  * the frozen model, |q|·nprobe rows) → ADC top-`rerank` per query →
-  * bucketed vecs join → broadcast qcodes join → exact integer rerank,
-  * top-k. Bit-identical to [[IvfPqInt.topKWithModel]] on the same
-  * frozen model (pinned in IvfPqIndexSpec), which at build time equals
+  * Probe plan: postings scan (pushed In(cell), bucket-pruned,
+  * deduped by (cell, vec_id) — see ingest) ⋈ broadcast probe frame
+  * (query_id, cell, LUT — built DRIVER-SIDE from the frozen model,
+  * |q|·nprobe rows) → ADC top-`rerank` per query → bucketed vecs join
+  * → broadcast qcodes join → exact integer rerank, top-k.
+  * Bit-identical to [[IvfPqInt.topKWithModel]] on the same frozen
+  * model (pinned in IvfPqIndexSpec), which at build time equals
   * [[IvfPqInt.ivfPqIntTopK]] (the q145 oracle's pipeline) exactly.
   *
   * Ingest: each batch rides the frozen model (quantize → assign →
@@ -49,17 +65,61 @@ import graft.sim.IvfPqInt.IvfPqModel
   * replayed batch's vec_ids are already in `vecs` (bucket-aligned
   * anti-join), so nothing re-appends — idempotent under source replay
   * (the exactly-once contract every ingest job here carries).
+  * Crash-window honesty: postings appends BEFORE vecs (the guard
+  * store), so a failure between the two appends followed by replay
+  * re-appends the batch to postings (ids still absent from vecs) and
+  * completes vecs — the store SELF-HEALS, and the transient postings
+  * duplicates are removed by the probe's (cell, vec_id) dedupe over
+  * the pruned scan (cheap: bucket distribution already satisfies the
+  * grouping, no exchange; duplicate rows are bit-identical because
+  * encode through the frozen model is deterministic). Were the guard
+  * on the FIRST-written store instead, that crash would silently drop
+  * the batch from the second store forever — at-most-once, worse.
+  *
+  * Small-file hygiene: every ingest batch writes its own file set per
+  * bucket; after many batches the postings scan pays a per-file
+  * open/footer tax (the [[graft.io.Layout.compactionPlan]] rationale).
+  * [[compact]] is the bucket-PRESERVING fix: rewrite each store into a
+  * fresh table with one file per bucket (repartition by the bucket key
+  * with the bucket hash, so task == bucket), swap directories, and
+  * re-register — `saveAsTable`'s bucket bookkeeping stays valid
+  * because the swap happens at table granularity, never by moving
+  * files between bucket ids.
   */
 object IvfPqIndexJob {
 
   @transient private lazy val log =
     org.slf4j.LoggerFactory.getLogger(getClass)
 
-  /** File-layout choice for both tables (power of two, io.Layout). */
+  /** Bump when the on-disk layout or training recipe changes: a
+    * persisted index from an older binary is then STALE by definition
+    * (ensureBuilt rebuilds; pre-versioned metas fail [[loadMeta]] the
+    * same way). v2 = descriptor meta (recipe + buckets + version). */
+  private val FormatVersion = 2
+
+  /** The persisted index descriptor (the one-row `meta` store). */
+  private[graft] final case class IndexMeta(fingerprint: String,
+                                            cells: Int, subspaces: Int,
+                                            cents: Int, buckets: Int,
+                                            version: Int)
+
+  /** File-layout choice for both tables (power of two, io.Layout) —
+    * read at BUILD time and persisted in meta; later sessions use the
+    * persisted value (the files' actual layout), never the live conf. */
   private def storeBuckets(spark: SparkSession): Int =
     spark.conf.get("spark.graft.ivfpq.storeBuckets", "8").toInt
 
-  private def tableName(outDir: String, which: String): String = {
+  /** Bucket/sort layout per store — postings serve cell-key probes,
+    * vecs serve rerank id-joins. */
+  private def storeLayout(which: String): (String, Seq[String]) =
+    which match {
+      case "postings" => ("cell", Seq("cell", "vec_id"))
+      case "vecs" => ("vec_id", Seq("vec_id"))
+      case other => throw new IllegalArgumentException(
+        s"unknown store '$other'")
+    }
+
+  private[graft] def tableName(outDir: String, which: String): String = {
     val md = java.security.MessageDigest.getInstance("MD5")
       .digest(outDir.getBytes("UTF-8"))
     s"graft_ivfpq_${which}_" + md.take(8).map("%02x".format(_)).mkString
@@ -70,28 +130,87 @@ object IvfPqIndexJob {
     p.getFileSystem(spark.sessionState.newHadoopConf()).exists(p)
   }
 
-  /** Bucket-aware store view (catalog table when registered, plain
-    * path fallback for a fresh session over an existing store). */
+  private def deletePath(spark: SparkSession, path: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) fs.delete(p, true)
+  }
+
+  private[graft] def loadMeta(spark: SparkSession,
+                              outDir: String): Option[IndexMeta] = {
+    val p = s"$outDir/meta"
+    if (!pathExists(spark, p)) return None
+    val df = spark.read.parquet(p)
+    val need =
+      Seq("fingerprint", "cells", "subspaces", "cents", "buckets", "version")
+    // a pre-v2 meta (bare fingerprint) carries no descriptor: treat as
+    // absent — ensureBuilt rebuilds, storeView degrades gracefully
+    if (!need.forall(df.columns.contains)) return None
+    val r = df.select(need.map(col): _*).head()
+    Some(IndexMeta(r.getString(0), r.getInt(1), r.getInt(2), r.getInt(3),
+      r.getInt(4), r.getInt(5)))
+  }
+
+  private def saveMeta(spark: SparkSession, outDir: String,
+                       m: IndexMeta): Unit = {
+    import spark.implicits._
+    // the row is driver-local before the overwrite deletes the old file
+    Seq((m.fingerprint, m.cells, m.subspaces, m.cents, m.buckets, m.version))
+      .toDF("fingerprint", "cells", "subspaces", "cents", "buckets",
+        "version")
+      .coalesce(1).write.mode("overwrite").parquet(s"$outDir/meta")
+  }
+
+  /** Re-create the catalog entry for an existing on-disk store — the
+    * fresh-session serving path: the table LOCATION (and its bucketed
+    * files) outlive the session-scoped catalog, so a new SparkSession
+    * must re-declare CLUSTERED BY or every probe plans against a plain
+    * parquet scan (bucket pruning and the exchange-free rerank join
+    * silently gone). Schema comes from the parquet footers; the bucket
+    * count from the persisted descriptor. */
+  private def registerStoreTable(spark: SparkSession, outDir: String,
+                                 which: String, buckets: Int): Unit = {
+    val (bk, sks) = storeLayout(which)
+    val path = s"$outDir/$which"
+    val ddl = spark.read.parquet(path).schema.toDDL
+    val sorted = sks.map(s => s"`$s`").mkString(", ")
+    spark.sql(
+      s"""CREATE TABLE IF NOT EXISTS `${tableName(outDir, which)}` ($ddl)
+         |USING parquet
+         |CLUSTERED BY (`$bk`) SORTED BY ($sorted) INTO $buckets BUCKETS
+         |LOCATION '$path'""".stripMargin)
+  }
+
+  /** Bucket-aware store view. Catalog hit → the registered table; miss
+    * with files + a descriptor meta → RE-REGISTER (fresh-session
+    * serving keeps the bucketed plan); miss with files but no
+    * descriptor (pre-v2 store) → plain path read, correct but
+    * shuffle-degraded — ensureBuilt over such a store rebuilds it into
+    * the current format. */
   private[graft] def storeView(spark: SparkSession, outDir: String,
                                which: String): Option[DataFrame] = {
     val path = s"$outDir/$which"
     if (spark.catalog.tableExists(tableName(outDir, which)))
       Some(spark.table(tableName(outDir, which)))
-    else if (pathExists(spark, path))
-      Some(spark.read.parquet(path))
+    else if (pathExists(spark, path)) loadMeta(spark, outDir) match {
+      case Some(m) =>
+        registerStoreTable(spark, outDir, which, m.buckets)
+        Some(spark.table(tableName(outDir, which)))
+      case None => Some(spark.read.parquet(path))
+    }
     else None
   }
 
   /** Bucket by `bucketKey` ONLY (a multi-column bucket hash would
     * defeat the probe's In(cell) bucket pruning); sort by `sortKeys`
     * within buckets so row-group stats prune too. */
-  private def appendBucketed(df: DataFrame, outDir: String, which: String,
-                             bucketKey: String,
-                             sortKeys: Seq[String]): Unit = {
+  private[graft] def appendBucketed(df: DataFrame, outDir: String,
+                                    which: String, buckets: Int): Unit = {
     val spark = df.sparkSession
+    val (bucketKey, sortKeys) = storeLayout(which)
     val table = tableName(outDir, which)
     val w = df.write.format("parquet")
-      .bucketBy(storeBuckets(spark), bucketKey)
+      .bucketBy(buckets, bucketKey)
       .sortBy(sortKeys.head, sortKeys.tail: _*)
       .mode("append")
     (if (spark.catalog.tableExists(table)) w
@@ -101,9 +220,7 @@ object IvfPqIndexJob {
   private def dropStore(spark: SparkSession, outDir: String,
                         which: String): Unit = {
     spark.sql(s"DROP TABLE IF EXISTS ${tableName(outDir, which)}")
-    val loc = new org.apache.hadoop.fs.Path(s"$outDir/$which")
-    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(loc)) fs.delete(loc, true)
+    deletePath(spark, s"$outDir/$which")
   }
 
   /** The frozen model, or None before a build. */
@@ -155,36 +272,43 @@ object IvfPqIndexJob {
     files.length + "_" + md.digest().map("%02x".format(_)).mkString
   }
 
-  /** Build unless a CURRENT index for this corpus exists (presence via
-    * the model dir, currency via the stored [[fingerprint]]) — the
-    * build-once semantics a serving index actually has: repeated jobs
-    * over an unchanged corpus pay a driver metadata check, not a
-    * retrain + full rewrite. A stale or missing index is rebuilt.
+  /** Build unless a CURRENT index for this corpus AND this recipe
+    * exists — currency is the whole descriptor: stored [[fingerprint]]
+    * matches the corpus, (cells, subspaces, cents) match the requested
+    * dials, the bucket count matches the conf, and the format version
+    * matches this binary. Anything else rebuilds: an index trained
+    * under other parameters answering for these dials would be a
+    * silent recall/geometry change (the index outlives JVMs — q146
+    * persists under a shared tmpdir — so the mismatch window is real).
+    * Repeated jobs over an unchanged corpus pay a driver metadata
+    * check, not a retrain + full rewrite.
     * NOTE: only for indexes that have NOT taken [[ingest]] batches —
     * ingest grows the stores past the build fingerprint by design (the
-    * fingerprint records the BUILD corpus only). */
+    * fingerprint records the BUILD corpus only; ingest clears it). */
   def ensureBuilt(embeddings: DataFrame, outDir: String, cells: Int = 8,
                   subspaces: Int = 8, cents: Int = 8): Unit = {
     val spark = embeddings.sparkSession
     val fp = fingerprint(embeddings)
-    val metaPath = s"$outDir/meta"
-    val fresh = pathExists(spark, metaPath) &&
-      pathExists(spark, s"$outDir/model/stats") &&
-      spark.read.parquet(metaPath).head().getString(0) == fp
+    val buckets = storeBuckets(spark)
+    val fresh = pathExists(spark, s"$outDir/model/stats") &&
+      loadMeta(spark, outDir).exists(m =>
+        m.version == FormatVersion && m.fingerprint == fp &&
+          m.cells == cells && m.subspaces == subspaces &&
+          m.cents == cents && m.buckets == buckets)
     if (!fresh) {
       build(embeddings, outDir, cells, subspaces, cents)
-      import spark.implicits._
-      Seq(fp).toDF("fingerprint")
-        .coalesce(1).write.mode("overwrite").parquet(metaPath)
+      saveMeta(spark, outDir,
+        IndexMeta(fp, cells, subspaces, cents, buckets, FormatVersion))
     }
   }
 
   /** Build the index from `embeddings`: train the frozen model on the
     * build corpus (exactly [[IvfPqInt.ivfPqIntTopK]]'s training path,
     * so a probe at build state reproduces the q145 pipeline
-    * bit-for-bit), then write model + postings + vecs. Overwrites any
-    * prior index at `outDir` (and its [[ensureBuilt]] fingerprint —
-    * a direct build invalidates it; ensureBuilt rewrites it after). */
+    * bit-for-bit), then write model + postings + vecs + descriptor.
+    * Overwrites any prior index at `outDir`; the descriptor's
+    * fingerprint starts EMPTY (no currency claim — [[ensureBuilt]]
+    * stamps it after a fingerprinted build). */
   def build(embeddings: DataFrame, outDir: String, cells: Int = 8,
             subspaces: Int = 8, cents: Int = 8): Unit = {
     val spark = embeddings.sparkSession
@@ -210,28 +334,50 @@ object IvfPqIndexJob {
     saveModel(spark, outDir, model)
     // a table location can survive a JVM whose in-memory catalog didn't
     // (the LshIndex lesson) — purge both stores before the fresh write;
-    // the ensureBuilt fingerprint goes too (it described the OLD build)
+    // the old descriptor goes too (it described the OLD build)
     Seq("postings", "vecs").foreach(dropStore(spark, outDir, _))
-    val metaLoc = new org.apache.hadoop.fs.Path(s"$outDir/meta")
-    val metaFs = metaLoc.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (metaFs.exists(metaLoc)) metaFs.delete(metaLoc, true)
+    deletePath(spark, s"$outDir/meta")
+    val buckets = storeBuckets(spark)
     appendBucketed(assigned
       .withColumn("enc", IvfPqInt.encodeWith(col("res"), books, subDim))
       .select(col("cell"), col("vec_id"), col("enc")),
-      outDir, "postings", "cell", Seq("cell", "vec_id"))
+      outDir, "postings", buckets)
     appendBucketed(codes.select(col("vec_id"), col("codes")),
-      outDir, "vecs", "vec_id", Seq("vec_id"))
+      outDir, "vecs", buckets)
+    saveMeta(spark, outDir,
+      IndexMeta("", cells, subspaces, cents, buckets, FormatVersion))
   }
+
+  /** Quantized batch → (cell, vec_id, enc) postings rows through the
+    * frozen model — per-row codegen against literal models, zero
+    * shuffle. Shared by [[ingest]] and the spec's crash-window
+    * simulation. */
+  private[graft] def encodePostings(codes: DataFrame,
+                                    model: IvfPqModel): DataFrame =
+    codes
+      .withColumn("cell",
+        graft.sim.IvfInt.nearestCellInt(col("codes"), model.coarse))
+      .withColumn("res",
+        IvfPqInt.residualOf(col("codes"), col("cell"), model.coarse))
+      .withColumn("enc",
+        IvfPqInt.encodeWith(col("res"), model.books, model.subDim))
+      .select(col("cell"), col("vec_id"), col("enc"))
 
   /** Ingest a batch of (vec_id, embedding) through the FROZEN model:
     * quantize/assign/encode (per-row codegen, zero shuffle), anti-join
-    * replayed ids, append to both stores in bucket layout.
+    * replayed ids, append to both stores in bucket layout. Idempotent
+    * under source replay; see the class doc for the crash-window
+    * analysis (guard on the second-written store + probe-side dedupe
+    * → a replay after a partial failure HEALS the store rather than
+    * dropping or duplicating data).
     * @return number of new vectors appended */
   def ingest(batch: DataFrame, outDir: String): Long = {
     val spark = batch.sparkSession
     val model = loadModel(spark, outDir).getOrElse(
       throw new IllegalStateException(
         s"no IVF-PQ index at $outDir — build(...) first"))
+    val meta = loadMeta(spark, outDir)
+    val buckets = meta.map(_.buckets).getOrElse(storeBuckets(spark))
     val codes = graft.sim.Quantize
       .quantize(batch, model.statsFrame(spark))
     // replay guard: ids already ingested never re-append (bucket-aligned
@@ -244,31 +390,83 @@ object IvfPqIndexJob {
     val fresh = fresh0.localCheckpoint(true)
     try {
       val n = fresh.count()
-      // the stores are about to outgrow the build corpus: drop the
-      // ensureBuilt fingerprint so a later ensureBuilt over the build
-      // corpus can never mistake the grown index for "current"
       if (n > 0) {
-        val metaLoc = new org.apache.hadoop.fs.Path(s"$outDir/meta")
-        val fs = metaLoc
-          .getFileSystem(spark.sparkContext.hadoopConfiguration)
-        if (fs.exists(metaLoc)) fs.delete(metaLoc, true)
-      }
-      if (n > 0) {
-        appendBucketed(fresh
-          .withColumn("cell",
-            graft.sim.IvfInt.nearestCellInt(col("codes"), model.coarse))
-          .withColumn("res",
-            IvfPqInt.residualOf(col("codes"), col("cell"), model.coarse))
-          .withColumn("enc",
-            IvfPqInt.encodeWith(col("res"), model.books, model.subDim))
-          .select(col("cell"), col("vec_id"), col("enc")),
-          outDir, "postings", "cell", Seq("cell", "vec_id"))
+        // the stores are about to outgrow the build corpus: clear the
+        // ensureBuilt fingerprint so a later ensureBuilt over the build
+        // corpus can never mistake the grown index for "current" (the
+        // rest of the descriptor — recipe, buckets, version — stays:
+        // storeView still needs it to re-register in a fresh session)
+        meta match {
+          case Some(m) if m.fingerprint.nonEmpty =>
+            saveMeta(spark, outDir, m.copy(fingerprint = ""))
+          case Some(_) => ()
+          case None => deletePath(spark, s"$outDir/meta")
+        }
+        appendBucketed(encodePostings(fresh, model),
+          outDir, "postings", buckets)
         appendBucketed(fresh.select(col("vec_id"), col("codes")),
-          outDir, "vecs", "vec_id", Seq("vec_id"))
+          outDir, "vecs", buckets)
       } else log.info(s"ivfpq ingest at $outDir: batch fully replayed, " +
         "nothing appended")
       n
     } finally fresh.unpersist()
+  }
+
+  /** Bucket-preserving small-file compaction of both stores — the
+    * operational pass an append-heavy index needs (each [[ingest]]
+    * batch adds a file set per bucket; the scan tax is per-FILE:
+    * [[graft.io.Layout.compactionPlan]]'s rationale, applied here at
+    * table granularity because naive per-file merging would break
+    * `saveAsTable`'s bucket bookkeeping). Rewrite-into-fresh-table-
+    * then-swap: repartition by the bucket key with the bucket count
+    * (repartition's Murmur3 hash IS the bucket hash, so each task
+    * holds exactly one bucket → ONE file per bucket), write as a new
+    * bucketed table beside the store, swap directories, re-register.
+    * Probe results are bit-identical before/after (row set unchanged;
+    * pinned in IvfPqIndexSpec), and the within-bucket SORTED BY
+    * metadata becomes actually usable again (Spark only trusts it at
+    * one file per bucket). */
+  def compact(spark: SparkSession, outDir: String): Unit =
+    Seq("postings", "vecs").foreach(compactStore(spark, outDir, _))
+
+  private def compactStore(spark: SparkSession, outDir: String,
+                           which: String): Unit = {
+    val path = s"$outDir/$which"
+    if (!pathExists(spark, path)) return
+    val buckets = loadMeta(spark, outDir).map(_.buckets)
+      .getOrElse(storeBuckets(spark))
+    val (bk, sks) = storeLayout(which)
+    // read the RAW path, not the catalog table: a bucketed scan already
+    // claims HashPartitioning(bk, buckets), so the planner elides the
+    // repartition below as redundant — and then auto-disables the
+    // bucketed scan (nothing left requiring the distribution), leaving
+    // file-split task partitioning that writes one file per (task,
+    // bucket) pair instead of one per bucket. The plain path read has
+    // no bucket metadata, so the repartition genuinely shuffles with
+    // the bucket hash and task == bucket holds.
+    val df = spark.read.parquet(path)
+    val tmpWhich = s"${which}_compacting"
+    val tmpTable = tableName(outDir, tmpWhich)
+    val tmpPath = s"$outDir/$tmpWhich"
+    spark.sql(s"DROP TABLE IF EXISTS `$tmpTable`")
+    deletePath(spark, tmpPath)
+    // task == bucket: one output file per bucket, the compaction goal
+    df.repartition(buckets, col(bk))
+      .write.format("parquet")
+      .bucketBy(buckets, bk).sortBy(sks.head, sks.tail: _*)
+      .option("path", tmpPath).mode("overwrite").saveAsTable(tmpTable)
+    // swap at table granularity: drop both catalog entries (external —
+    // files stay), move the compacted files into place, re-register
+    spark.sql(s"DROP TABLE IF EXISTS `${tableName(outDir, which)}`")
+    spark.sql(s"DROP TABLE IF EXISTS `$tmpTable`")
+    deletePath(spark, path)
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.rename(new org.apache.hadoop.fs.Path(tmpPath),
+      new org.apache.hadoop.fs.Path(path)))
+      throw new IllegalStateException(
+        s"compaction swap failed: could not rename $tmpPath to $path")
+    registerStoreTable(spark, outDir, which, buckets)
   }
 
   /** Probe the index with a query batch of (vec_id, embedding) —
@@ -278,7 +476,11 @@ object IvfPqIndexJob {
     * model (|q| rows — the sanctioned query-bounded collect, exactly
     * LshIndex.probe's shape) and pushed into the postings scan as an
     * In(cell) filter; self-pairs are excluded by vec_id as in
-    * [[IvfPqInt.ivfPqIntTopK]].
+    * [[IvfPqInt.ivfPqIntTopK]]. The pruned scan is deduped by
+    * (cell, vec_id) — a no-op on a healthy store, and the guard that
+    * makes replay-after-partial-failure invisible (class doc); the
+    * bucket distribution already satisfies the grouping, so the dedupe
+    * adds no exchange.
     * @return (query_id, neighbor_id, dist, rank) — ivfPqIntTopK's shape */
   def probe(spark: SparkSession, outDir: String, queries: DataFrame,
             k: Int, nprobe: Int = 4, rerank: Int = 100): DataFrame = {
@@ -340,7 +542,8 @@ object IvfPqIndexJob {
     val qcodes = qRows.toSeq.map { case (qid, qc) => (qid, qc.toSeq) }
       .toDF("query_id", "qcodes")
     IvfPqInt.adcRerank(
-      postings.filter(col("cell").isin(probeKeys: _*)),
+      postings.filter(col("cell").isin(probeKeys: _*))
+        .dropDuplicates(Seq("cell", "vec_id")),
       vecs.select(col("vec_id"), col("codes")),
       qcodes, probed, model.stride, model.subspaces, k, rerank)
   }

@@ -1,0 +1,90 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Real-corpus recall-vs-dials tables for the FLOAT ANN family — the
+  * r16 verdict's task 6: q27 (trained IVF), q28 (multi-table sign-LSH),
+  * and q65 (PQ+rerank) each have recall SPECS but no published dial
+  * table at current defaults, so a caller has the same
+  * first-time-defaults problem q145 had before its r16 sweep
+  * (IvfPqDialProbe — this is that recipe applied to the float paths).
+  *
+  * Recall base: [[graft.sim.Similarity.bruteForceTopK]] — the exact
+  * float cosine top-5, the metric all three families approximate (the
+  * SimilaritySpec/ProductQuantizerSpec base). Each family sweeps ITS
+  * dial axes at the other dials' entry defaults:
+  *   ivf: nprobe × cells (q27 runs cells=8, nprobe=4, iters=5)
+  *   lsh: tables × probeBits at planes=8 (q28 runs 24×8 probe-1)
+  *   pq:  rerank × codebook k at subspaces=8, iters=3
+  *        (q65 runs k=32, rerank=50)
+  *
+  * Usage: SPARK_GRAFT_SF_DIR=... runMain graft.tools.FloatAnnDialProbe
+  *          [families csv: ivf,lsh,pq] */
+object FloatAnnDialProbe {
+  def main(args: Array[String]): Unit = {
+    val families = args.headOption.getOrElse("ivf,lsh,pq")
+      .split(",").toSeq.map(_.trim)
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.codegen.cache.maxEntries", "5000")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+    val e = graft.Tables.embeddings(spark, sfDir)
+    val q = e.filter(col("vec_id") < 10)
+
+    val exact = graft.sim.Similarity.bruteForceTopK(e, q, 5)
+      .select(col("query_id"), col("neighbor_id"))
+      .as[(Long, Long)].collect().toSet
+
+    def measure(tag: String, df: => DataFrame): Unit = {
+      val t0 = System.nanoTime()
+      val got = df.select(col("query_id"), col("neighbor_id"))
+        .as[(Long, Long)].collect().toSet
+      val dt = (System.nanoTime() - t0) / 1e9
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = true))
+      val recall = got.intersect(exact).size.toDouble / exact.size
+      println(f"FLOATDIAL $tag%-36s recall@5=$recall%5.3f wall=$dt%6.2f")
+    }
+
+    if (families.contains("ivf"))
+      for (cells <- Seq(8, 16); np <- Seq(1, 2, 4, 8).filter(_ <= cells))
+        measure(s"ivf cells=$cells nprobe=$np",
+          graft.sim.Similarity.ivfTopKTrained(e, q, 5,
+            cells = cells, nprobe = np, iters = 5))
+    if (families.contains("lsh"))
+      for (tables <- Seq(8, 16, 24, 32); pb <- Seq(0, 1))
+        measure(s"lsh tables=$tables planes=8 probe=$pb",
+          graft.sim.Similarity.lshTopKMulti(e, q, 5,
+            planes = 8, dims = 64, tables = tables, probeBits = pb))
+    if (families.contains("pq")) {
+      for (bk <- Seq(16, 32)) {
+        // train once per codebook size — the rerank axis reuses it,
+        // exactly how a caller would dial rerank on a fixed model
+        val model = graft.sim.ProductQuantizer.train(e, subspaces = 8,
+          k = bk, dims = 64, iters = 3)
+        // parquet round-trip, not a checkpoint: measure()'s blanket
+        // unpersist must not kill the shared codes between dial points
+        val codesPath = java.nio.file.Files
+          .createTempDirectory("graft_pq_dial").toString
+        graft.sim.ProductQuantizer.encode(e, model)
+          .write.mode("overwrite").parquet(codesPath)
+        val codes = spark.read.parquet(codesPath)
+        for (rr <- Seq(0, 20, 50, 100))
+          measure(s"pq k=$bk rerank=$rr",
+            graft.sim.ProductQuantizer.adcTopK(codes, q, 5, model,
+              embeddings = e, rerank = rr))
+      }
+    }
+    spark.stop()
+  }
+}

@@ -1,0 +1,87 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Separates the IVF-PQ index's BUILD cost from its SERVE cost — the
+  * r16 verdict's task 3: q146's bench row (ensureBuilt + probe on a
+  * cold path) headlines the build+probe total, but the number a 100×
+  * operator cares about is the probe against a pre-built index. Also
+  * produces the compaction delta (task 2's throughput evidence) and
+  * the probe-only decade rows (task 7): build once, compact, then
+  * min-of-N probe walls on both layouts, with per-bucket file counts
+  * printed so the file-count tax is attributable.
+  *
+  * Usage: SPARK_GRAFT_SF_DIR=... runMain graft.tools.IvfPqServeProbe
+  *          [reps] [ingestFrac] — ingestFrac > 0 splits the corpus and
+  *        feeds the tail through `ingest` in 4 batches first, so the
+  *        uncompacted store carries a realistic multi-batch file set. */
+object IvfPqServeProbe {
+  def main(args: Array[String]): Unit = {
+    val reps = args.headOption.map(_.toInt).getOrElse(3)
+    val ingestFrac = args.drop(1).headOption.map(_.toDouble).getOrElse(0.5)
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.codegen.cache.maxEntries", "5000")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val e = graft.Tables.embeddings(spark, sfDir)
+    val q = e.filter(col("vec_id") < 10)
+    val out = java.nio.file.Files
+      .createTempDirectory("graft_ivfpq_serve").toString
+
+    val n = e.count()
+    val cut = (n * (1 - ingestFrac)).toLong
+    def timed(f: => Unit): Double = {
+      val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+    }
+    val tBuild = timed {
+      graft.jobs.IvfPqIndexJob.build(e.filter(col("vec_id") < cut), out)
+    }
+    var tIngest = 0.0
+    if (ingestFrac > 0) {
+      val span = math.max(1L, (n - cut) / 4)
+      tIngest = timed {
+        for (b <- 0 until 4) {
+          val lo = cut + b * span
+          val hi = if (b == 3) n else cut + (b + 1) * span
+          graft.jobs.IvfPqIndexJob.ingest(
+            e.filter(col("vec_id") >= lo && col("vec_id") < hi), out)
+        }
+      }
+    }
+    println(f"SERVE sf=$sfDir n=$n build=$tBuild%.2f ingest4=$tIngest%.2f")
+
+    def probeMin(tag: String): Unit = {
+      val ts = (1 to reps).map { _ =>
+        timed {
+          graft.jobs.IvfPqIndexJob.probe(spark, out, q, k = 5)
+            .queryExecution.toRdd.count()
+        }
+      }
+      println(f"SERVE $tag%-12s " + ts.map(t => f"$t%6.2f").mkString(" ") +
+        f"  min=${ts.min}%6.2f")
+    }
+    def counts(tag: String): Unit =
+      for (w <- Seq("postings", "vecs")) {
+        val c = graft.io.Layout.bucketFileCounts(spark, s"$out/$w")
+        println(s"SERVE files $tag $w: total=${c.values.sum} " +
+          s"maxPerBucket=${if (c.isEmpty) 0 else c.values.max}")
+      }
+
+    counts("pre-compact")
+    probeMin("probe-multi")
+    val tCompact = timed { graft.jobs.IvfPqIndexJob.compact(spark, out) }
+    println(f"SERVE compact=$tCompact%.2f")
+    counts("compacted")
+    probeMin("probe-1file")
+    spark.stop()
+  }
+}

@@ -1,0 +1,61 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Stage-attributes q88_containment's chronic FIRST-REP variance
+  * (95–222 s across JVMs at sf1 dup-stress, flagged since r9 — it
+  * contaminates every sweep it leads) between the two halves of the
+  * query, with janino-compile deltas per stage (the q111/CodegenProbe
+  * recipe): stage A = the shingle-store build + localCheckpoint
+  * materialization (scan → normalize kernel → shingle explode →
+  * distinct → checkpoint write); stage B = the containment tail over
+  * the materialized store (inverted self-join → pair count → ratio
+  * filter). If rep-1 excess rides stage A with flat later reps, the
+  * variance is the store's first materialization (JIT of the shingle
+  * kernels + checkpoint write); if it rides stage B, it's the join.
+  *
+  * Usage: SPARK_GRAFT_SF_DIR=... runMain graft.tools.Q88Probe [reps]
+  */
+object Q88Probe {
+  def main(args: Array[String]): Unit = {
+    val reps = args.headOption.map(_.toInt).getOrElse(3)
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "localdata/sf1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.codegen.cache.maxEntries", "5000")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val hist = org.apache.spark.metrics.source.CodegenMetrics
+      .METRIC_COMPILATION_TIME
+    def totalMs(): Double = hist.getCount * hist.getSnapshot.getMean
+    for (r <- 1 to reps) {
+      val docs = graft.Tables.documents(spark, sfDir)
+      var c0 = hist.getCount; var ms0 = totalMs()
+      var t0 = System.nanoTime()
+      val store = graft.dedup.Dedup.shingleKeys(docs, 3)
+        .localCheckpoint(true)
+      val tA = (System.nanoTime() - t0) / 1e9
+      val (cA, msA) = (hist.getCount - c0, totalMs() - ms0)
+      c0 = hist.getCount; ms0 = totalMs()
+      t0 = System.nanoTime()
+      graft.dedup.Dedup.containmentPairs(store, 0.8)
+        .queryExecution.toRdd.count()
+      val tB = (System.nanoTime() - t0) / 1e9
+      val (cB, msB) = (hist.getCount - c0, totalMs() - ms0)
+      println(f"Q88 rep$r storeBuild=$tA%7.2fs (compiles=$cA " +
+        f"est=${msA / 1000}%.2fs)  containTail=$tB%7.2fs (compiles=$cB " +
+        f"est=${msB / 1000}%.2fs)  total=${tA + tB}%7.2fs")
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = true))
+      System.gc()
+    }
+    spark.stop()
+  }
+}

@@ -143,6 +143,119 @@ class IvfPqIndexSpec extends AnyFunSuite with SparkTestBase {
     assert(IvfPqIndexJob.storeView(spark, out, "vecs").get.count() == 30)
   }
 
+  private def assertProbePlanPins(out: String): Unit = {
+    val plan = IvfPqIndexJob.probe(spark, out, q, k = 5)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [In(cell"),
+      s"expected In(cell, ...) pushed to the postings scan in:\n$plan")
+    assert(plan.contains("SelectedBucketsCount"),
+      s"postings scan must be bucket-pruned:\n$plan")
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(exchanges <= 3,
+      s"expected only the window/candidate exchanges, got $exchanges:\n$plan")
+  }
+
+  test("FRESH SESSION serving: with the catalog entries gone (files " +
+    "intact), storeView re-registers from the persisted descriptor and " +
+    "the probe keeps the bucket-pruned, exchange-free plan AND its rows") {
+    val out = tmp()
+    IvfPqIndexJob.build(e, out)
+    val before = rows(IvfPqIndexJob.probe(spark, out, q, k = 5))
+    // simulate a new SparkSession over the same on-disk index: the
+    // session-scoped catalog is empty, the table locations survive
+    Seq("postings", "vecs").foreach(w => spark.sql(
+      s"DROP TABLE IF EXISTS `${IvfPqIndexJob.tableName(out, w)}`"))
+    assert(!spark.catalog.tableExists(IvfPqIndexJob.tableName(out, "postings")))
+    assertProbePlanPins(out)
+    assert(rows(IvfPqIndexJob.probe(spark, out, q, k = 5)) == before)
+    // and the re-registration stuck (next probes pay nothing)
+    assert(spark.catalog.tableExists(IvfPqIndexJob.tableName(out, "postings")))
+  }
+
+  test("ensureBuilt currency covers the RECIPE, not just the corpus: " +
+    "different dials rebuild, same dials then reuse") {
+    val out = tmp()
+    val src = tmp()
+    e.limit(20).write.mode("overwrite").parquet(src)
+    def corpus = spark.read.parquet(src)
+    def postingsMtime(): Long = {
+      val d = new java.io.File(s"$out/postings")
+      d.listFiles().map(_.lastModified()).max
+    }
+    IvfPqIndexJob.ensureBuilt(corpus, out)
+    val t0 = postingsMtime()
+    Thread.sleep(1100)
+    // same corpus, different coarse-cell count: an index trained under
+    // other parameters must never answer for these dials
+    IvfPqIndexJob.ensureBuilt(corpus, out, cells = 4)
+    assert(postingsMtime() > t0, "changed recipe must rebuild")
+    assert(IvfPqIndexJob.loadModel(spark, out).get.coarse.size == 4)
+    val t1 = postingsMtime()
+    Thread.sleep(1100)
+    IvfPqIndexJob.ensureBuilt(corpus, out, cells = 4)
+    assert(postingsMtime() == t1, "unchanged recipe+corpus must reuse")
+  }
+
+  test("replay after a crash BETWEEN the two appends heals the store: " +
+    "postings carry transient duplicates (probe dedupes them), vecs " +
+    "complete, and the probe stays row-identical to the recompute") {
+    val out = tmp()
+    val first = e.filter(col("vec_id") < 25)
+    val rest = e.filter(col("vec_id") >= 25)
+    IvfPqIndexJob.build(first, out)
+    val model = IvfPqIndexJob.loadModel(spark, out).get
+    val buckets = IvfPqIndexJob.loadMeta(spark, out).get.buckets
+    // the crash: ingest(rest) appended postings, died before vecs
+    val codes = graft.sim.Quantize.quantize(rest, model.statsFrame(spark))
+    IvfPqIndexJob.appendBucketed(
+      IvfPqIndexJob.encodePostings(codes, model), out, "postings", buckets)
+    // source replay: ids are absent from vecs (the guard store), so the
+    // whole batch re-appends — postings now duplicated, vecs completed
+    assert(IvfPqIndexJob.ingest(rest, out) == rest.count())
+    val postings = IvfPqIndexJob.storeView(spark, out, "postings").get
+    assert(postings.count() >
+      postings.dropDuplicates(Seq("cell", "vec_id")).count(),
+      "the simulation must actually produce duplicate postings rows")
+    assert(IvfPqIndexJob.storeView(spark, out, "vecs").get
+      .groupBy(col("vec_id")).count().filter(col("count") > 1).isEmpty,
+      "vecs (the guard store) must never duplicate")
+    val fromIndex = rows(IvfPqIndexJob.probe(spark, out, q, k = 5))
+    assert(fromIndex == rows(IvfPqInt.topKWithModel(e, q, model, k = 5)))
+    // a later FULL replay still appends nothing
+    assert(IvfPqIndexJob.ingest(rest, out) == 0L)
+  }
+
+  test("compaction: N ingest batches accrete files per bucket; compact " +
+    "rewrites to ONE file per bucket in both stores, probe rows and " +
+    "plan pins unchanged, and later ingests still append") {
+    val out = tmp()
+    IvfPqIndexJob.build(e.filter(col("vec_id") < 20), out)
+    IvfPqIndexJob.ingest(e.filter(col("vec_id") >= 20 &&
+      col("vec_id") < 35), out)
+    IvfPqIndexJob.ingest(e.filter(col("vec_id") >= 35 &&
+      col("vec_id") < 50), out)
+    val preCounts = graft.io.Layout.bucketFileCounts(spark, s"$out/postings")
+    assert(preCounts.values.max > 1,
+      s"ingest batches must accrete files per bucket, got $preCounts")
+    val before = rows(IvfPqIndexJob.probe(spark, out, q, k = 5))
+    val nPost = IvfPqIndexJob.storeView(spark, out, "postings").get.count()
+    IvfPqIndexJob.compact(spark, out)
+    for (w <- Seq("postings", "vecs")) {
+      val counts = graft.io.Layout.bucketFileCounts(spark, s"$out/$w")
+      assert(counts.nonEmpty && counts.values.forall(_ == 1),
+        s"$w after compact: expected one file per bucket, got $counts")
+    }
+    assert(IvfPqIndexJob.storeView(spark, out, "postings").get.count()
+      == nPost, "compaction must not change the row set")
+    assert(rows(IvfPqIndexJob.probe(spark, out, q, k = 5)) == before)
+    assertProbePlanPins(out)
+    // the swapped-in table still takes appends in the same layout
+    assert(IvfPqIndexJob.ingest(e.filter(col("vec_id") >= 50), out) > 0)
+    val model = IvfPqIndexJob.loadModel(spark, out).get
+    assert(rows(IvfPqIndexJob.probe(spark, out, q, k = 5)) ==
+      rows(IvfPqInt.topKWithModel(e, q, model, k = 5)))
+  }
+
   test("probing a missing index fails fast with guidance") {
     val ex = intercept[IllegalStateException] {
       IvfPqIndexJob.probe(spark, tmp(), q, k = 3)
