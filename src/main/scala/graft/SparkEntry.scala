@@ -804,9 +804,13 @@ object SparkEntry {
   /** Product-quantized ANN with exact rerank: the corpus is scanned as
     * 8 code bytes + a norm per vector (64× smaller than the raw
     * doubles), scored by per-query lookup tables, and only the ADC
-    * top-50 candidate ids rejoin full vectors for the exact cosine.
+    * top candidate ids rejoin full vectors for the exact cosine.
     * Approximate by construction → rows-only; measured recall pinned in
-    * ProductQuantizerSpec. */
+    * ProductQuantizerSpec. rerank=100 per the r17 FloatAnnDialProbe
+    * sweep (table in adcTopK's scaladoc + SCALE_AUDIT): the old
+    * rerank=50 read recall@5 0.66 at sf0.1 while 100 reads 0.78 at
+    * FLAT wall (0.46 vs 0.50 s) — the q145 cost-neutral-dial move
+    * applied to the float PQ path. */
   def q65_pq_ann(s: SparkSession, d: String): DataFrame = {
     val e = Tables.embeddings(s, d)
     val model = graft.sim.ProductQuantizer.train(e, subspaces = 8,
@@ -814,7 +818,7 @@ object SparkEntry {
     val codes = graft.sim.ProductQuantizer.encode(e, model)
     graft.sim.ProductQuantizer.adcTopK(codes,
       e.filter(col("vec_id") < 10), 5, model,
-      embeddings = e, rerank = 50)
+      embeddings = e, rerank = 100)
   }
 
   /** Count-Min frequency estimates over supplier keys: the sketch is
@@ -1983,7 +1987,14 @@ object SparkEntry {
     * driver-built ADC LUTs). The probe is row-identical to q145's
     * in-job pipeline at the same dials (pinned in IvfPqIndexSpec), so
     * the SAME DuckDB oracle re-derives this query end to end — the
-    * 100 TB serving shape gets its own hash-green row. */
+    * 100 TB serving shape gets its own hash-green row.
+    *
+    * Cost split (r17 IvfPqServeProbe, SCALE_AUDIT): the bench row's
+    * sf10 14.79 s is BUILD (train + full store write) + probe on a
+    * cold path; the SERVING cost — a probe against the pre-built
+    * index, the number a 100× operator pays per query batch — is
+    * ~2 s at sf10 and decade-flat (sf1 1.7–2.1 s, sf10 1.9–2.0 s),
+    * compacted store. */
   def q146_ivfpq_index_probe(s: SparkSession, d: String): DataFrame = {
     val e = Tables.embeddings(s, d)
     val out = s"${System.getProperty("java.io.tmpdir")}/graft_ivfpq_idx_" +

@@ -99,6 +99,20 @@ object ProductQuantizer {
     * denominator from stored norms; `rerank > 0` re-scores that many
     * ADC candidates per query with the exact cosine (joining candidate
     * ids back to `embeddings`) before taking k.
+    *
+    * Real-corpus recall@5 vs exact cosine (FloatAnnDialProbe, r17;
+    * subspaces=8, iters=3, dims=64; full table in SCALE_AUDIT):
+    * {{{
+    * recall@5 (sf0.01 / sf0.1):
+    *   codebook k\rerank    0           20          50          100
+    *       16           0.24/0.12   0.52/0.24   0.72/0.44   0.90/0.52
+    *       32           0.26/0.14   0.64/0.40   0.74/0.66   0.88/0.78
+    * }}}
+    * Recall at fixed rerank FALLS as the corpus grows (more ADC
+    * collisions ahead of the cut), and rerank is nearly free here
+    * (wall flat 0.4–0.7 s across the whole row — per-query exact
+    * rescores of `rerank` ids): q65 runs k=32, rerank=100 (moved from
+    * 50 in r17, the q145 cost-neutral-dial precedent).
     * @return (query_id, neighbor_id, rank) */
   def adcTopK(codes: DataFrame, queries: DataFrame, k: Int, model: Model,
               embeddings: DataFrame = null, rerank: Int = 0): DataFrame = {

@@ -25,9 +25,11 @@ import org.apache.spark.sql.functions._
   * cost; fixing V while growing D isolates the corpus term it claims
   * is only the initial map-side-combinable word count.
   *
-  * Usage: runMain graft.tools.BpeVocabProbe [specCsv] [merges] [reps]
+  * Usage: runMain graft.tools.BpeVocabProbe [specCsv] [merges] [reps] [batch]
   *        spec = a /sf dir, or V:D (vocab:docs synthetic)
   *        (default "1000:25000,10000:25000,100000:25000,10000:250000")
+  *        batch = learnMergesBatched round size (r17 merges-axis runs
+  *        sweep it: wall is driver-ROUND-linear, batch is the lever)
   */
 object BpeVocabProbe {
   def main(args: Array[String]): Unit = {
@@ -36,6 +38,7 @@ object BpeVocabProbe {
       .split(",").toSeq
     val merges = args.drop(1).headOption.map(_.toInt).getOrElse(10)
     val reps = args.drop(2).headOption.map(_.toInt).getOrElse(2)
+    val batch = args.drop(3).headOption.map(_.toInt).getOrElse(8)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -50,7 +53,25 @@ object BpeVocabProbe {
     for (d <- dirs) {
       val docs =
         if (d.startsWith("/")) graft.Tables.documents(spark, d)
-        else {
+        else if (d.endsWith(":hex")) {
+          // conflict-SPARSE surface forms: md5-hex tokens spread the
+          // symbol alphabet, so ranked pair candidates are mostly
+          // pairwise disjoint and selectBatch can actually fill a
+          // batch — the opposite pole from the shared-"tok"-prefix
+          // corpus below, where nearly every candidate conflicts and
+          // rounds ≈ merges regardless of batch (r17 merges axis)
+          val Array(v, n) = d.stripSuffix(":hex").split(":").map(_.toLong)
+          val path = java.nio.file.Files
+            .createTempDirectory("graft_bpe_probe").toString
+          spark.range(n).toDF("doc_id")
+            .select(col("doc_id"), concat_ws(" ",
+              transform(sequence(lit(0), lit(39)),
+                i => substring(md5(
+                  pmod(col("doc_id") * 40 + i, lit(v)).cast("string")),
+                  1, 8))).as("text"))
+            .write.mode("overwrite").parquet(path)
+          spark.read.parquet(path)
+        } else {
           val Array(v, n) = d.split(":").map(_.toLong)
           // parquet round-trip, not a checkpoint: the timing loop's
           // blanket unpersist must not kill the generated corpus
@@ -67,11 +88,15 @@ object BpeVocabProbe {
       val vocab = docs
         .select(explode(split(col("text"), " ")).as("word"))
         .filter(col("word") =!= "").select(col("word")).distinct().count()
+      var lastRounds = 0
+      var lastLearned = 0
       def time(): Double = {
         val t0 = System.nanoTime()
-        graft.text.Bpe.learnMergesBatched(docs, merges)
-          .queryExecution.toRdd.count()
+        val (learned, rounds) =
+          graft.text.Bpe.learnMergesBatchedRounds(docs, merges, batch)
         val dt = (System.nanoTime() - t0) / 1e9
+        lastRounds = rounds
+        lastLearned = learned.size
         spark.sparkContext.getPersistentRDDs.values
           .foreach(_.unpersist(blocking = true))
         dt
@@ -79,6 +104,7 @@ object BpeVocabProbe {
       time() // warm
       val ts = (1 to reps).map(_ => time())
       println(f"BPEVOCAB dir=$d%-28s vocab=$vocab%-8d merges=$merges " +
+        f"batch=$batch rounds=$lastRounds learned=$lastLearned " +
         ts.map(t => f"$t%7.2f").mkString(" ") + f"  min=${ts.min}%7.2f")
     }
     spark.stop()
