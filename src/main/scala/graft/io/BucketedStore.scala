@@ -1,0 +1,148 @@
+package graft.io
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.col
+
+/** Shared management for the engine's persisted BUCKETED STORES — the
+  * append-only external tables every incremental ingest job keeps
+  * (hash store, MinHash sig/bucket stores, k-gram stores, segment
+  * stores, semantic vector store, IVF-PQ postings/vecs). One store =
+  * one parquet directory + one catalog entry + (r17) one LAYOUT
+  * DESCRIPTOR (`<path>_layout`, a one-row parquet beside the data —
+  * NOT inside it, where a table scan would read it as data) recording
+  * (buckets, bucket key, sort keys, format version).
+  *
+  * Why the descriptor exists — two fresh-session failure modes the
+  * r16 IvfPqIndexJob audit surfaced, which every sibling store shared:
+  *
+  *  1. *Silent plan degradation*: the catalog entry (where Spark keeps
+  *     bucket specs) dies with the session while the files survive, so
+  *     a new session's `spark.read.parquet(path)` fallback loses the
+  *     hash-partitioning and the store-side of every history join —
+  *     the side that grows without bound — gains a full shuffle,
+  *     exactly the cost the bucketing exists to avoid at 100 TB.
+  *     [[view]] instead RE-REGISTERS the table from the descriptor
+  *     (`CREATE TABLE … CLUSTERED BY … LOCATION`), keeping the
+  *     co-located merge-join plan.
+  *  2. *Layout corruption*: the bucket count used to come from a conf
+  *     knob re-read per session; with the catalog gone, an append in a
+  *     session with a CHANGED knob would create a new catalog entry
+  *     over the same directory and write files under a different
+  *     bucket modulus — mixed moduli in one store, silently wrong
+  *     bucket pruning and joins from then on. [[append]] resolves the
+  *     effective layout from the descriptor FIRST (the conf value only
+  *     seeds a store's very first write), so appends always match the
+  *     files already on disk.
+  *
+  * A store from before the descriptor existed (no `_layout` file)
+  * degrades exactly as before — plain path read, re-registration on
+  * next append under the session conf — and is upgraded in place by
+  * that append writing the descriptor.
+  */
+object BucketedStore {
+
+  /** On-disk layout of one bucketed store. `version` is bumped when
+    * the descriptor format or the write recipe changes. */
+  final case class StoreLayout(buckets: Int, bucketKey: String,
+                               sortKeys: Seq[String], version: Int = 1)
+
+  private def layoutPath(path: String): String = s"${path}_layout"
+
+  private def pathExists(spark: SparkSession, path: String): Boolean = {
+    val p = new Path(path)
+    p.getFileSystem(spark.sessionState.newHadoopConf()).exists(p)
+  }
+
+  private[graft] def loadLayout(spark: SparkSession,
+                                path: String): Option[StoreLayout] = {
+    val lp = layoutPath(path)
+    if (!pathExists(spark, lp)) return None
+    val df = spark.read.parquet(lp)
+    val need = Seq("buckets", "bucket_key", "sort_keys", "version")
+    if (!need.forall(df.columns.contains)) return None
+    val r = df.select(need.map(col): _*).head()
+    Some(StoreLayout(r.getInt(0), r.getString(1),
+      r.getSeq[String](2).toSeq, r.getInt(3)))
+  }
+
+  private def saveLayout(spark: SparkSession, path: String,
+                         l: StoreLayout): Unit = {
+    import spark.implicits._
+    Seq((l.buckets, l.bucketKey, l.sortKeys, l.version))
+      .toDF("buckets", "bucket_key", "sort_keys", "version")
+      .coalesce(1).write.mode("overwrite").parquet(layoutPath(path))
+  }
+
+  /** Re-create the catalog entry for an existing store from its
+    * descriptor — schema from the parquet footers, bucket spec from
+    * the layout. Idempotent (IF NOT EXISTS). */
+  private def register(spark: SparkSession, table: String, path: String,
+                       l: StoreLayout): Unit = {
+    val ddl = spark.read.parquet(path).schema.toDDL
+    val sorted = l.sortKeys.map(s => s"`$s`").mkString(", ")
+    spark.sql(
+      s"""CREATE TABLE IF NOT EXISTS `$table` ($ddl)
+         |USING parquet
+         |CLUSTERED BY (`${l.bucketKey}`) SORTED BY ($sorted)
+         |INTO ${l.buckets} BUCKETS
+         |LOCATION '$path'""".stripMargin)
+  }
+
+  /** Bucket-aware store view: the catalog table when registered; a
+    * fresh session over an existing store re-registers from the
+    * descriptor (keeping the bucketed plan); a descriptor-less legacy
+    * store falls back to a plain path read (correct, unbucketed until
+    * its next append upgrades it). None = store does not exist. */
+  def view(spark: SparkSession, table: String,
+           path: String): Option[DataFrame] = {
+    if (spark.catalog.tableExists(table)) Some(spark.table(table))
+    else if (pathExists(spark, path)) loadLayout(spark, path) match {
+      case Some(l) =>
+        register(spark, table, path, l)
+        Some(spark.table(table))
+      case None => Some(spark.read.parquet(path))
+    }
+    else None
+  }
+
+  /** Append `df` to the store in ITS layout: the persisted descriptor
+    * wins over `confBuckets` (which only seeds the first write of a
+    * brand-new store), and a lost catalog entry is re-registered
+    * before the append so the files' bucket bookkeeping stays
+    * consistent across sessions and conf changes.
+    *
+    * The re-register-first step is also a DATA-LOSS guard, not just a
+    * plan nicety: `saveAsTable(Append)` on a NONEXISTENT table plans
+    * as CREATE-table-as-select, and (measured on Spark 4.1) that path
+    * CLEARS an existing location before writing — so the pre-r17
+    * append-after-catalog-loss flow silently wiped the store's entire
+    * history and kept only the new batch. Any existing path therefore
+    * goes through registration (descriptor layout when present; the
+    * session conf for a pre-descriptor store — the same
+    * one-conf-per-store invariant those stores' appends always
+    * assumed) so the append always runs against a REGISTERED table,
+    * where Append means append. The create-as-select path is reached
+    * only for a genuinely new store. Pinned in BucketedStoreSpec. */
+  def append(df: DataFrame, table: String, path: String,
+             bucketKey: String, sortKeys: Seq[String],
+             confBuckets: Int): Unit = {
+    val spark = df.sparkSession
+    val persisted = loadLayout(spark, path)
+    val layout = persisted.getOrElse(
+      StoreLayout(confBuckets, bucketKey, sortKeys))
+    require(layout.bucketKey == bucketKey && layout.sortKeys == sortKeys,
+      s"store at $path is keyed (${layout.bucketKey}; " +
+        s"${layout.sortKeys.mkString(",")}), caller asked for " +
+        s"($bucketKey; ${sortKeys.mkString(",")})")
+    if (!spark.catalog.tableExists(table) && pathExists(spark, path))
+      register(spark, table, path, layout)
+    val w = df.write.format("parquet")
+      .bucketBy(layout.buckets, layout.bucketKey)
+      .sortBy(layout.sortKeys.head, layout.sortKeys.tail: _*)
+      .mode("append")
+    (if (spark.catalog.tableExists(table)) w
+     else w.option("path", path)).saveAsTable(table)
+    if (persisted.isEmpty) saveLayout(spark, path, layout)
+  }
+}

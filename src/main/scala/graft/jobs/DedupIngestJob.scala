@@ -49,12 +49,12 @@ object DedupIngestJob {
     * its scan reports hash-partitioning on content_hash, so the
     * per-batch anti-join shuffles only the (small) incoming batch —
     * the store itself is never re-shuffled (asserted in
-    * DedupIngestSpec). Falls back to a plain-path read when the
-    * catalog entry is gone (e.g. a fresh session over an existing
-    * store) — correct, just unbucketed until the next append
-    * re-registers the table. A missing store is the one absence
-    * handled here; genuine read failures PROPAGATE so the batch
-    * retries instead of silently admitting duplicates.
+    * DedupIngestSpec). A fresh session over an existing store
+    * re-registers the catalog entry from the persisted layout
+    * descriptor ([[graft.io.BucketedStore]], r17) so the co-located
+    * plan survives session boundaries. A missing store is the one
+    * absence handled here; genuine read failures PROPAGATE so the
+    * batch retries instead of silently admitting duplicates.
     *
     * The store carries a `merge` join hint (all ingest-job storeViews
     * do): a left-anti join can only broadcast its RIGHT side, which is
@@ -67,14 +67,10 @@ object DedupIngestJob {
     * throughput"). Sort-merge keeps the bucketed store co-located:
     * only the batch side exchanges, at any store size. */
   private[graft] def storeView(spark: SparkSession,
-                               outDir: String): Option[DataFrame] = {
-    val path = s"$outDir/content_hash"
-    if (spark.catalog.tableExists(storeTable(outDir)))
-      Some(spark.table(storeTable(outDir)).hint("merge"))
-    else if (pathExists(spark, path))
-      Some(spark.read.parquet(path).hint("merge"))
-    else None
-  }
+                               outDir: String): Option[DataFrame] =
+    graft.io.BucketedStore
+      .view(spark, storeTable(outDir), s"$outDir/content_hash")
+      .map(_.hint("merge"))
 
   /** Exact-dedup stage core, two-phase so composed funnels
     * ([[CorpusIngestJob]]) can write their corpus BEFORE committing the
@@ -100,17 +96,10 @@ object DedupIngestJob {
           Seq("content_hash"), "left_anti")
       case None => inBatch
     }).localCheckpoint(true)
-    StagedHash(fresh, () => {
-      val table = storeTable(outDir)
-      val w = fresh.select(col("content_hash")).write
-        .format("parquet")
-        .bucketBy(storeBuckets(spark), "content_hash")
-        .sortBy("content_hash")
-        .mode("append")
-      // location only on table creation; appends use the catalog's
-      (if (spark.catalog.tableExists(table)) w
-       else w.option("path", s"$outDir/content_hash")).saveAsTable(table)
-    })
+    StagedHash(fresh, () =>
+      graft.io.BucketedStore.append(fresh.select(col("content_hash")),
+        storeTable(outDir), s"$outDir/content_hash",
+        "content_hash", Seq("content_hash"), storeBuckets(spark)))
   }
 
   /** Batch core, shared by streaming foreachBatch and tests.

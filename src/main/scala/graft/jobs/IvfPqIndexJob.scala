@@ -209,6 +209,12 @@ object IvfPqIndexJob {
     val spark = df.sparkSession
     val (bucketKey, sortKeys) = storeLayout(which)
     val table = tableName(outDir, which)
+    // never reach saveAsTable's create-as-select path over an existing
+    // store: on Spark 4.1 that CLEARS the location (the BucketedStore
+    // data-loss guard, measured) — register first so Append appends
+    if (!spark.catalog.tableExists(table) &&
+      pathExists(spark, s"$outDir/$which"))
+      registerStoreTable(spark, outDir, which, buckets)
     val w = df.write.format("parquet")
       .bucketBy(buckets, bucketKey)
       .sortBy(sortKeys.head, sortKeys.tail: _*)

@@ -68,17 +68,14 @@ object NearDupIngestJob {
     p.getFileSystem(spark.sessionState.newHadoopConf()).exists(p)
   }
 
-  /** Bucket-aware view of a store table; plain-path fallback for a
-    * fresh session over an existing store; None only when absent. */
+  /** Bucket-aware view of a store table; a fresh session re-registers
+    * from the persisted layout descriptor ([[graft.io.BucketedStore]],
+    * r17); None only when absent. */
   private[graft] def storeView(spark: SparkSession, outDir: String,
-                               kind: String): Option[DataFrame] = {
-    val path = s"$outDir/$kind"
-    if (spark.catalog.tableExists(tableName(outDir, kind)))
-      Some(spark.table(tableName(outDir, kind)).hint("merge"))
-    else if (pathExists(spark, path))
-      Some(spark.read.parquet(path).hint("merge"))
-    else None
-  }
+                               kind: String): Option[DataFrame] =
+    graft.io.BucketedStore
+      .view(spark, tableName(outDir, kind), s"$outDir/$kind")
+      .map(_.hint("merge"))
 
   /** (doc_id, sig) — the per-doc signature vector, seed-ordered. */
   private def packedSigs(docs: DataFrame, p: Params): DataFrame =
@@ -160,13 +157,9 @@ object NearDupIngestJob {
     if (n > 0) {
       docs.join(keptIds, Seq("doc_id"), "left_semi")
         .write.mode("append").parquet(s"$outDir/documents")
-      def appendStore(df: DataFrame, kind: String, key: String): Unit = {
-        val t = tableName(outDir, kind)
-        val w = df.write.format("parquet")
-          .bucketBy(p.storeBuckets, key).sortBy(key).mode("append")
-        (if (spark.catalog.tableExists(t)) w
-         else w.option("path", s"$outDir/$kind")).saveAsTable(t)
-      }
+      def appendStore(df: DataFrame, kind: String, key: String): Unit =
+        graft.io.BucketedStore.append(df, tableName(outDir, kind),
+          s"$outDir/$kind", key, Seq(key), p.storeBuckets)
       appendStore(sigs.join(keptIds, Seq("doc_id"), "left_semi"),
         "sigs", "doc_id")
       appendStore(buckets.join(keptIds, Seq("doc_id"), "left_semi")

@@ -82,17 +82,15 @@ object SemanticIngestJob {
     p.getFileSystem(spark.sessionState.newHadoopConf()).exists(p)
   }
 
-  /** Bucket-aware store view (catalog table when registered, plain
-    * path fallback for a fresh session over an existing store). */
+  /** Bucket-aware store view — fresh sessions re-register from the
+    * persisted layout descriptor ([[graft.io.BucketedStore]], r17), so
+    * the per-batch history join keeps its store-side co-location
+    * instead of silently re-shuffling the whole history. */
   private[graft] def storeView(spark: SparkSession,
-                               outDir: String): Option[DataFrame] = {
-    val path = s"$outDir/vectors"
-    if (spark.catalog.tableExists(tableName(outDir)))
-      Some(spark.table(tableName(outDir)).hint("merge"))
-    else if (pathExists(spark, path))
-      Some(spark.read.parquet(path).hint("merge"))
-    else None
-  }
+                               outDir: String): Option[DataFrame] =
+    graft.io.BucketedStore
+      .view(spark, tableName(outDir), s"$outDir/vectors")
+      .map(_.hint("merge"))
 
   /** The frozen model, or None before the first batch. */
   private[graft] def loadModel(spark: SparkSession,
@@ -207,15 +205,10 @@ object SemanticIngestJob {
         .select(col("vec_id"), col("cell"), col("v"), col("dup_of"),
           col("dup_of").isNull.as("kept"))
       val n = fresh.count()
-      if (n > 0) {
-        val table = tableName(outDir)
-        val w = verdict.write.format("parquet")
-          .bucketBy(storeBuckets(spark), "cell")
-          .sortBy("cell", "vec_id")
-          .mode("append")
-        (if (spark.catalog.tableExists(table)) w
-         else w.option("path", s"$outDir/vectors")).saveAsTable(table)
-      }
+      if (n > 0)
+        graft.io.BucketedStore.append(verdict, tableName(outDir),
+          s"$outDir/vectors", "cell", Seq("cell", "vec_id"),
+          storeBuckets(spark))
       n
     } finally fresh.unpersist()
   }

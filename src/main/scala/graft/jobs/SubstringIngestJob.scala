@@ -47,29 +47,19 @@ object SubstringIngestJob {
     p.getFileSystem(spark.sessionState.newHadoopConf()).exists(p)
   }
 
-  /** Bucket-aware store view (catalog table when registered, plain
-    * path fallback for a fresh session over an existing store). */
+  /** Bucket-aware store view — fresh sessions re-register from the
+    * persisted layout descriptor ([[graft.io.BucketedStore]], r17). */
   private def storeView(spark: SparkSession, outDir: String,
-                        kind: String): Option[DataFrame] = {
-    val path = s"$outDir/$kind"
-    if (spark.catalog.tableExists(tableName(outDir, kind)))
-      Some(spark.table(tableName(outDir, kind)).hint("merge"))
-    else if (pathExists(spark, path))
-      Some(spark.read.parquet(path).hint("merge"))
-    else None
-  }
+                        kind: String): Option[DataFrame] =
+    graft.io.BucketedStore
+      .view(spark, tableName(outDir, kind), s"$outDir/$kind")
+      .map(_.hint("merge"))
 
   private def appendBucketed(df: DataFrame, outDir: String, kind: String,
-                             bucketCol: String): Unit = {
-    val spark = df.sparkSession
-    val table = tableName(outDir, kind)
-    val w = df.write.format("parquet")
-      .bucketBy(storeBuckets(spark), bucketCol)
-      .sortBy(bucketCol)
-      .mode("append")
-    (if (spark.catalog.tableExists(table)) w
-     else w.option("path", s"$outDir/$kind")).saveAsTable(table)
-  }
+                             bucketCol: String): Unit =
+    graft.io.BucketedStore.append(df, tableName(outDir, kind),
+      s"$outDir/$kind", bucketCol, Seq(bucketCol),
+      storeBuckets(df.sparkSession))
 
   /** Scrub stage core, two-phase so composed funnels
     * ([[CorpusIngestJob]]) can write their corpus BEFORE committing the

@@ -58,25 +58,39 @@ object LshIndex {
     files.length + "_" + md.digest().map("%02x".format(_)).mkString
   }
 
-  /** Build unless a CURRENT index for this corpus exists: presence is
-    * checked via the catalog, currency via the stored [[fingerprint]].
-    * A stale or missing index is rebuilt; a fresh one is reused as-is.
-    * The check is driver metadata only — nothing added to the probe
-    * path. */
+  /** Build unless a CURRENT index for this corpus AND this recipe
+    * exists: presence is checked via the catalog, currency via the
+    * stored [[fingerprint]] PLUS the build dials (tables, planes,
+    * dims, buckets — the IvfPqIndexJob descriptor rule, r17: an index
+    * signed under other dials answering for these would be a silent
+    * recall/geometry change, and pre-descriptor metas fail the column
+    * check and rebuild). A stale or missing index is rebuilt; a fresh
+    * one is reused as-is. The check is driver metadata only — nothing
+    * added to the probe path. */
   def ensureBuilt(embeddings: DataFrame, table: String,
                   tables: Int = 24, planes: Int = 8, dims: Int = 64,
                   buckets: Int = 32): Unit = {
     val spark = embeddings.sparkSession
     val meta = s"${table}_meta"
     val fp = fingerprint(embeddings)
+    val need = Seq("fingerprint", "tables", "planes", "dims", "buckets")
     val fresh = spark.catalog.tableExists(table) &&
-      spark.catalog.tableExists(meta) &&
-      spark.table(meta).head().getString(0) == fp
+      spark.catalog.tableExists(meta) && {
+        val m = spark.table(meta)
+        need.forall(m.columns.contains) && {
+          val r = m.select(need.map(col): _*).head()
+          r.getString(0) == fp && r.getInt(1) == tables &&
+            r.getInt(2) == planes && r.getInt(3) == dims &&
+            r.getInt(4) == buckets
+        }
+      }
     if (!fresh) {
       build(embeddings, table, tables, planes, dims, buckets)
       import spark.implicits._
       dropTableAndLocation(spark, meta)
-      Seq(fp).toDF("fingerprint").write.saveAsTable(meta)
+      Seq((fp, tables, planes, dims, buckets))
+        .toDF("fingerprint", "tables", "planes", "dims", "buckets")
+        .write.saveAsTable(meta)
     }
   }
 

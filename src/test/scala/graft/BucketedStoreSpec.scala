@@ -1,0 +1,92 @@
+package graft
+
+import java.nio.file.Files
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.io.BucketedStore
+
+/** Pins graft.io.BucketedStore — the shared layout-descriptor
+  * management behind every persisted ingest store (r17): a fresh
+  * session over an existing store must RE-REGISTER the bucketed
+  * catalog table from the descriptor (keeping the co-located
+  * merge-join plan), and appends must follow the FILES' layout, never
+  * the session conf (a changed bucket knob must not mix moduli in one
+  * directory). */
+class BucketedStoreSpec extends AnyFunSuite with SparkTestBase {
+  import spark.implicits._
+
+  private var n = 0
+  private def freshStore(): (String, String) = {
+    n += 1
+    val dir = Files.createTempDirectory("graft_bstore").toString
+    (s"graft_bstore_spec_$n", s"$dir/store")
+  }
+
+  private def rows(lo: Long, hi: Long) =
+    (lo until hi).map(i => (i, s"v$i")).toDF("k", "payload")
+
+  test("fresh session over an existing store: view re-registers from " +
+    "the descriptor — bucketed scan (no store-side exchange in a " +
+    "co-located join), same rows, catalog entry restored") {
+    val (table, path) = freshStore()
+    BucketedStore.append(rows(0, 100), table, path, "k", Seq("k"), 8)
+    val before = BucketedStore.view(spark, table, path).get
+      .orderBy(col("k")).as[(Long, String)].collect().toSeq
+    spark.sql(s"DROP TABLE `$table`") // external: files survive
+    assert(!spark.catalog.tableExists(table))
+    val v = BucketedStore.view(spark, table, path).get
+    assert(spark.catalog.tableExists(table), "view must re-register")
+    assert(v.orderBy(col("k")).as[(Long, String)].collect().toSeq
+      == before)
+    // the whole point: a history-style join against the store plans
+    // with the exchange on the BATCH side only
+    val batch = rows(0, 10)
+    val plan = batch.join(v.hint("merge"), Seq("k"), "left_anti")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("SortMergeJoin"), plan)
+    assert("Exchange hashpartitioning".r.findAllIn(plan).size == 1,
+      s"only the batch side may exchange:\n$plan")
+  }
+
+  test("appends follow the persisted layout, not the session conf: a " +
+    "changed bucket knob cannot mix moduli in one store") {
+    val (table, path) = freshStore()
+    BucketedStore.append(rows(0, 50), table, path, "k", Seq("k"), 4)
+    // catalog lost AND the caller now asks for a different bucket count
+    spark.sql(s"DROP TABLE `$table`")
+    BucketedStore.append(rows(50, 100), table, path, "k", Seq("k"), 16)
+    // the descriptor wins: still 4 buckets, one consistent modulus
+    val counts = graft.io.Layout.bucketFileCounts(spark, path)
+    assert(counts.keys.forall(_ < 4),
+      s"files outside the original 4-bucket layout: $counts")
+    assert(BucketedStore.view(spark, table, path).get.count() == 100)
+    // and mismatched KEYS are refused loudly, not silently re-keyed
+    val ex = intercept[IllegalArgumentException] {
+      BucketedStore.append(rows(100, 110), table, path, "payload",
+        Seq("payload"), 4)
+    }
+    assert(ex.getMessage.contains("keyed"))
+  }
+
+  test("legacy store (no descriptor) degrades to a plain read and is " +
+    "upgraded in place by its next append") {
+    val (table, path) = freshStore()
+    // a pre-descriptor store: bucketed files, catalog + descriptor gone
+    BucketedStore.append(rows(0, 30), table, path, "k", Seq("k"), 8)
+    spark.sql(s"DROP TABLE `$table`")
+    val lp = new java.io.File(s"${path}_layout")
+    def del(f: java.io.File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(del)); f.delete()
+    }
+    del(lp)
+    assert(BucketedStore.loadLayout(spark, path).isEmpty)
+    // view still answers (plain read), just unbucketed — and without a
+    // descriptor it must NOT invent a catalog registration
+    assert(BucketedStore.view(spark, table, path).get.count() == 30)
+    assert(!spark.catalog.tableExists(table))
+    // the next append re-creates table + descriptor under its conf
+    BucketedStore.append(rows(30, 40), table, path, "k", Seq("k"), 8)
+    assert(BucketedStore.loadLayout(spark, path).exists(_.buckets == 8))
+    assert(BucketedStore.view(spark, table, path).get.count() == 40)
+  }
+}
