@@ -106,6 +106,65 @@ object BucketedStore {
     else None
   }
 
+  /** Bucket-preserving small-file compaction: every append writes its
+    * own file set per bucket, the scan tax is per-FILE, and Spark only
+    * trusts a bucketed table's SORTED BY metadata at ONE file per
+    * bucket — so append-heavy stores need this maintenance pass
+    * ([[Layout.compactionPlan]]'s rationale, executed at TABLE
+    * granularity because per-file merging would break `saveAsTable`'s
+    * bucket bookkeeping). Rewrite-into-fresh-table-then-swap: read the
+    * RAW path (a bucketed catalog scan already claims the target
+    * partitioning, so the planner would elide the repartition below
+    * and then auto-disable the bucketed scan — measured in r17,
+    * leaving file-split tasks and multi-file buckets), repartition by
+    * the bucket key with the bucket count (repartition's Murmur3 IS
+    * the bucket hash → task == bucket → one file per bucket), write
+    * beside the store, swap directories, re-register. Row set
+    * unchanged; requires a layout descriptor (a legacy store gets one
+    * on its next [[append]]). No-op when the store doesn't exist. */
+  def compact(spark: SparkSession, table: String, path: String): Unit = {
+    if (!pathExists(spark, path)) return
+    val layout = loadLayout(spark, path).getOrElse(throw
+      new IllegalStateException(s"no layout descriptor at " +
+        s"${layoutPath(path)} — compact only manages descriptor-backed " +
+        "stores (a legacy store is upgraded by its next append)"))
+    val tmpTable = s"${table}_compacting"
+    val tmpPath = s"${path}_compacting"
+    spark.sql(s"DROP TABLE IF EXISTS `$tmpTable`")
+    deletePath(spark, tmpPath)
+    spark.read.parquet(path)
+      .repartition(layout.buckets, col(layout.bucketKey))
+      .write.format("parquet")
+      .bucketBy(layout.buckets, layout.bucketKey)
+      .sortBy(layout.sortKeys.head, layout.sortKeys.tail: _*)
+      .option("path", tmpPath).mode("overwrite").saveAsTable(tmpTable)
+    spark.sql(s"DROP TABLE IF EXISTS `$table`")
+    spark.sql(s"DROP TABLE IF EXISTS `$tmpTable`")
+    deletePath(spark, path)
+    val fs = new Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.rename(new Path(tmpPath), new Path(path)))
+      throw new IllegalStateException(
+        s"compaction swap failed: could not rename $tmpPath to $path")
+    register(spark, table, path, layout)
+  }
+
+  private def deletePath(spark: SparkSession, path: String): Unit = {
+    val p = new Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) fs.delete(p, true)
+  }
+
+  /** Remove a store completely: catalog entry, data directory, AND the
+    * layout descriptor — a stale descriptor surviving a data purge
+    * would force the store's NEXT first write back into the old bucket
+    * count regardless of the caller's intent. */
+  def drop(spark: SparkSession, table: String, path: String): Unit = {
+    spark.sql(s"DROP TABLE IF EXISTS `$table`")
+    deletePath(spark, path)
+    deletePath(spark, layoutPath(path))
+  }
+
   /** Append `df` to the store in ITS layout: the persisted descriptor
     * wins over `confBuckets` (which only seeds the first write of a
     * brand-new store), and a lost catalog entry is re-registered

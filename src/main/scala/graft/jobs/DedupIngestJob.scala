@@ -125,6 +125,13 @@ object DedupIngestJob {
   /** File-drop streaming entry (replayable source + checkpoint →
     * restart-safe): each dropped file holds JSON lines
     * {"doc_id": …, "text": …}. AvailableNow drains and stops. */
+  /** Bucket-preserving small-file compaction of the hash store — run
+    * periodically on append-heavy stores ([[graft.io.BucketedStore
+    * .compact]]; audit with [[graft.io.Layout.bucketFileCounts]]). */
+  def compactStores(spark: SparkSession, outDir: String): Unit =
+    graft.io.BucketedStore.compact(spark, storeTable(outDir),
+      s"$outDir/content_hash")
+
   def runFiles(spark: SparkSession, inDir: String, outDir: String,
                checkpoint: String): StreamingQuery = {
     val schema = "doc_id LONG, text STRING"

@@ -94,8 +94,11 @@ object IvfPqIndexJob {
   /** Bump when the on-disk layout or training recipe changes: a
     * persisted index from an older binary is then STALE by definition
     * (ensureBuilt rebuilds; pre-versioned metas fail [[loadMeta]] the
-    * same way). v2 = descriptor meta (recipe + buckets + version). */
-  private val FormatVersion = 2
+    * same way). v2 = descriptor meta (recipe + buckets + version);
+    * v3 = stores carry [[graft.io.BucketedStore]] layout sidecars
+    * (fresh-session registration moved there — a v2 store without
+    * them rebuilds rather than serving degraded plans). */
+  private val FormatVersion = 3
 
   /** The persisted index descriptor (the one-row `meta` store). */
   private[graft] final case class IndexMeta(fingerprint: String,
@@ -161,73 +164,33 @@ object IvfPqIndexJob {
       .coalesce(1).write.mode("overwrite").parquet(s"$outDir/meta")
   }
 
-  /** Re-create the catalog entry for an existing on-disk store — the
-    * fresh-session serving path: the table LOCATION (and its bucketed
-    * files) outlive the session-scoped catalog, so a new SparkSession
-    * must re-declare CLUSTERED BY or every probe plans against a plain
-    * parquet scan (bucket pruning and the exchange-free rerank join
-    * silently gone). Schema comes from the parquet footers; the bucket
-    * count from the persisted descriptor. */
-  private def registerStoreTable(spark: SparkSession, outDir: String,
-                                 which: String, buckets: Int): Unit = {
-    val (bk, sks) = storeLayout(which)
-    val path = s"$outDir/$which"
-    val ddl = spark.read.parquet(path).schema.toDDL
-    val sorted = sks.map(s => s"`$s`").mkString(", ")
-    spark.sql(
-      s"""CREATE TABLE IF NOT EXISTS `${tableName(outDir, which)}` ($ddl)
-         |USING parquet
-         |CLUSTERED BY (`$bk`) SORTED BY ($sorted) INTO $buckets BUCKETS
-         |LOCATION '$path'""".stripMargin)
-  }
-
-  /** Bucket-aware store view. Catalog hit → the registered table; miss
-    * with files + a descriptor meta → RE-REGISTER (fresh-session
-    * serving keeps the bucketed plan); miss with files but no
-    * descriptor (pre-v2 store) → plain path read, correct but
-    * shuffle-degraded — ensureBuilt over such a store rebuilds it into
-    * the current format. */
+  /** Bucket-aware store view — [[graft.io.BucketedStore.view]]: the
+    * catalog table when registered; a fresh session re-registers from
+    * the store's layout sidecar (fresh-session serving keeps the
+    * bucketed plan); a sidecar-less pre-v3 store falls back to a plain
+    * path read, correct but shuffle-degraded — ensureBuilt over such a
+    * store rebuilds it into the current format (version check). */
   private[graft] def storeView(spark: SparkSession, outDir: String,
-                               which: String): Option[DataFrame] = {
-    val path = s"$outDir/$which"
-    if (spark.catalog.tableExists(tableName(outDir, which)))
-      Some(spark.table(tableName(outDir, which)))
-    else if (pathExists(spark, path)) loadMeta(spark, outDir) match {
-      case Some(m) =>
-        registerStoreTable(spark, outDir, which, m.buckets)
-        Some(spark.table(tableName(outDir, which)))
-      case None => Some(spark.read.parquet(path))
-    }
-    else None
-  }
+                               which: String): Option[DataFrame] =
+    graft.io.BucketedStore
+      .view(spark, tableName(outDir, which), s"$outDir/$which")
 
-  /** Bucket by `bucketKey` ONLY (a multi-column bucket hash would
-    * defeat the probe's In(cell) bucket pruning); sort by `sortKeys`
-    * within buckets so row-group stats prune too. */
+  /** Bucket by the store's single key ONLY (a multi-column bucket hash
+    * would defeat the probe's In(cell) bucket pruning); sort by the
+    * sort keys within buckets so row-group stats prune too. Delegates
+    * to [[graft.io.BucketedStore.append]] (descriptor-first layout +
+    * the register-before-append data-loss guard). */
   private[graft] def appendBucketed(df: DataFrame, outDir: String,
                                     which: String, buckets: Int): Unit = {
-    val spark = df.sparkSession
     val (bucketKey, sortKeys) = storeLayout(which)
-    val table = tableName(outDir, which)
-    // never reach saveAsTable's create-as-select path over an existing
-    // store: on Spark 4.1 that CLEARS the location (the BucketedStore
-    // data-loss guard, measured) — register first so Append appends
-    if (!spark.catalog.tableExists(table) &&
-      pathExists(spark, s"$outDir/$which"))
-      registerStoreTable(spark, outDir, which, buckets)
-    val w = df.write.format("parquet")
-      .bucketBy(buckets, bucketKey)
-      .sortBy(sortKeys.head, sortKeys.tail: _*)
-      .mode("append")
-    (if (spark.catalog.tableExists(table)) w
-     else w.option("path", s"$outDir/$which")).saveAsTable(table)
+    graft.io.BucketedStore.append(df, tableName(outDir, which),
+      s"$outDir/$which", bucketKey, sortKeys, buckets)
   }
 
   private def dropStore(spark: SparkSession, outDir: String,
-                        which: String): Unit = {
-    spark.sql(s"DROP TABLE IF EXISTS ${tableName(outDir, which)}")
-    deletePath(spark, s"$outDir/$which")
-  }
+                        which: String): Unit =
+    graft.io.BucketedStore
+      .drop(spark, tableName(outDir, which), s"$outDir/$which")
 
   /** The frozen model, or None before a build. */
   def loadModel(spark: SparkSession, outDir: String): Option[IvfPqModel] = {
@@ -420,60 +383,22 @@ object IvfPqIndexJob {
 
   /** Bucket-preserving small-file compaction of both stores — the
     * operational pass an append-heavy index needs (each [[ingest]]
-    * batch adds a file set per bucket; the scan tax is per-FILE:
-    * [[graft.io.Layout.compactionPlan]]'s rationale, applied here at
-    * table granularity because naive per-file merging would break
-    * `saveAsTable`'s bucket bookkeeping). Rewrite-into-fresh-table-
-    * then-swap: repartition by the bucket key with the bucket count
-    * (repartition's Murmur3 hash IS the bucket hash, so each task
-    * holds exactly one bucket → ONE file per bucket), write as a new
-    * bucketed table beside the store, swap directories, re-register.
-    * Probe results are bit-identical before/after (row set unchanged;
-    * pinned in IvfPqIndexSpec), and the within-bucket SORTED BY
-    * metadata becomes actually usable again (Spark only trusts it at
-    * one file per bucket). */
+    * batch adds a file set per bucket; the scan tax is per-FILE).
+    * The mechanism — rewrite-into-fresh-table-then-swap, one file per
+    * bucket, raw-path read so the repartition isn't planner-elided —
+    * lives in [[graft.io.BucketedStore.compact]], shared by every
+    * ingest store's maintenance entry since r17. Probe results are
+    * bit-identical before/after (row set unchanged; pinned in
+    * IvfPqIndexSpec), and the within-bucket SORTED BY metadata becomes
+    * actually usable again (Spark only trusts it at one file per
+    * bucket). */
   def compact(spark: SparkSession, outDir: String): Unit =
     Seq("postings", "vecs").foreach(compactStore(spark, outDir, _))
 
   private def compactStore(spark: SparkSession, outDir: String,
-                           which: String): Unit = {
-    val path = s"$outDir/$which"
-    if (!pathExists(spark, path)) return
-    val buckets = loadMeta(spark, outDir).map(_.buckets)
-      .getOrElse(storeBuckets(spark))
-    val (bk, sks) = storeLayout(which)
-    // read the RAW path, not the catalog table: a bucketed scan already
-    // claims HashPartitioning(bk, buckets), so the planner elides the
-    // repartition below as redundant — and then auto-disables the
-    // bucketed scan (nothing left requiring the distribution), leaving
-    // file-split task partitioning that writes one file per (task,
-    // bucket) pair instead of one per bucket. The plain path read has
-    // no bucket metadata, so the repartition genuinely shuffles with
-    // the bucket hash and task == bucket holds.
-    val df = spark.read.parquet(path)
-    val tmpWhich = s"${which}_compacting"
-    val tmpTable = tableName(outDir, tmpWhich)
-    val tmpPath = s"$outDir/$tmpWhich"
-    spark.sql(s"DROP TABLE IF EXISTS `$tmpTable`")
-    deletePath(spark, tmpPath)
-    // task == bucket: one output file per bucket, the compaction goal
-    df.repartition(buckets, col(bk))
-      .write.format("parquet")
-      .bucketBy(buckets, bk).sortBy(sks.head, sks.tail: _*)
-      .option("path", tmpPath).mode("overwrite").saveAsTable(tmpTable)
-    // swap at table granularity: drop both catalog entries (external —
-    // files stay), move the compacted files into place, re-register
-    spark.sql(s"DROP TABLE IF EXISTS `${tableName(outDir, which)}`")
-    spark.sql(s"DROP TABLE IF EXISTS `$tmpTable`")
-    deletePath(spark, path)
-    val fs = new org.apache.hadoop.fs.Path(path)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.rename(new org.apache.hadoop.fs.Path(tmpPath),
-      new org.apache.hadoop.fs.Path(path)))
-      throw new IllegalStateException(
-        s"compaction swap failed: could not rename $tmpPath to $path")
-    registerStoreTable(spark, outDir, which, buckets)
-  }
+                           which: String): Unit =
+    graft.io.BucketedStore
+      .compact(spark, tableName(outDir, which), s"$outDir/$which")
 
   /** Probe the index with a query batch of (vec_id, embedding) —
     * queries need NOT be indexed vectors (they are quantized through

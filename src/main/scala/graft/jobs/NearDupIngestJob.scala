@@ -170,6 +170,12 @@ object NearDupIngestJob {
 
   /** File-drop streaming entry (replayable source + checkpoint →
     * restart-safe), mirroring DedupIngestJob.runFiles. */
+  /** Bucket-preserving small-file compaction of both stores
+    * ([[graft.io.BucketedStore.compact]]). */
+  def compactStores(spark: SparkSession, outDir: String): Unit =
+    Seq("sigs", "buckets").foreach(k => graft.io.BucketedStore
+      .compact(spark, tableName(outDir, k), s"$outDir/$k"))
+
   def runFiles(spark: SparkSession, inDir: String, outDir: String,
                checkpoint: String): StreamingQuery = {
     val schema = "doc_id LONG, text STRING"

@@ -216,6 +216,12 @@ object SemanticIngestJob {
   /** File-drop streaming entry (replayable source + checkpoint →
     * restart-safe): each dropped file holds JSON lines
     * {"vec_id": …, "embedding": [...]}. AvailableNow drains and stops. */
+  /** Bucket-preserving small-file compaction of the vector store
+    * ([[graft.io.BucketedStore.compact]]). */
+  def compactStores(spark: SparkSession, outDir: String): Unit =
+    graft.io.BucketedStore.compact(spark, tableName(outDir),
+      s"$outDir/vectors")
+
   def runFiles(spark: SparkSession, inDir: String, outDir: String,
                checkpoint: String, clusters: Int,
                threshold: Double,

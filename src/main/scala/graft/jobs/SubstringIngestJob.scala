@@ -161,6 +161,12 @@ object SubstringIngestJob {
   /** File-drop streaming entry (replayable source + checkpoint →
     * restart-safe): each dropped file holds JSON lines
     * {"doc_id": …, "text": …}. AvailableNow drains and stops. */
+  /** Bucket-preserving small-file compaction of both stores
+    * ([[graft.io.BucketedStore.compact]]). */
+  def compactStores(spark: SparkSession, outDir: String): Unit =
+    Seq("grams", "seen").foreach(k => graft.io.BucketedStore
+      .compact(spark, tableName(outDir, k), s"$outDir/$k"))
+
   def runFiles(spark: SparkSession, inDir: String, outDir: String,
                checkpoint: String, k: Int = 8): StreamingQuery = {
     val schema = "doc_id LONG, text STRING"

@@ -68,6 +68,56 @@ class BucketedStoreSpec extends AnyFunSuite with SparkTestBase {
     assert(ex.getMessage.contains("keyed"))
   }
 
+  test("compact: N appends accrete files per bucket; compact rewrites " +
+    "to ONE file per bucket, preserves the row set, keeps the table " +
+    "registered and appendable") {
+    val (table, path) = freshStore()
+    for (b <- 0 until 3)
+      BucketedStore.append(rows(b * 20, (b + 1) * 20), table, path,
+        "k", Seq("k"), 4)
+    val pre = graft.io.Layout.bucketFileCounts(spark, path)
+    assert(pre.values.max > 1, s"expected accreted files, got $pre")
+    BucketedStore.compact(spark, table, path)
+    val post = graft.io.Layout.bucketFileCounts(spark, path)
+    assert(post.nonEmpty && post.values.forall(_ == 1), post.toString)
+    assert(spark.catalog.tableExists(table))
+    assert(BucketedStore.view(spark, table, path).get
+      .orderBy(col("k")).as[(Long, String)].collect().toSeq
+      == (0L until 60L).map(i => (i, s"v$i")))
+    BucketedStore.append(rows(60, 70), table, path, "k", Seq("k"), 4)
+    assert(BucketedStore.view(spark, table, path).get.count() == 70)
+    // compacting a store with no descriptor is refused with guidance
+    val (t2, p2) = freshStore()
+    rows(0, 5).write.parquet(p2)
+    val ex = intercept[IllegalStateException] {
+      BucketedStore.compact(spark, t2, p2)
+    }
+    assert(ex.getMessage.contains("descriptor"))
+  }
+
+  test("an ingest job's history survives compaction: DedupIngestJob " +
+    "still drops historic duplicates afterwards") {
+    val dir = Files.createTempDirectory("graft_bstore_dedup").toString
+    def docs(lo: Long, hi: Long, tag: String) =
+      (lo until hi).map(i => (i, s"text $tag ${i % 10}"))
+        .toDF("doc_id", "text")
+    // 3 batches with overlapping content (i % 10 repeats per batch tag)
+    assert(graft.jobs.DedupIngestJob.writeBatch(docs(0, 30, "a"), dir)
+      == 10)
+    assert(graft.jobs.DedupIngestJob.writeBatch(docs(30, 60, "b"), dir)
+      == 10)
+    graft.jobs.DedupIngestJob.compactStores(spark, dir)
+    val counts = graft.io.Layout
+      .bucketFileCounts(spark, s"$dir/content_hash")
+    assert(counts.values.forall(_ == 1), counts.toString)
+    // post-compaction: historic hashes still gate (batch "a" content
+    // replayed under new ids admits nothing), fresh content still lands
+    assert(graft.jobs.DedupIngestJob.writeBatch(docs(60, 90, "a"), dir)
+      == 0)
+    assert(graft.jobs.DedupIngestJob.writeBatch(docs(90, 120, "c"), dir)
+      == 10)
+  }
+
   test("legacy store (no descriptor) degrades to a plain read and is " +
     "upgraded in place by its next append") {
     val (table, path) = freshStore()
