@@ -51,15 +51,24 @@ object Bfs {
     var dist = seeds.select(col("node").cast("long"))
       .distinct().withColumn("dist", lit(0)).transform(Snapshots.cut)
     var frontier = dist.select(col("node"))
+    // frontier size observed DURING each round's checkpoint
+    // materialization (KCore's Observation pattern, r17): the old
+    // `!frontier.isEmpty` ran one extra job per hop over the
+    // just-cached blocks — same values, one action per round instead
+    // of two
+    var frontierSize = frontier.count()
     var hop = 1
-    while (hop <= maxHops && !frontier.isEmpty) {
+    while (hop <= maxHops && frontierSize > 0) {
       val reached = frontier
         .join(e, frontier("node") === e("src"))
         .select(col("dst").as("node")).distinct()
+      val obs = org.apache.spark.sql.Observation()
       val fresh = reached.join(dist.select(col("node")), Seq("node"), "left_anti")
         .withColumn("dist", lit(hop))
+        .observe(obs, count(lit(1)).as("n"))
         // cut per-round lineage (as q34/q44 do), sized by the bound
         .transform(ds => Snapshots.cutSized(ds, edgeCount))
+      frontierSize = obs.get("n").asInstanceOf[Long]
       dist = dist.unionByName(fresh)
       frontier = fresh.select(col("node"))
       hop += 1
